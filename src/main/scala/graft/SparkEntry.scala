@@ -1,13 +1,425 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{NtpIds, TimeFns}
+import graft.versions.Versions
+import graft.harvest.StorageSync
+
+/** Driver contract — one `queries` entry + `oracleSql` entry per
+  * implemented operator family from SURVEY.md §2, all runnable on the
+  * driver testdata tables (TESTDATA.md).
+  *
+  * Oracle-parity conventions (load-bearing — see tools/check_oracle.py):
+  *  - every floating aggregate goes through exact int64 intermediates on
+  *    the cents grid (order-independent sums, identical in Spark and
+  *    DuckDB), then one deterministic bigint->double cast + division;
+  *  - per-row double arithmetic is kept to the same parenthesization on
+  *    both sides (IEEE ops are bit-deterministic);
+  *  - every output column is string/bigint/double/boolean/timestamp with a
+  *    lowercase alias, identical in both engines;
+  *  - every query ends in a total ORDER BY.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet stores TIMESTAMP(NANOS); Spark reads it as long (with
+    * spark.sql.legacy.parquet.nanosAsLong=true). Convert to a microsecond
+    * timestamp by truncating integer division — the same truncation DuckDB
+    * applies reading the file, so both engines see identical instants.
+    */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** The money/value columns in the testdata are 2-decimal values stored
+    * as doubles. Exact, order-independent aggregation: snap to the integer
+    * cents grid, sum as int64 (exact), and perform one deterministic
+    * bigint->double cast + division at the end. Both engines compute the
+    * identical double, unlike summing doubles (order-dependent) or casting
+    * doubles to wide decimals (Spark uses the shortest-repr string, DuckDB
+    * the exact binary expansion — they disagree at the 10th decimal).
+    */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** sum of a 2-decimal money column -> exact double. */
+  private def moneySum(c: Column): Column = sum(cents(c)).cast("double") / 100.0
+
+  /** sum of price*(1-discount) with 2-decimal price and discount -> exact double. */
+  private def revenueSum(price: Column, discount: Column): Column =
+    sum(cents(price) * (lit(100L) - cents(discount))).cast("double") / 10000.0
+
+  /** ntp-shaped versioned-records table derived deterministically from
+    * `orders`: surrogate id from the order key (every 7th key routed to
+    * the minors group), natural key = customer, version timestamp =
+    * order date in the reference's canonical 19-char form.
+    */
+  private def versionsDf(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").select(
+      NtpIds.setNtpId(
+        when(col("o_orderkey") % 7 === 0, col("o_orderkey") + NtpIds.MinOrderMinors)
+          .otherwise(col("o_orderkey"))).as("_id"),
+      col("o_orderkey").as("ok"),
+      col("o_custkey").as("nk"),
+      TimeFns.canon(col("o_orderdate")).as("updated"),
+      col("o_orderstatus").as("status"),
+      col("o_totalprice").as("totalprice"),
+      col("o_orderpriority").as("priority"))
+  }
+
+  private val versionsCte =
+    """WITH v AS (
+      |  SELECT printf('ntp%08d', CASE WHEN o_orderkey % 7 = 0 THEN o_orderkey + 10000000 ELSE o_orderkey END) AS _id,
+      |         o_orderkey AS ok, o_custkey AS nk,
+      |         strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS updated,
+      |         o_orderstatus AS status, o_totalprice AS totalprice, o_orderpriority AS priority
+      |  FROM orders)""".stripMargin
+
+  /** Flagship: the full versioned-ingest slice (SURVEY §3.1) on sf0.001 —
+    * derive versions, resolve the active row per natural key.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Versions.resolveLatest(versionsDf(spark, "/root/testdata/sf0.001"), "nk", "_id", "updated")
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A2/A3-style wide aggregation (TPC-H Q1 shape)
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(round(col("l_quantity")).cast("long")).cast("double").as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_base_price"),
+          revenueSum(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+          (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))) * (lit(100L) + cents(col("l_tax"))))
+            .cast("double") / 1000000.0).as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // J-family: 3-way join + agg + top-k (TPC-H Q3 shape)
+    "q03_shipping_priority" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders").filter(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-03-15 00:00:00")))
+      val l = t(s, dir, "lineitem").filter(col("l_shipdate") > lit(java.sql.Timestamp.valueOf("1998-03-15 00:00:00")))
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // J-family: 6-way star join with broadcast dims (TPC-H Q5 shape)
+    "q05_local_supplier_volume" -> ((s, dir) => {
+      val r = broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA"))
+      val n = broadcast(t(s, dir, "nation"))
+      val sup = broadcast(t(s, dir, "supplier"))
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+      val l = t(s, dir, "lineitem")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // W-family: ranked window (top-3 per group)
+    "q_top3_customers_per_nation" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, dir, "customer").join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("n_name"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("n_name"), col("c_acctbal").desc, col("c_name"))
+    }),
+
+    // W-family: running aggregate frame
+    "q_running_revenue" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          (sum(cents(col("o_totalprice"))).over(w).cast("double") / 100.0).as("running_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // A2/K8: calc_summary one-pass GROUPING SETS (reference calc_summary.py:55-78)
+    "q_summary_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT coalesce(o_orderstatus, '(all)') AS dim_status,
+          |       coalesce(o_orderpriority, '(all)') AS dim_priority,
+          |       count(*) AS n
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY dim_status, dim_priority""".stripMargin)
+    }),
+
+    // P5/J-family: anti join (NOT EXISTS)
+    "q_customers_no_orders" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // P5/J-family: semi join (EXISTS) + agg
+    "q_customer_segments_active" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // X1-X3/J5: storage sync reconciliation manifest
+    "q_sync_reconcile" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val origin = o.filter(col("o_orderkey") % 2 === 0)
+        .select(concat(NtpIds.setNtpId(col("o_orderkey")), lit("_doc.pdf")).as("name"))
+      val dest = o.filter(col("o_orderkey") % 3 === 0)
+        .select(concat(NtpIds.setNtpId(col("o_orderkey")), lit("_doc.pdf")).as("name"))
+      StorageSync.reconcile(origin, dest).orderBy(col("op"), col("name"))
+    }),
+
+    // W2/J2: latest-active-version resolution
+    "ntp_latest_versions" -> ((s, dir) => {
+      Versions.resolveLatest(versionsDf(s, dir), "nk", "_id", "updated")
+        .select(col("_id"), col("nk"), col("updated"))
+        .orderBy(col("nk"))
+    }),
+
+    // J3/K1: tombstone fan-out with updated_to pointers
+    "ntp_tombstones" -> ((s, dir) => {
+      Versions.tombstones(versionsDf(s, dir), "nk", "_id", "updated")
+        .orderBy(col("_id"))
+    }),
+
+    // A9/F6: merge_updates — canonical sorted distinct timeline per key
+    "ntp_merge_updates" -> ((s, dir) => {
+      versionsDf(s, dir).groupBy(col("nk"))
+        .agg(array_join(array_sort(array_distinct(collect_list(col("updated")))), ",").as("updates"))
+        .orderBy(col("nk"))
+    }),
+
+    // A1/F1-F4: per-group max-id watermark
+    "ntp_group_watermarks" -> ((s, dir) => {
+      versionsDf(s, dir)
+        .groupBy(NtpIds.group(col("_id")).as("grp"))
+        .agg(max(col("_id")).as("max_id"),
+          max(NtpIds.parseNtpId(col("_id"))).as("max_order"),
+          count(lit(1)).as("n"))
+        .orderBy(col("grp"))
+    }),
+
+    // F21/J2: timestamp-overlap same-version test between batch and existing
+    "ntp_overlap_merge" -> ((s, dir) => {
+      val v = versionsDf(s, dir)
+      val inc = v.filter(col("ok") % 3 === 0).groupBy(col("nk"))
+        .agg(array_sort(collect_set(col("updated"))).as("u_inc"))
+      val exi = v.filter(col("ok") % 3 =!= 0).groupBy(col("nk"))
+        .agg(array_sort(collect_set(col("updated"))).as("u_exi"))
+      inc.join(exi, Seq("nk"))
+        .select(col("nk"), TimeFns.updatesOverlap(col("u_inc"), col("u_exi")).as("same_version"))
+        .orderBy(col("nk"))
+    }),
+
+    // streaming-shape: gap-based sessionization over the events stream table
+    "q_events_sessionize" -> ((s, dir) => {
+      events(s, dir).createOrReplaceTempView("events_sess")
+      s.sql(
+        """WITH marked AS (
+          |  SELECT user_id, ts, event_id, value,
+          |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+          |                   OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) + INTERVAL 30 MINUTE
+          |              THEN 1 ELSE 0 END AS is_new
+          |  FROM events_sess),
+          |sessions AS (
+          |  SELECT user_id, ts, event_id, value,
+          |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          |  FROM marked)
+          |SELECT user_id, session_id, count(*) AS n_events,
+          |       min(ts) AS session_start, max(ts) AS session_end,
+          |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+          |FROM sessions GROUP BY user_id, session_id
+          |ORDER BY user_id, session_id""".stripMargin)
+    }),
+
+    // streaming-shape: tumbling-window aggregation
+    "q_events_windowed" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("wstart"), col("event_type"))
+        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
+        .orderBy(col("wstart"), col("event_type"))
+    }),
+
+    // F7-shape: JSON field extraction + agg
+    "q_events_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")  // props only — no ts needed
+        .select(col("event_type"), regexp_extract(col("props"), "\"k\": (-?[0-9]+)", 1).cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }))
+
+  // ------------------------------------------------------------- oracle SQL
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+        |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE) / 10000.0 AS sum_disc_price,
+        |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT)) * (100 + CAST(round(l_tax*100) AS BIGINT))) AS DOUBLE) / 1000000.0 AS sum_charge,
+        |       count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q03_shipping_priority" ->
+      """SELECT l_orderkey,
+        |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,
+        |       o_orderdate
+        |FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q05_local_supplier_volume" ->
+      """SELECT n_name,
+        |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_top3_customers_per_nation" ->
+      """SELECT n_name, c_name, c_acctbal FROM (
+        |  SELECT n_name, c_name, c_acctbal,
+        |         row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey) t
+        |WHERE rn <= 3 ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin,
+
+    "q_running_revenue" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+        |            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_summary_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS dim_status,
+        |       coalesce(o_orderpriority, '(all)') AS dim_priority,
+        |       count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY dim_status, dim_priority""".stripMargin,
+
+    "q_customers_no_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_customer_segments_active" ->
+      """SELECT c_mktsegment, count(*) AS n FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_sync_reconcile" ->
+      """WITH origin AS (
+        |  SELECT printf('ntp%08d', o_orderkey) || '_doc.pdf' AS name FROM orders WHERE o_orderkey % 2 = 0),
+        |dest AS (
+        |  SELECT printf('ntp%08d', o_orderkey) || '_doc.pdf' AS name FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT 'ADD' AS op, name FROM origin WHERE name NOT IN (SELECT name FROM dest)
+        |UNION ALL
+        |SELECT 'DEL' AS op, name FROM dest WHERE name NOT IN (SELECT name FROM origin)
+        |UNION ALL
+        |SELECT 'KEEP' AS op, name FROM origin WHERE name IN (SELECT name FROM dest)
+        |ORDER BY op, name""".stripMargin,
+
+    "ntp_latest_versions" -> (versionsCte +
+      """
+        |SELECT _id, nk, updated FROM (
+        |  SELECT _id, nk, updated,
+        |         row_number() OVER (PARTITION BY nk ORDER BY updated DESC, _id DESC) AS rn
+        |  FROM v) t
+        |WHERE rn = 1 ORDER BY nk""".stripMargin),
+
+    "ntp_tombstones" -> (versionsCte +
+      """
+        |SELECT _id, nk, TRUE AS obsolete_version, updated_to FROM (
+        |  SELECT _id, nk,
+        |         row_number() OVER (PARTITION BY nk ORDER BY updated DESC, _id DESC) AS rn,
+        |         first_value(_id) OVER (PARTITION BY nk ORDER BY updated DESC, _id DESC
+        |                                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS updated_to
+        |  FROM v) t
+        |WHERE rn > 1 ORDER BY _id""".stripMargin),
+
+    "ntp_merge_updates" -> (versionsCte +
+      """
+        |SELECT nk, array_to_string(list_sort(list_distinct(list(updated))), ',') AS updates
+        |FROM v GROUP BY nk ORDER BY nk""".stripMargin),
+
+    "ntp_group_watermarks" -> (versionsCte +
+      """
+        |SELECT CASE WHEN _id LIKE 'ntp1%' THEN 1 ELSE 0 END AS grp,
+        |       max(_id) AS max_id,
+        |       max(CAST(substr(_id, 4, 8) AS BIGINT)) AS max_order,
+        |       count(*) AS n
+        |FROM v GROUP BY 1 ORDER BY grp""".stripMargin),
+
+    "ntp_overlap_merge" -> (versionsCte +
+      """,
+        |inc AS (SELECT nk, list_sort(list_distinct(list(updated))) AS u FROM v WHERE ok % 3 = 0 GROUP BY nk),
+        |exi AS (SELECT nk, list_sort(list_distinct(list(updated))) AS u FROM v WHERE ok % 3 <> 0 GROUP BY nk)
+        |SELECT inc.nk AS nk, len(list_intersect(inc.u, exi.u)) > 0 AS same_version
+        |FROM inc JOIN exi ON inc.nk = exi.nk ORDER BY nk""".stripMargin),
+
+    "q_events_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id, value,
+        |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |                   OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) + INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM events),
+        |sessions AS (
+        |  SELECT user_id, ts, event_id, value,
+        |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+        |       min(ts) AS session_start, max(ts) AS session_end,
+        |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_events_windowed" ->
+      """SELECT date_trunc('hour', ts) AS wstart, event_type, count(*) AS n,
+        |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+        |FROM events GROUP BY date_trunc('hour', ts), event_type
+        |ORDER BY wstart, event_type""".stripMargin,
+
+    "q_events_json_extract" ->
+      """SELECT event_type,
+        |       CAST(sum(CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+        |       count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

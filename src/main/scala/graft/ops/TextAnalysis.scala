@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * tokenization, language id, quality scoring, fingerprinting.
+  *
+  * Everything here is pure `functions._` Column algebra — codegen'd,
+  * shuffle-free (per-row), and therefore scan-bound at 100 TB: these run
+  * at parquet read throughput with no exchange. No UDFs.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization with empty-token filtering (so leading /
+    * trailing whitespace can't produce phantom tokens).
+    */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Language-id by stopword voting: score(lang) = # tokens in that
+    * language's stopword list (counting repeats); winner = max score,
+    * ties broken by lexicographically smallest language code.
+    * An n-gram-free heuristic that is exactly reproducible in SQL.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on"),
+    "es" -> Seq("el", "la", "de", "y", "en", "que", "los", "del", "se", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "du", "est"),
+    "de" -> Seq("der", "die", "das", "und", "in", "den", "von", "zu", "mit", "ist"))
+
+  def langScores(toks: Column): Seq[(String, Column)] =
+    stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isin(words: _*)))
+    }
+
+  /** Predicted language code, or "und" when no stopword hits at all. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = langScores(toks).map { case (lang, s) => struct((-s).as("neg"), lit(lang).as("lang"), s.as("s")) }
+    val best = array_min(array(scored: _*))
+    when(best.getField("s") === 0, lit("und")).otherwise(best.getField("lang"))
+  }
+
+  /** Quality score in [0,1]: blend of length saturation, stopword ratio and
+    * alpha-char ratio — the shape of heuristic quality filters used by
+    * large-scale corpus pipelines (C4/Gopher-style rules), kept to exact
+    * integer-ratio arithmetic so it is bit-reproducible.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val ntok = size(toks).cast("double")
+    val lenSat = least(ntok / lit(100.0), lit(1.0))
+    val stopHits = size(filter(toks, t => t.isin(stopwords("en"): _*))).cast("double")
+    val stopRatio = when(ntok > 0, stopHits / ntok).otherwise(lit(0.0))
+    val alpha = length(regexp_replace(lower(text), "[^a-z]", "")).cast("double")
+    val alphaRatio = when(length(text) > 0, alpha / length(text).cast("double")).otherwise(lit(0.0))
+    lit(0.4) * lenSat + lit(0.3) * least(stopRatio * lit(5.0), lit(1.0)) + lit(0.3) * alphaRatio
+  }
+
+  /** Canonical-form content fingerprint: md5 of lowercased,
+    * punctuation-stripped, whitespace-collapsed text. Equal fingerprints =
+    * near-exact duplicates modulo casing/punctuation/spacing.
+    */
+  def fingerprintMd5(text: Column): Column =
+    md5(trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " ")))
+
+  /** Polynomial rolling-hash fingerprint over the token stream
+    * (order-sensitive, unlike the md5 canon form): h = fold(tokens,
+    * h*31 + ascii(first char)) mod 1e9+7. Exact int64 arithmetic.
+    */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      transform(tokens(text), t => ascii(t).cast("long")),
+      lit(0L),
+      (h, c) => (h * 31L + c) % 1000000007L)
+}
