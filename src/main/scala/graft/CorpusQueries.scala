@@ -1,0 +1,428 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.NtpIds
+import graft.enrich.Entities
+import graft.ingest.Normalize
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.versions.Versions
+
+/** Training-data-pipeline + enrichment queries (SURVEY §7.6/§7.8):
+  * text analysis, exact/MinHash/SimHash dedup, cosine similarity search,
+  * URL harvesting, NIF validation, company enrichment, chain resolution.
+  * Oracle SQL for the hash-heavy operators is generated from the same
+  * constants the Spark operators use, so both engines compute identical
+  * signatures. Conventions as documented on SparkEntry.
+  */
+object CorpusQueries {
+  import SparkEntry.{t, versionsDf, versionsSelect, versionsCte}
+
+  // ----------------------------------------------------------- SQL builders
+
+  /** Tokenization CTE identical to TextAnalysis.tokens. */
+  private val tkCte =
+    """WITH tk AS (
+      |  SELECT doc_id, text, lang,
+      |         list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks
+      |  FROM documents)""".stripMargin
+
+  /** 3-shingle CTE identical to Dedup.shingles (docs with >= 3 tokens). */
+  private val shCte = tkCte +
+    """,
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+      |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM tk WHERE len(toks) >= 3)""".stripMargin
+
+  /** MinHash signature CTE: h0..h7 (Dedup.minhash seeds 0-7). */
+  private val mhCte = shCte + ",\nmh AS (\n  SELECT doc_id, " +
+    (0 until 8).map(k => s"list_min(list_transform(sh, x -> md5('$k|' || x))) AS h$k").mkString(",\n         ") +
+    "\n  FROM sh)"
+
+  /** LSH band CTE: 4 bands of 2 hashes (Dedup.bandKeys(bands=4, r=2)). */
+  private val bandsCte = mhCte + ",\nbands AS (\n" +
+    (0 until 4).map(b => s"  SELECT doc_id, $b AS band, h${2 * b} || '#' || h${2 * b + 1} AS key FROM mh")
+      .mkString("\n  UNION ALL\n") + ")"
+
+  private val candSelect =
+    """SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id""".stripMargin
+
+  /** 64-bit SimHash expression over exploded token hashes (matches
+    * Dedup.simhashBits bit-for-bit: MSB-first hex nibbles of md5[1..16]).
+    */
+  private val simhashSigExpr = (0 until 64).map { b =>
+    val hexPos = b / 4 + 1
+    val mask = 8 >> (b % 4)
+    s"(CASE WHEN sum(CASE WHEN ((instr('0123456789abcdef', substr(h, $hexPos, 1)) - 1) & $mask) > 0 THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END)"
+  }.mkString(" || ")
+
+  private val simhashCte = tkCte +
+    s""",
+       |ex AS (SELECT doc_id, substr(md5(tok), 1, 16) AS h
+       |       FROM (SELECT doc_id, unnest(toks) AS tok FROM tk)),
+       |sg AS (SELECT doc_id, $simhashSigExpr AS sig FROM ex GROUP BY doc_id)""".stripMargin
+
+  private val hammingExpr =
+    (1 to 64).map(i => s"(CASE WHEN substr(sa, $i, 1) <> substr(sb, $i, 1) THEN 1 ELSE 0 END)").mkString(" + ")
+
+  /** Exact decimal-accumulated dot product, kept in decimal space
+    * (matches Similarity.dotExactDec — no double appears in comparisons).
+    */
+  private def dotDecSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1,65), i -> CAST(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) AS DECIMAL(25,15))))"
+
+  /** Hyperplane bucket (matches Similarity.hyperplaneBucket(nBits=4, dim=64)). */
+  private def bucketSql(vec: String): String =
+    Similarity.hyperplaneSigns(4, 64).map { sv =>
+      val lst = sv.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"(CASE WHEN list_sum(list_transform(range(1,65), i -> CAST(CAST($vec[i] AS DOUBLE) * ($lst)[i] AS DECIMAL(25,15)))) >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+
+  private def swList(lang: String): String =
+    TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString("[", ",", "]")
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // text analysis: token count + rolling hash + canonical fingerprint
+    "txt_token_stats" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.rollingHash(col("text")).as("rhash"),
+        TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // text analysis: stopword-vote language id vs labeled lang
+    "txt_langid" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"),
+        col("lang").as("lang_label"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // text analysis: heuristic quality score
+    "txt_quality" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // exact dedup: corpus-level duplicate stats
+    "dedup_exact_stats" -> ((s, dir) => {
+      t(s, dir, "documents").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct_text"),
+        countDistinct(TextAnalysis.fingerprintMd5(col("text"))).as("n_distinct_fp"))
+    }),
+
+    // exact dedup: keep min doc_id per group key
+    "dedup_exact_keep" -> ((s, dir) => {
+      t(s, dir, "documents").groupBy(col("lang"), col("n_chars"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("n_chars"))
+    }),
+
+    // MinHash signatures (8 hashes over 3-shingles)
+    "dedup_minhash_sig" -> ((s, dir) => {
+      val sh = Dedup.shingles(col("text"))
+      t(s, dir, "documents")
+        .filter(TextAnalysis.tokenCount(col("text")) >= 3)
+        .select(col("doc_id") +: (0 until 8).map(k => Dedup.minhash(sh, k).as(s"h$k")): _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // MinHash LSH candidate pairs (4 bands x 2 rows)
+    "dedup_minhash_pairs" -> ((s, dir) => {
+      Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text", 4, 2)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // n-gram Jaccard verification of the LSH candidates
+    "dedup_jaccard_verify" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cand = Dedup.minhashCandidates(docs, "doc_id", "text", 4, 2)
+      val shd = docs.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+      cand.join(shd.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+        .join(shd.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+        .select(col("a"), col("b"), Dedup.jaccard(col("sha"), col("shb")).as("jac"))
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // 64-bit SimHash signatures
+    "dedup_simhash" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhashBits(col("text")).as("sig"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // SimHash near-dup candidates (4-chunk pigeonhole, Hamming <= 3)
+    "dedup_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashCandidates(t(s, dir, "documents"), "doc_id", "text", 4, 3)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // brute-force cosine top-5 for sampled query vectors (unit-normalized
+    // corpus -> exact-decimal dot ranking == cosine ranking)
+    "sim_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteTopKExact(emb, emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", 5)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // bucketed (LSH/IVF-style) cosine near-duplicate pairs
+    "sim_cosine_neardup" -> ((s, dir) => {
+      Similarity.dotNearDupExact(t(s, dir, "embeddings"), "vec_id", "embedding", BigDecimal("0.35"), 4, 64)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // P8/F9-F13: URL melt + host/filename/extension extraction
+    "url_extract" -> ((s, dir) => {
+      val v = versionsDf(s, dir)
+      val urls = v.select(col("_id"), col("ok"),
+        concat(lit("https://host"), (col("nk") % 20).cast("string"),
+          lit(".example.es/docs/"), col("_id"), lit("_Pliego.pdf")).as("u_pliego"),
+        when(col("ok") % 5 === 0,
+          concat(lit("http://mirror.example.org/"), col("_id"), lit("_Anexo.zip"))).as("u_anexo"))
+      urls.selectExpr("_id", "stack(2, 'u_pliego', u_pliego, 'u_anexo', u_anexo) AS (field, url)")
+        .filter(col("url").isNotNull && col("url").startsWith("http"))
+        .select(col("_id"), col("field"), col("url"),
+          regexp_extract(col("url"), "^https?://([^/]+)/", 1).as("host"),
+          regexp_extract(col("url"), "([^/]+)$", 1).as("fname"))
+        .withColumn("file_ntp", NtpIds.idFromFileName(col("fname")))
+        .withColumn("ext", regexp_extract(col("fname"), "\\.([a-z]+)$", 1))
+        .withColumn("accepted", col("ext").isin("pdf", "doc", "docx", "zip", "html"))
+        .orderBy(col("_id"), col("field"))
+    }),
+
+    // F14: NIF/DNI/CIF/NIE normalization + validation
+    "nif_validate" -> ((s, dir) => {
+      val raw = when(col("c_custkey") % 4 === 0, concat(format_string("%08d", col("c_custkey")), lit("-Z")))
+        .when(col("c_custkey") % 4 === 1, concat(lit("a"), format_string("%07d", col("c_custkey")), lit(".c")))
+        .when(col("c_custkey") % 4 === 2, concat(lit("X "), format_string("%07d", col("c_custkey")), lit("L")))
+        .otherwise(concat(lit("BAD"), col("c_custkey").cast("string")))
+      t(s, dir, "customer").select(col("c_custkey"), raw.as("raw_id"))
+        .withColumn("norm_id", Entities.normalizeId(col("raw_id")))
+        .withColumn("id_type", Entities.classifyId(col("norm_id")))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // J4: company-enrichment left join against resolved actives
+    "enrich_companies" -> ((s, dir) => {
+      val latest = Versions.resolveLatest(versionsDf(s, dir), "nk", "_id", "updated")
+      val companies = t(s, dir, "customer").filter(col("c_custkey") % 2 === 0)
+        .select(NtpIds.setNtpId(col("c_custkey")).as("pid"), upper(col("c_name")).as("company"))
+      companies.join(latest.select(col("_id"), col("nk"), col("status")),
+          col("pid") === col("_id"), "left_outer")
+        .select(col("pid"), col("company"), col("nk"), col("status"))
+        .orderBy(col("pid"))
+    }),
+
+    // J3: obsolete-pointer chain resolution to the active head
+    "ntp_chain_resolve" -> ((s, dir) => {
+      val w = Window.partitionBy(col("nk")).orderBy(col("updated").desc, col("_id").desc)
+      val ranked = versionsDf(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("prev", lag(col("_id"), 1).over(w))
+      val edges = ranked.filter(col("rn") > 1).select(col("_id").as("src"), col("prev").as("dst"))
+      Versions.resolveChains(edges, "src", "dst", 64).orderBy(col("src"))
+    }),
+
+    // multimodal plumbing: opaque byte length + content digest per doc
+    "multimodal_meta" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        md5(col("text")).as("digest"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // S4-shape: code parse out of a delimited string column
+    "cpv_parse_codes" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("source"), regexp_extract(col("source"), "([0-9]+)", 1).cast("long").as("code"))
+        .groupBy(col("source"), col("code")).agg(count(lit(1)).as("n"))
+        .orderBy(col("source"))
+    }),
+
+    // F7: string-encoded list parse (from_json, never eval) + explode
+    "ingest_parse_list" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(concat(lit("['"), col("p_brand"), lit("','"), col("p_type"), lit("']")).as("enc"))
+        .select(explode(Normalize.parseListString(col("enc"))).as("element"))
+        .groupBy(col("element")).agg(count(lit(1)).as("n"))
+        .orderBy(col("element"))
+    }))
+
+  // ------------------------------------------------------------- oracle SQL
+
+  def oracleSql: Map[String, String] = Map(
+    "txt_token_stats" -> (tkCte +
+      """
+        |SELECT doc_id, len(toks) AS n_tokens,
+        |       list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, t -> CAST(ascii(t) AS BIGINT))),
+        |                   (a, b) -> (a * 31 + b) % 1000000007) AS rhash,
+        |       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+        |FROM tk ORDER BY doc_id""".stripMargin),
+
+    "txt_langid" -> (tkCte +
+      s""",
+         |sc AS (SELECT doc_id, lang,
+         |  len(list_filter(toks, t -> list_contains(${swList("de")}, t))) AS s_de,
+         |  len(list_filter(toks, t -> list_contains(${swList("en")}, t))) AS s_en,
+         |  len(list_filter(toks, t -> list_contains(${swList("es")}, t))) AS s_es,
+         |  len(list_filter(toks, t -> list_contains(${swList("fr")}, t))) AS s_fr
+         |FROM tk)
+         |SELECT doc_id,
+         |  CASE WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+         |       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |       WHEN s_es >= s_fr THEN 'es'
+         |       ELSE 'fr' END AS lang_pred,
+         |  lang AS lang_label
+         |FROM sc ORDER BY doc_id""".stripMargin),
+
+    "txt_quality" -> (tkCte +
+      s""",
+         |m AS (SELECT doc_id, text, toks,
+         |  len(list_filter(toks, t -> list_contains(${swList("en")}, t))) AS sh
+         |FROM tk)
+         |SELECT doc_id,
+         |  0.4 * least(len(toks) / 100.0, 1.0)
+         |  + 0.3 * least((CASE WHEN len(toks) > 0 THEN CAST(sh AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END) * 5.0, 1.0)
+         |  + 0.3 * (CASE WHEN length(text) > 0
+         |           THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+         |           ELSE 0.0 END) AS quality
+         |FROM m ORDER BY doc_id""".stripMargin),
+
+    "dedup_exact_stats" ->
+      """SELECT count(*) AS n_docs,
+        |       count(DISTINCT md5(text)) AS n_distinct_text,
+        |       count(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))) AS n_distinct_fp
+        |FROM documents""".stripMargin,
+
+    "dedup_exact_keep" ->
+      """SELECT lang, n_chars, min(doc_id) AS keep_id, count(*) AS n
+        |FROM documents GROUP BY lang, n_chars ORDER BY lang, n_chars""".stripMargin,
+
+    "dedup_minhash_sig" -> (mhCte +
+      "\nSELECT doc_id, " + (0 until 8).map(k => s"h$k").mkString(", ") +
+      " FROM mh ORDER BY doc_id"),
+
+    "dedup_minhash_pairs" -> (bandsCte + "\n" + candSelect + "\nORDER BY a, b"),
+
+    "dedup_jaccard_verify" -> (bandsCte +
+      s""",
+         |cand AS ($candSelect)
+         |SELECT cand.a AS a, cand.b AS b,
+         |       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS jac
+         |FROM cand JOIN sh sa ON cand.a = sa.doc_id JOIN sh sb ON cand.b = sb.doc_id
+         |ORDER BY a, b""".stripMargin),
+
+    "dedup_simhash" -> (simhashCte + "\nSELECT doc_id, sig FROM sg ORDER BY doc_id"),
+
+    "dedup_simhash_pairs" -> (simhashCte +
+      s""",
+         |bk AS (
+         |  SELECT doc_id, sig, 0 AS chunk, substr(sig, 1, 16) AS key FROM sg
+         |  UNION ALL SELECT doc_id, sig, 1, substr(sig, 17, 16) FROM sg
+         |  UNION ALL SELECT doc_id, sig, 2, substr(sig, 33, 16) FROM sg
+         |  UNION ALL SELECT doc_id, sig, 3, substr(sig, 49, 16) FROM sg),
+         |cd AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.sig AS sa, y.sig AS sb
+         |  FROM bk x JOIN bk y ON x.chunk = y.chunk AND x.key = y.key AND x.doc_id < y.doc_id),
+         |hm AS (SELECT a, b, $hammingExpr AS hamming FROM cd)
+         |SELECT a, b, hamming FROM hm WHERE hamming <= 3 ORDER BY a, b""".stripMargin),
+
+    "sim_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+         |p AS (SELECT q.qid, c.vec_id AS cid, ${dotDecSql("q.qv", "c.embedding")} AS dot
+         |      FROM q CROSS JOIN embeddings c WHERE q.qid <> c.vec_id)
+         |SELECT qid, cid, rank FROM (
+         |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY dot DESC, cid) AS rank FROM p) t
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "sim_cosine_neardup" ->
+      s"""WITH bk AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings)
+         |SELECT x.vec_id AS a, y.vec_id AS b
+         |FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |WHERE ${dotDecSql("x.embedding", "y.embedding")} >= CAST('0.35' AS DECIMAL(36,15))
+         |ORDER BY a, b""".stripMargin,
+
+    "url_extract" -> (versionsCte +
+      """,
+        |u AS (
+        |  SELECT _id, 'u_pliego' AS field,
+        |         'https://host' || CAST(nk % 20 AS VARCHAR) || '.example.es/docs/' || _id || '_Pliego.pdf' AS url
+        |  FROM v
+        |  UNION ALL
+        |  SELECT _id, 'u_anexo', 'http://mirror.example.org/' || _id || '_Anexo.zip'
+        |  FROM v WHERE ok % 5 = 0)
+        |SELECT _id, field, url,
+        |       regexp_extract(url, '^https?://([^/]+)/', 1) AS host,
+        |       regexp_extract(url, '([^/]+)$', 1) AS fname,
+        |       split_part(regexp_extract(url, '([^/]+)$', 1), '_', 1) AS file_ntp,
+        |       regexp_extract(regexp_extract(url, '([^/]+)$', 1), '\.([a-z]+)$', 1) AS ext,
+        |       regexp_extract(regexp_extract(url, '([^/]+)$', 1), '\.([a-z]+)$', 1) IN ('pdf', 'doc', 'docx', 'zip', 'html') AS accepted
+        |FROM u ORDER BY _id, field""".stripMargin),
+
+    "nif_validate" ->
+      """WITH ids AS (SELECT c_custkey,
+        |  CASE WHEN c_custkey % 4 = 0 THEN printf('%08d', c_custkey) || '-Z'
+        |       WHEN c_custkey % 4 = 1 THEN 'a' || printf('%07d', c_custkey) || '.c'
+        |       WHEN c_custkey % 4 = 2 THEN 'X ' || printf('%07d', c_custkey) || 'L'
+        |       ELSE 'BAD' || CAST(c_custkey AS VARCHAR) END AS raw_id
+        |  FROM customer),
+        |n AS (SELECT c_custkey, raw_id, upper(translate(raw_id, '-. ', '')) AS norm_id FROM ids)
+        |SELECT c_custkey, raw_id, norm_id,
+        |  CASE WHEN regexp_matches(norm_id, '^[0-9]{8}[A-Z]$') THEN 'DNI'
+        |       WHEN regexp_matches(norm_id, '^[XYZ][0-9]{7}[A-Z]$') THEN 'NIE'
+        |       WHEN regexp_matches(norm_id, '^[A-Z][0-9]{7}[0-9A-J]$') THEN 'CIF'
+        |       ELSE 'INVALID' END AS id_type
+        |FROM n ORDER BY c_custkey""".stripMargin,
+
+    "enrich_companies" -> (versionsCte +
+      """,
+        |latest AS (
+        |  SELECT _id, nk, status FROM (
+        |    SELECT _id, nk, status,
+        |           row_number() OVER (PARTITION BY nk ORDER BY updated DESC, _id DESC) AS rn
+        |    FROM v) t
+        |  WHERE rn = 1),
+        |companies AS (
+        |  SELECT printf('ntp%08d', c_custkey) AS pid, upper(c_name) AS company
+        |  FROM customer WHERE c_custkey % 2 = 0)
+        |SELECT c.pid, c.company, l.nk, l.status
+        |FROM companies c LEFT JOIN latest l ON c.pid = l._id
+        |ORDER BY c.pid""".stripMargin),
+
+    "ntp_chain_resolve" ->
+      (s"""WITH RECURSIVE v AS (
+          |$versionsSelect),
+          |r AS (SELECT _id, nk, row_number() OVER (PARTITION BY nk ORDER BY updated DESC, _id DESC) AS rn FROM v),
+          |p AS (SELECT cur._id AS src, prv._id AS dst
+          |      FROM r cur JOIN r prv ON cur.nk = prv.nk AND prv.rn = cur.rn - 1
+          |      WHERE cur.rn > 1),
+          |walk(src, dst) AS (
+          |  SELECT src, dst FROM p
+          |  UNION ALL
+          |  SELECT w.src, p2.dst FROM walk w JOIN p p2 ON w.dst = p2.src)
+          |SELECT src, dst AS resolved_to FROM walk
+          |WHERE dst NOT IN (SELECT src FROM p)
+          |ORDER BY src""".stripMargin),
+
+    "multimodal_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "cpv_parse_codes" ->
+      """SELECT source, CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) AS code, count(*) AS n
+        |FROM documents GROUP BY source, code ORDER BY source""".stripMargin,
+
+    "ingest_parse_list" ->
+      """WITH el AS (SELECT p_brand AS element FROM part UNION ALL SELECT p_type FROM part)
+        |SELECT element, count(*) AS n FROM el GROUP BY element ORDER BY element""".stripMargin)
+}

@@ -24,7 +24,7 @@ import graft.harvest.StorageSync
   */
 object SparkEntry {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+  private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
   /** events.parquet stores TIMESTAMP(NANOS); Spark reads it as long (with
@@ -32,7 +32,7 @@ object SparkEntry {
     * timestamp by truncating integer division — the same truncation DuckDB
     * applies reading the file, so both engines see identical instants.
     */
-  private def events(s: SparkSession, dir: String): DataFrame =
+  private[graft] def events(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   /** The money/value columns in the testdata are 2-decimal values stored
@@ -57,7 +57,7 @@ object SparkEntry {
     * the minors group), natural key = customer, version timestamp =
     * order date in the reference's canonical 19-char form.
     */
-  private def versionsDf(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def versionsDf(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "orders").select(
       NtpIds.setNtpId(
         when(col("o_orderkey") % 7 === 0, col("o_orderkey") + NtpIds.MinOrderMinors)
@@ -70,13 +70,14 @@ object SparkEntry {
       col("o_orderpriority").as("priority"))
   }
 
-  private val versionsCte =
-    """WITH v AS (
-      |  SELECT printf('ntp%08d', CASE WHEN o_orderkey % 7 = 0 THEN o_orderkey + 10000000 ELSE o_orderkey END) AS _id,
+  private[graft] val versionsSelect =
+    """SELECT printf('ntp%08d', CASE WHEN o_orderkey % 7 = 0 THEN o_orderkey + 10000000 ELSE o_orderkey END) AS _id,
       |         o_orderkey AS ok, o_custkey AS nk,
       |         strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS updated,
       |         o_orderstatus AS status, o_totalprice AS totalprice, o_orderpriority AS priority
-      |  FROM orders)""".stripMargin
+      |  FROM orders""".stripMargin
+
+  private[graft] val versionsCte = s"WITH v AS (\n$versionsSelect)"
 
   /** Flagship: the full versioned-ingest slice (SURVEY §3.1) on sf0.001 —
     * derive versions, resolve the active row per natural key.
@@ -86,7 +87,7 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- queries
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map[String, (SparkSession, String) => DataFrame](
     // A2/A3-style wide aggregation (TPC-H Q1 shape)
     "q01_pricing_summary" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -273,7 +274,7 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
         .orderBy(col("event_type"))
-    }))
+    })) ++ CorpusQueries.queries
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -421,5 +422,5 @@ object SparkEntry {
       """SELECT event_type,
         |       CAST(sum(CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
         |       count(*) AS n
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) ++ CorpusQueries.oracleSql
 }

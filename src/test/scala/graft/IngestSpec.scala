@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.enrich.Entities
+import graft.harvest.StorageSync
+import graft.ingest.{ColumnMapping, Normalize}
+
+class IngestSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("fallbackName: strip prefix, underscores, X_(Y) -> Y/X, unidecode (F5)") {
+    assert(ColumnMapping.fallbackName("ContractFolderStatus - Tender Result") == "Tender_Result")
+    assert(ColumnMapping.fallbackName("Ciudad (Adjudicatario)") == "Adjudicatario/Ciudad")
+    assert(ColumnMapping.fallbackName("Clasificación CPV") == "Clasificacion_CPV")
+  }
+
+  test("applyMapping renames known columns and falls back for unknown (S3)") {
+    val df = Seq((1, "x", "y")).toDF("id", "Ciudad (Adjudicatario)", "Nueva Columna")
+    val out = ColumnMapping.applyMapping(df, Map("id" -> "_id"))
+    assert(out.columns.toSeq == Seq("_id", "Adjudicatario/Ciudad", "Nueva_Columna"))
+  }
+
+  test("parseListString: quoted list via from_json, scalar passthrough (F7)") {
+    val df = Seq("['45000000','45210000']", "plain").toDF("s")
+      .select(Normalize.parseListString(col("s")).as("v"))
+    val vs = df.collect().map(_.getAs[scala.collection.Seq[String]]("v"))
+    assert(vs(0) == Seq("45000000", "45210000"))
+    assert(vs(1) == Seq("plain"))
+  }
+
+  test("nullToEmpty and unwrapSingle (F8, list unwrap)") {
+    val df = Seq((null: String, Seq("only")), ("x", Seq("a", "b"))).toDF("s", "l")
+      .select(Normalize.nullToEmpty(col("s")).as("s"), Normalize.unwrapSingle(col("l")).as("u"))
+    val rows = df.collect()
+    assert(rows(0).getString(0) == "")
+    assert(rows(0).getString(1) == "only")
+    assert(rows(1).getString(1) != "a") // multi-element stays array-ish (stringified)
+  }
+
+  test("entity id normalization + classification (F14)") {
+    val df = Seq("12345678-z", "a1234567.c", "x 1234567l", "garbage").toDF("raw")
+      .select(Entities.classifyId(Entities.normalizeId(col("raw"))).as("t"))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("DNI", "CIF", "NIE", "INVALID"))
+  }
+
+  test("fixContracterIds re-joins single-char lists (F22)") {
+    val df = Seq(Seq("A", "1", "2", "3"), Seq("A123", "B456")).toDF("ids")
+      .select(Entities.fixContracterIds(col("ids")).as("f"))
+    val rows = df.collect().map(_.getAs[scala.collection.Seq[String]]("f"))
+    assert(rows(0) == Seq("A123"))
+    assert(rows(1) == Seq("A123", "B456"))
+  }
+
+  test("StorageSync.reconcile: ADD/DEL/KEEP partition of listings (X1-X3)") {
+    val origin = Seq("a.pdf", "b.pdf", "c.pdf").toDF("name")
+    val dest = Seq("b.pdf", "d.pdf").toDF("name")
+    val ops = StorageSync.reconcile(origin, dest).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(ops == Set("ADD" -> "a.pdf", "ADD" -> "c.pdf", "KEEP" -> "b.pdf", "DEL" -> "d.pdf"))
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.harvest.Fetch
+import graft.lake.LakeTable
+import graft.ops.Multimodal
+import graft.streaming.EventStreams
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("LakeTable.upsert: updates replace by key, new keys append (K1)") {
+    val dir = Files.createTempDirectory("lake").toString + "/t"
+    val lake = new LakeTable(spark, dir, "_id")
+    lake.overwrite(Seq(("a", 1), ("b", 2)).toDF("_id", "v"))
+    lake.upsert(Seq(("b", 20), ("c", 30)).toDF("_id", "v"))
+    val got = lake.read.orderBy("_id").collect().map(r => r.getString(0) -> r.getInt(1))
+    assert(got.toSeq == Seq("a" -> 1, "b" -> 20, "c" -> 30))
+  }
+
+  test("LakeTable summary singleton round-trip (K8)") {
+    val dir = Files.createTempDirectory("lake").toString + "/t"
+    val lake = new LakeTable(spark, dir, "_id")
+    lake.writeSummary(Seq((42L, 7L)).toDF("total", "groups"))
+    val r = lake.readSummary.collect().head
+    assert(r.getAs[String]("_id") == "summary_data" && r.getAs[Long]("total") == 42L)
+  }
+
+  test("Fetch: host-partitioned stub fetch with whitelist + status codes (S11)") {
+    val urls = Seq(
+      "https://h1.example.es/docs/ntp00000001_a.pdf",
+      "https://h2.example.es/docs/ntp00000002_b.zip",
+      "https://h1.example.es/docs/ntp00000003_c.exe",   // not whitelisted
+      "https://skipme.example.es/docs/ntp00000004_d.pdf" // skip-listed host
+    ).toDF("url")
+    val res = Fetch.fetchAll(urls, "url", hostPartitions = 4,
+      skipServers = Set("skipme.example.es")).collect()
+    assert(res.length == 3) // skip-listed host filtered before fetch
+    val byUrl = res.map(r => r.getAs[String]("url") -> r.getAs[String]("status")).toMap
+    assert(byUrl("https://h1.example.es/docs/ntp00000003_c.exe") == Fetch.Status.UnknownType)
+    assert(byUrl("https://h1.example.es/docs/ntp00000001_a.pdf") == Fetch.Status.Ok)
+  }
+
+  test("Multimodal: binary payload plumbing + partition-batched decode stub") {
+    val docs = Seq((1L, "hello world"), (2L, "spark engine")).toDF("doc_id", "text")
+    val media = Multimodal.toMediaTable(docs, "doc_id", "text")
+    assert(media.schema("payload").dataType == org.apache.spark.sql.types.BinaryType)
+    val feats = Multimodal.decodeAndFeaturize(media).orderBy("media_id").collect()
+    assert(feats.length == 2)
+    assert(feats.head.getAs[Long]("n_bytes") == "hello world".getBytes("UTF-8").length)
+    assert(feats.head.getAs[scala.collection.Seq[Float]]("features").length == 8)
+    // deterministic: same input -> same features
+    val again = Multimodal.decodeAndFeaturize(media).orderBy("media_id").collect()
+    assert(feats.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("EventStreams: windowed aggregation over a stream matches batch (streaming)") {
+    val dir = Files.createTempDirectory("events").toString
+    val batch = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 7L, "click", 1.5, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:55:00"), 7L, "click", 2.5, "{}"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 11:05:00"), 8L, "view", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    batch.write.parquet(dir + "/drop1")
+    val stream = EventStreams.readEvents(spark, dir + "/drop1")
+    val q = EventStreams.windowedCounts(stream).writeStream
+      .format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("win_out").orderBy("wstart", "event_type").collect()
+    assert(got.length == 2)
+    assert(got(0).getAs[Long]("n") == 2L) // two clicks in the 10:00 window
+    assert(got(1).getAs[String]("event_type") == "view")
+  }
+
+  test("EventStreams: dropDuplicates dedup of re-delivered events (CDC shape)") {
+    val dir = Files.createTempDirectory("events2").toString
+    val batch = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 7L, "click", 1.5, "{}"),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 7L, "click", 1.5, "{}"), // dup
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:06:00"), 7L, "click", 2.5, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    batch.write.parquet(dir + "/drop1")
+    val q = EventStreams.dedupDeliveries(EventStreams.readEvents(spark, dir + "/drop1"))
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("dedup_out").count() == 2)
+  }
+}
