@@ -127,12 +127,13 @@ object CorpusQueries {
         .orderBy(col("lang"), col("n_chars"))
     }),
 
-    // MinHash signatures (8 hashes over 3-shingles)
+    // MinHash signatures (8 hashes over 3-shingles); the shingle column is
+    // materialized once and shared by all 8 hash expressions
     "dedup_minhash_sig" -> ((s, dir) => {
-      val sh = Dedup.shingles(col("text"))
       t(s, dir, "documents")
-        .filter(TextAnalysis.tokenCount(col("text")) >= 3)
-        .select(col("doc_id") +: (0 until 8).map(k => Dedup.minhash(sh, k).as(s"h$k")): _*)
+        .withColumn("__sh", Dedup.shingles(col("text")))
+        .filter(size(col("__sh")) >= 1)
+        .select(col("doc_id") +: (0 until 8).map(k => Dedup.minhash(col("__sh"), k).as(s"h$k")): _*)
         .orderBy(col("doc_id"))
     }),
 
@@ -146,7 +147,7 @@ object CorpusQueries {
     "dedup_jaccard_verify" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val cand = Dedup.minhashCandidates(docs, "doc_id", "text", 4, 2)
-      val shd = docs.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+      val shd = docs.withColumn("sh", Dedup.shingles(col("text"))).select("doc_id", "sh")
       cand.join(shd.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
         .join(shd.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
         .select(col("a"), col("b"), Dedup.jaccard(col("sha"), col("shb")).as("jac"))

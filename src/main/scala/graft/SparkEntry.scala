@@ -225,6 +225,14 @@ object SparkEntry {
         .orderBy(col("grp"))
     }),
 
+    // W1: contiguous per-group id assignment without a global sort
+    "ntp_assign_ids" -> ((s, dir) => {
+      val grp0 = versionsDf(s, dir).filter(col("ok") % 7 =!= 0).select(col("ok"))
+      graft.versions.IdAssign.assignSequential(grp0, "ok", 1L)
+        .select(col("ok"), NtpIds.setNtpId(col("seq")).as("_id"))
+        .orderBy(col("ok"))
+    }),
+
     // F21/J2: timestamp-overlap same-version test between batch and existing
     "ntp_overlap_merge" -> ((s, dir) => {
       val v = versionsDf(s, dir)
@@ -393,6 +401,11 @@ object SparkEntry {
         |exi AS (SELECT nk, list_sort(list_distinct(list(updated))) AS u FROM v WHERE ok % 3 <> 0 GROUP BY nk)
         |SELECT inc.nk AS nk, len(list_intersect(inc.u, exi.u)) > 0 AS same_version
         |FROM inc JOIN exi ON inc.nk = exi.nk ORDER BY nk""".stripMargin),
+
+    "ntp_assign_ids" ->
+      """SELECT o_orderkey AS ok,
+        |       printf('ntp%08d', row_number() OVER (ORDER BY o_orderkey)) AS _id
+        |FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY ok""".stripMargin,
 
     "q_events_sessionize" ->
       """WITH marked AS (

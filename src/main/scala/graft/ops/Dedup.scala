@@ -22,14 +22,24 @@ import org.apache.spark.sql.functions._
 object Dedup {
   import TextAnalysis.tokens
 
-  /** Word w-shingles of the token stream, space-joined, deduplicated. */
+  /** Word 3-shingles of the token stream, space-joined, deduplicated.
+    *
+    * Built with `zip_with` over shifted copies of the token array so the
+    * (expensive) tokenization chain only ever appears in HOF *argument*
+    * position — argument arrays are evaluated once per row, while any
+    * expression inside a lambda body is re-evaluated per element (an
+    * `element_at(tokens(text), i)` formulation is O(tokens^2) per row and
+    * was measured 25x slower). Trailing positions where the shifted
+    * copies run out null-propagate through concat and are filtered.
+    */
   def shingles(text: Column, w: Int = 3): Column = {
+    require(w == 3, "shingles: only w=3 is implemented (zip_with construction)")
     val toks = tokens(text)
-    array_distinct(
-      when(size(toks) >= w,
-        transform(sequence(lit(1), size(toks) - (w - 1)), i =>
-          concat_ws(" ", (0 until w).map(o => element_at(toks, i + o)): _*)))
-        .otherwise(array().cast("array<string>")))
+    val t2 = slice(toks, lit(2), greatest(size(toks) - 1, lit(0)))
+    val t3 = slice(toks, lit(3), greatest(size(toks) - 2, lit(0)))
+    val pairs = zip_with(toks, t2, (a, b) => concat(a, lit(" "), b))
+    val triples = zip_with(pairs, t3, (p, c) => concat(p, lit(" "), c))
+    array_distinct(filter(triples, x => x.isNotNull))
   }
 
   /** One MinHash value: lexicographic min of md5("<seed>|" + shingle).
@@ -57,13 +67,18 @@ object Dedup {
   /** Candidate near-duplicate pairs via MinHash LSH: documents sharing at
     * least one band. Returns distinct (a, b) with a < b.
     * One shuffle on the band key; candidate count is data-dependent, not
-    * O(n^2).
+    * O(n^2). The shingle set is materialized as a column first so the
+    * bands*rowsPerBand hash expressions share one tokenization (multi-use
+    * attributes are not inlined by CollapseProject).
     */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
-    val keys = bandKeys(col(textCol), bands, rowsPerBand)
-    val banded = docs
-      .filter(size(tokens(col(textCol))) >= 3)
+    val withSh = docs.withColumn("__sh", shingles(col(textCol)))
+      .filter(size(col("__sh")) >= 1)
+    val keys = (0 until bands).map { b =>
+      concat_ws("#", (0 until rowsPerBand).map(r => minhash(col("__sh"), b * rowsPerBand + r)): _*)
+    }
+    val banded = withSh
       .select(col(idCol).as("doc"),
         posexplode(array(keys: _*)).as(Seq("band", "key")))
     banded.as("x").join(banded.as("y"),
@@ -87,18 +102,24 @@ object Dedup {
     * bit-string (MSB first). Bit b is 1 iff the b-th bit of md5(token)
     * (taken from the first 16 hex chars) is set in the weighted majority
     * of tokens. Pure Column algebra, no shuffle.
+    *
+    * Single-pass: one aggregate folds every token's 64-bit vote vector
+    * into a 64-long accumulator (md5 is computed once per token; a
+    * 64-separate-aggregates formulation recomputes it 64x).
     */
   def simhashBits(text: Column): Column = {
     val hs = transform(tokens(text), t => substring(md5(t), 1, 16))
-    val bitCols = (0 until 64).map { b =>
-      val hexPos = b / 4 + 1            // 1-based hex char index, MSB first
-      val mask = 8 >> (b % 4)           // bit within the hex nibble, MSB first
-      val votes = aggregate(hs, lit(0L), (acc, h) =>
-        acc + when((instr(lit("0123456789abcdef"), substring(h, hexPos, 1)) - 1)
-          .bitwiseAND(lit(mask)) > 0, lit(1L)).otherwise(lit(-1L)))
-      when(votes > 0, lit("1")).otherwise(lit("0"))
-    }
-    concat(bitCols: _*)
+    val votes = aggregate(
+      hs,
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)), (a, b) => {
+        val hexPos = (b / 4).cast("int") + 1                          // 1-based hex char, MSB first
+        val mask = element_at(array(lit(8), lit(4), lit(2), lit(1)),  // bit in nibble, MSB first
+          pmod(b, lit(4)).cast("int") + 1)
+        a + when((instr(lit("0123456789abcdef"), h.substr(hexPos, lit(1))) - 1)
+          .bitwiseAND(mask) > 0, lit(1L)).otherwise(lit(-1L))
+      }))
+    array_join(transform(votes, v => when(v > 0, lit("1")).otherwise(lit("0"))), "")
   }
 
   /** Hamming distance between two equal-length bit-strings. */
