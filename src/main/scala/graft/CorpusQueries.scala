@@ -148,6 +148,7 @@ object CorpusQueries {
       val docs = t(s, dir, "documents")
       val cand = Dedup.minhashCandidates(docs, "doc_id", "text", 4, 2)
       val shd = docs.withColumn("sh", Dedup.shingles(col("text"))).select("doc_id", "sh")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // referenced by both join sides
       cand.join(shd.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
         .join(shd.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
         .select(col("a"), col("b"), Dedup.jaccard(col("sha"), col("shb")).as("jac"))

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, TextAnalysis}
+
+/** Scratch timing probe (not part of the driver contract). */
+object Probe {
+  def time[T](label: String)(f: => T): T = {
+    val t0 = System.nanoTime(); val r = f
+    println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+  }
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    time("docs count")(docs.count())
+    val withSh = docs.withColumn("__sh", Dedup.shingles(col("text")))
+    time("shingles count")(withSh.select(size(col("__sh"))).agg(sum("size(__sh)")).collect())
+    val sig1 = withSh.select(col("doc_id"), Dedup.minhash(col("__sh"), 0).as("h0"))
+    time("1 minhash")(sig1.count())
+    val keys = (0 until 4).map { b =>
+      concat_ws("#", (0 until 2).map(r => Dedup.minhash(col("__sh"), b * 2 + r)): _*)
+    }
+    val banded = withSh.filter(size(col("__sh")) >= 1)
+      .select(col("doc_id").as("doc"), posexplode(array(keys: _*)).as(Seq("band", "key")))
+    time("banded")(banded.count())
+    val cand = Dedup.minhashCandidates(docs, "doc_id", "text", 4, 2)
+    time("candidates")(cand.count())
+    val shd = docs.withColumn("sh", Dedup.shingles(col("text"))).select("doc_id", "sh")
+    val jac = cand.join(shd.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+      .join(shd.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+      .select(col("a"), col("b"), Dedup.jaccard(col("sha"), col("shb")).as("jac"))
+    time("jaccard")(jac.count())
+    val sg = docs.select(col("doc_id"), Dedup.simhashBits(col("text")).as("sig"))
+    time("simhash sigs")(sg.count())
+    val sc = Dedup.simhashCandidates(docs, "doc_id", "text", 4, 3)
+    time("simhash pairs")(sc.count())
+    spark.stop()
+  }
+}

@@ -34,23 +34,31 @@ class LakeTable(spark: SparkSession, path: String, keyCol: String,
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
 
-  /** K1: upsert by key — keep every existing row whose key is NOT in the
-    * update batch, union the batch, rewrite. With partition columns and
-    * `partitionOverwriteMode=dynamic` only touched partitions rewrite.
+  /** Replace the table with a plan that may READ this table: stage to a
+    * sibling path, then swap. A plain overwrite would truncate the files
+    * the lazy plan still needs (self-overwrite data loss).
     */
-  def upsert(updates: DataFrame): Unit = {
-    if (!exists) { overwrite(updates); return }
-    val existing = read
-    val merged = existing.join(updates.select(keyCol).distinct(), Seq(keyCol), "left_anti")
-      .unionByName(updates, allowMissingColumns = true)
-    // self-referential rewrite: stage then swap (parquet has no MERGE)
+  def replace(newState: DataFrame): Unit = {
+    if (!exists) { overwrite(newState); return }
     val staging = path + ".staging"
-    val w = merged.write.mode(SaveMode.Overwrite)
+    val w = newState.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(staging)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(path), true)
     fs.rename(new org.apache.hadoop.fs.Path(staging), new org.apache.hadoop.fs.Path(path))
+  }
+
+  /** K1: upsert by key — keep every existing row whose key is NOT in the
+    * update batch, union the batch, rewrite (staged: parquet has no
+    * MERGE). With partition columns and
+    * `partitionOverwriteMode=dynamic` only touched partitions rewrite.
+    */
+  def upsert(updates: DataFrame): Unit = {
+    if (!exists) { overwrite(updates); return }
+    val merged = read.join(updates.select(keyCol).distinct(), Seq(keyCol), "left_anti")
+      .unionByName(updates, allowMissingColumns = true)
+    replace(merged)
   }
 
   /** K4: field-level update on a filtered subset (no point updates in

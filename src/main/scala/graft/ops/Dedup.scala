@@ -78,9 +78,12 @@ object Dedup {
     val keys = (0 until bands).map { b =>
       concat_ws("#", (0 until rowsPerBand).map(r => minhash(col("__sh"), b * rowsPerBand + r)): _*)
     }
+    // persist: the self-join would otherwise evaluate the whole
+    // shingle+minhash pipeline once per side
     val banded = withSh
       .select(col(idCol).as("doc"),
         posexplode(array(keys: _*)).as(Seq("band", "key")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc") < col("y.doc"))
@@ -130,20 +133,34 @@ object Dedup {
     * `chunks` contiguous blocks; by pigeonhole, any pair within Hamming
     * distance < chunks shares at least one identical block — so the
     * block value is a correct LSH bucket key for that radius.
+    *
+    * The signature is carried as `chunks` int64 words (parsed once per
+    * doc), so per-pair Hamming is xor + bit_count — the bit-string
+    * zip_with form costs ~1 ms/pair interpreted and dominated the whole
+    * query on clustered corpora where buckets produce 100k+ raw pairs.
     */
   def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         chunks: Int = 4, maxHamming: Int = 3): DataFrame = {
     val width = 64 / chunks
+    val wordCols = (0 until chunks).map { c =>
+      conv(substring(col("sig"), c * width + 1, width), 2, 10).cast("long").as(s"w$c")
+    }
     val sig = docs.select(col(idCol).as("doc"), simhashBits(col(textCol)).as("sig"))
-    val banded = sig.select(col("doc"), col("sig"),
-      posexplode(array((0 until chunks).map(c => substring(col("sig"), c * width + 1, width)): _*))
-        .as(Seq("chunk", "key")))
-    banded.as("x").join(banded.as("y"),
-        col("x.chunk") === col("y.chunk") && col("x.key") === col("y.key") &&
-          col("x.doc") < col("y.doc"))
-      .select(col("x.doc").as("a"), col("y.doc").as("b"),
-        hammingBits(col("x.sig"), col("y.sig")).as("hamming"))
+      .select(col("doc") +: wordCols: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sig.select(col("doc"),
+      posexplode(array((0 until chunks).map(c => col(s"w$c")): _*)).as(Seq("chunk", "key")))
+    val hamming = (0 until chunks)
+      .map(c => bit_count(col(s"x.w$c").bitwiseXOR(col(s"y.w$c"))))
+      .reduce(_ + _)
+    banded.as("bx").join(banded.as("by"),
+        col("bx.chunk") === col("by.chunk") && col("bx.key") === col("by.key") &&
+          col("bx.doc") < col("by.doc"))
+      .select(col("bx.doc").as("a"), col("by.doc").as("b"))
       .distinct()
+      .join(sig.as("x"), col("a") === col("x.doc"))
+      .join(sig.as("y"), col("b") === col("y.doc"))
+      .select(col("a"), col("b"), hamming.cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 }

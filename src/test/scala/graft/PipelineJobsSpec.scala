@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake.LakeTable
+import graft.pipeline.{HarvestJobs, IngestJob}
+
+class PipelineJobsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("IngestJob: end-to-end drop -> versioned lake state, then incremental drop") {
+    val dir = Files.createTempDirectory("lake").toString + "/place"
+    val lake = new LakeTable(spark, dir, "_id")
+    val codes = Map("id" -> "id", "updated" -> "updated", "Ciudad (Adjudicatario)" -> "Adjudicatario/Ciudad")
+
+    // drop 1: two records, one with two versions (same natural key)
+    val drop1 = Seq(
+      ("url/a", "2024-01-01 10:00:00", "Madrid"),
+      ("url/a", "2024-01-02 10:00:00", "Madrid2"),
+      ("url/b", "2024-01-01 09:00:00", "Bilbao")
+    ).toDF("id", "updated", "Ciudad (Adjudicatario)")
+    IngestJob.run(spark, lake, drop1, codes, "id", "updated", group = 0)
+
+    val state1 = lake.read
+    val active1 = state1.filter(col("obsolete_version").isNull)
+    assert(active1.count() == 2)
+    val tomb1 = state1.filter(col("obsolete_version") === true)
+    assert(tomb1.count() == 1)
+    // tombstone points at url/a's active id
+    val aActive = active1.filter(col("id") === "url/a").select("_id").collect().head.getString(0)
+    assert(tomb1.select("updated_to").collect().head.getString(0) == aActive)
+
+    // drop 2: a newer version of url/b — id sequence must continue
+    val drop2 = Seq(("url/b", "2024-02-01 09:00:00", "Bilbao2"))
+      .toDF("id", "updated", "Ciudad (Adjudicatario)")
+    IngestJob.run(spark, lake, drop2, codes, "id", "updated", group = 0)
+    val state2 = lake.read
+    assert(state2.filter(col("obsolete_version").isNull).count() == 2)
+    assert(state2.filter(col("obsolete_version") === true).count() == 2)
+    val orders = state2.select(graft.core.NtpIds.parseNtpId(col("_id")).as("o"))
+      .collect().map(_.getLong(0)).sorted
+    assert(orders.toSeq == Seq(0L, 1L, 2L, 3L)) // contiguous, continued watermark
+  }
+
+  test("IngestJob.summarize: one GROUPING SETS pass over dims (calc_summary)") {
+    val df = Seq(("P", "HIGH"), ("P", "LOW"), ("O", "HIGH")).toDF("status", "prio")
+    val got = IngestJob.summarize(spark, df, Seq("status", "prio"))
+      .orderBy("status", "prio").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.contains(("(all)", "(all)", 3L)))        // grand total
+    assert(got.contains(("P", "(all)", 2L)))            // by status
+    assert(got.contains(("(all)", "HIGH", 2L)))         // by prio
+  }
+
+  test("HarvestJobs.harvest: melt + range filter + skip lists + scanOnly") {
+    val records = Seq(
+      ("ntp00000001", "https://h1.es/a.pdf", "https://skip.es/b.pdf"),
+      ("ntp00000009", "https://h1.es/c.pdf", null)
+    ).toDF("_id", "u1", "u2")
+    val scanned = HarvestJobs.harvest(records, "_id", Seq("u1", "u2"),
+      idRange = (Some("ntp00000001"), Some("ntp00000005")), scanOnly = true)
+    assert(scanned.collect().map(_.getAs[String]("url")).toSet ==
+      Set("https://h1.es/a.pdf", "https://skip.es/b.pdf"))
+    val fetched = HarvestJobs.harvest(records, "_id", Seq("u1", "u2"),
+      skipServers = Set("skip.es"))
+    assert(fetched.collect().map(_.getAs[String]("url")).toSet ==
+      Set("https://h1.es/a.pdf", "https://h1.es/c.pdf"))
+  }
+
+  test("HarvestJobs.sync + purgeManifest: range-filtered reconciliation") {
+    val origin = Seq("ntp00000001_a.pdf", "ntp00000002_b.pdf", "ntp00000009_z.pdf").toDF("name")
+    val dest = Seq("ntp00000002_b.pdf").toDF("name")
+    val manifest = HarvestJobs.sync(origin, dest, (Some("ntp00000001"), Some("ntp00000005")))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(manifest == Set("ADD" -> "ntp00000001_a.pdf", "KEEP" -> "ntp00000002_b.pdf"))
+
+    val obsolete = Seq("ntp00000002").toDF("ntp_id")
+    val purge = HarvestJobs.purgeManifest(origin, obsolete)
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    assert(purge.toSeq == Seq("BACKUP_DELETE" -> "ntp00000002_b.pdf"))
+  }
+}
