@@ -245,6 +245,39 @@ object SparkEntry {
         .orderBy(col("nk"))
     }),
 
+    // O-family: exact lower-median per group via deterministic rank selection
+    "q_median_order_value" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"), col("o_orderkey"))
+      val wc = Window.partitionBy(col("o_orderstatus"))
+      t(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_totalprice"),
+          row_number().over(w).as("rn"), count(lit(1)).over(wc).as("cnt"))
+        .filter(col("rn") === expr("(cnt + 1) div 2"))
+        .select(col("o_orderstatus"), col("o_totalprice").as("median_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // W-family: ntile quartiles + per-quartile stats
+    "q_events_quartiles" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_type"), col("value"), ntile(4).over(w).as("q"))
+        .groupBy(col("event_type"), col("q"))
+        .agg(count(lit(1)).as("n"), min(col("value")).as("minv"), max(col("value")).as("maxv"))
+        .orderBy(col("event_type"), col("q"))
+    }),
+
+    // decorrelated-subquery shape: rows above their group average (exact)
+    "q_above_nation_avg" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val a = c.groupBy(col("c_nationkey"))
+        .agg((sum(cents(col("c_acctbal"))).cast("double") / count(lit(1))).as("avg_cents"))
+      c.join(a, Seq("c_nationkey"))
+        .filter(cents(col("c_acctbal")) > col("avg_cents"))
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // streaming-shape: gap-based sessionization over the events stream table
     "q_events_sessionize" -> ((s, dir) => {
       events(s, dir).createOrReplaceTempView("events_sess")
@@ -406,6 +439,32 @@ object SparkEntry {
       """SELECT o_orderkey AS ok,
         |       printf('ntp%08d', row_number() OVER (ORDER BY o_orderkey)) AS _id
         |FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY ok""".stripMargin,
+
+    "q_median_order_value" ->
+      """WITH r AS (
+        |  SELECT o_orderstatus, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS rn,
+        |         count(*) OVER (PARTITION BY o_orderstatus) AS cnt
+        |  FROM orders)
+        |SELECT o_orderstatus, o_totalprice AS median_price FROM r
+        |WHERE rn = (cnt + 1) // 2 ORDER BY o_orderstatus""".stripMargin,
+
+    "q_events_quartiles" ->
+      """SELECT event_type, q, count(*) AS n, min(value) AS minv, max(value) AS maxv
+        |FROM (SELECT event_type, value,
+        |             ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS q
+        |      FROM events) t
+        |GROUP BY event_type, q ORDER BY event_type, q""".stripMargin,
+
+    "q_above_nation_avg" ->
+      """WITH a AS (
+        |  SELECT c_nationkey,
+        |         CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS DOUBLE) / count(*) AS avg_cents
+        |  FROM customer GROUP BY c_nationkey)
+        |SELECT c.c_custkey, c.c_name
+        |FROM customer c JOIN a ON c.c_nationkey = a.c_nationkey
+        |WHERE CAST(round(c.c_acctbal*100) AS BIGINT) > a.avg_cents
+        |ORDER BY c_custkey""".stripMargin,
 
     "q_events_sessionize" ->
       """WITH marked AS (

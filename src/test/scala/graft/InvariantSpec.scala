@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.NtpIds
+import graft.lake.LakeTable
+import graft.pipeline.IngestJob
+import graft.versions.Versions
+
+/** The reference's operational `checking/` audits re-expressed as lake
+  * invariants (SURVEY §5.4): after any sequence of ingests —
+  *  - exactly one active row per natural key;
+  *  - every tombstone's pointer chain resolves to an active row, no
+  *    cycles (check_versions_completness semantics);
+  *  - surrogate ids unique and inside their group's order range;
+  *  - natural key maps to one active id (check_unique_place_id).
+  */
+class InvariantSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def buildLake(): LakeTable = {
+    val dir = Files.createTempDirectory("lake-inv").toString + "/place"
+    val lake = new LakeTable(spark, dir, "_id")
+    val codes = Map("id" -> "id", "updated" -> "updated")
+    val drop1 = Seq(
+      ("url/a", "2024-01-01 10:00:00"), ("url/a", "2024-01-02 10:00:00"),
+      ("url/b", "2024-01-01 09:00:00"), ("url/c", "2024-01-05 09:00:00")
+    ).toDF("id", "updated")
+    IngestJob.run(spark, lake, drop1, codes, "id", "updated", group = 0)
+    val drop2 = Seq(
+      ("url/a", "2024-02-01 10:00:00"), ("url/b", "2024-02-02 09:00:00"),
+      ("url/d", "2024-02-03 09:00:00")
+    ).toDF("id", "updated")
+    IngestJob.run(spark, lake, drop2, codes, "id", "updated", group = 0)
+    lake
+  }
+
+  test("lake invariants hold after multiple incremental ingests") {
+    val state = buildLake().read.cache()
+    val active = state.filter(col("obsolete_version").isNull)
+    val tombs = state.filter(col("obsolete_version") === true)
+
+    // one active row per natural key
+    val dupActive = active.groupBy("id").count().filter(col("count") > 1).count()
+    assert(dupActive == 0)
+
+    // ids unique across the whole table
+    assert(state.groupBy("_id").count().filter(col("count") > 1).count() == 0)
+
+    // every id in the group-0 order range and well-formed
+    assert(state.filter(!NtpIds.checkNtpId(col("_id"))).count() == 0)
+    assert(state.filter(NtpIds.group(col("_id")) =!= 0).count() == 0)
+
+    // tombstone chains resolve to an active row (no dangling, no cycles)
+    val resolved = Versions.resolveChains(
+      tombs.select(col("_id").as("src"), col("updated_to").as("dst")), "src", "dst")
+    val dangling = resolved.join(active.select(col("_id").as("head")),
+      col("resolved_to") === col("head"), "left_anti").count()
+    assert(dangling == 0)
+
+    // counts: 4 natural keys -> 4 active; 7 total versions -> 3 tombstones
+    assert(active.count() == 4)
+    assert(tombs.count() == 3)
+    state.unpersist()
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{NtpIds, TimeFns}
+
+/** Property tests for the algebraic core (SURVEY §5.2): id-codec
+  * round-trip, merge_updates idempotence/commutativity, overlap symmetry.
+  * Uses ScalaCheck generators with fixed seeds (deterministic) sampled
+  * manually — the scalatest/scalacheck bridge artifact is not available
+  * offline.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  // design range is two 10M id sub-spaces: group 0 in [0, 10M), group 1
+  // (minors) in [10M, 20M) — the reference's group test is the literal
+  // `ntp1` prefix (ntp_utils.py:28-32), so ids >= 20M are out of range
+  private val orderGen = Gen.choose(0L, 19999999L)
+  private val tsGen = for {
+    d <- Gen.choose(1, 28); h <- Gen.choose(0, 23); m <- Gen.choose(0, 59)
+  } yield f"2024-01-$d%02d $h%02d:$m%02d:00"
+  private val tsListGen = Gen.nonEmptyListOf(tsGen).map(_.take(5))
+
+  test("ntp id round-trip: parse(set(o)) == o and group matches order space (F1-F4)") {
+    val orders = samples(orderGen, 32) ++ Seq(0L, 9999999L, 10000000L, 19999999L)
+    val rows = orders.toDF("o")
+      .select(col("o"), NtpIds.parseNtpId(NtpIds.setNtpId(col("o"))).as("back"),
+        NtpIds.group(NtpIds.setNtpId(col("o"))).as("grp"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("back") == r.getAs[Long]("o"))
+      assert(r.getAs[Int]("grp") == (if (r.getAs[Long]("o") >= NtpIds.MinOrderMinors) 1 else 0))
+    }
+  }
+
+  test("merge_updates is commutative, canonical, idempotent (A9)") {
+    val cases = samples(Gen.zip(tsListGen, tsListGen), 16)
+    val df = cases.toDF("a", "b").select(col("a"),
+      TimeFns.mergeUpdates(col("a"), col("b")).as("ab"),
+      TimeFns.mergeUpdates(col("b"), col("a")).as("ba"))
+    df.collect().foreach { r =>
+      val ab = r.getAs[scala.collection.Seq[String]]("ab")
+      val ba = r.getAs[scala.collection.Seq[String]]("ba")
+      assert(ab == ba)                      // commutative
+      assert(ab == ab.distinct.sorted)      // canonical sorted-distinct form
+    }
+    val idem = cases.map(_._1).toDF("a")
+      .select(col("a"), TimeFns.mergeUpdates(col("a"), col("a")).as("aa"))
+    idem.collect().foreach { r =>
+      val a = r.getAs[scala.collection.Seq[String]]("a")
+      assert(r.getAs[scala.collection.Seq[String]]("aa") == a.distinct.sorted)
+    }
+  }
+
+  test("updatesOverlap is symmetric, reflexive, equals set-intersection (F21)") {
+    val cases = samples(Gen.zip(tsListGen, tsListGen), 16)
+    val df = cases.toDF("a", "b").select(col("a"), col("b"),
+      TimeFns.updatesOverlap(col("a"), col("b")).as("ab"),
+      TimeFns.updatesOverlap(col("b"), col("a")).as("ba"),
+      TimeFns.updatesOverlap(col("a"), col("a")).as("aa"))
+    df.collect().foreach { r =>
+      val a = r.getAs[scala.collection.Seq[String]]("a").toSet
+      val b = r.getAs[scala.collection.Seq[String]]("b").toSet
+      assert(r.getAs[Boolean]("ab") == r.getAs[Boolean]("ba"))
+      assert(r.getAs[Boolean]("aa"))
+      assert(r.getAs[Boolean]("ab") == a.intersect(b).nonEmpty)
+    }
+  }
+}
