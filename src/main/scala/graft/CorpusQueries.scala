@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.NtpIds
 import graft.enrich.Entities
+import graft.functions.UnidecodeEs
 import graft.ingest.Normalize
 import graft.ops.{Dedup, Similarity, TextAnalysis}
 import graft.versions.Versions
@@ -250,6 +251,23 @@ object CorpusQueries {
         .orderBy(col("source"))
     }),
 
+    // F5: native codegen'd unidecode expression vs DuckDB strip_accents
+    "ingest_unidecode" -> ((s, dir) => {
+      t(s, dir, "nation")
+        .select(col("n_name"),
+          UnidecodeEs.unidecode_es(concat(lit("Canción número uno: "), col("n_name"))).as("plain"))
+        .orderBy(col("n_name"))
+    }),
+
+    // skew posture: two-phase salted aggregation == direct groupBy
+    "q_salted_agg" -> ((s, dir) => {
+      graft.ops.Skew.saltedCountSum(
+          t(s, dir, "events"), "event_type", round(col("value") * 100).cast("long"))
+        .select(col("event_type"), col("n"),
+          (col("sum_cents").cast("double") / 100.0).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // F7: string-encoded list parse (from_json, never eval) + explode
     "ingest_parse_list" -> ((s, dir) => {
       t(s, dir, "part")
@@ -415,6 +433,24 @@ object CorpusQueries {
           |SELECT src, dst AS resolved_to FROM walk
           |WHERE dst NOT IN (SELECT src FROM p)
           |ORDER BY src""".stripMargin),
+
+    "ingest_unidecode" ->
+      """SELECT n_name, strip_accents('Canción número uno: ' || n_name) AS plain
+        |FROM nation ORDER BY n_name""".stripMargin,
+
+    "q_salted_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "ingest_unidecode" ->
+      """SELECT n_name, strip_accents('Canción número uno: ' || n_name) AS plain
+        |FROM nation ORDER BY n_name""".stripMargin,
+
+    "q_salted_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest
