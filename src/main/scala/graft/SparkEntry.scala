@@ -308,6 +308,42 @@ object SparkEntry {
         .orderBy(col("wstart"), col("event_type"))
     }),
 
+    // A2-family: ROLLUP hierarchy aggregation
+    "q_rollup_orders" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
+        .select(coalesce(col("o_orderstatus"), lit("(all)")).as("dim_status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("dim_priority"),
+          col("n"), col("sum_price"))
+        .orderBy(col("dim_status"), col("dim_priority"))
+    }),
+
+    // §2.10: REAL Structured Streaming execution — the events table is
+    // replayed through readStream, aggregated with the streaming engine
+    // (memory sink, AvailableNow), and the result must hash-match the
+    // batch oracle exactly
+    "q_stream_windowed" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .groupBy(date_trunc("hour", col("ts")).as("wstart"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents"))
+      val q = stream.writeStream.format("memory").queryName("stream_windowed_sink")
+        .outputMode("complete").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("stream_windowed_sink")
+        .select(col("wstart"), col("event_type"), col("n"),
+          (col("sum_cents").cast("double") / 100.0).as("sum_value"))
+        .orderBy(col("wstart"), col("event_type"))
+    }),
+
     // F7-shape: JSON field extraction + agg
     "q_events_json_extract" -> ((s, dir) => {
       t(s, dir, "events")  // props only — no ts needed
@@ -485,6 +521,20 @@ object SparkEntry {
         |ORDER BY user_id, session_id""".stripMargin,
 
     "q_events_windowed" ->
+      """SELECT date_trunc('hour', ts) AS wstart, event_type, count(*) AS n,
+        |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+        |FROM events GROUP BY date_trunc('hour', ts), event_type
+        |ORDER BY wstart, event_type""".stripMargin,
+
+    "q_rollup_orders" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS dim_status,
+        |       coalesce(o_orderpriority, '(all)') AS dim_priority,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY dim_status, dim_priority""".stripMargin,
+
+    "q_stream_windowed" ->
       """SELECT date_trunc('hour', ts) AS wstart, event_type, count(*) AS n,
         |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
         |FROM events GROUP BY date_trunc('hour', ts), event_type
