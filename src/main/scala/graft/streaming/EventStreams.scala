@@ -60,4 +60,47 @@ object EventStreams {
       .outputMode(OutputMode.Update())
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) => merge(batch, id) }
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionState(lastTs: Long, sessionId: Long)
+  case class Session(user_id: Long, session_id: Long, n_events: Long,
+                     session_start: java.sql.Timestamp, session_end: java.sql.Timestamp)
+
+  /** Custom stateful sessionization via flatMapGroupsWithState: per-user
+    * state carries (last event time, session counter); a gap larger than
+    * `gapMs` closes the session. Emits completed sessions per micro-batch
+    * (events within a batch are sorted per key — cross-batch order is
+    * guaranteed by the file source's ordered listing + watermark).
+    */
+  def sessionizeStateful(events: org.apache.spark.sql.Dataset[Event], gapMs: Long):
+      org.apache.spark.sql.Dataset[Session] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) => {
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+          var curStart = Long.MinValue
+          var curN = 0L
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            if (st.lastTs == Long.MinValue || t - st.lastTs > gapMs) {
+              if (curN > 0) out += ((st.sessionId, curN, curStart, st.lastTs))
+              st = SessionState(t, st.sessionId + 1)
+              curStart = t; curN = 1L
+            } else {
+              st = st.copy(lastTs = t); curN += 1
+            }
+          }
+          if (curN > 0) out += ((st.sessionId, curN, curStart, st.lastTs))
+          state.update(st)
+          out.iterator.map { case (sid, n, s0, s1) =>
+            Session(userId, sid, n, new java.sql.Timestamp(s0), new java.sql.Timestamp(s1))
+          }
+        })
+  }
 }

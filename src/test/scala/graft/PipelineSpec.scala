@@ -78,6 +78,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(1).getAs[String]("event_type") == "view")
   }
 
+  test("EventStreams: flatMapGroupsWithState sessionization matches gap semantics") {
+    val dir = Files.createTempDirectory("events3").toString
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 7L, "click", 1.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), 7L, "click", 1.0, "{}"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 7L, "click", 1.0, "{}"),
+      (4L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 8L, "view", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(dir + "/drop1")
+    import graft.streaming.EventStreams.Event
+    val stream = EventStreams.readEvents(spark, dir + "/drop1")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val q = EventStreams.sessionizeStateful(stream, gapMs = 30 * 60 * 1000)
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val sessions = spark.table("sess_out").orderBy("user_id", "session_id").collect()
+    // user 7: two sessions (10:00-10:10, 12:00); user 8: one
+    assert(sessions.length == 3)
+    assert(sessions(0).getAs[Long]("n_events") == 2)
+    assert(sessions(1).getAs[Long]("n_events") == 1)
+    assert(sessions(2).getAs[Long]("user_id") == 8L)
+  }
+
   test("EventStreams: dropDuplicates dedup of re-delivered events (CDC shape)") {
     val dir = Files.createTempDirectory("events2").toString
     val batch = Seq(
