@@ -1,0 +1,76 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+
+import graft.lake.LakeTable
+import graft.pipeline.{HarvestJobs, IngestJob}
+import graft.sources.Sources
+
+/** Thin CLI mirroring the reference scripts' entry points and job modes
+  * (SURVEY §7.7): ingest (read_parquet), summary (calc_summary), harvest
+  * (get_documents --scan_only), sync (sync_documents --check_only).
+  * Flags follow the reference: --drop, --ini/--fin id ranges.
+  *
+  *   runMain graft.cli.Main ingest --in drop.parquet --lake /lake/place \
+  *     --codes codes.tsv --natural-id id --updated updated [--group 0] [--drop]
+  */
+object Main {
+  private def arg(args: Array[String], name: String): Option[String] =
+    args.sliding(2).collectFirst { case Array(`name`, v) => v }
+  private def flag(args: Array[String], name: String): Boolean = args.contains(name)
+
+  def main(args: Array[String]): Unit = {
+    val cmd = args.headOption.getOrElse("help")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, cmd, args.drop(1)) finally spark.stop()
+  }
+
+  private[graft] def run(spark: SparkSession, cmd: String, args: Array[String]): Unit = cmd match {
+    case "ingest" =>
+      val lakePath = arg(args, "--lake").get
+      val lake = new LakeTable(spark, lakePath, "_id")
+      if (flag(args, "--drop") && lake.exists)
+        new org.apache.hadoop.fs.Path(lakePath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(lakePath), true)
+      val codes = arg(args, "--codes").map(Sources.loadColumnCodes(spark, _)).getOrElse(Map.empty)
+      IngestJob.run(spark, lake,
+        spark.read.parquet(arg(args, "--in").get), codes,
+        arg(args, "--natural-id").getOrElse("id"),
+        arg(args, "--updated").getOrElse("updated"),
+        arg(args, "--group").map(_.toInt).getOrElse(0))
+      println(s"[cli] ingest done: ${lake.read.count()} rows in $lakePath")
+    case "summary" =>
+      val records = spark.read.parquet(arg(args, "--lake").get)
+      val dims = arg(args, "--dims").map(_.split(",").toSeq).getOrElse(Seq.empty)
+      val out = IngestJob.summarize(spark, records, dims)
+      arg(args, "--out") match {
+        case Some(o) => out.coalesce(1).write.mode("overwrite").parquet(o)
+        case None => out.show(100, truncate = false)
+      }
+    case "harvest" =>
+      val records = spark.read.parquet(arg(args, "--lake").get)
+      val fields = arg(args, "--url-fields").map(_.split(",").toSeq).getOrElse(Seq.empty)
+      val urls = HarvestJobs.harvest(records, arg(args, "--id-col").getOrElse("_id"), fields,
+        idRange = (arg(args, "--ini"), arg(args, "--fin")),
+        scanOnly = flag(args, "--scan_only"))
+      println(s"[cli] harvest: ${urls.count()} urls")
+    case "sync" =>
+      val origin = spark.read.parquet(arg(args, "--origin").get)
+      val dest = spark.read.parquet(arg(args, "--dest").get)
+      val manifest = HarvestJobs.sync(origin, dest, (arg(args, "--ini"), arg(args, "--fin")))
+      arg(args, "--patch_list") match {
+        case Some(o) => manifest.coalesce(1).write.mode("overwrite").csv(o)
+        case None => println(s"[cli] sync manifest: ${manifest.count()} ops")
+      }
+    case other =>
+      println(s"usage: ingest|summary|harvest|sync (got '$other')")
+  }
+}

@@ -49,4 +49,19 @@ object ColumnMapping {
     val renamed = df.columns.map { c => c -> codes.getOrElse(c, fallbackName(c)) }
     renamed.foldLeft(df) { case (acc, (from, to)) => acc.withColumnRenamed(from, to) }
   }
+
+  /** Nest slash-named columns into structs (SURVEY §1.4): `A/B`, `A/C`
+    * become struct column `A{B, C}`; flat columns pass through. Struct
+    * layout gives idiomatic column pruning — a query touching only
+    * `Adjudicatario.Ciudad` reads one leaf from parquet.
+    */
+  def nestSlashColumns(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, struct}
+    val (nested, flat) = df.columns.partition(_.contains("/"))
+    val groups = nested.groupBy(_.split("/", 2)(0)).toSeq.sortBy(_._1)
+    val structCols = groups.map { case (parent, cols) =>
+      struct(cols.sorted.map(c => col(s"`$c`").as(c.split("/", 2)(1))): _*).as(parent)
+    }
+    df.select(flat.map(c => col(s"`$c`")) ++ structCols: _*)
+  }
 }

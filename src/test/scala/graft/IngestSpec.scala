@@ -54,6 +54,42 @@ class IngestSpec extends AnyFunSuite {
     assert(rows(1) == Seq("A123", "B456"))
   }
 
+  test("nestSlashColumns groups A/B columns into structs (§1.4)") {
+    val df = Seq((1, "Madrid", "B123", "x")).toDF(
+      "id", "Adjudicatario/Ciudad", "Adjudicatario/NIF", "plain")
+    val out = ColumnMapping.nestSlashColumns(df)
+    assert(out.columns.toSeq == Seq("id", "plain", "Adjudicatario"))
+    val r = out.select("Adjudicatario.Ciudad", "Adjudicatario.NIF").collect().head
+    assert(r.getString(0) == "Madrid" && r.getString(1) == "B123")
+  }
+
+  test("BulkWriter batches side-effect flushes per partition (K2)") {
+    val df = (1 to 25).toDF("v").repartition(2)
+    val seen = TestSpark.spark.sparkContext.collectionAccumulator[Int]("batch_sizes")
+    val flushes = graft.lake.BulkWriter.writeBatched(df, batchSize = 10) { rows =>
+      seen.add(rows.length)
+    }
+    assert(flushes >= 3)  // 25 rows / batch 10 across 2 partitions
+    val sizes = seen.value
+    assert(sizes.size.toLong == flushes)
+    var total = 0; sizes.forEach(n => total += n)
+    assert(total == 25)
+    assert(sizes.stream.allMatch(_ <= 10))
+  }
+
+  test("cli.Main: ingest then summary end-to-end on temp dirs (§7.7)") {
+    val tmp = java.nio.file.Files.createTempDirectory("cli").toString
+    val drop = tmp + "/drop.parquet"
+    Seq(("url/a", "2024-01-01 10:00:00", "P"), ("url/b", "2024-01-02 10:00:00", "O"))
+      .toDF("id", "updated", "status").write.parquet(drop)
+    graft.cli.Main.run(spark, "ingest", Array("--in", drop, "--lake", tmp + "/lake"))
+    assert(spark.read.parquet(tmp + "/lake").count() == 2)
+    graft.cli.Main.run(spark, "summary",
+      Array("--lake", tmp + "/lake", "--dims", "status", "--out", tmp + "/sum"))
+    val sum = spark.read.parquet(tmp + "/sum")
+    assert(sum.filter(col("status") === "(all)").collect().head.getAs[Long]("n") == 2L)
+  }
+
   test("StorageSync.reconcile: ADD/DEL/KEEP partition of listings (X1-X3)") {
     val origin = Seq("a.pdf", "b.pdf", "c.pdf").toDF("name")
     val dest = Seq("b.pdf", "d.pdf").toDF("name")
