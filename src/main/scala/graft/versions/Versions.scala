@@ -59,12 +59,18 @@ object Versions {
     * so depth-d chains resolve in ceil(log2 d) joins — O(log d) shuffles
     * instead of O(d) for naive iteration. `maxHops` bounds cycles.
     */
-  def resolveChains(pointers: DataFrame, id: String, updatedTo: String, maxHops: Int = 16): DataFrame = {
+  def resolveChains(pointers: DataFrame, id: String, updatedTo: String, maxHops: Int = 64): DataFrame = {
     var cur = pointers.select(col(id).as("src"), col(updatedTo).as("dst"))
+      .localCheckpoint(eager = true)
+    // pointer tables are tombstone-sized; when small, broadcast the lookup
+    // side so each doubling round is a shuffle-free map join (checkpointed
+    // frames report unknown stats, so the planner won't pick this itself)
+    val small = cur.count() <= 5000000L
     var hops = 1
     while (hops < maxHops) {
+      val b = if (small) broadcast(cur.as("b")) else cur.as("b")
       val nxt = cur.as("a")
-        .join(cur.as("b"), col("a.dst") === col("b.src"), "left_outer")
+        .join(b, col("a.dst") === col("b.src"), "left_outer")
         .select(col("a.src").as("src"), coalesce(col("b.dst"), col("a.dst")).as("dst"))
       cur = nxt.localCheckpoint(eager = true)
       hops *= 2
