@@ -268,6 +268,20 @@ object CorpusQueries {
         .orderBy(col("event_type"))
     }),
 
+    // as-of join: for each odd-keyed version (query), the customer's
+    // latest even-keyed version at-or-before it (union + window — one
+    // shuffle; DuckDB's native ASOF JOIN is the oracle)
+    "q_asof_prev_version" -> ((s, dir) => {
+      val v = versionsDf(s, dir)
+      val queries = v.filter(col("ok") % 2 === 1)
+      val wDedup = Window.partitionBy(col("nk"), col("updated")).orderBy(col("_id").desc)
+      val quotes = v.filter(col("ok") % 2 === 0)
+        .withColumn("rn", row_number().over(wDedup)).filter(col("rn") === 1).drop("rn")
+      graft.ops.AsOfJoin.asOfLatest(queries, quotes, "nk", "_id", "updated")
+        .select(col("_id").as("query_id"), col("nk"), col("matched_id"))
+        .orderBy(col("query_id"))
+    }),
+
     // F7: string-encoded list parse (from_json, never eval) + explode
     "ingest_parse_list" -> ((s, dir) => {
       t(s, dir, "part")
@@ -434,6 +448,18 @@ object CorpusQueries {
           |WHERE dst NOT IN (SELECT src FROM p)
           |ORDER BY src""".stripMargin),
 
+    "q_asof_prev_version" -> (versionsCte +
+      """,
+        |q AS (SELECT _id, nk, updated FROM v WHERE ok % 2 = 1),
+        |p AS (SELECT _id, nk, updated FROM (
+        |        SELECT _id, nk, updated,
+        |               row_number() OVER (PARTITION BY nk, updated ORDER BY _id DESC) AS rn
+        |        FROM v WHERE ok % 2 = 0) t
+        |      WHERE rn = 1)
+        |SELECT q._id AS query_id, q.nk AS nk, p._id AS matched_id
+        |FROM q ASOF LEFT JOIN p ON q.nk = p.nk AND q.updated >= p.updated
+        |ORDER BY query_id""".stripMargin),
+
     "ingest_unidecode" ->
       """SELECT n_name, strip_accents('Canción número uno: ' || n_name) AS plain
         |FROM nation ORDER BY n_name""".stripMargin,
@@ -442,6 +468,18 @@ object CorpusQueries {
       """SELECT event_type, count(*) AS n,
         |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_asof_prev_version" -> (versionsCte +
+      """,
+        |q AS (SELECT _id, nk, updated FROM v WHERE ok % 2 = 1),
+        |p AS (SELECT _id, nk, updated FROM (
+        |        SELECT _id, nk, updated,
+        |               row_number() OVER (PARTITION BY nk, updated ORDER BY _id DESC) AS rn
+        |        FROM v WHERE ok % 2 = 0) t
+        |      WHERE rn = 1)
+        |SELECT q._id AS query_id, q.nk AS nk, p._id AS matched_id
+        |FROM q ASOF LEFT JOIN p ON q.nk = p.nk AND q.updated >= p.updated
+        |ORDER BY query_id""".stripMargin),
 
     "ingest_unidecode" ->
       """SELECT n_name, strip_accents('Canción número uno: ' || n_name) AS plain

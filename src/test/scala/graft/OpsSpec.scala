@@ -98,6 +98,21 @@ class OpsSpec extends AnyFunSuite {
     assert(top.toSeq == Seq(4L, 2L))
   }
 
+  test("asOfLatest: latest right row at-or-before each left row, per key") {
+    import graft.ops.AsOfJoin
+    val queries = Seq(("k1", "q1", "2024-01-05"), ("k1", "q2", "2024-01-01"), ("k2", "q3", "2024-01-10"))
+      .toDF("k", "id", "ts")
+    val quotes = Seq(("k1", "p1", "2024-01-02"), ("k1", "p2", "2024-01-04"), ("k2", "p3", "2024-01-10"))
+      .toDF("k", "id", "ts")
+    val got = AsOfJoin.asOfLatest(queries, quotes, "k", "id", "ts")
+      .orderBy("id").collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[String]("matched_id"))
+    assert(got.toSeq == Seq(
+      "q1" -> "p2",   // latest quote <= 01-05
+      "q2" -> null,   // no quote yet
+      "q3" -> "p3"))  // equal timestamp matches
+  }
+
   test("bucketedTopK only scores same-bucket candidates and agrees with brute on its bucket") {
     val vecs = (0 until 32).map { i =>
       (i.toLong, (0 until 64).map(j => (math.sin(i * 64 + j) / 2).toFloat))
