@@ -127,18 +127,38 @@ object Similarity {
                      k: Int): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")))
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
-    val scored = q.join(c, col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), dotExactDec(col("qv"), col("cv")).as("dot"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("cid").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    // coarse pass: rank ALL pairs by the cheap double dot and keep a
+    // generous candidate margin; the fp error (<1e-12) cannot demote a
+    // true top-k pair below rank k+20 unless 20+ dots tie within 2e-12
+    val margin = math.max(5 * k, k + 20)
+    val wf = Window.partitionBy(col("qid")).orderBy(dotFast(col("qv"), col("cv")).desc, col("cid").asc)
+    val cands = q.join(c, col("qid") =!= col("cid"))
+      .withColumn("frank", row_number().over(wf))
+      .filter(col("frank") <= margin)
+    // exact pass: decimal-space ranking decides the final order
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(dotExactDec(col("qv"), col("cv")).desc, col("cid").asc)
+    cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("qid"), col("cid"), col("rank").cast("long").as("rank"))
   }
+
+  /** Cheap sequential-double dot for pre-filtering: |error| vs the exact
+    * decimal sum is bounded by ~dim^2 * ulp (< 1e-12 for unit vectors at
+    * dim 64) — never a decider, only a coarse gate. Native codegen'd
+    * expression: the interpreted lambda form degrades ~50x in long
+    * sessions (megamorphic eval dispatch).
+    */
+  private def dotFast(a: Column, b: Column): Column =
+    graft.functions.DotFloat.dot_float(a, b)
 
   def dotNearDupExact(corpus: DataFrame, idCol: String, vecCol: String,
                       threshold: BigDecimal, nBits: Int, dim: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       hyperplaneBucket(col(vecCol), nBits, dim).as("bucket"))
     c.as("x").join(c.as("y"), col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+      // coarse double gate first (margin far beyond the fp error bound),
+      // exact decimal threshold only on the survivors
+      .filter(dotFast(col("x.v"), col("y.v")) >= threshold.toDouble - 1e-6)
       .filter(dotExactDec(col("x.v"), col("y.v")) >= lit(threshold).cast("decimal(36,15)"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
   }
