@@ -128,13 +128,14 @@ object CorpusQueries {
         .orderBy(col("lang"), col("n_chars"))
     }),
 
-    // MinHash signatures (8 hashes over 3-shingles); the shingle column is
-    // materialized once and shared by all 8 hash expressions
+    // MinHash signatures (8 hashes over 3-shingles) — all 8 seed-hashes
+    // fold into ONE aggregate pass over the shingle array
     "dedup_minhash_sig" -> ((s, dir) => {
       t(s, dir, "documents")
         .withColumn("__sh", Dedup.shingles(col("text")))
         .filter(size(col("__sh")) >= 1)
-        .select(col("doc_id") +: (0 until 8).map(k => Dedup.minhash(col("__sh"), k).as(s"h$k")): _*)
+        .withColumn("__sig", Dedup.minhashSignature(col("__sh"), 8))
+        .select(col("doc_id") +: (0 until 8).map(k => element_at(col("__sig"), k + 1).as(s"h$k")): _*)
         .orderBy(col("doc_id"))
     }),
 

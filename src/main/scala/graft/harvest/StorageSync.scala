@@ -7,11 +7,15 @@ import org.apache.spark.sql.functions._
   * derive the transfer manifest (reference: sync_documents.py:214-231 —
   * `new = from∖to`, `existing = from∩to`, `delete = to∖from`).
   *
-  * The reference does this with Python set loops in driver memory; here it
-  * is two anti-joins and a semi-join, each a single hash-shuffle on the
-  * file name — at 100 TB of listings this is the only formulation that
-  * doesn't OOM a driver. Listing DataFrames are expected to carry a
-  * `name` column (`<ntp_id>_<field>.<ext>` convention).
+  * The reference does this with Python set loops in driver memory; here
+  * both listings are tagged with a side marker, unioned, and aggregated
+  * once on the file name: min/max of the side marker says whether a name
+  * appears in origin only (ADD), dest only (DEL), or both (KEEP). ONE
+  * hash-shuffle and one scan per listing — at 100 TB of listings this is
+  * the only formulation that doesn't OOM a driver, and the groupBy
+  * absorbs duplicate names without separate `distinct` passes. Listing
+  * DataFrames are expected to carry a `name` column
+  * (`<ntp_id>_<field>.<ext>` convention).
   */
 object StorageSync {
 
@@ -20,11 +24,14 @@ object StorageSync {
     * (sync_documents.py:233-242).
     */
   def reconcile(origin: DataFrame, dest: DataFrame): DataFrame = {
-    val o = origin.select(col("name")).distinct()
-    val d = dest.select(col("name")).distinct()
-    val add = o.join(d, Seq("name"), "left_anti").select(lit("ADD").as("op"), col("name"))
-    val del = d.join(o, Seq("name"), "left_anti").select(lit("DEL").as("op"), col("name"))
-    val keep = o.join(d, Seq("name"), "left_semi").select(lit("KEEP").as("op"), col("name"))
-    add.unionByName(del).unionByName(keep)
+    val tagged = origin.select(col("name"), lit(1).as("__side"))
+      .unionByName(dest.select(col("name"), lit(2).as("__side")))
+    tagged.groupBy(col("name"))
+      .agg(min(col("__side")).as("__lo"), max(col("__side")).as("__hi"))
+      .select(
+        when(col("__lo") === 1 && col("__hi") === 2, lit("KEEP"))
+          .when(col("__hi") === 1, lit("ADD"))
+          .otherwise(lit("DEL")).as("op"),
+        col("name"))
   }
 }

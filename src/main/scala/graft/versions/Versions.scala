@@ -58,23 +58,56 @@ object Versions {
     * marks an active head. Pointer-doubling: each round follows two hops,
     * so depth-d chains resolve in ceil(log2 d) joins — O(log d) shuffles
     * instead of O(d) for naive iteration. `maxHops` bounds cycles.
+    *
+    * Iteration hygiene (load-bearing at scale — each round's result is
+    * localCheckpoint'ed to truncate the exponentially-growing self-join
+    * lineage):
+    *  - the superseded round's checkpoint blocks are unpersisted as soon
+    *    as the next round materializes — otherwise block-manager garbage
+    *    accumulates for the rest of the session;
+    *  - the loop exits at fixpoint (a round that follows zero edges), so
+    *    shallow chains cost 2 rounds, not ceil(log2 maxHops);
+    *  - the lookup side is broadcast only when the PRE-checkpoint plan
+    *    estimates it under a byte threshold (checkpointed frames report
+    *    unknown stats, so the planner can't make this call itself — and a
+    *    row-count gate would happily broadcast hundreds of MB).
     */
   def resolveChains(pointers: DataFrame, id: String, updatedTo: String, maxHops: Int = 64): DataFrame = {
-    var cur = pointers.select(col(id).as("src"), col(updatedTo).as("dst"))
-      .localCheckpoint(eager = true)
-    // pointer tables are tombstone-sized; when small, broadcast the lookup
-    // side so each doubling round is a shuffle-free map join (checkpointed
-    // frames report unknown stats, so the planner won't pick this itself)
-    val small = cur.count() <= 5000000L
+    val sc = pointers.sparkSession.sparkContext
+    val edges = pointers.select(col(id).as("src"), col(updatedTo).as("dst"))
+    // byte-gated broadcast decision from the optimized pre-checkpoint plan
+    val small = edges.queryExecution.optimizedPlan.stats.sizeInBytes <= (32L << 20)
+
+    /** Checkpoint `df`, returning the new frame plus the block-manager RDD
+      * ids the checkpoint created (so the caller can free them later).
+      */
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val cp = df.localCheckpoint(eager = true)
+      (cp, (sc.getPersistentRDDs.keySet -- before).toSet)
+    }
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(i => sc.getPersistentRDDs.get(i).foreach(_.unpersist(blocking = false)))
+
+    var (cur, curIds) = checkpointTracked(edges)
     var hops = 1
-    while (hops < maxHops) {
+    var moved = true
+    while (hops < maxHops && moved) {
       val b = if (small) broadcast(cur.as("b")) else cur.as("b")
-      val nxt = cur.as("a")
-        .join(b, col("a.dst") === col("b.src"), "left_outer")
-        .select(col("a.src").as("src"), coalesce(col("b.dst"), col("a.dst")).as("dst"))
-      cur = nxt.localCheckpoint(eager = true)
+      val (nxt, nxtIds) = checkpointTracked(
+        cur.as("a")
+          .join(b, col("a.dst") === col("b.src"), "left_outer")
+          .select(col("a.src").as("src"),
+            coalesce(col("b.dst"), col("a.dst")).as("dst"),
+            col("b.dst").isNotNull.as("__hopped")))
+      moved = !nxt.filter(col("__hopped")).isEmpty
+      free(curIds)
+      cur = nxt.select(col("src"), col("dst"))
+      curIds = nxtIds
       hops *= 2
     }
+    // one residual checkpoint (bounded by the pointer-table size) remains
+    // persisted while the caller consumes the result
     cur.select(col("src").as(id), col("dst").as("resolved_to"))
   }
 
