@@ -40,15 +40,27 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
-      // query-scoped persisted frames (LSH bands etc.) must not accumulate
-      // across the session — cached old-gen junk degrades later queries
+      // Session hygiene between queries — round-2 lesson: leftover cached
+      // frames AND checkpoint/persisted RDDs (clearCache misses the
+      // latter) compound in the old gen and made later queries run
+      // 10-30x their isolated cost. Clear both, then GC, so each query
+      // is measured against a clean heap — the bench must measure plans,
+      // not accumulated session garbage.
       spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // also land the line in a file: stdout is shared with Spark/Ivy log
+    // noise and the driver's scrape has come back "parsed": null before
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -31,15 +31,22 @@ case class DotFloat(left: Expression, right: Expression) extends BinaryExpressio
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName: two DotFloat instances in one codegen scope must not
+      // collide (fixed identifiers made the second fall back to the
+      // interpreted path this expression exists to avoid)
+      val n = ctx.freshName("dotN")
+      val s = ctx.freshName("dotS")
+      val i = ctx.freshName("dotI")
       s"""
-         |int n$$ = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double s$$ = 0.0;
-         |for (int i$$ = 0; i$$ < n$$; i$$++) {
-         |  s$$ += ((double) $a.getFloat(i$$)) * ((double) $b.getFloat(i$$));
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
          |}
-         |${ev.value} = s$$;
-         |""".stripMargin)
+         |${ev.value} = $s;
+         |""".stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotFloat =
     copy(left = newLeft, right = newRight)

@@ -1,0 +1,167 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen'd MinHash / SimHash kernels.
+  *
+  * These replace the `aggregate`/`zip_with` HOF formulations in
+  * `graft.ops.Dedup`: the lambda forms are interpreted (one Expression
+  * tree walk per array element per row) and their megamorphic eval
+  * dispatch degrades ~50x late in long multi-query JVM sessions —
+  * measured as the round-2 bench pollution where queries *after* the
+  * dedup block ran 10-30x their isolated cost. A compiled tight loop is
+  * monomorphic, allocation-light, and session-stable (same pattern as
+  * [[DotFloat]]).
+  *
+  * Byte-identical to the HOF forms (and therefore to the DuckDB oracle
+  * CTEs in CorpusQueries): same md5-over-UTF8 inputs, same seed prefixes,
+  * same lexicographic-min / majority-vote semantics.
+  */
+object TextHashes {
+
+  private val md5Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  private val hexChars = "0123456789abcdef".getBytes
+
+  /** Seed prefixes "<i>|" as UTF8 bytes, cached for the small seed space. */
+  private val seedPrefix: Array[Array[Byte]] =
+    (0 until 64).map(i => s"$i|".getBytes("UTF-8")).toArray
+
+  private def hex32(digest: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexChars((digest(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexChars(digest(i) & 0xf)
+      i += 1
+    }
+    out
+  }
+
+  /** `k` element-wise-min md5 hex digests over the shingle array — the
+    * kernel behind `Dedup.minhashSignature`. Identity element is "~"
+    * (0x7e sorts after every hex digit). Null shingles contribute
+    * nothing, matching `least`'s null-skipping in the HOF form.
+    */
+  def minhashSig(shingles: ArrayData, k: Int): ArrayData = {
+    val mins = new Array[Array[Byte]](k)
+    val md = md5Local.get()
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val sh = shingles.getUTF8String(i).getBytes
+        var s = 0
+        while (s < k) {
+          md.reset()
+          md.update(if (s < 64) seedPrefix(s) else s"$s|".getBytes("UTF-8"))
+          md.update(sh)
+          val h = hex32(md.digest())
+          val cur = mins(s)
+          if (cur == null || byteLt(h, cur)) mins(s) = h
+          s += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Any](k)
+    var s = 0
+    while (s < k) {
+      out(s) = if (mins(s) == null) UTF8String.fromString("~") else UTF8String.fromBytes(mins(s))
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private def byteLt(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 32) {
+      if (a(i) != b(i)) return a(i) < b(i) // hex is ASCII: signed compare == lexicographic
+      i += 1
+    }
+    false
+  }
+
+  /** 64-bit SimHash bit-string over the token multiset — the kernel
+    * behind `Dedup.simhashBits`. Bit b (MSB first) is '1' iff bit b of
+    * the top-64 md5 bits is set in the weighted majority of tokens.
+    */
+  def simhash64(tokens: ArrayData): UTF8String = {
+    val votes = new Array[Int](64)
+    val md = md5Local.get()
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        md.reset()
+        md.update(tokens.getUTF8String(i).getBytes)
+        val d = md.digest()
+        var word = 0L
+        var j = 0
+        while (j < 8) { word = (word << 8) | (d(j) & 0xffL); j += 1 }
+        var b = 0
+        while (b < 64) {
+          if (((word >>> (63 - b)) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    val bits = new Array[Byte](64)
+    var b = 0
+    while (b < 64) { bits(b) = if (votes(b) > 0) '1' else '0'; b += 1 }
+    UTF8String.fromBytes(bits)
+  }
+
+  def minhash_signature(shingles: Column, k: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      MinHashSig(org.apache.spark.sql.graftbridge.ColumnBridge.expression(shingles), k))
+
+  def simhash_bits(tokens: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      SimHashBits(org.apache.spark.sql.graftbridge.ColumnBridge.expression(tokens)))
+}
+
+/** MinHash signature of a shingle array: `k` hex digests, each the
+  * lexicographic min of `md5("<seed>|" + shingle)` over the array.
+  */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, "MinHashSig: k must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashes.minhashSig(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.minhashSig($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_sig"
+}
+
+/** 64-char '0'/'1' SimHash bit-string of a token array (MSB first). */
+case class SimHashBits(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashes.simhash64(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashes.simhash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashBits =
+    copy(child = newChild)
+  override def prettyName: String = "simhash_bits"
+}

@@ -51,23 +51,18 @@ object Dedup {
   def minhash(sh: Column, seed: Int): Column =
     array_min(transform(sh, s => md5(concat(lit(s"$seed|"), s))))
 
-  /** MinHash signature as an array of `k` hex digests, computed in a
-    * SINGLE `aggregate` fold over the shingles: each element contributes
-    * its k seed-hashes to a running element-wise minimum. A
-    * k-separate-`transform`s formulation scans (and re-materializes) the
-    * shingle array k times — measured 28 s for the sf0.1 pair query vs
-    * one pass here. '~' (0x7e) sorts after every hex digit, so it is a
-    * safe identity for the lexicographic min; empty shingle arrays yield
-    * the identity array (callers filter size >= 1).
+  /** MinHash signature as an array of `k` hex digests: for each seed,
+    * the lexicographic min of md5("<seed>|" + shingle) over the array.
+    * Native codegen'd kernel (functions.MinHashSig) — one compiled pass
+    * over the shingles. The earlier `aggregate`+`zip_with` fold was
+    * algorithmically identical but interpreted: its per-element lambda
+    * dispatch turned megamorphic late in long sessions and poisoned every
+    * query scheduled after the dedup block (round-2 bench). '~' (0x7e)
+    * sorts after every hex digit, so it is the identity for empty shingle
+    * arrays (callers filter size >= 1).
     */
   def minhashSignature(sh: Column, k: Int): Column =
-    aggregate(
-      sh,
-      array_repeat(lit("~"), k),
-      (acc, s) => zip_with(
-        acc,
-        array((0 until k).map(i => md5(concat(lit(s"$i|"), s))): _*),
-        (a, h) => least(a, h)))
+    graft.functions.TextHashes.minhash_signature(sh, k)
 
   /** LSH band keys: the signature split into `bands` groups of `rowsPerBand`
     * hashes, each group concatenated into one bucket key. Two documents
@@ -118,26 +113,12 @@ object Dedup {
   /** 64-bit SimHash over the token multiset, returned as a 64-char '0'/'1'
     * bit-string (MSB first). Bit b is 1 iff the b-th bit of md5(token)
     * (taken from the first 16 hex chars) is set in the weighted majority
-    * of tokens. Pure Column algebra, no shuffle.
-    *
-    * Single-pass: one aggregate folds every token's 64-bit vote vector
-    * into a 64-long accumulator (md5 is computed once per token; a
-    * 64-separate-aggregates formulation recomputes it 64x).
+    * of tokens. Per-row, no shuffle; the vote fold is a native codegen'd
+    * kernel (functions.SimHashBits) — see minhashSignature for why the
+    * interpreted HOF form had to go.
     */
-  def simhashBits(text: Column): Column = {
-    val hs = transform(tokens(text), t => substring(md5(t), 1, 16))
-    val votes = aggregate(
-      hs,
-      array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)), (a, b) => {
-        val hexPos = (b / 4).cast("int") + 1                          // 1-based hex char, MSB first
-        val mask = element_at(array(lit(8), lit(4), lit(2), lit(1)),  // bit in nibble, MSB first
-          pmod(b, lit(4)).cast("int") + 1)
-        a + when((instr(lit("0123456789abcdef"), h.substr(hexPos, lit(1))) - 1)
-          .bitwiseAND(mask) > 0, lit(1L)).otherwise(lit(-1L))
-      }))
-    array_join(transform(votes, v => when(v > 0, lit("1")).otherwise(lit("0"))), "")
-  }
+  def simhashBits(text: Column): Column =
+    graft.functions.TextHashes.simhash_bits(tokens(text))
 
   /** Hamming distance between two equal-length bit-strings. */
   def hammingBits(a: Column, b: Column): Column =

@@ -80,11 +80,17 @@ object Versions {
 
     /** Checkpoint `df`, returning the new frame plus the block-manager RDD
       * ids the checkpoint created (so the caller can free them later).
+      * New ids are detected as "persistent ids above the pre-call max" —
+      * RDD ids are monotonic, so ids persisted *before* this call can
+      * never be captured even if still registered. A concurrent job
+      * persisting in the same window could still be caught: this class
+      * assumes the single-threaded driver loop Spark jobs normally run
+      * under (concurrent resolveChains calls are unsupported).
       */
     def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet
+      val maxBefore = (sc.getPersistentRDDs.keySet + Int.MinValue).max
       val cp = df.localCheckpoint(eager = true)
-      (cp, (sc.getPersistentRDDs.keySet -- before).toSet)
+      (cp, sc.getPersistentRDDs.keySet.filter(_ > maxBefore).toSet)
     }
     def free(ids: Set[Int]): Unit =
       ids.foreach(i => sc.getPersistentRDDs.get(i).foreach(_.unpersist(blocking = false)))
@@ -106,9 +112,17 @@ object Versions {
       curIds = nxtIds
       hops *= 2
     }
-    // one residual checkpoint (bounded by the pointer-table size) remains
-    // persisted while the caller consumes the result
-    cur.select(col("src").as(id), col("dst").as("resolved_to"))
+    // copy the result off the final checkpoint so this call leaves ZERO
+    // persistent checkpoint RDDs behind (round-2 lesson: one leaked
+    // residual per invocation accumulates block-manager garbage for the
+    // rest of the session; Bench's clearCache() frees cached frames but
+    // never checkpoint blocks). MEMORY_AND_DISK: eviction spills instead
+    // of recomputing through the now-freed checkpoint lineage.
+    val out = cur.select(col("src").as(id), col("dst").as("resolved_to"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    free(curIds)
+    out
   }
 
   /** Field-level diff between two versions of a record: which of `fields`
