@@ -245,6 +245,29 @@ object SparkEntry {
         .orderBy(col("nk"))
     }),
 
+    // J2/F21/F19/W1 roundtrip: re-deliver ok%3==0 rows against the lake
+    // built from the rest — overlapping rows merge id-stable (timeline
+    // union + field precedence), the rest get fresh sequential ids from
+    // the watermark. Runs the REAL IngestJob.overlapMerge + IdAssign.
+    "ntp_ingest_overlap_roundtrip" -> ((s, dir) => {
+      val v = versionsDf(s, dir)
+      val exi = Versions.resolveLatest(v.filter(col("ok") % 3 =!= 0), "nk", "_id", "updated")
+        .withColumn("updated_arr", array(col("updated")))
+      val inc = v.filter(col("ok") % 3 === 0)
+        .select(col("nk"), col("ok"), col("updated"), col("status"))
+        .withColumn("updated_arr", array(col("updated")))
+        .withColumn("updated_key", col("updated"))
+      val (merged, fresh, _) = graft.pipeline.IngestJob.overlapMerge(exi, inc, "nk")
+      val mergedOut = merged.select(col("_id"), col("nk"), lit("merged").as("origin"),
+        array_join(col("updated_arr"), ",").as("timeline"),
+        col("status").as("status_out"), col("ok").as("ok_out"))
+      val wm = exi.agg(max(NtpIds.parseNtpId(col("_id")))).collect().head.getLong(0)
+      val freshOut = graft.versions.IdAssign.assignSequential(fresh, "ok", wm + 1)
+        .select(NtpIds.setNtpId(col("seq")).as("_id"), col("nk"), lit("fresh").as("origin"),
+          col("updated").as("timeline"), col("status").as("status_out"), col("ok").as("ok_out"))
+      mergedOut.unionByName(freshOut).orderBy(col("_id"))
+    }),
+
     // O-family: exact lower-median per group via deterministic rank selection
     "q_median_order_value" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"), col("o_orderkey"))
@@ -470,6 +493,37 @@ object SparkEntry {
         |exi AS (SELECT nk, list_sort(list_distinct(list(updated))) AS u FROM v WHERE ok % 3 <> 0 GROUP BY nk)
         |SELECT inc.nk AS nk, len(list_intersect(inc.u, exi.u)) > 0 AS same_version
         |FROM inc JOIN exi ON inc.nk = exi.nk ORDER BY nk""".stripMargin),
+
+    "ntp_ingest_overlap_roundtrip" -> (versionsCte +
+      """,
+        |exi AS (SELECT _id, ok, nk, updated, status FROM (
+        |          SELECT _id, ok, nk, updated, status,
+        |                 row_number() OVER (PARTITION BY nk ORDER BY updated DESC, _id DESC) AS rn
+        |          FROM v WHERE ok % 3 <> 0) t WHERE rn = 1),
+        |inc AS (SELECT nk, ok, updated, status FROM v WHERE ok % 3 = 0),
+        |cls AS (SELECT i.nk, i.ok, i.updated, i.status,
+        |               e._id AS act_id,
+        |               (e.nk IS NOT NULL AND i.updated = e.updated) AS ovl,
+        |               i.updated || CAST(i.ok AS VARCHAR) || i.updated || i.status AS ord
+        |        FROM inc i LEFT JOIN exi e ON i.nk = e.nk),
+        |mg AS (SELECT act_id,
+        |              list_sort(list_distinct(list(updated))) AS inc_arr,
+        |              arg_max(ok, ord) AS new_ok,
+        |              arg_max(status, ord) AS new_status
+        |       FROM cls WHERE ovl GROUP BY act_id),
+        |merged AS (SELECT e._id, e.nk, 'merged' AS origin,
+        |                  array_to_string(list_sort(list_distinct(list_concat([e.updated], m.inc_arr))), ',') AS timeline,
+        |                  CASE WHEN m.new_status IS NULL OR m.new_status = '' THEN e.status ELSE m.new_status END AS status_out,
+        |                  m.new_ok AS ok_out
+        |           FROM exi e JOIN mg m ON e._id = m.act_id),
+        |wm AS (SELECT max(CAST(substr(_id, 4, 8) AS BIGINT)) AS w FROM exi),
+        |fresh AS (SELECT printf('ntp%08d', (SELECT w FROM wm) + row_number() OVER (ORDER BY ok)) AS _id,
+        |                 nk, 'fresh' AS origin, updated AS timeline, status AS status_out, ok AS ok_out
+        |          FROM cls WHERE NOT ovl)
+        |SELECT _id, nk, origin, timeline, status_out, ok_out FROM merged
+        |UNION ALL
+        |SELECT _id, nk, origin, timeline, status_out, ok_out FROM fresh
+        |ORDER BY _id""".stripMargin),
 
     "ntp_assign_ids" ->
       """SELECT o_orderkey AS ok,

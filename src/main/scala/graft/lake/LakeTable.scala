@@ -70,6 +70,23 @@ class LakeTable(spark: SparkSession, path: String, keyCol: String,
     upsert(transform(cur.filter(cond)))
   }
 
+  /** F18/F19 patch log (reference: ntp_entry.py:30-46 merge_data diff,
+    * OLD/process_place.py:115-157 patch records): append-only parquet of
+    * field-level {added, modified} per merged id, stamped at write time.
+    * Append mode — patch history accumulates across ingests; at scale
+    * this is a plain insert-only event table (no rewrite amplification).
+    */
+  def appendPatches(p: DataFrame): Unit =
+    p.withColumn("patched_at", current_timestamp())
+      .write.mode(SaveMode.Append).parquet(path + ".patches")
+
+  def patchesExist: Boolean =
+    new org.apache.hadoop.fs.Path(path + ".patches")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(path + ".patches"))
+
+  def readPatches: DataFrame = spark.read.parquet(path + ".patches")
+
   /** K8: summary singleton — a one-row table keyed by a constant id,
     * stored alongside (mirrors calc_summary's `{_id:'summary_data'}` row).
     */

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{NtpIds, TimeFns}
@@ -25,6 +25,78 @@ import graft.versions.{IdAssign, Versions}
   * version (J2/F21).
   */
 object IngestJob {
+
+  /** Columns that are version-machinery, not record data. */
+  private val controlCols = Set("updated_arr", "updated_key", "obsolete_version", "updated_to", "_id")
+
+  /** J2/F21 overlap-merge classification (reference: read_parquet.py:91-118
+    * `exists_update` branch; ntp_utils.py:151-165): split incoming
+    * normalized rows into re-deliveries of an existing ACTIVE version
+    * (`updated` timeline overlap → merge into it, `_id` stable) and
+    * genuinely new versions.
+    *
+    * Returns (mergedActives, fresh, patches):
+    *  - mergedActives: the absorbed active rows — same `_id`, timeline =
+    *    `mergeUpdates(active, incoming)`, data fields by F19 precedence
+    *    (non-empty new wins, an empty new value never erases);
+    *  - fresh: incoming rows with no overlapping active (need new ids);
+    *  - patches: one row per merged active with the F18 field diff
+    *    ({added, modified, missing}) of new vs old — the reference's
+    *    patch record (ntp_entry.py:30-46, OLD/process_place.py:115-157).
+    *
+    * Set-level: ONE shuffle on the natural key classifies every incoming
+    * row (vs the reference's per-row find round-trip); when several
+    * incoming rows overlap the same active (a multi-timestamp
+    * re-delivery), field precedence takes the content-deterministic
+    * latest (max updated_key, ties by field values) — no driver loops.
+    */
+  def overlapMerge(actives: DataFrame, incoming: DataFrame, naturalId: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val dataCols = incoming.columns.filterNot(c => controlCols(c) || c == naturalId).toSeq
+    val sharedData = dataCols.filter(actives.columns.contains)
+    val actKey = actives.select(col(naturalId).as("__ank"), col("_id").as("__aid"),
+      col("updated_arr").as("__aarr"))
+
+    val cls = incoming.join(actKey, col(naturalId) === col("__ank"), "left_outer")
+      .withColumn("__overlap",
+        col("__aid").isNotNull && TimeFns.updatesOverlap(col("updated_arr"), col("__aarr")))
+    val fresh = cls.filter(!col("__overlap")).drop("__ank", "__aid", "__aarr", "__overlap")
+
+    // fold all overlapping re-deliveries per active: union the timelines,
+    // pick the latest incoming row's fields (content-deterministic order)
+    val ord = concat_ws("",
+      col("updated_key") +: dataCols.map(c => col(c).cast("string")): _*)
+    val folded = cls.filter(col("__overlap"))
+      .groupBy(col("__aid").as("_id"))
+      .agg(
+        array_sort(array_distinct(flatten(collect_list(col("updated_arr"))))).as("__inc_arr"),
+        max_by(struct(dataCols.map(col): _*), ord).as("__new"))
+
+    def newWins(c: String): Column = {
+      val n = col("__new").getField(c)
+      val o = actives.schema(c).dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          when(n.isNull || n === "", col(c)).otherwise(n)
+        case _ => coalesce(n, col(c))
+      }
+      o.as(c)
+    }
+    val joined = actives.join(folded, Seq("_id"))
+    val merged = joined.select(
+      actives.columns.toSeq.map {
+        case c if sharedData.contains(c) => newWins(c)
+        case "updated_arr" => TimeFns.mergeUpdates(col("updated_arr"), col("__inc_arr")).as("updated_arr")
+        case "updated_key" =>
+          element_at(TimeFns.mergeUpdates(col("updated_arr"), col("__inc_arr")), -1).as("updated_key")
+        case c => col(c)
+      }: _*)
+    val patches = joined.select(col("_id"), col(naturalId),
+      Versions.diffFields(col("__new"),
+        struct(sharedData.map(col): _*), sharedData).as("diff"))
+      .select(col("_id"), col(naturalId),
+        col("diff.added").as("added"), col("diff.modified").as("modified"))
+    (merged, fresh, patches)
+  }
 
   /** Ingest one drop into the lake table.
     *
@@ -57,35 +129,51 @@ object IngestJob {
         }
       else base
 
-    // 4. assign contiguous ids in natural-key order (W1)
-    val withIds = IdAssign.assignSequential(normalized, naturalId, watermark)
-      .withColumn("_id", NtpIds.setNtpId(col("seq"))).drop("seq")
+    // 4. J2/F21 overlap-merge against existing actives: a re-delivered row
+    //    whose timeline overlaps the active IS that version — it merges in
+    //    (id stable, timelines unioned, F19 field precedence) and lands an
+    //    F18 patch record. Only genuinely-new rows proceed to id
+    //    assignment, so re-ingesting the same drop is idempotent (no id
+    //    churn, no tombstone growth).
+    val (mergedActives, fresh, patches) =
+      if (lake.exists)
+        overlapMerge(lake.read.filter(col("obsolete_version").isNull), normalized, naturalId)
+      else (null: DataFrame, normalized, null: DataFrame)
 
-    // 5. version-merge against existing actives (J1 + J2 + W2):
-    //    union new rows with current state, resolve one active per key
-    val incoming = withIds.withColumn("obsolete_version", lit(null).cast("boolean"))
+    // 5. assign contiguous ids in natural-key order (W1) — fresh rows only
+    val withIds = IdAssign.assignSequential(fresh, naturalId, watermark)
+      .withColumn("_id", NtpIds.setNtpId(col("seq"))).drop("seq")
+      .withColumn("obsolete_version", lit(null).cast("boolean"))
       .withColumn("updated_to", lit(null).cast("string"))
     val all =
-      if (lake.exists)
-        lake.read.unionByName(incoming, allowMissingColumns = true)
-      else incoming
-    val active = Versions.resolveLatest(
-      all.filter(col("obsolete_version").isNull), naturalId, "_id", "updated_key")
-    val tombstones = Versions.tombstones(
-      all.filter(col("obsolete_version").isNull), naturalId, "_id", "updated_key")
-      .withColumnRenamed(naturalId, naturalId)
+      if (lake.exists) {
+        val untouched = lake.read.filter(col("obsolete_version").isNull)
+          .join(mergedActives.select(col("_id").as("__mid")), col("_id") === col("__mid"), "left_anti")
+        untouched.unionByName(mergedActives, allowMissingColumns = true)
+          .unionByName(withIds, allowMissingColumns = true)
+      } else withIds
+    val active = Versions.resolveLatest(all, naturalId, "_id", "updated_key")
+    val tombstones = Versions.tombstones(all, naturalId, "_id", "updated_key")
 
     // 6. land: active rows + new tombstones + carried-forward prior
     //    tombstones (their updated_to pointers may now be one hop stale —
     //    chain resolution (J3, Versions.resolveChains) follows them to the
     //    current active, mirroring the reference's follow_version)
-    val priorTombstones = all.filter(col("obsolete_version") === true)
-    val state = active
+    val state0 = active
       .unionByName(
         tombstones.withColumn("updated_arr", lit(null).cast("array<string>"))
           .withColumn("updated_key", lit(null).cast("string")),
         allowMissingColumns = true)
-      .unionByName(priorTombstones, allowMissingColumns = true)
+    val state =
+      if (lake.exists)
+        state0.unionByName(lake.read.filter(col("obsolete_version") === true),
+          allowMissingColumns = true)
+      else state0
+
+    // land the patch log FIRST — its plan reads the pre-swap lake files,
+    // which replace() deletes (append to a sibling path, so no self-read)
+    if (patches != null) lake.appendPatches(patches.filter(
+      size(col("added")) > 0 || size(col("modified")) > 0))
     lake.replace(state)  // state reads the current lake — staged swap, not in-place overwrite
   }
 

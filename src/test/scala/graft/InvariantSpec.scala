@@ -67,4 +67,52 @@ class InvariantSpec extends AnyFunSuite {
     assert(tombs.count() == 3)
     state.unpersist()
   }
+
+  test("J2: overlapping re-deliveries merge id-stable; ingest is idempotent") {
+    val dir = Files.createTempDirectory("lake-j2").toString + "/place"
+    val lake = new LakeTable(spark, dir, "_id")
+    val codes = Map("id" -> "id", "updated" -> "updated", "title" -> "title")
+    val drop1 = Seq(
+      ("url/a", "2024-01-01 10:00:00", "first a"),
+      ("url/b", "2024-01-02 09:00:00", "first b")
+    ).toDF("id", "updated", "title")
+    IngestJob.run(spark, lake, drop1, codes, "id", "updated", group = 0)
+    val ids1 = lake.read.select("id", "_id").as[(String, String)].collect().toMap
+
+    // 1. exact re-delivery of the same drop: no id churn, no tombstones
+    IngestJob.run(spark, lake, drop1, codes, "id", "updated", group = 0)
+    val s2 = lake.read
+    assert(s2.count() == 2)
+    assert(s2.filter(col("obsolete_version") === true).count() == 0)
+    assert(s2.select("id", "_id").as[(String, String)].collect().toMap == ids1)
+
+    // 2. same-version re-delivery with a changed field: merged in place —
+    //    id stable, field updated, patch recorded
+    val drop3 = Seq(("url/a", "2024-01-01 10:00:00", "retitled a")).toDF("id", "updated", "title")
+    IngestJob.run(spark, lake, drop3, codes, "id", "updated", group = 0)
+    val s3 = lake.read
+    assert(s3.count() == 2 && s3.filter(col("obsolete_version") === true).count() == 0)
+    val aRow = s3.filter(col("id") === "url/a").collect().head
+    assert(aRow.getAs[String]("_id") == ids1("url/a"))
+    assert(aRow.getAs[String]("title") == "retitled a")
+    val patches = lake.readPatches.filter(col("_id") === ids1("url/a"))
+    assert(patches.filter(array_contains(col("modified"), "title")).count() >= 1)
+
+    // 3. empty new value never erases an existing one (F19 precedence)
+    val drop3b = Seq(("url/a", "2024-01-01 10:00:00", "")).toDF("id", "updated", "title")
+    IngestJob.run(spark, lake, drop3b, codes, "id", "updated", group = 0)
+    assert(lake.read.filter(col("id") === "url/a").collect().head
+      .getAs[String]("title") == "retitled a")
+
+    // 4. a genuinely new version still versions: new id + tombstone chain
+    val drop4 = Seq(("url/a", "2024-03-01 10:00:00", "newer a")).toDF("id", "updated", "title")
+    IngestJob.run(spark, lake, drop4, codes, "id", "updated", group = 0)
+    val s4 = lake.read
+    assert(s4.count() == 3)
+    val newActive = s4.filter(col("id") === "url/a" && col("obsolete_version").isNull).collect().head
+    assert(newActive.getAs[String]("_id") != ids1("url/a"))
+    val tomb = s4.filter(col("_id") === ids1("url/a")).collect().head
+    assert(tomb.getAs[Boolean]("obsolete_version"))
+    assert(tomb.getAs[String]("updated_to") == newActive.getAs[String]("_id"))
+  }
 }
