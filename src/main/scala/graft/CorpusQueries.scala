@@ -203,6 +203,28 @@ object CorpusQueries {
         .orderBy(col("_id"), col("field"))
     }),
 
+    // F15/F16: header file-type sniff + meta-refresh redirect extraction
+    "url_sniff" -> ((s, dir) => {
+      val f = t(s, dir, "orders").select(col("o_orderkey").as("ok"),
+        when(col("o_orderkey") % 4 === 0, "application/pdf")
+          .when(col("o_orderkey") % 4 === 1, "text/html; charset=utf-8")
+          .when(col("o_orderkey") % 4 === 2, graft.harvest.UrlSniff.DocxMime)
+          .otherwise("application/octet-stream").as("ct"),
+        when(col("o_orderkey") % 3 === 0,
+          concat(lit("attachment; filename=\"doc_"), col("o_orderkey"), lit(".PDF\"")))
+          .when(col("o_orderkey") % 3 === 1, lit("inline; filename=report .docx")).as("cd"),
+        when(col("o_orderkey") % 5 === 0,
+          concat(lit("<html><head><meta http-equiv=\"refresh\" content=\"5;url=/redir/"),
+            col("o_orderkey"), lit(".html\"></head>")))
+          .otherwise("<html><body>no refresh here</body></html>").as("html"),
+        concat(lit("https://host"), (col("o_orderkey") % 20).cast("string"),
+          lit(".example.es/path/doc"), col("o_orderkey"), lit(".html")).as("url"))
+      f.select(col("ok"),
+          graft.harvest.UrlSniff.fileTypeFromHeaders(col("ct"), col("cd")).as("file_type"),
+          graft.harvest.UrlSniff.metaRefreshUrl(col("url"), col("html")).as("redirect"))
+        .orderBy(col("ok"))
+    }),
+
     // F14: NIF/DNI/CIF/NIE normalization + validation
     "nif_validate" -> ((s, dir) => {
       val raw = when(col("c_custkey") % 4 === 0, concat(format_string("%08d", col("c_custkey")), lit("-Z")))
@@ -403,6 +425,39 @@ object CorpusQueries {
         |       regexp_extract(regexp_extract(url, '([^/]+)$', 1), '\.([a-z]+)$', 1) AS ext,
         |       regexp_extract(regexp_extract(url, '([^/]+)$', 1), '\.([a-z]+)$', 1) IN ('pdf', 'doc', 'docx', 'zip', 'html') AS accepted
         |FROM u ORDER BY _id, field""".stripMargin),
+
+    "url_sniff" ->
+      (s"""WITH f AS (SELECT o_orderkey AS ok,
+          |  CASE WHEN o_orderkey % 4 = 0 THEN 'application/pdf'
+          |       WHEN o_orderkey % 4 = 1 THEN 'text/html; charset=utf-8'
+          |       WHEN o_orderkey % 4 = 2 THEN '${graft.harvest.UrlSniff.DocxMime}'
+          |       ELSE 'application/octet-stream' END AS ct,
+          |  CASE WHEN o_orderkey % 3 = 0 THEN 'attachment; filename="doc_' || CAST(o_orderkey AS VARCHAR) || '.PDF"'
+          |       WHEN o_orderkey % 3 = 1 THEN 'inline; filename=report .docx' END AS cd,
+          |  CASE WHEN o_orderkey % 5 = 0 THEN '<html><head><meta http-equiv="refresh" content="5;url=/redir/' || CAST(o_orderkey AS VARCHAR) || '.html"></head>'
+          |       ELSE '<html><body>no refresh here</body></html>' END AS html,
+          |  'https://host' || CAST(o_orderkey % 20 AS VARCHAR) || '.example.es/path/doc' || CAST(o_orderkey AS VARCHAR) || '.html' AS url
+          |  FROM orders),
+          |it AS (SELECT *, CASE WHEN cd IS NULL THEN NULL ELSE
+          |         (list_filter(string_split(replace(replace(cd, '769;', '_'), '8230;', '_'), ';'),
+          |                      x -> contains(x, 'filename')))[-1] END AS item FROM f),
+          |ex AS (SELECT *, CASE WHEN item IS NULL THEN NULL ELSE
+          |         replace(replace(regexp_extract(lower(replace(substr(item, strpos(item, '=') + 1), ' .', '.')),
+          |                                        '\\.([^.]*)$$', 1), '?=', ''), '"', '') END AS cd_ext FROM it),
+          |mr AS (SELECT *, regexp_extract(substr(html, 1, 1024),
+          |         '(?i)<meta[^>]*http-equiv=["'']?refresh["'']?[^>]*content=["'']([^"'']*)["'']', 1) AS content FROM ex),
+          |rd AS (SELECT *, trim(string_split(content, ';')[2]) AS aft FROM mr),
+          |r2 AS (SELECT *, CASE WHEN lower(aft) LIKE 'url=%' THEN replace(substr(aft, 5), '''', '') END AS redir FROM rd)
+          |SELECT ok,
+          |  CASE WHEN cd_ext IS NOT NULL THEN cd_ext
+          |       WHEN ct = 'application/pdf' THEN 'pdf'
+          |       WHEN ct LIKE 'text/html%' THEN 'html'
+          |       WHEN ct = '${graft.harvest.UrlSniff.DocxMime}' THEN 'docx'
+          |       ELSE '' END AS file_type,
+          |  CASE WHEN redir IS NULL THEN ''
+          |       WHEN redir LIKE '/%' THEN regexp_extract(url, '^([a-z]+)://', 1) || '://' || regexp_extract(url, '^[a-z]+://([^/]+)', 1) || redir
+          |       ELSE redir END AS redirect
+          |FROM r2 ORDER BY ok""".stripMargin),
 
     "nif_validate" ->
       """WITH ids AS (SELECT c_custkey,

@@ -38,16 +38,20 @@ object Fetch {
     val Error = "error"
   }
 
-  case class FetchResult(url: String, status: String, contentType: String, nBytes: Long)
+  case class FetchResult(url: String, status: String, contentType: String, nBytes: Long,
+                         contentDisposition: String = "")
 
   /** Deterministic no-egress stub: succeeds for whitelisted extensions,
-    * fails every Nth URL to exercise the error path.
+    * fails every Nth URL to exercise the error path. Every 3rd success
+    * carries a Content-Disposition filename so the F15 sniff path is
+    * exercised end-to-end.
     */
   def stubFetcher(url: String): FetchResult = {
     val ext = url.substring(url.lastIndexOf('.') + 1).toLowerCase
     if (!AcceptedTypes.contains(ext)) FetchResult(url, Status.UnknownType, "", 0L)
     else if (math.abs(url.hashCode) % 50 == 0) FetchResult(url, Status.Error, "", 0L)
-    else FetchResult(url, Status.Ok, s"application/$ext", (math.abs(url.hashCode) % 100000).toLong)
+    else FetchResult(url, Status.Ok, s"application/$ext", (math.abs(url.hashCode) % 100000).toLong,
+      if (math.abs(url.hashCode) % 3 == 0) s"""attachment; filename="download.$ext"""" else "")
   }
 
   /** Host-partitioned, rate-limited fetch. `delayMs` is the per-host
@@ -72,6 +76,11 @@ object Fetch {
           fetcher(u)
         }
       }
+    // F15 header sniff + F20 acceptance on the fetched headers (Column
+    // algebra — UrlSniff — so the sniff itself is codegen'd, not UDF)
     results.toDF()
+      .withColumn("doc_type", UrlSniff.fileTypeFromHeaders(
+        nullif(col("contentType"), lit("")), nullif(col("contentDisposition"), lit(""))))
+      .withColumn("accepted", col("doc_type").isin(AcceptedTypes.toSeq: _*))
   }
 }
