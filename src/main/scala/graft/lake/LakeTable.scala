@@ -34,19 +34,48 @@ class LakeTable(spark: SparkSession, path: String, keyCol: String,
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
 
+  private def fs: org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   /** Replace the table with a plan that may READ this table: stage to a
-    * sibling path, then swap. A plain overwrite would truncate the files
-    * the lazy plan still needs (self-overwrite data loss).
+    * sibling path, then swap via TWO renames with the previous state kept
+    * as `.old` until the swap completes. The earlier delete-then-rename
+    * had a window where a crash lost the table outright, and a stale
+    * `.staging` dir made the next rename nest unpredictably; now every
+    * crash point leaves either the old or the new state recoverable (see
+    * `recover()`), and stale staging is cleared up front.
     */
   def replace(newState: DataFrame): Unit = {
+    recover()
     if (!exists) { overwrite(newState); return }
-    val staging = path + ".staging"
+    val staging = new org.apache.hadoop.fs.Path(path + ".staging")
+    val old = new org.apache.hadoop.fs.Path(path + ".old")
+    val cur = new org.apache.hadoop.fs.Path(path)
+    fs.delete(staging, true) // stale staging from an earlier crash mid-write
     val w = newState.write.mode(SaveMode.Overwrite)
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(staging)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(new org.apache.hadoop.fs.Path(staging), new org.apache.hadoop.fs.Path(path))
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path + ".staging")
+    fs.delete(old, true)
+    fs.rename(cur, old)     // crash here: recover() restores from .old
+    fs.rename(staging, cur) // crash here: recover() promotes .staging
+    fs.delete(old, true)
+  }
+
+  /** Crash recovery for an interrupted `replace`: if the table path is
+    * missing, promote the fully-written `.staging` (written before any
+    * rename started) or fall back to `.old`. Idempotent; called
+    * automatically by `replace`.
+    */
+  def recover(): Unit = {
+    val cur = new org.apache.hadoop.fs.Path(path)
+    val staging = new org.apache.hadoop.fs.Path(path + ".staging")
+    val old = new org.apache.hadoop.fs.Path(path + ".old")
+    if (!fs.exists(cur)) {
+      if (fs.exists(old) && fs.exists(staging)) { // died between the renames
+        fs.rename(staging, cur)
+        fs.delete(old, true)
+      } else if (fs.exists(old)) fs.rename(old, cur)
+    }
   }
 
   /** K1: upsert by key — keep every existing row whose key is NOT in the

@@ -63,43 +63,62 @@ object EventStreams {
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
-  case class SessionState(lastTs: Long, sessionId: Long)
+  case class SessionState(lastTs: Long, sessionId: Long, curStart: Long, curN: Long)
   case class Session(user_id: Long, session_id: Long, n_events: Long,
                      session_start: java.sql.Timestamp, session_end: java.sql.Timestamp)
 
   /** Custom stateful sessionization via flatMapGroupsWithState: per-user
-    * state carries (last event time, session counter); a gap larger than
-    * `gapMs` closes the session. Emits completed sessions per micro-batch
-    * (events within a batch are sorted per key — cross-batch order is
-    * guaranteed by the file source's ordered listing + watermark).
+    * state carries the OPEN session (start, count, last event time) so a
+    * session spanning micro-batches is emitted exactly once, with full
+    * counts. Only CLOSED sessions are emitted: a session closes when a
+    * later event arrives past `gapMs`, or when the event-time watermark
+    * passes lastTs + gapMs with no successor (GroupState event-time
+    * timeout flushes it). Emitting the still-open session each batch —
+    * the previous design — double-emitted any session spanning a batch
+    * boundary and reset its start/count.
+    *
+    * Scale: state is one fixed-size record per active user; the timeout
+    * reaps idle users, so state is bounded by concurrently-active users,
+    * not stream history.
     */
-  def sessionizeStateful(events: org.apache.spark.sql.Dataset[Event], gapMs: Long):
+  def sessionizeStateful(events: org.apache.spark.sql.Dataset[Event], gapMs: Long,
+                         watermarkDelay: String = "0 seconds"):
       org.apache.spark.sql.Dataset[Session] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
     val spark = events.sparkSession
     import spark.implicits._
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
         (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) => {
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
-          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
-          var curStart = Long.MinValue
-          var curN = 0L
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            if (st.lastTs == Long.MinValue || t - st.lastTs > gapMs) {
-              if (curN > 0) out += ((st.sessionId, curN, curStart, st.lastTs))
-              st = SessionState(t, st.sessionId + 1)
-              curStart = t; curN = 1L
-            } else {
-              st = st.copy(lastTs = t); curN += 1
+          if (state.hasTimedOut) {
+            // the watermark passed lastTs + gap with no successor event:
+            // the open session is definitively closed — flush, drop state
+            val st = state.get
+            state.remove()
+            Iterator.single(Session(userId, st.sessionId, st.curN,
+              new java.sql.Timestamp(st.curStart), new java.sql.Timestamp(st.lastTs)))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, Long.MinValue, 0L))
+            val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              if (st.lastTs == Long.MinValue) {
+                st = SessionState(t, st.sessionId + 1, t, 1L)
+              } else if (t - st.lastTs > gapMs) {
+                out += Session(userId, st.sessionId, st.curN,
+                  new java.sql.Timestamp(st.curStart), new java.sql.Timestamp(st.lastTs))
+                st = SessionState(t, st.sessionId + 1, t, 1L)
+              } else {
+                st = SessionState(t, st.sessionId, st.curStart, st.curN + 1)
+              }
             }
-          }
-          if (curN > 0) out += ((st.sessionId, curN, curStart, st.lastTs))
-          state.update(st)
-          out.iterator.map { case (sid, n, s0, s1) =>
-            Session(userId, sid, n, new java.sql.Timestamp(s0), new java.sql.Timestamp(s1))
+            state.update(st)
+            // must be strictly above the current watermark or Spark rejects
+            state.setTimeoutTimestamp(
+              math.max(st.lastTs + gapMs, state.getCurrentWatermarkMs() + 1))
+            out.iterator
           }
         })
   }

@@ -23,6 +23,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("a" -> 1, "b" -> 20, "c" -> 30))
   }
 
+  test("LakeTable.replace recovers from every crash point of the swap") {
+    def move(a: String, b: String): Unit =
+      Files.move(java.nio.file.Paths.get(a), java.nio.file.Paths.get(b))
+    val dir = Files.createTempDirectory("lake-swap").toString + "/t"
+    val lake = new LakeTable(spark, dir, "_id")
+    lake.overwrite(Seq(("a", 1)).toDF("_id", "v"))
+
+    // crash between rename(cur->old) and rename(staging->cur): staging was
+    // fully written, table path is gone
+    Seq(("a", 2)).toDF("_id", "v").write.parquet(dir + ".staging")
+    move(dir, dir + ".old")
+    lake.recover()
+    assert(lake.read.collect().head.getInt(1) == 2) // staging promoted
+    assert(!Files.exists(java.nio.file.Paths.get(dir + ".old")))
+
+    // crash after rename(cur->old) in a run whose staging never finished
+    // (no staging dir): fall back to the old state
+    move(dir, dir + ".old")
+    lake.recover()
+    assert(lake.read.collect().head.getInt(1) == 2) // old restored
+
+    // stale staging from a crash mid-write must not break the next replace
+    Seq(("junk", 0)).toDF("_id", "v").write.parquet(dir + ".staging")
+    lake.replace(Seq(("a", 3)).toDF("_id", "v"))
+    assert(lake.read.collect().head.getInt(1) == 3)
+    assert(!Files.exists(java.nio.file.Paths.get(dir + ".staging")))
+  }
+
   test("LakeTable summary singleton round-trip (K8)") {
     val dir = Files.createTempDirectory("lake").toString + "/t"
     val lake = new LakeTable(spark, dir, "_id")
@@ -78,28 +106,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(1).getAs[String]("event_type") == "view")
   }
 
-  test("EventStreams: flatMapGroupsWithState sessionization matches gap semantics") {
+  test("EventStreams: sessionization spans micro-batches, emits each session once") {
     val dir = Files.createTempDirectory("events3").toString
+    // batch 1: user 7 opens a session (10:00, 10:10); user 8 opens one (10:00)
     Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 7L, "click", 1.0, "{}"),
       (2L, java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), 7L, "click", 1.0, "{}"),
-      (3L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 7L, "click", 1.0, "{}"),
       (4L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 8L, "view", 1.0, "{}")
     ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .write.parquet(dir + "/drop1")
+      .write.mode("append").parquet(dir + "/in")
     import graft.streaming.EventStreams.Event
-    val stream = EventStreams.readEvents(spark, dir + "/drop1")
+    val stream = EventStreams.readEvents(spark, dir + "/in")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .as[Event]
     val q = EventStreams.sessionizeStateful(stream, gapMs = 30 * 60 * 1000)
-      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+      .writeStream.format("memory").queryName("sess_out").outputMode("append")
+      .option("checkpointLocation", dir + "/ckpt").start()
+    q.processAllAvailable()
+    // nothing closed yet: both sessions still open — NOT emitted (the old
+    // per-batch emit would have produced partial sessions here)
+    assert(spark.table("sess_out").count() == 0)
+
+    // batch 2: user 7 continues past the gap (12:00 closes session 1 with
+    // its FULL cross-batch count); user 8 is idle — the advancing
+    // watermark (12:00) times its open session out
+    Seq(
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 7L, "click", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(dir + "/in")
     q.processAllAvailable(); q.stop()
+
     val sessions = spark.table("sess_out").orderBy("user_id", "session_id").collect()
-    // user 7: two sessions (10:00-10:10, 12:00); user 8: one
-    assert(sessions.length == 3)
+    // user 7 session 1 emitted exactly once, with both batch-1 events and
+    // the true start; user 8's idle session flushed by timeout; user 7's
+    // 12:00 session is still open (stream not ended) — not emitted
+    assert(sessions.length == 2)
+    assert(sessions(0).getAs[Long]("user_id") == 7L)
     assert(sessions(0).getAs[Long]("n_events") == 2)
+    assert(sessions(0).getAs[java.sql.Timestamp]("session_start") ==
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))
+    assert(sessions(0).getAs[java.sql.Timestamp]("session_end") ==
+      java.sql.Timestamp.valueOf("2024-01-01 10:10:00"))
+    assert(sessions(1).getAs[Long]("user_id") == 8L)
     assert(sessions(1).getAs[Long]("n_events") == 1)
-    assert(sessions(2).getAs[Long]("user_id") == 8L)
   }
 
   test("EventStreams: dropDuplicates dedup of re-delivered events (CDC shape)") {
