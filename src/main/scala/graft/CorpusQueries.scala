@@ -43,7 +43,7 @@ object CorpusQueries {
     (0 until 8).map(k => s"list_min(list_transform(sh, x -> md5('$k|' || x))) AS h$k").mkString(",\n         ") +
     "\n  FROM sh)"
 
-  /** LSH band CTE: 4 bands of 2 hashes (Dedup.bandKeys(bands=4, r=2)). */
+  /** LSH band CTE: 4 bands of 2 hashes (Dedup.bandKeysFromSignature(sig, bands=4, rowsPerBand=2)). */
   private val bandsCte = mhCte + ",\nbands AS (\n" +
     (0 until 4).map(b => s"  SELECT doc_id, $b AS band, h${2 * b} || '#' || h${2 * b + 1} AS key FROM mh")
       .mkString("\n  UNION ALL\n") + ")"

@@ -268,25 +268,23 @@ object SparkEntry {
       mergedOut.unionByName(freshOut).orderBy(col("_id"))
     }),
 
-    // O-family: exact lower-median per group via deterministic rank selection
+    // O-family: exact lower-median per group — histogram-CDF rank-select
+    // (ops.Quantiles), not a window partitioned on the 3-value status key
     "q_median_order_value" -> ((s, dir) => {
-      val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"), col("o_orderkey"))
-      val wc = Window.partitionBy(col("o_orderstatus"))
-      t(s, dir, "orders")
-        .select(col("o_orderstatus"), col("o_totalprice"),
-          row_number().over(w).as("rn"), count(lit(1)).over(wc).as("cnt"))
-        .filter(col("rn") === expr("(cnt + 1) div 2"))
-        .select(col("o_orderstatus"), col("o_totalprice").as("median_price"))
+      graft.ops.Quantiles.medianByGroup(
+          t(s, dir, "orders").select(col("o_orderstatus"), col("o_totalprice")),
+          "o_orderstatus", "o_totalprice")
+        .select(col("o_orderstatus"), col("median").as("median_price"))
         .orderBy(col("o_orderstatus"))
     }),
 
-    // W-family: ntile quartiles + per-quartile stats
+    // W-family: exact ntile-quartile stats via the same histogram CDF —
+    // no raw-row window on the low-cardinality event_type key
     "q_events_quartiles" -> ((s, dir) => {
-      val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
-      t(s, dir, "events")
-        .select(col("event_type"), col("value"), ntile(4).over(w).as("q"))
-        .groupBy(col("event_type"), col("q"))
-        .agg(count(lit(1)).as("n"), min(col("value")).as("minv"), max(col("value")).as("maxv"))
+      graft.ops.Quantiles.ntileStats(
+          t(s, dir, "events").select(col("event_type"), col("value")),
+          "event_type", "value", 4)
+        .select(col("event_type"), col("q"), col("n"), col("minv"), col("maxv"))
         .orderBy(col("event_type"), col("q"))
     }),
 

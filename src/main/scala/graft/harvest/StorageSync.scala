@@ -24,8 +24,12 @@ object StorageSync {
     * (sync_documents.py:233-242).
     */
   def reconcile(origin: DataFrame, dest: DataFrame): DataFrame = {
+    // listings never legitimately carry null names; drop them rather than
+    // let groupBy collapse nulls from both sides into one bogus KEEP row
+    // (the earlier anti/semi-join form silently classified them ADD+DEL)
     val tagged = origin.select(col("name"), lit(1).as("__side"))
       .unionByName(dest.select(col("name"), lit(2).as("__side")))
+      .filter(col("name").isNotNull)
     tagged.groupBy(col("name"))
       .agg(min(col("__side")).as("__lo"), max(col("__side")).as("__hi"))
       .select(

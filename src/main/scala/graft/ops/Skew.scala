@@ -21,7 +21,12 @@ object Skew {
     */
   def saltedCountSum(df: DataFrame, keyCol: String, valueCents: Column,
                      salt: Int = 16): DataFrame = {
-    val salted = df.withColumn("__salt", pmod(hash(valueCents), lit(salt)))
+    // salt from the row's physical position, NOT from data values: a hot
+    // key whose rows share one dominant value would hash to one salt and
+    // get zero spread. Position-based salt is uniform by construction;
+    // any salt assignment yields the same final aggregate, so retry
+    // nondeterminism is harmless.
+    val salted = df.withColumn("__salt", pmod(monotonically_increasing_id(), lit(salt)))
       .groupBy(col(keyCol), col("__salt"))
       .agg(count(lit(1)).as("__n"), sum(valueCents).as("__s"))
     salted.groupBy(col(keyCol))

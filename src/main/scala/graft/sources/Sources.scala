@@ -48,11 +48,19 @@ object Sources {
   /** S12: sequential text reader with line numbers (gzip transparent;
     * reference: mmb_data/file_mgr.py:8-79). Line ranges replace the
     * reference's skip-to-line logic.
+    *
+    * `textFile.zipWithIndex` — RDD indexing is partition-major and
+    * Hadoop text splits are enumerated in (file, offset) order, so the
+    * numbering is the file's line order with NO single-partition stage
+    * (the previous global `Window.orderBy` funneled the whole file
+    * through one task). zipWithIndex costs one extra lightweight job to
+    * learn per-partition counts; gzip inputs arrive as one split per
+    * file, exactly like any sequential gzip reader.
     */
   def readTextWithLineNumbers(spark: SparkSession, path: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    spark.read.text(path)
-      .withColumn("line_no", row_number().over(
-        Window.orderBy(monotonically_increasing_id())) - 1)
+    import spark.implicits._
+    spark.sparkContext.textFile(path)
+      .zipWithIndex()
+      .toDF("value", "line_no")
   }
 }

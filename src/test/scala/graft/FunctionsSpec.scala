@@ -25,6 +25,54 @@ class FunctionsSpec extends AnyFunSuite {
     assert(interpreted == "Cancion")
   }
 
+  test("two dot_float instances in one projection stay codegen'd and correct") {
+    import graft.functions.DotFloat.dot_float
+    val df = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f), Array(0.5f, 0.5f)))
+      .toDF("a", "b", "c")
+      .repartition(1) // keep the projection at runtime (no constant-fold to LocalTableScan)
+      .select(dot_float(col("a"), col("b")).as("ab"), dot_float(col("a"), col("c")).as("ac"))
+    val r = df.collect().head
+    assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 1.5)
+    // pre-freshName, the second instance collided on fixed identifiers and
+    // silently fell back to interpreted eval; with freshName both compile
+    // (plan inspected post-collect so AQE has finalized it; '*(n)' marks a
+    // WholeStageCodegen span in the tree string)
+    assert(df.queryExecution.executedPlan.toString.contains("*(1) Project"))
+  }
+
+  test("native MinHashSig / SimHashBits match the interpreted HOF forms") {
+    import graft.ops.{Dedup, TextAnalysis}
+    val texts = Seq("the quick brown fox jumps over the lazy dog",
+      "pack my box with five dozen liquor jugs", "sphinx of black quartz judge my vow")
+    val df = texts.toDF("text").withColumn("sh", Dedup.shingles(col("text")))
+    // HOF reference formulation, inlined (the production path is native)
+    val hofSig = aggregate(col("sh"), array_repeat(lit("~"), 8),
+      (acc, s) => zip_with(acc,
+        array((0 until 8).map(i => md5(concat(lit(s"$i|"), s))): _*),
+        (a, h) => least(a, h)))
+    val sig = df.select(Dedup.minhashSignature(col("sh"), 8).as("n"), hofSig.as("h")).collect()
+    sig.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+    val hofBits = {
+      val hs = transform(TextAnalysis.tokens(col("text")), t => substring(md5(t), 1, 16))
+      val votes = aggregate(hs, array_repeat(lit(0L), 64),
+        (acc, h) => zip_with(acc, sequence(lit(0), lit(63)), (a, b) => {
+          val hexPos = (b / 4).cast("int") + 1
+          val mask = element_at(array(lit(8), lit(4), lit(2), lit(1)), pmod(b, lit(4)).cast("int") + 1)
+          a + when((instr(lit("0123456789abcdef"), h.substr(hexPos, lit(1))) - 1)
+            .bitwiseAND(mask) > 0, lit(1L)).otherwise(lit(-1L))
+        }))
+      array_join(transform(votes, v => when(v > 0, lit("1")).otherwise(lit("0"))), "")
+    }
+    val bits = df.select(Dedup.simhashBits(col("text")).as("n"), hofBits.as("h")).collect()
+    bits.foreach(r => assert(r.getString(0) == r.getString(1)))
+    // empty-input identities
+    val empty = Seq("").toDF("text")
+      .select(Dedup.minhashSignature(Dedup.shingles(col("text")), 4).as("sig"),
+        Dedup.simhashBits(col("text")).as("bits")).collect().head
+    assert(empty.getSeq[String](0) == Seq("~", "~", "~", "~"))
+    assert(empty.getString(1) == "0" * 64)
+  }
+
   test("unidecode_es is callable from SQL once registered") {
     // the suite shares one SparkSession, and withExtensions is ignored by
     // getOrCreate on an existing session — register into the live
