@@ -47,7 +47,7 @@ object HarvestJobs {
 
   /** purge_documents (§2.2 K7): move blobs for obsolete records to a
     * backup listing; `recover` inverts. Pure listing algebra here — the
-    * byte move is the storage layer's copy of the manifest.
+    * byte move is `purge` below.
     */
   def purgeManifest(listing: DataFrame, obsoleteIds: DataFrame,
                     recover: Boolean = false): DataFrame = {
@@ -55,5 +55,23 @@ object HarvestJobs {
     val op = if (recover) "RESTORE" else "BACKUP_DELETE"
     tagged.join(obsoleteIds, Seq("ntp_id"), "left_semi")
       .select(lit(op).as("op"), col("name"))
+  }
+
+  /** purge_documents with REAL bytes (K7; reference purge_documents.py:
+    * 97-118): derive the manifest, then move each blob storage -> backup
+    * (backup-then-delete) or copy backup -> storage (`recover`),
+    * distributed via BlobStore.moveAll. `dryRun` reports the manifest
+    * without touching bytes. Returns (name, action, ok) per blob.
+    */
+  def purge(listing: DataFrame, obsoleteIds: DataFrame,
+            storageDir: String, backupDir: String,
+            dryRun: Boolean = false, recover: Boolean = false): DataFrame = {
+    val manifest = purgeManifest(listing, obsoleteIds, recover)
+    if (recover)
+      graft.lake.BlobStore.moveAll(manifest, "name", backupDir, storageDir,
+        deleteSrc = false, dryRun = dryRun)
+    else
+      graft.lake.BlobStore.moveAll(manifest, "name", storageDir, backupDir,
+        deleteSrc = true, dryRun = dryRun)
   }
 }

@@ -83,4 +83,48 @@ class PipelineJobsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getString(1))
     assert(purge.toSeq == Seq("BACKUP_DELETE" -> "ntp00000002_b.pdf"))
   }
+
+  test("BlobStore + HarvestJobs.purge: real bytes move both directions (K6/K7)") {
+    import graft.lake.BlobStore
+    val root = Files.createTempDirectory("blobs").toString
+    val storage = new BlobStore(spark, root + "/primary")
+    val backup = new BlobStore(spark, root + "/backup")
+
+    // K6 single-file API
+    storage.store("ntp00000001_a.pdf", "live-doc".getBytes)
+    storage.store("ntp00000002_b.pdf", "obsolete-doc".getBytes)
+    assert(storage.exists("ntp00000001_a.pdf"))
+    assert(new String(storage.read("ntp00000002_b.pdf")) == "obsolete-doc")
+    assert(storage.list().count() == 2)
+
+    val listing = Seq("ntp00000001_a.pdf", "ntp00000002_b.pdf").toDF("name")
+    val obsolete = Seq("ntp00000002").toDF("ntp_id")
+
+    // dry run: manifest only, bytes untouched
+    val dry = HarvestJobs.purge(listing, obsolete, root + "/primary", root + "/backup",
+      dryRun = true).collect()
+    assert(dry.map(_.getString(1)).toSeq == Seq("DRY_RUN"))
+    assert(storage.exists("ntp00000002_b.pdf") && !backup.exists("ntp00000002_b.pdf"))
+
+    // purge: obsolete blob moves to backup (copy verified before delete)
+    val moved = HarvestJobs.purge(listing, obsolete, root + "/primary", root + "/backup")
+      .collect()
+    assert(moved.map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSeq ==
+      Seq(("ntp00000002_b.pdf", "MOVED", true)))
+    assert(!storage.exists("ntp00000002_b.pdf"))
+    assert(new String(backup.read("ntp00000002_b.pdf")) == "obsolete-doc")
+    assert(storage.exists("ntp00000001_a.pdf")) // non-obsolete untouched
+
+    // recover: copy back from backup, backup copy retained
+    val rec = HarvestJobs.purge(listing, obsolete, root + "/primary", root + "/backup",
+      recover = true).collect()
+    assert(rec.map(r => (r.getString(1), r.getBoolean(2))).toSeq == Seq(("COPIED", true)))
+    assert(new String(storage.read("ntp00000002_b.pdf")) == "obsolete-doc")
+    assert(backup.exists("ntp00000002_b.pdf"))
+
+    // a missing blob reports ok=false without failing the job
+    val bad = BlobStore.moveAll(Seq("nope.pdf").toDF("name"),
+      "name", root + "/primary", root + "/backup", deleteSrc = true).collect()
+    assert(!bad.head.getBoolean(2) && bad.head.getString(1).startsWith("ERROR:"))
+  }
 }
