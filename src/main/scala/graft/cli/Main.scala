@@ -40,9 +40,12 @@ object Main {
         new org.apache.hadoop.fs.Path(lakePath)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
           .delete(new org.apache.hadoop.fs.Path(lakePath), true)
-      val codes = arg(args, "--codes").map(Sources.loadColumnCodes(spark, _)).getOrElse(Map.empty)
-      IngestJob.run(spark, lake,
-        spark.read.parquet(arg(args, "--in").get), codes,
+      val drop = spark.read.parquet(arg(args, "--in").get)
+      // no mapping TSV -> identity-map every drop column (otherwise they
+      // would all be "unknown" and land in the extra residue map)
+      val codes = arg(args, "--codes").map(Sources.loadColumnCodes(spark, _))
+        .getOrElse(drop.columns.map(c => c -> c).toMap)
+      IngestJob.run(spark, lake, drop, codes,
         arg(args, "--natural-id").getOrElse("id"),
         arg(args, "--updated").getOrElse("updated"),
         arg(args, "--group").map(_.toInt).getOrElse(0))

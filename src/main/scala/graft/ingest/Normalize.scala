@@ -1,6 +1,6 @@
 package graft.ingest
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, StringType}
 
@@ -36,4 +36,56 @@ object Normalize {
     */
   def collide(a: Column, b: Column): Column =
     array_compact(array(a, b))
+
+  /** One ingested cell, normalized to StringType (the reference's schema
+    * declares every field but `updated` as string — SURVEY §1.2):
+    * scalars null->''; array cells get their string-encoded list items
+    * parsed and flattened, unwrap to the scalar when one element remains,
+    * JSON-encode otherwise (the typed stand-in for Python's heterogeneous
+    * list cell). Non-string scalar types pass through untouched.
+    */
+  def normalizeCell(c: Column, dt: org.apache.spark.sql.types.DataType): Column = dt match {
+    case StringType => nullToEmpty(c)
+    case ArrayType(StringType, _) =>
+      val parsed = flatten(transform(c, i => parseListString(i)))
+      when(c.isNull, lit(""))
+        .when(size(parsed) === 1, element_at(parsed, 1))
+        .otherwise(to_json(parsed))
+    case _ => c
+  }
+
+  /** The full parse_parquet pass (reference: ntp_utils.py:71-112) as ONE
+    * plan-time projection over the drop:
+    *  - known columns rename through `codes` and normalize via
+    *    [[normalizeCell]];
+    *  - two source columns landing on one DBFIELD merge into an array
+    *    (collision -> list promotion, ntp_utils.py:101-105);
+    *  - unknown columns leave the top-level schema and land in an
+    *    `extra: map<string,string>` residue column keyed by their
+    *    mechanically-derived fallback name (SURVEY §1.2/§1.4 — the
+    *    pipeline never fails on new upstream columns, and the lake schema
+    *    stays stable while retaining every value).
+    * Zero data movement: renames, map construction and normalization are
+    * all expression-level.
+    */
+  def normalizeDrop(df: DataFrame, codes: Map[String, String]): DataFrame = {
+    val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val (known, unknown) = df.columns.partition(codes.contains)
+    val byTarget: Seq[(String, Seq[String])] =
+      known.groupBy(codes).view.mapValues(_.toSeq.sorted).toSeq.sortBy(_._1)
+    val knownCols = byTarget.map {
+      case (target, Seq(src)) => normalizeCell(col(s"`$src`"), fields(src)).as(target)
+      case (target, srcs) =>
+        array_compact(array(srcs.map(s =>
+          normalizeCell(col(s"`$s`"), fields(s)).cast(StringType)): _*)).as(target)
+    }
+    val extraEntries = unknown.toSeq.sorted.flatMap { c =>
+      Seq(lit(ColumnMapping.fallbackName(c)),
+        nullToEmpty(col(s"`$c`").cast(StringType)))
+    }
+    val extra =
+      (if (extraEntries.isEmpty) typedLit(Map.empty[String, String])
+       else map(extraEntries: _*)).as("extra")
+    df.select(knownCols :+ extra: _*)
+  }
 }

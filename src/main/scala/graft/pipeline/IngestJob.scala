@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{NtpIds, TimeFns}
-import graft.ingest.ColumnMapping
 import graft.lake.LakeTable
 import graft.versions.{IdAssign, Versions}
 
@@ -110,8 +109,13 @@ object IngestJob {
   def run(spark: SparkSession, lake: LakeTable, drop: DataFrame,
           codes: Map[String, String], naturalId: String, updated: String,
           group: Int): Unit = {
-    // 1. rename via codes table + fallback naming (plan-time only)
-    val renamed = ColumnMapping.applyMapping(drop, codes)
+    // 1. parse_parquet normalization (plan-time only): rename via codes,
+    //    merge collisions to arrays, parse string-encoded lists, unwrap
+    //    singles, null->'', unknown columns -> `extra` residue map. The
+    //    key + version columns are always identity-known: the pipeline
+    //    cannot run with them hidden in the residue.
+    val renamed = graft.ingest.Normalize.normalizeDrop(drop,
+      codes ++ Seq(naturalId, updated).filterNot(codes.contains).map(c => c -> c))
 
     // 2. normalize: canonical 19-char updated timeline
     val normalized = renamed

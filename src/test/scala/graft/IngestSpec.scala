@@ -40,6 +40,38 @@ class IngestSpec extends AnyFunSuite {
     assert(rows(1).getString(1) != "a") // multi-element stays array-ish (stringified)
   }
 
+  test("normalizeDrop: collisions, list parse+unwrap, extra residue map (parse_parquet)") {
+    val codes = Map("id" -> "id", "updated" -> "updated",
+      "Ciudad (Adjudicatario)" -> "lugar", "Localidad" -> "lugar")
+    val df = Seq(
+      ("url/a", "2024-01-01 10:00:00", "Madrid", null: String,
+        Seq("['45000000','45210000']"), Seq("solo"), "v1"),
+      ("url/b", "2024-01-02 10:00:00", null: String, "Bilbao",
+        Seq("plain", "['x']"), Seq("a", "b"), null: String)
+    ).toDF("id", "updated", "Ciudad (Adjudicatario)", "Localidad",
+      "cpv_list", "single_list", "Nueva Columna - X")
+    // cpv_list/single_list are unknown too? no — make them known targets
+    val out = Normalize.normalizeDrop(df,
+      codes ++ Map("cpv_list" -> "cpv", "single_list" -> "nota"))
+      .orderBy("id").collect()
+
+    // collision: both sources land on `lugar` as an array, nulls (as '')
+    // kept per-source... array_compact only drops SQL nulls, '' survives
+    val r0 = out(0)
+    assert(r0.getAs[scala.collection.Seq[String]]("lugar") == Seq("Madrid", ""))
+    // string-encoded list inside an array cell parses + flattens to JSON
+    assert(r0.getAs[String]("cpv") == """["45000000","45210000"]""")
+    // single-element list unwraps to the scalar
+    assert(r0.getAs[String]("nota") == "solo")
+    // unknown column lands in the residue map under its fallback name
+    assert(r0.getAs[Map[String, String]]("extra") == Map("Nueva_Columna_X" -> "v1"))
+    val r1 = out(1)
+    assert(r1.getAs[scala.collection.Seq[String]]("lugar") == Seq("", "Bilbao"))
+    assert(r1.getAs[String]("cpv") == """["plain","x"]""")
+    assert(r1.getAs[String]("nota") == """["a","b"]""")
+    assert(r1.getAs[Map[String, String]]("extra") == Map("Nueva_Columna_X" -> ""))
+  }
+
   test("entity id normalization + classification (F14)") {
     val df = Seq("12345678-z", "a1234567.c", "x 1234567l", "garbage").toDF("raw")
       .select(Entities.classifyId(Entities.normalizeId(col("raw"))).as("t"))
