@@ -525,27 +525,6 @@ object CorpusQueries {
         |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
-    "q_asof_prev_version" -> (versionsCte +
-      """,
-        |q AS (SELECT _id, nk, updated FROM v WHERE ok % 2 = 1),
-        |p AS (SELECT _id, nk, updated FROM (
-        |        SELECT _id, nk, updated,
-        |               row_number() OVER (PARTITION BY nk, updated ORDER BY _id DESC) AS rn
-        |        FROM v WHERE ok % 2 = 0) t
-        |      WHERE rn = 1)
-        |SELECT q._id AS query_id, q.nk AS nk, p._id AS matched_id
-        |FROM q ASOF LEFT JOIN p ON q.nk = p.nk AND q.updated >= p.updated
-        |ORDER BY query_id""".stripMargin),
-
-    "ingest_unidecode" ->
-      """SELECT n_name, strip_accents('Canción número uno: ' || n_name) AS plain
-        |FROM nation ORDER BY n_name""".stripMargin,
-
-    "q_salted_agg" ->
-      """SELECT event_type, count(*) AS n,
-        |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-
     "multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -215,6 +215,37 @@ object SparkEntry {
         .orderBy(col("nk"))
     }),
 
+    // J7: legacy-recovery — dangling ids look up their natural key in the
+    // legacy set and repoint to the key's current active version
+    "ntp_legacy_recover" -> ((s, dir) => {
+      val v = versionsDf(s, dir)
+      val legacy = v.filter(col("ok") % 5 === 0)
+      val current = v.filter(col("ok") % 5 =!= 0)
+      val actives = Versions.resolveLatest(current, "nk", "_id", "updated")
+      val missing = v.filter(col("ok") % 4 === 0).select(col("_id"))
+      Versions.recoverLegacy(missing, legacy.select(col("_id"), col("nk")),
+          actives.select(col("_id"), col("nk")))
+        .orderBy(col("_id"))
+    }),
+
+    // A6 audit: versions-per-key histogram (reference clean_place.py:125-128)
+    "ntp_version_histogram" -> ((s, dir) => {
+      versionsDf(s, dir).groupBy(col("nk"))
+        .agg(count(lit(1)).as("n_versions"))
+        .groupBy(col("n_versions")).agg(count(lit(1)).as("n_keys"))
+        .orderBy(col("n_versions"))
+    }),
+
+    // A8 audit: distinct surrogate ids per natural key must equal the
+    // version count (reference check_unique_place_id.py:48-59)
+    "ntp_id_audit" -> ((s, dir) => {
+      versionsDf(s, dir).groupBy(col("nk"))
+        .agg(count(lit(1)).as("n_versions"),
+          countDistinct(col("_id")).as("n_ids"))
+        .withColumn("ids_unique", col("n_versions") === col("n_ids"))
+        .orderBy(col("nk"))
+    }),
+
     // A1/F1-F4: per-group max-id watermark
     "ntp_group_watermarks" -> ((s, dir) => {
       versionsDf(s, dir)
@@ -475,6 +506,34 @@ object SparkEntry {
     "ntp_merge_updates" -> (versionsCte +
       """
         |SELECT nk, array_to_string(list_sort(list_distinct(list(updated))), ',') AS updates
+        |FROM v GROUP BY nk ORDER BY nk""".stripMargin),
+
+    "ntp_legacy_recover" -> (versionsCte +
+      """,
+        |legacy AS (SELECT _id, nk FROM v WHERE ok % 5 = 0),
+        |cur AS (SELECT _id, nk FROM (
+        |          SELECT _id, nk, row_number() OVER (PARTITION BY nk ORDER BY updated DESC, _id DESC) AS rn
+        |          FROM v WHERE ok % 5 <> 0) t WHERE rn = 1),
+        |missing AS (SELECT _id FROM v WHERE ok % 4 = 0)
+        |SELECT m._id, l.nk AS nk, c._id AS updated_to,
+        |       CASE WHEN l._id IS NULL THEN 'NOT_IN_LEGACY'
+        |            WHEN c._id IS NULL THEN 'NO_ACTIVE'
+        |            ELSE 'REPOINTED' END AS action
+        |FROM missing m
+        |LEFT JOIN legacy l ON m._id = l._id
+        |LEFT JOIN cur c ON l.nk = c.nk
+        |ORDER BY m._id""".stripMargin),
+
+    "ntp_version_histogram" -> (versionsCte +
+      """
+        |SELECT n_versions, count(*) AS n_keys FROM (
+        |  SELECT nk, count(*) AS n_versions FROM v GROUP BY nk) t
+        |GROUP BY n_versions ORDER BY n_versions""".stripMargin),
+
+    "ntp_id_audit" -> (versionsCte +
+      """
+        |SELECT nk, count(*) AS n_versions, count(DISTINCT _id) AS n_ids,
+        |       count(*) = count(DISTINCT _id) AS ids_unique
         |FROM v GROUP BY nk ORDER BY nk""".stripMargin),
 
     "ntp_group_watermarks" -> (versionsCte +

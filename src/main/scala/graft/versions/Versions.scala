@@ -125,6 +125,31 @@ object Versions {
     out
   }
 
+  /** J7: legacy-recovery lookup-and-repoint (reference:
+    * checking/check_versions_completness.py:100-117): for ids referenced
+    * somewhere (documents, pointers) but missing from the current
+    * collection, look the id up in the LEGACY collection, take its
+    * natural key, and repoint to that key's current active version —
+    * the missing id becomes a tombstone pointing at the active. Rows
+    * report `action`: REPOINTED (legacy hit + active found), NO_ACTIVE
+    * (legacy hit, key has no active), NOT_IN_LEGACY (unrecoverable).
+    *
+    * Set-level: two left joins (one shuffle each, broadcast when the
+    * missing-id set is small) replace the reference's per-id find loop.
+    */
+  def recoverLegacy(missingIds: DataFrame, legacy: DataFrame, actives: DataFrame,
+                    id: String = "_id", nk: String = "nk"): DataFrame = {
+    val m = missingIds.select(col(id))
+    val l = legacy.select(col(id).as("__lid"), col(nk).as("__lnk"))
+    val a = actives.select(col(id).as("__aid"), col(nk).as("__ank"))
+    m.join(l, col(id) === col("__lid"), "left_outer")
+      .join(a, col("__lnk") === col("__ank"), "left_outer")
+      .select(col(id), col("__lnk").as(nk), col("__aid").as("updated_to"),
+        when(col("__lid").isNull, lit("NOT_IN_LEGACY"))
+          .when(col("__aid").isNull, lit("NO_ACTIVE"))
+          .otherwise(lit("REPOINTED")).as("action"))
+  }
+
   /** Field-level diff between two versions of a record: which of `fields`
     * were added / modified / missing in `new` vs `old` (reference:
     * ntp_entry.py:219-236 `diff_document`). Both inputs are struct columns
