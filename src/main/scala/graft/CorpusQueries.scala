@@ -145,14 +145,17 @@ object CorpusQueries {
         .orderBy(col("a"), col("b"))
     }),
 
-    // n-gram Jaccard verification of the LSH candidates
+    // n-gram Jaccard verification of the LSH candidates — the shingle
+    // frame is computed ONCE, persisted, and shared by candidate
+    // generation and both verification join sides (was the slowest bench
+    // query when each consumer re-tokenized the corpus)
     "dedup_jaccard_verify" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val cand = Dedup.minhashCandidates(docs, "doc_id", "text", 4, 2)
-      val shd = docs.withColumn("sh", Dedup.shingles(col("text"))).select("doc_id", "sh")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // referenced by both join sides
-      cand.join(shd.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
-        .join(shd.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+      val shd = t(s, dir, "documents")
+        .select(col("doc_id").as("doc"), Dedup.shingles(col("text")).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cand = Dedup.minhashCandidatesFromShingles(shd, 4, 2)
+      cand.join(shd.select(col("doc").as("a"), col("sh").as("sha")), "a")
+        .join(shd.select(col("doc").as("b"), col("sh").as("shb")), "b")
         .select(col("a"), col("b"), Dedup.jaccard(col("sha"), col("shb")).as("jac"))
         .orderBy(col("a"), col("b"))
     }),

@@ -215,6 +215,29 @@ object SparkEntry {
         .orderBy(col("nk"))
     }),
 
+    // F18: field-level diff of the two latest versions per key ('' = the
+    // reference's absence marker; mods synthesize added/missing cases)
+    "ntp_record_diff" -> ((s, dir) => {
+      val w = Window.partitionBy(col("nk")).orderBy(col("updated").desc, col("_id").desc)
+      val r = versionsDf(s, dir).withColumn("rn", row_number().over(w))
+      val n = r.filter(col("rn") === 1).select(col("nk"),
+        when(col("ok") % 3 === 0, "").otherwise(col("status")).as("ns"),
+        when(col("ok") % 4 === 0, "").otherwise(col("priority")).as("np"))
+      val o = r.filter(col("rn") === 2).select(col("nk"),
+        when(col("ok") % 5 === 0, "").otherwise(col("status")).as("os"),
+        when(col("ok") % 6 === 0, "").otherwise(col("priority")).as("op"))
+      n.join(o, "nk")
+        .select(col("nk"), Versions.diffFields(
+          struct(col("ns").as("status"), col("np").as("priority")),
+          struct(col("os").as("status"), col("op").as("priority")),
+          Seq("status", "priority")).as("d"))
+        .select(col("nk"),
+          array_join(col("d.added"), ",").as("added"),
+          array_join(col("d.modified"), ",").as("modified"),
+          array_join(col("d.missing"), ",").as("missing"))
+        .orderBy(col("nk"))
+    }),
+
     // J7: legacy-recovery — dangling ids look up their natural key in the
     // legacy set and repoint to the key's current active version
     "ntp_legacy_recover" -> ((s, dir) => {
@@ -507,6 +530,23 @@ object SparkEntry {
       """
         |SELECT nk, array_to_string(list_sort(list_distinct(list(updated))), ',') AS updates
         |FROM v GROUP BY nk ORDER BY nk""".stripMargin),
+
+    "ntp_record_diff" -> (versionsCte +
+      """,
+        |r AS (SELECT nk, ok, status, priority,
+        |             row_number() OVER (PARTITION BY nk ORDER BY updated DESC, _id DESC) AS rn FROM v),
+        |n AS (SELECT nk, CASE WHEN ok % 3 = 0 THEN '' ELSE status END AS ns,
+        |             CASE WHEN ok % 4 = 0 THEN '' ELSE priority END AS np FROM r WHERE rn = 1),
+        |o AS (SELECT nk, CASE WHEN ok % 5 = 0 THEN '' ELSE status END AS os,
+        |             CASE WHEN ok % 6 = 0 THEN '' ELSE priority END AS op FROM r WHERE rn = 2)
+        |SELECT n.nk AS nk,
+        |  concat_ws(',', CASE WHEN ns <> '' AND os = '' THEN 'status' END,
+        |                 CASE WHEN np <> '' AND op = '' THEN 'priority' END) AS added,
+        |  concat_ws(',', CASE WHEN ns <> os AND ns <> '' AND os <> '' THEN 'status' END,
+        |                 CASE WHEN np <> op AND np <> '' AND op <> '' THEN 'priority' END) AS modified,
+        |  concat_ws(',', CASE WHEN ns = '' AND os <> '' THEN 'status' END,
+        |                 CASE WHEN np = '' AND op <> '' THEN 'priority' END) AS missing
+        |FROM n JOIN o ON n.nk = o.nk ORDER BY nk""".stripMargin),
 
     "ntp_legacy_recover" -> (versionsCte +
       """,

@@ -82,16 +82,25 @@ object Dedup {
     * attributes are not inlined by CollapseProject).
     */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-                        bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
-    val withSh = docs.withColumn("__sh", shingles(col(textCol)))
-      .filter(size(col("__sh")) >= 1)
-      .withColumn("__sig", minhashSignature(col("__sh"), bands * rowsPerBand))
+                        bands: Int = 4, rowsPerBand: Int = 2): DataFrame =
+    minhashCandidatesFromShingles(
+      docs.select(col(idCol).as("doc"), shingles(col(textCol)).as("sh")),
+      bands, rowsPerBand)
+
+  /** Candidate pairs from a precomputed (doc, sh) shingle frame — callers
+    * that also need the shingles downstream (Jaccard verification) build
+    * and persist that frame ONCE and share it, instead of re-tokenizing
+    * the corpus per consumer.
+    */
+  def minhashCandidatesFromShingles(shingled: DataFrame,
+                                    bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val withSig = shingled.filter(size(col("sh")) >= 1)
+      .withColumn("__sig", minhashSignature(col("sh"), bands * rowsPerBand))
     val keys = bandKeysFromSignature(col("__sig"), bands, rowsPerBand)
     // persist: the self-join would otherwise evaluate the whole
     // shingle+minhash pipeline once per side
-    val banded = withSh
-      .select(col(idCol).as("doc"),
-        posexplode(array(keys: _*)).as(Seq("band", "key")))
+    val banded = withSig
+      .select(col("doc"), posexplode(array(keys: _*)).as(Seq("band", "key")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
