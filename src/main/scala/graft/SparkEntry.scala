@@ -409,9 +409,16 @@ object SparkEntry {
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         .groupBy(date_trunc("hour", col("ts")).as("wstart"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents"))
-      val q = stream.writeStream.format("memory").queryName("stream_windowed_sink")
-        .outputMode("complete").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      // state-store count follows shuffle partitions: a (hour, type)
+      // aggregation has a few hundred groups — 8 stores, not 32, halves
+      // the per-batch store open/commit overhead that dominates this query
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        stream.writeStream.format("memory").queryName("stream_windowed_sink")
+          .outputMode("complete").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       q.awaitTermination()
       s.table("stream_windowed_sink")
         .select(col("wstart"), col("event_type"), col("n"),
