@@ -103,6 +103,33 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Multi-probe bucketed ANN: each query also probes every bucket at
+    * Hamming distance 1 from its own (flip one hyperplane bit), trading
+    * (nBits+1)x the join fan-out for the recall lost to near-boundary
+    * vectors — the standard multi-probe LSH recall lever, deterministic
+    * and shuffle-shaped exactly like the single-probe join (one exchange
+    * per side on the bucket key; the query side explodes BEFORE the join
+    * so AQE sees the real key distribution).
+    */
+  def bucketedTopKMultiProbe(corpus: DataFrame, queries: DataFrame, idCol: String,
+                             vecCol: String, k: Int, nBits: Int, dim: Int): DataFrame = {
+    val bc = hyperplaneBucket(col(vecCol), nBits, dim)
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"), bc.as("bucket"))
+    val flips = (0 until nBits).map { j =>
+      val b = col("__b")
+      val flipped = when(substring(b, j + 1, 1) === "1", lit("0")).otherwise(lit("1"))
+      concat(substring(b, 1, j), flipped, substring(b, j + 2, nBits - j - 1))
+    }
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"), bc.as("__b"))
+      .select(col("qid"), col("qv"),
+        explode(array_distinct(array(col("__b") +: flips: _*))).as("bucket"))
+    val scored = q.join(c, Seq("bucket")).filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), col("qv"), col("cv")).distinct()
+      .select(col("qid"), col("cid"), cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a<b) pairs in the same
     * hyperplane bucket with cosine above `threshold`. The bucket join is
     * the scale lever — only same-cell pairs are ever scored.

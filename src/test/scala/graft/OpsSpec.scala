@@ -122,4 +122,26 @@ class OpsSpec extends AnyFunSuite {
     val got = res.select("qid", "cid").collect()
     assert(got.forall(r => r.getLong(0) != r.getLong(1)))
   }
+
+  test("multi-probe bucketed ANN recalls a superset of single-probe candidates") {
+    val vecs = (0 until 48).map { i =>
+      (i.toLong, (0 until 64).map(j => (math.sin(i * 64 + j) / 2).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 6)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // compare raw candidate coverage (k large enough to keep everything scored)
+    val single = pairs(Similarity.bucketedTopK(vecs, queries, "vec_id", "embedding", 1000, 3, 64))
+    val multi = pairs(Similarity.bucketedTopKMultiProbe(vecs, queries, "vec_id", "embedding", 1000, 3, 64))
+    assert(single.subsetOf(multi))
+    assert(multi.size > single.size) // the sin-grid data straddles cell boundaries
+    // multi-probe ranks agree with brute force restricted to probed candidates
+    val brute = Similarity.bruteTopK(vecs, queries, "vec_id", "embedding", 1000)
+      .select("qid", "cid", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val multiRanked = Similarity.bucketedTopKMultiProbe(vecs, queries, "vec_id", "embedding", 1000, 3, 64)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every probed candidate exists in the brute ranking (same scoring math)
+    assert(multiRanked.forall(brute.contains))
+  }
 }

@@ -60,6 +60,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("native MinHashSig/SimHashBits equal the Catalyst HOF forms on random docs") {
+    val wordGen = Gen.oneOf("the", "cat", "perro", "año", "data", "x1", "ünïcode", "a")
+    val docGen = Gen.listOfN(12, wordGen).map(_.mkString(" "))
+    val docs = samples(docGen, 24)
+    val df = docs.toDF("text").withColumn("sh", graft.ops.Dedup.shingles(col("text")))
+    val hofSig = aggregate(col("sh"), array_repeat(lit("~"), 6),
+      (acc, s) => zip_with(acc,
+        array((0 until 6).map(i => md5(concat(lit(s"$i|"), s))): _*),
+        (a, h) => least(a, h)))
+    df.select(graft.ops.Dedup.minhashSignature(col("sh"), 6).as("n"), hofSig.as("h"))
+      .collect().foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+    val hofBits = {
+      val hs = transform(graft.ops.TextAnalysis.tokens(col("text")), t => substring(md5(t), 1, 16))
+      val votes = aggregate(hs, array_repeat(lit(0L), 64),
+        (acc, h) => zip_with(acc, sequence(lit(0), lit(63)), (a, b) => {
+          val hexPos = (b / 4).cast("int") + 1
+          val mask = element_at(array(lit(8), lit(4), lit(2), lit(1)), pmod(b, lit(4)).cast("int") + 1)
+          a + when((instr(lit("0123456789abcdef"), h.substr(hexPos, lit(1))) - 1)
+            .bitwiseAND(mask) > 0, lit(1L)).otherwise(lit(-1L))
+        }))
+      array_join(transform(votes, v => when(v > 0, lit("1")).otherwise(lit("0"))), "")
+    }
+    df.select(graft.ops.Dedup.simhashBits(col("text")).as("n"), hofBits.as("h"))
+      .collect().foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
   test("updatesOverlap is symmetric, reflexive, equals set-intersection (F21)") {
     val cases = samples(Gen.zip(tsListGen, tsListGen), 16)
     val df = cases.toDF("a", "b").select(col("a"), col("b"),
