@@ -426,6 +426,37 @@ object SparkEntry {
         .orderBy(col("wstart"), col("event_type"))
     }),
 
+    // §2.10: the CUSTOM stateful operator under the real streaming engine —
+    // flatMapGroupsWithState sessionization replayed over the events table
+    // must hash-match the batch window-sessionize oracle for every session
+    // CLOSED BY A SUCCESSOR. The watermark delay is set beyond the data
+    // horizon so the timeout-flush path (ms-granular, engine-internal
+    // rounding) stays out of the comparison — it is covered by the
+    // cross-batch unit spec; each user's open tail session is unemitted.
+    "q_stream_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      import graft.streaming.EventStreams
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[EventStreams.Event](org.apache.spark.sql.Encoders.product[EventStreams.Event])
+      val q = EventStreams.sessionizeStateful(stream, gapMs = 30 * 60 * 1000,
+          watermarkDelay = "3650 days")
+        .writeStream.format("memory").queryName("stream_sessionize_sink")
+        .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("stream_sessionize_sink")
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          col("session_start"), col("session_end"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
     // F7-shape: JSON field extraction + agg
     "q_events_json_extract" -> ((s, dir) => {
       t(s, dir, "events")  // props only — no ts needed
@@ -697,6 +728,28 @@ object SparkEntry {
         |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
         |FROM events GROUP BY date_trunc('hour', ts), event_type
         |ORDER BY wstart, event_type""".stripMargin,
+
+    "q_stream_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |                   OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) + INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM events),
+        |sessions AS (
+        |  SELECT user_id, ts, event_id,
+        |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked),
+        |agg AS (
+        |  SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+        |         min(ts) AS session_start, max(ts) AS session_end,
+        |         max(CAST(session_id AS BIGINT)) OVER (PARTITION BY user_id) AS max_sid
+        |  FROM sessions GROUP BY user_id, session_id)
+        |SELECT user_id, session_id, n_events, session_start, session_end
+        |FROM agg
+        |WHERE session_id < max_sid
+        |ORDER BY user_id, session_id""".stripMargin,
 
     "q_events_json_extract" ->
       """SELECT event_type,

@@ -91,33 +91,40 @@ object EventStreams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
         (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) => {
+          // state timestamps are MICROSECONDS via DateTimeUtils (Timestamp
+          // .getTime is millis and would silently truncate event times —
+          // the batch oracle compares at full parquet precision)
+          import org.apache.spark.sql.catalyst.util.DateTimeUtils
+          val gapUs = gapMs * 1000L
+          def sess(st: SessionState) = Session(userId, st.sessionId, st.curN,
+            DateTimeUtils.toJavaTimestamp(st.curStart), DateTimeUtils.toJavaTimestamp(st.lastTs))
           if (state.hasTimedOut) {
             // the watermark passed lastTs + gap with no successor event:
             // the open session is definitively closed — flush, drop state
             val st = state.get
             state.remove()
-            Iterator.single(Session(userId, st.sessionId, st.curN,
-              new java.sql.Timestamp(st.curStart), new java.sql.Timestamp(st.lastTs)))
+            Iterator.single(sess(st))
           } else {
-            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = it.toSeq.sortBy(e => (DateTimeUtils.fromJavaTimestamp(e.ts), e.event_id))
             var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, Long.MinValue, 0L))
             val out = scala.collection.mutable.ArrayBuffer.empty[Session]
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = DateTimeUtils.fromJavaTimestamp(e.ts)
               if (st.lastTs == Long.MinValue) {
                 st = SessionState(t, st.sessionId + 1, t, 1L)
-              } else if (t - st.lastTs > gapMs) {
-                out += Session(userId, st.sessionId, st.curN,
-                  new java.sql.Timestamp(st.curStart), new java.sql.Timestamp(st.lastTs))
+              } else if (t - st.lastTs > gapUs) {
+                out += sess(st)
                 st = SessionState(t, st.sessionId + 1, t, 1L)
               } else {
                 st = SessionState(t, st.sessionId, st.curStart, st.curN + 1)
               }
             }
             state.update(st)
-            // must be strictly above the current watermark or Spark rejects
+            // timeout API is milliseconds; round UP so the flush never
+            // fires before the full microsecond gap has truly elapsed —
+            // and strictly above the current watermark or Spark rejects
             state.setTimeoutTimestamp(
-              math.max(st.lastTs + gapMs, state.getCurrentWatermarkMs() + 1))
+              math.max((st.lastTs + gapUs + 999L) / 1000L, state.getCurrentWatermarkMs() + 1))
             out.iterator
           }
         })
