@@ -445,6 +445,9 @@ object SparkEntry {
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
         .as[EventStreams.Event](org.apache.spark.sql.Encoders.product[EventStreams.Event])
+      // unlike q_stream_windowed, state-store count is NOT the bottleneck
+      // here: sessionization does real per-user work (sort + fold), which
+      // wants the full partition parallelism — measured neutral at 8
       val q = EventStreams.sessionizeStateful(stream, gapMs = 30 * 60 * 1000,
           watermarkDelay = "3650 days")
         .writeStream.format("memory").queryName("stream_sessionize_sink")
