@@ -187,6 +187,16 @@ object CorpusQueries {
         .orderBy(col("a"), col("b"))
     }),
 
+    // int8 embedding quantization: codes must be bit-identical in both
+    // engines (fixed-parenthesization IEEE arithmetic)
+    "sim_quantize_int8" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("q"))
+        .select(col("vec_id"), col("q.lo").as("lo"), col("q.hi").as("hi"),
+          aggregate(col("q.codes"), lit(0L), (a, c) => a + c).as("code_sum"))
+        .orderBy(col("vec_id"))
+    }),
+
     // P8/F9-F13: URL melt + host/filename/extension extraction
     "url_extract" -> ((s, dir) => {
       val v = versionsDf(s, dir)
@@ -411,6 +421,17 @@ object CorpusQueries {
          |FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
          |WHERE ${dotDecSql("x.embedding", "y.embedding")} >= CAST('0.35' AS DECIMAL(36,15))
          |ORDER BY a, b""".stripMargin,
+
+    "sim_quantize_int8" ->
+      """WITH b AS (SELECT vec_id,
+        |  CAST(list_min(embedding) AS DOUBLE) AS lo,
+        |  CAST(list_max(embedding) AS DOUBLE) AS hi,
+        |  embedding FROM embeddings)
+        |SELECT vec_id, lo, hi,
+        |  CAST(list_sum(list_transform(embedding, x ->
+        |    CASE WHEN hi = lo THEN 0
+        |         ELSE CAST(round((CAST(x AS DOUBLE) - lo) / ((hi - lo) / 255.0)) AS INTEGER) - 128 END)) AS BIGINT) AS code_sum
+        |FROM b ORDER BY vec_id""".stripMargin,
 
     "url_extract" -> (versionsCte +
       """,

@@ -123,6 +123,24 @@ class OpsSpec extends AnyFunSuite {
     assert(got.forall(r => r.getLong(0) != r.getLong(1)))
   }
 
+  test("int8 quantization round-trips within scale/2 per component") {
+    val vecs = (0 until 8).map { i =>
+      (i.toLong, (0 until 64).map(j => (math.sin(i * 64 + j) / 2).toFloat))
+    }.toDF("vec_id", "embedding")
+    val rows = vecs.select(col("embedding"),
+        Similarity.dequantizeInt8(Similarity.quantizeInt8(col("embedding"))).as("back"),
+        Similarity.quantizeInt8(col("embedding")).getField("codes").as("codes"))
+      .collect()
+    rows.foreach { r =>
+      val orig = r.getAs[scala.collection.Seq[Float]](0)
+      val back = r.getAs[scala.collection.Seq[Double]](1)
+      val codes = r.getAs[scala.collection.Seq[Int]](2)
+      val scale = (orig.max - orig.min).toDouble / 255.0
+      orig.zip(back).foreach { case (o, b) => assert(math.abs(o - b) <= scale / 2 + 1e-12) }
+      assert(codes.forall(c => c >= -128 && c <= 127))
+    }
+  }
+
   test("multi-probe bucketed ANN recalls a superset of single-probe candidates") {
     val vecs = (0 until 48).map { i =>
       (i.toLong, (0 until 64).map(j => (math.sin(i * 64 + j) / 2).toFloat))
