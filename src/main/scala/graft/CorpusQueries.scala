@@ -160,6 +160,19 @@ object CorpusQueries {
         .orderBy(col("a"), col("b"))
     }),
 
+    // near-dup clustering: LSH pairs -> connected components -> canonical
+    // keep/drop decision per document (the actual corpus-dedup output)
+    "dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashCandidates(docs, "doc_id", "text", 4, 2)
+      val comp = Dedup.connectedComponents(pairs)
+      docs.select(col("doc_id"))
+        .join(comp, col("doc_id") === col("node"), "left_outer")
+        .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
+        .withColumn("keep", col("doc_id") === col("component"))
+        .orderBy(col("doc_id"))
+    }),
+
     // 64-bit SimHash signatures
     "dedup_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -391,6 +404,20 @@ object CorpusQueries {
          |       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS jac
          |FROM cand JOIN sh sa ON cand.a = sa.doc_id JOIN sh sb ON cand.b = sb.doc_id
          |ORDER BY a, b""".stripMargin),
+
+    "dedup_clusters" -> (bandsCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+      s""",
+         |cand AS ($candSelect),
+         |sym AS (SELECT a AS u, b AS v FROM cand UNION SELECT b AS u, a AS v FROM cand),
+         |walk(u, v) AS (
+         |  SELECT u, v FROM sym
+         |  UNION
+         |  SELECT w.u, s.v FROM walk w JOIN sym s ON w.v = s.u),
+         |reach AS (SELECT u, min(v) AS mn FROM walk GROUP BY u)
+         |SELECT d.doc_id, least(coalesce(r.mn, d.doc_id), d.doc_id) AS component,
+         |       d.doc_id = least(coalesce(r.mn, d.doc_id), d.doc_id) AS keep
+         |FROM documents d LEFT JOIN reach r ON d.doc_id = r.u
+         |ORDER BY d.doc_id""".stripMargin),
 
     "dedup_simhash" -> (simhashCte + "\nSELECT doc_id, sig FROM sg ORDER BY doc_id"),
 

@@ -109,6 +109,60 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over an undirected candidate-pair graph by
+    * iterative min-label propagation: every node's label converges to the
+    * minimum node id in its component. Near-dup clusters are tiny (graph
+    * diameter a handful), so rounds are few; each round is one
+    * shuffle-join + aggregate, localCheckpoint'ed to cut the growing
+    * lineage with the same leave-nothing-persisted hygiene as
+    * Versions.resolveChains. Convergence is detected by the (strictly
+    * monotone) sum of labels — one cheap aggregate, no row-wise compare.
+    *
+    * Returns (node, component). Nodes absent from `edges` are the
+    * caller's singletons (left-join and coalesce to self).
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String = "a", dstCol: String = "b",
+                          maxIter: Int = 32): DataFrame = {
+    val spark = edges.sparkSession
+    val sc = spark.sparkContext
+    val sym = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .unionByName(edges.select(col(dstCol).cast("long").as("u"), col(srcCol).cast("long").as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def tracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val maxBefore = (sc.getPersistentRDDs.keySet + Int.MinValue).max
+      val cp = df.localCheckpoint(eager = true)
+      (cp, sc.getPersistentRDDs.keySet.filter(_ > maxBefore).toSet)
+    }
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(i => sc.getPersistentRDDs.get(i).foreach(_.unpersist(blocking = false)))
+
+    var (labels, ids) = tracked(sym.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node")))
+    var sum = labels.agg(org.apache.spark.sql.functions.sum("label")).collect().head.getLong(0)
+    var moved = true
+    var i = 0
+    while (moved && i < maxIter) {
+      val nmin = sym.join(labels, col("u") === col("node"))
+        .groupBy(col("v")).agg(min(col("label")).as("nmin"))
+      val (next, nextIds) = tracked(
+        labels.join(nmin, col("node") === col("v"), "left_outer")
+          .select(col("node"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label")))
+      val nextSum = next.agg(org.apache.spark.sql.functions.sum("label")).collect().head.getLong(0)
+      moved = nextSum != sum
+      free(ids)
+      labels = next
+      ids = nextIds
+      sum = nextSum
+      i += 1
+    }
+    sym.unpersist(blocking = false)
+    val out = labels.select(col("node"), col("label").as("component"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    free(ids)
+    out
+  }
+
   /** n-gram Jaccard similarity between two shingle-set columns. Exact
     * rational arithmetic (intersection/union sizes) until the final
     * division, so it's deterministic.

@@ -123,6 +123,14 @@ class OpsSpec extends AnyFunSuite {
     assert(got.forall(r => r.getLong(0) != r.getLong(1)))
   }
 
+  test("connectedComponents: min-label per component, transitive chains merge") {
+    // components: {1,2,3,9} via chain 1-2, 2-3, 3-9; {5,7}; isolated nodes absent
+    val edges = Seq((2L, 1L), (2L, 3L), (9L, 3L), (5L, 7L)).toDF("a", "b")
+    val got = graft.ops.Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 7L -> 5L))
+  }
+
   test("int8 quantization round-trips within scale/2 per component") {
     val vecs = (0 until 8).map { i =>
       (i.toLong, (0 until 64).map(j => (math.sin(i * 64 + j) / 2).toFloat))
