@@ -173,6 +173,25 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // capstone composition: the curated-corpus selection — near-dup
+    // canonical keep x quality threshold x language agreement, one plan
+    "corpus_curate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashCandidates(docs, "doc_id", "text", 4, 2)
+      val comp = Dedup.connectedComponents(pairs)
+      docs.select(col("doc_id"), col("text"), col("lang"))
+        .join(comp, col("doc_id") === col("node"), "left_outer")
+        .select(col("doc_id"), col("text"), col("lang"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+        .withColumn("keep_dup", col("doc_id") === col("component"))
+        .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .withColumn("selected",
+          col("keep_dup") && col("quality") >= 0.5 && col("lang_pred") === col("lang"))
+        .select(col("doc_id"), col("keep_dup"), col("lang_pred"), col("quality"), col("selected"))
+        .orderBy(col("doc_id"))
+    }),
+
     // 64-bit SimHash signatures
     "dedup_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -418,6 +437,38 @@ object CorpusQueries {
          |       d.doc_id = least(coalesce(r.mn, d.doc_id), d.doc_id) AS keep
          |FROM documents d LEFT JOIN reach r ON d.doc_id = r.u
          |ORDER BY d.doc_id""".stripMargin),
+
+    "corpus_curate" -> (bandsCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+      s""",
+         |cand AS ($candSelect),
+         |sym AS (SELECT a AS u, b AS v FROM cand UNION SELECT b AS u, a AS v FROM cand),
+         |walk(u, v) AS (SELECT u, v FROM sym UNION SELECT w.u, s.v FROM walk w JOIN sym s ON w.v = s.u),
+         |reach AS (SELECT u, min(v) AS mn FROM walk GROUP BY u),
+         |sc AS (SELECT doc_id, lang, text,
+         |  len(list_filter(toks, t -> list_contains(${swList("de")}, t))) AS s_de,
+         |  len(list_filter(toks, t -> list_contains(${swList("en")}, t))) AS s_en,
+         |  len(list_filter(toks, t -> list_contains(${swList("es")}, t))) AS s_es,
+         |  len(list_filter(toks, t -> list_contains(${swList("fr")}, t))) AS s_fr,
+         |  len(toks) AS ntok
+         |  FROM tk),
+         |feat AS (SELECT doc_id, lang,
+         |  CASE WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+         |       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |       WHEN s_es >= s_fr THEN 'es'
+         |       ELSE 'fr' END AS lang_pred,
+         |  0.4 * least(ntok / 100.0, 1.0)
+         |  + 0.3 * least((CASE WHEN ntok > 0 THEN CAST(s_en AS DOUBLE) / CAST(ntok AS DOUBLE) ELSE 0.0 END) * 5.0, 1.0)
+         |  + 0.3 * (CASE WHEN length(text) > 0
+         |           THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+         |           ELSE 0.0 END) AS quality
+         |  FROM sc),
+         |kd AS (SELECT d.doc_id, d.doc_id = least(coalesce(r.mn, d.doc_id), d.doc_id) AS keep_dup
+         |       FROM documents d LEFT JOIN reach r ON d.doc_id = r.u)
+         |SELECT f.doc_id, kd.keep_dup, f.lang_pred, f.quality,
+         |       (kd.keep_dup AND f.quality >= 0.5 AND f.lang_pred = f.lang) AS selected
+         |FROM feat f JOIN kd ON f.doc_id = kd.doc_id
+         |ORDER BY f.doc_id""".stripMargin),
 
     "dedup_simhash" -> (simhashCte + "\nSELECT doc_id, sig FROM sg ORDER BY doc_id"),
 
