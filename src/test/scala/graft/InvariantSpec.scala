@@ -68,6 +68,29 @@ class InvariantSpec extends AnyFunSuite {
     state.unpersist()
   }
 
+  test("minors group ingests into its own id sub-space with independent watermark") {
+    val dir = Files.createTempDirectory("lake-grp").toString + "/place"
+    val lake = new LakeTable(spark, dir, "_id")
+    val codes = Map("id" -> "id", "updated" -> "updated")
+    IngestJob.run(spark, lake,
+      Seq(("url/a", "2024-01-01 10:00:00")).toDF("id", "updated"), codes, "id", "updated", group = 0)
+    IngestJob.run(spark, lake,
+      Seq(("url/m1", "2024-01-01 10:00:00"), ("url/m2", "2024-01-02 10:00:00")).toDF("id", "updated"),
+      codes, "id", "updated", group = 1)
+    // group-0 sequence continues from ITS watermark, not the minors max
+    IngestJob.run(spark, lake,
+      Seq(("url/b", "2024-01-03 10:00:00")).toDF("id", "updated"), codes, "id", "updated", group = 0)
+    val state = lake.read
+    val orders = state.select(col("id"),
+        NtpIds.group(col("_id")).as("g"), NtpIds.parseNtpId(col("_id")).as("o"))
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(orders("url/a") == (0, 0L))
+    assert(orders("url/m1") == (1, NtpIds.MinOrderMinors))
+    assert(orders("url/m2") == (1, NtpIds.MinOrderMinors + 1))
+    assert(orders("url/b") == (0, 1L)) // continued group-0 sequence
+    assert(state.count() == 4 && state.filter(col("obsolete_version") === true).count() == 0)
+  }
+
   test("J2: overlapping re-deliveries merge id-stable; ingest is idempotent") {
     val dir = Files.createTempDirectory("lake-j2").toString + "/place"
     val lake = new LakeTable(spark, dir, "_id")
