@@ -141,12 +141,18 @@ object Dedup {
     var sum = labels.agg(org.apache.spark.sql.functions.sum("label")).collect().head.getLong(0)
     var moved = true
     var i = 0
-    while (moved && i < maxIter) {
-      val nmin = sym.join(labels, col("u") === col("node"))
+    // one propagation hop: label(node) := min(label, min over neighbors)
+    def hop(l: DataFrame): DataFrame = {
+      val nmin = sym.join(l, col("u") === col("node"))
         .groupBy(col("v")).agg(min(col("label")).as("nmin"))
-      val (next, nextIds) = tracked(
-        labels.join(nmin, col("node") === col("v"), "left_outer")
-          .select(col("node"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label")))
+      l.join(nmin, col("node") === col("v"), "left_outer")
+        .select(col("node"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+    }
+    while (moved && i < maxIter) {
+      // two hops per round: same join work overall, but HALF the
+      // checkpoint + convergence-collect rounds (the driver-side cost
+      // that dominates on small candidate graphs)
+      val (next, nextIds) = tracked(hop(hop(labels)))
       val nextSum = next.agg(org.apache.spark.sql.functions.sum("label")).collect().head.getLong(0)
       moved = nextSum != sum
       free(ids)
