@@ -122,6 +122,27 @@ object TextHashes {
     UTF8String.fromBytes(bits)
   }
 
+  /** Polynomial rolling hash over the token array: fold of
+    * (h * 31 + firstCodePoint(token)) mod 1e9+7 — byte-identical to the
+    * `aggregate(transform(tokens, ascii))` HOF form (Spark's `ascii` is
+    * the first CODE POINT of the string, 0 for empty; a null token nulls
+    * the whole fold, matching null propagation through the lambda).
+    * Returns null boxed as java.lang.Long for that case.
+    */
+  def rolling31(tokens: ArrayData): java.lang.Long = {
+    var h = 0L
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (tokens.isNullAt(i)) return null
+      val s = tokens.getUTF8String(i)
+      val cp = if (s.numChars() > 0) s.substring(0, 1).toString.codePointAt(0) else 0
+      h = (h * 31L + cp) % 1000000007L
+      i += 1
+    }
+    h
+  }
+
   def minhash_signature(shingles: Column, k: Int): Column =
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
       MinHashSig(org.apache.spark.sql.graftbridge.ColumnBridge.expression(shingles), k))
@@ -129,6 +150,14 @@ object TextHashes {
   def simhash_bits(tokens: Column): Column =
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
       SimHashBits(org.apache.spark.sql.graftbridge.ColumnBridge.expression(tokens)))
+
+  def rolling_hash(tokens: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      RollingHash31(org.apache.spark.sql.graftbridge.ColumnBridge.expression(tokens)))
+
+  def stopword_count(tokens: Column, words: Seq[String]): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      StopwordCount(org.apache.spark.sql.graftbridge.ColumnBridge.expression(tokens), words))
 }
 
 /** MinHash signature of a shingle array: `k` hex digests, each the
@@ -164,4 +193,66 @@ case class SimHashBits(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): SimHashBits =
     copy(child = newChild)
   override def prettyName: String = "simhash_bits"
+}
+
+/** Rolling 31-polynomial hash of a token array (see TextHashes.rolling31).
+  * Nullable even for non-null input: a null ELEMENT nulls the fold.
+  */
+case class RollingHash31(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashes.rolling31(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val boxed = ctx.freshName("rh")
+      s"""
+         |java.lang.Long $boxed = graft.functions.TextHashes.rolling31($c);
+         |if ($boxed == null) { ${ev.isNull} = true; } else { ${ev.value} = $boxed.longValue(); }
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash31 =
+    copy(child = newChild)
+  override def prettyName: String = "rolling_hash31"
+}
+
+/** Count of tokens contained in a fixed word list (repeats counted; null
+  * tokens don't count) — byte-identical to size(filter(toks, isin(words))).
+  */
+case class StopwordCount(child: Expression, words: Seq[String]) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val wordSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.size * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  def count(tokens: ArrayData): Int = {
+    var c = 0
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i) && wordSet.contains(tokens.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    count(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopwordExpr", this, classOf[StopwordCount].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.count($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): StopwordCount =
+    copy(child = newChild)
+  override def prettyName: String = "stopword_count"
 }

@@ -33,7 +33,7 @@ object TextAnalysis {
 
   def langScores(toks: Column): Seq[(String, Column)] =
     stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
-      lang -> size(filter(toks, t => t.isin(words: _*)))
+      lang -> graft.functions.TextHashes.stopword_count(toks, words)
     }
 
   /** Predicted language code, or "und" when no stopword hits at all. */
@@ -53,7 +53,7 @@ object TextAnalysis {
     val toks = tokens(text)
     val ntok = size(toks).cast("double")
     val lenSat = least(ntok / lit(100.0), lit(1.0))
-    val stopHits = size(filter(toks, t => t.isin(stopwords("en"): _*))).cast("double")
+    val stopHits = graft.functions.TextHashes.stopword_count(toks, stopwords("en")).cast("double")
     val stopRatio = when(ntok > 0, stopHits / ntok).otherwise(lit(0.0))
     val alpha = length(regexp_replace(lower(text), "[^a-z]", "")).cast("double")
     val alphaRatio = when(length(text) > 0, alpha / length(text).cast("double")).otherwise(lit(0.0))
@@ -69,11 +69,10 @@ object TextAnalysis {
 
   /** Polynomial rolling-hash fingerprint over the token stream
     * (order-sensitive, unlike the md5 canon form): h = fold(tokens,
-    * h*31 + ascii(first char)) mod 1e9+7. Exact int64 arithmetic.
+    * h*31 + firstCodePoint) mod 1e9+7. Exact int64 arithmetic; native
+    * codegen'd kernel (functions.RollingHash31), byte-identical to the
+    * `aggregate(transform(tokens, ascii))` HOF form it replaces.
     */
   def rollingHash(text: Column): Column =
-    aggregate(
-      transform(tokens(text), t => ascii(t).cast("long")),
-      lit(0L),
-      (h, c) => (h * 31L + c) % 1000000007L)
+    graft.functions.TextHashes.rolling_hash(tokens(text))
 }
