@@ -20,7 +20,10 @@ object Probe {
     (1 to 2).foreach { round =>
       val pairs = Dedup.minhashCandidates(docs, "doc_id", "text", 4, 2)
       time(s"r$round pairs")(println(s"[probe] pairs n=${pairs.count()}"))
-      val comp = time(s"r$round components")(ccTimed(pairs))
+      // real implementation with its instrumentation hook — a local clone
+      // would silently drift from production behavior
+      val comp = time(s"r$round components")(Dedup.connectedComponents(pairs,
+        phase = (label, sec) => println(f"[probe]   cc $label: $sec%.2f s")))
       val curated = docs.select(col("doc_id"), col("text"), col("lang"))
         .join(comp, col("doc_id") === col("node"), "left_outer")
         .select(col("doc_id"), col("text"), col("lang"),
@@ -28,50 +31,13 @@ object Probe {
         .withColumn("keep_dup", col("doc_id") === col("component"))
         .withColumn("lang_pred", TextAnalysis.langId(col("text")))
         .withColumn("quality", TextAnalysis.qualityScore(col("text")))
-      time(s"r$round curate-tail")(curated.orderBy(col("doc_id")).count())
+      // collect, not count: EliminateSorts strips an orderBy below an
+      // aggregate, and the bench query pays the sort when materializing
+      time(s"r$round curate-tail")(println(
+        s"[probe] curated n=${curated.orderBy(col("doc_id")).collect().length}"))
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     }
-  }
-
-  /** connectedComponents clone with per-round timing. */
-  def ccTimed(edges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val spark = edges.sparkSession
-    val sc = spark.sparkContext
-    val sym = edges.select(col("a").cast("long").as("u"), col("b").cast("long").as("v"))
-      .unionByName(edges.select(col("b").cast("long").as("u"), col("a").cast("long").as("v")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    time("cc sym materialize")(println(s"[probe] sym n=${sym.count()}"))
-    def tracked(df: org.apache.spark.sql.DataFrame): (org.apache.spark.sql.DataFrame, Set[Int]) = {
-      val maxBefore = (sc.getPersistentRDDs.keySet + Int.MinValue).max
-      val cp = df.localCheckpoint(eager = true)
-      (cp, sc.getPersistentRDDs.keySet.filter(_ > maxBefore).toSet)
-    }
-    def free(ids: Set[Int]): Unit =
-      ids.foreach(i => sc.getPersistentRDDs.get(i).foreach(_.unpersist(blocking = false)))
-    var (labels, ids) = time("cc init labels")(tracked(sym.select(col("u").as("node")).distinct()
-      .withColumn("label", col("node"))))
-    var sum = time("cc init sum")(labels.agg(org.apache.spark.sql.functions.sum("label")).collect().head.getLong(0))
-    var moved = true
-    var i = 0
-    def hop(l: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-      val nmin = sym.join(l, col("u") === col("node"))
-        .groupBy(col("v")).agg(min(col("label")).as("nmin"))
-      l.join(nmin, col("node") === col("v"), "left_outer")
-        .select(col("node"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-    }
-    while (moved && i < 32) {
-      val (next, nextIds) = time(s"cc round $i checkpoint")(tracked(hop(hop(labels))))
-      val nextSum = time(s"cc round $i sum")(next.agg(org.apache.spark.sql.functions.sum("label")).collect().head.getLong(0))
-      moved = nextSum != sum
-      free(ids); labels = next; ids = nextIds; sum = nextSum; i += 1
-    }
-    sym.unpersist(blocking = false)
-    val out = labels.select(col("node"), col("label").as("component"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    free(ids)
-    out
   }
 
   def main(args: Array[String]): Unit = {

@@ -109,24 +109,87 @@ object Dedup {
       .distinct()
   }
 
-  /** Connected components over an undirected candidate-pair graph by
-    * iterative min-label propagation: every node's label converges to the
-    * minimum node id in its component. Near-dup clusters are tiny (graph
-    * diameter a handful), so rounds are few; each round is one
-    * shuffle-join + aggregate, localCheckpoint'ed to cut the growing
-    * lineage with the same leave-nothing-persisted hygiene as
-    * Versions.resolveChains. Convergence is detected by the (strictly
-    * monotone) sum of labels — one cheap aggregate, no row-wise compare.
-    *
+  /** Connected components over an undirected candidate-pair graph.
+    * Every node's label converges to the minimum node id in its component.
     * Returns (node, component). Nodes absent from `edges` are the
     * caller's singletons (left-join and coalesce to self).
+    *
+    * Two execution tiers, size-gated like Versions.resolveChains'
+    * broadcast decision:
+    *  - edge sets at or below `driverMaxEdges` run a driver union-find
+    *    (one collect, path-compressed, min-root). After LSH the candidate
+    *    edges are a small fraction of the corpus, so this is the common
+    *    case even at large scale — and it replaces ~6 scheduled rounds of
+    *    join+checkpoint+collect (13-19 s of fixed per-call overhead
+    *    measured at sf0.1, regardless of graph size) with two jobs. The
+    *    result comes back as a local relation, so the planner sees exact
+    *    stats and broadcast-joins it downstream — no shuffle in consumers.
+    *  - bigger graphs fall back to distributed min-label propagation
+    *    (`propagateComponents`), whose per-round cost is what a
+    *    billion-edge graph actually needs.
+    *
+    * `phase` is an instrumentation hook (label, seconds) — no-op by
+    * default; Probe uses it so its timings come from this implementation
+    * rather than a drifting clone.
     */
   def connectedComponents(edges: DataFrame, srcCol: String = "a", dstCol: String = "b",
-                          maxIter: Int = 32): DataFrame = {
-    val spark = edges.sparkSession
+                          maxIter: Int = 32, driverMaxEdges: Long = 1L << 20,
+                          phase: (String, Double) => Unit = (_, _) => ()): DataFrame = {
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f; phase(label, (System.nanoTime() - t0) / 1e9); r
+    }
+    val e = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEdges = timed("edges materialize")(e.count())
+    val out =
+      if (nEdges <= driverMaxEdges) timed("driver union-find")(driverComponents(e))
+      else propagateComponents(e, maxIter, phase)
+    e.unpersist(blocking = false)
+    out
+  }
+
+  /** Driver-side union-find over a collected edge list (small-graph tier
+    * of `connectedComponents`). Path compression + union-by-min-root, so
+    * labels are exactly the component-min node id — byte-identical to the
+    * distributed tier's fixpoint.
+    */
+  private def driverComponents(e: DataFrame): DataFrame = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (c != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    e.collect().foreach { row =>
+      val u = row.getLong(0); val v = row.getLong(1)
+      if (!parent.contains(u)) parent(u) = u
+      if (!parent.contains(v)) parent(v) = v
+      val ru = find(u); val rv = find(v)
+      if (ru < rv) parent(rv) = ru else if (rv < ru) parent(ru) = rv
+    }
+    val nodes = parent.keys.toArray
+    val spark = e.sparkSession
+    import spark.implicits._
+    nodes.map(n => (n, find(n))).toSeq.toDF("node", "component")
+  }
+
+  /** Distributed min-label propagation (big-graph tier of
+    * `connectedComponents`): each round is one shuffle-join + aggregate,
+    * localCheckpoint'ed to cut the growing lineage with the same
+    * leave-nothing-persisted hygiene as Versions.resolveChains.
+    * Convergence is detected by the (strictly monotone) sum of labels —
+    * one cheap aggregate, no row-wise compare.
+    */
+  private def propagateComponents(e: DataFrame, maxIter: Int,
+                                  phase: (String, Double) => Unit): DataFrame = {
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f; phase(label, (System.nanoTime() - t0) / 1e9); r
+    }
+    val spark = e.sparkSession
     val sc = spark.sparkContext
-    val sym = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
-      .unionByName(edges.select(col(dstCol).cast("long").as("u"), col(srcCol).cast("long").as("v")))
+    val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def tracked(df: DataFrame): (DataFrame, Set[Int]) = {
       val maxBefore = (sc.getPersistentRDDs.keySet + Int.MinValue).max
@@ -152,13 +215,13 @@ object Dedup {
       // two hops per round: same join work overall, but HALF the
       // checkpoint + convergence-collect rounds (the driver-side cost
       // that dominates on small candidate graphs)
-      val (next, nextIds) = tracked(hop(hop(labels)))
-      val nextSum = next.agg(org.apache.spark.sql.functions.sum("label")).collect().head.getLong(0)
-      moved = nextSum != sum
-      free(ids)
-      labels = next
-      ids = nextIds
-      sum = nextSum
+      timed(s"propagate round $i") {
+        val (next, nextIds) = tracked(hop(hop(labels)))
+        val nextSum = next.agg(org.apache.spark.sql.functions.sum("label")).collect().head.getLong(0)
+        moved = nextSum != sum
+        sum = nextSum
+        free(ids); labels = next; ids = nextIds
+      }
       i += 1
     }
     sym.unpersist(blocking = false)

@@ -131,6 +131,21 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 7L -> 5L))
   }
 
+  test("connectedComponents: distributed tier matches driver union-find tier") {
+    // a 40-node random-ish graph: rings + cross links + a long chain, so
+    // label propagation needs several hops to converge
+    val ring = (0 until 10).map(i => (i.toLong + 100, ((i + 1) % 10).toLong + 100))
+    val chain = (0 until 15).map(i => (i.toLong * 2 + 200, i.toLong * 2 + 202))
+    val stars = Seq((300L, 301L), (300L, 302L), (301L, 303L), (9L, 300L))
+    val edges = (ring ++ chain ++ stars).toDF("a", "b")
+    val viaDriver = graft.ops.Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaPropagation = graft.ops.Dedup.connectedComponents(edges, driverMaxEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver == viaPropagation)
+    assert(viaDriver(109L) == 100L && viaDriver(230L) == 200L && viaDriver(303L) == 9L)
+  }
+
   test("int8 quantization round-trips within scale/2 per component") {
     val vecs = (0 until 8).map { i =>
       (i.toLong, (0 until 64).map(j => (math.sin(i * 64 + j) / 2).toFloat))
