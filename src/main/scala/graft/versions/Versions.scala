@@ -59,6 +59,62 @@ object Versions {
     * so depth-d chains resolve in ceil(log2 d) joins — O(log d) shuffles
     * instead of O(d) for naive iteration. `maxHops` bounds cycles.
     *
+    * Two execution tiers, size-gated like Dedup.connectedComponents:
+    * pointer sets at or below `driverMaxEdges` are collected and chased on
+    * the driver with a memoized hash-map walk — obsolete-pointer sets are
+    * a sliver of the live collection, so this is the common case, and it
+    * replaces ~4 scheduled join+checkpoint rounds of fixed overhead with
+    * two jobs. Bigger sets fall back to the distributed doubling loop.
+    * On a (pathological) pointer cycle the driver tier stops after
+    * `maxHops` and yields an in-cycle node, like the bounded loop.
+    */
+  def resolveChains(pointers: DataFrame, id: String, updatedTo: String, maxHops: Int = 64,
+                    driverMaxEdges: Long = 1L << 20): DataFrame = {
+    val edges = pointers.select(col(id).as("src"), col(updatedTo).as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEdges = edges.count()
+    val out =
+      if (nEdges <= driverMaxEdges) driverResolve(edges, id, maxHops)
+      else propagateChains(edges, id, maxHops)
+    edges.unpersist(blocking = false)
+    out
+  }
+
+  /** Driver-side chain walk (small tier of `resolveChains`): follow the
+    * src->dst map to the head, memoizing every node on the walked path —
+    * total work O(edges) regardless of chain depth. A null dst passes
+    * through as null, matching the join tier (null never matches a src).
+    * Assumes src is unique (a pointer is a function of its id).
+    */
+  private def driverResolve(edges: DataFrame, id: String, maxHops: Int): DataFrame = {
+    val rows = edges.collect()
+    val next = new java.util.HashMap[Any, Any](rows.length * 2)
+    rows.foreach(r => if (!r.isNullAt(1)) next.put(r.get(0), r.get(1)))
+    val memo = new java.util.HashMap[Any, Any](rows.length * 2)
+    def chase(start: Any): Any = {
+      var path = List.empty[Any]
+      var cur = start
+      var hops = 0
+      while (next.containsKey(cur) && !memo.containsKey(cur) && hops < maxHops) {
+        path ::= cur; cur = next.get(cur); hops += 1
+      }
+      val head = if (memo.containsKey(cur)) memo.get(cur) else cur
+      path.foreach(p => memo.put(p, head))
+      head
+    }
+    val outRows: java.util.List[org.apache.spark.sql.Row] = new java.util.ArrayList(rows.length)
+    rows.foreach { r =>
+      val resolved = if (r.isNullAt(1)) null else chase(r.get(1))
+      outRows.add(org.apache.spark.sql.Row(r.get(0), resolved))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(id, edges.schema(0).dataType),
+      org.apache.spark.sql.types.StructField("resolved_to", edges.schema(1).dataType)))
+    edges.sparkSession.createDataFrame(outRows, schema)
+  }
+
+  /** Distributed pointer-doubling loop (big tier of `resolveChains`).
+    *
     * Iteration hygiene (load-bearing at scale — each round's result is
     * localCheckpoint'ed to truncate the exponentially-growing self-join
     * lineage):
@@ -67,15 +123,14 @@ object Versions {
     *    accumulates for the rest of the session;
     *  - the loop exits at fixpoint (a round that follows zero edges), so
     *    shallow chains cost 2 rounds, not ceil(log2 maxHops);
-    *  - the lookup side is broadcast only when the PRE-checkpoint plan
+    *  - the lookup side is broadcast only when the materialized cache
     *    estimates it under a byte threshold (checkpointed frames report
     *    unknown stats, so the planner can't make this call itself — and a
     *    row-count gate would happily broadcast hundreds of MB).
     */
-  def resolveChains(pointers: DataFrame, id: String, updatedTo: String, maxHops: Int = 64): DataFrame = {
-    val sc = pointers.sparkSession.sparkContext
-    val edges = pointers.select(col(id).as("src"), col(updatedTo).as("dst"))
-    // byte-gated broadcast decision from the optimized pre-checkpoint plan
+  private def propagateChains(edges: DataFrame, id: String, maxHops: Int): DataFrame = {
+    val sc = edges.sparkSession.sparkContext
+    // byte-gated broadcast decision from the materialized edge cache
     val small = edges.queryExecution.optimizedPlan.stats.sizeInBytes <= (32L << 20)
 
     /** Checkpoint `df`, returning the new frame plus the block-manager RDD

@@ -63,6 +63,15 @@ class VersionsSpec extends AnyFunSuite {
       "ntp00000002" -> "ntp00000009",
       "ntp00000003" -> "ntp00000009",
       "ntp00000005" -> "ntp00000009"))
+    // distributed tier must agree with the driver tier (incl. null heads)
+    val withNull = edges.unionByName(
+      Seq(("ntp00000009", Option.empty[String])).toDF("src", "dst"))
+    val viaDriver = Versions.resolveChains(withNull, "src", "dst")
+      .collect().map(r => r.getAs[String]("src") -> Option(r.getAs[String]("resolved_to"))).toMap
+    val viaJoin = Versions.resolveChains(withNull, "src", "dst", driverMaxEdges = 0)
+      .collect().map(r => r.getAs[String]("src") -> Option(r.getAs[String]("resolved_to"))).toMap
+    assert(viaDriver == viaJoin)
+    assert(viaDriver("ntp00000009").isEmpty)
   }
 
   test("diffFields: added / modified / missing with '' as absence (F18)") {
