@@ -219,6 +219,15 @@ object CorpusQueries {
         .orderBy(col("a"), col("b"))
     }),
 
+    // IVF ANN: deterministic seed codebook, map-side cell assignment,
+    // nProbe=2 inverted-list probe, exact-decimal re-rank
+    "sim_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+          5, 8, 2)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // int8 embedding quantization: codes must be bit-identical in both
     // engines (fixed-parenthesization IEEE arithmetic)
     "sim_quantize_int8" -> ((s, dir) => {
@@ -499,6 +508,28 @@ object CorpusQueries {
          |FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
          |WHERE ${dotDecSql("x.embedding", "y.embedding")} >= CAST('0.35' AS DECIMAL(36,15))
          |ORDER BY a, b""".stripMargin,
+
+    "sim_ivf_topk" ->
+      s"""WITH cent AS (SELECT vec_id AS ccid, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 8),
+         |ass AS (SELECT vec_id, cell FROM (
+         |  SELECT e.vec_id, c.ccid AS cell,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${dotDecSql("e.embedding", "c.cv")} DESC, c.ccid ASC) AS rn
+         |  FROM embeddings e CROSS JOIN cent c) t WHERE rn = 1),
+         |qp AS (SELECT vec_id AS qid, cell FROM (
+         |  SELECT e.vec_id, c.ccid AS cell,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${dotDecSql("e.embedding", "c.cv")} DESC, c.ccid ASC) AS rn
+         |  FROM embeddings e CROSS JOIN cent c WHERE e.vec_id % 50 = 0) t WHERE rn <= 2),
+         |scored AS (SELECT qp.qid, a.vec_id AS cid,
+         |         row_number() OVER (PARTITION BY qp.qid
+         |           ORDER BY ${dotDecSql("qe.embedding", "ce.embedding")} DESC, a.vec_id ASC) AS rank
+         |  FROM qp JOIN ass a ON qp.cell = a.cell
+         |  JOIN embeddings qe ON qp.qid = qe.vec_id
+         |  JOIN embeddings ce ON a.vec_id = ce.vec_id
+         |  WHERE qp.qid <> a.vec_id)
+         |SELECT qid, cid, CAST(rank AS BIGINT) AS rank FROM scored
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "sim_quantize_int8" ->
       """WITH b AS (SELECT vec_id,

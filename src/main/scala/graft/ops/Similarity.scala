@@ -143,6 +143,62 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** IVF centroid seeds: the embeddings of the `nList` lowest ids —
+    * a deterministic, engine-reproducible coarse-quantizer codebook (a
+    * production deployment swaps in sampled k-means; every downstream
+    * step — assignment, inverted lists, probing — is identical). One tiny
+    * collect; the codebook is inlined into the plan as literals, so cell
+    * assignment is pure map-side column algebra with NO join (at 100 TB
+    * the codebook is always broadcast-shaped: nList ~ sqrt(n) rows).
+    */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                   nList: Int): Seq[(Long, Seq[Float])] =
+    corpus.orderBy(col(idCol)).limit(nList)
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
+
+  private def ivfCellEntries(vec: Column, centroids: Seq[(Long, Seq[Float])]): Seq[Column] =
+    centroids.map { case (cid, cv) =>
+      // (dot, -cid): lexicographic max = best dot, ties to the LOWEST
+      // centroid id — mirrors the oracle's ORDER BY dot DESC, cid ASC
+      struct(dotExactDec(vec, array(cv.map(lit(_)): _*)).as("dot"), lit(-cid).as("nc"))
+    }
+
+  /** IVF cell assignment: the id of the max-inner-product centroid (ties
+    * to the lowest id). Exact decimal dots, so the partition of the corpus
+    * into inverted lists is bit-reproducible across engines.
+    */
+  def ivfCell(vec: Column, centroids: Seq[(Long, Seq[Float])]): Column =
+    -greatest(ivfCellEntries(vec, centroids): _*).getField("nc")
+
+  /** The `nProbe` best cells for a query vector, best-first. */
+  def ivfProbeCells(vec: Column, centroids: Seq[(Long, Seq[Float])], nProbe: Int): Column =
+    transform(
+      slice(sort_array(array(ivfCellEntries(vec, centroids): _*), asc = false), 1, nProbe),
+      s => -s.getField("nc"))
+
+  /** IVF top-k: corpus vectors are bucketed into inverted lists by
+    * `ivfCell`; each query probes its `nProbe` best cells and ranks only
+    * those lists' members — exact decimal order, like `bruteTopKExact`.
+    * Shuffle shape: map-side assignment on both sides (the codebook is
+    * plan-inlined), then ONE equi-join shuffle on the cell id; candidate
+    * volume is corpus * nProbe / nList instead of corpus * queries.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              k: Int, nList: Int, nProbe: Int): DataFrame = {
+    val cents = ivfCentroids(corpus, idCol, vecCol, nList)
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"),
+      ivfCell(col(vecCol), cents).as("cell"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      explode(ivfProbeCells(col(vecCol), cents, nProbe)).as("cell"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(dotExactDec(col("qv"), col("cv")).desc, col("cid").asc)
+    q.join(c, Seq("cell")).filter(col("qid") =!= col("cid"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("rank").cast("long").as("rank"))
+  }
+
   /** Per-vector affine int8 quantization — the storage/memory lever for
     * 100 TB ANN: codes = round((x - min) * 255 / (max - min)) - 128, so a
     * 64-float embedding becomes 64 bytes + two doubles (4x smaller in
