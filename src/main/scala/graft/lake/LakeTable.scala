@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   * does exactly that.
   */
 class LakeTable(spark: SparkSession, path: String, keyCol: String,
-                partitionCols: Seq[String] = Nil) {
+                val partitionCols: Seq[String] = Nil, val nBuckets: Int = 1024) {
 
   def exists: Boolean =
     new org.apache.hadoop.fs.Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -76,6 +76,37 @@ class LakeTable(spark: SparkSession, path: String, keyCol: String,
         fs.delete(old, true)
       } else if (fs.exists(old)) fs.rename(old, cur)
     }
+  }
+
+  /** Partition-scoped replace: overwrite ONLY the partitions present in
+    * `newState`, leaving every other partition directory's files untouched
+    * (dynamic partition overwrite). This is the 100 TB write path: an
+    * incremental drop touching 1% of the buckets rewrites 1% of the lake,
+    * not all of it.
+    *
+    * `newState` may READ this table (the ingest plan does), and Spark
+    * refuses to overwrite a path that feeds the plan — so the new
+    * partition contents are staged to a sibling path first, then read
+    * back and landed with `partitionOverwriteMode=dynamic`. Both hops
+    * move only the touched partitions' bytes.
+    */
+  def overwritePartitions(newState: DataFrame): Unit = {
+    require(partitionCols.nonEmpty, "overwritePartitions needs a partitioned layout")
+    if (!exists) { overwrite(newState); return }
+    val staging = new org.apache.hadoop.fs.Path(path + ".pstaging")
+    fs.delete(staging, true)
+    newState.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*).parquet(staging.toString)
+    val staged = spark.read.parquet(staging.toString)
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try staged.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+    fs.delete(staging, true)
   }
 
   /** K1: upsert by key — keep every existing row whose key is NOT in the
