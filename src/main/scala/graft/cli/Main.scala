@@ -35,11 +35,22 @@ object Main {
   private[graft] def run(spark: SparkSession, cmd: String, args: Array[String]): Unit = cmd match {
     case "ingest" =>
       val lakePath = arg(args, "--lake").get
-      val lake = new LakeTable(spark, lakePath, "_id")
-      if (flag(args, "--drop") && lake.exists)
-        new org.apache.hadoop.fs.Path(lakePath)
+      if (flag(args, "--drop")) {
+        // reference --drop is a full truncate (read_parquet.py:75-78):
+        // the table AND its patch/summary siblings go
+        val fs = new org.apache.hadoop.fs.Path(lakePath)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .delete(new org.apache.hadoop.fs.Path(lakePath), true)
+        Seq("", ".patches", ".summary", ".staging", ".old", ".pstaging").foreach(s =>
+          fs.delete(new org.apache.hadoop.fs.Path(lakePath + s), true))
+      }
+      // new lakes get the partitioned 100 TB layout (grp + nk-hash bucket,
+      // dynamic partition overwrite); a pre-existing unpartitioned lake
+      // keeps its layout and the staged full-rewrite path
+      val probe = new LakeTable(spark, lakePath, "_id")
+      val lake =
+        if (!probe.exists || probe.read.columns.contains("bucket"))
+          new LakeTable(spark, lakePath, "_id", IngestJob.LakePartitionCols)
+        else probe
       val drop = spark.read.parquet(arg(args, "--in").get)
       // no mapping TSV -> identity-map every drop column (otherwise they
       // would all be "unknown" and land in the extra residue map)

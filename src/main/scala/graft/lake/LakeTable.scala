@@ -61,10 +61,15 @@ class LakeTable(spark: SparkSession, path: String, keyCol: String,
     fs.delete(old, true)
   }
 
-  /** Crash recovery for an interrupted `replace`: if the table path is
-    * missing, promote the fully-written `.staging` (written before any
-    * rename started) or fall back to `.old`. Idempotent; called
-    * automatically by `replace`.
+  /** Crash recovery for an interrupted `replace` or `overwritePartitions`:
+    * if the table path is missing, promote the fully-written `.staging`
+    * (written before any rename started) or fall back to `.old`; if a
+    * COMMITTED `.pstaging` (has `_SUCCESS`) is present, re-land it —
+    * dynamic overwrite replaces whole partition directories, so
+    * re-landing after a crash mid-land converges to the same state. An
+    * uncommitted `.pstaging` means the land never started: the live
+    * table is untouched and the stage is discarded. Idempotent; called
+    * automatically by `replace` and `overwritePartitions`.
     */
   def recover(): Unit = {
     val cur = new org.apache.hadoop.fs.Path(path)
@@ -75,6 +80,13 @@ class LakeTable(spark: SparkSession, path: String, keyCol: String,
         fs.rename(staging, cur)
         fs.delete(old, true)
       } else if (fs.exists(old)) fs.rename(old, cur)
+    }
+    val pstaging = new org.apache.hadoop.fs.Path(path + ".pstaging")
+    if (fs.exists(pstaging)) {
+      val committed = fs.exists(new org.apache.hadoop.fs.Path(pstaging, "_SUCCESS"))
+      if (committed && fs.exists(cur))
+        landStaged(spark.read.parquet(path).schema) // live schema pins partition-col types
+      else fs.delete(pstaging, true)
     }
   }
 
@@ -88,24 +100,37 @@ class LakeTable(spark: SparkSession, path: String, keyCol: String,
     * refuses to overwrite a path that feeds the plan — so the new
     * partition contents are staged to a sibling path first, then read
     * back and landed with `partitionOverwriteMode=dynamic`. Both hops
-    * move only the touched partitions' bytes.
+    * move only the touched partitions' bytes. Crash safety: the stage is
+    * kept until the land succeeds, and `recover()` re-lands a committed
+    * stage (per-partition replacement is idempotent), so every crash
+    * point leaves either the pre-call state or the post-call state.
     */
   def overwritePartitions(newState: DataFrame): Unit = {
     require(partitionCols.nonEmpty, "overwritePartitions needs a partitioned layout")
+    recover()
     if (!exists) { overwrite(newState); return }
     val staging = new org.apache.hadoop.fs.Path(path + ".pstaging")
     fs.delete(staging, true)
     newState.write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*).parquet(staging.toString)
-    val staged = spark.read.parquet(staging.toString)
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try staged.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
-    }
+    landStaged(newState.schema)
+  }
+
+  /** Land a committed `.pstaging` with per-write dynamic partition
+    * overwrite (no session-conf mutation — concurrent writers in the
+    * same session keep their own mode). The caller-supplied schema pins
+    * partition-column types, so read-back inference can't diverge from
+    * what the writer produced. A zero-row batch stages only `_SUCCESS`:
+    * nothing to land, the live table is untouched.
+    */
+  private def landStaged(schema: org.apache.spark.sql.types.StructType): Unit = {
+    val staging = new org.apache.hadoop.fs.Path(path + ".pstaging")
+    val hasData = fs.listStatus(staging).exists(_.isDirectory)
+    if (hasData)
+      spark.read.schema(schema).parquet(staging.toString)
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionCols: _*).parquet(path)
     fs.delete(staging, true)
   }
 

@@ -106,9 +106,18 @@ object IngestJob {
     * @param group     0 (insiders/outsiders) or 1 (minors) — selects the
     *                  id sub-space (ntp_constants MIN_ORDER semantics)
     */
+  /** The partitioned-lake layout this job understands: `grp` (the id
+    * sub-space, mirroring the reference's ntp0/ntp1 split) + `bucket`
+    * (a hash bucket of the natural key). Both are derivable from the
+    * row, so they are recomputed on write and pruned on read.
+    */
+  val LakePartitionCols: Seq[String] = Seq("grp", "bucket")
+
   def run(spark: SparkSession, lake: LakeTable, drop: DataFrame,
           codes: Map[String, String], naturalId: String, updated: String,
           group: Int): Unit = {
+    val partitioned = lake.partitionCols == LakePartitionCols
+    def bucketOf(c: Column): Column = pmod(hash(c), lit(lake.nBuckets))
     // 1. parse_parquet normalization (plan-time only): rename via codes,
     //    merge collisions to arrays, parse string-encoded lists, unwrap
     //    singles, null->'', unknown columns -> `extra` residue map. The
@@ -122,16 +131,35 @@ object IngestJob {
       .withColumn("updated_arr", TimeFns.toUpdatesArray(col(updated)))
       .withColumn("updated_key", element_at(col("updated_arr"), -1))
 
-    // 3. id watermark per group (A1): continue the sequence
+    // 3. id watermark per group (A1): continue the sequence. With the
+    //    partitioned layout the group filter hits the `grp` partition
+    //    column — partition pruning reads only that sub-space's files
+    //    (and parquet column pruning reads only `_id`).
     val base = if (group == 1) NtpIds.MinOrderMinors else 0L
+    val groupPred =
+      if (partitioned) col("grp") === group else NtpIds.group(col("_id")) === group
     val watermark: Long =
       if (lake.exists)
-        lake.read.filter(NtpIds.group(col("_id")) === group)
+        lake.read.filter(groupPred)
           .agg(max(NtpIds.parseNtpId(col("_id")))).collect().head match {
           case r if r.isNullAt(0) => base
           case r => r.getLong(0) + 1
         }
       else base
+
+    // Partition scope: a drop only ever touches the buckets its natural
+    // keys hash to — every version of a key shares its bucket, so
+    // restricting the merge/anti-join/union to those buckets is
+    // semantically complete. Untouched buckets are never read OR
+    // rewritten: at 100 TB a drop touching 1% of keys moves ~1% of the
+    // lake instead of all of it.
+    val scoped: DataFrame =
+      if (!lake.exists) null
+      else if (partitioned) {
+        val touched = normalized.select(bucketOf(col(naturalId)).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        lake.read.filter(col("bucket").isin(touched: _*)).drop("grp", "bucket")
+      } else lake.read
 
     // 4. J2/F21 overlap-merge against existing actives: a re-delivered row
     //    whose timeline overlaps the active IS that version — it merges in
@@ -141,7 +169,7 @@ object IngestJob {
     //    churn, no tombstone growth).
     val (mergedActives, fresh, patches) =
       if (lake.exists)
-        overlapMerge(lake.read.filter(col("obsolete_version").isNull), normalized, naturalId)
+        overlapMerge(scoped.filter(col("obsolete_version").isNull), normalized, naturalId)
       else (null: DataFrame, normalized, null: DataFrame)
 
     // 5. assign contiguous ids in natural-key order (W1) — fresh rows only
@@ -151,7 +179,7 @@ object IngestJob {
       .withColumn("updated_to", lit(null).cast("string"))
     val all =
       if (lake.exists) {
-        val untouched = lake.read.filter(col("obsolete_version").isNull)
+        val untouched = scoped.filter(col("obsolete_version").isNull)
           .join(mergedActives.select(col("_id").as("__mid")), col("_id") === col("__mid"), "left_anti")
         untouched.unionByName(mergedActives, allowMissingColumns = true)
           .unionByName(withIds, allowMissingColumns = true)
@@ -162,7 +190,9 @@ object IngestJob {
     // 6. land: active rows + new tombstones + carried-forward prior
     //    tombstones (their updated_to pointers may now be one hop stale —
     //    chain resolution (J3, Versions.resolveChains) follows them to the
-    //    current active, mirroring the reference's follow_version)
+    //    current active, mirroring the reference's follow_version). In
+    //    partitioned mode only the touched buckets are in scope; prior
+    //    tombstones in untouched buckets stay physically in place.
     val state0 = active
       .unionByName(
         tombstones.withColumn("updated_arr", lit(null).cast("array<string>"))
@@ -170,7 +200,7 @@ object IngestJob {
         allowMissingColumns = true)
     val state =
       if (lake.exists)
-        state0.unionByName(lake.read.filter(col("obsolete_version") === true),
+        state0.unionByName(scoped.filter(col("obsolete_version") === true),
           allowMissingColumns = true)
       else state0
 
@@ -178,7 +208,16 @@ object IngestJob {
     // which replace() deletes (append to a sibling path, so no self-read)
     if (patches != null) lake.appendPatches(patches.filter(
       size(col("added")) > 0 || size(col("modified")) > 0))
-    lake.replace(state)  // state reads the current lake — staged swap, not in-place overwrite
+    if (partitioned) {
+      // partition values are derived from the row itself (never from the
+      // scan), so rows land in the right directory no matter which path
+      // produced them
+      val stateP = state
+        .withColumn("grp", NtpIds.group(col("_id")))
+        .withColumn("bucket", bucketOf(col(naturalId)))
+      lake.overwritePartitions(stateP) // touched buckets only
+    } else
+      lake.replace(state) // state reads the current lake — staged swap, not in-place overwrite
   }
 
   /** calc_summary (SURVEY §3.3 footnote, A2/K8): one GROUPING SETS pass

@@ -51,6 +51,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(!Files.exists(java.nio.file.Paths.get(dir + ".staging")))
   }
 
+  test("LakeTable.overwritePartitions: untouched partitions preserved; empty batch no-op; recover re-lands") {
+    val dir = Files.createTempDirectory("lake-dyn").toString + "/t"
+    val lake = new LakeTable(spark, dir, "_id", partitionCols = Seq("pk"))
+    lake.overwrite(Seq(("a", 1, 0), ("b", 2, 1)).toDF("_id", "v", "pk"))
+
+    // dynamic overwrite: only pk=0 rewritten, pk=1 untouched
+    lake.overwritePartitions(Seq(("a", 10, 0)).toDF("_id", "v", "pk"))
+    assert(lake.read.orderBy("_id").collect().map(r => (r.getAs[String]("_id"), r.getAs[Int]("v")))
+      .toSeq == Seq("a" -> 10, "b" -> 2))
+
+    // zero-row incremental batch: live table untouched, no schema blowup
+    lake.overwritePartitions(Seq.empty[(String, Int, Int)].toDF("_id", "v", "pk"))
+    assert(lake.read.count() == 2)
+    assert(!Files.exists(java.nio.file.Paths.get(dir + ".pstaging")))
+
+    // crash AFTER the stage committed but BEFORE the land: recover()
+    // re-lands the committed stage (idempotent per-partition replace)
+    Seq(("a", 11, 0)).toDF("_id", "v", "pk")
+      .write.partitionBy("pk").parquet(dir + ".pstaging")
+    lake.recover()
+    assert(lake.read.filter(col("_id") === "a").collect().head.getAs[Int]("v") == 11)
+    assert(lake.read.count() == 2) // pk=1 still there
+    assert(!Files.exists(java.nio.file.Paths.get(dir + ".pstaging")))
+
+    // crash MID-stage (no _SUCCESS): stage discarded, live table untouched
+    Seq(("a", 99, 0)).toDF("_id", "v", "pk")
+      .write.partitionBy("pk").parquet(dir + ".pstaging")
+    Files.delete(java.nio.file.Paths.get(dir + ".pstaging/_SUCCESS"))
+    lake.recover()
+    assert(lake.read.filter(col("_id") === "a").collect().head.getAs[Int]("v") == 11)
+    assert(!Files.exists(java.nio.file.Paths.get(dir + ".pstaging")))
+
+    // crashed replace() (table missing, .old intact) then an incremental
+    // batch: recover-first must promote .old BEFORE the exists check, so
+    // the batch merges into the restored table instead of becoming it
+    Files.move(java.nio.file.Paths.get(dir), java.nio.file.Paths.get(dir + ".old"))
+    lake.overwritePartitions(Seq(("a", 12, 0)).toDF("_id", "v", "pk"))
+    assert(lake.read.orderBy("_id").collect().map(r => (r.getAs[String]("_id"), r.getAs[Int]("v")))
+      .toSeq == Seq("a" -> 12, "b" -> 2))
+  }
+
   test("LakeTable summary singleton round-trip (K8)") {
     val dir = Files.createTempDirectory("lake").toString + "/t"
     val lake = new LakeTable(spark, dir, "_id")
