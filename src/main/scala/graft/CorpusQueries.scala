@@ -228,6 +228,15 @@ object CorpusQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // multi-probe bucketed ANN: each query probes its own bucket plus the
+    // 4 flip-one-bit neighbors; exact-decimal rank over the probed union
+    "sim_multiprobe_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.multiProbeTopKExact(emb, emb.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", 5, 4, 64)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // int8 embedding quantization: codes must be bit-identical in both
     // engines (fixed-parenthesization IEEE arithmetic)
     "sim_quantize_int8" -> ((s, dir) => {
@@ -530,6 +539,30 @@ object CorpusQueries {
          |  WHERE qp.qid <> a.vec_id)
          |SELECT qid, cid, CAST(rank AS BIGINT) AS rank FROM scored
          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "sim_multiprobe_topk" -> {
+      // probe set = own bucket UNION the nBits=4 flip-one-bit neighbors
+      // (plain UNION dedups); candidates are every corpus vector in any
+      // probed bucket; rank in decimal space like the Spark side
+      val flipArms = (0 until 4).map { j =>
+        val pre = if (j == 0) "" else s"substr(b0,1,$j) || "
+        val post = if (j == 3) "" else s" || substr(b0,${j + 2},${3 - j})"
+        s"SELECT qid, $pre(CASE WHEN substr(b0,${j + 1},1) = '1' THEN '0' ELSE '1' END)$post AS bucket FROM qb"
+      }.mkString("\n         UNION ")
+      s"""WITH bk AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+         |qb AS (SELECT vec_id AS qid, bucket AS b0 FROM bk WHERE vec_id % 50 = 0),
+         |probes AS (SELECT qid, b0 AS bucket FROM qb
+         |         UNION $flipArms),
+         |cand AS (SELECT DISTINCT p.qid, c.vec_id AS cid
+         |  FROM probes p JOIN bk c ON p.bucket = c.bucket WHERE p.qid <> c.vec_id),
+         |scored AS (SELECT cand.qid, cand.cid,
+         |    row_number() OVER (PARTITION BY cand.qid
+         |      ORDER BY ${dotDecSql("qe.embedding", "ce.embedding")} DESC, cand.cid ASC) AS rank
+         |  FROM cand JOIN embeddings qe ON cand.qid = qe.vec_id
+         |  JOIN embeddings ce ON cand.cid = ce.vec_id)
+         |SELECT qid, cid, CAST(rank AS BIGINT) AS rank FROM scored
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+    },
 
     "sim_quantize_int8" ->
       """WITH b AS (SELECT vec_id,

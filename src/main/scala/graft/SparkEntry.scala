@@ -404,11 +404,14 @@ object SparkEntry {
         StructField("event_id", LongType), StructField("ts", LongType),
         StructField("user_id", LongType), StructField("event_type", StringType),
         StructField("value", DoubleType), StructField("props", StringType)))
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        .groupBy(date_trunc("hour", col("ts")).as("wstart"), col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents"))
+      // the library windowedCounts (cents-grid sum_value); a replay-sized
+      // watermark delay so no event is "late" across micro-batches — the
+      // batch oracle sees every row, so must the stream
+      val stream = graft.streaming.EventStreams.windowedCounts(
+        s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000"))),
+        "1 hour", "3650 days")
       // state-store count follows shuffle partitions: a (hour, type)
       // aggregation has a few hundred groups — 8 stores, not 32, halves
       // the per-batch store open/commit overhead that dominates this query
@@ -421,8 +424,7 @@ object SparkEntry {
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       q.awaitTermination()
       s.table("stream_windowed_sink")
-        .select(col("wstart"), col("event_type"), col("n"),
-          (col("sum_cents").cast("double") / 100.0).as("sum_value"))
+        .select(col("wstart"), col("event_type"), col("n"), col("sum_value"))
         .orderBy(col("wstart"), col("event_type"))
     }),
 

@@ -54,6 +54,80 @@ object Fetch {
       if (math.abs(url.hashCode) % 3 == 0) s"""attachment; filename="download.$ext"""" else "")
   }
 
+  /** Plain-Scala mirror of [[UrlSniff.metaRefreshUrl]] for use inside the
+    * fetch loop (the Column form runs in the engine, this one runs on the
+    * fetching executor): same first-KB regex, both attribute orders, same
+    * relative-URL resolution. FetchSpec asserts the two implementations
+    * agree on shared fixtures.
+    */
+  private[graft] def metaRefreshTarget(url: String, contents: String): String = {
+    val head = contents.take(1024)
+    val p1 = "(?i)<meta[^>]*http-equiv=[\"']?refresh[\"']?[^>]*content=[\"']([^\"']*)[\"']".r
+    val p2 = "(?i)<meta[^>]*content=[\"']([^\"']*)[\"'][^>]*http-equiv=[\"']?refresh[\"']?".r
+    val content = p1.findFirstMatchIn(head).map(_.group(1))
+      .orElse(p2.findFirstMatchIn(head).map(_.group(1))).getOrElse("")
+    val parts = content.split(";")
+    val after = if (parts.length >= 2) parts(1).trim else ""
+    if (!after.toLowerCase.startsWith("url=")) ""
+    else {
+      val redir = after.substring(4).replace("'", "")
+      if (redir.startsWith("/")) {
+        val m = "^([a-z]+)://([^/]+)".r.findFirstMatchIn(url)
+        m.map(x => s"${x.group(1)}://${x.group(2)}$redir").getOrElse(redir)
+      } else redir
+    }
+  }
+
+  /** Production fetcher body (S11; reference: ntp_entry.py:124-216
+    * `store_document`, ntp_constants.py:10-13): java.net.http GET with
+    * the reference's contract — `timeoutMs` per request (default 10 s),
+    * at most `maxRedirects` 3xx hops (default 30), plus ONE meta-refresh
+    * hop when an HTML body carries the F16 tag. Any protocol error,
+    * timeout, redirect-cap breach, or non-2xx terminal status maps to
+    * Status.Error — the harvest pipeline treats errors as data, never as
+    * exceptions. Pass the result to `fetchAll(fetcher = ...)`; unit
+    * tested against an in-process HTTP server (the sandbox has no
+    * egress, so the default everywhere else stays the stub).
+    */
+  def httpFetcher(timeoutMs: Long = 10000L, maxRedirects: Int = 30): String => FetchResult = {
+    lazy val client = java.net.http.HttpClient.newBuilder()
+      .followRedirects(java.net.http.HttpClient.Redirect.NEVER) // manual loop: the cap is OURS
+      .connectTimeout(java.time.Duration.ofMillis(timeoutMs))
+      .build()
+    (url0: String) =>
+      try {
+        var url = url0
+        var redirects = 0
+        var metaHops = 0
+        var out: FetchResult = null
+        while (out == null) {
+          val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+            .timeout(java.time.Duration.ofMillis(timeoutMs)).GET().build()
+          val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+          val status = resp.statusCode()
+          val loc = resp.headers().firstValue("Location").orElse(null)
+          if (status >= 300 && status < 400 && loc != null) {
+            redirects += 1
+            if (redirects > maxRedirects) out = FetchResult(url0, Status.Error, "", 0L)
+            else url = java.net.URI.create(url).resolve(loc).toString
+          } else if (status >= 200 && status < 300) {
+            val ct = resp.headers().firstValue("Content-Type").orElse("")
+            val cd = resp.headers().firstValue("Content-Disposition").orElse("")
+            val body = resp.body()
+            val refresh =
+              if (ct.startsWith("text/html") && metaHops == 0)
+                metaRefreshTarget(url, new String(body, java.nio.charset.StandardCharsets.UTF_8))
+              else ""
+            if (refresh.nonEmpty) { metaHops = 1; url = refresh }
+            else out = FetchResult(url0, Status.Ok, ct, body.length.toLong, cd)
+          } else out = FetchResult(url0, Status.Error, "", 0L)
+        }
+        out
+      } catch {
+        case _: Exception => FetchResult(url0, Status.Error, "", 0L)
+      }
+  }
+
   /** Host-partitioned, rate-limited fetch. `delayMs` is the per-host
     * politeness delay; `skipServers` the configured bad-host skip list
     * (reference: secrets.yml.sample:39-63). Returns a status DataFrame.
@@ -69,10 +143,20 @@ object Fetch {
       // co-locate each host in one partition -> the politeness delay below
       // is a true per-host rate limit even with many executors
       .repartition(hostPartitions, col("host"))
-    val results: Dataset[FetchResult] = withHost.select("url").as[String]
+    val results: Dataset[FetchResult] = withHost.select(col("url"), col("host"))
+      .as[(String, String)]
       .mapPartitions { it =>
-        it.map { u =>
-          if (delayMs > 0) Thread.sleep(delayMs)
+        // per-HOST sub-queues within the shared partition: the delay
+        // throttles consecutive hits on the same server; hosts that
+        // happen to share a partition don't wait on each other
+        val lastHit = scala.collection.mutable.HashMap.empty[String, Long]
+        it.map { case (u, h) =>
+          if (delayMs > 0) {
+            val wait = lastHit.get(h)
+              .map(t => delayMs - (System.nanoTime() - t) / 1000000L).getOrElse(0L)
+            if (wait > 0) Thread.sleep(wait)
+            lastHit(h) = System.nanoTime()
+          }
           fetcher(u)
         }
       }

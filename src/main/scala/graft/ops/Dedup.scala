@@ -22,24 +22,26 @@ import org.apache.spark.sql.functions._
 object Dedup {
   import TextAnalysis.tokens
 
-  /** Word 3-shingles of the token stream, space-joined, deduplicated.
+  /** Word `w`-shingles of the token stream, space-joined, deduplicated.
     *
-    * Built with `zip_with` over shifted copies of the token array so the
-    * (expensive) tokenization chain only ever appears in HOF *argument*
-    * position — argument arrays are evaluated once per row, while any
-    * expression inside a lambda body is re-evaluated per element (an
-    * `element_at(tokens(text), i)` formulation is O(tokens^2) per row and
-    * was measured 25x slower). Trailing positions where the shifted
-    * copies run out null-propagate through concat and are filtered.
+    * Built by folding `zip_with` over shifted copies of the token array
+    * so the (expensive) tokenization chain only ever appears in HOF
+    * *argument* position — argument arrays are evaluated once per row,
+    * while any expression inside a lambda body is re-evaluated per
+    * element (an `element_at(tokens(text), i)` formulation is O(tokens^2)
+    * per row and was measured 25x slower). Trailing positions where the
+    * shifted copies run out null-propagate through concat and are
+    * filtered. The w=3 fold produces the exact expression shape (and
+    * hashes) the oracle queries were verified against.
     */
   def shingles(text: Column, w: Int = 3): Column = {
-    require(w == 3, "shingles: only w=3 is implemented (zip_with construction)")
+    require(w >= 2, s"shingles: window must be >= 2, got $w")
     val toks = tokens(text)
-    val t2 = slice(toks, lit(2), greatest(size(toks) - 1, lit(0)))
-    val t3 = slice(toks, lit(3), greatest(size(toks) - 2, lit(0)))
-    val pairs = zip_with(toks, t2, (a, b) => concat(a, lit(" "), b))
-    val triples = zip_with(pairs, t3, (p, c) => concat(p, lit(" "), c))
-    array_distinct(filter(triples, x => x.isNotNull))
+    val joined = (2 to w).foldLeft(toks) { (acc, i) =>
+      val shifted = slice(toks, lit(i), greatest(size(toks) - (i - 1), lit(0)))
+      zip_with(acc, shifted, (a, b) => concat(a, lit(" "), b))
+    }
+    array_distinct(filter(joined, x => x.isNotNull))
   }
 
   /** One MinHash value: lexicographic min of md5("<seed>|" + shingle).
@@ -134,15 +136,21 @@ object Dedup {
     */
   def connectedComponents(edges: DataFrame, srcCol: String = "a", dstCol: String = "b",
                           maxIter: Int = 32, driverMaxEdges: Long = 1L << 20,
-                          phase: (String, Double) => Unit = (_, _) => ()): DataFrame = {
+                          phase: (String, Double) => Unit = (_, _) => (),
+                          driverMaxBytes: Long = 64L << 20): DataFrame = {
     def timed[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f; phase(label, (System.nanoTime() - t0) / 1e9); r
     }
     val e = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nEdges = timed("edges materialize")(e.count())
+    // byte gate from the populated cache's measured stats, mirroring
+    // Versions.resolveChains: the collect must fit driver heap by BYTES,
+    // a row count alone can't promise that
+    val nBytes = e.queryExecution.optimizedPlan.stats.sizeInBytes
     val out =
-      if (nEdges <= driverMaxEdges) timed("driver union-find")(driverComponents(e))
+      if (nEdges <= driverMaxEdges && nBytes <= driverMaxBytes)
+        timed("driver union-find")(driverComponents(e))
       else propagateComponents(e, maxIter, phase)
     e.unpersist(blocking = false)
     out

@@ -130,6 +130,35 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Exact-decimal multi-probe ANN (the oracle-checkable sibling of
+    * [[bucketedTopKMultiProbe]], for unit-normalized embeddings where
+    * dot == cosine): same flip-one-bit probe set and bucket equi-join,
+    * ranked like [[bruteTopKExact]] — codegen'd double dot as a coarse
+    * margin gate, decimal-space decider on the survivors only.
+    */
+  def multiProbeTopKExact(corpus: DataFrame, queries: DataFrame, idCol: String,
+                          vecCol: String, k: Int, nBits: Int, dim: Int): DataFrame = {
+    val bc = hyperplaneBucket(col(vecCol), nBits, dim)
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"), bc.as("bucket"))
+    val flips = (0 until nBits).map { j =>
+      val b = col("__b")
+      val flipped = when(substring(b, j + 1, 1) === "1", lit("0")).otherwise(lit("1"))
+      concat(substring(b, 1, j), flipped, substring(b, j + 2, nBits - j - 1))
+    }
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"), bc.as("__b"))
+      .select(col("qid"), col("qv"),
+        explode(array_distinct(array(col("__b") +: flips: _*))).as("bucket"))
+    val cands = q.join(c, Seq("bucket")).filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("qv"), col("cid"), col("cv")).distinct()
+    val margin = math.max(5 * k, k + 20)
+    val wf = Window.partitionBy(col("qid")).orderBy(dotFast(col("qv"), col("cv")).desc, col("cid").asc)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(dotExactDec(col("qv"), col("cv")).desc, col("cid").asc)
+    cands.withColumn("frank", row_number().over(wf)).filter(col("frank") <= margin)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("rank").cast("long").as("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a<b) pairs in the same
     * hyperplane bucket with cosine above `threshold`. The bucket join is
     * the scale lever — only same-cell pairs are ever scored.
@@ -158,25 +187,45 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
 
-  private def ivfCellEntries(vec: Column, centroids: Seq[(Long, Seq[Float])]): Seq[Column] =
-    centroids.map { case (cid, cv) =>
-      // (dot, -cid): lexicographic max = best dot, ties to the LOWEST
-      // centroid id — mirrors the oracle's ORDER BY dot DESC, cid ASC
-      struct(dotExactDec(vec, array(cv.map(lit(_)): _*)).as("dot"), lit(-cid).as("nc"))
+  /** The `m` best centroids for a vector as a decimal-ranked struct
+    * array, best-first. Two phases, like every other decider in this
+    * file: ALL centroids are ranked by the codegen'd double dot (one
+    * compiled pass each), then ONLY the coarse top-`m + 2` get the
+    * interpreted exact-decimal dot — the fp error (<1e-12) cannot
+    * reorder a centroid across a 2-slot margin unless 3+ centroid dots
+    * tie within 2e-12. Struct ordering is (dot desc, -cid desc) =
+    * the oracle's ORDER BY dot DESC, cid ASC.
+    */
+  private def refineTopCells(vec: Column, centroids: Seq[(Long, Seq[Float])],
+                             m: Int): Column = {
+    val coarse = centroids.map { case (cid, cv) =>
+      struct(dotFast(vec, array(cv.map(lit(_)): _*)).as("dot"), lit(-cid).as("nc"))
     }
+    val survivors = slice(sort_array(array(coarse: _*), asc = false), 1, m + 2)
+    // centroid lookup by id, plan-inlined; the decimal dot runs once per
+    // SURVIVOR instead of once per centroid
+    val lookup = array(centroids.map { case (cid, cv) =>
+      struct(lit(-cid).as("nc"), array(cv.map(lit(_)): _*).as("cv"))
+    }: _*)
+    val refined = transform(survivors, e =>
+      struct(
+        dotExactDec(vec,
+          element_at(filter(lookup, c => c.getField("nc") === e.getField("nc")), 1)
+            .getField("cv")).as("dot"),
+        e.getField("nc").as("nc")))
+    slice(sort_array(refined, asc = false), 1, m)
+  }
 
   /** IVF cell assignment: the id of the max-inner-product centroid (ties
-    * to the lowest id). Exact decimal dots, so the partition of the corpus
-    * into inverted lists is bit-reproducible across engines.
+    * to the lowest id). Decimal-decided (coarse-gated), so the partition
+    * of the corpus into inverted lists is bit-reproducible across engines.
     */
   def ivfCell(vec: Column, centroids: Seq[(Long, Seq[Float])]): Column =
-    -greatest(ivfCellEntries(vec, centroids): _*).getField("nc")
+    -element_at(refineTopCells(vec, centroids, 1), 1).getField("nc")
 
   /** The `nProbe` best cells for a query vector, best-first. */
   def ivfProbeCells(vec: Column, centroids: Seq[(Long, Seq[Float])], nProbe: Int): Column =
-    transform(
-      slice(sort_array(array(ivfCellEntries(vec, centroids): _*), asc = false), 1, nProbe),
-      s => -s.getField("nc"))
+    transform(refineTopCells(vec, centroids, nProbe), s => -s.getField("nc"))
 
   /** IVF top-k: corpus vectors are bucketed into inverted lists by
     * `ivfCell`; each query probes its `nProbe` best cells and ranks only
@@ -192,9 +241,16 @@ object Similarity {
       ivfCell(col(vecCol), cents).as("cell"))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
       explode(ivfProbeCells(col(vecCol), cents, nProbe)).as("cell"))
+    // coarse pass with the codegen'd double dot over every probed
+    // candidate, generous margin (same error argument as bruteTopKExact);
+    // the per-candidate decimal accumulation — one BigDecimal alloc per
+    // element per pair — runs only on the margin survivors
+    val margin = math.max(5 * k, k + 20)
+    val wf = Window.partitionBy(col("qid")).orderBy(dotFast(col("qv"), col("cv")).desc, col("cid").asc)
     val w = Window.partitionBy(col("qid"))
       .orderBy(dotExactDec(col("qv"), col("cv")).desc, col("cid").asc)
     q.join(c, Seq("cell")).filter(col("qid") =!= col("cid"))
+      .withColumn("frank", row_number().over(wf)).filter(col("frank") <= margin)
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("qid"), col("cid"), col("rank").cast("long").as("rank"))
   }

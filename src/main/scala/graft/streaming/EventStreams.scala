@@ -35,15 +35,19 @@ object EventStreams {
 
   /** Watermarked tumbling-window aggregation — the streaming form of the
     * batch q_events_windowed query. Late data beyond the watermark is
-    * dropped deterministically.
+    * dropped deterministically. Money sums accumulate on the exact cents
+    * grid (one long per event, one division at the end) so the result is
+    * order-independent — a raw double sum would drift with partition
+    * ordering, violating the engine's parity convention.
     */
   def windowedCounts(events: DataFrame, window_ : String = "1 hour",
                      watermark: String = "2 hours"): DataFrame =
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
-      .select(col("window.start").as("wstart"), col("event_type"), col("n"), col("sum_value"))
+      .agg(count(lit(1)).as("n"), sum(round(col("value") * 100).cast("long")).as("__cents"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("n"),
+        (col("__cents").cast("double") / 100.0).as("sum_value"))
 
   /** Streaming dedup of re-delivered records on the natural key + version
     * timestamp — the reference's duplicate-delivery handling (J2/F21) as a
@@ -60,6 +64,24 @@ object EventStreams {
       .outputMode(OutputMode.Update())
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) => merge(batch, id) }
+
+  /** Streaming CDC ingest (§2.10; reference: read_parquet.py:85-123 —
+    * the replay loop as a stream): each micro-batch of raw drop rows
+    * runs the SAME merge as the batch `IngestJob.run`, so a drop-feed
+    * directory replayed through `readStream` converges to exactly the
+    * lake state the equivalent sequence of batch ingests produces
+    * (id-stable, overlap-merged, tombstone-chained). Empty micro-batches
+    * are skipped — no spurious lake rewrite. Give the returned writer a
+    * `checkpointLocation` so re-runs resume from the last processed file.
+    */
+  def ingestSink(lake: graft.lake.LakeTable, codes: Map[String, String],
+                 naturalId: String, updated: String, group: Int)(
+                 drops: DataFrame): DataStreamWriter[org.apache.spark.sql.Row] =
+    upsertSink(drops) { (batch, _) =>
+      if (!batch.isEmpty)
+        graft.pipeline.IngestJob.run(batch.sparkSession, lake, batch, codes,
+          naturalId, updated, group)
+    }
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)

@@ -69,12 +69,20 @@ object Versions {
     * `maxHops` and yields an in-cycle node, like the bounded loop.
     */
   def resolveChains(pointers: DataFrame, id: String, updatedTo: String, maxHops: Int = 64,
-                    driverMaxEdges: Long = 1L << 20): DataFrame = {
+                    driverMaxEdges: Long = 1L << 20,
+                    driverMaxBytes: Long = 64L << 20): DataFrame = {
     val edges = pointers.select(col(id).as("src"), col(updatedTo).as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nEdges = edges.count()
+    // gate on MATERIALIZED bytes, not just rows: 1M rows of long string
+    // ids can be hundreds of MB of driver heap (the same reasoning as the
+    // broadcast decision in propagateChains — a row-count gate would
+    // happily collect them). Stats come from the populated cache, so
+    // they're measured, not estimated.
+    val nBytes = edges.queryExecution.optimizedPlan.stats.sizeInBytes
     val out =
-      if (nEdges <= driverMaxEdges) driverResolve(edges, id, maxHops)
+      if (nEdges <= driverMaxEdges && nBytes <= driverMaxBytes)
+        driverResolve(edges, id, maxHops)
       else propagateChains(edges, id, maxHops)
     edges.unpersist(blocking = false)
     out

@@ -144,6 +144,48 @@ class InvariantSpec extends AnyFunSuite {
       col("bucket") =!= pmod(hash(col("id")), lit(8))).count() == 0)
   }
 
+  test("streaming CDC ingest converges to the batch double-ingest state") {
+    import org.apache.spark.sql.types._
+    val base = Files.createTempDirectory("lake-cdc").toString
+    val codes = Map("id" -> "id", "updated" -> "updated", "title" -> "title")
+    val drop1 = Seq(
+      ("url/a", "2024-01-01 10:00:00", "first a"),
+      ("url/b", "2024-01-02 09:00:00", "first b")
+    ).toDF("id", "updated", "title")
+    val drop2 = Seq(
+      ("url/a", "2024-02-01 10:00:00", "second a"), // new version of a
+      ("url/c", "2024-02-02 09:00:00", "first c")
+    ).toDF("id", "updated", "title")
+
+    // batch truth: two sequential IngestJob runs (partitioned layout)
+    val bLake = new LakeTable(spark, base + "/batch", "_id", IngestJob.LakePartitionCols, 8)
+    IngestJob.run(spark, bLake, drop1, codes, "id", "updated", group = 0)
+    IngestJob.run(spark, bLake, drop2, codes, "id", "updated", group = 0)
+
+    // streaming: the same drops land as files in a feed directory; each
+    // AvailableNow pass picks up the new file and runs the merge per batch
+    val sLake = new LakeTable(spark, base + "/stream", "_id", IngestJob.LakePartitionCols, 8)
+    val feed = base + "/feed"
+    val schema = StructType(Seq(StructField("id", StringType),
+      StructField("updated", StringType), StructField("title", StringType)))
+    def runFeed(): Unit = {
+      val q = graft.streaming.EventStreams.ingestSink(sLake, codes, "id", "updated", 0)(
+          spark.readStream.schema(schema).parquet(feed))
+        .option("checkpointLocation", base + "/ckpt").start()
+      q.awaitTermination()
+    }
+    drop1.write.mode("append").parquet(feed)
+    runFeed()
+    drop2.write.mode("append").parquet(feed)
+    runFeed() // checkpoint resume: only the new file is processed
+
+    val cols = bLake.read.columns.sorted.toSeq
+    def dump(lake: LakeTable) =
+      lake.read.select(cols.map(col): _*).orderBy("_id").collect().map(_.toString).toSeq
+    assert(dump(sLake) == dump(bLake))
+    assert(sLake.read.count() == 4) // a(v1 tombstone) + a(v2) + b + c
+  }
+
   test("J2: overlapping re-deliveries merge id-stable; ingest is idempotent") {
     val dir = Files.createTempDirectory("lake-j2").toString + "/place"
     val lake = new LakeTable(spark, dir, "_id")

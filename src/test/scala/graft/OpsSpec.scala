@@ -46,6 +46,24 @@ class OpsSpec extends AnyFunSuite {
     assert(sh(1).isEmpty)
   }
 
+  test("shingles(w): matches sliding-window reference for w in {2,3,5}") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b a b a b a b",             // repeats -> distinct matters
+      "uno dos tres", "one two", "solo", "")
+    val df = texts.toDF("text")
+    // reference: the SAME tokenizer's output, slid in plain Scala
+    val toks = df.select(graft.ops.TextAnalysis.tokens(col("text")).as("t"))
+      .collect().map(_.getAs[scala.collection.Seq[String]]("t").toList)
+    for (w <- Seq(2, 3, 5)) {
+      val got = df.select(Dedup.shingles(col("text"), w).as("sh"))
+        .collect().map(_.getAs[scala.collection.Seq[String]]("sh").toList)
+      val expected = toks.map(t =>
+        if (t.length < w) Nil else t.sliding(w).map(_.mkString(" ")).toList.distinct)
+      assert(got.toSeq == expected.toSeq, s"w=$w")
+    }
+  }
+
   test("minhash LSH finds near-identical docs, not unrelated ones") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
@@ -144,6 +162,11 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaDriver == viaPropagation)
     assert(viaDriver(109L) == 100L && viaDriver(230L) == 200L && viaDriver(303L) == 9L)
+    // byte gate: same graph with a tiny byte budget must route to the
+    // distributed tier (row count is under the cap) and still agree
+    val viaByteGate = graft.ops.Dedup.connectedComponents(edges, driverMaxBytes = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaByteGate == viaDriver)
   }
 
   test("int8 quantization round-trips within scale/2 per component") {
@@ -184,5 +207,9 @@ class OpsSpec extends AnyFunSuite {
       .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))
     // every probed candidate exists in the brute ranking (same scoring math)
     assert(multiRanked.forall(brute.contains))
+    // the exact-decimal variant probes the same candidate set as the
+    // cosine variant (identical probe algebra, different decider)
+    val exact = pairs(Similarity.multiProbeTopKExact(vecs, queries, "vec_id", "embedding", 1000, 3, 64))
+    assert(exact == multi)
   }
 }

@@ -144,6 +144,7 @@ class PipelineSpec extends AnyFunSuite {
     val got = spark.table("win_out").orderBy("wstart", "event_type").collect()
     assert(got.length == 2)
     assert(got(0).getAs[Long]("n") == 2L) // two clicks in the 10:00 window
+    assert(got(0).getAs[Double]("sum_value") == 4.0) // cents-grid: exactly 1.5 + 2.5
     assert(got(1).getAs[String]("event_type") == "view")
   }
 

@@ -74,6 +74,19 @@ class VersionsSpec extends AnyFunSuite {
     assert(viaDriver("ntp00000009").isEmpty)
   }
 
+  test("resolveChains byte gate: wide rows under the row cap still go distributed") {
+    // few rows (far under driverMaxEdges) but each ~64 KB wide: the BYTE
+    // gate must route them to the distributed tier, and the tiers agree
+    val pad = "x" * 65536
+    val edges = (1 to 50).map(i => (f"$pad-$i%04d", f"$pad-${i + 1}%04d")).toDF("src", "dst")
+    val viaDistributed = Versions.resolveChains(edges, "src", "dst", driverMaxBytes = 1024)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val viaDriver = Versions.resolveChains(edges, "src", "dst")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(viaDistributed == viaDriver)
+    assert(viaDistributed(f"$pad-0001") == f"$pad-0051") // whole chain resolved
+  }
+
   test("diffFields: added / modified / missing with '' as absence (F18)") {
     val df = Seq((("a", "", "x"), ("a2", "b", ""))).toDF("n", "o")
       .select(Versions.diffFields(
