@@ -142,6 +142,19 @@ class InvariantSpec extends AnyFunSuite {
     assert(pLake.read.filter(
       col("grp") =!= NtpIds.group(col("_id")) ||
       col("bucket") =!= pmod(hash(col("id")), lit(8))).count() == 0)
+
+    // the bucket restriction must reach the scan as a PARTITION filter
+    // (directory pruning — bytes of untouched buckets are never read),
+    // and the watermark's group filter must prune on grp the same way
+    val scoped = pLake.read.filter(col("bucket").isin(3, 5))
+    val scanLine = scoped.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("bucket"), s"no partition filter on bucket: $scanLine")
+    val wmLine = pLake.read.filter(col("grp") === 0)
+      .agg(max(NtpIds.parseNtpId(col("_id"))))
+      .queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(wmLine.contains("grp"), s"no partition filter on grp: $wmLine")
   }
 
   test("streaming CDC ingest converges to the batch double-ingest state") {
