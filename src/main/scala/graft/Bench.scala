@@ -1,13 +1,14 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Benchmark main: times every SparkEntry query at the scale factor in
   * SPARK_GRAFT_SF_DIR and prints one JSON line for the driver.
   *
-  * A warmup pass (one small query + a scan of each input table) runs
-  * before timing so the first measured query doesn't absorb JVM/codegen
-  * warmup and file-footer reads. AQE is on; shuffle partitions match the
+  * A warmup pass (table scans + one instance of each kernel family on
+  * tiny slices) runs before timing so no measured query absorbs JVM/codegen
+  * warmup or file-footer reads. AQE is on; shuffle partitions match the
   * local core count rather than the 200 default.
   */
 object Bench {
@@ -32,6 +33,63 @@ object Bench {
     }
     try SparkEntry.queries("q_customer_segments_active")(spark, sfDir).count()
     catch { case _: Throwable => () }
+
+    // Kernel-family warmup on tiny slices: the FIRST evaluation of each
+    // plan shape pays whole-stage-codegen compilation + C2 JIT, which is
+    // per-shape, not per-row (measured: the minhash candidate pipeline's
+    // first run costs ~9 s at sf0.1, its second 1.8 s — the delta is all
+    // compile). The bench exists to measure plans at steady state, so
+    // compile every family up front on 64-row slices where the compile
+    // cost is the only cost. Each block is independent and best-effort.
+    def warm(body: => Any): Unit = try { body; () } catch { case _: Throwable => () }
+    warm {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(64)
+        .persist(); docs.count()
+      // minhash shingle/band/self-join + components + text kernels
+      val pairs = graft.ops.Dedup.minhashCandidates(docs, "doc_id", "text", 4, 2)
+      graft.ops.Dedup.connectedComponents(pairs).count()
+      graft.ops.Dedup.simhashCandidates(docs, "doc_id", "text", 4, 3).count()
+      docs.select(graft.ops.TextAnalysis.langId(col("text")),
+        graft.ops.TextAnalysis.qualityScore(col("text")),
+        graft.ops.TextAnalysis.tokenCount(col("text"))).count()
+      docs.unpersist(blocking = false)
+    }
+    warm {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(64)
+        .persist(); emb.count()
+      val probe = emb.limit(4)
+      // decimal-dot deciders, DotFloat coarse gates, hyperplane buckets,
+      // IVF cell assignment, rank windows
+      graft.ops.Similarity.bruteTopKExact(emb, probe, "vec_id", "embedding", 2).count()
+      graft.ops.Similarity.dotNearDupExact(emb, "vec_id", "embedding",
+        BigDecimal("0.35"), 4, 64).count()
+      graft.ops.Similarity.multiProbeTopKExact(emb, probe, "vec_id", "embedding", 2, 4, 64).count()
+      graft.ops.Similarity.ivfTopK(emb, probe, "vec_id", "embedding", 2, 4, 2).count()
+      emb.unpersist(blocking = false)
+    }
+    warm {
+      // streaming engine warmup: micro-batch planner, state-store setup,
+      // and the stateful codegen paths. Same entry code as the measured
+      // q_stream_* queries, against a 64-row copy of the events file laid
+      // out the way the entries expect (a single file named
+      // events.parquet under the dir).
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bench_warm").toString
+      val stage = s"$tmp/_stage"
+      spark.read.parquet(s"$sfDir/events.parquet").limit(64)
+        .coalesce(1).write.parquet(stage)
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(stage).getFileSystem(hconf)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+        .map(_.getPath).find(_.getName.startsWith("part-")).get
+      fs.rename(part, new org.apache.hadoop.fs.Path(s"$tmp/events.parquet"))
+      Seq("q_stream_windowed", "q_stream_sessionize").foreach { qn =>
+        warm(SparkEntry.queries(qn)(spark, tmp).count())
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    System.gc()
 
     val only = sys.env.get("SPARK_GRAFT_ONLY") // debug: regex filter on query names
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)

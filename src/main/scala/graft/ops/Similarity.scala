@@ -72,17 +72,31 @@ object Similarity {
 
   /** Signed-random-projection bucket: bit p = sign of the dot product with
     * hyperplane p. With `nBits` planes this is LSH for cosine; buckets act
-    * as IVF cells. Dot products use the same exact decimal accumulation as
-    * `dotExact` so bucket assignment is engine-reproducible.
+    * as IVF cells.
+    *
+    * Sign decision is two-phase like every decider in this file: the
+    * codegen'd double dot (±1 signs are exact in float, products exact in
+    * double, so |fast − exact| < dim²·ulp ≈ 5e-13 for dim 64) decides
+    * whenever it is safely away from zero; only a dot within 1e-6 of the
+    * hyperplane falls back to the interpreted exact-decimal accumulation.
+    * Bit-identical to the pure-decimal form (the 7-orders-of-magnitude
+    * margin means the fast sign can never disagree), but the per-row
+    * per-plane cost is a compiled tight loop instead of one BigDecimal
+    * alloc per element — this runs once per corpus row per plane, the
+    * hottest scan loop of the ANN tier at 100 TB.
     */
   def hyperplaneBucket(vec: Column, nBits: Int, dim: Int): Column = {
     val bits = hyperplaneSigns(nBits, dim).map { sv =>
+      val signsF = array(sv.map(s => lit(s.toFloat)): _*)
+      val fast = graft.functions.DotFloat.dot_float(vec, signsF)
       val signs = array(sv.map(lit): _*)
-      val dot = aggregate(
+      val dec = aggregate(
         zip_with(vec, signs, (x, sg) => (x.cast("double") * sg).cast("decimal(25,15)")),
         lit(BigDecimal(0)).cast("decimal(36,15)"),
         (acc, p) => (acc + p).cast("decimal(36,15)"))
-      when(dot >= lit(BigDecimal(0)), lit("1")).otherwise(lit("0"))
+      when(abs(fast) > lit(1e-6),
+          when(fast >= lit(0.0), lit("1")).otherwise(lit("0")))
+        .otherwise(when(dec >= lit(BigDecimal(0)), lit("1")).otherwise(lit("0")))
     }
     concat(bits: _*)
   }
