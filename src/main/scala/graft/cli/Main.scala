@@ -76,6 +76,19 @@ object Main {
         idRange = (arg(args, "--ini"), arg(args, "--fin")),
         scanOnly = flag(args, "--scan_only"))
       println(s"[cli] harvest: ${urls.count()} urls")
+    case "compact" =>
+      // lake housekeeping after N incremental ingests: rewrite fragmented
+      // partitions into target-size, key-sorted files (row-group pruning)
+      val lakePath = arg(args, "--lake").get
+      val probe = new LakeTable(spark, lakePath, "_id")
+      val lake =
+        if (probe.exists && probe.read.columns.contains("bucket"))
+          new LakeTable(spark, lakePath, "_id", IngestJob.LakePartitionCols)
+        else probe
+      val done = lake.compact(
+        maxFilesPerPartition = arg(args, "--max-files").map(_.toInt).getOrElse(4),
+        targetFileBytes = arg(args, "--target-bytes").map(_.toLong).getOrElse(128L << 20))
+      println(s"[cli] compact: ${done.size} partitions rewritten")
     case "sync" =>
       val origin = spark.read.parquet(arg(args, "--origin").get)
       val dest = spark.read.parquet(arg(args, "--dest").get)

@@ -134,6 +134,84 @@ class LakeTable(spark: SparkSession, path: String, keyCol: String,
     fs.delete(staging, true)
   }
 
+  /** Small-file compaction — the housekeeping half of the incremental
+    * write path. Partition-scoped ingest keeps rewrites cheap, but every
+    * `overwritePartitions` lands at least one file per touched partition,
+    * so a partition touched by many drops accumulates many small files
+    * and scan tasks degrade to footer-reading overhead. `compact` rewrites
+    * ONLY the partitions whose file count exceeds `maxFilesPerPartition`,
+    * each into `ceil(bytes / targetFileBytes)` files sorted by `keyCol` —
+    * sorted row groups give parquet min/max pruning on key lookups. The
+    * land is the same crash-safe staged dynamic overwrite as
+    * `overwritePartitions`: untouched partitions' files are never read or
+    * moved, and a crash mid-compact leaves either the old or the new
+    * files per partition.
+    *
+    * Returns the relative paths of the compacted partition directories
+    * (empty = nothing exceeded the threshold).
+    */
+  def compact(maxFilesPerPartition: Int = 4,
+              targetFileBytes: Long = 128L << 20): Seq[String] = {
+    if (!exists) return Nil
+    val root = new org.apache.hadoop.fs.Path(path)
+    // partition dirs sit partitionCols.length deep; a flat table is one
+    // "partition" at the root
+    def leafDirs(p: org.apache.hadoop.fs.Path, depth: Int): Seq[org.apache.hadoop.fs.Path] =
+      if (depth == 0) Seq(p)
+      else fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+        .flatMap(leafDirs(_, depth - 1)).toSeq
+    val dirs = leafDirs(root, partitionCols.length)
+    val over = dirs.flatMap { d =>
+      val files = fs.listStatus(d).filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      if (files.length > maxFilesPerPartition) Some((d, files.map(_.getLen).sum))
+      else None
+    }
+    if (over.isEmpty) return Nil
+
+    if (partitionCols.isEmpty) {
+      val (_, bytes) = over.head
+      val nOut = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      replace(read.repartition(nOut).sortWithinPartitions(keyCol))
+      return Seq(".")
+    }
+    // read ONLY the oversized partition dirs; basePath keeps the
+    // partition columns in the frame so the rewrite lands back in place
+    val schema = read.schema // pin types: re-inference on a subset can drift
+    val touched = spark.read.option("basePath", path).schema(schema)
+      .parquet(over.map(_._1.toString): _*)
+    // per-partition output file count from measured bytes, carried into
+    // the shuffle as a salt: rows of one partition spread over nOut
+    // shuffle keys, so the writer emits ≈nOut files for it
+    import org.apache.spark.sql.Row
+    val rootQ = fs.makeQualified(root).toString
+    val nOutRows = over.map { case (d, bytes) =>
+      // partition values parsed from the dir path (col=value segments)
+      val segs = fs.makeQualified(d).toString.stripPrefix(rootQ).split("/").filter(_.nonEmpty)
+      val vals = segs.map(_.split("=", 2)(1))
+      Row.fromSeq(vals.toSeq :+ math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt)
+    }
+    val pcSchema = org.apache.spark.sql.types.StructType(
+      partitionCols.map(c => org.apache.spark.sql.types.StructField(s"__p_$c",
+        org.apache.spark.sql.types.StringType)) :+
+        org.apache.spark.sql.types.StructField("__nout", org.apache.spark.sql.types.IntegerType))
+    val nOutDf = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(nOutRows.toSeq, 1), pcSchema))
+    val joinCond = partitionCols.map(c => col(c).cast("string") === col(s"__p_$c"))
+      .reduce(_ && _)
+    val salted = touched.join(nOutDf, joinCond)
+      .withColumn("__salt", pmod(hash(col(keyCol)), col("__nout")))
+    val parts = partitionCols.map(col) :+ col("__salt")
+    // sort key includes the partition cols (as a satisfied prefix) so the
+    // parquet writer's required per-task ordering doesn't re-sort and
+    // drop the key order the row groups need for min/max pruning
+    val rewritten = salted
+      .repartition(parts: _*)
+      .sortWithinPartitions(partitionCols.map(col) :+ col(keyCol): _*)
+      .drop((partitionCols.map(c => s"__p_$c") :+ "__nout" :+ "__salt"): _*)
+    overwritePartitions(rewritten)
+    over.map(o => fs.makeQualified(o._1).toString.stripPrefix(rootQ).stripPrefix("/"))
+  }
+
   /** K1: upsert by key — keep every existing row whose key is NOT in the
     * update batch, union the batch, rewrite (staged: parquet has no
     * MERGE). With partition columns and

@@ -155,6 +155,11 @@ class InvariantSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
       .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
     assert(wmLine.contains("grp"), s"no partition filter on grp: $wmLine")
+
+    // housekeeping: compaction over the live ingest layout (threshold 0
+    // forces every partition through the rewrite) is state-neutral
+    assert(pLake.compact(maxFilesPerPartition = 0).nonEmpty)
+    assert(dump(pLake.read.drop("grp", "bucket")) == dump(uLake.read))
   }
 
   test("streaming CDC ingest converges to the batch double-ingest state") {

@@ -92,6 +92,48 @@ class PipelineSpec extends AnyFunSuite {
       .toSeq == Seq("a" -> 12, "b" -> 2))
   }
 
+  test("LakeTable.compact: oversized partitions rewritten key-sorted, small ones' files untouched") {
+    val dir = Files.createTempDirectory("lake-compact").toString + "/t"
+    val lake = new LakeTable(spark, dir, "_id", partitionCols = Seq("pk"))
+    // pk=0 fragmented into 8 files, pk=1 a single file
+    val frag = (0 until 64).map(i => (f"id$i%03d", i, 0)).toDF("_id", "v", "pk").repartition(8)
+    val small = Seq(("z", 999, 1)).toDF("_id", "v", "pk")
+    lake.overwrite(frag.unionByName(small))
+    def files(pk: Int): Seq[java.io.File] =
+      new java.io.File(s"$dir/pk=$pk").listFiles.toSeq
+        .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.endsWith(".crc"))
+    assert(files(0).size == 8)
+    val before = lake.read.orderBy("_id").collect().toSeq
+    val smallFilesBefore = files(1).map(f => (f.getName, f.lastModified))
+
+    val compacted = lake.compact(maxFilesPerPartition = 4)
+    assert(compacted == Seq("pk=0"))
+    // fragmented partition now one file (tiny bytes, one target chunk)
+    assert(files(0).size == 1)
+    // the small partition's physical files were never rewritten
+    assert(files(1).map(f => (f.getName, f.lastModified)) == smallFilesBefore)
+    // data identical
+    assert(lake.read.orderBy("_id").collect().toSeq == before)
+    // rows inside the compacted file are key-sorted (row-group pruning)
+    val inFile = spark.read.parquet(files(0).head.getPath).select("_id")
+      .collect().map(_.getString(0)).toSeq
+    assert(inFile == inFile.sorted)
+    // idempotent: below threshold now, nothing to do
+    assert(lake.compact(maxFilesPerPartition = 4).isEmpty)
+  }
+
+  test("LakeTable.compact on a flat table rewrites in place") {
+    val dir = Files.createTempDirectory("lake-compact-flat").toString + "/t"
+    val lake = new LakeTable(spark, dir, "_id")
+    lake.overwrite((0 until 32).map(i => (f"id$i%02d", i)).toDF("_id", "v").repartition(8))
+    val before = lake.read.orderBy("_id").collect().toSeq
+    assert(lake.compact(maxFilesPerPartition = 4) == Seq("."))
+    val fl = new java.io.File(dir).listFiles.toSeq
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.endsWith(".crc"))
+    assert(fl.size == 1)
+    assert(lake.read.orderBy("_id").collect().toSeq == before)
+  }
+
   test("LakeTable summary singleton round-trip (K8)") {
     val dir = Files.createTempDirectory("lake").toString + "/t"
     val lake = new LakeTable(spark, dir, "_id")
