@@ -65,6 +65,7 @@ object Bench {
         BigDecimal("0.35"), 4, 64).count()
       graft.ops.Similarity.multiProbeTopKExact(emb, probe, "vec_id", "embedding", 2, 4, 64).count()
       graft.ops.Similarity.ivfTopK(emb, probe, "vec_id", "embedding", 2, 4, 2).count()
+      graft.ops.Similarity.ivfTopKInt8(emb, probe, "vec_id", "embedding", 2, 4, 2).count()
       emb.unpersist(blocking = false)
     }
     warm {

@@ -76,6 +76,32 @@ object CorpusQueries {
   private def dotDecSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1,65), i -> CAST(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) AS DECIMAL(25,15))))"
 
+  /** Shared by sim_ivf_topk and sim_ivf_int8_topk: the int8 tier's coarse
+    * gate is margin-absorbed and its exact-decimal decider sees the full
+    * vectors, so both must produce exactly this ranking.
+    */
+  private lazy val ivfOracleSql: String =
+    s"""WITH cent AS (SELECT vec_id AS ccid, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 8),
+       |ass AS (SELECT vec_id, cell FROM (
+       |  SELECT e.vec_id, c.ccid AS cell,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${dotDecSql("e.embedding", "c.cv")} DESC, c.ccid ASC) AS rn
+       |  FROM embeddings e CROSS JOIN cent c) t WHERE rn = 1),
+       |qp AS (SELECT vec_id AS qid, cell FROM (
+       |  SELECT e.vec_id, c.ccid AS cell,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${dotDecSql("e.embedding", "c.cv")} DESC, c.ccid ASC) AS rn
+       |  FROM embeddings e CROSS JOIN cent c WHERE e.vec_id % 50 = 0) t WHERE rn <= 2),
+       |scored AS (SELECT qp.qid, a.vec_id AS cid,
+       |         row_number() OVER (PARTITION BY qp.qid
+       |           ORDER BY ${dotDecSql("qe.embedding", "ce.embedding")} DESC, a.vec_id ASC) AS rank
+       |  FROM qp JOIN ass a ON qp.cell = a.cell
+       |  JOIN embeddings qe ON qp.qid = qe.vec_id
+       |  JOIN embeddings ce ON a.vec_id = ce.vec_id
+       |  WHERE qp.qid <> a.vec_id)
+       |SELECT qid, cid, CAST(rank AS BIGINT) AS rank FROM scored
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   /** Hyperplane bucket (matches Similarity.hyperplaneBucket(nBits=4, dim=64)). */
   private def bucketSql(vec: String): String =
     Similarity.hyperplaneSigns(4, 64).map { sv =>
@@ -224,6 +250,16 @@ object CorpusQueries {
     "sim_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+          5, 8, 2)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // IVF-SQ8: inverted lists carry 1-byte codes, the probe join scores
+    // with the compiled byte-dot, margin survivors re-rank on the full
+    // vectors — same results as sim_ivf_topk at a quarter the list bytes
+    "sim_ivf_int8_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopKInt8(emb, emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
           5, 8, 2)
         .orderBy(col("qid"), col("rank"))
     }),
@@ -518,27 +554,12 @@ object CorpusQueries {
          |WHERE ${dotDecSql("x.embedding", "y.embedding")} >= CAST('0.35' AS DECIMAL(36,15))
          |ORDER BY a, b""".stripMargin,
 
-    "sim_ivf_topk" ->
-      s"""WITH cent AS (SELECT vec_id AS ccid, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 8),
-         |ass AS (SELECT vec_id, cell FROM (
-         |  SELECT e.vec_id, c.ccid AS cell,
-         |         row_number() OVER (PARTITION BY e.vec_id
-         |           ORDER BY ${dotDecSql("e.embedding", "c.cv")} DESC, c.ccid ASC) AS rn
-         |  FROM embeddings e CROSS JOIN cent c) t WHERE rn = 1),
-         |qp AS (SELECT vec_id AS qid, cell FROM (
-         |  SELECT e.vec_id, c.ccid AS cell,
-         |         row_number() OVER (PARTITION BY e.vec_id
-         |           ORDER BY ${dotDecSql("e.embedding", "c.cv")} DESC, c.ccid ASC) AS rn
-         |  FROM embeddings e CROSS JOIN cent c WHERE e.vec_id % 50 = 0) t WHERE rn <= 2),
-         |scored AS (SELECT qp.qid, a.vec_id AS cid,
-         |         row_number() OVER (PARTITION BY qp.qid
-         |           ORDER BY ${dotDecSql("qe.embedding", "ce.embedding")} DESC, a.vec_id ASC) AS rank
-         |  FROM qp JOIN ass a ON qp.cell = a.cell
-         |  JOIN embeddings qe ON qp.qid = qe.vec_id
-         |  JOIN embeddings ce ON a.vec_id = ce.vec_id
-         |  WHERE qp.qid <> a.vec_id)
-         |SELECT qid, cid, CAST(rank AS BIGINT) AS rank FROM scored
-         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "sim_ivf_topk" -> ivfOracleSql,
+
+    // identical semantics by construction: the int8 tier's coarse error is
+    // margin-absorbed and the exact-decimal decider sees full precision,
+    // so the same oracle must hash-match
+    "sim_ivf_int8_topk" -> ivfOracleSql,
 
     "sim_multiprobe_topk" -> {
       // probe set = own bucket UNION the nBits=4 flip-one-bit neighbors

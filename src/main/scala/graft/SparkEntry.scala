@@ -305,13 +305,19 @@ object SparkEntry {
     // the watermark. Runs the REAL IngestJob.overlapMerge + IdAssign.
     "ntp_ingest_overlap_roundtrip" -> ((s, dir) => {
       val v = versionsDf(s, dir)
+      // persisted: the query runs three actions (watermark collect,
+      // zipWithIndex's partition-size job, the final materialize), and
+      // each would otherwise re-run the resolveLatest window and the
+      // classification join from the scan
       val exi = Versions.resolveLatest(v.filter(col("ok") % 3 =!= 0), "nk", "_id", "updated")
         .withColumn("updated_arr", array(col("updated")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val inc = v.filter(col("ok") % 3 === 0)
         .select(col("nk"), col("ok"), col("updated"), col("status"))
         .withColumn("updated_arr", array(col("updated")))
         .withColumn("updated_key", col("updated"))
-      val (merged, fresh, _) = graft.pipeline.IngestJob.overlapMerge(exi, inc, "nk")
+      val (merged, fresh0, _) = graft.pipeline.IngestJob.overlapMerge(exi, inc, "nk")
+      val fresh = fresh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val mergedOut = merged.select(col("_id"), col("nk"), lit("merged").as("origin"),
         array_join(col("updated_arr"), ",").as("timeline"),
         col("status").as("status_out"), col("ok").as("ok_out"))

@@ -269,6 +269,53 @@ object Similarity {
       .select(col("qid"), col("cid"), col("rank").cast("long").as("rank"))
   }
 
+  /** Int8-quantized IVF top-k — the memory-bandwidth tier of the ANN
+    * stack. The inverted lists store only the affine int8 codes
+    * (`array<tinyint>` + lo/hi — 1 byte per component, 4x smaller than
+    * the float vectors in shuffle and cache), the probe join coarse-scores
+    * with the compiled byte-dot kernel
+    * ([[graft.functions.DotByteFloat]]: dot(x', q) = lo*sum(q) +
+    * scale*sum((code+128)*q)), and ONLY the per-query margin survivors
+    * join back to the full-precision vectors for the exact-decimal
+    * decider. At scale this is the standard IVF-SQ8 layout: the big join
+    * never touches a float vector, and the float fetch is k+margin rows
+    * per query, not candidate-list-sized.
+    *
+    * Results match [[ivfTopK]] whenever the margin absorbs the
+    * quantization error of the coarse ranking (error per dot is bounded
+    * by `sum|q_i| * scale/2`, scale = (hi-lo)/255 — about 0.2% of the dot
+    * magnitude for unit-normalized inputs, far inside a 5k margin).
+    */
+  def ivfTopKInt8(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+                  k: Int, nList: Int, nProbe: Int): DataFrame = {
+    val cents = ivfCentroids(corpus, idCol, vecCol, nList)
+    // the materialized inverted lists: id, cell, lo/hi + tinyint codes
+    val q8 = quantizeInt8(col(vecCol))
+    val lists = corpus.select(col(idCol).as("cid"),
+      ivfCell(col(vecCol), cents).as("cell"),
+      q8.getField("lo").as("lo"), q8.getField("hi").as("hi"),
+      q8.getField("codes").cast("array<tinyint>").as("codes"))
+    // query-side scan: sum(q) once per query row; probed cells exploded
+    val qsum = aggregate(col(vecCol), lit(0.0), (acc, x) => acc + x.cast("double"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"), qsum.as("qsum"),
+      explode(ivfProbeCells(col(vecCol), cents, nProbe)).as("cell"))
+    val approxDot = col("lo") * col("qsum") +
+      ((col("hi") - col("lo")) / 255.0) *
+        graft.functions.DotByteFloat.dot_byte_float(col("codes"), col("qv"))
+    val margin = math.max(5 * k, k + 20)
+    val wf = Window.partitionBy(col("qid")).orderBy(approxDot.desc, col("cid").asc)
+    val survivors = q.join(lists, Seq("cell")).filter(col("qid") =!= col("cid"))
+      .withColumn("frank", row_number().over(wf)).filter(col("frank") <= margin)
+      .select(col("qid"), col("qv"), col("cid"))
+    // full-precision fetch for the survivors only; exact decimal decides
+    val full = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(dotExactDec(col("qv"), col("cv")).desc, col("cid").asc)
+    survivors.join(full, Seq("cid"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("rank").cast("long").as("rank"))
+  }
+
   /** Per-vector affine int8 quantization — the storage/memory lever for
     * 100 TB ANN: codes = round((x - min) * 255 / (max - min)) - 128, so a
     * 64-float embedding becomes 64 bytes + two doubles (4x smaller in

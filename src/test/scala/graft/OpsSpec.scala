@@ -187,6 +187,37 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("int8-quantized IVF matches full-precision IVF; lists carry tinyint codes") {
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, (0 until 64).map(j => (math.sin(i * 64 + j) / 2).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") % 12 === 0)
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "cid", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // identical top-k: the margin absorbs the <=scale/2-per-component
+    // coarse error, the exact-decimal decider sees full precision
+    val full = res(Similarity.ivfTopK(vecs, queries, "vec_id", "embedding", 5, 8, 3))
+    val int8 = res(Similarity.ivfTopKInt8(vecs, queries, "vec_id", "embedding", 5, 8, 3))
+    assert(int8 == full)
+    // the inverted-list layout this tier shuffles is 1-byte codes
+    val codesType = Similarity.quantizeInt8(col("embedding")).getField("codes")
+      .cast("array<tinyint>")
+    val probe = vecs.select(codesType.as("codes"))
+    assert(probe.schema("codes").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType))
+    // byte-dot kernel agrees with the affine decomposition ground truth
+    val row = vecs.filter(col("vec_id") === 1).select(
+      graft.functions.DotByteFloat.dot_byte_float(codesType, col("embedding")).as("bd"),
+      Similarity.quantizeInt8(col("embedding")).as("q8"), col("embedding"))
+      .collect().head
+    val emb = row.getAs[scala.collection.Seq[Float]]("embedding")
+    val q8 = row.getAs[org.apache.spark.sql.Row]("q8")
+    val codes = q8.getAs[scala.collection.Seq[Int]]("codes")
+    val expected = codes.zip(emb).map { case (c, x) => (c + 128) * x.toDouble }.sum
+    assert(math.abs(row.getAs[Double]("bd") - expected) < 1e-9)
+  }
+
   test("multi-probe bucketed ANN recalls a superset of single-probe candidates") {
     val vecs = (0 until 48).map { i =>
       (i.toLong, (0 until 64).map(j => (math.sin(i * 64 + j) / 2).toFloat))
