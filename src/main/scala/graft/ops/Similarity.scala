@@ -137,8 +137,11 @@ object Similarity {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"), bc.as("__b"))
       .select(col("qid"), col("qv"),
         explode(array_distinct(array(col("__b") +: flips: _*))).as("bucket"))
+    // no distinct needed: a corpus vector lives in exactly ONE bucket and
+    // the probe set is de-duplicated before the join, so (qid, cid) pairs
+    // are unique by construction — a distinct here would shuffle the full
+    // vector payloads once more for nothing
     val scored = q.join(c, Seq("bucket")).filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), col("qv"), col("cv")).distinct()
       .select(col("qid"), col("cid"), cosine(col("qv"), col("cv")).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -162,8 +165,10 @@ object Similarity {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"), bc.as("__b"))
       .select(col("qid"), col("qv"),
         explode(array_distinct(array(col("__b") +: flips: _*))).as("bucket"))
+    // (qid, cid) unique by construction (one bucket per corpus vector,
+    // de-duplicated probe set) — no distinct, no extra vector shuffle
     val cands = q.join(c, Seq("bucket")).filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("qv"), col("cid"), col("cv")).distinct()
+      .select(col("qid"), col("qv"), col("cid"), col("cv"))
     val margin = math.max(5 * k, k + 20)
     val wf = Window.partitionBy(col("qid")).orderBy(dotFast(col("qv"), col("cv")).desc, col("cid").asc)
     val w = Window.partitionBy(col("qid"))
