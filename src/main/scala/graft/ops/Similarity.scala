@@ -312,11 +312,14 @@ object Similarity {
     val survivors = q.join(lists, Seq("cell")).filter(col("qid") =!= col("cid"))
       .withColumn("frank", row_number().over(wf)).filter(col("frank") <= margin)
       .select(col("qid"), col("qv"), col("cid"))
-    // full-precision fetch for the survivors only; exact decimal decides
+    // full-precision fetch for the survivors only; exact decimal decides.
+    // The survivor set is k+margin rows per query — broadcast it against
+    // the corpus scan (same small-queries contract as bruteTopK) so the
+    // float vectors are never shuffled, only scanned in place.
     val full = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(dotExactDec(col("qv"), col("cv")).desc, col("cid").asc)
-    survivors.join(full, Seq("cid"))
+    full.join(broadcast(survivors), Seq("cid"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("qid"), col("cid"), col("rank").cast("long").as("rank"))
   }
