@@ -1,7 +1,9 @@
 package graft.cli
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
+import graft.core.NtpIds
 import graft.lake.LakeTable
 import graft.pipeline.{HarvestJobs, IngestJob}
 import graft.sources.Sources
@@ -97,7 +99,25 @@ object Main {
         case Some(o) => manifest.coalesce(1).write.mode("overwrite").csv(o)
         case None => println(s"[cli] sync manifest: ${manifest.count()} ops")
       }
+    case "purge" =>
+      // purge_documents entry point (K7): move blobs of obsolete records
+      // storage -> backup (delete after copy); --recover_backup inverts;
+      // --dry_run reports the manifest without touching bytes
+      val lake = spark.read.parquet(arg(args, "--lake").get)
+      val storageDir = arg(args, "--storage").get
+      val recover = flag(args, "--recover_backup")
+      // the manifest is derived from the SOURCE of the move: the live
+      // storage for a purge, the backup store for a recover
+      val listing = Sources.listStorage(spark,
+        if (recover) arg(args, "--backup").get else storageDir)
+      val obsolete = lake.filter(col("obsolete_version") === true)
+        .filter(NtpIds.inRange(col("_id"), arg(args, "--ini"), arg(args, "--fin")))
+        .select(col("_id").as("ntp_id"))
+      val result = HarvestJobs.purge(listing, obsolete, storageDir,
+        arg(args, "--backup").get,
+        dryRun = flag(args, "--dry_run"), recover = recover)
+      println(s"[cli] purge: ${result.filter(col("ok")).count()} blobs moved")
     case other =>
-      println(s"usage: ingest|summary|harvest|sync (got '$other')")
+      println(s"usage: ingest|summary|harvest|sync|compact|purge (got '$other')")
   }
 }

@@ -122,6 +122,29 @@ class IngestSpec extends AnyFunSuite {
     assert(sum.filter(col("status") === "(all)").collect().head.getAs[Long]("n") == 2L)
   }
 
+  test("cli.Main: purge moves obsolete blobs to backup, recover restores (K7 §7.7)") {
+    val tmp = java.nio.file.Files.createTempDirectory("cli-purge").toString
+    // lake with one active and one obsolete version
+    Seq(("ntp00000001", null.asInstanceOf[java.lang.Boolean]),
+        ("ntp00000002", java.lang.Boolean.TRUE))
+      .toDF("_id", "obsolete_version").write.parquet(tmp + "/lake")
+    // blob store: one file per id
+    val store = new graft.lake.BlobStore(spark, tmp + "/storage")
+    store.store("ntp00000001_doc.pdf", "keep".getBytes)
+    store.store("ntp00000002_doc.pdf", "purge".getBytes)
+    graft.cli.Main.run(spark, "purge", Array("--lake", tmp + "/lake",
+      "--storage", tmp + "/storage", "--backup", tmp + "/backup"))
+    assert(store.exists("ntp00000001_doc.pdf"))      // active blob untouched
+    assert(!store.exists("ntp00000002_doc.pdf"))     // obsolete moved out
+    val backup = new graft.lake.BlobStore(spark, tmp + "/backup")
+    assert(new String(backup.read("ntp00000002_doc.pdf")) == "purge")
+    // recover copies it back (backup kept)
+    graft.cli.Main.run(spark, "purge", Array("--lake", tmp + "/lake",
+      "--storage", tmp + "/storage", "--backup", tmp + "/backup", "--recover_backup"))
+    assert(new String(store.read("ntp00000002_doc.pdf")) == "purge")
+    assert(backup.exists("ntp00000002_doc.pdf"))
+  }
+
   test("StorageSync.reconcile: ADD/DEL/KEEP partition of listings (X1-X3)") {
     val origin = Seq("a.pdf", "b.pdf", "c.pdf").toDF("name")
     val dest = Seq("b.pdf", "d.pdf").toDF("name")
