@@ -60,8 +60,8 @@ object ColumnMapping {
     val (nested, flat) = df.columns.partition(_.contains("/"))
     val groups = nested.groupBy(_.split("/", 2)(0)).toSeq.sortBy(_._1)
     val structCols = groups.map { case (parent, cols) =>
-      struct(cols.sorted.map(c => col(s"`$c`").as(c.split("/", 2)(1))): _*).as(parent)
+      struct(cols.sorted.toIndexedSeq.map(c => col(s"`$c`").as(c.split("/", 2)(1))): _*).as(parent)
     }
-    df.select(flat.map(c => col(s"`$c`")) ++ structCols: _*)
+    df.select(flat.toIndexedSeq.map(c => col(s"`$c`")) ++ structCols: _*)
   }
 }

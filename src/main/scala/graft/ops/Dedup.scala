@@ -200,7 +200,7 @@ object Dedup {
     val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def tracked(df: DataFrame): (DataFrame, Set[Int]) = {
-      val maxBefore = (sc.getPersistentRDDs.keySet + Int.MinValue).max
+      val maxBefore = sc.getPersistentRDDs.keySet.maxOption.getOrElse(Int.MinValue)
       val cp = df.localCheckpoint(eager = true)
       (cp, sc.getPersistentRDDs.keySet.filter(_ > maxBefore).toSet)
     }

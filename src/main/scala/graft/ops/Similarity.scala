@@ -204,6 +204,7 @@ object Similarity {
     corpus.orderBy(col(idCol)).limit(nList)
       .select(col(idCol).cast("long"), col(vecCol))
       .collect()
+      .toIndexedSeq
       .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
 
   /** The `m` best centroids for a vector as a decimal-ranked struct

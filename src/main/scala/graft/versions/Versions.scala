@@ -151,7 +151,7 @@ object Versions {
       * under (concurrent resolveChains calls are unsupported).
       */
     def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-      val maxBefore = (sc.getPersistentRDDs.keySet + Int.MinValue).max
+      val maxBefore = sc.getPersistentRDDs.keySet.maxOption.getOrElse(Int.MinValue)
       val cp = df.localCheckpoint(eager = true)
       (cp, sc.getPersistentRDDs.keySet.filter(_ > maxBefore).toSet)
     }
