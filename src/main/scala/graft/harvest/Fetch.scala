@@ -89,13 +89,27 @@ object Fetch {
     * tested against an in-process HTTP server (the sandbox has no
     * egress, so the default everywhere else stays the stub).
     */
+  /** One HttpClient per executor JVM per timeout config, resolved through
+    * the (static, never-serialized) companion — the fetcher lambda closes
+    * only over `timeoutMs`/`maxRedirects`. A client captured in the
+    * closure directly would make the fetcher non-serializable as soon as
+    * it was invoked once on the driver (the initialized LazyRef holds the
+    * jdk client), and would build one client (with never-shut-down
+    * selector threads) per task instead of per JVM.
+    */
+  private val clientCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, java.net.http.HttpClient]()
+  private def clientFor(timeoutMs: Long): java.net.http.HttpClient =
+    clientCache.computeIfAbsent(timeoutMs, t =>
+      java.net.http.HttpClient.newBuilder()
+        .followRedirects(java.net.http.HttpClient.Redirect.NEVER) // manual loop: the cap is OURS
+        .connectTimeout(java.time.Duration.ofMillis(t))
+        .build())
+
   def httpFetcher(timeoutMs: Long = 10000L, maxRedirects: Int = 30): String => FetchResult = {
-    lazy val client = java.net.http.HttpClient.newBuilder()
-      .followRedirects(java.net.http.HttpClient.Redirect.NEVER) // manual loop: the cap is OURS
-      .connectTimeout(java.time.Duration.ofMillis(timeoutMs))
-      .build()
     (url0: String) =>
       try {
+        val client = clientFor(timeoutMs)
         var url = url0
         var redirects = 0
         var metaHops = 0
@@ -118,7 +132,14 @@ object Fetch {
               if (ct.startsWith("text/html") && metaHops == 0)
                 metaRefreshTarget(url, new String(body, java.nio.charset.StandardCharsets.UTF_8))
               else ""
-            if (refresh.nonEmpty) { metaHops = 1; url = refresh }
+            // resolve document-relative targets against the page URL —
+            // same treatment the 3xx branch gives Location headers (an
+            // unresolved "next.pdf" would blow up URI parsing and turn a
+            // successful fetch into Status.Error)
+            if (refresh.nonEmpty) {
+              metaHops = 1
+              url = java.net.URI.create(url).resolve(refresh).toString
+            }
             else out = FetchResult(url0, Status.Ok, ct, body.length.toLong, cd)
           } else out = FetchResult(url0, Status.Error, "", 0L)
         }

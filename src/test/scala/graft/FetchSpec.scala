@@ -37,6 +37,8 @@ class FetchSpec extends AnyFunSuite {
     handle("/loop")(ex => redirect(ex, "/loop"))
     handle("/meta.html")(ex => ok(ex, "text/html",
       """<html><head><meta http-equiv="refresh" content="0; url=/doc.pdf"></head></html>""".getBytes))
+    handle("/meta_rel.html")(ex => ok(ex, "text/html",
+      """<html><head><meta http-equiv="refresh" content="0; url=doc.pdf"></head></html>""".getBytes))
     handle("/cd.bin")(ex => ok(ex, "application/octet-stream", "ZZ".getBytes,
       "Content-Disposition" -> "attachment; filename=\"informe.docx\""))
     handle("/gone")(ex => ex.sendResponseHeaders(404, -1))
@@ -65,6 +67,10 @@ class FetchSpec extends AnyFunSuite {
       // F16: one meta-refresh hop from the HTML body to the document
       val meta = f(s"$base/meta.html")
       assert(meta.status == Fetch.Status.Ok && meta.contentType == "application/pdf")
+      // a DOCUMENT-RELATIVE refresh target resolves against the page URL
+      // (an unresolved "doc.pdf" would fail URI parsing -> Error)
+      val metaRel = f(s"$base/meta_rel.html")
+      assert(metaRel.status == Fetch.Status.Ok && metaRel.contentType == "application/pdf")
 
       // content-disposition carried through for the F15 sniff
       val cd = f(s"$base/cd.bin")
@@ -80,8 +86,13 @@ class FetchSpec extends AnyFunSuite {
   test("fetchAll drives the real fetcher end-to-end with sniff + acceptance") {
     withServer { (_, base) =>
       val urls = Seq(s"$base/doc.pdf", s"$base/cd.bin", s"$base/gone").toDF("url")
+      // invoke the fetcher on the DRIVER first: a closure-captured client
+      // would make the initialized fetcher non-serializable and kill the
+      // mapPartitions job below (clients live in the per-JVM cache)
+      val fetcher = Fetch.httpFetcher(5000L)
+      assert(fetcher(s"$base/doc.pdf").status == Fetch.Status.Ok)
       val res = Fetch.fetchAll(urls, "url", hostPartitions = 2,
-          fetcher = Fetch.httpFetcher(5000L))
+          fetcher = fetcher)
         .select("url", "status", "doc_type", "accepted")
         .collect().map(r => r.getString(0).split('/').last ->
           (r.getString(1), r.getString(2), r.getBoolean(3))).toMap
