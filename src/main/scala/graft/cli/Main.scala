@@ -46,13 +46,19 @@ object Main {
           fs.delete(new org.apache.hadoop.fs.Path(lakePath + s), true))
       }
       // new lakes get the partitioned 100 TB layout (grp + nk-hash bucket,
-      // dynamic partition overwrite); a pre-existing unpartitioned lake
-      // keeps its layout and the staged full-rewrite path
+      // dynamic partition overwrite); a pre-existing lake is reopened with
+      // ITS persisted layout (partition cols AND bucket modulus from the
+      // _graft_layout marker — a different modulus would misclassify
+      // re-delivered keys); a pre-existing unpartitioned lake keeps the
+      // staged full-rewrite path
       val probe = new LakeTable(spark, lakePath, "_id")
-      val lake =
-        if (!probe.exists || probe.read.columns.contains("bucket"))
+      val lake = LakeTable.layoutOf(spark, lakePath) match {
+        case Some((pc, nb)) => new LakeTable(spark, lakePath, "_id", pc, nb)
+        case None if !probe.exists || probe.read.columns.contains("bucket") =>
+          // new lake, or a pre-marker partitioned lake (CLI-built = default modulus)
           new LakeTable(spark, lakePath, "_id", IngestJob.LakePartitionCols)
-        else probe
+        case None => probe
+      }
       val drop = spark.read.parquet(arg(args, "--in").get)
       // no mapping TSV -> identity-map every drop column (otherwise they
       // would all be "unknown" and land in the extra residue map)
@@ -82,11 +88,14 @@ object Main {
       // lake housekeeping after N incremental ingests: rewrite fragmented
       // partitions into target-size, key-sorted files (row-group pruning)
       val lakePath = arg(args, "--lake").get
-      val probe = new LakeTable(spark, lakePath, "_id")
-      val lake =
-        if (probe.exists && probe.read.columns.contains("bucket"))
-          new LakeTable(spark, lakePath, "_id", IngestJob.LakePartitionCols)
-        else probe
+      val lake = LakeTable.layoutOf(spark, lakePath) match {
+        case Some((pc, nb)) => new LakeTable(spark, lakePath, "_id", pc, nb)
+        case None => // pre-marker partitioned lakes fall back to the default layout
+          val probe = new LakeTable(spark, lakePath, "_id")
+          if (probe.exists && probe.read.columns.contains("bucket"))
+            new LakeTable(spark, lakePath, "_id", IngestJob.LakePartitionCols)
+          else probe
+      }
       val done = lake.compact(
         maxFilesPerPartition = arg(args, "--max-files").map(_.toInt).getOrElse(4),
         targetFileBytes = arg(args, "--target-bytes").map(_.toLong).getOrElse(128L << 20))

@@ -32,7 +32,34 @@ class LakeTable(spark: SparkSession, path: String, keyCol: String,
   def overwrite(df: DataFrame): Unit = {
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+    writeLayoutMarker()
   }
+
+  /** The physical-layout contract, persisted as an underscore-prefixed
+    * marker file Spark readers ignore. `bucket = hash(key) % nBuckets` is
+    * only meaningful if every writer uses the SAME modulus: a writer with
+    * a different nBuckets would look for re-delivered keys in the wrong
+    * bucket, classify them as fresh, and silently duplicate active
+    * versions. The marker makes the layout self-describing —
+    * `LakeTable.layoutOf` lets callers (the CLI does) reconstruct the
+    * right configuration, and `overwritePartitions` refuses to write
+    * incrementally under a mismatched one.
+    */
+  private val layoutMarker = "_graft_layout"
+  private def writeLayoutMarker(): Unit = if (partitionCols.nonEmpty) {
+    val out = fs.create(new org.apache.hadoop.fs.Path(path, layoutMarker), true)
+    try out.write(s"partitionCols=${partitionCols.mkString(",")}\nnBuckets=$nBuckets\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+  private def requireLayoutMatch(): Unit =
+    LakeTable.layoutOf(spark, path).foreach { case (pc, nb) =>
+      if (pc != partitionCols || nb != nBuckets)
+        throw new IllegalStateException(
+          s"lake at $path is laid out as (partitionCols=$pc, nBuckets=$nb) but this " +
+            s"writer was configured with (partitionCols=$partitionCols, nBuckets=$nBuckets); " +
+            "an incremental write under a mismatched bucket modulus would corrupt the merge")
+    }
 
   private def fs: org.apache.hadoop.fs.FileSystem =
     new org.apache.hadoop.fs.Path(path)
@@ -59,6 +86,7 @@ class LakeTable(spark: SparkSession, path: String, keyCol: String,
     fs.rename(cur, old)     // crash here: recover() restores from .old
     fs.rename(staging, cur) // crash here: recover() promotes .staging
     fs.delete(old, true)
+    writeLayoutMarker()     // the staged dir had no marker; restore it
   }
 
   /** Crash recovery for an interrupted `replace` or `overwritePartitions`:
@@ -84,9 +112,21 @@ class LakeTable(spark: SparkSession, path: String, keyCol: String,
     val pstaging = new org.apache.hadoop.fs.Path(path + ".pstaging")
     if (fs.exists(pstaging)) {
       val committed = fs.exists(new org.apache.hadoop.fs.Path(pstaging, "_SUCCESS"))
-      if (committed && fs.exists(cur))
-        landStaged(spark.read.parquet(path).schema) // live schema pins partition-col types
-      else fs.delete(pstaging, true)
+      val stagedHasData = committed && fs.listStatus(pstaging).exists(_.isDirectory)
+      if (stagedHasData && fs.exists(cur)) {
+        // schema from the STAGED footers — a batch may legitimately carry
+        // columns the live table lacks (ingest unions with
+        // allowMissingColumns), and landing with the live schema would
+        // silently project them away. Partition-col TYPES are still
+        // pinned from the live table so dir-name re-inference can't
+        // drift (string '01' -> int 1).
+        val staged = spark.read.parquet(pstaging.toString).schema
+        val live = spark.read.parquet(path).schema
+        val pinned = org.apache.spark.sql.types.StructType(staged.map(f =>
+          if (partitionCols.contains(f.name)) live.find(_.name == f.name).getOrElse(f)
+          else f))
+        landStaged(pinned)
+      } else fs.delete(pstaging, true)
     }
   }
 
@@ -109,6 +149,7 @@ class LakeTable(spark: SparkSession, path: String, keyCol: String,
     require(partitionCols.nonEmpty, "overwritePartitions needs a partitioned layout")
     recover()
     if (!exists) { overwrite(newState); return }
+    requireLayoutMatch()
     val staging = new org.apache.hadoop.fs.Path(path + ".pstaging")
     fs.delete(staging, true)
     newState.write.mode(SaveMode.Overwrite)
@@ -184,10 +225,28 @@ class LakeTable(spark: SparkSession, path: String, keyCol: String,
     // shuffle keys, so the writer emits ≈nOut files for it
     import org.apache.spark.sql.Row
     val rootQ = fs.makeQualified(root).toString
+    // dir segments are Hive-escaped (%XX) and nulls land in the default
+    // partition dir — decode both so the value join below matches what
+    // the scan surfaces, else escaped/null partitions would be silently
+    // skipped while still being reported as compacted
+    def unescapeHive(s: String): String = {
+      val sb = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 3 <= s.length) {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
     val nOutRows = over.map { case (d, bytes) =>
       // partition values parsed from the dir path (col=value segments)
       val segs = fs.makeQualified(d).toString.stripPrefix(rootQ).split("/").filter(_.nonEmpty)
-      val vals = segs.map(_.split("=", 2)(1))
+      val vals = segs.map(_.split("=", 2)(1)).map {
+        case "__HIVE_DEFAULT_PARTITION__" => null
+        case v => unescapeHive(v)
+      }
       Row.fromSeq(vals.toSeq :+ math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt)
     }
     val pcSchema = org.apache.spark.sql.types.StructType(
@@ -196,7 +255,9 @@ class LakeTable(spark: SparkSession, path: String, keyCol: String,
         org.apache.spark.sql.types.StructField("__nout", org.apache.spark.sql.types.IntegerType))
     val nOutDf = broadcast(spark.createDataFrame(
       spark.sparkContext.parallelize(nOutRows.toSeq, 1), pcSchema))
-    val joinCond = partitionCols.map(c => col(c).cast("string") === col(s"__p_$c"))
+    // null-safe equality: a null partition value must match its parsed
+    // null marker row
+    val joinCond = partitionCols.map(c => col(c).cast("string") <=> col(s"__p_$c"))
       .reduce(_ && _)
     val salted = touched.join(nOutDf, joinCond)
       .withColumn("__salt", pmod(hash(col(keyCol)), col("__nout")))
@@ -258,4 +319,30 @@ class LakeTable(spark: SparkSession, path: String, keyCol: String,
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(path + ".summary")
 
   def readSummary: DataFrame = spark.read.parquet(path + ".summary")
+}
+
+object LakeTable {
+
+  /** Read the persisted layout contract of a lake table:
+    * Some((partitionCols, nBuckets)) if the marker is present, None for
+    * pre-marker or unpartitioned tables. Callers reconstructing a
+    * LakeTable for an existing lake (the CLI does) should prefer this
+    * over assuming a default bucket count.
+    */
+  def layoutOf(spark: SparkSession, path: String): Option[(Seq[String], Int)] = {
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_layout")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try org.apache.commons.io.IOUtils.toString(in,
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      val kv = text.linesIterator.filter(_.contains("="))
+        .map { l => val Array(k, v) = l.split("=", 2); k -> v }.toMap
+      for {
+        pc <- kv.get("partitionCols")
+        nb <- kv.get("nBuckets")
+      } yield (pc.split(",").toSeq, nb.trim.toInt)
+    }
+  }
 }

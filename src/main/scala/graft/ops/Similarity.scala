@@ -125,22 +125,33 @@ object Similarity {
     * per side on the bucket key; the query side explodes BEFORE the join
     * so AQE sees the real key distribution).
     */
-  def bucketedTopKMultiProbe(corpus: DataFrame, queries: DataFrame, idCol: String,
-                             vecCol: String, k: Int, nBits: Int, dim: Int): DataFrame = {
+  /** The multi-probe query side, shared by the cosine and exact-decimal
+    * variants: per-id-unique queries, each exploded to its own bucket
+    * plus every flip-one-bit neighbor. dropDuplicates on the id (not a
+    * distinct on candidate rows) keeps (qid, cid) pairs unique by
+    * construction — a corpus vector lives in exactly ONE bucket and the
+    * probe set is de-duplicated before the join — so no post-join
+    * distinct shuffling full vector payloads is ever needed.
+    */
+  private def multiProbeQueries(queries: DataFrame, idCol: String, vecCol: String,
+                                nBits: Int, dim: Int): DataFrame = {
     val bc = hyperplaneBucket(col(vecCol), nBits, dim)
-    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"), bc.as("bucket"))
     val flips = (0 until nBits).map { j =>
       val b = col("__b")
       val flipped = when(substring(b, j + 1, 1) === "1", lit("0")).otherwise(lit("1"))
       concat(substring(b, 1, j), flipped, substring(b, j + 2, nBits - j - 1))
     }
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"), bc.as("__b"))
+    queries.dropDuplicates(idCol)
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"), bc.as("__b"))
       .select(col("qid"), col("qv"),
         explode(array_distinct(array(col("__b") +: flips: _*))).as("bucket"))
-    // no distinct needed: a corpus vector lives in exactly ONE bucket and
-    // the probe set is de-duplicated before the join, so (qid, cid) pairs
-    // are unique by construction — a distinct here would shuffle the full
-    // vector payloads once more for nothing
+  }
+
+  def bucketedTopKMultiProbe(corpus: DataFrame, queries: DataFrame, idCol: String,
+                             vecCol: String, k: Int, nBits: Int, dim: Int): DataFrame = {
+    val bc = hyperplaneBucket(col(vecCol), nBits, dim)
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"), bc.as("bucket"))
+    val q = multiProbeQueries(queries, idCol, vecCol, nBits, dim)
     val scored = q.join(c, Seq("bucket")).filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), cosine(col("qv"), col("cv")).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
@@ -157,25 +168,9 @@ object Similarity {
                           vecCol: String, k: Int, nBits: Int, dim: Int): DataFrame = {
     val bc = hyperplaneBucket(col(vecCol), nBits, dim)
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"), bc.as("bucket"))
-    val flips = (0 until nBits).map { j =>
-      val b = col("__b")
-      val flipped = when(substring(b, j + 1, 1) === "1", lit("0")).otherwise(lit("1"))
-      concat(substring(b, 1, j), flipped, substring(b, j + 2, nBits - j - 1))
-    }
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"), bc.as("__b"))
-      .select(col("qid"), col("qv"),
-        explode(array_distinct(array(col("__b") +: flips: _*))).as("bucket"))
-    // (qid, cid) unique by construction (one bucket per corpus vector,
-    // de-duplicated probe set) — no distinct, no extra vector shuffle
-    val cands = q.join(c, Seq("bucket")).filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("qv"), col("cid"), col("cv"))
-    val margin = math.max(5 * k, k + 20)
-    val wf = Window.partitionBy(col("qid")).orderBy(dotFast(col("qv"), col("cv")).desc, col("cid").asc)
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(dotExactDec(col("qv"), col("cv")).desc, col("cid").asc)
-    cands.withColumn("frank", row_number().over(wf)).filter(col("frank") <= margin)
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("qid"), col("cid"), col("rank").cast("long").as("rank"))
+    val q = multiProbeQueries(queries, idCol, vecCol, nBits, dim)
+    exactTopKTail(q.join(c, Seq("bucket")).filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("qv"), col("cid"), col("cv")), k)
   }
 
   /** Embedding-cosine near-duplicate pairs: all (a<b) pairs in the same
@@ -261,18 +256,10 @@ object Similarity {
       ivfCell(col(vecCol), cents).as("cell"))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
       explode(ivfProbeCells(col(vecCol), cents, nProbe)).as("cell"))
-    // coarse pass with the codegen'd double dot over every probed
-    // candidate, generous margin (same error argument as bruteTopKExact);
-    // the per-candidate decimal accumulation — one BigDecimal alloc per
-    // element per pair — runs only on the margin survivors
-    val margin = math.max(5 * k, k + 20)
-    val wf = Window.partitionBy(col("qid")).orderBy(dotFast(col("qv"), col("cv")).desc, col("cid").asc)
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(dotExactDec(col("qv"), col("cv")).desc, col("cid").asc)
-    q.join(c, Seq("cell")).filter(col("qid") =!= col("cid"))
-      .withColumn("frank", row_number().over(wf)).filter(col("frank") <= margin)
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("qid"), col("cid"), col("rank").cast("long").as("rank"))
+    // shared decider tail: compiled-dot coarse margin, decimal decides —
+    // the per-candidate decimal accumulation (one BigDecimal alloc per
+    // element per pair) runs only on the margin survivors
+    exactTopKTail(q.join(c, Seq("cell")).filter(col("qid") =!= col("cid")), k)
   }
 
   /** Int8-quantized IVF top-k — the memory-bandwidth tier of the ANN
@@ -287,10 +274,15 @@ object Similarity {
     * never touches a float vector, and the float fetch is k+margin rows
     * per query, not candidate-list-sized.
     *
-    * Results match [[ivfTopK]] whenever the margin absorbs the
-    * quantization error of the coarse ranking (error per dot is bounded
-    * by `sum|q_i| * scale/2`, scale = (hi-lo)/255 — about 0.2% of the dot
-    * magnitude for unit-normalized inputs, far inside a 5k margin).
+    * Results match [[ivfTopK]] EXACTLY, not heuristically: the coarse
+    * score's distance from the true dot is bounded by the quantization
+    * error `sum|q_i| * scale/2` (scale = (hi-lo)/255) plus fp slack, so
+    * the gate keeps every candidate whose upper bound reaches the k-th
+    * best candidate's lower bound — a candidate cut here provably cannot
+    * be in the true top-k. On well-separated corpora that is ~k rows per
+    * query; on dense near-duplicate corpora it widens automatically to
+    * whatever correctness needs (a fixed rank margin would silently cut
+    * true neighbors there).
     */
   def ivfTopKInt8(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
                   k: Int, nList: Int, nProbe: Int): DataFrame = {
@@ -301,17 +293,28 @@ object Similarity {
       ivfCell(col(vecCol), cents).as("cell"),
       q8.getField("lo").as("lo"), q8.getField("hi").as("hi"),
       q8.getField("codes").cast("array<tinyint>").as("codes"))
-    // query-side scan: sum(q) once per query row; probed cells exploded
+    // query-side scan: sum(q) / sum|q| once per query row; cells exploded
     val qsum = aggregate(col(vecCol), lit(0.0), (acc, x) => acc + x.cast("double"))
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"), qsum.as("qsum"),
+    val qabs = aggregate(col(vecCol), lit(0.0), (acc, x) => acc + abs(x.cast("double")))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      qsum.as("qsum"), qabs.as("qabs"),
       explode(ivfProbeCells(col(vecCol), cents, nProbe)).as("cell"))
     val approxDot = col("lo") * col("qsum") +
       ((col("hi") - col("lo")) / 255.0) *
         graft.functions.DotByteFloat.dot_byte_float(col("codes"), col("qv"))
-    val margin = math.max(5 * k, k + 20)
-    val wf = Window.partitionBy(col("qid")).orderBy(approxDot.desc, col("cid").asc)
+    // per-candidate error bound: dequantization error scale/2 per
+    // component times sum|q_i|, plus fp slack for the double arithmetic
+    val err = col("qabs") * (col("hi") - col("lo")) / 510.0 + lit(1e-9)
+    val wq = Window.partitionBy(col("qid"))
+    val wlb = wq.orderBy((col("__ad") - col("__err")).desc, col("cid").asc)
     val survivors = q.join(lists, Seq("cell")).filter(col("qid") =!= col("cid"))
-      .withColumn("frank", row_number().over(wf)).filter(col("frank") <= margin)
+      .withColumn("__ad", approxDot).withColumn("__err", err)
+      .withColumn("__lbrank", row_number().over(wlb))
+      // L = the k-th best candidate's lower bound; anything whose upper
+      // bound misses L cannot beat k provably-better candidates
+      .withColumn("__kth",
+        max(when(col("__lbrank") === k, col("__ad") - col("__err"))).over(wq))
+      .filter(col("__lbrank") <= k || col("__ad") + col("__err") >= col("__kth"))
       .select(col("qid"), col("qv"), col("cid"))
     // full-precision fetch for the survivors only; exact decimal decides.
     // The survivor set is k+margin rows per query — broadcast it against
@@ -355,23 +358,30 @@ object Similarity {
     * disagrees with Spark's in the last bits). Used by the oracle-checked
     * queries; the cosine forms above are the general-purpose API.
     */
+  /** The shared decider tail of the exact ANN family: coarse-rank
+    * candidate rows (qid, qv, cid, cv) with the compiled double dot,
+    * keep a generous margin (the fp error <1e-12 cannot demote a true
+    * top-k pair below rank k+20 unless 20+ dots tie within 2e-12), then
+    * let the exact decimal ranking decide the final top-k. One place —
+    * brute, multi-probe and IVF all rank identically, so a tie-break or
+    * margin change cannot drift between tiers.
+    */
+  private def exactTopKTail(cands: DataFrame, k: Int): DataFrame = {
+    val margin = math.max(5 * k, k + 20)
+    val wf = Window.partitionBy(col("qid"))
+      .orderBy(dotFast(col("qv"), col("cv")).desc, col("cid").asc)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(dotExactDec(col("qv"), col("cv")).desc, col("cid").asc)
+    cands.withColumn("frank", row_number().over(wf)).filter(col("frank") <= margin)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("rank").cast("long").as("rank"))
+  }
+
   def bruteTopKExact(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
                      k: Int): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")))
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
-    // coarse pass: rank ALL pairs by the cheap double dot and keep a
-    // generous candidate margin; the fp error (<1e-12) cannot demote a
-    // true top-k pair below rank k+20 unless 20+ dots tie within 2e-12
-    val margin = math.max(5 * k, k + 20)
-    val wf = Window.partitionBy(col("qid")).orderBy(dotFast(col("qv"), col("cv")).desc, col("cid").asc)
-    val cands = q.join(c, col("qid") =!= col("cid"))
-      .withColumn("frank", row_number().over(wf))
-      .filter(col("frank") <= margin)
-    // exact pass: decimal-space ranking decides the final order
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(dotExactDec(col("qv"), col("cv")).desc, col("cid").asc)
-    cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("qid"), col("cid"), col("rank").cast("long").as("rank"))
+    exactTopKTail(q.join(c, col("qid") =!= col("cid")), k)
   }
 
   /** Cheap sequential-double dot for pre-filtering: |error| vs the exact

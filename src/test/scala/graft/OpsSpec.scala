@@ -218,6 +218,23 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(row.getAs[Double]("bd") - expected) < 1e-9)
   }
 
+  test("int8 IVF gate is error-bound-complete on a dense near-duplicate corpus") {
+    // every vector within quantization error of its neighbors: the coarse
+    // int8 scores all tie inside the error band, so a fixed rank margin
+    // would cut true top-k rows — the bound-aware gate must widen instead
+    val base = (0 until 64).map(j => (math.sin(j) / 2).toFloat)
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, base.updated(i % 64, base(i % 64) + i * 1e-4f))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") % 15 === 0)
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "cid", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = res(Similarity.ivfTopK(vecs, queries, "vec_id", "embedding", 5, 4, 2))
+    val int8 = res(Similarity.ivfTopKInt8(vecs, queries, "vec_id", "embedding", 5, 4, 2))
+    assert(int8 == full)
+  }
+
   test("multi-probe bucketed ANN recalls a superset of single-probe candidates") {
     val vecs = (0 until 48).map { i =>
       (i.toLong, (0 until 64).map(j => (math.sin(i * 64 + j) / 2).toFloat))

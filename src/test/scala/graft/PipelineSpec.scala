@@ -92,6 +92,27 @@ class PipelineSpec extends AnyFunSuite {
       .toSeq == Seq("a" -> 12, "b" -> 2))
   }
 
+  test("LakeTable layout marker: persisted, reconstructable, and enforced on incremental writes") {
+    val dir = Files.createTempDirectory("lake-layout").toString + "/t"
+    val lake = new LakeTable(spark, dir, "_id", partitionCols = Seq("pk"), nBuckets = 8)
+    lake.overwrite(Seq(("a", 1, 0)).toDF("_id", "v", "pk"))
+    // marker persisted and readable
+    assert(LakeTable.layoutOf(spark, dir).contains((Seq("pk"), 8)))
+    // replace() (staged swap) keeps the marker
+    lake.replace(Seq(("a", 2, 0)).toDF("_id", "v", "pk"))
+    assert(LakeTable.layoutOf(spark, dir).contains((Seq("pk"), 8)))
+    // a writer with a different modulus is refused on the incremental path
+    val wrong = new LakeTable(spark, dir, "_id", partitionCols = Seq("pk"), nBuckets = 1024)
+    intercept[IllegalStateException] {
+      wrong.overwritePartitions(Seq(("b", 3, 1)).toDF("_id", "v", "pk"))
+    }
+    // the matching writer proceeds
+    lake.overwritePartitions(Seq(("b", 3, 1)).toDF("_id", "v", "pk"))
+    assert(lake.read.count() == 2)
+    // Spark readers ignore the underscore-prefixed marker
+    assert(spark.read.parquet(dir).columns.toSet == Set("_id", "v", "pk"))
+  }
+
   test("LakeTable.compact: oversized partitions rewritten key-sorted, small ones' files untouched") {
     val dir = Files.createTempDirectory("lake-compact").toString + "/t"
     val lake = new LakeTable(spark, dir, "_id", partitionCols = Seq("pk"))
@@ -120,6 +141,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(inFile == inFile.sorted)
     // idempotent: below threshold now, nothing to do
     assert(lake.compact(maxFilesPerPartition = 4).isEmpty)
+  }
+
+  test("LakeTable.compact handles Hive-escaped and null partition values") {
+    val dir = Files.createTempDirectory("lake-compact-esc").toString + "/t"
+    val lake = new LakeTable(spark, dir, "_id", partitionCols = Seq("pk"))
+    // "a:b" escapes to a%3Ab in the directory name; null lands in the
+    // default partition — both must round-trip through compact's
+    // dir-parse -> value join
+    val rows = (0 until 32).map(i => (f"id$i%02d", i, if (i % 2 == 0) "a:b" else null))
+    lake.overwrite(rows.toDF("_id", "v", "pk").repartition(8))
+    val before = lake.read.orderBy("_id").collect().toSeq
+    val done = lake.compact(maxFilesPerPartition = 2)
+    assert(done.size == 2) // both partitions were fragmented and rewritten
+    assert(lake.read.orderBy("_id").collect().toSeq == before)
+    def files(sub: String): Int =
+      new java.io.File(s"$dir/$sub").listFiles.count(f =>
+        f.isFile && !f.getName.startsWith("_") && !f.getName.endsWith(".crc"))
+    assert(files("pk=a%3Ab") <= 2 && files("pk=__HIVE_DEFAULT_PARTITION__") <= 2)
   }
 
   test("LakeTable.compact on a flat table rewrites in place") {
