@@ -86,6 +86,39 @@ class PropertySpec extends AnyFunSuite {
       .collect().foreach(r => assert(r.getString(0) == r.getString(1)))
   }
 
+  test("hyperplaneBucket hybrid sign equals the pure-decimal form on random vectors") {
+    import graft.ops.Similarity
+    // the production bucket decides with the compiled double dot unless
+    // within 1e-6 of a hyperplane; this re-derives the ORIGINAL
+    // decimal-only form inline and asserts bit-identical buckets — the
+    // guarantee the 5e-13-vs-1e-6 margin argument claims
+    def decimalOnlyBucket(vec: org.apache.spark.sql.Column, nBits: Int, dim: Int) = {
+      val bits = Similarity.hyperplaneSigns(nBits, dim).map { sv =>
+        val signs = array(sv.map(lit): _*)
+        val dot = aggregate(
+          zip_with(vec, signs, (x, sg) => (x.cast("double") * sg).cast("decimal(25,15)")),
+          lit(BigDecimal(0)).cast("decimal(36,15)"),
+          (acc, p) => (acc + p).cast("decimal(36,15)"))
+        when(dot >= lit(BigDecimal(0)), lit("1")).otherwise(lit("0"))
+      }
+      concat(bits: _*)
+    }
+    val vecGen = Gen.listOfN(64, Gen.choose(-1000, 1000).map(_ / 1000.0f))
+    val vecs = samples(vecGen, 200).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val df = vecs.toDF("id", "v")
+      .select(col("id"),
+        graft.ops.Similarity.hyperplaneBucket(col("v"), 8, 64).as("hybrid"),
+        decimalOnlyBucket(col("v"), 8, 64).as("pure"))
+    assert(df.filter(col("hybrid") =!= col("pure")).count() == 0)
+    // near-boundary coverage: a vector orthogonal-ish to plane 0 (tiny
+    // dot) must still agree — this exercises the decimal fallback branch
+    val tiny = Seq((0L, (0 until 64).map(_ => 1e-9f))).toDF("id", "v")
+      .select(graft.ops.Similarity.hyperplaneBucket(col("v"), 8, 64).as("hybrid"),
+        decimalOnlyBucket(col("v"), 8, 64).as("pure"))
+      .collect().head
+    assert(tiny.getString(0) == tiny.getString(1))
+  }
+
   test("updatesOverlap is symmetric, reflexive, equals set-intersection (F21)") {
     val cases = samples(Gen.zip(tsListGen, tsListGen), 16)
     val df = cases.toDF("a", "b").select(col("a"), col("b"),
