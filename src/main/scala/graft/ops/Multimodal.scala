@@ -73,6 +73,38 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Resize shape: binary -> binary partition-batched transform with
+    * refreshed metadata — the remaining multimodal primitive (decode /
+    * feature-extract / frame-sample are above). The stub "scales" by
+    * keeping every k-th byte where k tracks the area ratio, so output
+    * size shrinks roughly like a real downscale and the result is
+    * deterministic; a real scaler (imageio / swscale) replaces only the
+    * loop body. One transform instance per partition, payloads stay
+    * opaque bytes end-to-end.
+    */
+  def resize(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("mime", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType)))
+    val rdd = media.select("media_id", "payload", "mime").rdd.mapPartitions { it =>
+      // scaler init would happen here, once per partition
+      it.map { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val (w, h, _) = decodeStub(payload)
+        val k = math.max(1, math.ceil(
+          (w.toLong * h) / math.max(1.0, targetW.toLong * targetH)).toInt)
+        val scaled = payload.indices.collect { case i if i % k == 0 => payload(i) }.toArray
+        Row(id, scaled, r.getString(2), targetW, targetH)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Frame-sampling shape for video-like payloads: split the payload into
     * fixed-size "frames" and keep every `stride`-th — pure byte slicing,
     * the real sampler swaps in at the same spot.

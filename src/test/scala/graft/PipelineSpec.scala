@@ -207,6 +207,17 @@ class PipelineSpec extends AnyFunSuite {
     // deterministic: same input -> same features
     val again = Multimodal.decodeAndFeaturize(media).orderBy("media_id").collect()
     assert(feats.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    // resize: binary -> binary with refreshed metadata; payload shrinks
+    // with the area ratio and the transform is deterministic
+    val resized = Multimodal.resize(media, 2, 2).orderBy("media_id").collect()
+    assert(resized.length == 2)
+    val r0 = resized.head
+    assert(r0.getAs[Int]("width") == 2 && r0.getAs[Int]("height") == 2)
+    assert(r0.getAs[Array[Byte]]("payload").length <= "hello world".getBytes("UTF-8").length)
+    val resizedAgain = Multimodal.resize(media, 2, 2).orderBy("media_id").collect()
+    def payloads(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getAs[Array[Byte]]("payload").toSeq).toSeq
+    assert(payloads(resized) == payloads(resizedAgain))
   }
 
   test("EventStreams: windowed aggregation over a stream matches batch (streaming)") {
