@@ -122,6 +122,34 @@ class IngestSpec extends AnyFunSuite {
     assert(sum.filter(col("status") === "(all)").collect().head.getAs[Long]("n") == 2L)
   }
 
+  test("cli.Main: ingest reopens an existing lake with ITS bucket modulus (layout marker)") {
+    val tmp = java.nio.file.Files.createTempDirectory("cli-layout").toString
+    val codes = Map("id" -> "id", "updated" -> "updated", "title" -> "title")
+    // lake created programmatically with a NON-default modulus
+    val lake8 = new graft.lake.LakeTable(spark, tmp + "/lake", "_id",
+      graft.pipeline.IngestJob.LakePartitionCols, nBuckets = 8)
+    val drop1 = Seq(("url/k1", "2024-01-01 10:00:00", "t1"),
+      ("url/k2", "2024-01-01 10:00:00", "t2")).toDF("id", "updated", "title")
+    graft.pipeline.IngestJob.run(spark, lake8, drop1, codes, "id", "updated", 0)
+    // re-delivery of k1 through the CLI: a writer assuming the default
+    // 1024 modulus would look in the wrong bucket, classify it fresh,
+    // and duplicate the active version — the marker prevents that
+    val drop2 = tmp + "/drop2.parquet"
+    Seq(("url/k1", "2024-02-01 10:00:00", "t1v2")).toDF("id", "updated", "title")
+      .write.parquet(drop2)
+    graft.cli.Main.run(spark, "ingest", Array("--in", drop2, "--lake", tmp + "/lake"))
+    val active = spark.read.parquet(tmp + "/lake")
+      .filter(col("obsolete_version").isNull)
+    assert(active.count() == 2) // still one active row per key — no duplication
+    assert(active.filter(col("id") === "url/k1").count() == 1)
+    // k1's timeline absorbed the re-delivery (overlap-merge ran, not a fresh insert)
+    val k1 = active.filter(col("id") === "url/k1").collect().head
+    assert(k1.getAs[String]("title") == "t1v2")
+    // and the bucket values still obey the ORIGINAL modulus
+    assert(spark.read.parquet(tmp + "/lake")
+      .filter(col("bucket") =!= pmod(hash(col("id")), lit(8))).count() == 0)
+  }
+
   test("cli.Main: purge moves obsolete blobs to backup, recover restores (K7 §7.7)") {
     val tmp = java.nio.file.Files.createTempDirectory("cli-purge").toString
     // lake with one active and one obsolete version
