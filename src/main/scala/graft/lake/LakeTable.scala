@@ -26,13 +26,64 @@ class LakeTable(spark: SparkSession, path: String, keyCol: String,
     new org.apache.hadoop.fs.Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
       .exists(new org.apache.hadoop.fs.Path(path))
 
-  def read: DataFrame = spark.read.parquet(path)
+  /** Every lake read is pinned to the PERSISTED table schema when one
+    * exists. A partition-scoped land can put a newly-evolved column into
+    * its touched buckets only; the lake's footers then disagree, and a
+    * plain `spark.read.parquet` samples ONE footer — whether the new
+    * column is visible would depend on file enumeration order. Pinning
+    * makes reads deterministic: evolved columns are always present, null
+    * for rows whose files predate them (parquet fills missing columns
+    * with null).
+    */
+  def read: DataFrame = persistedSchema match {
+    case Some(s) => spark.read.schema(s).parquet(path)
+    case None => spark.read.parquet(path) // pre-sidecar lake: unchanged behavior
+  }
 
   /** K3: truncate-and-load. */
   def overwrite(df: DataFrame): Unit = {
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
     writeLayoutMarker()
+    writeSchemaFile(new org.apache.hadoop.fs.Path(path), df.schema) // truncate resets the schema
+  }
+
+  /** The evolving table schema, persisted as an underscore-prefixed JSON
+    * sidecar (`StructType.json`) Spark readers ignore as data. Updated on
+    * every write; reads pin to it (see `read`).
+    */
+  private val schemaMarker = "_graft_schema"
+  private def writeSchemaFile(dir: org.apache.hadoop.fs.Path,
+                              schema: org.apache.spark.sql.types.StructType): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, schemaMarker), true)
+    try out.write(schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+  def persistedSchema: Option[org.apache.spark.sql.types.StructType] = {
+    val p = new org.apache.hadoop.fs.Path(path, schemaMarker)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try org.apache.commons.io.IOUtils.toString(in,
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      Some(org.apache.spark.sql.types.DataType.fromJson(text)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    }
+  }
+
+  /** Union the persisted schema with a batch's schema: existing fields
+    * keep their position and type (type stability wins over widening),
+    * genuinely new fields append as nullable. For a pre-sidecar lake the
+    * base is a one-time mergeSchema footer scan.
+    */
+  private def unionSchema(newSchema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    val base = persistedSchema.getOrElse(
+      if (exists) spark.read.option("mergeSchema", true).parquet(path).schema
+      else new org.apache.spark.sql.types.StructType())
+    val known = base.map(_.name).toSet
+    org.apache.spark.sql.types.StructType(
+      base ++ newSchema.filterNot(f => known(f.name)).map(_.copy(nullable = true)))
   }
 
   /** The physical-layout contract, persisted as an underscore-prefixed
@@ -46,8 +97,10 @@ class LakeTable(spark: SparkSession, path: String, keyCol: String,
     * incrementally under a mismatched one.
     */
   private val layoutMarker = "_graft_layout"
-  private def writeLayoutMarker(): Unit = if (partitionCols.nonEmpty) {
-    val out = fs.create(new org.apache.hadoop.fs.Path(path, layoutMarker), true)
+  private def writeLayoutMarker(): Unit = if (partitionCols.nonEmpty)
+    writeLayoutMarkerTo(new org.apache.hadoop.fs.Path(path))
+  private def writeLayoutMarkerTo(dir: org.apache.hadoop.fs.Path): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, layoutMarker), true)
     try out.write(s"partitionCols=${partitionCols.mkString(",")}\nnBuckets=$nBuckets\n"
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -82,11 +135,16 @@ class LakeTable(spark: SparkSession, path: String, keyCol: String,
     fs.delete(staging, true) // stale staging from an earlier crash mid-write
     val w = newState.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path + ".staging")
+    // markers are written INTO the staging dir before the rename swap, so
+    // they travel atomically with the data — a crash at any later point
+    // leaves a dir that is marker-complete whether recover() restores
+    // `.old` (was live, has its markers) or promotes `.staging`
+    if (partitionCols.nonEmpty) writeLayoutMarkerTo(staging)
+    writeSchemaFile(staging, newState.schema) // full rewrite: batch schema is authoritative
     fs.delete(old, true)
     fs.rename(cur, old)     // crash here: recover() restores from .old
     fs.rename(staging, cur) // crash here: recover() promotes .staging
     fs.delete(old, true)
-    writeLayoutMarker()     // the staged dir had no marker; restore it
   }
 
   /** Crash recovery for an interrupted `replace` or `overwritePartitions`:
@@ -108,6 +166,12 @@ class LakeTable(spark: SparkSession, path: String, keyCol: String,
         fs.rename(staging, cur)
         fs.delete(old, true)
       } else if (fs.exists(old)) fs.rename(old, cur)
+      // both promoted dirs normally carry their markers (written into
+      // .staging pre-rename); restore them for dirs staged by an older
+      // writer so a crash can never strip the layout contract
+      if (fs.exists(cur) && partitionCols.nonEmpty &&
+          !fs.exists(new org.apache.hadoop.fs.Path(cur, layoutMarker)))
+        writeLayoutMarker()
     }
     val pstaging = new org.apache.hadoop.fs.Path(path + ".pstaging")
     if (fs.exists(pstaging)) {
@@ -121,7 +185,7 @@ class LakeTable(spark: SparkSession, path: String, keyCol: String,
         // pinned from the live table so dir-name re-inference can't
         // drift (string '01' -> int 1).
         val staged = spark.read.parquet(pstaging.toString).schema
-        val live = spark.read.parquet(path).schema
+        val live = read.schema // pinned when a schema sidecar exists
         val pinned = org.apache.spark.sql.types.StructType(staged.map(f =>
           if (partitionCols.contains(f.name)) live.find(_.name == f.name).getOrElse(f)
           else f))
@@ -167,11 +231,18 @@ class LakeTable(spark: SparkSession, path: String, keyCol: String,
   private def landStaged(schema: org.apache.spark.sql.types.StructType): Unit = {
     val staging = new org.apache.hadoop.fs.Path(path + ".pstaging")
     val hasData = fs.listStatus(staging).exists(_.isDirectory)
-    if (hasData)
+    if (hasData) {
+      // evolve the persisted schema BEFORE the land: a crash between land
+      // and sidecar update would otherwise pin subsequent reads to a
+      // schema missing the just-landed columns (the exact silent-drop
+      // this sidecar exists to prevent). A sidecar naming a column no
+      // file carries yet is harmless — reads surface it as null.
+      writeSchemaFile(new org.apache.hadoop.fs.Path(path), unionSchema(schema))
       spark.read.schema(schema).parquet(staging.toString)
         .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partitionCols: _*).parquet(path)
+    }
     fs.delete(staging, true)
   }
 

@@ -162,6 +162,48 @@ class InvariantSpec extends AnyFunSuite {
     assert(dump(pLake.read.drop("grp", "bucket")) == dump(uLake.read))
   }
 
+  test("partitioned lake: a drop adding a NEW mapped column evolves the schema for every read") {
+    val base = Files.createTempDirectory("lake-schema").toString
+    val codes = Map("id" -> "id", "updated" -> "updated", "title" -> "title", "title2" -> "title2")
+    val lake = new LakeTable(spark, base + "/p", "_id", IngestJob.LakePartitionCols, nBuckets = 8)
+    val drop1 = (1 to 16).map(i => (s"url/k$i", "2024-01-01 10:00:00", s"t$i"))
+      .toDF("id", "updated", "title")
+    IngestJob.run(spark, lake, drop1, codes, "id", "updated", group = 0)
+
+    // second drop touches ONE key and carries a NEW mapped column: it
+    // lands physically in that key's bucket only, so without a persisted
+    // table schema a plain parquet read samples a footer that may lack it.
+    // Evolve via the key whose bucket dir sorts LAST, so footer sampling
+    // in listing order is guaranteed to meet an un-evolved file first.
+    val keyBuckets = (1 to 16).map { i =>
+      val k = s"url/k$i"
+      k -> spark.range(1).select(pmod(hash(lit(k)), lit(8)).cast("int")).collect().head.getInt(0)
+    }
+    val (evolKey, _) = keyBuckets.maxBy(_._2)
+    val (otherKey, _) = keyBuckets.minBy(_._2)
+    val drop2 = Seq((evolKey, "2024-02-01 10:00:00", "t1v2", "extra1"))
+      .toDF("id", "updated", "title", "title2")
+    IngestJob.run(spark, lake, drop2, codes, "id", "updated", group = 0)
+    val state = lake.read
+    assert(state.columns.contains("title2"),
+      s"lake read dropped the evolved column: ${state.columns.toSeq}")
+    assert(state.filter(col("id") === evolKey && col("obsolete_version").isNull)
+      .select("title2").collect().head.getString(0) == "extra1")
+    // every row outside the evolved one exposes the column as null
+    assert(state.filter(col("title2").isNull).count() == state.count() - 1)
+
+    // a third ingest touching a DIFFERENT bucket still sees (and carries)
+    // the evolved column through its scoped merge
+    val drop3 = Seq((otherKey, "2024-03-01 10:00:00", "t2v2")).toDF("id", "updated", "title")
+    IngestJob.run(spark, lake, drop3, codes, "id", "updated", group = 0)
+    val s3 = lake.read
+    assert(s3.columns.contains("title2"))
+    assert(s3.filter(col("id") === evolKey && col("obsolete_version").isNull)
+      .select("title2").collect().head.getString(0) == "extra1")
+    assert(s3.filter(col("id") === otherKey && col("obsolete_version").isNull)
+      .count() == 1)
+  }
+
   test("streaming CDC ingest converges to the batch double-ingest state") {
     import org.apache.spark.sql.types._
     val base = Files.createTempDirectory("lake-cdc").toString
