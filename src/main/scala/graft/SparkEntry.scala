@@ -305,19 +305,24 @@ object SparkEntry {
     // the watermark. Runs the REAL IngestJob.overlapMerge + IdAssign.
     "ntp_ingest_overlap_roundtrip" -> ((s, dir) => {
       val v = versionsDf(s, dir)
-      // persisted: the query runs three actions (watermark collect,
-      // zipWithIndex's partition-size job, the final materialize), and
-      // each would otherwise re-run the resolveLatest window and the
-      // classification join from the scan
+      // localCheckpoint, not persist: the query runs three actions
+      // (watermark collect, zipWithIndex's partition-size job, the final
+      // materialize), and each would otherwise re-run the resolveLatest
+      // window and the classification join from the scan. An explicit
+      // persist can't be unpersisted here — the caller materializes the
+      // returned frame AFTER this function returns — so it leaked a
+      // MEMORY_AND_DISK entry per invocation; checkpoint blocks are
+      // instead reclaimed by the ContextCleaner once the frame is
+      // unreachable (and the bench's between-query unpersist-all).
       val exi = Versions.resolveLatest(v.filter(col("ok") % 3 =!= 0), "nk", "_id", "updated")
         .withColumn("updated_arr", array(col("updated")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager = true)
       val inc = v.filter(col("ok") % 3 === 0)
         .select(col("nk"), col("ok"), col("updated"), col("status"))
         .withColumn("updated_arr", array(col("updated")))
         .withColumn("updated_key", col("updated"))
       val (merged, fresh0, _) = graft.pipeline.IngestJob.overlapMerge(exi, inc, "nk")
-      val fresh = fresh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val fresh = fresh0.localCheckpoint(eager = true)
       val mergedOut = merged.select(col("_id"), col("nk"), lit("merged").as("origin"),
         array_join(col("updated_arr"), ",").as("timeline"),
         col("status").as("status_out"), col("ok").as("ok_out"))

@@ -268,10 +268,15 @@ class LakeTable(spark: SparkSession, path: String, keyCol: String,
     val root = new org.apache.hadoop.fs.Path(path)
     // partition dirs sit partitionCols.length deep; a flat table is one
     // "partition" at the root
+    // skip metadata/scratch dirs (_temporary from a crashed plain
+    // overwrite, dotted scratch) exactly like the file filter below — a
+    // leftover _temporary dir has no 'col=value' segment and would abort
+    // the whole compaction at the segment parse
+    def isDataDir(n: String) = !n.startsWith("_") && !n.startsWith(".") && n.contains("=")
     def leafDirs(p: org.apache.hadoop.fs.Path, depth: Int): Seq[org.apache.hadoop.fs.Path] =
       if (depth == 0) Seq(p)
-      else fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
-        .flatMap(leafDirs(_, depth - 1)).toSeq
+      else fs.listStatus(p).filter(s => s.isDirectory && isDataDir(s.getPath.getName))
+        .map(_.getPath).flatMap(leafDirs(_, depth - 1)).toSeq
     val dirs = leafDirs(root, partitionCols.length)
     val over = dirs.flatMap { d =>
       val files = fs.listStatus(d).filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
@@ -300,23 +305,12 @@ class LakeTable(spark: SparkSession, path: String, keyCol: String,
     // partition dir — decode both so the value join below matches what
     // the scan surfaces, else escaped/null partitions would be silently
     // skipped while still being reported as compacted
-    def unescapeHive(s: String): String = {
-      val sb = new StringBuilder(s.length)
-      var i = 0
-      while (i < s.length) {
-        val c = s.charAt(i)
-        if (c == '%' && i + 3 <= s.length) {
-          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3
-        } else { sb.append(c); i += 1 }
-      }
-      sb.toString
-    }
     val nOutRows = over.map { case (d, bytes) =>
       // partition values parsed from the dir path (col=value segments)
       val segs = fs.makeQualified(d).toString.stripPrefix(rootQ).split("/").filter(_.nonEmpty)
       val vals = segs.map(_.split("=", 2)(1)).map {
         case "__HIVE_DEFAULT_PARTITION__" => null
-        case v => unescapeHive(v)
+        case v => LakeTable.unescapeHive(v)
       }
       Row.fromSeq(vals.toSeq :+ math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt)
     }
@@ -393,6 +387,31 @@ class LakeTable(spark: SparkSession, path: String, keyCol: String,
 }
 
 object LakeTable {
+
+  /** Decode a Hive-escaped partition-dir value. Hive escapes are per
+    * UTF-8 BYTE: consecutive %XX sequences are accumulated as bytes and
+    * decoded together, else a multi-byte (non-ASCII) value — possible in
+    * dirs written by external Hive writers — decodes to mojibake, the
+    * compact value-join matches nothing, and the partition is silently
+    * left fragmented while being reported as compacted.
+    */
+  private[graft] def unescapeHive(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    val bytes = new scala.collection.mutable.ArrayBuffer[Byte](8)
+    var i = 0
+    def flush(): Unit = if (bytes.nonEmpty) {
+      sb.append(new String(bytes.toArray, java.nio.charset.StandardCharsets.UTF_8))
+      bytes.clear()
+    }
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 3 <= s.length) {
+        bytes += Integer.parseInt(s.substring(i + 1, i + 3), 16).toByte; i += 3
+      } else { flush(); sb.append(c); i += 1 }
+    }
+    flush()
+    sb.toString
+  }
 
   /** Read the persisted layout contract of a lake table:
     * Some((partitionCols, nBuckets)) if the marker is present, None for

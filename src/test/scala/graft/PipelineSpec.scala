@@ -152,6 +152,9 @@ class PipelineSpec extends AnyFunSuite {
     val rows = (0 until 32).map(i => (f"id$i%02d", i, if (i % 2 == 0) "a:b" else null))
     lake.overwrite(rows.toDF("_id", "v", "pk").repartition(8))
     val before = lake.read.orderBy("_id").collect().toSeq
+    // a leftover scratch dir from a crashed plain overwrite must be
+    // skipped, not parsed as a 'col=value' partition segment
+    assert(new java.io.File(s"$dir/_temporary/0").mkdirs())
     val done = lake.compact(maxFilesPerPartition = 2)
     assert(done.size == 2) // both partitions were fragmented and rewritten
     assert(lake.read.orderBy("_id").collect().toSeq == before)
@@ -159,6 +162,14 @@ class PipelineSpec extends AnyFunSuite {
       new java.io.File(s"$dir/$sub").listFiles.count(f =>
         f.isFile && !f.getName.startsWith("_") && !f.getName.endsWith(".crc"))
     assert(files("pk=a%3Ab") <= 2 && files("pk=__HIVE_DEFAULT_PARTITION__") <= 2)
+  }
+
+  test("unescapeHive decodes per UTF-8 byte (multi-byte escapes from external Hive writers)") {
+    assert(LakeTable.unescapeHive("a%3Ab") == "a:b")
+    assert(LakeTable.unescapeHive("espa%C3%B1a") == "españa") // ñ = %C3%B1, one char
+    assert(LakeTable.unescapeHive("%E6%97%A5%E6%9C%AC") == "日本") // 3-byte sequences
+    assert(LakeTable.unescapeHive("plain") == "plain")
+    assert(LakeTable.unescapeHive("mix%2Fed%C3%A9s") == "mix/edés") // ascii + multi-byte runs
   }
 
   test("LakeTable.compact on a flat table rewrites in place") {
