@@ -340,18 +340,45 @@ class LakeTable(spark: SparkSession, path: String, keyCol: String,
 
   /** K1: upsert by key — keep every existing row whose key is NOT in the
     * update batch, union the batch, rewrite (staged: parquet has no
-    * MERGE). With partition columns and
-    * `partitionOverwriteMode=dynamic` only touched partitions rewrite.
+    * MERGE).
+    *
+    * Partition-scoped when the layout allows it: if the table is
+    * partitioned and the batch carries the partition columns, only the
+    * batch's touched partitions are read for the anti-join and only they
+    * are rewritten (`overwritePartitions`) — at 100 TB a batch touching
+    * 1% of the partitions moves 1% of the lake, not all of it. The
+    * scoping is semantically complete under the layout's standing
+    * contract: partition values are a stable function of the key (the
+    * ingest layout derives `grp`/`bucket` from the id), so a key's
+    * existing row always lives in the partition its update hashes to. A
+    * batch missing the partition columns falls back to the full staged
+    * rewrite.
     */
   def upsert(updates: DataFrame): Unit = {
     if (!exists) { overwrite(updates); return }
-    val merged = read.join(updates.select(keyCol).distinct(), Seq(keyCol), "left_anti")
+    val scoped = partitionCols.nonEmpty && partitionCols.forall(updates.columns.contains)
+    val existing =
+      if (scoped) {
+        // exact touched-partition predicate: one conjunct per partition
+        // tuple of the batch (null-safe; tuples are few — one collect of
+        // the batch's distinct partition values, like IngestJob's bucket
+        // scope). Prunes to the touched dirs at the scan.
+        val touched = updates.select(partitionCols.map(col): _*).distinct().collect()
+        val pred = touched.map(r =>
+          partitionCols.zipWithIndex.map { case (c, i) => col(c) <=> lit(r.get(i)) }
+            .reduce(_ && _)).reduceOption(_ || _).getOrElse(lit(false))
+        read.filter(pred)
+      } else read
+    val merged = existing.join(updates.select(keyCol).distinct(), Seq(keyCol), "left_anti")
       .unionByName(updates, allowMissingColumns = true)
-    replace(merged)
+    if (scoped) overwritePartitions(merged) else replace(merged)
   }
 
   /** K4: field-level update on a filtered subset (no point updates in
     * parquet — rewrite with the transform applied to matching rows).
+    * Rows read from a partitioned lake carry their partition columns, so
+    * a transform that keeps them gets the partition-scoped upsert path
+    * automatically; one that drops them falls back to the full rewrite.
     */
   def updateWhere(cond: org.apache.spark.sql.Column,
                   transform: DataFrame => DataFrame): Unit = {

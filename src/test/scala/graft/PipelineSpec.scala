@@ -113,6 +113,57 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).columns.toSet == Set("_id", "v", "pk"))
   }
 
+  test("LakeTable.upsert/updateWhere are partition-scoped: untouched partitions byte-identical") {
+    val base = Files.createTempDirectory("lake-upsert-scope").toString
+    val pLake = new LakeTable(spark, base + "/p", "_id", partitionCols = Seq("pk"))
+    val uLake = new LakeTable(spark, base + "/u", "_id") // flat twin = semantic oracle
+    val init = (0 until 16).map(i => (f"id$i%02d", i, i % 4)).toDF("_id", "v", "pk")
+    pLake.overwrite(init); uLake.overwrite(init)
+
+    def files(dir: String): Map[String, (Long, Long)] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      val b = Map.newBuilder[String, (Long, Long)]
+      while (it.hasNext) {
+        val s = it.next()
+        val rel = s.getPath.toString.stripPrefix(p.toString)
+        if (rel.contains("pk=")) b += rel -> (s.getLen, s.getModificationTime)
+      }
+      b.result()
+    }
+    def dump(lake: LakeTable) =
+      lake.read.select("_id", "v", "pk").orderBy("_id").collect().map(_.toString).toSeq
+
+    // upsert touching ONLY pk=1: one updated key, one brand-new key
+    val before = files(base + "/p")
+    val batch = Seq(("id01", 100, 1), ("id99", 99, 1)).toDF("_id", "v", "pk")
+    pLake.upsert(batch); uLake.upsert(batch)
+    val after = files(base + "/p")
+    def outside(m: Map[String, (Long, Long)]) = m.filterNot(_._1.contains("pk=1"))
+    assert(outside(before) == outside(after) && outside(before).nonEmpty)
+    assert(files(base + "/p").exists(_._1.contains("pk=1")))
+    assert(dump(pLake) == dump(uLake))
+    assert(pLake.read.filter(col("_id") === "id01").collect().head.getAs[Int]("v") == 100)
+    assert(pLake.read.count() == 17)
+
+    // updateWhere keeping the partition cols rides the same scoped path
+    val before2 = files(base + "/p")
+    val tf = (df: org.apache.spark.sql.DataFrame) => df.withColumn("v", col("v") + 1000)
+    pLake.updateWhere(col("pk") === 2, tf); uLake.updateWhere(col("pk") === 2, tf)
+    val after2 = files(base + "/p")
+    def outside2(m: Map[String, (Long, Long)]) = m.filterNot(_._1.contains("pk=2"))
+    assert(outside2(before2) == outside2(after2))
+    assert(dump(pLake) == dump(uLake))
+    assert(pLake.read.filter(col("pk") === 2 && col("v") < 1000).count() == 0)
+
+    // a batch that drops the partition column falls back to the full
+    // rewrite and still converges to the same state
+    val flatBatch = Seq(("id00", -1)).toDF("_id", "v")
+    pLake.upsert(flatBatch.withColumn("pk", lit(0))); uLake.upsert(flatBatch.withColumn("pk", lit(0)))
+    assert(dump(pLake) == dump(uLake))
+  }
+
   test("LakeTable.compact: oversized partitions rewritten key-sorted, small ones' files untouched") {
     val dir = Files.createTempDirectory("lake-compact").toString + "/t"
     val lake = new LakeTable(spark, dir, "_id", partitionCols = Seq("pk"))
