@@ -386,6 +386,36 @@ class LakeTable(spark: SparkSession, path: String, keyCol: String,
     upsert(transform(cur.filter(cond)))
   }
 
+  /** Small `key=value` properties sidecar stored next to the data
+    * (underscore-prefixed — data readers ignore it). Cheap operational
+    * state that would otherwise need a table scan to recompute: the
+    * ingest pipeline keeps its per-group id watermark here (A1), so a
+    * steady-state incremental drop reads a few bytes instead of every
+    * file of its id group. Missing sidecar == empty map — callers must
+    * treat that as "recompute from the data" (the crash-recovery
+    * fallback). Survives partition-scoped lands (root files are outside
+    * the dynamic-overwrite window) and is intentionally dropped by
+    * full-table truncate/replace, which invalidates derived state.
+    */
+  def readProps(name: String): Map[String, String] = {
+    val p = new org.apache.hadoop.fs.Path(path, name)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val text = try org.apache.commons.io.IOUtils.toString(in,
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      text.linesIterator.filter(_.contains("=")).map { l =>
+        val Array(k, v) = l.split("=", 2); k -> v
+      }.toMap
+    }
+  }
+  def writeProps(name: String, props: Map[String, String]): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(path, name), true)
+    try out.write(props.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+      .mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** F18/F19 patch log (reference: ntp_entry.py:30-46 merge_data diff,
     * OLD/process_place.py:115-157 patch records): append-only parquet of
     * field-level {added, modified} per merged id, stamped at write time.

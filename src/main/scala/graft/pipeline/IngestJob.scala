@@ -113,6 +113,24 @@ object IngestJob {
     */
   val LakePartitionCols: Seq[String] = Seq("grp", "bucket")
 
+  /** Per-group id-watermark sidecar (`next.<group> = <next order>`).
+    * The watermark scan (max `_id` of the group) is the one per-drop cost
+    * proportional to lake size in an otherwise touched-bucket-
+    * proportional path — at 100 TB it reads every file of `grp=0` (one
+    * column) on every incremental drop. The sidecar persists the next
+    * order instead; the scan remains as the fallback when the sidecar is
+    * absent (new lake, crash before the first sidecar commit, or a
+    * truncate/replace that dropped it).
+    *
+    * Crash protocol: the sidecar is committed BEFORE the land with the
+    * post-land value (`watermark + nFresh`), so there is no window where
+    * it under-states the ids actually on disk — a crash between commit
+    * and land leaves a harmless id gap, never a duplicate. IngestJob is
+    * the id issuer: writers adding `_id`s through other paths must drop
+    * the sidecar (truncate does) or keep it current.
+    */
+  val WatermarkSidecar = "_graft_watermarks"
+
   def run(spark: SparkSession, lake: LakeTable, drop: DataFrame,
           codes: Map[String, String], naturalId: String, updated: String,
           group: Int): Unit = {
@@ -138,14 +156,19 @@ object IngestJob {
     val base = if (group == 1) NtpIds.MinOrderMinors else 0L
     val groupPred =
       if (partitioned) col("grp") === group else NtpIds.group(col("_id")) === group
-    val watermark: Long =
+    // sidecar first (a few bytes), group-pruned column scan as fallback
+    val sidecarNext: Option[Long] =
+      if (partitioned && lake.exists)
+        lake.readProps(WatermarkSidecar).get(s"next.$group").map(_.toLong)
+      else None
+    val watermark: Long = sidecarNext.getOrElse(
       if (lake.exists)
         lake.read.filter(groupPred)
           .agg(max(NtpIds.parseNtpId(col("_id")))).collect().head match {
           case r if r.isNullAt(0) => base
           case r => r.getLong(0) + 1
         }
-      else base
+      else base)
 
     // Partition scope: a drop only ever touches the buckets its natural
     // keys hash to — every version of a key shares its bucket, so
@@ -215,7 +238,19 @@ object IngestJob {
       val stateP = state
         .withColumn("grp", NtpIds.group(col("_id")))
         .withColumn("bucket", bucketOf(col(naturalId)))
-      lake.overwritePartitions(stateP) // touched buckets only
+      // commit the advanced watermark; one drop-proportional count (the
+      // scoped classification, never the lake). Pre-land for an existing
+      // lake (see WatermarkSidecar's crash protocol); post-land for a
+      // brand-new one (writing the sidecar first would materialize the
+      // table dir early and break the exists-checks in the land path).
+      val next = s"next.$group" -> (watermark + fresh.count()).toString
+      if (lake.exists) {
+        lake.writeProps(WatermarkSidecar, lake.readProps(WatermarkSidecar) + next)
+        lake.overwritePartitions(stateP) // touched buckets only
+      } else {
+        lake.overwritePartitions(stateP)
+        lake.writeProps(WatermarkSidecar, Map(next))
+      }
     } else
       lake.replace(state) // state reads the current lake — staged swap, not in-place overwrite
   }

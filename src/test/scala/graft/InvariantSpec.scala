@@ -204,6 +204,48 @@ class InvariantSpec extends AnyFunSuite {
       .count() == 1)
   }
 
+  test("partitioned lake: per-group id watermark rides the sidecar, scan only as crash fallback") {
+    val base = Files.createTempDirectory("lake-wm").toString
+    val codes = Map("id" -> "id", "updated" -> "updated")
+    val lake = new LakeTable(spark, base + "/p", "_id", IngestJob.LakePartitionCols, nBuckets = 8)
+    def ingest(keys: String*): Unit = IngestJob.run(spark, lake,
+      keys.map(k => (k, "2024-01-01 10:00:00")).toDF("id", "updated"),
+      codes, "id", "updated", group = 0)
+    def orderOf(key: String): Long = lake.read.filter(col("id") === key)
+      .select(NtpIds.parseNtpId(col("_id"))).collect().head.getLong(0)
+    def scanNext: Long = lake.read.filter(col("grp") === 0)
+      .agg(max(NtpIds.parseNtpId(col("_id")))).collect().head.getLong(0) + 1
+
+    ingest("url/a", "url/b")
+    ingest("url/c")
+    // sidecar committed with the land and equal to the scan-derived next
+    assert(lake.readProps(IngestJob.WatermarkSidecar) == Map("next.0" -> "3"))
+    assert(scanNext == 3L)
+
+    // behavioral proof that steady state reads the sidecar, NOT the lake:
+    // tamper the sidecar upward; the next fresh key must start exactly
+    // there (a scan would have said 3)
+    lake.writeProps(IngestJob.WatermarkSidecar, Map("next.0" -> "42"))
+    ingest("url/d")
+    assert(orderOf("url/d") == 42L)
+    assert(lake.readProps(IngestJob.WatermarkSidecar) == Map("next.0" -> "43"))
+
+    // crash fallback: sidecar deleted -> watermark recomputed by scan
+    // (continues from the REAL max, 42), and the sidecar is rebuilt
+    val fs = new org.apache.hadoop.fs.Path(base + "/p")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base + "/p", IngestJob.WatermarkSidecar), false)
+    ingest("url/e")
+    assert(orderOf("url/e") == 43L)
+    assert(lake.readProps(IngestJob.WatermarkSidecar) == Map("next.0" -> "44"))
+
+    // a second group keeps its own independent entry
+    IngestJob.run(spark, lake,
+      Seq(("url/m1", "2024-01-01 10:00:00")).toDF("id", "updated"), codes, "id", "updated", group = 1)
+    val props = lake.readProps(IngestJob.WatermarkSidecar)
+    assert(props("next.0") == "44" && props("next.1") == (NtpIds.MinOrderMinors + 1).toString)
+  }
+
   test("streaming CDC ingest converges to the batch double-ingest state") {
     import org.apache.spark.sql.types._
     val base = Files.createTempDirectory("lake-cdc").toString
