@@ -20,7 +20,8 @@ import org.apache.spark.sql.functions._
   * does exactly that.
   */
 class LakeTable(spark: SparkSession, path: String, keyCol: String,
-                val partitionCols: Seq[String] = Nil, val nBuckets: Int = 1024) {
+                val partitionCols: Seq[String] = Nil, val nBuckets: Int = 1024,
+                val leaseStaleMs: Long = 60L * 60 * 1000) {
 
   def exists: Boolean =
     new org.apache.hadoop.fs.Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -41,7 +42,7 @@ class LakeTable(spark: SparkSession, path: String, keyCol: String,
   }
 
   /** K3: truncate-and-load. */
-  def overwrite(df: DataFrame): Unit = {
+  def overwrite(df: DataFrame): Unit = withLease {
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
     writeLayoutMarker()
@@ -118,6 +119,44 @@ class LakeTable(spark: SparkSession, path: String, keyCol: String,
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Single-writer lease around the mutation window. `replace`,
+    * `overwritePartitions`, and `compact` all assume one writer: two
+    * jobs racing the stage/rename/land sequence can interleave (one's
+    * `recover()` re-landing the other's half-staged work). The lease is
+    * a fail-fast guard, not a distributed lock manager: a sibling
+    * `.lease` file created with create-if-absent; a second writer fails
+    * immediately with a clear error instead of corrupting the lake. A
+    * lease older than `leaseStaleMs` (crashed writer) is broken and
+    * taken over — size `leaseStaleMs` above the longest expected
+    * mutation. Reentrant within one LakeTable instance (compact lands
+    * through overwritePartitions under the same lease). On an object
+    * store, swap the create-if-absent for a conditional put.
+    */
+  private var leaseHeld = false
+  private def withLease[T](body: => T): T = {
+    if (leaseHeld) return body
+    val lp = new org.apache.hadoop.fs.Path(path + ".lease")
+    def tryAcquire(): Boolean =
+      try {
+        val out = fs.create(lp, false)
+        try out.write(s"pid=${ProcessHandle.current().pid()}\nat=${System.currentTimeMillis()}\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!tryAcquire()) {
+      val stale =
+        try System.currentTimeMillis() - fs.getFileStatus(lp).getModificationTime > leaseStaleMs
+        catch { case _: java.io.FileNotFoundException => true } // freed between probe and stat
+      if (!stale || { fs.delete(lp, false); !tryAcquire() })
+        throw new IllegalStateException(
+          s"lake at $path is being mutated by another writer (lease file $lp); " +
+            s"a lease goes stale ${leaseStaleMs} ms after its last write")
+    }
+    leaseHeld = true
+    try body finally { leaseHeld = false; fs.delete(lp, false) }
+  }
+
   /** Replace the table with a plan that may READ this table: stage to a
     * sibling path, then swap via TWO renames with the previous state kept
     * as `.old` until the swap completes. The earlier delete-then-rename
@@ -126,7 +165,7 @@ class LakeTable(spark: SparkSession, path: String, keyCol: String,
     * crash point leaves either the old or the new state recoverable (see
     * `recover()`), and stale staging is cleared up front.
     */
-  def replace(newState: DataFrame): Unit = {
+  def replace(newState: DataFrame): Unit = withLease {
     recover()
     if (!exists) { overwrite(newState); return }
     val staging = new org.apache.hadoop.fs.Path(path + ".staging")
@@ -209,7 +248,7 @@ class LakeTable(spark: SparkSession, path: String, keyCol: String,
     * stage (per-partition replacement is idempotent), so every crash
     * point leaves either the pre-call state or the post-call state.
     */
-  def overwritePartitions(newState: DataFrame): Unit = {
+  def overwritePartitions(newState: DataFrame): Unit = withLease {
     require(partitionCols.nonEmpty, "overwritePartitions needs a partitioned layout")
     recover()
     if (!exists) { overwrite(newState); return }
@@ -264,7 +303,10 @@ class LakeTable(spark: SparkSession, path: String, keyCol: String,
     */
   def compact(maxFilesPerPartition: Int = 4,
               targetFileBytes: Long = 128L << 20): Seq[String] = {
-    if (!exists) return Nil
+    if (!exists) Nil else withLease { compactLocked(maxFilesPerPartition, targetFileBytes) }
+  }
+  private def compactLocked(maxFilesPerPartition: Int,
+                            targetFileBytes: Long): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(path)
     // partition dirs sit partitionCols.length deep; a flat table is one
     // "partition" at the root

@@ -113,6 +113,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).columns.toSet == Set("_id", "v", "pk"))
   }
 
+  test("LakeTable lease: concurrent mutation fails fast, stale lease is broken, compact reenters") {
+    val dir = Files.createTempDirectory("lake-lease").toString + "/t"
+    val lake = new LakeTable(spark, dir, "_id", partitionCols = Seq("pk"))
+    lake.overwrite((0 until 8).map(i => (f"id$i", i, i % 2)).toDF("_id", "v", "pk").repartition(4))
+
+    // a held (fresh) lease blocks every mutation path with a clear error
+    val leaseFile = new java.io.File(dir + ".lease")
+    assert(leaseFile.createNewFile())
+    intercept[IllegalStateException] { lake.replace(Seq(("x", 1, 0)).toDF("_id", "v", "pk")) }
+    intercept[IllegalStateException] {
+      lake.overwritePartitions(Seq(("x", 1, 0)).toDF("_id", "v", "pk"))
+    }
+    intercept[IllegalStateException] { lake.compact(maxFilesPerPartition = 0) }
+    // reads are never blocked
+    assert(lake.read.count() == 8)
+
+    // a stale lease (old mtime = crashed writer) is broken and taken over
+    assert(leaseFile.setLastModified(System.currentTimeMillis() - lake.leaseStaleMs - 1000))
+    lake.upsert(Seq(("id0", 100, 0)).toDF("_id", "v", "pk"))
+    assert(lake.read.filter(col("_id") === "id0").collect().head.getAs[Int]("v") == 100)
+    // and released after the mutation
+    assert(!leaseFile.exists())
+
+    // compact lands through overwritePartitions under the SAME lease
+    // (reentrant), then releases
+    assert(lake.compact(maxFilesPerPartition = 0).nonEmpty)
+    assert(!leaseFile.exists())
+  }
+
   test("LakeTable.upsert/updateWhere are partition-scoped: untouched partitions byte-identical") {
     val base = Files.createTempDirectory("lake-upsert-scope").toString
     val pLake = new LakeTable(spark, base + "/p", "_id", partitionCols = Seq("pk"))
