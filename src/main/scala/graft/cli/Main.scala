@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions.col
 
 import graft.core.NtpIds
 import graft.lake.LakeTable
-import graft.pipeline.{HarvestJobs, IngestJob}
+import graft.pipeline.{HarvestJobs, IngestJob, RepairJob}
 import graft.sources.Sources
 
 /** Thin CLI mirroring the reference scripts' entry points and job modes
@@ -68,7 +68,11 @@ object Main {
         arg(args, "--natural-id").getOrElse("id"),
         arg(args, "--updated").getOrElse("updated"),
         arg(args, "--group").map(_.toInt).getOrElse(0))
-      println(s"[cli] ingest done: ${lake.read.count()} rows in $lakePath")
+      // the row count is a full-table scan — at 100 TB an accidental
+      // second pass per run; opt in with --verify
+      if (flag(args, "--verify"))
+        println(s"[cli] ingest done: ${lake.read.count()} rows in $lakePath")
+      else println(s"[cli] ingest done: $lakePath")
     case "summary" =>
       val records = spark.read.parquet(arg(args, "--lake").get)
       val dims = arg(args, "--dims").map(_.split(",").toSeq).getOrElse(Seq.empty)
@@ -100,6 +104,21 @@ object Main {
         maxFilesPerPartition = arg(args, "--max-files").map(_.toInt).getOrElse(4),
         targetFileBytes = arg(args, "--target-bytes").map(_.toLong).getOrElse(128L << 20))
       println(s"[cli] compact: ${done.size} partitions rewritten")
+    case "repair" =>
+      // chain maintenance (ref checking/check_versions_completness.py):
+      // repoint stale tombstone updated_to pointers to the active head,
+      // touched buckets only; optional --legacy parquet for the J7 arm
+      val lakePath = arg(args, "--lake").get
+      val lake = LakeTable.layoutOf(spark, lakePath) match {
+        case Some((pc, nb)) => new LakeTable(spark, lakePath, "_id", pc, nb)
+        case None => new LakeTable(spark, lakePath, "_id")
+      }
+      val legacy = arg(args, "--legacy").map(spark.read.parquet(_))
+      val report = RepairJob.run(spark, lake,
+        arg(args, "--natural-id").getOrElse("id"), legacy)
+      val counts = report.groupBy("action").count().collect()
+        .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+      println(s"[cli] repair: ${if (counts.isEmpty) "clean" else counts}")
     case "sync" =>
       val origin = spark.read.parquet(arg(args, "--origin").get)
       val dest = spark.read.parquet(arg(args, "--dest").get)
@@ -127,6 +146,6 @@ object Main {
         dryRun = flag(args, "--dry_run"), recover = recover)
       println(s"[cli] purge: ${result.filter(col("ok")).count()} blobs moved")
     case other =>
-      println(s"usage: ingest|summary|harvest|sync|compact|purge (got '$other')")
+      println(s"usage: ingest|summary|harvest|sync|compact|repair|purge (got '$other')")
   }
 }

@@ -246,6 +246,110 @@ class InvariantSpec extends AnyFunSuite {
     assert(props("next.0") == "44" && props("next.1") == (NtpIds.MinOrderMinors + 1).toString)
   }
 
+  test("repair: stale tombstone pointers repoint one hop to the active, touched buckets only") {
+    val base = Files.createTempDirectory("lake-repair").toString
+    val codes = Map("id" -> "id", "updated" -> "updated")
+    val lake = new LakeTable(spark, base + "/p", "_id", IngestJob.LakePartitionCols, nBuckets = 8)
+    def ingest(rows: (String, String)*): Unit = IngestJob.run(spark, lake,
+      rows.toDF("id", "updated"), codes, "id", "updated", group = 0)
+
+    // three sequential versions of the same key + padding keys in other
+    // buckets; carried-forward tombstones go one hop stale by design
+    ingest("url/a" -> "2024-01-01 10:00:00", "url/p1" -> "2024-01-01 10:00:00",
+      "url/p2" -> "2024-01-01 10:00:00", "url/p3" -> "2024-01-01 10:00:00")
+    ingest("url/a" -> "2024-02-01 10:00:00")
+    ingest("url/a" -> "2024-03-01 10:00:00")
+    val st = lake.read
+    val activeId = st.filter(col("id") === "url/a" && col("obsolete_version").isNull)
+      .select("_id").collect().head.getString(0)
+    // the v1 tombstone points at v2 (a tombstone), not the active — stale
+    val ptrs = st.filter(col("obsolete_version") === true)
+      .select("updated_to").collect().map(_.getString(0)).toSet
+    assert(ptrs.size == 2 && ptrs.contains(activeId))
+    val nBefore = st.count() // materialized pre-repair: st's file listing dies with the land
+
+    val aBucket = spark.range(1)
+      .select(pmod(hash(lit("url/a")), lit(8)).cast("int")).collect().head.getInt(0)
+    def files(): Map[String, (Long, Long)] = {
+      val p = new org.apache.hadoop.fs.Path(base + "/p")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      val b = Map.newBuilder[String, (Long, Long)]
+      while (it.hasNext) {
+        val s = it.next()
+        val rel = s.getPath.toString.stripPrefix(p.toString)
+        if (rel.contains("bucket=")) b += rel -> (s.getLen, s.getModificationTime)
+      }
+      b.result()
+    }
+    val before = files()
+
+    val report = graft.pipeline.RepairJob.run(spark, lake, "id")
+    assert(report.count() == 1) // exactly the stale v1 tombstone
+    val r = report.collect().head
+    assert(r.getAs[String]("action") == "REPOINTED" && r.getAs[String]("new_to") == activeId)
+
+    // every tombstone now points DIRECTLY at the active head (one hop)
+    val after = lake.read
+    assert(after.filter(col("obsolete_version") === true && col("updated_to") =!= activeId)
+      .count() == 0)
+    assert(after.count() == nBefore) // repair rewrites pointers, never rows
+
+    // only the stale key's bucket was rewritten
+    def outside(m: Map[String, (Long, Long)]) = m.filterNot(_._1.contains(s"bucket=$aBucket"))
+    assert(outside(before) == outside(files()) && outside(before).nonEmpty)
+
+    // idempotent: a clean lake reports nothing
+    assert(graft.pipeline.RepairJob.run(spark, lake, "id").count() == 0)
+  }
+
+  test("repair: NO_ACTIVE and legacy-recovery arms (J7) report without corrupting rows") {
+    val base = Files.createTempDirectory("lake-repair-legacy").toString
+    val codes = Map("id" -> "id", "updated" -> "updated")
+    val lake = new LakeTable(spark, base + "/p", "_id", IngestJob.LakePartitionCols, nBuckets = 8)
+    IngestJob.run(spark, lake,
+      Seq(("url/a", "2024-01-01 10:00:00")).toDF("id", "updated"), codes, "id", "updated", group = 0)
+    val activeId = lake.read.filter(col("obsolete_version").isNull)
+      .select("_id").collect().head.getString(0)
+
+    // fabricate two dangling tombstones: ghost keys with no active, each
+    // pointing at an id absent from the lake
+    def ghost(id: String, nk: String, to: String) = {
+      import org.apache.spark.sql.Row
+      val st = lake.read.schema
+      val vals = st.map(f => f.name match {
+        case "_id" => id
+        case "id" => nk
+        case "updated_to" => to
+        case "obsolete_version" => true
+        case "grp" => 0
+        case "bucket" => spark.range(1)
+          .select(pmod(hash(lit(nk)), lit(8)).cast("int")).collect().head.getInt(0)
+        case _ => null
+      })
+      spark.createDataFrame(java.util.List.of(Row.fromSeq(vals)), st)
+    }
+    lake.upsert(ghost("zz1", "url/ghost1", "gone1"))
+    lake.upsert(ghost("zz2", "url/ghost2", "gone2"))
+
+    // without legacy: both report NO_ACTIVE, nothing rewritten
+    val rep1 = graft.pipeline.RepairJob.run(spark, lake, "id")
+    assert(rep1.filter(col("action") === "NO_ACTIVE").count() == 2)
+    assert(lake.read.filter(col("_id") === "zz1").collect().head
+      .getAs[String]("updated_to") == "gone1")
+
+    // legacy knows gone1 belongs to url/a (which has an active): that arm
+    // repoints; gone2 is unknown -> NOT_IN_LEGACY, untouched
+    val legacy = Seq(("gone1", "url/a")).toDF("_id", "id")
+    val rep2 = graft.pipeline.RepairJob.run(spark, lake, "id", Some(legacy))
+    val byAction = rep2.collect().map(r => r.getAs[String]("_id") -> r.getAs[String]("action")).toMap
+    assert(byAction("zz1") == "REPOINTED" && byAction("zz2") == "NOT_IN_LEGACY")
+    assert(lake.read.filter(col("_id") === "zz1").collect().head
+      .getAs[String]("updated_to") == activeId)
+    assert(lake.read.filter(col("_id") === "zz2").collect().head
+      .getAs[String]("updated_to") == "gone2")
+  }
+
   test("streaming CDC ingest converges to the batch double-ingest state") {
     import org.apache.spark.sql.types._
     val base = Files.createTempDirectory("lake-cdc").toString
