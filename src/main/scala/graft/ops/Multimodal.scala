@@ -106,12 +106,32 @@ object Multimodal {
   }
 
   /** Frame-sampling shape for video-like payloads: split the payload into
-    * fixed-size "frames" and keep every `stride`-th — pure byte slicing,
-    * the real sampler swaps in at the same spot.
+    * fixed-size "frames" and keep every `stride`-th — partition-batched
+    * `Array[Byte]` slicing like its siblings (`resize`,
+    * `decodeAndFeaturize`); the real sampler swaps in at the same spot.
+    * Skipped frames are never materialized (the slice copies only kept
+    * bytes) — the earlier base64-string route materialized a 4/3x string
+    * of the WHOLE payload per row, GB-scale churn at video payloads.
     */
-  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame =
-    media.select(col("media_id"),
-      posexplode(split(base64(col("payload")), "(?<=\\G.{" + (frameBytes * 4 / 3) + "})"))
-        .as(Seq("frame_no", "frame_b64")))
-      .filter(col("frame_no") % stride === 0)
+  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    require(frameBytes > 0 && stride > 0, "frameBytes and stride must be positive")
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_no", IntegerType),
+      StructField("frame", BinaryType)))
+    val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
+      // demuxer init would happen here, once per partition
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val nFrames = (payload.length + frameBytes - 1) / frameBytes
+        Iterator.range(0, nFrames, stride).map { f =>
+          Row(id, f, java.util.Arrays.copyOfRange(payload,
+            f * frameBytes, math.min((f + 1) * frameBytes, payload.length)))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
 }

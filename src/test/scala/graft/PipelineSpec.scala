@@ -309,6 +309,19 @@ class PipelineSpec extends AnyFunSuite {
     def payloads(rs: Array[org.apache.spark.sql.Row]) =
       rs.map(_.getAs[Array[Byte]]("payload").toSeq).toSeq
     assert(payloads(resized) == payloads(resizedAgain))
+
+    // sampleFrames: pure byte slicing — every stride-th frameBytes slice,
+    // short tail kept, no base64 round-trip
+    val frames = Multimodal.sampleFrames(media, frameBytes = 4, stride = 2)
+      .orderBy("media_id", "frame_no").collect()
+    val bytes1 = "hello world".getBytes("UTF-8")
+    def expected(p: Array[Byte]) = p.grouped(4).toSeq.zipWithIndex
+      .collect { case (b, i) if i % 2 == 0 => (i, b.toSeq) }
+    assert(frames.filter(_.getLong(0) == 1L)
+      .map(r => (r.getInt(1), r.getAs[Array[Byte]]("frame").toSeq)).toSeq == expected(bytes1))
+    // 11 bytes / 4 = 3 frames (0,1,2-partial); stride 2 keeps 0 and 2
+    assert(frames.count(_.getLong(0) == 1L) == 2)
+    assert(frames.filter(_.getLong(0) == 1L).last.getAs[Array[Byte]]("frame").length == 3)
   }
 
   test("EventStreams: windowed aggregation over a stream matches batch (streaming)") {
