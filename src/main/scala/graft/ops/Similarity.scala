@@ -202,6 +202,65 @@ object Similarity {
       .toIndexedSeq
       .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
 
+  /** Deterministic sampled k-means codebook — the production-quality
+    * alternative to the seed codebook (recall at scale depends on
+    * centroid quality; the seed codebook stays for oracle determinism).
+    * Bit-reproducible by construction, no Math.random anywhere:
+    *  - sample = the `nList * sampleFactor` rows with the lowest
+    *    murmur3 `hash(id, seed)` (ties by id) — a seeded uniform sample
+    *    whose ORDER is deterministic, collected once (cluster-side it is
+    *    a top-n by hash, never a full collect);
+    *  - init = the first `nList` sample vectors in that hash order;
+    *  - `iters` fixed Lloyd rounds, sequential double arithmetic on the
+    *    driver in sample order (empty cells keep their position).
+    * Centroid ids are 0..nList-1. At 100 TB the sample is
+    * codebook-sized (nList ~ sqrt(n), sampleFactor small), so the
+    * driver-side Lloyd cost is O(nList^2 * sampleFactor * dim * iters),
+    * independent of corpus size.
+    */
+  def ivfCentroidsKMeans(corpus: DataFrame, idCol: String, vecCol: String,
+                         nList: Int, sampleFactor: Int = 8, iters: Int = 5,
+                         seed: Int = 42): Seq[(Long, Seq[Float])] = {
+    val sample = corpus
+      .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"),
+        hash(col(idCol).cast("long"), lit(seed)).as("__h"))
+      .orderBy(col("__h"), col("__id"))
+      .limit(nList * sampleFactor)
+      .collect()
+      .map(r => r.getSeq[Float](1).toArray)
+    require(sample.nonEmpty, "k-means codebook needs a non-empty corpus")
+    val dim = sample.head.length
+    val cents = Array.tabulate(nList)(i => sample(i % sample.length).map(_.toDouble))
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(nList)(new Array[Double](dim))
+      val counts = new Array[Long](nList)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < nList) {
+          var d = 0.0; var j = 0
+          while (j < dim) { val t = cents(c)(j) - v(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        val s = sums(best); var j = 0
+        while (j < dim) { s(j) += v(j); j += 1 }
+        counts(best) += 1
+      }
+      var c = 0
+      while (c < nList) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < dim) { cents(c)(j) = sums(c)(j) / counts(c); j += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    cents.toIndexedSeq.zipWithIndex.map { case (cv, i) =>
+      (i.toLong, cv.map(_.toFloat).toSeq) }
+  }
+
   /** The `m` best centroids for a vector as a decimal-ranked struct
     * array, best-first. Two phases, like every other decider in this
     * file: ALL centroids are ranked by the codegen'd double dot (one
@@ -250,8 +309,15 @@ object Similarity {
     * volume is corpus * nProbe / nList instead of corpus * queries.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-              k: Int, nList: Int, nProbe: Int): DataFrame = {
-    val cents = ivfCentroids(corpus, idCol, vecCol, nList)
+              k: Int, nList: Int, nProbe: Int): DataFrame =
+    ivfTopKWith(ivfCentroids(corpus, idCol, vecCol, nList),
+      corpus, queries, idCol, vecCol, k, nProbe)
+
+  /** IVF top-k under a caller-supplied codebook (seed-based or k-means —
+    * assignment, probing, and the decimal decider are identical).
+    */
+  def ivfTopKWith(cents: Seq[(Long, Seq[Float])], corpus: DataFrame, queries: DataFrame,
+                  idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"),
       ivfCell(col(vecCol), cents).as("cell"))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),

@@ -235,6 +235,30 @@ class OpsSpec extends AnyFunSuite {
     assert(int8 == full)
   }
 
+  test("k-means IVF codebook: bit-reproducible and recall >= seed codebook (sf0.01)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % 25 === 0) // 20 probes over 500 vectors
+
+    // bit-reproducibility: two independent builds produce identical floats
+    val cb1 = Similarity.ivfCentroidsKMeans(emb, "vec_id", "embedding", nList = 16)
+    val cb2 = Similarity.ivfCentroidsKMeans(emb, "vec_id", "embedding", nList = 16)
+    assert(cb1 == cb2)
+    assert(cb1.map(_._1) == (0L until 16L)) // cell ids are 0..nList-1
+
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = hits(Similarity.bruteTopKExact(emb, queries, "vec_id", "embedding", 10))
+    val seedCb = Similarity.ivfCentroids(emb, "vec_id", "embedding", 16)
+    val seedHits = hits(Similarity.ivfTopKWith(seedCb, emb, queries, "vec_id", "embedding", 10, 4))
+    val kmHits = hits(Similarity.ivfTopKWith(cb1, emb, queries, "vec_id", "embedding", 10, 4))
+    val seedRecall = (seedHits & truth).size.toDouble / truth.size
+    val kmRecall = (kmHits & truth).size.toDouble / truth.size
+    info(f"recall@10 nProbe=4/16: seed=$seedRecall%.3f kmeans=$kmRecall%.3f")
+    assert(kmRecall >= seedRecall,
+      f"k-means codebook recall $kmRecall%.3f below seed codebook $seedRecall%.3f")
+  }
+
   test("multi-probe bucketed ANN recalls a superset of single-probe candidates") {
     val vecs = (0 until 48).map { i =>
       (i.toLong, (0 until 64).map(j => (math.sin(i * 64 + j) / 2).toFloat))
