@@ -251,6 +251,35 @@ object SparkEntry {
         .orderBy(col("_id"))
     }),
 
+    // K-maintenance: the REAL RepairJob over a REAL partitioned lake whose
+    // tombstones each point at the version that superseded them (the
+    // one-hop-stale state incremental ingest leaves behind). Stale = the
+    // pointer lands on another tombstone (rank >= 3); the report repoints
+    // every one to its key's active head, and the lake rewrite rides the
+    // partition-scoped upsert. The oracle recomputes the expected report
+    // from the same ranking in SQL.
+    "ntp_repair_report" -> ((s, dir) => {
+      val w = Window.partitionBy(col("nk")).orderBy(col("updated").desc, col("_id").desc)
+      val ranked = versionsDf(s, dir).select(col("_id"), col("nk"), col("updated"))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("prev", lag(col("_id"), 1).over(w))
+      val state = ranked.select(col("_id"), col("nk"),
+          when(col("rk") > 1, lit(true)).as("obsolete_version"),
+          when(col("rk") > 1, col("prev")).as("updated_to"))
+        .withColumn("grp", NtpIds.group(col("_id")))
+        .withColumn("bucket", pmod(hash(col("nk")), lit(32)))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_repair_q").toString
+      val lake = new graft.lake.LakeTable(s, tmp + "/lake", "_id",
+        graft.pipeline.IngestJob.LakePartitionCols, nBuckets = 32)
+      lake.overwrite(state)
+      val report = graft.pipeline.RepairJob.run(s, lake, "nk")
+      // the report is checkpoint-backed; the scratch lake can go
+      new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      report.orderBy(col("_id"))
+    }),
+
     // A6 audit: versions-per-key histogram (reference clean_place.py:125-128)
     "ntp_version_histogram" -> ((s, dir) => {
       versionsDf(s, dir).groupBy(col("nk"))
@@ -617,6 +646,19 @@ object SparkEntry {
         |LEFT JOIN legacy l ON m._id = l._id
         |LEFT JOIN cur c ON l.nk = c.nk
         |ORDER BY m._id""".stripMargin),
+
+    "ntp_repair_report" -> (versionsCte +
+      """,
+        |r AS (SELECT _id, nk,
+        |        row_number() OVER (PARTITION BY nk ORDER BY updated DESC, _id DESC) AS rk,
+        |        lag(_id, 1) OVER (PARTITION BY nk ORDER BY updated DESC, _id DESC) AS prev
+        |      FROM v),
+        |h AS (SELECT nk, _id AS head FROM r WHERE rk = 1)
+        |SELECT r._id AS _id, r.nk AS nk, r.prev AS old_to, h.head AS new_to,
+        |       'REPOINTED' AS action
+        |FROM r JOIN h ON r.nk = h.nk
+        |WHERE r.rk >= 3
+        |ORDER BY r._id""".stripMargin),
 
     "ntp_version_histogram" -> (versionsCte +
       """
