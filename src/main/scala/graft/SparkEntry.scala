@@ -260,17 +260,18 @@ object SparkEntry {
     // from the same ranking in SQL.
     "ntp_repair_report" -> ((s, dir) => {
       val w = Window.partitionBy(col("nk")).orderBy(col("updated").desc, col("_id").desc)
-      val ranked = versionsDf(s, dir).select(col("_id"), col("nk"), col("updated"))
+      val ranked = versionsDf(s, dir).filter(col("nk") % 4 === 0)
+        .select(col("_id"), col("nk"), col("updated"))
         .withColumn("rk", row_number().over(w))
         .withColumn("prev", lag(col("_id"), 1).over(w))
       val state = ranked.select(col("_id"), col("nk"),
           when(col("rk") > 1, lit(true)).as("obsolete_version"),
           when(col("rk") > 1, col("prev")).as("updated_to"))
         .withColumn("grp", NtpIds.group(col("_id")))
-        .withColumn("bucket", pmod(hash(col("nk")), lit(32)))
+        .withColumn("bucket", pmod(hash(col("nk")), lit(16)))
       val tmp = java.nio.file.Files.createTempDirectory("graft_repair_q").toString
       val lake = new graft.lake.LakeTable(s, tmp + "/lake", "_id",
-        graft.pipeline.IngestJob.LakePartitionCols, nBuckets = 32)
+        graft.pipeline.IngestJob.LakePartitionCols, nBuckets = 16)
       lake.overwrite(state)
       val report = graft.pipeline.RepairJob.run(s, lake, "nk")
       // the report is checkpoint-backed; the scratch lake can go
@@ -652,7 +653,7 @@ object SparkEntry {
         |r AS (SELECT _id, nk,
         |        row_number() OVER (PARTITION BY nk ORDER BY updated DESC, _id DESC) AS rk,
         |        lag(_id, 1) OVER (PARTITION BY nk ORDER BY updated DESC, _id DESC) AS prev
-        |      FROM v),
+        |      FROM v WHERE nk % 4 = 0),
         |h AS (SELECT nk, _id AS head FROM r WHERE rk = 1)
         |SELECT r._id AS _id, r.nk AS nk, r.prev AS old_to, h.head AS new_to,
         |       'REPOINTED' AS action
