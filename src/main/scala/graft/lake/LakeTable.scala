@@ -132,6 +132,15 @@ class LakeTable(spark: SparkSession, path: String, keyCol: String,
     * through overwritePartitions under the same lease). On an object
     * store, swap the create-if-absent for a conditional put.
     */
+  /** Run `body` under this table's writer lease. Jobs whose correctness
+    * spans a read-compute-land cycle (ingest reads the watermark and the
+    * scoped buckets BEFORE landing; repair reads the stale set) hold the
+    * lease across the whole cycle, not just the land — two concurrent
+    * ingests would otherwise both read the same watermark and assign
+    * colliding ids. Reentrant: the inner land acquires nothing new.
+    */
+  def locked[T](body: => T): T = withLease(body)
+
   private var leaseHeld = false
   private def withLease[T](body: => T): T = {
     if (leaseHeld) return body

@@ -133,7 +133,7 @@ object IngestJob {
 
   def run(spark: SparkSession, lake: LakeTable, drop: DataFrame,
           codes: Map[String, String], naturalId: String, updated: String,
-          group: Int): Unit = {
+          group: Int): Unit = lake.locked {
     val partitioned = lake.partitionCols == LakePartitionCols
     def bucketOf(c: Column): Column = pmod(hash(c), lit(lake.nBuckets))
     // 1. parse_parquet normalization (plan-time only): rename via codes,

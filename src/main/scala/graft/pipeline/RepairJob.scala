@@ -43,7 +43,7 @@ object RepairJob {
     *         rewrite so it survives the touched buckets being replaced
     */
   def run(spark: SparkSession, lake: LakeTable, naturalId: String,
-          legacy: Option[DataFrame] = None): DataFrame = {
+          legacy: Option[DataFrame] = None): DataFrame = lake.locked {
     val state = lake.read
     val actives = state.filter(col("obsolete_version").isNull)
       .select(col("_id").as("__aid"), col(naturalId).as("__ank"))

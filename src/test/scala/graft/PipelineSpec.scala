@@ -126,6 +126,13 @@ class PipelineSpec extends AnyFunSuite {
       lake.overwritePartitions(Seq(("x", 1, 0)).toDF("_id", "v", "pk"))
     }
     intercept[IllegalStateException] { lake.compact(maxFilesPerPartition = 0) }
+    // whole-cycle jobs (read-compute-land) are guarded too, not just the land
+    intercept[IllegalStateException] {
+      graft.pipeline.IngestJob.run(spark, lake,
+        Seq(("u1", "2024-01-01 10:00:00")).toDF("id", "updated"),
+        Map("id" -> "id", "updated" -> "updated"), "id", "updated", group = 0)
+    }
+    intercept[IllegalStateException] { graft.pipeline.RepairJob.run(spark, lake, "_id") }
     // reads are never blocked
     assert(lake.read.count() == 8)
 
