@@ -198,6 +198,14 @@ class PipelineSpec extends AnyFunSuite {
     val flatBatch = Seq(("id00", -1)).toDF("_id", "v")
     pLake.upsert(flatBatch.withColumn("pk", lit(0))); uLake.upsert(flatBatch.withColumn("pk", lit(0)))
     assert(dump(pLake) == dump(uLake))
+
+    // the scoped anti-join's null-safe per-tuple predicate must reach the
+    // scan as a PARTITION filter — at 100 TB the read prunes to the
+    // touched dirs, it doesn't enumerate every partition
+    val pred = (col("pk") <=> lit(1)) || (col("pk") <=> lit(3))
+    val scanLine = pLake.read.filter(pred).queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("pk"), s"no partition filter on pk: $scanLine")
   }
 
   test("LakeTable.compact: oversized partitions rewritten key-sorted, small ones' files untouched") {
