@@ -55,11 +55,8 @@ class LakeTable(spark: SparkSession, path: String, keyCol: String,
     */
   private val schemaMarker = "_graft_schema"
   private def writeSchemaFile(dir: org.apache.hadoop.fs.Path,
-                              schema: org.apache.spark.sql.types.StructType): Unit = {
-    val out = fs.create(new org.apache.hadoop.fs.Path(dir, schemaMarker), true)
-    try out.write(schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
+                              schema: org.apache.spark.sql.types.StructType): Unit =
+    atomicWrite(new org.apache.hadoop.fs.Path(dir, schemaMarker), schema.json)
   def persistedSchema: Option[org.apache.spark.sql.types.StructType] = {
     val p = new org.apache.hadoop.fs.Path(path, schemaMarker)
     if (!fs.exists(p)) None
@@ -100,11 +97,24 @@ class LakeTable(spark: SparkSession, path: String, keyCol: String,
   private val layoutMarker = "_graft_layout"
   private def writeLayoutMarker(): Unit = if (partitionCols.nonEmpty)
     writeLayoutMarkerTo(new org.apache.hadoop.fs.Path(path))
-  private def writeLayoutMarkerTo(dir: org.apache.hadoop.fs.Path): Unit = {
-    val out = fs.create(new org.apache.hadoop.fs.Path(dir, layoutMarker), true)
-    try out.write(s"partitionCols=${partitionCols.mkString(",")}\nnBuckets=$nBuckets\n"
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  private def writeLayoutMarkerTo(dir: org.apache.hadoop.fs.Path): Unit =
+    atomicWrite(new org.apache.hadoop.fs.Path(dir, layoutMarker),
+      s"partitionCols=${partitionCols.mkString(",")}\nnBuckets=$nBuckets\n")
+
+  /** Write a small marker/sidecar file atomically: full content to a
+    * dotted temp sibling, then delete-and-rename into place. A crash
+    * leaves the old content, the new content, or no file (every caller
+    * treats a missing sidecar as "recompute") — never a TRUNCATED file,
+    * whose parse would be silently wrong (e.g. a watermark missing its
+    * last digit under-states the next id and re-issues it).
+    */
+  private def atomicWrite(dest: org.apache.hadoop.fs.Path, content: String): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(dest.getParent, "." + dest.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    fs.delete(dest, false)
+    fs.rename(tmp, dest)
   }
   private def requireLayoutMatch(): Unit =
     LakeTable.layoutOf(spark, path).foreach { case (pc, nb) =>
@@ -460,12 +470,9 @@ class LakeTable(spark: SparkSession, path: String, keyCol: String,
       }.toMap
     }
   }
-  def writeProps(name: String, props: Map[String, String]): Unit = {
-    val out = fs.create(new org.apache.hadoop.fs.Path(path, name), true)
-    try out.write(props.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
-      .mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
+  def writeProps(name: String, props: Map[String, String]): Unit =
+    atomicWrite(new org.apache.hadoop.fs.Path(path, name),
+      props.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n"))
 
   /** F18/F19 patch log (reference: ntp_entry.py:30-46 merge_data diff,
     * OLD/process_place.py:115-157 patch records): append-only parquet of
