@@ -139,6 +139,25 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // corpus vocabulary heavy hitters: exact global top-20 tokens —
+    // groupBy(token) map-side combines, then a global TakeOrdered; the
+    // shuffle carries (token, partial count), never documents
+    "txt_top_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(20)
+    }),
+
+    // LLM-pretraining sequence packing: concat-and-chunk per source shard
+    // (TextAnalysis.packSequences) — bin/offset from one exclusive
+    // prefix-sum window per shard
+    "q_pack_sequences" -> ((s, dir) => {
+      TextAnalysis.packSequences(t(s, dir, "documents"),
+          "source", "doc_id", "text", budget = 512)
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
     // exact dedup: corpus-level duplicate stats
     "dedup_exact_stats" -> ((s, dir) => {
       t(s, dir, "documents").agg(
@@ -453,6 +472,24 @@ object CorpusQueries {
          |           THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
          |           ELSE 0.0 END) AS quality
          |FROM m ORDER BY doc_id""".stripMargin),
+
+    "txt_top_tokens" -> (tkCte +
+      """
+        |SELECT token, count(*) AS n
+        |FROM (SELECT unnest(toks) AS token FROM tk)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin),
+
+    "q_pack_sequences" -> (tkCte +
+      """,
+        |d AS (SELECT source, doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+        |      FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS toks,
+        |                   source FROM documents) x),
+        |s AS (SELECT source, doc_id, n_tokens,
+        |        COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+        |      FROM d)
+        |SELECT source, doc_id, n_tokens, start // 512 AS bin, start % 512 AS offset
+        |FROM s ORDER BY source, doc_id""".stripMargin),
 
     "dedup_exact_stats" ->
       """SELECT count(*) AS n_docs,

@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline:
@@ -75,4 +76,32 @@ object TextAnalysis {
     */
   def rollingHash(text: Column): Column =
     graft.functions.TextHashes.rolling_hash(tokens(text))
+
+  /** Concat-and-chunk sequence packing — the batch layout used for LLM
+    * pretraining: documents, in a deterministic per-shard order, are laid
+    * head-to-tail on a token stream that is chopped into fixed
+    * `budget`-token bins; each document reports its bin and in-bin token
+    * offset (a document may straddle a bin boundary — the trainer's
+    * attention mask owns boundaries, the packer owns placement). One
+    * exclusive prefix-sum window per shard; deterministic given
+    * (shardCol, orderCol).
+    *
+    * Scale: the window partitions by `shardCol`, so parallelism and
+    * memory are per-shard — shard the corpus (source, date, hash bucket)
+    * so no single shard's token stream is driver-relevant. A global
+    * (unsharded) pack would be a single-partition window; this API
+    * deliberately requires the shard column.
+    */
+  def packSequences(docs: DataFrame, shardCol: String, orderCol: String,
+                    textCol: String, budget: Int): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col(shardCol), col(orderCol),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("__start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col(shardCol), col(orderCol), col("n_tokens"),
+        (col("__start") / budget).cast("long").as("bin"),
+        (col("__start") % budget).as("offset"))
+  }
 }

@@ -235,6 +235,25 @@ class OpsSpec extends AnyFunSuite {
     assert(int8 == full)
   }
 
+  test("packSequences: concat-and-chunk bins per shard, documents straddle boundaries") {
+    val docs = Seq(
+      ("a", 1L, "w1 w2 w3"),              // 3 tokens: start 0 -> bin 0, offset 0
+      ("a", 2L, "w1 w2 w3 w4"),           // start 3  -> bin 0, offset 3 (straddles into bin 1)
+      ("a", 3L, "w1 w2"),                 // start 7  -> bin 1, offset 2
+      ("b", 7L, "x1 x2 x3 x4 x5 x6"),     // shard b restarts: bin 0, offset 0
+      ("b", 9L, "x1")                     // start 6  -> bin 1, offset 1
+    ).toDF("source", "doc_id", "text")
+    val packed = TextAnalysis.packSequences(docs, "source", "doc_id", "text", budget = 5)
+      .orderBy("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(packed.toSeq == Seq(
+      ("a", 1L, 3L, 0L, 0L),
+      ("a", 2L, 4L, 0L, 3L),
+      ("a", 3L, 2L, 1L, 2L),
+      ("b", 7L, 6L, 0L, 0L),
+      ("b", 9L, 1L, 1L, 1L)))
+  }
+
   test("k-means IVF codebook: bit-reproducible and recall >= seed codebook (sf0.01)") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
       .select("vec_id", "embedding")
