@@ -205,6 +205,16 @@ object CorpusQueries {
         .orderBy(col("a"), col("b"))
     }),
 
+    // train/eval decontamination: train docs sharing ANY 3-shingle with
+    // the eval slice (doc_id % 10 == 0) are flagged as benchmark leakage
+    "dedup_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contaminated(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // near-dup clustering: LSH pairs -> connected components -> canonical
     // keep/drop decision per document (the actual corpus-dedup output)
     "dedup_clusters" -> ((s, dir) => {
@@ -514,6 +524,14 @@ object CorpusQueries {
          |       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS jac
          |FROM cand JOIN sh sa ON cand.a = sa.doc_id JOIN sh sb ON cand.b = sb.doc_id
          |ORDER BY a, b""".stripMargin),
+
+    "dedup_decontaminate" -> (shCte +
+      """,
+        |ev AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 10 = 0),
+        |tr AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id % 10 <> 0)
+        |SELECT DISTINCT tr.doc_id AS doc_id
+        |FROM tr JOIN ev USING (s)
+        |ORDER BY doc_id""".stripMargin),
 
     "dedup_clusters" -> (bandsCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
       s""",

@@ -240,6 +240,26 @@ object Dedup {
     out
   }
 
+  /** Train/eval decontamination — the pretraining hygiene step: flag
+    * every train document sharing at least one w-token shingle with any
+    * eval document (benchmark leakage check). Candidate generation is a
+    * semi-join on the shingle string: the shuffle carries
+    * (shingle, doc_id) rows — never documents, never pairs — and the
+    * eval side is distinct'd first, so a shingle appearing in thousands
+    * of eval docs contributes ONE join row. At 100 TB this is the same
+    * bucketed-equi-join scale shape as the LSH band join; eval sets are
+    * benchmark-sized, so the distinct'd eval side typically broadcasts.
+    * Returns the contaminated train ids (distinct).
+    */
+  def contaminated(train: DataFrame, evalSet: DataFrame, idCol: String,
+                   textCol: String, w: Int = 3): DataFrame = {
+    def sh(df: DataFrame) =
+      df.select(col(idCol), explode(shingles(col(textCol), w)).as("__sh"))
+    sh(train)
+      .join(sh(evalSet).select(col("__sh")).distinct(), Seq("__sh"), "left_semi")
+      .select(col(idCol)).distinct()
+  }
+
   /** n-gram Jaccard similarity between two shingle-set columns. Exact
     * rational arithmetic (intersection/union sizes) until the final
     * division, so it's deterministic.
