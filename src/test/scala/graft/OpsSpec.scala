@@ -235,6 +235,19 @@ class OpsSpec extends AnyFunSuite {
     assert(int8 == full)
   }
 
+  test("contaminated: flags train docs on a full 3-shingle overlap, never on shorter runs") {
+    val evalSet = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "a sentence with the quick brown inside it"), // full 3-gram overlap -> flagged
+      (2L, "only quick brown here but then different"),  // longest shared run = 2 tokens
+      (3L, "completely unrelated words entirely"),
+      (4L, "ends with brown fox jumps")                  // overlap at eval tail -> flagged
+    ).toDF("doc_id", "text")
+    val flagged = graft.ops.Dedup.contaminated(train, evalSet, "doc_id", "text")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(flagged == Seq(1L, 4L))
+  }
+
   test("packSequences: concat-and-chunk bins per shard, documents straddle boundaries") {
     val docs = Seq(
       ("a", 1L, "w1 w2 w3"),              // 3 tokens: start 0 -> bin 0, offset 0
