@@ -158,6 +158,26 @@ object CorpusQueries {
         .orderBy(col("source"), col("doc_id"))
     }),
 
+    // deterministic stratified sample: 10 docs per language by content-
+    // hash order (uniform AND engine/run/partitioning-reproducible — no
+    // rand() anywhere)
+    "q_sample_stratified" -> ((s, dir) => {
+      graft.ops.Curation.sampleStratified(
+          t(s, dir, "documents"), "lang", "doc_id", "text", n = 10)
+        .select(col("lang"), col("doc_id"))
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+
+    // data mixing: per-source token budget, best-quality-first admission
+    // (concat-and-chunk boundary semantics — the straddling doc is kept)
+    "q_token_budget" -> ((s, dir) => {
+      graft.ops.Curation.capTokenBudget(t(s, dir, "documents"),
+          "source", "text", budget = 600,
+          orderBy = Seq(TextAnalysis.qualityScore(col("text")).desc, col("doc_id")))
+        .select(col("source"), col("doc_id"), col("n_tokens"), col("start"))
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
     // exact dedup: corpus-level duplicate stats
     "dedup_exact_stats" -> ((s, dir) => {
       t(s, dir, "documents").agg(
@@ -500,6 +520,34 @@ object CorpusQueries {
         |      FROM d)
         |SELECT source, doc_id, n_tokens, start // 512 AS bin, start % 512 AS offset
         |FROM s ORDER BY source, doc_id""".stripMargin),
+
+    "q_sample_stratified" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |         row_number() OVER (PARTITION BY lang ORDER BY md5('s0' || text), doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 10 ORDER BY lang, doc_id""".stripMargin,
+
+    "q_token_budget" -> (tkCte +
+      s""",
+         |m AS (SELECT doc_id, text, toks,
+         |  len(list_filter(toks, t -> list_contains(${swList("en")}, t))) AS sh
+         |FROM tk),
+         |q AS (SELECT doc_id,
+         |  0.4 * least(len(toks) / 100.0, 1.0)
+         |  + 0.3 * least((CASE WHEN len(toks) > 0 THEN CAST(sh AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END) * 5.0, 1.0)
+         |  + 0.3 * (CASE WHEN length(text) > 0
+         |           THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+         |           ELSE 0.0 END) AS quality,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens
+         |FROM m),
+         |s AS (SELECT d.source, q.doc_id, q.n_tokens,
+         |        COALESCE(SUM(q.n_tokens) OVER (PARTITION BY d.source
+         |                   ORDER BY q.quality DESC, q.doc_id
+         |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+         |      FROM q JOIN documents d ON q.doc_id = d.doc_id)
+         |SELECT source, doc_id, n_tokens, start
+         |FROM s WHERE start < 600 ORDER BY source, doc_id""".stripMargin),
 
     "dedup_exact_stats" ->
       """SELECT count(*) AS n_docs,

@@ -248,6 +248,31 @@ class OpsSpec extends AnyFunSuite {
     assert(flagged == Seq(1L, 4L))
   }
 
+  test("Curation: budget admits best-first with straddler kept; stratified sample is stable") {
+    import graft.ops.Curation
+    // quality order is approximated here by doc_id (orderBy is caller's);
+    // budget 5: doc 1 (3 toks, start 0) + doc 2 (4 toks, start 3 < 5 —
+    // straddles, kept) admitted; doc 3 (start 7) cut. Shard b's single
+    // over-budget doc is still admitted (starts at 0).
+    val docs = Seq(
+      ("a", 1L, "w1 w2 w3"), ("a", 2L, "w1 w2 w3 w4"), ("a", 3L, "w1 w2"),
+      ("b", 7L, "x1 x2 x3 x4 x5 x6 x7 x8")
+    ).toDF("source", "doc_id", "text")
+    val kept = Curation.capTokenBudget(docs, "source", "text", 5, Seq(col("doc_id")))
+      .select("source", "doc_id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(kept == Set("a" -> 1L, "a" -> 2L, "b" -> 7L))
+
+    // stratified: n per stratum, identical across runs AND repartitionings
+    val corpus = (1 to 40).map(i => (s"l${i % 2}", i.toLong, s"text body number $i"))
+      .toDF("lang", "doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Curation.sampleStratified(df, "lang", "doc_id", "text", 5)
+        .select("lang", "doc_id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val s1 = ids(corpus)
+    assert(s1.count(_._1 == "l0") == 5 && s1.count(_._1 == "l1") == 5)
+    assert(ids(corpus.repartition(7)) == s1)
+  }
+
   test("packSequences: concat-and-chunk bins per shard, documents straddle boundaries") {
     val docs = Seq(
       ("a", 1L, "w1 w2 w3"),              // 3 tokens: start 0 -> bin 0, offset 0
