@@ -168,6 +168,26 @@ object CorpusQueries {
         .orderBy(col("lang"), col("doc_id"))
     }),
 
+    // embedding-space diagnostics: per-label per-component exact sums
+    // (class centroids = csum_nano/n/1e9 downstream). Components are
+    // snapped to an integer NANO grid and summed as int64 — the same
+    // exact-integer-grid rule as the money queries, because both a
+    // float->decimal cast (DuckDB goes through the float's 9-digit
+    // shortest repr) and a decimal->double final cast (DuckDB rounds
+    // twice) diverge across engines at the last digits. Partial aggs
+    // mean the shuffle carries (label, component, partial int64), never
+    // vectors.
+    "sim_label_stats" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("component", "x")))
+        .groupBy(col("label"), col("component"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("x").cast("double") * 1e9).cast("long")).as("csum_nano"))
+        .select(col("label").cast("long").as("label"),
+          col("component").cast("long").as("component"), col("n"), col("csum_nano"))
+        .orderBy(col("label"), col("component"))
+    }),
+
     // data mixing: per-source token budget, best-quality-first admission
     // (concat-and-chunk boundary semantics — the straddling doc is kept)
     "q_token_budget" -> ((s, dir) => {
@@ -527,6 +547,12 @@ object CorpusQueries {
         |         row_number() OVER (PARTITION BY lang ORDER BY md5('s0' || text), doc_id) AS rn
         |  FROM documents) t
         |WHERE rn <= 10 ORDER BY lang, doc_id""".stripMargin,
+
+    "sim_label_stats" ->
+      """SELECT CAST(label AS BIGINT) AS label, i - 1 AS component, count(*) AS n,
+        |       SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1e9) AS BIGINT)) AS csum_nano
+        |FROM embeddings, range(1, 65) t(i)
+        |GROUP BY label, i ORDER BY label, component""".stripMargin,
 
     "q_token_budget" -> (tkCte +
       s""",

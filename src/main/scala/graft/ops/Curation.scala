@@ -45,7 +45,9 @@ object Curation {
     require(budget > 0, "token budget must be positive")
     val w = Window.partitionBy(col(shardCol)).orderBy(orderBy: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs.withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)).cast("long"))
+    // null text = zero tokens (same prefix-sum safety as packSequences)
+    docs.withColumn("n_tokens",
+        coalesce(TextAnalysis.tokenCount(col(textCol)).cast("long"), lit(0L)))
       .withColumn("start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .filter(col("start") < budget)
   }

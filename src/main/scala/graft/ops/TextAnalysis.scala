@@ -97,8 +97,10 @@ object TextAnalysis {
     require(budget > 0, "token budget must be positive")
     val w = Window.partitionBy(col(shardCol)).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // null text = zero tokens: a null must not poison the prefix sum
+    // (every later document in the shard would get a null start)
     docs.select(col(shardCol), col(orderCol),
-        tokenCount(col(textCol)).cast("long").as("n_tokens"))
+        coalesce(tokenCount(col(textCol)).cast("long"), lit(0L)).as("n_tokens"))
       .withColumn("__start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col(shardCol), col(orderCol), col("n_tokens"),
         (col("__start") / budget).cast("long").as("bin"),

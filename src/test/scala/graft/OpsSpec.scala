@@ -290,6 +290,15 @@ class OpsSpec extends AnyFunSuite {
       ("a", 3L, 2L, 1L, 2L),
       ("b", 7L, 6L, 0L, 0L),
       ("b", 9L, 1L, 1L, 1L)))
+
+    // a null-text document contributes ZERO tokens — it must not poison
+    // the prefix sum for every later document in its shard
+    val withNull = Seq(("c", 1L, "y1 y2"), ("c", 2L, null), ("c", 3L, "y3"))
+      .toDF("source", "doc_id", "text")
+    val packedN = TextAnalysis.packSequences(withNull, "source", "doc_id", "text", budget = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(packedN.toSeq == Seq((1L, 2L, 0L, 0L), (2L, 0L, 0L, 2L), (3L, 1L, 0L, 2L)))
   }
 
   test("k-means IVF codebook: bit-reproducible and recall >= seed codebook (sf0.01)") {
