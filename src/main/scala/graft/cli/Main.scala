@@ -104,6 +104,15 @@ object Main {
         maxFilesPerPartition = arg(args, "--max-files").map(_.toInt).getOrElse(4),
         targetFileBytes = arg(args, "--target-bytes").map(_.toLong).getOrElse(128L << 20))
       println(s"[cli] compact: ${done.size} partitions rewritten")
+    case "stats" =>
+      // fragmentation report from the file listing alone (no data read):
+      // the view compact acts on, printable before paying for a rewrite
+      val lakePath = arg(args, "--lake").get
+      val lake = LakeTable.layoutOf(spark, lakePath) match {
+        case Some((pc, nb)) => new LakeTable(spark, lakePath, "_id", pc, nb)
+        case None => new LakeTable(spark, lakePath, "_id")
+      }
+      lake.stats.show(1000, truncate = false)
     case "repair" =>
       // chain maintenance (ref checking/check_versions_completness.py):
       // repoint stale tombstone updated_to pointers to the active head,
@@ -146,6 +155,6 @@ object Main {
         dryRun = flag(args, "--dry_run"), recover = recover)
       println(s"[cli] purge: ${result.filter(col("ok")).count()} blobs moved")
     case other =>
-      println(s"usage: ingest|summary|harvest|sync|compact|repair|purge (got '$other')")
+      println(s"usage: ingest|summary|harvest|sync|compact|stats|repair|purge (got '$other')")
   }
 }

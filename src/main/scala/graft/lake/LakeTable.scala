@@ -304,6 +304,36 @@ class LakeTable(spark: SparkSession, path: String, keyCol: String,
     fs.delete(staging, true)
   }
 
+  /** Operational stats from the file listing alone — no data or footer
+    * reads, so it costs one namespace listing even at 100 TB: one row
+    * per partition directory with file count and byte sizes. This is
+    * the compaction planner's view (`compact` rewrites partitions whose
+    * `n_files` exceeds its threshold); surfaced as `cli stats` so
+    * operators can see fragmentation before paying for a rewrite.
+    */
+  def stats: DataFrame = {
+    import spark.implicits._
+    if (!exists) return Seq.empty[(String, Long, Long, Long, Long)]
+      .toDF("partition", "n_files", "bytes", "min_file_bytes", "max_file_bytes")
+    val root = new org.apache.hadoop.fs.Path(path)
+    def isDataDir(n: String) = !n.startsWith("_") && !n.startsWith(".") && n.contains("=")
+    def leafDirs(p: org.apache.hadoop.fs.Path, depth: Int): Seq[org.apache.hadoop.fs.Path] =
+      if (depth == 0) Seq(p)
+      else fs.listStatus(p).filter(s => s.isDirectory && isDataDir(s.getPath.getName))
+        .map(_.getPath).flatMap(leafDirs(_, depth - 1)).toSeq
+    val rootQ = fs.makeQualified(root).toString
+    leafDirs(root, partitionCols.length).map { d =>
+      val sizes = fs.listStatus(d)
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+        .map(_.getLen)
+      val rel = fs.makeQualified(d).toString.stripPrefix(rootQ).stripPrefix("/")
+      (if (rel.isEmpty) "." else rel, sizes.length.toLong, sizes.sum,
+        if (sizes.isEmpty) 0L else sizes.min, if (sizes.isEmpty) 0L else sizes.max)
+    }.toDF("partition", "n_files", "bytes", "min_file_bytes", "max_file_bytes")
+      .orderBy(col("partition"))
+  }
+
   /** Small-file compaction — the housekeeping half of the incremental
     * write path. Partition-scoped ingest keeps rewrites cheap, but every
     * `overwritePartitions` lands at least one file per touched partition,

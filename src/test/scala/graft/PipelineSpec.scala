@@ -222,10 +222,17 @@ class PipelineSpec extends AnyFunSuite {
     val before = lake.read.orderBy("_id").collect().toSeq
     val smallFilesBefore = files(1).map(f => (f.getName, f.lastModified))
 
+    // the stats view sees the fragmentation compact is about to fix
+    val st0 = lake.stats.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(st0 == Map("pk=0" -> 8L, "pk=1" -> 1L))
+
     val compacted = lake.compact(maxFilesPerPartition = 4)
     assert(compacted == Seq("pk=0"))
     // fragmented partition now one file (tiny bytes, one target chunk)
     assert(files(0).size == 1)
+    // and stats reflects the rewrite
+    assert(lake.stats.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("pk=0" -> 1L, "pk=1" -> 1L))
     // the small partition's physical files were never rewritten
     assert(files(1).map(f => (f.getName, f.lastModified)) == smallFilesBefore)
     // data identical
