@@ -68,6 +68,11 @@ object Main {
         arg(args, "--natural-id").getOrElse("id"),
         arg(args, "--updated").getOrElse("updated"),
         arg(args, "--group").map(_.toInt).getOrElse(0))
+      // incremental lands fragment touched buckets one file at a time;
+      // --compact folds the housekeeping into the same run (threshold
+      // semantics as 'cli compact', so steady-state runs rewrite nothing)
+      if (flag(args, "--compact"))
+        println(s"[cli] ingest compact: ${lake.compact().size} partitions rewritten")
       // the row count is a full-table scan — at 100 TB an accidental
       // second pass per run; opt in with --verify
       if (flag(args, "--verify"))

@@ -252,12 +252,21 @@ object Dedup {
     * Returns the contaminated train ids (distinct).
     */
   def contaminated(train: DataFrame, evalSet: DataFrame, idCol: String,
-                   textCol: String, w: Int = 3): DataFrame = {
+                   textCol: String, w: Int = 3, minShared: Int = 1): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
     def sh(df: DataFrame) =
       df.select(col(idCol), explode(shingles(col(textCol), w)).as("__sh"))
-    sh(train)
-      .join(sh(evalSet).select(col("__sh")).distinct(), Seq("__sh"), "left_semi")
-      .select(col(idCol)).distinct()
+    val ev = sh(evalSet).select(col("__sh")).distinct()
+    if (minShared == 1)
+      // cheapest shape: semi-join short-circuits per (doc, shingle)
+      sh(train).join(ev, Seq("__sh"), "left_semi").select(col(idCol)).distinct()
+    else
+      // threshold knob: a single shared w-gram is a noisy signal on web
+      // text; require >= minShared DISTINCT shared shingles (shingles()
+      // is per-doc distinct already, so plain count == distinct count)
+      sh(train).join(ev, Seq("__sh"))
+        .groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") >= minShared).select(col(idCol))
   }
 
   /** n-gram Jaccard similarity between two shingle-set columns. Exact

@@ -246,6 +246,15 @@ class OpsSpec extends AnyFunSuite {
     val flagged = graft.ops.Dedup.contaminated(train, evalSet, "doc_id", "text")
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(flagged == Seq(1L, 4L))
+
+    // threshold knob: doc 1 shares ONE distinct shingle ("the quick
+    // brown"), doc 5 shares two ("quick brown fox", "brown fox jumps") —
+    // minShared=2 keeps only doc 5
+    val train2 = train.unionByName(
+      Seq((5L, "see the quick brown fox jumps high")).toDF("doc_id", "text"))
+    val strict = graft.ops.Dedup.contaminated(train2, evalSet, "doc_id", "text", minShared = 2)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(strict == Seq(5L))
   }
 
   test("Curation: budget admits best-first with straddler kept; stratified sample is stable") {
