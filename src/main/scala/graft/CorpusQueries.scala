@@ -538,7 +538,8 @@ object CorpusQueries {
         |        COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
         |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
         |      FROM d)
-        |SELECT source, doc_id, n_tokens, start // 512 AS bin, start % 512 AS offset
+        |SELECT source, doc_id, n_tokens,
+        |       CAST(start // 512 AS BIGINT) AS bin, CAST(start % 512 AS BIGINT) AS offset
         |FROM s ORDER BY source, doc_id""".stripMargin),
 
     "q_sample_stratified" ->
@@ -550,7 +551,7 @@ object CorpusQueries {
 
     "sim_label_stats" ->
       """SELECT CAST(label AS BIGINT) AS label, i - 1 AS component, count(*) AS n,
-        |       SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1e9) AS BIGINT)) AS csum_nano
+        |       CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1e9) AS BIGINT)) AS BIGINT) AS csum_nano
         |FROM embeddings, range(1, 65) t(i)
         |GROUP BY label, i ORDER BY label, component""".stripMargin,
 
@@ -572,7 +573,7 @@ object CorpusQueries {
          |                   ORDER BY q.quality DESC, q.doc_id
          |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
          |      FROM q JOIN documents d ON q.doc_id = d.doc_id)
-         |SELECT source, doc_id, n_tokens, start
+         |SELECT source, doc_id, n_tokens, CAST(start AS BIGINT) AS start
          |FROM s WHERE start < 600 ORDER BY source, doc_id""".stripMargin),
 
     "dedup_exact_stats" ->

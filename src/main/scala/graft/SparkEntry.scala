@@ -379,7 +379,8 @@ object SparkEntry {
       graft.ops.Quantiles.ntileStats(
           t(s, dir, "events").select(col("event_type"), col("value")),
           "event_type", "value", 4)
-        .select(col("event_type"), col("q"), col("n"), col("minv"), col("maxv"))
+        .select(col("event_type"), col("q").cast("long").as("q"),
+                col("n"), col("minv"), col("maxv"))
         .orderBy(col("event_type"), col("q"))
     }),
 

@@ -28,11 +28,31 @@ def norm(v):
         if math.isnan(v):
             return "NaN"
         return v
-    # Decimal -> float-compatible? keep exact string
     import decimal
     if isinstance(v, decimal.Decimal):
+        # Scale-0 decimals (DuckDB HUGEINT etc.) compare as exact ints —
+        # float() is lossy above 2^53 and masks type drift.
+        if v == v.to_integral_value():
+            return int(v)
         return float(v)
     return v
+
+
+def type_mismatches(want, got, wcols):
+    """Per-column arrow-type drift between oracle and Spark outputs.
+
+    The driver's hasher is TYPE-SENSITIVE: a DuckDB HUGEINT
+    (decimal128(38,0)) column hash-mismatches a Spark int64 column even
+    when every value is equal. Flag those here so the local gate catches
+    them before the driver does.
+    """
+    out = []
+    for c in wcols:
+        wt = want.schema.field(c).type
+        gt = got.schema.field(c).type
+        if str(wt) != str(gt):
+            out.append((c, str(wt), str(gt)))
+    return out
 
 
 def main(sf_dir: str, out_dir: str) -> int:
@@ -60,6 +80,13 @@ def main(sf_dir: str, out_dir: str) -> int:
         wcols, gcols = sorted(want.column_names), sorted(got.column_names)
         if wcols != gcols:
             print(f"FAIL {name}: columns differ: oracle={wcols} spark={gcols}")
+            failures += 1
+            continue
+        drift = type_mismatches(want, got, wcols)
+        if drift:
+            for c, wt, gt in drift:
+                print(f"FAIL {name}: TYPE MISMATCH column '{c}': oracle={wt} spark={gt}"
+                      " (driver hash would reject — cast the oracle SQL)")
             failures += 1
             continue
         wrows = sorted([tuple(norm(v) for v in row)
