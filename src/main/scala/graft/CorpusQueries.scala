@@ -333,6 +333,21 @@ object CorpusQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // IVF under the sampled-k-means codebook, probed recall-complete
+    // (nProbe = nList): with every cell probed the candidate set is the
+    // whole corpus for ANY codebook, so the exact-decimal decider must
+    // reproduce the brute-force ranking — an end-to-end oracle over the
+    // pluggable-codebook plumbing (Lloyd's codebook -> cell assign ->
+    // probe explode -> cell equi-join -> decider) that stays exact
+    // without replicating driver-side k-means in SQL
+    "sim_ivf_kmeans_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.ivfCentroidsKMeans(emb, "vec_id", "embedding", nList = 8)
+      Similarity.ivfTopKWith(cents, emb, emb.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", 5, nProbe = 8)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // multi-probe bucketed ANN: each query probes its own bucket plus the
     // 4 flip-one-bit neighbors; exact-decimal rank over the probed union
     "sim_multiprobe_topk" -> ((s, dir) => {
@@ -690,6 +705,16 @@ object CorpusQueries {
     // margin-absorbed and the exact-decimal decider sees full precision,
     // so the same oracle must hash-match
     "sim_ivf_int8_topk" -> ivfOracleSql,
+
+    // nProbe = nList makes the candidate set codebook-invariant (the whole
+    // corpus), so the oracle is the plain brute-force decimal ranking
+    "sim_ivf_kmeans_topk" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+         |p AS (SELECT q.qid, c.vec_id AS cid, ${dotDecSql("q.qv", "c.embedding")} AS dot
+         |      FROM q CROSS JOIN embeddings c WHERE q.qid <> c.vec_id)
+         |SELECT qid, cid, rank FROM (
+         |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY dot DESC, cid) AS rank FROM p) t
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     "sim_multiprobe_topk" -> {
       // probe set = own bucket UNION the nBits=4 flip-one-bit neighbors

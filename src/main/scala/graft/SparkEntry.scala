@@ -268,10 +268,13 @@ object SparkEntry {
           when(col("rk") > 1, lit(true)).as("obsolete_version"),
           when(col("rk") > 1, col("prev")).as("updated_to"))
         .withColumn("grp", NtpIds.group(col("_id")))
-        .withColumn("bucket", pmod(hash(col("nk")), lit(16)))
+        // 4 buckets: enough to exercise the partition-scoped rewrite
+        // end-to-end; the report is bucket-count-invariant, and 16 made
+        // scratch-lake IO ~12 % of the whole bench suite.
+        .withColumn("bucket", pmod(hash(col("nk")), lit(4)))
       val tmp = java.nio.file.Files.createTempDirectory("graft_repair_q").toString
       val lake = new graft.lake.LakeTable(s, tmp + "/lake", "_id",
-        graft.pipeline.IngestJob.LakePartitionCols, nBuckets = 16)
+        graft.pipeline.IngestJob.LakePartitionCols, nBuckets = 4)
       lake.overwrite(state)
       val report = graft.pipeline.RepairJob.run(s, lake, "nk")
       // the report is checkpoint-backed; the scratch lake can go

@@ -164,10 +164,24 @@ class LakeTable(spark: SparkSession, path: String, keyCol: String,
         true
       } catch { case _: java.io.IOException => false }
     if (!tryAcquire()) {
-      val stale =
-        try System.currentTimeMillis() - fs.getFileStatus(lp).getModificationTime > leaseStaleMs
-        catch { case _: java.io.FileNotFoundException => true } // freed between probe and stat
-      if (!stale || { fs.delete(lp, false); !tryAcquire() })
+      val mtime =
+        try Some(fs.getFileStatus(lp).getModificationTime)
+        catch { case _: java.io.FileNotFoundException => None } // freed between probe and stat
+      val mayRetry = mtime match {
+        case None => true
+        case Some(t) if System.currentTimeMillis() - t > leaseStaleMs =>
+          // Break the stale lease by renaming it aside (atomic on HDFS /
+          // local): ONLY the writer whose rename succeeds may take over.
+          // A delete-based break lets two takers race — B's delete can
+          // remove A's freshly re-acquired lease and both proceed.
+          val aside = new org.apache.hadoop.fs.Path(
+            s"$path.lease.broken.${ProcessHandle.current().pid()}.${System.nanoTime()}")
+          val renamed = try fs.rename(lp, aside) catch { case _: java.io.IOException => false }
+          if (renamed) fs.delete(aside, false)
+          renamed
+        case _ => false
+      }
+      if (!mayRetry || !tryAcquire())
         throw new IllegalStateException(
           s"lake at $path is being mutated by another writer (lease file $lp); " +
             s"a lease goes stale ${leaseStaleMs} ms after its last write")
@@ -439,13 +453,19 @@ class LakeTable(spark: SparkSession, path: String, keyCol: String,
     * are rewritten (`overwritePartitions`) — at 100 TB a batch touching
     * 1% of the partitions moves 1% of the lake, not all of it. The
     * scoping is semantically complete under the layout's standing
-    * contract: partition values are a stable function of the key (the
+    * CONTRACT: partition values are a stable function of the key (the
     * ingest layout derives `grp`/`bucket` from the id), so a key's
-    * existing row always lives in the partition its update hashes to. A
-    * batch missing the partition columns falls back to the full staged
-    * rewrite.
+    * existing row always lives in the partition its update hashes to.
+    * A batch that VIOLATES the contract — supplies a partition value
+    * that differs from the key's stored partition — leaves the old row
+    * alive in its old partition and silently duplicates the key (the
+    * full rewrite would have removed it). Callers that cannot prove the
+    * contract pass `verifyScope = true`: a key-column-only semi-join
+    * over the UNtouched partitions (column-pruned — it never moves data
+    * rows) that fails fast on the first contract breach. A batch missing
+    * the partition columns falls back to the full staged rewrite.
     */
-  def upsert(updates: DataFrame): Unit = {
+  def upsert(updates: DataFrame, verifyScope: Boolean = false): Unit = {
     if (!exists) { overwrite(updates); return }
     val scoped = partitionCols.nonEmpty && partitionCols.forall(updates.columns.contains)
     val existing =
@@ -458,6 +478,15 @@ class LakeTable(spark: SparkSession, path: String, keyCol: String,
         val pred = touched.map(r =>
           partitionCols.zipWithIndex.map { case (c, i) => col(c) <=> lit(r.get(i)) }
             .reduce(_ && _)).reduceOption(_ || _).getOrElse(lit(false))
+        if (verifyScope) {
+          val strays = read.filter(!pred)
+            .join(updates.select(keyCol).distinct(), Seq(keyCol), "left_semi")
+            .select(col(keyCol)).limit(5).collect()
+          require(strays.isEmpty,
+            s"upsert scope violation: batch keys already exist OUTSIDE the batch's " +
+              s"partitions (partition values must be a stable function of the key); " +
+              s"sample stray keys: ${strays.map(_.get(0)).mkString(", ")}")
+        }
         read.filter(pred)
       } else read
     val merged = existing.join(updates.select(keyCol).distinct(), Seq(keyCol), "left_anti")

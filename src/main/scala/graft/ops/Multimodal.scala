@@ -61,7 +61,7 @@ object Multimodal {
       StructField("width", IntegerType),
       StructField("height", IntegerType),
       StructField("features", ArrayType(FloatType))))
-    val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
+    val rdd = media.select(col("media_id").cast("long"), col("payload")).rdd.mapPartitions { it =>
       // decoder init would happen here, once per partition
       it.map { r =>
         val id = r.getLong(0)
@@ -90,7 +90,8 @@ object Multimodal {
       StructField("mime", StringType),
       StructField("width", IntegerType),
       StructField("height", IntegerType)))
-    val rdd = media.select("media_id", "payload", "mime").rdd.mapPartitions { it =>
+    val rdd = media.select(col("media_id").cast("long"), col("payload"), col("mime"))
+      .rdd.mapPartitions { it =>
       // scaler init would happen here, once per partition
       it.map { r =>
         val id = r.getLong(0)
@@ -120,7 +121,9 @@ object Multimodal {
       StructField("media_id", LongType),
       StructField("frame_no", IntegerType),
       StructField("frame", BinaryType)))
-    val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
+    // cast pins the row accessor's type: an int-typed media_id source
+    // would otherwise ClassCastException at getLong
+    val rdd = media.select(col("media_id").cast("long"), col("payload")).rdd.mapPartitions { it =>
       // demuxer init would happen here, once per partition
       it.flatMap { r =>
         val id = r.getLong(0)

@@ -206,6 +206,15 @@ class PipelineSpec extends AnyFunSuite {
     val scanLine = pLake.read.filter(pred).queryExecution.executedPlan.toString
       .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
     assert(scanLine.contains("pk"), s"no partition filter on pk: $scanLine")
+
+    // verifyScope: a batch whose partition value contradicts the key's
+    // stored partition (contract breach — would silently duplicate the
+    // key under the scoped path) fails fast; a conforming batch passes
+    val breach = Seq(("id01", 7, 3)).toDF("_id", "v", "pk") // id01 lives in pk=1
+    val ex = intercept[IllegalArgumentException] { pLake.upsert(breach, verifyScope = true) }
+    assert(ex.getMessage.contains("scope violation"))
+    pLake.upsert(Seq(("id01", 7, 1)).toDF("_id", "v", "pk"), verifyScope = true)
+    assert(pLake.read.filter(col("_id") === "id01").collect().head.getAs[Int]("v") == 7)
   }
 
   test("LakeTable.compact: oversized partitions rewritten key-sorted, small ones' files untouched") {
@@ -344,6 +353,14 @@ class PipelineSpec extends AnyFunSuite {
     // 11 bytes / 4 = 3 frames (0,1,2-partial); stride 2 keeps 0 and 2
     assert(frames.count(_.getLong(0) == 1L) == 2)
     assert(frames.filter(_.getLong(0) == 1L).last.getAs[Array[Byte]]("frame").length == 3)
+
+    // an int-typed media_id source must not ClassCastException: the ops
+    // cast the id to long at the select, whatever the source type
+    val intMedia = media.withColumn("media_id", col("media_id").cast("int"))
+    assert(Multimodal.sampleFrames(intMedia, 4, 2).count() ==
+      Multimodal.sampleFrames(media, 4, 2).count())
+    assert(Multimodal.decodeAndFeaturize(intMedia).count() == 2)
+    assert(Multimodal.resize(intMedia, 2, 2).count() == 2)
   }
 
   test("EventStreams: windowed aggregation over a stream matches batch (streaming)") {
