@@ -149,6 +149,32 @@ object CorpusQueries {
         .orderBy(col("n").desc, col("token")).limit(20)
     }),
 
+    // Gopher-style repetition signals: modal-token fraction + duplicate
+    // bi/trigram fractions — per-row array algebra, shuffle-free,
+    // scan-bound at 100 TB like the other text kernels
+    "txt_repetition" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      t(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.topTokenFrac(toks).as("top_token_frac"),
+          TextAnalysis.dupNgramFrac(toks, 2).as("dup_bigram_frac"),
+          TextAnalysis.dupNgramFrac(toks, 3).as("dup_trigram_frac"))
+        .withColumn("repetitive",
+          col("top_token_frac") > 0.125 || col("dup_bigram_frac") > 0.2 ||
+            col("dup_trigram_frac") > 0.15)
+        .orderBy(col("doc_id"))
+    }),
+
+    // deterministic content-hash output sharding + the balance report:
+    // per-shard doc/token totals (shard = first md5 hex digit, so the
+    // assignment is engine/run/partitioning-reproducible)
+    "q_shard_assign" -> ((s, dir) => {
+      graft.ops.Curation.assignShards(t(s, dir, "documents"), "text")
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"))
+        .orderBy(col("shard"))
+    }),
+
     // LLM-pretraining sequence packing: concat-and-chunk per source shard
     // (TextAnalysis.packSequences) — bin/offset from one exclusive
     // prefix-sum window per shard
@@ -265,6 +291,25 @@ object CorpusQueries {
         .join(comp, col("doc_id") === col("node"), "left_outer")
         .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
         .withColumn("keep", col("doc_id") === col("component"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // cluster-canonical selection by QUALITY: within each near-dup
+    // cluster keep the highest-quality member (ties to the lowest id) —
+    // the curation-grade variant of dedup_clusters' min-id keep. One
+    // window over the component key on top of the same banded LSH plan.
+    "dedup_canonical" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashCandidates(docs, "doc_id", "text", 4, 2)
+      val comp = Dedup.connectedComponents(pairs)
+      val wq = Window.partitionBy(col("component"))
+        .orderBy(col("quality").desc, col("doc_id").asc)
+      docs.select(col("doc_id"), col("text"))
+        .join(comp, col("doc_id") === col("node"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .withColumn("keep", row_number().over(wq) === 1)
         .orderBy(col("doc_id"))
     }),
 
@@ -544,6 +589,33 @@ object CorpusQueries {
         |FROM (SELECT unnest(toks) AS token FROM tk)
         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin),
 
+    "txt_repetition" -> (tkCte +
+      """,
+        |gr AS (SELECT doc_id, toks,
+        |         list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bgs,
+        |         list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tgs
+        |       FROM tk),
+        |fr AS (SELECT doc_id,
+        |  CASE WHEN len(toks) > 0
+        |       THEN CAST(list_max(list_transform(list_distinct(toks), t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE)
+        |            / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS top_token_frac,
+        |  CASE WHEN len(bgs) > 0
+        |       THEN CAST(len(bgs) - len(list_distinct(bgs)) AS DOUBLE) / CAST(len(bgs) AS DOUBLE)
+        |       ELSE 0.0 END AS dup_bigram_frac,
+        |  CASE WHEN len(tgs) > 0
+        |       THEN CAST(len(tgs) - len(list_distinct(tgs)) AS DOUBLE) / CAST(len(tgs) AS DOUBLE)
+        |       ELSE 0.0 END AS dup_trigram_frac
+        |  FROM gr)
+        |SELECT doc_id, top_token_frac, dup_bigram_frac, dup_trigram_frac,
+        |       (top_token_frac > 0.125 OR dup_bigram_frac > 0.2 OR dup_trigram_frac > 0.15) AS repetitive
+        |FROM fr ORDER BY doc_id""".stripMargin),
+
+    "q_shard_assign" -> (tkCte +
+      """
+        |SELECT substr(md5(text), 1, 1) AS shard, count(*) AS n_docs,
+        |       CAST(SUM(len(toks)) AS BIGINT) AS n_tokens
+        |FROM tk GROUP BY shard ORDER BY shard""".stripMargin),
+
     "q_pack_sequences" -> (tkCte +
       """,
         |d AS (SELECT source, doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
@@ -636,6 +708,27 @@ object CorpusQueries {
          |       d.doc_id = least(coalesce(r.mn, d.doc_id), d.doc_id) AS keep
          |FROM documents d LEFT JOIN reach r ON d.doc_id = r.u
          |ORDER BY d.doc_id""".stripMargin),
+
+    "dedup_canonical" -> (bandsCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+      s""",
+         |cand AS ($candSelect),
+         |sym AS (SELECT a AS u, b AS v FROM cand UNION SELECT b AS u, a AS v FROM cand),
+         |walk(u, v) AS (SELECT u, v FROM sym UNION SELECT w.u, s.v FROM walk w JOIN sym s ON w.v = s.u),
+         |reach AS (SELECT u, min(v) AS mn FROM walk GROUP BY u),
+         |qv AS (SELECT doc_id,
+         |  0.4 * least(len(toks) / 100.0, 1.0)
+         |  + 0.3 * least((CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(${swList("en")}, t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END) * 5.0, 1.0)
+         |  + 0.3 * (CASE WHEN length(text) > 0
+         |           THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+         |           ELSE 0.0 END) AS quality
+         |  FROM tk),
+         |cmp AS (SELECT d.doc_id, least(coalesce(r.mn, d.doc_id), d.doc_id) AS component
+         |        FROM documents d LEFT JOIN reach r ON d.doc_id = r.u),
+         |rk AS (SELECT c.doc_id, c.component, q.quality,
+         |         row_number() OVER (PARTITION BY c.component ORDER BY q.quality DESC, c.doc_id ASC) AS rn
+         |       FROM cmp c JOIN qv q ON c.doc_id = q.doc_id)
+         |SELECT doc_id, component, quality, rn = 1 AS keep
+         |FROM rk ORDER BY doc_id""".stripMargin),
 
     "corpus_curate" -> (bandsCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
       s""",

@@ -51,4 +51,18 @@ object Curation {
       .withColumn("start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .filter(col("start") < budget)
   }
+
+  /** Deterministic output sharding for training-data landing: shard id =
+    * first `hexChars` hex digits of md5(content) — 16^hexChars shards,
+    * uniform over the corpus and (like [[sampleStratified]]'s hash
+    * order) reproducible across engines, runs, and repartitioning where
+    * `rand()`- or task-id-based sharding is not. Pure per-row column
+    * algebra; the downstream `partitionBy("shard")` write is the only
+    * exchange, and shard sizes concentrate around corpus/16^hexChars
+    * (md5 uniformity), so output files are balanced without a sort.
+    */
+  def assignShards(df: DataFrame, contentCol: String, hexChars: Int = 1): DataFrame = {
+    require(hexChars >= 1 && hexChars <= 8, "hexChars must be in [1, 8]")
+    df.withColumn("shard", substring(md5(col(contentCol)), 1, hexChars))
+  }
 }

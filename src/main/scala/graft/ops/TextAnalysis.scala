@@ -61,6 +61,44 @@ object TextAnalysis {
     lit(0.4) * lenSat + lit(0.3) * least(stopRatio * lit(5.0), lit(1.0)) + lit(0.3) * alphaRatio
   }
 
+  /** Order-preserving token n-grams, space-joined; empty for documents
+    * with fewer than `n` tokens. Per-row array algebra — no explode, no
+    * shuffle.
+    */
+  def ngrams(toks: Column, n: Int): Column = {
+    require(n >= 1, "n-gram order must be >= 1")
+    val cnt = size(toks) - (n - 1)
+    when(cnt >= 1, transform(sequence(lit(1), cnt), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Duplicate-n-gram fraction — a Gopher-style repetition signal:
+    * (total n-grams - distinct n-grams) / total n-grams, 0 for short
+    * docs. One IEEE division of exact integer counts, so the value is
+    * bit-reproducible across engines.
+    */
+  def dupNgramFrac(toks: Column, n: Int): Column = {
+    val g = ngrams(toks, n)
+    val total = size(g)
+    when(total > 0,
+        (total - size(array_distinct(g))).cast("double") / total.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Most-frequent-token fraction (Gopher's top-1-gram signal): count of
+    * the modal token / total tokens. Per-row O(distinct x tokens)
+    * interpreted array algebra — shuffle-free and fine at document
+    * lengths; a corpus of pathologically long documents would swap in
+    * the explode + map-side-combine count instead.
+    */
+  def topTokenFrac(toks: Column): Column = {
+    val ntok = size(toks)
+    val modal = array_max(transform(array_distinct(toks),
+      t => size(filter(toks, x => x === t))))
+    when(ntok > 0, modal.cast("double") / ntok.cast("double")).otherwise(lit(0.0))
+  }
+
   /** Canonical-form content fingerprint: md5 of lowercased,
     * punctuation-stripped, whitespace-collapsed text. Equal fingerprints =
     * near-exact duplicates modulo casing/punctuation/spacing.

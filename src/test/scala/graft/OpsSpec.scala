@@ -38,6 +38,41 @@ class OpsSpec extends AnyFunSuite {
     assert(hs(0) != hs(1) && hs(0) == hs(2))
   }
 
+  test("ngrams / dupNgramFrac / topTokenFrac: repetition signals, short docs safe") {
+    val df = Seq(
+      "a b a b a",     // 5 toks: top a=3/5; bigrams [a b, b a, a b, b a] -> dup 2/4
+      "x y z",         // all unique: top 1/3, dup 0
+      "q",             // 1 token: no bigrams -> 0.0, top 1.0
+      ""               // empty: all 0.0
+    ).toDF("text")
+    val toks = TextAnalysis.tokens(col("text"))
+    val got = df.select(
+      TextAnalysis.ngrams(toks, 2).as("bg"),
+      TextAnalysis.topTokenFrac(toks).as("top"),
+      TextAnalysis.dupNgramFrac(toks, 2).as("dup2"),
+      TextAnalysis.dupNgramFrac(toks, 3).as("dup3")).collect()
+    assert(got(0).getAs[scala.collection.Seq[String]]("bg") == Seq("a b", "b a", "a b", "b a"))
+    assert(got(0).getDouble(1) == 3.0 / 5 && got(0).getDouble(2) == 2.0 / 4)
+    // trigrams of "a b a b a": [a b a, b a b, a b a] -> dup 1/3
+    assert(got(0).getDouble(3) == 1.0 / 3)
+    assert(got(1).getDouble(1) == 1.0 / 3 && got(1).getDouble(2) == 0.0)
+    assert(got(2).getAs[scala.collection.Seq[String]]("bg").isEmpty)
+    assert(got(2).getDouble(1) == 1.0 && got(2).getDouble(2) == 0.0)
+    assert(got(3).getDouble(1) == 0.0 && got(3).getDouble(2) == 0.0 && got(3).getDouble(3) == 0.0)
+  }
+
+  test("assignShards: md5-hex shard, stable under repartitioning, within [0-9a-f]") {
+    import graft.ops.Curation
+    val docs = (1 to 64).map(i => (i.toLong, s"document body $i")).toDF("doc_id", "text")
+    val a = Curation.assignShards(docs, "text")
+      .select("doc_id", "shard").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a.values.forall(s => s.length == 1 && "0123456789abcdef".contains(s)))
+    val b = Curation.assignShards(docs.repartition(7), "text")
+      .select("doc_id", "shard").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+    assert(a.values.toSet.size > 4) // 64 docs spread over many of the 16 shards
+  }
+
   test("shingles: distinct word 3-grams; short docs give empty") {
     val df = Seq("a b c d", "a b").toDF("text")
       .select(Dedup.shingles(col("text")).as("sh"))
