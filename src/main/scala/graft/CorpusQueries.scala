@@ -149,12 +149,27 @@ object CorpusQueries {
         .orderBy(col("n").desc, col("token")).limit(20)
     }),
 
+    // token counting both ways: whitespace words vs BPE-ish regex
+    // segments (contractions, digit runs and punctuation runs count
+    // separately — the truer LLM-token-budget proxy)
+    "txt_bpe_tokens" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
+          TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher-style repetition signals: modal-token fraction + duplicate
     // bi/trigram fractions — per-row array algebra, shuffle-free,
     // scan-bound at 100 TB like the other text kernels
     "txt_repetition" -> ((s, dir) => {
-      val toks = TextAnalysis.tokens(col("text"))
-      t(s, dir, "documents").select(col("doc_id"),
+      // tokenize ONCE in a prior projection: inlining tokens(text) into
+      // every signal repeats the split+filter ~20x per row in the
+      // interpreted HOF expression tree (plan-audited)
+      val toks = col("__toks")
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"),
           TextAnalysis.topTokenFrac(toks).as("top_token_frac"),
           TextAnalysis.dupNgramFrac(toks, 2).as("dup_bigram_frac"),
           TextAnalysis.dupNgramFrac(toks, 3).as("dup_trigram_frac"))
@@ -588,6 +603,15 @@ object CorpusQueries {
         |SELECT token, count(*) AS n
         |FROM (SELECT unnest(toks) AS token FROM tk)
         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin),
+
+    // the regex constant is shared with the Spark side; ASCII classes +
+    // no lookaheads keep Java and RE2 dialects identical
+    "txt_bpe_tokens" -> (tkCte +
+      s"""
+         |SELECT doc_id,
+         |       CAST(len(toks) AS BIGINT) AS n_ws_tokens,
+         |       CAST(len(regexp_extract_all(lower(text), '${TextAnalysis.BpeTokenRegex.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens
+         |FROM tk ORDER BY doc_id""".stripMargin),
 
     "txt_repetition" -> (tkCte +
       """,

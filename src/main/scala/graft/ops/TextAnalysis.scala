@@ -21,6 +21,24 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** GPT-2-style pre-tokenizer regex, ASCII classes only: contraction
+    * suffixes, space-prefixed letter runs, digit runs, punctuation runs.
+    * ASCII (not \p{L}) keeps Java (Spark) and RE2 (DuckDB/Go) dialects
+    * byte-identical; no lookaheads for the same reason.
+    */
+  val BpeTokenRegex: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s']+"
+
+  /** BPE-ish token segments of lowercased text (the pre-tokenization a
+    * byte-pair encoder would merge within). A truer proxy for LLM token
+    * budgets than whitespace words: punctuation and digit runs segment
+    * separately, contractions split.
+    */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit(BpeTokenRegex), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
   /** Language-id by stopword voting: score(lang) = # tokens in that
     * language's stopword list (counting repeats); winner = max score,
     * ties broken by lexicographically smallest language code.

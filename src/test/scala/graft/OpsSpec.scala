@@ -38,6 +38,33 @@ class OpsSpec extends AnyFunSuite {
     assert(hs(0) != hs(1) && hs(0) == hs(2))
   }
 
+  test("bpeTokens: contractions/digits/punctuation segment separately; ws count unchanged") {
+    val df = Seq(
+      "It's 2024, really-good!",  // it|'s| 2024|,| really|-|good|!
+      "plain words here",
+      ""
+    ).toDF("text")
+    val got = df.select(
+      TextAnalysis.bpeTokens(col("text")).as("bt"),
+      TextAnalysis.bpeTokenCount(col("text")).as("nb"),
+      TextAnalysis.tokenCount(col("text")).as("nw")).collect()
+    assert(got(0).getAs[scala.collection.Seq[String]]("bt") ==
+      Seq("it", "'s", " 2024", ",", " really", "-", "good", "!"))
+    assert(got(0).getInt(1) == 8 && got(0).getInt(2) == 3)
+    assert(got(1).getInt(1) == 3 && got(1).getInt(2) == 3)
+    assert(got(2).getInt(1) == 0 && got(2).getInt(2) == 0)
+  }
+
+  test("txt_repetition plan tokenizes once (plan lock: no re-inlined split per signal)") {
+    // the query materializes tokens in a prior projection; if a future
+    // edit lets CollapseProject re-inline them, the interpreted HOF tree
+    // re-splits the text ~20x per row — lock the plan property down
+    val plan = SparkEntry.queries("txt_repetition")(spark, "/root/testdata/sf0.001")
+      .queryExecution.optimizedPlan.toString
+    val splits = "split\\(lower\\(".r.findAllIn(plan).length
+    assert(splits == 1, s"expected exactly one tokenize in the plan, found $splits")
+  }
+
   test("ngrams / dupNgramFrac / topTokenFrac: repetition signals, short docs safe") {
     val df = Seq(
       "a b a b a",     // 5 toks: top a=3/5; bigrams [a b, b a, a b, b a] -> dup 2/4
