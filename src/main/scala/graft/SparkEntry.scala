@@ -507,6 +507,25 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // §2.10 x corpus tier: streaming exact-dedup of the document feed by
+    // canonical fingerprint under the real streaming engine; the emitted
+    // fingerprint SET must hash-match the batch DISTINCT oracle
+    "q_stream_dedup_docs" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val q = graft.streaming.EventStreams.dedupCorpus(stream, "text")
+        .writeStream.format("memory").queryName("stream_dedup_docs_sink")
+        .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("stream_dedup_docs_sink").orderBy(col("fp"))
+    }),
+
     // F7-shape: JSON field extraction + agg
     "q_events_json_extract" -> ((s, dir) => {
       t(s, dir, "events")  // props only — no ts needed
@@ -785,6 +804,10 @@ object SparkEntry {
         |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY dim_status, dim_priority""".stripMargin,
+
+    "q_stream_dedup_docs" ->
+      """SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY fp""".stripMargin,
 
     "q_stream_windowed" ->
       """SELECT date_trunc('hour', ts) AS wstart, event_type, count(*) AS n,

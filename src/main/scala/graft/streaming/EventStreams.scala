@@ -56,6 +56,21 @@ object EventStreams {
   def dedupDeliveries(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id", "ts")
 
+  /** Streaming exact-dedup of a document corpus by canonical content
+    * fingerprint — the corpus-ingestion twin of [[dedupDeliveries]]: a
+    * document feed replayed (or tailed) through `readStream` emits each
+    * DISTINCT canonical fingerprint once. Emits the fingerprint only:
+    * streaming dropDuplicates keeps the arbitrary first arrival, so
+    * emitting document content would be run-order-dependent, while the
+    * fingerprint SET is deterministic and batch-oracle-comparable.
+    * State is one entry per distinct fingerprint — at corpus scale pair
+    * it with a watermarked ingestion timestamp to bound the store, or
+    * run it as the batch-side `dedup_exact_*` queries instead.
+    */
+  def dedupCorpus(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(graft.ops.TextAnalysis.fingerprintMd5(col(textCol)).as("fp"))
+      .dropDuplicates("fp")
+
   /** CDC-style sink: every micro-batch runs the same batch merge the
     * ingest pipeline uses (K1 upsert via foreachBatch).
     */

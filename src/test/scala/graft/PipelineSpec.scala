@@ -441,4 +441,24 @@ class PipelineSpec extends AnyFunSuite {
     q.processAllAvailable(); q.stop()
     assert(spark.table("dedup_out").count() == 2)
   }
+
+  test("EventStreams: corpus fingerprint dedup spans micro-batches, canon-form invariant") {
+    val dir = Files.createTempDirectory("docs-stream").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    Seq((1L, "Hello, World!"), (2L, "unrelated text")).toDF("doc_id", "text")
+      .write.parquet(dir + "/in")
+    val stream = spark.readStream.schema(schema).parquet(dir + "/in")
+    val q = EventStreams.dedupCorpus(stream, "text")
+      .writeStream.format("memory").queryName("corpus_dedup_out")
+      .option("checkpointLocation", dir + "/ckpt").outputMode("append").start()
+    q.processAllAvailable()
+    // second drop arrives later: one canon-equal re-delivery (casing/punct
+    // differ), one genuinely new doc — only the new fingerprint is emitted
+    Seq((3L, "hello   world"), (4L, "brand new")).toDF("doc_id", "text")
+      .write.mode("append").parquet(dir + "/in")
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("corpus_dedup_out").count() == 3)
+  }
 }
