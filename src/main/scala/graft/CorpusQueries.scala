@@ -117,10 +117,12 @@ object CorpusQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // text analysis: token count + rolling hash + canonical fingerprint
     "txt_token_stats" -> ((s, dir) => {
-      t(s, dir, "documents").select(col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
-        TextAnalysis.rollingHash(col("text")).as("rhash"),
-        TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), TextAnalysis.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"),
+          size(col("__toks")).cast("long").as("n_tokens"),
+          TextAnalysis.rollingHashT(col("__toks")).as("rhash"),
+          TextAnalysis.fingerprintMd5(col("text")).as("fp"))
         .orderBy(col("doc_id"))
     }),
 
@@ -232,9 +234,15 @@ object CorpusQueries {
     // data mixing: per-source token budget, best-quality-first admission
     // (concat-and-chunk boundary semantics — the straddling doc is kept)
     "q_token_budget" -> ((s, dir) => {
-      graft.ops.Curation.capTokenBudget(t(s, dir, "documents"),
-          "source", "text", budget = 600,
-          orderBy = Seq(TextAnalysis.qualityScore(col("text")).desc, col("doc_id")))
+      // tokenize once, derive quality AND the budget counts from the
+      // materialized array (txt_repetition plan-lock rationale)
+      val pre = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("text"),
+          TextAnalysis.tokens(col("text")).as("__toks"))
+        .select(col("source"), col("doc_id"), col("__toks"),
+          TextAnalysis.qualityScoreT(col("__toks"), col("text")).as("__q"))
+      graft.ops.Curation.capTokenBudgetT(pre, "source", "__toks", budget = 600,
+          orderBy = Seq(col("__q").desc, col("doc_id")))
         .select(col("source"), col("doc_id"), col("n_tokens"), col("start"))
         .orderBy(col("source"), col("doc_id"))
     }),
@@ -319,11 +327,12 @@ object CorpusQueries {
       val comp = Dedup.connectedComponents(pairs)
       val wq = Window.partitionBy(col("component"))
         .orderBy(col("quality").desc, col("doc_id").asc)
-      docs.select(col("doc_id"), col("text"))
+      docs.select(col("doc_id"), col("text"),
+          TextAnalysis.tokens(col("text")).as("__toks"))
         .join(comp, col("doc_id") === col("node"), "left_outer")
         .select(col("doc_id"),
           coalesce(col("component"), col("doc_id")).as("component"),
-          TextAnalysis.qualityScore(col("text")).as("quality"))
+          TextAnalysis.qualityScoreT(col("__toks"), col("text")).as("quality"))
         .withColumn("keep", row_number().over(wq) === 1)
         .orderBy(col("doc_id"))
     }),
@@ -334,13 +343,16 @@ object CorpusQueries {
       val docs = t(s, dir, "documents")
       val pairs = Dedup.minhashCandidates(docs, "doc_id", "text", 4, 2)
       val comp = Dedup.connectedComponents(pairs)
-      docs.select(col("doc_id"), col("text"), col("lang"))
+      // tokenize ONCE before the join: inlining langId/qualityScore over
+      // text repeats the interpreted split ~20x per row (plan-locked)
+      docs.select(col("doc_id"), col("text"), col("lang"),
+          TextAnalysis.tokens(col("text")).as("__toks"))
         .join(comp, col("doc_id") === col("node"), "left_outer")
-        .select(col("doc_id"), col("text"), col("lang"),
+        .select(col("doc_id"), col("text"), col("lang"), col("__toks"),
           coalesce(col("component"), col("doc_id")).as("component"))
         .withColumn("keep_dup", col("doc_id") === col("component"))
-        .withColumn("lang_pred", TextAnalysis.langId(col("text")))
-        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .withColumn("lang_pred", TextAnalysis.langIdT(col("__toks")))
+        .withColumn("quality", TextAnalysis.qualityScoreT(col("__toks"), col("text")))
         .withColumn("selected",
           col("keep_dup") && col("quality") >= 0.5 && col("lang_pred") === col("lang"))
         .select(col("doc_id"), col("keep_dup"), col("lang_pred"), col("quality"), col("selected"))

@@ -41,13 +41,24 @@ object Curation {
     * result straight into [[TextAnalysis.packSequences]].
     */
   def capTokenBudget(docs: DataFrame, shardCol: String, textCol: String,
-                     budget: Long, orderBy: Seq[Column]): DataFrame = {
+                     budget: Long, orderBy: Seq[Column]): DataFrame =
+    capTokenBudgetT(
+      docs.withColumn("__cap_toks", TextAnalysis.tokens(col(textCol))),
+      shardCol, "__cap_toks", budget, orderBy).drop("__cap_toks")
+
+  /** [[capTokenBudget]] over a pre-tokenized corpus (`toksCol` a
+    * materialized token array): callers that also compute quality or
+    * other token signals should tokenize once and pass the column here —
+    * the interpreted HOF tree otherwise re-splits the text per inlined
+    * mention (see TextAnalysis.langIdT).
+    */
+  def capTokenBudgetT(docs: DataFrame, shardCol: String, toksCol: String,
+                      budget: Long, orderBy: Seq[Column]): DataFrame = {
     require(budget > 0, "token budget must be positive")
     val w = Window.partitionBy(col(shardCol)).orderBy(orderBy: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     // null text = zero tokens (same prefix-sum safety as packSequences)
-    docs.withColumn("n_tokens",
-        coalesce(TextAnalysis.tokenCount(col(textCol)).cast("long"), lit(0L)))
+    docs.withColumn("n_tokens", coalesce(size(col(toksCol)).cast("long"), lit(0L)))
       .withColumn("start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .filter(col("start") < budget)
   }

@@ -56,8 +56,14 @@ object TextAnalysis {
     }
 
   /** Predicted language code, or "und" when no stopword hits at all. */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
+  def langId(text: Column): Column = langIdT(tokens(text))
+
+  /** [[langId]] over a pre-tokenized column — callers computing several
+    * signals should materialize tokens ONCE in a prior projection and
+    * use the `...T` variants: the HOF expression tree is interpreted,
+    * so every inlined `tokens(text)` re-splits the text per row.
+    */
+  def langIdT(toks: Column): Column = {
     val scored = langScores(toks).map { case (lang, s) => struct((-s).as("neg"), lit(lang).as("lang"), s.as("s")) }
     val best = array_min(array(scored: _*))
     when(best.getField("s") === 0, lit("und")).otherwise(best.getField("lang"))
@@ -68,8 +74,10 @@ object TextAnalysis {
     * large-scale corpus pipelines (C4/Gopher-style rules), kept to exact
     * integer-ratio arithmetic so it is bit-reproducible.
     */
-  def qualityScore(text: Column): Column = {
-    val toks = tokens(text)
+  def qualityScore(text: Column): Column = qualityScoreT(tokens(text), text)
+
+  /** [[qualityScore]] over a pre-tokenized column (see [[langIdT]]). */
+  def qualityScoreT(toks: Column, text: Column): Column = {
     val ntok = size(toks).cast("double")
     val lenSat = least(ntok / lit(100.0), lit(1.0))
     val stopHits = graft.functions.TextHashes.stopword_count(toks, stopwords("en")).cast("double")
@@ -130,8 +138,11 @@ object TextAnalysis {
     * codegen'd kernel (functions.RollingHash31), byte-identical to the
     * `aggregate(transform(tokens, ascii))` HOF form it replaces.
     */
-  def rollingHash(text: Column): Column =
-    graft.functions.TextHashes.rolling_hash(tokens(text))
+  def rollingHash(text: Column): Column = rollingHashT(tokens(text))
+
+  /** [[rollingHash]] over a pre-tokenized column (see [[langIdT]]). */
+  def rollingHashT(toks: Column): Column =
+    graft.functions.TextHashes.rolling_hash(toks)
 
   /** Concat-and-chunk sequence packing — the batch layout used for LLM
     * pretraining: documents, in a deterministic per-shard order, are laid
