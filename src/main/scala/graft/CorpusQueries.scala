@@ -304,6 +304,19 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // exact-substring decontamination: train docs containing an eval
+    // doc's 64-char prefix verbatim — broadcast needles, per-row
+    // contains probe, no shuffle
+    "dedup_decontaminate_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contaminatedExact(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0)
+            .withColumn("text", substring(col("text"), 1, 64)),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // near-dup clustering: LSH pairs -> connected components -> canonical
     // keep/drop decision per document (the actual corpus-dedup output)
     "dedup_clusters" -> ((s, dir) => {
@@ -730,6 +743,15 @@ object CorpusQueries {
         |SELECT DISTINCT tr.doc_id AS doc_id
         |FROM tr JOIN ev USING (s)
         |ORDER BY doc_id""".stripMargin),
+
+    "dedup_decontaminate_exact" ->
+      """SELECT DISTINCT d.doc_id AS doc_id
+        |FROM documents d
+        |JOIN (SELECT DISTINCT substr(text, 1, 64) AS needle
+        |      FROM documents WHERE doc_id % 10 = 0 AND length(text) > 0) e
+        |  ON contains(d.text, e.needle)
+        |WHERE d.doc_id % 10 <> 0
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_clusters" -> (bandsCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
       s""",

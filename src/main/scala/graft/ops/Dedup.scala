@@ -269,6 +269,27 @@ object Dedup {
         .filter(col("__n") >= minShared).select(col(idCol))
   }
 
+  /** Exact-substring decontamination — the strictest leakage test: a
+    * train document is contaminated iff some eval needle (the eval
+    * text column, typically an example or a canonical prefix of one)
+    * occurs VERBATIM inside it. The needle set is broadcast (benchmark
+    * suites are tiny next to a training corpus) and the probe is a
+    * per-row contains scan under a broadcast nested-loop join — no
+    * shuffle, corpus-scan-bound at 100 TB. Complements [[contaminated]]:
+    * w-gram overlap catches paraphrase-level leakage but can
+    * false-positive on common phrases; verbatim containment cannot.
+    * Empty needles are dropped (they would match every document).
+    */
+  def contaminatedExact(train: DataFrame, evalSet: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val needles = broadcast(
+      evalSet.select(col(textCol).as("__needle"))
+        .filter(length(col("__needle")) > 0).distinct())
+    train.select(col(idCol), col(textCol))
+      .join(needles, col(textCol).contains(col("__needle")))
+      .select(col(idCol)).distinct()
+  }
+
   /** n-gram Jaccard similarity between two shingle-set columns. Exact
     * rational arithmetic (intersection/union sizes) until the final
     * division, so it's deterministic.

@@ -325,6 +325,21 @@ class OpsSpec extends AnyFunSuite {
     assert(strict == Seq(5L))
   }
 
+  test("contaminatedExact: verbatim containment only; empty needles dropped; no shuffle") {
+    val evalSet = Seq((100L, "quick brown fox"), (101L, "")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "a quick brown fox appears"),     // verbatim -> flagged
+      (2L, "quick brown wolf quick fox"),    // all words, not contiguous -> clean
+      (3L, "entirely different")             // would match ONLY an empty needle
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.contaminatedExact(train, evalSet, "doc_id", "text")
+    assert(got.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L))
+    // scale shape: broadcast nested-loop probe, no exchange before the
+    // distinct — the corpus is scanned once, needles ride the broadcast
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("Curation: budget admits best-first with straddler kept; stratified sample is stable") {
     import graft.ops.Curation
     // quality order is approximated here by doc_id (orderBy is caller's);

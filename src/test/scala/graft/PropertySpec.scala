@@ -86,6 +86,40 @@ class PropertySpec extends AnyFunSuite {
       .collect().foreach(r => assert(r.getString(0) == r.getString(1)))
   }
 
+  test("ngrams match the sliding-window reference; repetition fracs in [0,1]") {
+    val wordGen = Gen.oneOf("a", "b", "cat", "dog", "x1")
+    val docGen = Gen.choose(0, 9).flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
+    val docs = samples(docGen, 40)
+    val toks = graft.ops.TextAnalysis.tokens(col("text"))
+    Seq(1, 2, 3, 4).foreach { n =>
+      val got = docs.toDF("text")
+        .select(col("text"), graft.ops.TextAnalysis.ngrams(toks, n).as("g"),
+          graft.ops.TextAnalysis.dupNgramFrac(toks, n).as("f"))
+        .collect()
+      got.foreach { r =>
+        val words = r.getString(0).split("\\s+").filter(_.nonEmpty).toSeq
+        val expect = words.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+        assert(r.getAs[scala.collection.Seq[String]]("g") == expect, s"n=$n '${r.getString(0)}'")
+        val f = r.getDouble(2)
+        assert(f >= 0.0 && f <= 1.0)
+      }
+    }
+  }
+
+  test("bpeTokens partition the non-space text: segments rejoin to the lowercased input") {
+    // alnum + punctuation + single spaces (no bare apostrophes — a lone
+    // quote is deliberately unmatched by the ASCII contraction pattern)
+    val pieceGen = Gen.oneOf("word", "It's", "42", "x9", "well-known", "end.", "Yes!")
+    val docGen = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, pieceGen)).map(_.mkString(" "))
+    samples(docGen, 40).toDF("text")
+      .select(col("text"), graft.ops.TextAnalysis.bpeTokens(col("text")).as("bt"))
+      .collect().foreach { r =>
+        val rejoined = r.getAs[scala.collection.Seq[String]]("bt").mkString
+        assert(rejoined == r.getString(0).toLowerCase,
+          s"'${r.getString(0)}' -> $rejoined")
+      }
+  }
+
   test("hyperplaneBucket hybrid sign equals the pure-decimal form on random vectors") {
     import graft.ops.Similarity
     // the production bucket decides with the compiled double dot unless
