@@ -399,6 +399,22 @@ object CorpusQueries {
         .orderBy(col("a"), col("b"))
     }),
 
+    // embedding near-dup CLUSTERING end-to-end: hyperplane-bucketed
+    // pairs -> connected components -> canonical keep per cluster (the
+    // embedding-space twin of dedup_clusters — same component engine)
+    "sim_neardup_clusters" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val pairs = Similarity.dotNearDupExact(emb, "vec_id", "embedding",
+        BigDecimal("0.35"), 4, 64)
+      val comp = Dedup.connectedComponents(pairs)
+      emb.select(col("vec_id"))
+        .join(comp, col("vec_id") === col("node"), "left_outer")
+        .select(col("vec_id"),
+          coalesce(col("component"), col("vec_id")).as("component"))
+        .withColumn("keep", col("vec_id") === col("component"))
+        .orderBy(col("vec_id"))
+    }),
+
     // IVF ANN: deterministic seed codebook, map-side cell assignment,
     // nProbe=2 inverted-list probe, exact-decimal re-rank
     "sim_ivf_topk" -> ((s, dir) => {
@@ -849,6 +865,19 @@ object CorpusQueries {
          |FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
          |WHERE ${dotDecSql("x.embedding", "y.embedding")} >= CAST('0.35' AS DECIMAL(36,15))
          |ORDER BY a, b""".stripMargin,
+
+    "sim_neardup_clusters" ->
+      s"""WITH RECURSIVE bk AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+         |cand AS (SELECT x.vec_id AS a, y.vec_id AS b
+         |         FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |         WHERE ${dotDecSql("x.embedding", "y.embedding")} >= CAST('0.35' AS DECIMAL(36,15))),
+         |sym AS (SELECT a AS u, b AS v FROM cand UNION SELECT b AS u, a AS v FROM cand),
+         |walk(u, v) AS (SELECT u, v FROM sym UNION SELECT w.u, s.v FROM walk w JOIN sym s ON w.v = s.u),
+         |reach AS (SELECT u, min(v) AS mn FROM walk GROUP BY u)
+         |SELECT e.vec_id, least(coalesce(r.mn, e.vec_id), e.vec_id) AS component,
+         |       e.vec_id = least(coalesce(r.mn, e.vec_id), e.vec_id) AS keep
+         |FROM embeddings e LEFT JOIN reach r ON e.vec_id = r.u
+         |ORDER BY e.vec_id""".stripMargin,
 
     "sim_ivf_topk" -> ivfOracleSql,
 
