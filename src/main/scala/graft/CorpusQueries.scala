@@ -151,6 +151,23 @@ object CorpusQueries {
         .orderBy(col("n").desc, col("token")).limit(20)
     }),
 
+    // PII scrub pass: per-class counts + fingerprint of the redacted
+    // text (the corpus here is PII-free by construction, so counts are
+    // zero and the redacted fingerprint equals the lowercased-text md5 —
+    // the cross-engine regex plumbing is what the row proves; the
+    // redaction semantics themselves are spec-tested on PII-rich text)
+    "txt_redact_pii" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.piiCounts(col("text")).as("__p"),
+          md5(TextAnalysis.redactPii(col("text"))).as("redacted_fp"))
+        .select(col("doc_id"),
+          col("__p.n_emails").cast("long").as("n_emails"),
+          col("__p.n_ipv4").cast("long").as("n_ipv4"),
+          col("__p.n_phones").cast("long").as("n_phones"),
+          col("redacted_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // token counting both ways: whitespace words vs BPE-ish regex
     // segments (contractions, digit runs and punctuation runs count
     // separately — the truer LLM-token-budget proxy)
@@ -644,6 +661,17 @@ object CorpusQueries {
         |SELECT token, count(*) AS n
         |FROM (SELECT unnest(toks) AS token FROM tk)
         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin),
+
+    "txt_redact_pii" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(lower(text), '${TextAnalysis.EmailRegex}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(lower(text), '${TextAnalysis.Ipv4Regex}')) AS BIGINT) AS n_ipv4,
+         |  CAST(len(regexp_extract_all(lower(text), '${TextAnalysis.PhoneRegex}')) AS BIGINT) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(lower(text),
+         |      '${TextAnalysis.EmailRegex}', '[email]', 'g'),
+         |      '${TextAnalysis.Ipv4Regex}', '[ip]', 'g'),
+         |      '${TextAnalysis.PhoneRegex}', '[phone]', 'g')) AS redacted_fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the regex constant is shared with the Spark side; ASCII classes +
     // no lookaheads keep Java and RE2 dialects identical

@@ -125,6 +125,38 @@ object TextAnalysis {
     when(ntok > 0, modal.cast("double") / ntok.cast("double")).otherwise(lit(0.0))
   }
 
+  /** PII patterns for scrub/redact passes — ASCII-only, no alternation
+    * beyond an optional literal, no lookarounds, so the Java (Spark) and
+    * RE2 (DuckDB/Go) engines find identical matches and the same
+    * pattern strings are shared verbatim with the oracle SQL.
+    */
+  val EmailRegex: String = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val Ipv4Regex: String = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRegex: String = "\\+?[0-9][0-9 ()-]{6,}[0-9]"
+
+  /** Per-class PII match counts (emails, IPv4s, phone-like runs) over
+    * the lowercased text. Per-row, shuffle-free, scan-bound.
+    */
+  def piiCounts(text: Column): Column = {
+    val lo = lower(text)
+    struct(
+      size(regexp_extract_all(lo, lit(EmailRegex), lit(0))).as("n_emails"),
+      size(regexp_extract_all(lo, lit(Ipv4Regex), lit(0))).as("n_ipv4"),
+      size(regexp_extract_all(lo, lit(PhoneRegex), lit(0))).as("n_phones"))
+  }
+
+  /** PII-redacted text: emails, then IPv4s, then phone runs replaced by
+    * fixed tokens, in that order (emails first so their digit runs can't
+    * be half-eaten by the phone pass). Deterministic and idempotent —
+    * the replacement tokens contain no redactable substrings.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(text), EmailRegex, "[email]"),
+        Ipv4Regex, "[ip]"),
+      PhoneRegex, "[phone]")
+
   /** Canonical-form content fingerprint: md5 of lowercased,
     * punctuation-stripped, whitespace-collapsed text. Equal fingerprints =
     * near-exact duplicates modulo casing/punctuation/spacing.

@@ -38,6 +38,27 @@ class OpsSpec extends AnyFunSuite {
     assert(hs(0) != hs(1) && hs(0) == hs(2))
   }
 
+  test("PII scrub: counts per class, redaction deterministic and idempotent") {
+    val df = Seq(
+      "mail Bob@Example.COM or call +34 600 123 456 from 10.0.0.1",
+      "no pii here at all",
+      "two mails: a@b.es c@d.org"
+    ).toDF("text")
+    val got = df.select(
+      TextAnalysis.piiCounts(col("text")).as("p"),
+      TextAnalysis.redactPii(col("text")).as("r")).collect()
+    assert(got(0).getStruct(0).toSeq == Seq(1, 1, 1))
+    assert(got(0).getString(1) == "mail [email] or call [phone] from [ip]")
+    assert(got(1).getStruct(0).toSeq == Seq(0, 0, 0))
+    assert(got(1).getString(1) == "no pii here at all")
+    assert(got(2).getStruct(0).toSeq == Seq(2, 0, 0))
+    assert(got(2).getString(1) == "two mails: [email] [email]")
+    // idempotent: redacting redacted text is a no-op
+    val again = df.select(TextAnalysis.redactPii(TextAnalysis.redactPii(col("text"))).as("r"))
+      .collect().map(_.getString(0)).toSeq
+    assert(again == got.map(_.getString(1)).toSeq)
+  }
+
   test("bpeTokens: contractions/digits/punctuation segment separately; ws count unchanged") {
     val df = Seq(
       "It's 2024, really-good!",  // it|'s| 2024|,| really|-|good|!
