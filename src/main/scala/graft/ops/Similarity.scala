@@ -351,8 +351,16 @@ object Similarity {
     * true neighbors there).
     */
   def ivfTopKInt8(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-                  k: Int, nList: Int, nProbe: Int): DataFrame = {
-    val cents = ivfCentroids(corpus, idCol, vecCol, nList)
+                  k: Int, nList: Int, nProbe: Int): DataFrame =
+    ivfTopKInt8With(ivfCentroids(corpus, idCol, vecCol, nList),
+      corpus, queries, idCol, vecCol, k, nProbe)
+
+  /** IVF-SQ8 top-k under a caller-supplied codebook — the same
+    * pluggability as [[ivfTopKWith]] (seed or k-means codebooks;
+    * quantization, probing, error-bound gate and decider identical).
+    */
+  def ivfTopKInt8With(cents: Seq[(Long, Seq[Float])], corpus: DataFrame, queries: DataFrame,
+                      idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
     // the materialized inverted lists: id, cell, lo/hi + tinyint codes
     val q8 = quantizeInt8(col(vecCol))
     val lists = corpus.select(col(idCol).as("cid"),

@@ -289,6 +289,12 @@ class OpsSpec extends AnyFunSuite {
     val full = res(Similarity.ivfTopK(vecs, queries, "vec_id", "embedding", 5, 8, 3))
     val int8 = res(Similarity.ivfTopKInt8(vecs, queries, "vec_id", "embedding", 5, 8, 3))
     assert(int8 == full)
+    // codebook pluggability mirrors the full-precision tier: under the
+    // SAME k-means codebook, int8 and full-precision agree exactly too
+    val km = Similarity.ivfCentroidsKMeans(vecs, "vec_id", "embedding", 8)
+    val fullKm = res(Similarity.ivfTopKWith(km, vecs, queries, "vec_id", "embedding", 5, 3))
+    val int8Km = res(Similarity.ivfTopKInt8With(km, vecs, queries, "vec_id", "embedding", 5, 3))
+    assert(int8Km == fullKm)
     // the inverted-list layout this tier shuffles is 1-byte codes
     val codesType = Similarity.quantizeInt8(col("embedding")).getField("codes")
       .cast("array<tinyint>")

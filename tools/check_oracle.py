@@ -1,13 +1,15 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [nameRegex]
 
 Reads <verifyOutDir>/oracle_sql.json (written by graft.Verify), registers
 each testdata parquet as a DuckDB view, runs every oracle SQL, and compares
 it to the Spark result parquet at <verifyOutDir>/<name>/ — columns sorted
 by name, rows sorted, exact value equality (with a float report on near
-misses). Exit code = number of failing queries.
+misses). Exit code = number of failing queries. An optional third arg
+restricts the run to query names matching the regex (iteration speed —
+the full run stays the gate).
 
 Driver-side tooling only (duckdb/pyarrow are NOT dependencies of the
 Scala library).
@@ -55,13 +57,16 @@ def type_mismatches(want, got, wcols):
     return out
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, only: str = "") -> int:
+    import re
     con = duckdb.connect()
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
         if p.exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    if only:
+        oracle = {k: v for k, v in oracle.items() if re.fullmatch(only, k)}
     failures = 0
     for name, sql in sorted(oracle.items()):
         spark_dir = Path(out_dir) / name
@@ -114,4 +119,5 @@ def main(sf_dir: str, out_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else ""))
