@@ -367,6 +367,33 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // THE capstone: the full training-data assembly as ONE plan —
+    // near-dup canonical keep -> eval decontamination -> quality gate ->
+    // concat-and-chunk sequence packing per source shard. Every stage is
+    // an already-oracle-verified operator; this row proves they COMPOSE
+    // (the 100 TB shape: one banded LSH join, one component pass, one
+    // shingle semi-join, scan-bound signals, one prefix-sum window)
+    "corpus_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      val pairs = Dedup.minhashCandidates(train, "doc_id", "text", 4, 2)
+      val comp = Dedup.connectedComponents(pairs)
+      // minShared=8: the tiny synthetic vocabulary makes single-shingle
+      // collisions ubiquitous (426/450 train docs share >= 1 shingle with
+      // eval) — the threshold knob exists for exactly this noise profile
+      val contam = Dedup.contaminated(train,
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", minShared = 8)
+      val kept = train
+        .select(col("doc_id"), col("text"), col("source"),
+          TextAnalysis.tokens(col("text")).as("__toks"))
+        .join(comp, col("doc_id") === col("node"), "left_outer")
+        .filter(coalesce(col("component"), col("doc_id")) === col("doc_id"))
+        .join(contam, Seq("doc_id"), "left_anti")
+        .filter(TextAnalysis.qualityScoreT(col("__toks"), col("text")) >= 0.5)
+      TextAnalysis.packSequences(kept, "source", "doc_id", "text", budget = 512)
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
     // capstone composition: the curated-corpus selection — near-dup
     // canonical keep x quality threshold x language agreement, one plan
     "corpus_curate" -> ((s, dir) => {
@@ -831,6 +858,47 @@ object CorpusQueries {
          |       FROM cmp c JOIN qv q ON c.doc_id = q.doc_id)
          |SELECT doc_id, component, quality, rn = 1 AS keep
          |FROM rk ORDER BY doc_id""".stripMargin),
+
+    // the capstone oracle composes the verified fragments: train-restricted
+    // LSH pairs + reachability min-label, shingle semi-join contamination,
+    // the quality formula, then the packing prefix sum over survivors
+    "corpus_pipeline" -> (bandsCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+      s""",
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |         FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+         |           AND x.doc_id < y.doc_id
+         |         WHERE x.doc_id % 10 <> 0 AND y.doc_id % 10 <> 0),
+         |sym AS (SELECT a AS u, b AS v FROM cand UNION SELECT b AS u, a AS v FROM cand),
+         |walk(u, v) AS (SELECT u, v FROM sym UNION SELECT w.u, s.v FROM walk w JOIN sym s ON w.v = s.u),
+         |reach AS (SELECT u, min(v) AS mn FROM walk GROUP BY u),
+         |contam AS (SELECT tr.doc_id AS doc_id
+         |           FROM (SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id % 10 <> 0) tr
+         |           JOIN (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 10 = 0) ev USING (s)
+         |           GROUP BY tr.doc_id HAVING count(*) >= 8),
+         |qv AS (SELECT doc_id,
+         |  0.4 * least(len(toks) / 100.0, 1.0)
+         |  + 0.3 * least((CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(${swList("en")}, t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END) * 5.0, 1.0)
+         |  + 0.3 * (CASE WHEN length(text) > 0
+         |           THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+         |           ELSE 0.0 END) AS quality
+         |  FROM tk WHERE doc_id % 10 <> 0),
+         |kept AS (SELECT d.doc_id, d.source,
+         |           CAST(len(t.toks) AS BIGINT) AS n_tokens
+         |         FROM documents d
+         |         JOIN tk t ON d.doc_id = t.doc_id
+         |         JOIN qv q ON d.doc_id = q.doc_id
+         |         LEFT JOIN reach r ON d.doc_id = r.u
+         |         WHERE d.doc_id % 10 <> 0
+         |           AND least(coalesce(r.mn, d.doc_id), d.doc_id) = d.doc_id
+         |           AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+         |           AND q.quality >= 0.5),
+         |pk AS (SELECT source, doc_id, n_tokens,
+         |         COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+         |       FROM kept)
+         |SELECT source, doc_id, n_tokens,
+         |       CAST(start // 512 AS BIGINT) AS bin, CAST(start % 512 AS BIGINT) AS offset
+         |FROM pk ORDER BY source, doc_id""".stripMargin),
 
     "corpus_curate" -> (bandsCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
       s""",
