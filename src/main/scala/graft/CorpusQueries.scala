@@ -376,13 +376,21 @@ object CorpusQueries {
     "corpus_pipeline" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val train = docs.filter(col("doc_id") % 10 =!= 0)
-      val pairs = Dedup.minhashCandidates(train, "doc_id", "text", 4, 2)
+      // ONE persisted shingle frame feeds both the LSH candidate join
+      // and the decontamination semi-join — the corpus is tokenized and
+      // shingled once, not once per consumer
+      val trainSh = train
+        .select(col("doc_id").as("doc"), Dedup.shingles(col("text")).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = Dedup.minhashCandidatesFromShingles(trainSh)
       val comp = Dedup.connectedComponents(pairs)
       // minShared=8: the tiny synthetic vocabulary makes single-shingle
       // collisions ubiquitous (426/450 train docs share >= 1 shingle with
       // eval) — the threshold knob exists for exactly this noise profile
-      val contam = Dedup.contaminated(train,
-        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", minShared = 8)
+      val contam = Dedup.contaminatedFromShingles(trainSh,
+          docs.filter(col("doc_id") % 10 === 0)
+            .select(Dedup.shingles(col("text")).as("sh")), minShared = 8)
+        .select(col("doc").as("doc_id"))
       val kept = train
         .select(col("doc_id"), col("text"), col("source"),
           TextAnalysis.tokens(col("text")).as("__toks"))

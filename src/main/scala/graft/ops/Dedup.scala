@@ -252,21 +252,32 @@ object Dedup {
     * Returns the contaminated train ids (distinct).
     */
   def contaminated(train: DataFrame, evalSet: DataFrame, idCol: String,
-                   textCol: String, w: Int = 3, minShared: Int = 1): DataFrame = {
+                   textCol: String, w: Int = 3, minShared: Int = 1): DataFrame =
+    contaminatedFromShingles(
+        train.select(col(idCol).as("doc"), shingles(col(textCol), w).as("sh")),
+        evalSet.select(shingles(col(textCol), w).as("sh")), minShared)
+      .select(col("doc").as(idCol))
+
+  /** [[contaminated]] over precomputed `(doc, sh)` / `(sh)` shingle
+    * frames — pipelines that also LSH the same corpus
+    * ([[minhashCandidatesFromShingles]]) build and persist the shingle
+    * frame ONCE and share it instead of re-tokenizing per consumer.
+    */
+  def contaminatedFromShingles(trainSh: DataFrame, evalSh: DataFrame,
+                               minShared: Int = 1): DataFrame = {
     require(minShared >= 1, "minShared must be >= 1")
-    def sh(df: DataFrame) =
-      df.select(col(idCol), explode(shingles(col(textCol), w)).as("__sh"))
-    val ev = sh(evalSet).select(col("__sh")).distinct()
+    val tr = trainSh.select(col("doc"), explode(col("sh")).as("__sh"))
+    val ev = evalSh.select(explode(col("sh")).as("__sh")).distinct()
     if (minShared == 1)
       // cheapest shape: semi-join short-circuits per (doc, shingle)
-      sh(train).join(ev, Seq("__sh"), "left_semi").select(col(idCol)).distinct()
+      tr.join(ev, Seq("__sh"), "left_semi").select(col("doc")).distinct()
     else
       // threshold knob: a single shared w-gram is a noisy signal on web
       // text; require >= minShared DISTINCT shared shingles (shingles()
       // is per-doc distinct already, so plain count == distinct count)
-      sh(train).join(ev, Seq("__sh"))
-        .groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
-        .filter(col("__n") >= minShared).select(col(idCol))
+      tr.join(ev, Seq("__sh"))
+        .groupBy(col("doc")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") >= minShared).select(col("doc"))
   }
 
   /** Exact-substring decontamination — the strictest leakage test: a
