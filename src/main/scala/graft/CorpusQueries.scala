@@ -198,6 +198,25 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the dataset card: per-source / per-lang / overall corpus stats in
+    // one GROUPING SETS pass — every aggregate order-independent
+    // (counts, int64 token sums, min/max), no double sums anywhere
+    "q_corpus_summary" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("source"), col("lang"), col("n_chars"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("__nt"))
+        .createOrReplaceTempView("docs_cs")
+      s.sql(
+        """SELECT coalesce(source, '(all)') AS dim_source,
+          |       coalesce(lang, '(all)') AS dim_lang,
+          |       count(*) AS n_docs,
+          |       sum(__nt) AS n_tokens,
+          |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+          |FROM docs_cs
+          |GROUP BY GROUPING SETS ((source), (lang), (source, lang), ())
+          |ORDER BY dim_source, dim_lang""".stripMargin)
+    }),
+
     // deterministic content-hash output sharding + the balance report:
     // per-shard doc/token totals (shard = first md5 hex digit, so the
     // assignment is engine/run/partitioning-reproducible)
@@ -737,6 +756,18 @@ object CorpusQueries {
         |SELECT doc_id, top_token_frac, dup_bigram_frac, dup_trigram_frac,
         |       (top_token_frac > 0.125 OR dup_bigram_frac > 0.2 OR dup_trigram_frac > 0.15) AS repetitive
         |FROM fr ORDER BY doc_id""".stripMargin),
+
+    "q_corpus_summary" -> (tkCte +
+      """
+        |SELECT coalesce(source, '(all)') AS dim_source,
+        |       coalesce(lang, '(all)') AS dim_lang,
+        |       count(*) AS n_docs,
+        |       CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+        |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM (SELECT t.toks, d.source, d.lang, d.n_chars
+        |      FROM tk t JOIN documents d ON t.doc_id = d.doc_id)
+        |GROUP BY GROUPING SETS ((source), (lang), (source, lang), ())
+        |ORDER BY dim_source, dim_lang""".stripMargin),
 
     "q_shard_assign" -> (tkCte +
       """
