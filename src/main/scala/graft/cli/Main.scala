@@ -159,7 +159,43 @@ object Main {
         arg(args, "--backup").get,
         dryRun = flag(args, "--dry_run"), recover = recover)
       println(s"[cli] purge: ${result.filter(col("ok")).count()} blobs moved")
+    case "curate" =>
+      // the training-data assembly (corpus_pipeline shape) as an
+      // operational job: canonical near-dup keep -> optional eval
+      // decontamination -> quality gate -> sequence packing, landed as
+      // shard-partitioned parquet ready for a trainer's data loader
+      import org.apache.spark.sql.functions._
+      import graft.ops.{Dedup, TextAnalysis}
+      val docs = spark.read.parquet(arg(args, "--in").get)
+      val idCol = arg(args, "--id-col").getOrElse("doc_id")
+      val textCol = arg(args, "--text-col").getOrElse("text")
+      val shardCol = arg(args, "--shard-col").getOrElse("source")
+      val minQ = arg(args, "--min-quality").map(_.toDouble).getOrElse(0.5)
+      val budget = arg(args, "--budget").map(_.toInt).getOrElse(2048)
+      val docsSh = docs
+        .select(col(idCol).as("doc"), Dedup.shingles(col(textCol)).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val comp = Dedup.connectedComponents(Dedup.minhashCandidatesFromShingles(docsSh))
+      var kept = docs
+        .withColumn("__toks", TextAnalysis.tokens(col(textCol)))
+        .join(comp, col(idCol) === col("node"), "left_outer")
+        .filter(coalesce(col("component"), col(idCol)) === col(idCol))
+        .drop("node", "component")
+        .filter(TextAnalysis.qualityScoreT(col("__toks"), col(textCol)) >= minQ)
+      arg(args, "--eval").foreach { evalPath =>
+        val evalSh = spark.read.parquet(evalPath)
+          .select(Dedup.shingles(col(textCol)).as("sh"))
+        val contam = Dedup.contaminatedFromShingles(docsSh, evalSh,
+            arg(args, "--min-shared").map(_.toInt).getOrElse(1))
+          .select(col("doc").as(idCol))
+        kept = kept.join(contam, Seq(idCol), "left_anti")
+      }
+      val packed = TextAnalysis.packSequences(kept, shardCol, idCol, textCol, budget)
+        .join(kept.select(col(idCol), col(textCol)), Seq(idCol))
+      val out = arg(args, "--out").get
+      packed.write.mode("overwrite").partitionBy(shardCol).parquet(out)
+      println(s"[cli] curate: ${spark.read.parquet(out).count()} docs packed to $out")
     case other =>
-      println(s"usage: ingest|summary|harvest|sync|compact|stats|repair|purge (got '$other')")
+      println(s"usage: ingest|summary|harvest|sync|compact|stats|repair|purge|curate (got '$other')")
   }
 }

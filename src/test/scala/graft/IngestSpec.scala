@@ -122,6 +122,35 @@ class IngestSpec extends AnyFunSuite {
     assert(sum.filter(col("status") === "(all)").collect().head.getAs[Long]("n") == 2L)
   }
 
+  test("cli.Main: curate lands a deduped, decontaminated, packed, shard-partitioned corpus") {
+    val tmp = java.nio.file.Files.createTempDirectory("cli-curate").toString
+    // two near-identical docs (one survives), one eval-contaminated doc,
+    // one low-quality doc, one clean keeper — per source shard
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val docs = Seq(
+      (1L, base + " one", "s0"),
+      (2L, base + " two", "s0"),                       // near-dup of 1 -> dropped
+      (3L, "completely different clean text about the data engine for the tests", "s0"),
+      (4L, "zz qq xx", "s0"),                          // low quality -> dropped
+      (5L, "the secret benchmark question appears here word for word in the corpus today", "s1")
+    ).toDF("doc_id", "text", "source")
+    docs.write.parquet(tmp + "/docs")
+    Seq((100L, "the secret benchmark question appears here word for word in the corpus today"))
+      .toDF("doc_id", "text").write.parquet(tmp + "/eval")
+    graft.cli.Main.run(spark, "curate", Array(
+      "--in", tmp + "/docs", "--out", tmp + "/out", "--eval", tmp + "/eval",
+      "--min-shared", "3", "--min-quality", "0.4", "--budget", "64"))
+    val out = spark.read.parquet(tmp + "/out")
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.contains(3L) && !ids.contains(4L) && !ids.contains(5L))
+    assert((ids & Set(1L, 2L)).size == 1)              // one canonical survivor
+    assert(out.columns.contains("bin") && out.columns.contains("offset")
+      && out.columns.contains("text") && out.columns.contains("source"))
+    // landed shard-partitioned: source=<shard> dirs on disk
+    val dirs = new java.io.File(tmp + "/out").listFiles().map(_.getName).filter(_.startsWith("source="))
+    assert(dirs.nonEmpty)
+  }
+
   test("cli.Main: ingest reopens an existing lake with ITS bucket modulus (layout marker)") {
     val tmp = java.nio.file.Files.createTempDirectory("cli-layout").toString
     val codes = Map("id" -> "id", "updated" -> "updated", "title" -> "title")
