@@ -237,6 +237,15 @@ object CorpusQueries {
         .orderBy(col("source"), col("doc_id"))
     }),
 
+    // the no-straddle packing discipline: first-fit bins, a document
+    // never splits across a bin boundary — one ordered fold per shard
+    // (sequential recurrence, not a prefix sum)
+    "q_pack_nostraddle" -> ((s, dir) => {
+      TextAnalysis.packSequencesFirstFit(t(s, dir, "documents"),
+          "source", "doc_id", "text", budget = 512)
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
     // deterministic stratified sample: 10 docs per language by content-
     // hash order (uniform AND engine/run/partitioning-reproducible — no
     // rand() anywhere)
@@ -787,6 +796,32 @@ object CorpusQueries {
         |SELECT source, doc_id, n_tokens,
         |       CAST(start // 512 AS BIGINT) AS bin, CAST(start % 512 AS BIGINT) AS offset
         |FROM s ORDER BY source, doc_id""".stripMargin),
+
+    // the fold recurrence as a recursive CTE: row i's (bin, offset)
+    // derive from row i-1's fill — candidate offset cand = prev offset +
+    // prev tokens; a doc that would overflow a NON-empty bin opens the
+    // next (identical condition to the Spark-side fold)
+    "q_pack_nostraddle" ->
+      """WITH RECURSIVE d0 AS (
+        |  SELECT source, doc_id,
+        |         CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |d AS (SELECT source, doc_id, n_tokens,
+        |        row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |      FROM d0),
+        |p AS (
+        |  SELECT source, rn, doc_id, n_tokens,
+        |         CAST(0 AS BIGINT) AS bin, CAST(0 AS BIGINT) AS off
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.source, d.rn, d.doc_id, d.n_tokens,
+        |    CASE WHEN p.off + p.n_tokens > 0 AND p.off + p.n_tokens + d.n_tokens > 512
+        |         THEN p.bin + 1 ELSE p.bin END,
+        |    CASE WHEN p.off + p.n_tokens > 0 AND p.off + p.n_tokens + d.n_tokens > 512
+        |         THEN CAST(0 AS BIGINT) ELSE p.off + p.n_tokens END
+        |  FROM d JOIN p ON d.source = p.source AND d.rn = p.rn + 1)
+        |SELECT source, doc_id, n_tokens, CAST(bin AS BIGINT) AS bin, CAST(off AS BIGINT) AS offset
+        |FROM p ORDER BY source, doc_id""".stripMargin,
 
     "q_sample_stratified" ->
       """SELECT lang, doc_id FROM (

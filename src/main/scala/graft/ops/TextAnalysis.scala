@@ -205,4 +205,47 @@ object TextAnalysis {
         (col("__start") / budget).cast("long").as("bin"),
         (col("__start") % budget).as("offset"))
   }
+
+  /** First-fit no-straddle packing — the OTHER trainer layout: a
+    * document never splits across bins; one that would overflow the
+    * current bin starts the next (an oversize document still gets a bin
+    * to itself — the trainer owns truncation). Bin assignment is a
+    * sequential recurrence (each document's bin depends on the previous
+    * fill), so unlike [[packSequences]]'s prefix-sum window it runs as
+    * one ordered fold per shard: repartition by shard, sort within
+    * partitions by (shard, order), fold with a shard-change reset.
+    * Shards stay data-parallel — the per-shard scan is the same work a
+    * trainer's loader does, distributed across executors.
+    *
+    * `shardCol` is surfaced as string and `orderCol` as long (cast at
+    * the select, like the multimodal ops pin their id type).
+    */
+  def packSequencesFirstFit(docs: DataFrame, shardCol: String, orderCol: String,
+                            textCol: String, budget: Int): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField(shardCol, StringType), StructField(orderCol, LongType),
+      StructField("n_tokens", LongType), StructField("bin", LongType),
+      StructField("offset", LongType)))
+    val base = docs.select(col(shardCol).cast("string").as("__s"),
+        col(orderCol).cast("long").as("__o"),
+        coalesce(tokenCount(col(textCol)).cast("long"), lit(0L)).as("__n"))
+      .repartition(col("__s"))
+      .sortWithinPartitions(col("__s"), col("__o"))
+    val rdd = base.rdd.mapPartitions { it =>
+      var shard: String = null
+      var bin = 0L; var off = 0L
+      it.map { r =>
+        val s = r.getString(0); val o = r.getLong(1); val n = r.getLong(2)
+        if (s != shard) { shard = s; bin = 0L; off = 0L }
+        else if (off > 0 && off + n > budget) { bin += 1; off = 0L }
+        val row = org.apache.spark.sql.Row(s, o, n, bin, off)
+        off += n
+        row
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
 }

@@ -420,6 +420,29 @@ class OpsSpec extends AnyFunSuite {
     assert(packedN.toSeq == Seq((1L, 2L, 0L, 0L), (2L, 0L, 0L, 2L), (3L, 1L, 0L, 2L)))
   }
 
+  test("packSequencesFirstFit: no doc straddles a bin; oversize doc gets its own bin") {
+    val docs = Seq(
+      ("a", 1L, "w1 w2 w3"),            // bin 0, off 0 (3)
+      ("a", 2L, "w1 w2 w3 w4"),         // 3+4=7 > 5 -> bin 1, off 0
+      ("a", 3L, "w1"),                  // fits: bin 1, off 4
+      ("a", 4L, "w1 w2 w3 w4 w5 w6"),   // oversize -> bin 2 alone, off 0
+      ("a", 5L, "w1"),                  // 6 > 5 in bin 2 -> bin 3, off 0
+      ("b", 7L, "x1 x2")                // new shard resets: bin 0, off 0
+    ).toDF("source", "doc_id", "text")
+    val got = graft.ops.TextAnalysis
+      .packSequencesFirstFit(docs, "source", "doc_id", "text", budget = 5)
+      .orderBy("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(("a", 1L, 0L, 0L), ("a", 2L, 1L, 0L), ("a", 3L, 1L, 4L),
+      ("a", 4L, 2L, 0L), ("a", 5L, 3L, 0L), ("b", 7L, 0L, 0L)))
+    // stable under repartitioning (the fold sorts within shard partitions)
+    val again = graft.ops.TextAnalysis
+      .packSequencesFirstFit(docs.repartition(7), "source", "doc_id", "text", budget = 5)
+      .orderBy("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4))).toSeq
+    assert(again == got)
+  }
+
   test("k-means IVF codebook: bit-reproducible and recall >= seed codebook (sf0.01)") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
       .select("vec_id", "embedding")
