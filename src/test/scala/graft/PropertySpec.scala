@@ -106,6 +106,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("packSequencesFirstFit matches the sequential reference fold on random corpora") {
+    val docGen = for {
+      shard <- Gen.oneOf("s0", "s1", "s2")
+      n <- Gen.choose(0, 9)
+    } yield (shard, n)
+    val docs = samples(docGen, 60).zipWithIndex
+      .map { case ((s, n), i) => (s, i.toLong, Seq.fill(n)("w").mkString(" ")) }
+    val budget = 7
+    // reference: plain Scala first-fit fold per shard in order
+    val expect = docs.groupBy(_._1).flatMap { case (shard, ds) =>
+      var bin = 0L; var off = 0L
+      ds.sortBy(_._2).map { case (_, id, text) =>
+        val n = text.split("\\s+").count(_.nonEmpty).toLong
+        if (off > 0 && off + n > budget) { bin += 1; off = 0 }
+        val r = (shard, id, n, bin, off); off += n; r
+      }
+    }.toSet
+    val got = graft.ops.TextAnalysis
+      .packSequencesFirstFit(docs.toDF("source", "doc_id", "text"),
+        "source", "doc_id", "text", budget)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == expect)
+  }
+
   test("bpeTokens partition the non-space text: segments rejoin to the lowercased input") {
     // alnum + punctuation + single spaces (no bare apostrophes — a lone
     // quote is deliberately unmatched by the ASCII contraction pattern)
