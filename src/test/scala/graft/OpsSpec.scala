@@ -420,6 +420,64 @@ class OpsSpec extends AnyFunSuite {
     assert(packedN.toSeq == Seq((1L, 2L, 0L, 0L), (2L, 0L, 0L, 2L), (3L, 1L, 0L, 2L)))
   }
 
+  test("skew: salted aggregation equals direct groupBy; AQE splits the skewed join") {
+    // 90% of rows on one hot key
+    val df = spark.range(10000).select(col("id"),
+      when(col("id") < 9000, lit("hot")).otherwise(concat(lit("k"), col("id"))).as("k"),
+      (col("id") % 100).as("v"))
+    def norm(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = norm(df.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_cents")))
+    assert(norm(graft.ops.Skew.saltedCountSum(df, "k", col("v"))) == direct)
+
+    // the documented join-skew path: AQE's OptimizeSkewedJoin splits the
+    // hot partition at runtime (plan shows skew=true) — thresholds
+    // shrunk so the 9k-row hot key qualifies at test scale
+    val conf = spark.conf
+    val saved = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // shuffle blocks are compressed, so the hot partition is only a
+      // few KB at test scale — thresholds shrink to match, and coalesce
+      // is off so small sibling partitions don't mask the skew ratio
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1024")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1024")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // the tiny result stage would otherwise veto the split as "extra
+      // shuffle not worth it" at toy scale
+      conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force sort-merge
+      // per-row unique payload: identical payloads would compress the
+      // hot shuffle partition below the skew detector's size ratio
+      val left = df.withColumn("pay",
+        concat_ws("", Seq.tabulate(4)(i => md5((col("id") + lit(i * 1000000)).cast("string"))): _*))
+      // right side must shuffle WITHOUT a post-shuffle aggregate: the
+      // skew rule pattern-matches SMJ(Sort(Shuffle), Sort(Shuffle)) and
+      // a distinct's final HashAggregate between them defeats it
+      val right = spark.range(9000, 10000)
+        .select(concat(lit("k"), col("id")).as("k"))
+        .union(Seq("hot").toDF("k"))
+        .withColumn("tag", lit(1))
+      val joined = left.join(right, "k")
+      // drive THIS Dataset's QueryExecution (count() would plan a fresh
+      // one and leave joined's adaptive plan unexecuted)
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"no skew split in plan:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
   test("packSequencesFirstFit: no doc straddles a bin; oversize doc gets its own bin") {
     val docs = Seq(
       ("a", 1L, "w1 w2 w3"),            // bin 0, off 0 (3)
