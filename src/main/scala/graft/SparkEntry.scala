@@ -526,6 +526,18 @@ object SparkEntry {
       s.table("stream_dedup_docs_sink").orderBy(col("fp"))
     }),
 
+    // Beyond-reference lake tier: the Morton (z-order) clustering key —
+    // pure shift/mask Column algebra (lake/Zorder.scala), bit-identical
+    // in any engine; the lake's clusterBy sorts rewrites by this key so
+    // min/max footers prune on every interleaved column
+    "q_zorder_key" -> ((s, dir) => {
+      t(s, dir, "part").select(
+        col("p_partkey").cast("long").as("p_partkey"),
+        graft.lake.Zorder.zValue2(
+          pmod(col("p_partkey"), lit(4096)), col("p_size")).as("zkey"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // F7-shape: JSON field extraction + agg
     "q_events_json_extract" -> ((s, dir) => {
       t(s, dir, "events")  // props only — no ts needed
@@ -841,5 +853,22 @@ object SparkEntry {
       """SELECT event_type,
         |       CAST(sum(CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
         |       count(*) AS n
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) ++ CorpusQueries.oracleSql
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // magic-shift Morton interleave, stage by stage; every intermediate is
+    // BIGINT so the shifts can't overflow DuckDB's 32-bit INTEGER
+    "q_zorder_key" ->
+      """WITH b0 AS (SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+        |                   CAST(p_partkey % 4096 AS BIGINT) AS a,
+        |                   CAST(p_size AS BIGINT) AS b FROM part),
+        |b1 AS (SELECT p_partkey, (a | (a << 8)) & 16711935 AS a,
+        |                         (b | (b << 8)) & 16711935 AS b FROM b0),
+        |b2 AS (SELECT p_partkey, (a | (a << 4)) & 252645135 AS a,
+        |                         (b | (b << 4)) & 252645135 AS b FROM b1),
+        |b3 AS (SELECT p_partkey, (a | (a << 2)) & 858993459 AS a,
+        |                         (b | (b << 2)) & 858993459 AS b FROM b2),
+        |b4 AS (SELECT p_partkey, (a | (a << 1)) & 1431655765 AS a,
+        |                         (b | (b << 1)) & 1431655765 AS b FROM b3)
+        |SELECT p_partkey, CAST(a | (b << 1) AS BIGINT) AS zkey
+        |FROM b4 ORDER BY p_partkey""".stripMargin) ++ CorpusQueries.oracleSql
 }

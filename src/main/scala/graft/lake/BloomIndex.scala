@@ -1,0 +1,140 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Per-file bloom-filter index for key point-lookups on a parquet lake.
+  *
+  * The reference serves single-document reads from MongoDB's `_id`
+  * index (reference: nextplib/ntp_entry.py `find_one({'_id': ...})`).
+  * The lake's substitute for key-ranged scans is the bucket layout
+  * (`bucket = hash(key) % nBuckets` prunes to one directory), but
+  * WITHIN a bucket — or on an unpartitioned table — a point lookup
+  * still opens every file, and parquet min/max footers are useless for
+  * hash-distributed keys. A per-file bloom filter closes that gap: the
+  * lookup scans the compact index (one row per data file), keeps the
+  * files whose filter might contain the key, and opens only those.
+  *
+  * Scale math at 100 TB: ~800k files of 128 MB; a 1M-key / 0.1%-fpp
+  * filter is ~1.7 MB, so the index is ~0.001 of the lake. A point
+  * lookup reads the index plus (true files + fpp * 800k ≈ a few
+  * hundred) data files instead of 800k — and the index scan is itself
+  * a distributed filter, so nothing driver-side grows with the lake.
+  *
+  * Freshness is handled structurally, not by rebuild discipline: the
+  * index records each file's length, and lookups treat data files that
+  * are MISSING from the index or have a different length (new or
+  * rewritten since the build) as unconditional candidates, while index
+  * rows for vanished files are ignored. An index is therefore never
+  * wrong after compaction/upsert — only less selective until rebuilt.
+  *
+  * The build is one `groupByKey(file).mapGroups` — typed per-group
+  * aggregation (a maintenance job, not a query-surface UDF); each group
+  * is exactly one file's keys, so memory is bounded by the filter size.
+  */
+object BloomIndex {
+
+  private def sidecar(path: String) = path + ".bloomidx"
+
+  private def ser(bf: BloomFilter): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    bf.writeTo(out)
+    out.toByteArray
+  }
+  private def deser(bytes: Array[Byte]): BloomFilter =
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+
+  /** Build (or rebuild) the index sidecar: one row per data file with
+    * the file's length and a bloom filter of its `keyCol` values.
+    * `expectedItemsPerFile` sizes the bitmap — over-provisioning only
+    * costs space; under-provisioning degrades fpp, never correctness.
+    */
+  def build(table: LakeTable, path: String, keyCol: String,
+            expectedItemsPerFile: Long = 1L << 20, fpp: Double = 0.001): Long = {
+    val spark = table.read.sparkSession
+    import spark.implicits._
+    val perFile = table.read
+      .select(input_file_name().as("file"), col(keyCol).cast("string").as("k"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroups { (file, rows) =>
+        val bf = BloomFilter.create(expectedItemsPerFile, fpp)
+        var n = 0L
+        rows.foreach { r => if (r._2 != null) bf.putString(r._2); n += 1 }
+        (file, ser(bf), n)
+      }
+      .toDF("file", "bloom", "nkeys")
+    // join the current listing for each file's length (freshness token);
+    // the listing is driver-side but only touches paths, never data
+    val lens = fileLengths(spark, path).toSeq.toDF("file", "len")
+    perFile.join(lens, "file")
+      .write.mode("overwrite").parquet(sidecar(path))
+    spark.read.parquet(sidecar(path)).count()
+  }
+
+  /** Current data files (qualified URI -> length), the same enumeration
+    * spark's scan uses (underscore/dot files skipped, recursive over
+    * partition dirs).
+    */
+  private def fileLengths(spark: SparkSession, path: String): Map[String, Long] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = scala.collection.mutable.Map[String, Long]()
+    def walk(p: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(p).foreach { s =>
+        val n = s.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) ()
+        else if (s.isDirectory) walk(s.getPath)
+        else out(fs.makeQualified(s.getPath).toUri.toString) = s.getLen
+      }
+    walk(root)
+    out.toMap
+  }
+
+  /** Point lookup: rows of the table whose `keyCol` is in `keys`,
+    * reading only bloom-candidate files (plus any file newer than the
+    * index). Returns (dataframe, filesOpened) so callers and specs can
+    * observe the pruning; the result is row-identical to
+    * `table.read.filter(keyCol isin keys)`.
+    */
+  def lookup(table: LakeTable, path: String, keyCol: String,
+             keys: Seq[String]): (DataFrame, Int) = {
+    val spark = table.read.sparkSession
+    import spark.implicits._
+    val live = fileLengths(spark, path)
+    val idxPath = sidecar(path)
+    val fs = new org.apache.hadoop.fs.Path(idxPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val schema = table.read.schema
+    val keyList = keys
+    val candidates: Seq[String] =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(idxPath))) live.keys.toSeq
+      else {
+        // one distributed pass evaluates might-contain next to the bloom
+        // bytes; only (path, len, hit) triples reach the driver — bytes
+        // per file, not the megabyte filters
+        val idx = spark.read.parquet(idxPath)
+          .select(col("file"), col("len"), col("bloom"))
+          .as[(String, Long, Array[Byte])]
+          .map { case (f, len, bloom) =>
+            (f, len, keyList.exists(deser(bloom).mightContainString))
+          }.collect()
+        val byFile = idx.map { case (f, len, hit) => f -> (len, hit) }.toMap
+        live.iterator.filter { case (f, len) =>
+          byFile.get(f) match {
+            case Some((l, hit)) if l == len => hit // unchanged: trust the filter
+            case _ => true // new or rewritten since the build: scan it
+          }
+        }.map(_._1).toSeq
+      }
+    val df =
+      if (candidates.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      // basePath keeps partition columns derivable when the candidate
+      // list names leaf files inside partition dirs
+      else spark.read.option("basePath", path).schema(schema).parquet(candidates: _*)
+        .filter(col(keyCol).cast("string").isin(keys: _*))
+    (df, candidates.size)
+  }
+}

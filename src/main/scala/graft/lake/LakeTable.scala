@@ -443,6 +443,64 @@ class LakeTable(spark: SparkSession, path: String, keyCol: String,
     over.map(o => fs.makeQualified(o._1).toString.stripPrefix(rootQ).stripPrefix("/"))
   }
 
+  /** Optimize the file layout for multi-column predicate pruning: a full
+    * rewrite with files range-partitioned and sorted by the Morton key
+    * of `zCols`, each column linearly scaled to `bits` bits over its
+    * observed min/max (see [[Zorder]]). After the rewrite every file
+    * covers a small hyper-rectangle of the `zCols` value space, so a
+    * selective filter on ANY of them prunes most files from their
+    * footers alone — `compact`'s key sort only ever prunes on the key.
+    *
+    * Cost shape at 100 TB: one narrow min/max aggregate for the bounds
+    * (column-pruned scan), then one range shuffle of the data — the same
+    * cost class as a full compaction, staged and atomically swapped via
+    * `replace`. Partitioned layouts range-partition by
+    * `partitionCols ++ z` so each writer task stays partition-dir
+    * aligned and per-dir file counts don't explode.
+    *
+    * Returns the number of output files requested (bytes/targetFileBytes).
+    */
+  def clusterBy(zCols: Seq[String], bits: Int = 16,
+                targetFileBytes: Long = 128L << 20): Int = withLease {
+    require(zCols.nonEmpty, "clusterBy needs at least one column")
+    require(exists, s"no table at $path")
+    val df = read
+    val aggCols = zCols.flatMap(c =>
+      Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+    val bounds = df.agg(aggCols.head, aggCols.tail: _*).head()
+    val scaled = zCols.zipWithIndex.map { case (c, i) =>
+      // an all-null column has null bounds: degenerate domain, scales to 0
+      val (lo, hi) =
+        if (bounds.isNullAt(2 * i) || bounds.isNullAt(2 * i + 1)) (0.0, 0.0)
+        else (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
+      Zorder.zScale(col(c), lo, hi, bits)
+    }
+    val z = if (scaled.size == 1) scaled.head
+            else if (scaled.size == 2 && bits == 16) Zorder.zValue2(scaled(0), scaled(1))
+            else Zorder.zValueN(scaled, bits)
+    val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(path)).getLength
+    val nOut = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val keys = partitionCols.map(col) :+ z
+    replace(df.repartitionByRange(nOut, keys: _*).sortWithinPartitions(keys: _*))
+    nOut
+  }
+
+  /** Build the per-file bloom sidecar for `keyCol` point lookups (see
+    * [[BloomIndex]]). Not lease-guarded: the index is advisory (a stale
+    * one only widens the candidate set), so builds can run beside
+    * readers freely.
+    */
+  def buildBloomIndex(expectedItemsPerFile: Long = 1L << 20,
+                      fpp: Double = 0.001): Long =
+    BloomIndex.build(this, path, keyCol, expectedItemsPerFile, fpp)
+
+  /** Point lookup through the bloom sidecar: rows whose key is in
+    * `keys`, opening only bloom-candidate (or index-unknown) files.
+    * Returns (rows, filesOpened).
+    */
+  def lookupKeys(keys: Seq[String]): (DataFrame, Int) =
+    BloomIndex.lookup(this, path, keyCol, keys)
+
   /** K1: upsert by key — keep every existing row whose key is NOT in the
     * update batch, union the batch, rewrite (staged: parquet has no
     * MERGE).
