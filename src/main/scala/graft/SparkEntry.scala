@@ -526,6 +526,32 @@ object SparkEntry {
       s.table("stream_dedup_docs_sink").orderBy(col("fp"))
     }),
 
+    // Beyond-reference lake tier: REAL bloom-indexed point lookup over a
+    // REAL scratch lake (the ntp_repair_report pattern) — lands the
+    // documents table as an 8-file hash-distributed lake, builds the
+    // per-file bloom sidecar, and serves a 3-present + 1-absent key set
+    // through lookupKeys; the oracle is the plain WHERE ... IN over the
+    // same parquet. Proves build -> sidecar -> candidate pruning ->
+    // basePath read end-to-end under the driver's hash gate.
+    "q_lake_point_lookup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bloom_q").toString
+      val lake = new graft.lake.LakeTable(s, tmp + "/lake", "doc_id")
+      lake.overwrite(docs.repartition(8, col("doc_id")))
+      lake.buildBloomIndex(expectedItemsPerFile = 1L << 16, fpp = 0.001)
+      val (rows, _) = lake.lookupKeys(Seq("3", "7", "11", "999983"))
+      val out = rows
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+          col("lang"), col("n_chars").cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true) // the scratch lake is deleted next
+      new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      out
+    }),
+
     // Beyond-reference lake tier: the Morton (z-order) clustering key —
     // pure shift/mask Column algebra (lake/Zorder.scala), bit-identical
     // in any engine; the lake's clusterBy sorts rewrites by this key so
@@ -854,6 +880,15 @@ object SparkEntry {
         |       CAST(sum(CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
         |       count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the lookup result is just the semantics of IN — the bloom pruning
+    // being exercised on the Spark side can't change the rows, only how
+    // many files produce them
+    "q_lake_point_lookup" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, source, lang,
+        |       CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents WHERE doc_id IN (3, 7, 11, 999983)
+        |ORDER BY doc_id""".stripMargin,
 
     // magic-shift Morton interleave, stage by stage; every intermediate is
     // BIGINT so the shifts can't overflow DuckDB's 32-bit INTEGER

@@ -118,6 +118,39 @@ object Main {
         case None => new LakeTable(spark, lakePath, "_id")
       }
       lake.stats.show(1000, truncate = false)
+    case "cluster" =>
+      // z-order OPTIMIZE: rewrite files sorted by the Morton key of
+      // --by cols so footers prune on every one of them
+      val lakePath = arg(args, "--lake").get
+      val lake = LakeTable.layoutOf(spark, lakePath) match {
+        case Some((pc, nb)) =>
+          new LakeTable(spark, lakePath, arg(args, "--key").getOrElse("_id"), pc, nb)
+        case None => new LakeTable(spark, lakePath, arg(args, "--key").getOrElse("_id"))
+      }
+      val cols = arg(args, "--by").get.split(",").toSeq
+      val n = lake.clusterBy(cols,
+        bits = arg(args, "--bits").map(_.toInt).getOrElse(16),
+        targetFileBytes = arg(args, "--target-bytes").map(_.toLong).getOrElse(128L << 20))
+      println(s"[cli] cluster: rewrote into $n files z-ordered by ${cols.mkString(",")}")
+    case "index" =>
+      // bloom point-lookup sidecar: build / refresh / probe
+      val lakePath = arg(args, "--lake").get
+      val key = arg(args, "--key").getOrElse("_id")
+      val lake = LakeTable.layoutOf(spark, lakePath) match {
+        case Some((pc, nb)) => new LakeTable(spark, lakePath, key, pc, nb)
+        case None => new LakeTable(spark, lakePath, key)
+      }
+      arg(args, "--get") match {
+        case Some(keys) =>
+          val (rows, opened) = lake.lookupKeys(keys.split(",").toSeq)
+          rows.show(100, truncate = false)
+          println(s"[cli] index lookup: opened $opened files")
+        case None =>
+          if (flag(args, "--refresh")) {
+            val (kept, rebuilt) = lake.refreshBloomIndex()
+            println(s"[cli] index refresh: kept $kept, re-bloomed $rebuilt files")
+          } else println(s"[cli] index build: ${lake.buildBloomIndex()} files indexed")
+      }
     case "repair" =>
       // chain maintenance (ref checking/check_versions_completness.py):
       // repoint stale tombstone updated_to pointers to the active head,
@@ -196,6 +229,6 @@ object Main {
       packed.write.mode("overwrite").partitionBy(shardCol).parquet(out)
       println(s"[cli] curate: ${spark.read.parquet(out).count()} docs packed to $out")
     case other =>
-      println(s"usage: ingest|summary|harvest|sync|compact|stats|repair|purge|curate (got '$other')")
+      println(s"usage: ingest|summary|harvest|sync|compact|stats|cluster|index|repair|purge|curate (got '$other')")
   }
 }

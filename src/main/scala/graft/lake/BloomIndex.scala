@@ -45,17 +45,16 @@ object BloomIndex {
   private def deser(bytes: Array[Byte]): BloomFilter =
     BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
 
-  /** Build (or rebuild) the index sidecar: one row per data file with
-    * the file's length and a bloom filter of its `keyCol` values.
-    * `expectedItemsPerFile` sizes the bitmap — over-provisioning only
-    * costs space; under-provisioning degrades fpp, never correctness.
+  /** Bloom rows (file, bloom, nkeys) for the files `df` scans — one
+    * typed per-group fold, each group exactly one file's keys, memory
+    * bounded by the filter size.
     */
-  def build(table: LakeTable, path: String, keyCol: String,
-            expectedItemsPerFile: Long = 1L << 20, fpp: Double = 0.001): Long = {
-    val spark = table.read.sparkSession
+  private def bloomRows(df: org.apache.spark.sql.DataFrame, keyCol: String,
+                        expectedItemsPerFile: Long, fpp: Double)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
     import spark.implicits._
-    val perFile = table.read
-      .select(input_file_name().as("file"), col(keyCol).cast("string").as("k"))
+    df.select(input_file_name().as("file"), col(keyCol).cast("string").as("k"))
       .as[(String, String)]
       .groupByKey(_._1)
       .mapGroups { (file, rows) =>
@@ -65,12 +64,81 @@ object BloomIndex {
         (file, ser(bf), n)
       }
       .toDF("file", "bloom", "nkeys")
+  }
+
+  /** Land an index frame as the sidecar: write to a staging dir, then
+    * delete-and-rename into place. A crash leaves the old index, the
+    * new one, or none — and "none" just means lookups fall back to a
+    * full scan, never a wrong answer.
+    */
+  private def landIndex(spark: SparkSession, path: String,
+                        idx: org.apache.spark.sql.DataFrame): Long = {
+    val dest = new org.apache.hadoop.fs.Path(sidecar(path))
+    val staging = new org.apache.hadoop.fs.Path(sidecar(path) + ".staging")
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(staging, true)
+    idx.write.mode("overwrite").parquet(staging.toString)
+    fs.delete(dest, true)
+    fs.rename(staging, dest)
+    spark.read.parquet(dest.toString).count()
+  }
+
+  /** Build (or rebuild) the index sidecar: one row per data file with
+    * the file's length and a bloom filter of its `keyCol` values.
+    * `expectedItemsPerFile` sizes the bitmap — over-provisioning only
+    * costs space; under-provisioning degrades fpp, never correctness.
+    */
+  def build(table: LakeTable, path: String, keyCol: String,
+            expectedItemsPerFile: Long = 1L << 20, fpp: Double = 0.001): Long = {
+    val spark = table.read.sparkSession
+    import spark.implicits._
+    val perFile = bloomRows(table.read, keyCol, expectedItemsPerFile, fpp)
     // join the current listing for each file's length (freshness token);
     // the listing is driver-side but only touches paths, never data
     val lens = fileLengths(spark, path).toSeq.toDF("file", "len")
-    perFile.join(lens, "file")
-      .write.mode("overwrite").parquet(sidecar(path))
-    spark.read.parquet(sidecar(path)).count()
+    landIndex(spark, path, perFile.join(lens, "file"))
+  }
+
+  /** Incremental rebuild: bloom ONLY the files the index doesn't cover
+    * (new, or length-changed — i.e. the churn since the last build),
+    * keep the index rows of unchanged files as-is (their bloom bytes
+    * never move, let alone get recomputed), drop rows for vanished
+    * files. At 100 TB this makes index maintenance proportional to
+    * write churn, not lake size — an ingest touching 1% of the buckets
+    * re-blooms 1% of the files. Returns (keptRows, rebuiltRows).
+    */
+  def refresh(table: LakeTable, path: String, keyCol: String,
+              expectedItemsPerFile: Long = 1L << 20, fpp: Double = 0.001)
+      : (Long, Long) = {
+    val spark = table.read.sparkSession
+    import spark.implicits._
+    val idxPath = new org.apache.hadoop.fs.Path(sidecar(path))
+    val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(idxPath))
+      return (0L, build(table, path, keyCol, expectedItemsPerFile, fpp))
+    val live = fileLengths(spark, path)
+    val old = spark.read.parquet(idxPath.toString)
+    val oldMeta = old.select(col("file"), col("len"))
+      .as[(String, Long)].collect().toMap
+    val freshFiles = live.collect {
+      case (f, l) if !oldMeta.get(f).contains(l) => f
+    }.toSeq
+    val lens = live.toSeq.toDF("file", "len2")
+    // unchanged rows: same path AND same length as the live listing
+    val kept = old.join(lens, old("file") === lens("file") &&
+        old("len") === lens("len2"))
+      .select(old("file"), old("bloom"), old("nkeys"), old("len"))
+    val rebuilt =
+      if (freshFiles.isEmpty) kept.limit(0)
+      else bloomRows(
+        spark.read.option("basePath", path).schema(table.read.schema)
+          .parquet(freshFiles: _*),
+        keyCol, expectedItemsPerFile, fpp)
+        .join(live.toSeq.toDF("file", "len"), "file")
+        .select(col("file"), col("bloom"), col("nkeys"), col("len"))
+    val keptN = kept.count()
+    landIndex(spark, path, kept.unionByName(rebuilt))
+    (keptN, freshFiles.size.toLong)
   }
 
   /** Current data files (qualified URI -> length), the same enumeration

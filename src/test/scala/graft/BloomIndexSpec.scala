@@ -59,6 +59,37 @@ class BloomIndexSpec extends AnyFunSuite {
       s"rebuilt index should re-prune, opened $opened2")
   }
 
+  test("refresh re-blooms only churned files; kept rows' bloom bytes are identical") {
+    val dir = java.nio.file.Files.createTempDirectory("bloom4").toFile.getAbsolutePath
+    val data = spark.range(8000).select(
+      concat(lit("doc-"), col("id")).as("k"),
+      (col("id") % 2).cast("string").as("grp"), col("id").as("v"))
+    val t = new LakeTable(spark, s"$dir/t", "k", partitionCols = Seq("grp"))
+    t.overwrite(data.repartition(4, col("k")))
+    t.buildBloomIndex(expectedItemsPerFile = 4096, fpp = 0.001)
+    def idxRows() = spark.read.parquet(s"$dir/t.bloomidx")
+      .collect().map(r => (r.getAs[String]("file"),
+        r.getAs[Array[Byte]]("bloom").toSeq, r.getAs[Long]("nkeys"))).toSet
+    val before = idxRows()
+
+    // partition-scoped upsert: only grp=1 files change
+    t.upsert(Seq(("doc-new", "1", 9999L)).toDF("k", "grp", "v"))
+    val (kept, rebuilt) = t.refreshBloomIndex(expectedItemsPerFile = 4096, fpp = 0.001)
+    // the untouched partition's rows survive EXACTLY: one kept row per
+    // grp=0 file, byte-identical to the old index
+    val grp0Files = before.count(_._1.contains("grp=0"))
+    assert(kept == grp0Files && kept > 0, s"kept=$kept, grp0 files=$grp0Files")
+    val after = idxRows()
+    assert(after.intersect(before).size.toLong == kept)
+    assert(rebuilt == after.size - kept && rebuilt > 0,
+      s"rebuilt=$rebuilt should cover exactly the churned files")
+    // and the refreshed index serves both old and new keys selectively
+    val (r1, o1) = t.lookupKeys(Seq("doc-7"))
+    assert(r1.count() == 1 && o1 <= 3)
+    val (r2, o2) = t.lookupKeys(Seq("doc-new"))
+    assert(r2.count() == 1 && o2 <= 3, s"opened $o2 after refresh")
+  }
+
   test("bloom lookup prunes partition dirs' files and keeps partition columns") {
     val dir = java.nio.file.Files.createTempDirectory("bloom3").toFile.getAbsolutePath
     val data = spark.range(4000).select(

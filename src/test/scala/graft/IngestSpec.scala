@@ -122,6 +122,23 @@ class IngestSpec extends AnyFunSuite {
     assert(sum.filter(col("status") === "(all)").collect().head.getAs[Long]("n") == 2L)
   }
 
+  test("cli.Main: cluster + index operate a lake end-to-end") {
+    val tmp = java.nio.file.Files.createTempDirectory("cli-idx").toString
+    spark.range(5000).select(
+      concat(lit("k"), col("id")).as("_id"),
+      pmod(hash(col("id"), lit(5)), lit(65536)).cast("long").as("a"),
+      pmod(hash(col("id"), lit(6)), lit(65536)).cast("long").as("b"))
+      .repartition(8).write.parquet(tmp + "/lake")
+    graft.cli.Main.run(spark, "cluster", Array("--lake", tmp + "/lake",
+      "--by", "a,b", "--target-bytes", "20000"))
+    assert(spark.read.parquet(tmp + "/lake").count() == 5000)
+    graft.cli.Main.run(spark, "index", Array("--lake", tmp + "/lake"))
+    assert(spark.read.parquet(tmp + "/lake.bloomidx").count() ==
+      spark.read.parquet(tmp + "/lake").inputFiles.length.toLong)
+    graft.cli.Main.run(spark, "index", Array("--lake", tmp + "/lake", "--refresh"))
+    graft.cli.Main.run(spark, "index", Array("--lake", tmp + "/lake", "--get", "k42"))
+  }
+
   test("cli.Main: curate lands a deduped, decontaminated, packed, shard-partitioned corpus") {
     val tmp = java.nio.file.Files.createTempDirectory("cli-curate").toString
     // two near-identical docs (one survives), one eval-contaminated doc,
