@@ -552,6 +552,38 @@ object SparkEntry {
       out
     }),
 
+    // Beyond-reference lake tier: snapshot versioning end-to-end over a
+    // REAL scratch SnapshotLake — overwrite v1, file-level CoW upsert
+    // v2, CoW delete v3, then TIME TRAVEL back to v1 and diff it against
+    // the current state. The oracle recomputes the whole version diff
+    // from the source parquet in pure SQL, so manifest resolution, the
+    // copy-on-write merge, the pinned-schema multi-file read and
+    // readAt() all sit under the driver's hash gate.
+    "q_lake_time_travel" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_snap_q").toString
+      val lake = new graft.lake.SnapshotLake(s, tmp + "/lake", "c_custkey")
+      lake.overwrite(cust.repartition(8, col("c_custkey")))                 // v1
+      lake.upsert(cust.filter(col("c_custkey") % 6 === 0)                   // v2
+        .withColumn("c_acctbal", col("c_acctbal") + 1000.0))
+      lake.deleteWhere(col("c_custkey") % 9 === 0)                          // v3
+      val v1 = lake.readAt(1).select(col("c_custkey"), col("c_acctbal").as("bal_v1"))
+      val now = lake.read.select(col("c_custkey"), col("c_acctbal").as("bal_now"))
+      val out = v1.join(now, Seq("c_custkey"), "left_outer")
+        .select(col("c_custkey"), col("bal_v1"), col("bal_now"),
+          when(col("bal_now").isNull, "deleted")
+            .when(col("bal_now") =!= col("bal_v1"), "updated")
+            .otherwise("kept").as("op"))
+        .orderBy(col("c_custkey"))
+        .localCheckpoint(true) // the scratch lake is deleted next
+      new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      out
+    }),
+
     // Beyond-reference lake tier: the Morton (z-order) clustering key —
     // pure shift/mask Column algebra (lake/Zorder.scala), bit-identical
     // in any engine; the lake's clusterBy sorts rewrites by this key so
@@ -889,6 +921,24 @@ object SparkEntry {
         |       CAST(n_chars AS BIGINT) AS n_chars
         |FROM documents WHERE doc_id IN (3, 7, 11, 999983)
         |ORDER BY doc_id""".stripMargin,
+
+    // the snapshot-lake version diff, recomputed stateless: v1 is the
+    // filtered base, "now" applies the upsert's +1000 and the delete's
+    // %9 removal on top of it
+    "q_lake_time_travel" ->
+      """WITH v1 AS (SELECT c_custkey, c_acctbal AS bal_v1 FROM customer
+        |            WHERE c_custkey % 3 = 0),
+        |now AS (SELECT c_custkey,
+        |               CASE WHEN c_custkey % 6 = 0 THEN c_acctbal + 1000.0
+        |                    ELSE c_acctbal END AS bal_now
+        |        FROM customer
+        |        WHERE c_custkey % 3 = 0 AND c_custkey % 9 <> 0)
+        |SELECT v1.c_custkey, v1.bal_v1, now.bal_now,
+        |       CASE WHEN now.c_custkey IS NULL THEN 'deleted'
+        |            WHEN now.bal_now <> v1.bal_v1 THEN 'updated'
+        |            ELSE 'kept' END AS op
+        |FROM v1 LEFT JOIN now ON v1.c_custkey = now.c_custkey
+        |ORDER BY v1.c_custkey""".stripMargin,
 
     // magic-shift Morton interleave, stage by stage; every intermediate is
     // BIGINT so the shifts can't overflow DuckDB's 32-bit INTEGER

@@ -1,0 +1,324 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Manifest-versioned parquet lake: snapshot isolation, time travel and
+  * file-level copy-on-write merges — the transaction-log tier above
+  * [[LakeTable]]'s directory-swap model (SURVEY §2.2; the reference's
+  * MongoDB gives it per-document atomicity and point-in-time backups via
+  * `backup_storage`, reference: nextplib/ntp_storage.py:47-50 — on a
+  * parquet lake both come from immutable files plus a versioned
+  * manifest).
+  *
+  * Layout:
+  * {{{
+  *   <path>/data/f-<version>-<nonce>-<n>.parquet   immutable, accumulate
+  *   <path>/_snap/v00000042.manifest               one per committed version
+  * }}}
+  *
+  * A manifest is the COMPLETE live-file list of its version (plus schema
+  * and provenance), so a read is: resolve the newest complete manifest,
+  * open exactly its files. No recursive data listing ever happens — at a
+  * million files read planning is one small-dir listing plus one
+  * manifest read, and `history` is manifest-only (zero data IO).
+  *
+  * Commit protocol — optimistic, no lease:
+  *  1. the op captures `base` = newest complete version it built from;
+  *  2. data files land under immutable unique names (a visible manifest
+  *     can therefore never reference missing data);
+  *  3. the claim: `fs.create(v<max(claimed)+1>, overwrite = false)` —
+  *     atomic create-exclusive serializes version numbers;
+  *  4. manifest content (ending in the `end` terminator) is written;
+  *  5. validation: any OTHER claim strictly between `base` and the
+  *     claimed version that is complete — or torn but younger than
+  *     `claimStaleMs` (a possibly in-flight writer) — means this commit
+  *     built on stale state: the writer deletes its own manifest and
+  *     throws [[SnapshotConflict]]. Spurious conflicts (a young corpse)
+  *     cost a retry; lost updates cannot happen.
+  * A writer that crashes mid-commit leaves a terminator-less manifest:
+  * invisible to readers, claimed-above by later writers, conflict-inert
+  * once older than `claimStaleMs`, removed by `vacuum`. Its data files
+  * are age-guarded orphans that `vacuum` collects.
+  *
+  * Readers are snapshot-isolated for free: a resolved manifest's files
+  * are immutable and never touched by writers — only `vacuum` deletes,
+  * and only files unreferenced by every retained version.
+  *
+  * Copy-on-write upsert: one column-pruned scan of the key column (with
+  * `_metadata.file_path`) finds the files that actually contain batch
+  * keys; only those are rewritten, every other live file is carried into
+  * the new manifest by reference. An upsert touching 1 % of the files
+  * moves 1 % of the bytes — finer-grained than partition scoping and
+  * independent of the partition layout.
+  */
+class SnapshotLake(spark: SparkSession, path: String, keyCol: String,
+                   claimStaleMs: Long = 10L * 60 * 1000) {
+
+  import SnapshotLake._
+
+  private def fs: org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def snapDir = new org.apache.hadoop.fs.Path(path, "_snap")
+  private def dataDir = new org.apache.hadoop.fs.Path(path, "data")
+  private def manifestPath(v: Long) =
+    new org.apache.hadoop.fs.Path(snapDir, f"v$v%08d.manifest")
+
+  def exists: Boolean = fs.exists(snapDir) && latestVersion.isDefined
+
+  /** All claimed version numbers (complete or torn — a torn claim still
+    * owns its number), ascending. One small-dir listing.
+    */
+  private def claimedVersions: Seq[Long] =
+    if (!fs.exists(snapDir)) Nil
+    else fs.listStatus(snapDir).toSeq.map(_.getPath.getName)
+      .collect { case VersionRe(d) => d.toLong }.sorted
+
+  /** Newest version with a complete (terminator-checked) manifest. */
+  def latestVersion: Option[Long] =
+    claimedVersions.reverse.find(v => readManifest(v).isDefined)
+
+  private[graft] def readManifest(v: Long): Option[Manifest] = {
+    val p = manifestPath(v)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text = try org.apache.commons.io.IOUtils.toString(in,
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    parseManifest(text)
+  }
+
+  private def requireManifest(v: Long): Manifest =
+    readManifest(v).getOrElse(throw new IllegalArgumentException(
+      s"no complete snapshot v$v at $path (vacuumed, never committed, or torn)"))
+
+  /** Current state: the newest committed snapshot. */
+  def read: DataFrame = readAt(latestVersion.getOrElse(
+    throw new IllegalArgumentException(s"no snapshots at $path")))
+
+  /** Time travel: the table exactly as of version `v`. */
+  def readAt(v: Long): DataFrame = {
+    val m = requireManifest(v)
+    if (m.files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+    else
+      spark.read.schema(m.schema).parquet(m.files.map(f => s"$path/${f.rel}"): _*)
+  }
+
+  /** Manifest-only version log: (version, op, ts, base_version, n_files,
+    * bytes). Zero data IO.
+    */
+  def history(): DataFrame = {
+    import spark.implicits._
+    claimedVersions.flatMap(readManifest).map(m =>
+        (m.version, m.op, m.ts, m.base, m.files.size.toLong, m.files.map(_.len).sum))
+      .toDF("version", "op", "ts", "base_version", "n_files", "bytes")
+  }
+
+  /** Land `df` under unique immutable names in `data/`, return entries.
+    * The nonce keys the names, not the version: a conflicted commit's
+    * files can never collide with the winner's.
+    */
+  private def landFiles(df: DataFrame): Seq[FileEntry] = {
+    val nonce = java.util.UUID.randomUUID().toString.take(12)
+    val stage = new org.apache.hadoop.fs.Path(path, s".stage-$nonce")
+    df.write.parquet(stage.toString)
+    fs.mkdirs(dataDir)
+    val parts = fs.listStatus(stage).toSeq
+      .filter(s => s.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    val entries = parts.zipWithIndex.map { case (s, i) =>
+      val name = f"f-$nonce-$i%05d.parquet"
+      if (!fs.rename(s.getPath, new org.apache.hadoop.fs.Path(dataDir, name)))
+        throw new java.io.IOException(s"rename into $dataDir failed for ${s.getPath}")
+      FileEntry(s"data/$name", s.getLen)
+    }
+    fs.delete(stage, true)
+    entries
+  }
+
+  /** Steps 3-5 of the commit protocol (see class doc). */
+  private[graft] def commitVersion(base: Long, op: String, schema: StructType,
+                                   files: Seq[FileEntry]): Long = {
+    fs.mkdirs(snapDir)
+    var v = 0L
+    var claimed: org.apache.hadoop.fs.FSDataOutputStream = null
+    var attempts = 0
+    while (claimed == null) { // name collisions recompute and retry; conflicts throw below
+      attempts += 1
+      if (attempts > 20) throw new SnapshotConflict(
+        s"could not claim a version at $path after $attempts attempts (writer storm)")
+      v = claimedVersions.lastOption.getOrElse(0L) + 1
+      try claimed = fs.create(manifestPath(v), false)
+      catch { case _: java.io.IOException => () }
+    }
+    val m = Manifest(v, op, System.currentTimeMillis(), base, schema, files)
+    try claimed.write(renderManifest(m).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally claimed.close()
+    val cutoff = System.currentTimeMillis() - claimStaleMs
+    val intervening = claimedVersions.filter(w => w > base && w < v).filter { w =>
+      readManifest(w).isDefined || {
+        val st = try Some(fs.getFileStatus(manifestPath(w)))
+                 catch { case _: java.io.FileNotFoundException => None }
+        st.exists(_.getModificationTime >= cutoff) // young torn claim: possibly in flight
+      }
+    }
+    if (intervening.nonEmpty) {
+      fs.delete(manifestPath(v), false)
+      throw new SnapshotConflict(
+        s"snapshot commit at $path built against v$base but v${intervening.mkString(",v")} " +
+          "intervened; rebuild against the new state and retry")
+    }
+    v
+  }
+
+  /** Truncate-and-load: the new snapshot references only the new files. */
+  def overwrite(df: DataFrame): Unit = {
+    val base = latestVersion.getOrElse(0L)
+    commitVersion(base, "overwrite", df.schema, landFiles(df))
+  }
+
+  /** Append-only commit: previous live set plus the new files. Schema
+    * unions like [[LakeTable]]: existing fields keep position and type,
+    * new fields join as nullable (old files read them as null through
+    * the manifest-pinned schema).
+    */
+  def append(df: DataFrame): Unit = latestVersion match {
+    case None => overwrite(df)
+    case Some(b) =>
+      val cur = requireManifest(b)
+      commitVersion(cur.version, "append", unionSchema(cur.schema, df.schema),
+        cur.files ++ landFiles(df))
+  }
+
+  /** File-level copy-on-write upsert (K1 under snapshots): rewrite ONLY
+    * the files that contain a batch key; carry every other file by
+    * reference. The touched-file probe is a key-column-only scan —
+    * column-pruned at the parquet reader, it reads a fraction of the
+    * bytes a full scan would, and the collected result is file PATHS
+    * (bounded by file count, never row count).
+    */
+  def upsert(batch: DataFrame): Unit = latestVersion match {
+    case None => overwrite(batch)
+    case Some(b) =>
+      val cur = requireManifest(b)
+      val keys = batch.select(col(keyCol)).distinct()
+      val touchedNames: Set[String] =
+        if (cur.files.isEmpty) Set.empty
+        else spark.read.schema(cur.schema)
+          .parquet(cur.files.map(f => s"$path/${f.rel}"): _*)
+          .select(col(keyCol), col("_metadata.file_path").as("__f"))
+          .join(keys, Seq(keyCol), "left_semi")
+          .select(col("__f")).distinct().collect()
+          .map(r => r.getString(0).split('/').last).toSet
+      val (touched, untouched) = cur.files.partition(f => touchedNames(f.rel.split('/').last))
+      val merged =
+        if (touched.isEmpty) batch
+        else spark.read.schema(cur.schema)
+          .parquet(touched.map(f => s"$path/${f.rel}"): _*)
+          .join(keys, Seq(keyCol), "left_anti")
+          .unionByName(batch, allowMissingColumns = true)
+      commitVersion(cur.version, "upsert", unionSchema(cur.schema, batch.schema),
+        untouched ++ landFiles(merged))
+  }
+
+  /** Copy-on-write delete: rewrite only the files with matching rows. A
+    * predicate matching nothing commits nothing (no empty version).
+    */
+  def deleteWhere(cond: org.apache.spark.sql.Column): Unit = {
+    val cur = requireManifest(latestVersion.getOrElse(
+      throw new IllegalArgumentException(s"no snapshots at $path")))
+    if (cur.files.isEmpty) return
+    val live = spark.read.schema(cur.schema)
+      .parquet(cur.files.map(f => s"$path/${f.rel}"): _*)
+    val touchedNames = live.filter(cond)
+      .select(col("_metadata.file_path")).distinct().collect()
+      .map(r => r.getString(0).split('/').last).toSet
+    if (touchedNames.isEmpty) return
+    val (touched, untouched) = cur.files.partition(f => touchedNames(f.rel.split('/').last))
+    val kept = spark.read.schema(cur.schema)
+      .parquet(touched.map(f => s"$path/${f.rel}"): _*).filter(!cond)
+    commitVersion(cur.version, "delete", cur.schema, untouched ++ landFiles(kept))
+  }
+
+  /** Drop history: delete every data file unreferenced by the newest
+    * `retainVersions` complete snapshots, then the older manifests. The
+    * age guard (`minAgeMs`) protects concurrent IN-FLIGHT commits, whose
+    * data lands before their manifest: young orphans are left for the
+    * next vacuum, and young torn manifests (possibly mid-write) are kept
+    * too. Time travel older than the horizon stops working — that is the
+    * point. Returns (dataFilesDeleted, manifestsDeleted).
+    */
+  def vacuum(retainVersions: Int = 2, minAgeMs: Long = 0L): (Int, Int) = {
+    require(retainVersions >= 1, "must retain at least the current version")
+    val complete = claimedVersions.filter(v => readManifest(v).isDefined)
+    val keep = complete.takeRight(retainVersions).toSet
+    val referenced: Set[String] =
+      keep.flatMap(v => requireManifest(v).files.map(_.rel.split('/').last))
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    var dataGone = 0
+    if (fs.exists(dataDir)) fs.listStatus(dataDir).foreach { s =>
+      if (!referenced(s.getPath.getName) && s.getModificationTime < cutoff) {
+        fs.delete(s.getPath, false); dataGone += 1
+      }
+    }
+    var manGone = 0
+    claimedVersions.filterNot(keep).foreach { v =>
+      val safe = readManifest(v).isDefined || {
+        val st = try Some(fs.getFileStatus(manifestPath(v)))
+                 catch { case _: java.io.FileNotFoundException => None }
+        st.forall(_.getModificationTime < cutoff) // torn AND old = dead corpse
+      }
+      if (safe && fs.delete(manifestPath(v), false)) manGone += 1
+    }
+    (dataGone, manGone)
+  }
+}
+
+/** A concurrent writer committed first against the same base state. */
+class SnapshotConflict(msg: String) extends IllegalStateException(msg)
+
+object SnapshotLake {
+  private val VersionRe = "v([0-9]{8})\\.manifest".r
+
+  private[graft] case class FileEntry(rel: String, len: Long)
+  private[graft] case class Manifest(version: Long, op: String, ts: Long, base: Long,
+                                     schema: StructType, files: Seq[FileEntry])
+
+  private[lake] def unionSchema(base: StructType, add: StructType): StructType = {
+    val known = base.map(_.name).toSet
+    StructType(base ++ add.filterNot(f => known(f.name)).map(_.copy(nullable = true)))
+  }
+
+  /** k=v header, one `f <len> <rel>` line per file, `end` terminator.
+    * The terminator is the torn-write detector: a manifest without it
+    * does not exist as far as readers are concerned.
+    */
+  private[lake] def renderManifest(m: Manifest): String = {
+    val sb = new StringBuilder
+    sb ++= s"version=${m.version}\nop=${m.op}\nts=${m.ts}\nbase=${m.base}\n"
+    sb ++= s"schema=${m.schema.json}\n"
+    m.files.foreach(f => sb ++= s"f ${f.len} ${f.rel}\n")
+    sb ++= "end\n"
+    sb.toString
+  }
+
+  private[lake] def parseManifest(text: String): Option[Manifest] = {
+    val lines = text.split("\n", -1)
+    if (!lines.contains("end")) return None
+    try {
+      val kv = lines.takeWhile(l => !l.startsWith("f ") && l != "end")
+        .filter(_.contains('=')).map { l =>
+          val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
+        }.toMap
+      val files = lines.filter(_.startsWith("f ")).map { l =>
+        val Array(_, len, rel) = l.split(" ", 3)
+        FileEntry(rel, len.toLong)
+      }.toSeq
+      Some(Manifest(kv("version").toLong, kv("op"), kv("ts").toLong, kv("base").toLong,
+        org.apache.spark.sql.types.DataType.fromJson(kv("schema")).asInstanceOf[StructType],
+        files))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+}

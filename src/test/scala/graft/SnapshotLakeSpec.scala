@@ -1,0 +1,131 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake.{SnapshotConflict, SnapshotLake}
+
+class SnapshotLakeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("snaplake").toString + "/t"
+
+  test("overwrite/append/upsert/delete roll versions; read sees the newest") {
+    val lake = new SnapshotLake(spark, tmp(), "_id")
+    lake.overwrite(Seq(("a", 1), ("b", 2)).toDF("_id", "v"))
+    lake.append(Seq(("c", 3)).toDF("_id", "v"))
+    lake.upsert(Seq(("b", 20), ("d", 40)).toDF("_id", "v"))
+    lake.deleteWhere(col("_id") === "a")
+    val got = lake.read.orderBy("_id").collect().map(r => r.getString(0) -> r.getInt(1))
+    assert(got.toSeq == Seq("b" -> 20, "c" -> 3, "d" -> 40))
+    assert(lake.latestVersion.contains(4L))
+  }
+
+  test("time travel: every historical version stays readable pre-vacuum") {
+    val lake = new SnapshotLake(spark, tmp(), "_id")
+    lake.overwrite(Seq(("a", 1), ("b", 2)).toDF("_id", "v"))
+    lake.upsert(Seq(("b", 20)).toDF("_id", "v"))
+    lake.deleteWhere(col("_id") === "a")
+    assert(lake.readAt(1).orderBy("_id").collect().map(_.getInt(1)).toSeq == Seq(1, 2))
+    assert(lake.readAt(2).orderBy("_id").collect().map(_.getInt(1)).toSeq == Seq(1, 20))
+    assert(lake.readAt(3).orderBy("_id").collect().map(_.getInt(1)).toSeq == Seq(20))
+  }
+
+  test("CoW upsert rewrites ONLY the files containing batch keys") {
+    val lake = new SnapshotLake(spark, tmp(), "_id")
+    // 4 range-partitioned files: each holds a known contiguous id range
+    val base = (0 until 40).map(i => (f"id$i%03d", i)).toDF("_id", "v")
+      .repartitionByRange(4, col("_id"))
+    lake.overwrite(base)
+    val m1 = lake.readManifest(1L).get
+    assert(m1.files.size == 4)
+    lake.upsert(Seq(("id000", 100)).toDF("_id", "v")) // touches one range file
+    val m2 = lake.readManifest(2L).get
+    val carried = m2.files.map(_.rel).toSet intersect m1.files.map(_.rel).toSet
+    assert(carried.size == 3, s"expected 3 carried-by-reference files, got $carried")
+    val got = lake.read.orderBy("_id").collect().map(r => r.getString(0) -> r.getInt(1))
+    assert(got.length == 40 && got.head == ("id000" -> 100) && got(1) == ("id001" -> 1))
+  }
+
+  test("snapshot isolation: a resolved version is unaffected by later commits") {
+    val lake = new SnapshotLake(spark, tmp(), "_id")
+    lake.overwrite(Seq(("a", 1)).toDF("_id", "v"))
+    val reader = lake.readAt(1) // plan resolved against v1's file list
+    lake.upsert(Seq(("a", 99)).toDF("_id", "v"))
+    lake.deleteWhere(col("_id") === "zz") // no-match predicate: no new version
+    assert(reader.collect().head.getInt(1) == 1)
+    assert(lake.read.collect().head.getInt(1) == 99)
+    assert(lake.latestVersion.contains(2L))
+  }
+
+  test("a commit built against a stale base self-aborts with SnapshotConflict") {
+    val dir = tmp()
+    val lake = new SnapshotLake(spark, dir, "_id")
+    lake.overwrite(Seq(("a", 1)).toDF("_id", "v"))
+    lake.append(Seq(("b", 2)).toDF("_id", "v")) // v2 — the intervening commit
+    // a writer that built its file list against v1 commits now: must lose
+    val stale = intercept[SnapshotConflict] {
+      lake.commitVersion(base = 1L, op = "upsert",
+        schema = lake.readManifest(1L).get.schema, files = lake.readManifest(1L).get.files)
+    }
+    assert(stale.getMessage.contains("v2"))
+    assert(lake.latestVersion.contains(2L)) // the loser's claim was rolled back
+    assert(lake.read.count() == 2)
+  }
+
+  test("torn manifest is invisible to readers and does not block writers") {
+    val dir = tmp()
+    val lake = new SnapshotLake(spark, dir, "_id", claimStaleMs = 0L)
+    lake.overwrite(Seq(("a", 1)).toDF("_id", "v"))
+    // a crashed writer left a truncated claim at v2 (no `end` terminator)
+    val torn = java.nio.file.Paths.get(dir, "_snap", "v00000002.manifest")
+    Files.writeString(torn, "version=2\nop=upsert\nts=0\nbase=1\nf 10 data/ghost.parquet\n")
+    assert(lake.latestVersion.contains(1L)) // reader falls back
+    lake.append(Seq(("b", 2)).toDF("_id", "v")) // writer allocates ABOVE the corpse
+    assert(lake.latestVersion.contains(3L))
+    assert(lake.read.count() == 2)
+  }
+
+  test("vacuum removes unreferenced data, keeps retained versions readable") {
+    val dir = tmp()
+    val lake = new SnapshotLake(spark, dir, "_id")
+    lake.overwrite(Seq(("a", 1)).toDF("_id", "v"))
+    lake.overwrite(Seq(("a", 2)).toDF("_id", "v"))
+    lake.overwrite(Seq(("a", 3)).toDF("_id", "v"))
+    val (dataGone, manGone) = lake.vacuum(retainVersions = 2)
+    assert(dataGone >= 1 && manGone == 1)
+    assert(lake.readAt(2).collect().head.getInt(1) == 2)
+    assert(lake.readAt(3).collect().head.getInt(1) == 3)
+    intercept[IllegalArgumentException] { lake.readAt(1) }
+    // the data dir holds exactly the retained versions' files
+    val left = new java.io.File(dir, "data").list().filterNot(_.startsWith(".")).toSet
+    val want = (2L to 3L).flatMap(v =>
+      lake.readManifest(v).get.files.map(_.rel.split('/').last)).toSet
+    assert(left == want)
+  }
+
+  test("schema evolution: appended column reads as null from old files") {
+    val lake = new SnapshotLake(spark, tmp(), "_id")
+    lake.overwrite(Seq(("a", 1)).toDF("_id", "v"))
+    lake.append(Seq(("b", 2, "fresh")).toDF("_id", "v", "note"))
+    val got = lake.read.orderBy("_id").collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("a", "b"))
+    assert(got(0).isNullAt(2) && got(1).getString(2) == "fresh")
+    // time travel to v1 sees the ORIGINAL two-column schema
+    assert(lake.readAt(1).columns.toSeq == Seq("_id", "v"))
+  }
+
+  test("history is manifest-only and complete") {
+    val lake = new SnapshotLake(spark, tmp(), "_id")
+    lake.overwrite(Seq(("a", 1)).toDF("_id", "v"))
+    lake.upsert(Seq(("b", 2)).toDF("_id", "v"))
+    val h = lake.history().orderBy("version").collect()
+    assert(h.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq(1L -> "overwrite", 2L -> "upsert"))
+    assert(h.forall(_.getLong(4) > 0)) // n_files
+    assert(h.map(_.getLong(3)).toSeq == Seq(0L, 1L)) // base_version chain
+  }
+}
