@@ -307,6 +307,15 @@ object CorpusQueries {
         .orderBy(col("lang"), col("n_chars"))
     }),
 
+    // corpus-level span dedup (the C4 line-dedup shape): 8-token blocks
+    // deduplicated ACROSS documents, min-doc_id copy survives, texts
+    // reassembled in order; the global keep-decision shuffles md5
+    // digests, not block text
+    "dedup_spans_global" -> ((s, dir) => {
+      Dedup.dedupSpansGlobal(t(s, dir, "documents"), "doc_id", "text", 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // MinHash signatures (8 hashes over 3-shingles) — all 8 seed-hashes
     // fold into ONE aggregate pass over the shingle array
     "dedup_minhash_sig" -> ((s, dir) => {
@@ -866,6 +875,30 @@ object CorpusQueries {
     "dedup_exact_keep" ->
       """SELECT lang, n_chars, min(doc_id) AS keep_id, count(*) AS n
         |FROM documents GROUP BY lang, n_chars ORDER BY lang, n_chars""".stripMargin,
+
+    // blocks via per-row unnest(range(...)) (a lateral range() can't see
+    // row columns in DuckDB); 1-based inclusive list slicing mirrors
+    // Spark's slice(toks, i*8+1, 8)
+    "dedup_spans_global" -> (tkCte +
+      """,
+        |b0 AS (SELECT doc_id, toks,
+        |         unnest(range(0, CAST(ceil(len(toks)/8.0) AS BIGINT))) AS i
+        |       FROM tk),
+        |b AS (SELECT doc_id, i AS block_idx,
+        |         array_to_string(toks[(i*8+1):(i*8+8)], ' ') AS block
+        |      FROM b0),
+        |k AS (SELECT doc_id, block_idx, block,
+        |         min(doc_id) OVER (PARTITION BY block) AS keep_doc
+        |      FROM b),
+        |agg AS (SELECT doc_id, count(*) AS n_blocks,
+        |          CAST(sum(CASE WHEN doc_id <> keep_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |          string_agg(CASE WHEN doc_id = keep_doc THEN block END, ' ' ORDER BY block_idx) AS text_clean
+        |        FROM k GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(a.n_blocks, 0) AS BIGINT) AS n_blocks,
+        |       CAST(coalesce(a.n_dropped, 0) AS BIGINT) AS n_dropped,
+        |       coalesce(a.text_clean, '') AS text_clean
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin),
 
     "dedup_minhash_sig" -> (mhCte +
       "\nSELECT doc_id, " + (0 until 8).map(k => s"h$k").mkString(", ") +

@@ -228,7 +228,23 @@ object Main {
       val out = arg(args, "--out").get
       packed.write.mode("overwrite").partitionBy(shardCol).parquet(out)
       println(s"[cli] curate: ${spark.read.parquet(out).count()} docs packed to $out")
+    case "snap" =>
+      // snapshot-lake operations: history (manifest-only), time-travel
+      // read, vacuum. `--at` picks a version for read; vacuum retains
+      // --keep newest versions (default 2)
+      val lake = new graft.lake.SnapshotLake(spark,
+        arg(args, "--lake").get, arg(args, "--key").getOrElse("_id"))
+      arg(args, "--op").getOrElse("history") match {
+        case "history" => lake.history().orderBy(col("version")).show(1000, truncate = false)
+        case "read" =>
+          val df = arg(args, "--at").map(_.toLong).map(lake.readAt).getOrElse(lake.read)
+          df.show(arg(args, "--n").map(_.toInt).getOrElse(20), truncate = false)
+        case "vacuum" =>
+          val (d, m) = lake.vacuum(arg(args, "--keep").map(_.toInt).getOrElse(2))
+          println(s"[cli] snap vacuum: $d data files, $m manifests removed")
+        case other => println(s"snap --op history|read|vacuum (got '$other')")
+      }
     case other =>
-      println(s"usage: ingest|summary|harvest|sync|compact|stats|cluster|index|repair|purge|curate (got '$other')")
+      println(s"usage: ingest|summary|harvest|sync|compact|stats|cluster|index|repair|purge|curate|snap (got '$other')")
   }
 }

@@ -301,6 +301,54 @@ object Dedup {
       .select(col(idCol)).distinct()
   }
 
+  /** Corpus-level span dedup (the C4/line-dedup shape): the token stream
+    * of every document is cut into non-overlapping `window`-token blocks
+    * (trailing partial block kept), and any block occurring in MORE than
+    * one document survives only in the lowest-id document — every other
+    * copy is dropped and the texts are reassembled in original block
+    * order. Unlike the per-document signals ([[TextAnalysis.dupNgramFrac]])
+    * this removes duplication ACROSS documents — boilerplate, quoted
+    * headers, license blocks.
+    *
+    * Scale shape: the global keep-decision groups on `md5(block)` — the
+    * wide shuffle key is a 32-char digest with map-side-combined `min`,
+    * never the block text, so a block repeated 10^8 times costs its
+    * combiner one row per map task (the follow-up equi-join on the
+    * digest is AQE-skew-splittable). Reassembly is one shuffle on the
+    * doc id — the same key the input was read by.
+    *
+    * Returns (idCol, n_blocks, n_dropped, text_clean) for EVERY input
+    * document (a fully-deduplicated document keeps its row with
+    * text_clean = '').
+    */
+  def dedupSpansGlobal(docs: DataFrame, idCol: String, textCol: String,
+                       window: Int = 8): DataFrame = {
+    require(window >= 1, s"span window must be >= 1, got $window")
+    val toks = tokens(col(textCol))
+    val nblk = ceil(size(toks).cast("double") / window).cast("int")
+    val blocks = when(nblk > 0, transform(sequence(lit(0), nblk - 1),
+        i => concat_ws(" ", slice(toks, i * window + 1, lit(window)))))
+      .otherwise(array().cast("array<string>"))
+    val exploded = docs
+      .select(col(idCol).as("__doc"), posexplode(blocks).as(Seq("__idx", "__block")))
+      .withColumn("__h", md5(col("__block")))
+    val keepDoc = exploded.groupBy("__h").agg(min(col("__doc")).as("__keep_doc"))
+    val decided = exploded.join(keepDoc, Seq("__h"))
+    val agg = decided.groupBy(col("__doc"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("__doc") =!= col("__keep_doc"), 1L).otherwise(0L)).as("n_dropped"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__doc") === col("__keep_doc"),
+            struct(col("__idx"), col("__block"))))),
+          s => s.getField("__block")), " ").as("text_clean"))
+    docs.select(col(idCol))
+      .join(agg, docs(idCol) === agg("__doc"), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** n-gram Jaccard similarity between two shingle-set columns. Exact
     * rational arithmetic (intersection/union sizes) until the final
     * division, so it's deterministic.

@@ -550,4 +550,22 @@ class OpsSpec extends AnyFunSuite {
     val exact = pairs(Similarity.multiProbeTopKExact(vecs, queries, "vec_id", "embedding", 1000, 3, 64))
     assert(exact == multi)
   }
+
+  test("dedupSpansGlobal: cross-doc blocks survive only in the min doc") {
+    val docs = Seq(
+      (1L, "a b c d e f"),       // blocks (w=3): "a b c", "d e f"
+      (2L, "a b c x y z"),       // shares "a b c" with doc 1 -> dropped here
+      (3L, "x y z"),             // shares "x y z" with doc 2 -> doc 2 keeps it
+      (4L, "a b c"),             // fully deduplicated -> empty text survives as a row
+      (5L, "p q")                // short doc: one partial block, untouched
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.dedupSpansGlobal(docs, "doc_id", "text", 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got(0) == ((1L, 2L, 0L, "a b c d e f")))  // min doc keeps both
+    assert(got(1) == ((2L, 2L, 1L, "x y z")))        // "a b c" dropped, own block kept
+    assert(got(2) == ((3L, 1L, 1L, "")))             // doc 2 won "x y z"
+    assert(got(3) == ((4L, 1L, 1L, "")))             // fully dropped, row kept
+    assert(got(4) == ((5L, 1L, 0L, "p q")))          // trailing partial block kept
+  }
 }
