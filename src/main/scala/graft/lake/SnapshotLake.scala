@@ -242,6 +242,63 @@ class SnapshotLake(spark: SparkSession, path: String, keyCol: String,
     commitVersion(cur.version, "delete", cur.schema, untouched ++ landFiles(kept))
   }
 
+  /** Row-level change feed between two committed snapshots (CDC read):
+    * every row inserted, updated or deleted in `(fromV, toV]`, classified
+    * in a `change_type` column (`insert` / `update_post` / `delete` —
+    * updates and deletes carry the post- and pre-image respectively).
+    *
+    * Cost is bounded by CHURN, not table size: manifests are complete
+    * file lists, so the file-set diff finds exactly the files added or
+    * dropped across the interval — files carried by reference (the
+    * untouched bulk under copy-on-write) are never opened. Rows that a
+    * CoW rewrite copied verbatim into a new file appear on both sides of
+    * the diff and are cancelled by the null-safe full-row compare, so
+    * only genuine changes survive. The one join shuffles only the
+    * churned files' rows — at 100 TB an upsert that touched 1 % of the
+    * files yields a change feed that reads 2 % of the bytes.
+    *
+    * Intermediate states collapse (v1→v3 diffs the endpoints): a key
+    * updated twice shows once with its final post-image, an insert later
+    * deleted shows not at all — the semantics of a snapshot diff, same
+    * as a lakehouse "latest net changes" read.
+    */
+  def changesBetween(fromV: Long, toV: Long): DataFrame = {
+    require(fromV <= toV, s"changesBetween: fromV=$fromV must be <= toV=$toV")
+    val from = requireManifest(fromV)
+    val to = requireManifest(toV)
+    val fromSet = from.files.map(_.rel).toSet
+    val toSet = to.files.map(_.rel).toSet
+    def rd(schema: StructType, files: Seq[FileEntry]): DataFrame =
+      if (files.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(files.map(f => s"$path/${f.rel}"): _*)
+    // read old-side files under the NEW schema: fields added since fromV
+    // surface as null in the pre-image, exactly as readAt-then-align would
+    val newRows = rd(to.schema, to.files.filterNot(f => fromSet(f.rel)))
+    val oldRows = rd(to.schema, from.files.filterNot(f => toSet(f.rel)))
+    val dataCols = to.schema.fieldNames.toSeq.filterNot(_ == keyCol)
+    val n = newRows.alias("n")
+    val o = oldRows.alias("o")
+    val sameRow = dataCols.map(c => col(s"n.$c") <=> col(s"o.$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val isDelete = col(s"n.$keyCol").isNull
+    n.join(o, col(s"n.$keyCol") === col(s"o.$keyCol"), "full_outer")
+      .withColumn("change_type",
+        when(col(s"o.$keyCol").isNull, "insert")
+          .when(isDelete, "delete")
+          .when(!sameRow, "update_post")
+          .otherwise("carried"))
+      .filter(col("change_type") =!= "carried")
+      .select(when(isDelete, col(s"o.$keyCol")).otherwise(col(s"n.$keyCol")).as(keyCol) +:
+        dataCols.map(c => when(isDelete, col(s"o.$c")).otherwise(col(s"n.$c")).as(c)) :+
+        col("change_type"): _*)
+  }
+
+  /** Net changes from `v` to the current snapshot. */
+  def changesSince(v: Long): DataFrame =
+    changesBetween(v, latestVersion.getOrElse(
+      throw new IllegalArgumentException(s"no snapshots at $path")))
+
   /** Drop history: delete every data file unreferenced by the newest
     * `retainVersions` complete snapshots, then the older manifests. The
     * age guard (`minAgeMs`) protects concurrent IN-FLIGHT commits, whose
