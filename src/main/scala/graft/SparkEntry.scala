@@ -584,6 +584,32 @@ object SparkEntry {
       out
     }),
 
+    // Snapshot-lake CDC read: the net row-level change feed between two
+    // committed versions, recomputed stateless by the oracle. The feed
+    // opens only the CHURNED files (carried-by-reference files cancel),
+    // so the query proves insert/update/delete classification, the
+    // verbatim-copy cancellation of the CoW rewrite, and the pre-image
+    // semantics of deletes, all under the driver's hash gate.
+    "q_snapshot_changes" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cdc_q").toString
+      val lake = new graft.lake.SnapshotLake(s, tmp + "/lake", "c_custkey")
+      lake.overwrite(cust.filter(col("c_custkey") % 3 === 0)                // v1
+        .repartition(8, col("c_custkey")))
+      lake.upsert(cust.filter(col("c_custkey") % 6 === 0)                   // v2
+          .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+        .unionByName(cust.filter(col("c_custkey") % 3 === 1)))
+      lake.deleteWhere(col("c_custkey") % 9 === 0)                          // v3
+      val out = lake.changesSince(1L)
+        .orderBy(col("c_custkey"))
+        .localCheckpoint(true) // the scratch lake is deleted next
+      new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      out
+    }),
+
     // Beyond-reference lake tier: the Morton (z-order) clustering key —
     // pure shift/mask Column algebra (lake/Zorder.scala), bit-identical
     // in any engine; the lake's clusterBy sorts rewrites by this key so
@@ -939,6 +965,22 @@ object SparkEntry {
         |            ELSE 'kept' END AS op
         |FROM v1 LEFT JOIN now ON v1.c_custkey = now.c_custkey
         |ORDER BY v1.c_custkey""".stripMargin,
+
+    // the net change feed, recomputed stateless: inserts are the v2 keys
+    // outside the base that survive the delete, updates the +1000 keys
+    // that survive it, deletes the base keys the %9 predicate removed
+    // (pre-image = the v1 balance, BEFORE the intervening +1000)
+    "q_snapshot_changes" ->
+      """SELECT c_custkey, c_name, c_acctbal, 'insert' AS change_type
+        |FROM customer WHERE c_custkey % 3 = 1
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal + 1000.0 AS c_acctbal,
+        |       'update_post' AS change_type
+        |FROM customer WHERE c_custkey % 6 = 0 AND c_custkey % 9 <> 0
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal, 'delete' AS change_type
+        |FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 9 = 0
+        |ORDER BY c_custkey""".stripMargin,
 
     // magic-shift Morton interleave, stage by stage; every intermediate is
     // BIGINT so the shifts can't overflow DuckDB's 32-bit INTEGER

@@ -230,8 +230,8 @@ object Main {
       println(s"[cli] curate: ${spark.read.parquet(out).count()} docs packed to $out")
     case "snap" =>
       // snapshot-lake operations: history (manifest-only), time-travel
-      // read, vacuum. `--at` picks a version for read; vacuum retains
-      // --keep newest versions (default 2)
+      // read, vacuum, change feed. `--at` picks a version for read;
+      // vacuum retains --keep newest versions (default 2)
       val lake = new graft.lake.SnapshotLake(spark,
         arg(args, "--lake").get, arg(args, "--key").getOrElse("_id"))
       arg(args, "--op").getOrElse("history") match {
@@ -242,7 +242,18 @@ object Main {
         case "vacuum" =>
           val (d, m) = lake.vacuum(arg(args, "--keep").map(_.toInt).getOrElse(2))
           println(s"[cli] snap vacuum: $d data files, $m manifests removed")
-        case other => println(s"snap --op history|read|vacuum (got '$other')")
+        case "changes" =>
+          // net row-level change feed since --from (up to --to, default
+          // newest); reads only the churned files
+          val from = arg(args, "--from").get.toLong
+          val df = arg(args, "--to").map(_.toLong)
+            .map(lake.changesBetween(from, _)).getOrElse(lake.changesSince(from))
+          arg(args, "--out") match {
+            case Some(out) => df.write.mode("overwrite").parquet(out)
+              println(s"[cli] snap changes: ${spark.read.parquet(out).count()} rows to $out")
+            case None => df.show(arg(args, "--n").map(_.toInt).getOrElse(20), truncate = false)
+          }
+        case other => println(s"snap --op history|read|vacuum|changes (got '$other')")
       }
     case other =>
       println(s"usage: ingest|summary|harvest|sync|compact|stats|cluster|index|repair|purge|curate|snap (got '$other')")

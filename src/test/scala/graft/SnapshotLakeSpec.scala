@@ -118,6 +118,61 @@ class SnapshotLakeSpec extends AnyFunSuite {
     assert(lake.readAt(1).columns.toSeq == Seq("_id", "v"))
   }
 
+  test("changesBetween classifies insert/update/delete; CoW-carried rows cancel") {
+    val lake = new SnapshotLake(spark, tmp(), "_id")
+    // 4 range files so the upsert's CoW rewrite copies neighbours verbatim
+    lake.overwrite((0 until 40).map(i => (f"id$i%03d", i)).toDF("_id", "v")
+      .repartitionByRange(4, col("_id")))
+    lake.upsert(Seq(("id000", 100), ("id999", 999)).toDF("_id", "v")) // update + insert
+    lake.deleteWhere(col("_id") === "id039")                          // delete
+    val ch = lake.changesBetween(1L, 3L).orderBy("_id").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    // id001..id009 share id000's rewritten file; id030..id038 share id039's:
+    // all copied verbatim, none may surface as changes
+    assert(ch.toSeq == Seq(("id000", 100, "update_post"),
+      ("id039", 39, "delete"), ("id999", 999, "insert")))
+  }
+
+  test("changesBetween reads churned files only, never the carried bulk") {
+    val lake = new SnapshotLake(spark, tmp(), "_id")
+    lake.overwrite((0 until 40).map(i => (f"id$i%03d", i)).toDF("_id", "v")
+      .repartitionByRange(4, col("_id")))
+    lake.upsert(Seq(("id000", 100)).toDF("_id", "v")) // rewrites 1 of 4 files
+    val m1 = lake.readManifest(1L).get.files.map(_.rel).toSet
+    val m2 = lake.readManifest(2L).get.files.map(_.rel).toSet
+    val carried = (m1 intersect m2).map(_.split('/').last)
+    assert(carried.size == 3)
+    val opened = lake.changesBetween(1L, 2L).inputFiles.map(_.split('/').last).toSet
+    assert(opened.nonEmpty && (opened intersect carried).isEmpty,
+      s"change feed opened carried-by-reference files: ${opened intersect carried}")
+  }
+
+  test("changesBetween collapses intermediate states to net changes") {
+    val lake = new SnapshotLake(spark, tmp(), "_id")
+    lake.overwrite(Seq(("a", 1), ("b", 2)).toDF("_id", "v"))
+    lake.upsert(Seq(("a", 10), ("c", 3)).toDF("_id", "v"))  // a updated, c inserted
+    lake.upsert(Seq(("a", 11)).toDF("_id", "v"))            // a updated AGAIN
+    lake.deleteWhere(col("_id") === "c")                    // c insert+delete = nothing
+    val ch = lake.changesBetween(1L, 4L).orderBy("_id").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    assert(ch.toSeq == Seq(("a", 11, "update_post")))       // final post-image only
+    assert(lake.changesBetween(2L, 2L).isEmpty)             // same-version diff is empty
+  }
+
+  test("changesBetween under schema evolution: pre-image reads new field as null") {
+    val lake = new SnapshotLake(spark, tmp(), "_id")
+    lake.overwrite(Seq(("a", 1), ("b", 2)).toDF("_id", "v"))
+    lake.append(Seq(("c", 3, "fresh")).toDF("_id", "v", "note"))
+    val ch = lake.changesBetween(1L, 2L).orderBy("_id").collect()
+    assert(ch.map(_.getString(0)).toSeq == Seq("c"))
+    assert(ch.head.getString(2) == "fresh" && ch.head.getString(3) == "insert")
+    // an update whose only change IS the new column still surfaces
+    lake.upsert(Seq(("a", 1, "tagged")).toDF("_id", "v", "note"))
+    val ch2 = lake.changesBetween(2L, 3L).orderBy("_id").collect()
+    assert(ch2.map(r => (r.getString(0), r.getString(2), r.getString(3))).toSeq ==
+      Seq(("a", "tagged", "update_post")))
+  }
+
   test("history is manifest-only and complete") {
     val lake = new SnapshotLake(spark, tmp(), "_id")
     lake.overwrite(Seq(("a", 1)).toDF("_id", "v"))
