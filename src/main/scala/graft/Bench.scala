@@ -96,6 +96,7 @@ object Bench {
     }
     spark.sharedState.cacheManager.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    Verify.dropStreamSinks(spark) // warmup's stream sinks must not survive into timing
     System.gc()
 
     val only = sys.env.get("SPARK_GRAFT_ONLY") // debug: regex filter on query names
@@ -113,6 +114,10 @@ object Bench {
       // not accumulated session garbage.
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      // memory-sink tables from stream queries hold their rows until the
+      // temp view drops — without this the second pass (and every later
+      // query of THIS pass) runs against a heap carrying every sink so far
+      Verify.dropStreamSinks(spark)
       System.gc()
       name -> dt
     }

@@ -27,13 +27,44 @@ object SparkEntry {
   private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet stores TIMESTAMP(NANOS); Spark reads it as long (with
-    * spark.sql.legacy.parquet.nanosAsLong=true). Convert to a microsecond
-    * timestamp by truncating integer division — the same truncation DuckDB
-    * applies reading the file, so both engines see identical instants.
+  /** events.parquet's `ts` physical encoding has drifted across driver
+    * testdata generations — TIMESTAMP(NANOS) (which Spark reads as a raw
+    * long under spark.sql.legacy.parquet.nanosAsLong=true), then
+    * TIMESTAMP(MICROS) unadjusted (read as TIMESTAMP_NTZ). The reference
+    * is deliberately tolerant of upstream dtype drift (ntp_utils.py:71-112
+    * parse_parquet accepts whatever dtypes arrive), so the engine is too:
+    * branch on the LOADED dtype and normalize to a session-tz TimestampType
+    * column carrying the same instants DuckDB sees reading the same file.
     */
+  private[graft] def decodeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      // nanos-as-long: truncating div to micros — the same truncation
+      // DuckDB applies reading a TIMESTAMP_NS file
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // unadjusted micros (TIMESTAMP_NTZ): instants are identical under
+      // the UTC session tz; cast so downstream ops/oracle schemas agree
+      case _: TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _: TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported parquet encoding $other (expected int64-nanos, TIMESTAMP(MICROS), or TIMESTAMP_NTZ)")
+    }
+  }
+
   private[graft] def events(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    decodeEventsTs(t(s, dir, "events"))
+
+  /** Streaming twin of [[events]]: readStream needs an explicit schema, so
+    * sniff the file's actual footer schema with the batch reader first,
+    * then apply the same dtype-adaptive decode. One batch footer read per
+    * query — O(1), not O(data).
+    */
+  private[graft] def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    val fileSchema = s.read.parquet(s"$dir/events.parquet").schema
+    decodeEventsTs(
+      s.readStream.schema(fileSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+  }
 
   /** The money/value columns in the testdata are 2-decimal values stored
     * as doubles. Exact, order-independent aggregation: snap to the integer
@@ -444,19 +475,13 @@ object SparkEntry {
     // (memory sink, AvailableNow), and the result must hash-match the
     // batch oracle exactly
     "q_stream_windowed" -> ((s, dir) => {
-      import org.apache.spark.sql.types._
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
       // the library windowedCounts (cents-grid sum_value); a replay-sized
       // watermark delay so no event is "late" across micro-batches — the
-      // batch oracle sees every row, so must the stream
+      // batch oracle sees every row, so must the stream. eventsStream
+      // adapts to the file's actual ts encoding (nanos-long vs micros).
+      s.catalog.dropTempView("stream_windowed_sink") // stale sink from a prior run in this JVM
       val stream = graft.streaming.EventStreams.windowedCounts(
-        s.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000"))),
-        "1 hour", "3650 days")
+        eventsStream(s, dir), "1 hour", "3650 days")
       // state-store count follows shuffle partitions: a (hour, type)
       // aggregation has a few hundred groups — 8 stores, not 32, halves
       // the per-batch store open/commit overhead that dominates this query
@@ -481,15 +506,9 @@ object SparkEntry {
     // rounding) stays out of the comparison — it is covered by the
     // cross-batch unit spec; each user's open tail session is unemitted.
     "q_stream_sessionize" -> ((s, dir) => {
-      import org.apache.spark.sql.types._
       import graft.streaming.EventStreams
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      s.catalog.dropTempView("stream_sessionize_sink") // stale sink from a prior run in this JVM
+      val stream = eventsStream(s, dir)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
         .as[EventStreams.Event](org.apache.spark.sql.Encoders.product[EventStreams.Event])
       // unlike q_stream_windowed, state-store count is NOT the bottleneck
@@ -516,6 +535,7 @@ object SparkEntry {
         StructField("doc_id", LongType), StructField("text", StringType),
         StructField("lang", StringType), StructField("source", StringType),
         StructField("n_chars", LongType)))
+      s.catalog.dropTempView("stream_dedup_docs_sink") // stale sink from a prior run in this JVM
       val stream = s.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
       val q = graft.streaming.EventStreams.dedupCorpus(stream, "text")
@@ -541,6 +561,37 @@ object SparkEntry {
       lake.overwrite(docs.repartition(8, col("doc_id")))
       lake.buildBloomIndex(expectedItemsPerFile = 1L << 16, fpp = 0.001)
       val (rows, _) = lake.lookupKeys(Seq("3", "7", "11", "999983"))
+      val out = rows
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+          col("lang"), col("n_chars").cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true) // the scratch lake is deleted next
+      new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      out
+    }),
+
+    // Snapshot x index tier INTEGRATION: the same per-file bloom index,
+    // resolved from SNAPSHOT MANIFESTS instead of directory walks — no
+    // recursive listing anywhere in build, refresh or lookup. v1 lands
+    // the docs and gets indexed; a CoW upsert rewrites the files holding
+    // every 97th key (immutable new files); the refresh re-blooms ONLY
+    // that churn; the lookup then serves 3 present + 1 absent key from
+    // the CURRENT version — probed key 97 carrying the post-upsert value
+    // proves the index tracked the rewrite, not the stale v1 state.
+    "q_snapshot_point_lookup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_snapbloom_q").toString
+      val lake = new graft.lake.SnapshotLake(s, tmp + "/lake", "doc_id")
+      lake.overwrite(docs.repartition(8, col("doc_id")))                     // v1
+      graft.lake.BloomIndex.refreshSnapshot(lake, "doc_id", 1L << 16, 0.001)
+      lake.upsert(docs.filter(col("doc_id") % 97 === 0)                      // v2 (CoW)
+        .withColumn("n_chars", col("n_chars") + lit(1L)))
+      graft.lake.BloomIndex.refreshSnapshot(lake, "doc_id", 1L << 16, 0.001) // churn-only
+      val (rows, _) = graft.lake.BloomIndex.lookupSnapshot(lake, "doc_id",
+        Seq("3", "7", "97", "999983"))
       val out = rows
         .select(col("doc_id").cast("long").as("doc_id"), col("source"),
           col("lang"), col("n_chars").cast("long").as("n_chars"))
@@ -946,6 +997,14 @@ object SparkEntry {
       """SELECT CAST(doc_id AS BIGINT) AS doc_id, source, lang,
         |       CAST(n_chars AS BIGINT) AS n_chars
         |FROM documents WHERE doc_id IN (3, 7, 11, 999983)
+        |ORDER BY doc_id""".stripMargin,
+
+    // manifest-resolved lookup over the CURRENT snapshot: base docs with
+    // the CoW upsert's +1 applied to every 97th key
+    "q_snapshot_point_lookup" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, source, lang,
+        |       CAST(n_chars + CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_chars
+        |FROM documents WHERE doc_id IN (3, 7, 97, 999983)
         |ORDER BY doc_id""".stripMargin,
 
     // the snapshot-lake version diff, recomputed stateless: v1 is the

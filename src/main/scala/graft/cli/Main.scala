@@ -245,7 +245,8 @@ object Main {
         case "changes" =>
           // net row-level change feed since --from (up to --to, default
           // newest); reads only the churned files
-          val from = arg(args, "--from").get.toLong
+          val from = arg(args, "--from").getOrElse(
+            sys.error("snap --op changes requires --from <version> [--to <version>] [--out <dir>]")).toLong
           val df = arg(args, "--to").map(_.toLong)
             .map(lake.changesBetween(from, _)).getOrElse(lake.changesSince(from))
           arg(args, "--out") match {

@@ -66,15 +66,15 @@ object BloomIndex {
       .toDF("file", "bloom", "nkeys")
   }
 
-  /** Land an index frame as the sidecar: write to a staging dir, then
-    * delete-and-rename into place. A crash leaves the old index, the
-    * new one, or none — and "none" just means lookups fall back to a
-    * full scan, never a wrong answer.
+  /** Land an index frame at the sidecar path `idxPath`: write to a
+    * staging dir, then delete-and-rename into place. A crash leaves the
+    * old index, the new one, or none — and "none" just means lookups
+    * fall back to a full scan, never a wrong answer.
     */
-  private def landIndex(spark: SparkSession, path: String,
+  private def landIndex(spark: SparkSession, idxPath: String,
                         idx: org.apache.spark.sql.DataFrame): Long = {
-    val dest = new org.apache.hadoop.fs.Path(sidecar(path))
-    val staging = new org.apache.hadoop.fs.Path(sidecar(path) + ".staging")
+    val dest = new org.apache.hadoop.fs.Path(idxPath)
+    val staging = new org.apache.hadoop.fs.Path(idxPath + ".staging")
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(staging, true)
     idx.write.mode("overwrite").parquet(staging.toString)
@@ -96,7 +96,7 @@ object BloomIndex {
     // join the current listing for each file's length (freshness token);
     // the listing is driver-side but only touches paths, never data
     val lens = fileLengths(spark, path).toSeq.toDF("file", "len")
-    landIndex(spark, path, perFile.join(lens, "file"))
+    landIndex(spark, sidecar(path), perFile.join(lens, "file"))
   }
 
   /** Incremental rebuild: bloom ONLY the files the index doesn't cover
@@ -137,7 +137,7 @@ object BloomIndex {
         .join(live.toSeq.toDF("file", "len"), "file")
         .select(col("file"), col("bloom"), col("nkeys"), col("len"))
     val keptN = kept.count()
-    landIndex(spark, path, kept.unionByName(rebuilt))
+    landIndex(spark, sidecar(path), kept.unionByName(rebuilt))
     (keptN, freshFiles.size.toLong)
   }
 
@@ -175,33 +175,141 @@ object BloomIndex {
     val fs = new org.apache.hadoop.fs.Path(idxPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val schema = table.read.schema
-    val keyList = keys
-    val candidates: Seq[String] =
-      if (!fs.exists(new org.apache.hadoop.fs.Path(idxPath))) live.keys.toSeq
-      else {
-        // one distributed pass evaluates might-contain next to the bloom
-        // bytes; only (path, len, hit) triples reach the driver — bytes
-        // per file, not the megabyte filters
-        val idx = spark.read.parquet(idxPath)
-          .select(col("file"), col("len"), col("bloom"))
-          .as[(String, Long, Array[Byte])]
-          .map { case (f, len, bloom) =>
-            (f, len, keyList.exists(deser(bloom).mightContainString))
-          }.collect()
-        val byFile = idx.map { case (f, len, hit) => f -> (len, hit) }.toMap
-        live.iterator.filter { case (f, len) =>
-          byFile.get(f) match {
-            case Some((l, hit)) if l == len => hit // unchanged: trust the filter
-            case _ => true // new or rewritten since the build: scan it
-          }
-        }.map(_._1).toSeq
-      }
+    val candidates = bloomCandidates(spark, idxPath, live, keys)
     val df =
       if (candidates.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       // basePath keeps partition columns derivable when the candidate
       // list names leaf files inside partition dirs
       else spark.read.option("basePath", path).schema(schema).parquet(candidates: _*)
+        .filter(col(keyCol).cast("string").isin(keys: _*))
+    (df, candidates.size)
+  }
+
+  /** The candidate-file pass shared by the directory and snapshot tiers:
+    * one distributed scan evaluates might-contain next to the bloom
+    * bytes; only (path, len, hit) triples reach the driver — bytes per
+    * file, not the megabyte filters. A live file missing from the index
+    * (or length-drifted) is an unconditional candidate — never a wrong
+    * answer, only less selective.
+    */
+  private def bloomCandidates(spark: SparkSession, idxPath: String,
+                              live: Map[String, Long], keys: Seq[String]): Seq[String] = {
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(idxPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(idxPath))) live.keys.toSeq
+    else {
+      val keyList = keys
+      val idx = spark.read.parquet(idxPath)
+        .select(col("file"), col("len"), col("bloom"))
+        .as[(String, Long, Array[Byte])]
+        .map { case (f, len, bloom) =>
+          (f, len, keyList.exists(deser(bloom).mightContainString))
+        }.collect()
+      val byFile = idx.map { case (f, len, hit) => f -> (len, hit) }.toMap
+      live.iterator.filter { case (f, len) =>
+        byFile.get(f) match {
+          case Some((l, hit)) if l == len => hit // unchanged: trust the filter
+          case _ => true // new or rewritten since the build: scan it
+        }
+      }.map(_._1).toSeq
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Snapshot-lake tier: the same index, resolved from MANIFESTS instead
+  // of directory walks. Snapshot data files are immutable, so an index
+  // row never goes stale — maintenance is purely additive (bloom the
+  // files new since the last refresh, drop rows no retained version
+  // references) and a point lookup works against ANY committed version,
+  // not just the current directory state. This is the piece that makes
+  // the 100 TB story hold end-to-end: no recursive listing anywhere —
+  // read planning, index refresh and lookup are all manifest-resolved.
+  // ------------------------------------------------------------------
+
+  private def snapSidecar(path: String) = path + "/_bloomidx"
+
+  /** Manifest file list as (qualified URI -> length) — the same URI form
+    * `input_file_name()` reports, so index rows join exactly. No fs
+    * status calls: lengths come from the manifest.
+    */
+  private def manifestFiles(lake: SnapshotLake, m: SnapshotLake.Manifest): Map[String, Long] = {
+    val root = new org.apache.hadoop.fs.Path(lake.path)
+    val fs = root.getFileSystem(lake.spark.sparkContext.hadoopConfiguration)
+    m.files.map(f =>
+      fs.makeQualified(new org.apache.hadoop.fs.Path(lake.path, f.rel)).toUri.toString -> f.len)
+      .toMap
+  }
+
+  /** Refresh the snapshot lake's bloom index: bloom only the data files
+    * added since the last refresh, keep existing rows verbatim (files are
+    * immutable — their bloom bytes never need recomputing), and retain a
+    * row as long as ANY complete (non-vacuumed) version references its
+    * file so time-travel lookups stay selective. Cost is proportional to
+    * write churn, never lake size. Returns (keptRows, bloomedRows).
+    */
+  def refreshSnapshot(lake: SnapshotLake, keyCol: String,
+                      expectedItemsPerFile: Long = 1L << 20, fpp: Double = 0.001)
+      : (Long, Long) = {
+    val spark = lake.spark
+    import spark.implicits._
+    val versions = lake.completeVersions
+    if (versions.isEmpty) return (0L, 0L)
+    val manifests = versions.flatMap(lake.readManifest)
+    // union of live files across every retained version: time travel to
+    // any of them keeps a selective index; vacuumed files fall out
+    val live: Map[String, Long] =
+      manifests.foldLeft(Map.empty[String, Long])((acc, m) => acc ++ manifestFiles(lake, m))
+    val schema = manifests.last.schema
+    val idxPath = snapSidecar(lake.path)
+    val fs = new org.apache.hadoop.fs.Path(idxPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldMeta: Map[String, Long] =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(idxPath))) Map.empty
+      else spark.read.parquet(idxPath).select(col("file"), col("len"))
+        .as[(String, Long)].collect().toMap
+    val freshFiles = live.collect {
+      case (f, l) if !oldMeta.get(f).contains(l) => f
+    }.toSeq.sorted
+    val lens = live.toSeq.toDF("file", "len2")
+    val kept =
+      if (oldMeta.isEmpty)
+        spark.emptyDataset[(String, Array[Byte], Long, Long)]
+          .toDF("file", "bloom", "nkeys", "len")
+      else spark.read.parquet(idxPath).alias("old")
+        .join(lens, col("old.file") === lens("file") && col("old.len") === lens("len2"))
+        .select(col("old.file"), col("old.bloom"), col("old.nkeys"), col("old.len"))
+    val rebuilt =
+      if (freshFiles.isEmpty) kept.limit(0)
+      else bloomRows(spark.read.schema(schema).parquet(freshFiles: _*),
+        keyCol, expectedItemsPerFile, fpp)
+        .join(lens.withColumnRenamed("len2", "len"), "file")
+        .select(col("file"), col("bloom"), col("nkeys"), col("len"))
+    val keptN = kept.count()
+    landIndex(spark, snapSidecar(lake.path), kept.unionByName(rebuilt))
+    (keptN, freshFiles.size.toLong)
+  }
+
+
+  /** Point lookup against a committed snapshot version (default: the
+    * newest): resolve the manifest, keep the bloom-candidate files, open
+    * only those. Row-identical to `lake.readAt(v).filter(key isin keys)`;
+    * returns (rows, filesOpened) so specs can observe the pruning.
+    */
+  def lookupSnapshot(lake: SnapshotLake, keyCol: String, keys: Seq[String],
+                     at: Option[Long] = None): (DataFrame, Int) = {
+    val spark = lake.spark
+    val v = at.orElse(lake.latestVersion).getOrElse(
+      throw new IllegalArgumentException(s"no snapshots at ${lake.path}"))
+    val m = lake.readManifest(v).getOrElse(throw new IllegalArgumentException(
+      s"no complete snapshot v$v at ${lake.path}"))
+    val live = manifestFiles(lake, m)
+    val candidates = bloomCandidates(spark, snapSidecar(lake.path), live, keys)
+    val df =
+      if (candidates.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+      else spark.read.schema(m.schema).parquet(candidates: _*)
         .filter(col(keyCol).cast("string").isin(keys: _*))
     (df, candidates.size)
   }

@@ -53,8 +53,8 @@ import org.apache.spark.sql.types.StructType
   * moves 1 % of the bytes — finer-grained than partition scoping and
   * independent of the partition layout.
   */
-class SnapshotLake(spark: SparkSession, path: String, keyCol: String,
-                   claimStaleMs: Long = 10L * 60 * 1000) {
+class SnapshotLake(private[lake] val spark: SparkSession, private[lake] val path: String,
+                   val keyCol: String, claimStaleMs: Long = 10L * 60 * 1000) {
 
   import SnapshotLake._
 
@@ -71,7 +71,7 @@ class SnapshotLake(spark: SparkSession, path: String, keyCol: String,
   /** All claimed version numbers (complete or torn — a torn claim still
     * owns its number), ascending. One small-dir listing.
     */
-  private def claimedVersions: Seq[Long] =
+  private[lake] def claimedVersions: Seq[Long] =
     if (!fs.exists(snapDir)) Nil
     else fs.listStatus(snapDir).toSeq.map(_.getPath.getName)
       .collect { case VersionRe(d) => d.toLong }.sorted
@@ -79,6 +79,10 @@ class SnapshotLake(spark: SparkSession, path: String, keyCol: String,
   /** Newest version with a complete (terminator-checked) manifest. */
   def latestVersion: Option[Long] =
     claimedVersions.reverse.find(v => readManifest(v).isDefined)
+
+  /** All versions with a complete manifest, ascending. */
+  private[lake] def completeVersions: Seq[Long] =
+    claimedVersions.filter(v => readManifest(v).isDefined)
 
   private[graft] def readManifest(v: Long): Option[Manifest] = {
     val p = manifestPath(v)

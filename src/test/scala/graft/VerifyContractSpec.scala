@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The Verify dump's scoring contract: EVERY declared query produces a
+  * scorable artifact, success or failure — the driver's report size must
+  * equal `SparkEntry.queries.size` so broken queries surface as red rows
+  * instead of silently shrinking the round's headline count (the round-10
+  * failure mode).
+  */
+class VerifyContractSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("dumpQueries writes a scorable artifact for every query, even throwing ones") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_verify_contract").toString
+    val queries = Map[String, (SparkSession, String) => DataFrame](
+      "ok_query" -> ((s, _) => { import s.implicits._; Seq((1, "a")).toDF("id", "v") }),
+      "analysis_error" -> ((s, _) => {
+        import s.implicits._
+        // the exact round-10 failure shape: a binary op over mismatched types
+        Seq((1, "x")).toDF("a", "b").selectExpr("a div b")
+      }),
+      "runtime_error" -> ((_, _) => sys.error("boom at plan build time")))
+    Verify.dumpQueries(spark, "/unused", out, queries)
+
+    val dumped = Paths.get(out).toFile.listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dumped == queries.keySet, "every declared query must yield an output dir")
+
+    assert(Files.list(Paths.get(out, "ok_query")).anyMatch(_.toString.endsWith(".parquet")))
+    assert(!Files.exists(Paths.get(out, "ok_query", "_ERROR")))
+    for (bad <- Seq("analysis_error", "runtime_error")) {
+      val sentinel = Paths.get(out, bad, "_ERROR")
+      assert(Files.exists(sentinel), s"$bad must leave an _ERROR sentinel")
+      assert(Files.readString(sentinel).nonEmpty)
+    }
+  }
+
+  test("declared queries and oracle entries line up") {
+    // every oracle row must have a runnable query; queries without oracle
+    // SQL are allowed (weaker rows-only check) but must be rare
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((o -- q).isEmpty, s"oracle SQL without a query: ${o -- q}")
+    assert(q == o, s"queries without oracle SQL: ${q -- o}")
+  }
+}

@@ -74,14 +74,24 @@ def main(sf_dir: str, out_dir: str, only: str = "") -> int:
             print(f"FAIL {name}: no spark output")
             failures += 1
             continue
+        err = spark_dir / "_ERROR"
+        if err.exists():
+            print(f"FAIL {name}: spark query errored: {err.read_text().strip()}")
+            failures += 1
+            continue
         try:
             want = con.execute(sql).fetch_arrow_table()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             failures += 1
             continue
-        got = con.execute(
-            f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").fetch_arrow_table()
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").fetch_arrow_table()
+        except Exception as e:
+            print(f"FAIL {name}: unreadable spark output: {e}")
+            failures += 1
+            continue
         wcols, gcols = sorted(want.column_names), sorted(got.column_names)
         if wcols != gcols:
             print(f"FAIL {name}: columns differ: oracle={wcols} spark={gcols}")
