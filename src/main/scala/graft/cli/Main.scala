@@ -254,7 +254,17 @@ object Main {
               println(s"[cli] snap changes: ${spark.read.parquet(out).count()} rows to $out")
             case None => df.show(arg(args, "--n").map(_.toInt).getOrElse(20), truncate = false)
           }
-        case other => println(s"snap --op history|read|vacuum|changes (got '$other')")
+        case "compact" =>
+          val (p, n) = lake.compact(
+            arg(args, "--small-mb").map(_.toLong << 20).getOrElse(32L << 20),
+            arg(args, "--target-mb").map(_.toLong << 20).getOrElse(128L << 20))
+          println(s"[cli] snap compact: $p files packed into $n")
+        case "cluster" =>
+          val cols = arg(args, "--cols").getOrElse(
+            sys.error("snap --op cluster requires --cols c1,c2,…")).split(',').toSeq
+          lake.cluster(cols.map(col), arg(args, "--n").map(_.toInt).getOrElse(32))
+          println(s"[cli] snap cluster: rewrote sorted by ${cols.mkString(",")}")
+        case other => println(s"snap --op history|read|vacuum|changes|compact|cluster (got '$other')")
       }
     case other =>
       println(s"usage: ingest|summary|harvest|sync|compact|stats|cluster|index|repair|purge|curate|snap (got '$other')")

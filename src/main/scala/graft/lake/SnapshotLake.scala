@@ -246,6 +246,49 @@ class SnapshotLake(private[lake] val spark: SparkSession, private[lake] val path
     commitVersion(cur.version, "delete", cur.schema, untouched ++ landFiles(kept))
   }
 
+  /** Bin-pack compaction as a versioned op — THE recurring operational
+    * job at 100 TB, where every streaming upsert and small CoW rewrite
+    * sheds sub-target files until read planning drowns in per-file
+    * overhead. Files smaller than `smallBytes` are concatenated into
+    * ~`targetBytes` outputs via `coalesce` (pure concatenation — no
+    * shuffle, no sort, rows move through one narrow stage); every
+    * file already at size is CARRIED BY REFERENCE. Data is identical
+    * row-for-row; time travel to pre-compaction versions still resolves
+    * the old layout (their manifests pin the old files until `vacuum`).
+    * Returns (filesCompacted, filesProduced) — (0, 0) when there is
+    * nothing worth packing.
+    */
+  def compact(smallBytes: Long = 32L << 20, targetBytes: Long = 128L << 20): (Int, Int) = {
+    val cur = requireManifest(latestVersion.getOrElse(
+      throw new IllegalArgumentException(s"no snapshots at $path")))
+    val (small, big) = cur.files.partition(_.len < smallBytes)
+    if (small.size <= 1) return (0, 0) // one small file can't pack any tighter
+    val nOut = math.max(1, math.ceil(small.map(_.len).sum.toDouble / targetBytes).toInt)
+    if (nOut >= small.size) return (0, 0) // packing wouldn't reduce the file count
+    val merged = spark.read.schema(cur.schema)
+      .parquet(small.map(f => s"$path/${f.rel}"): _*)
+      .coalesce(nOut)
+    commitVersion(cur.version, "compact", cur.schema, big ++ landFiles(merged))
+    (small.size, nOut)
+  }
+
+  /** Clustered rewrite as a versioned op: range-partition and sort the
+    * whole table by `sortCols` (typically a [[Zorder]] key) so parquet
+    * min/max footers prune range predicates on the sort dimensions. A
+    * full rewrite by design — clustering IS a layout change — but
+    * committed like any other version: readers of older snapshots keep
+    * the old layout, and a conflict with a concurrent writer aborts
+    * cleanly instead of clobbering.
+    */
+  def cluster(sortCols: Seq[org.apache.spark.sql.Column], nFiles: Int): Unit = {
+    val cur = requireManifest(latestVersion.getOrElse(
+      throw new IllegalArgumentException(s"no snapshots at $path")))
+    val clustered = readAt(cur.version)
+      .repartitionByRange(nFiles, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    commitVersion(cur.version, "cluster", cur.schema, landFiles(clustered))
+  }
+
   /** Row-level change feed between two committed snapshots (CDC read):
     * every row inserted, updated or deleted in `(fromV, toV]`, classified
     * in a `change_type` column (`insert` / `update_post` / `delete` —

@@ -98,6 +98,23 @@ object EventStreams {
           naturalId, updated, group)
     }
 
+  /** Streaming CDC ingest into a [[graft.lake.SnapshotLake]]: every
+    * non-empty micro-batch commits one file-level copy-on-write upsert,
+    * so a replayed drop feed converges to exactly the state the same
+    * batches merged by hand would produce — AND the journey is queryable:
+    * `history()` shows one version per batch, `changesBetween` serves the
+    * net row-level diff of any interval. Give the writer a
+    * `checkpointLocation` and re-runs resume from the last processed
+    * file; a [[graft.lake.SnapshotConflict]] from a concurrent writer
+    * fails the batch, and the stream restart re-runs it against the new
+    * state (the upsert is idempotent per batch content).
+    */
+  def snapshotSink(lake: graft.lake.SnapshotLake)(
+      drops: DataFrame): DataStreamWriter[org.apache.spark.sql.Row] =
+    upsertSink(drops) { (batch, _) =>
+      if (!batch.isEmpty) lake.upsert(batch)
+    }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(lastTs: Long, sessionId: Long, curStart: Long, curN: Long)
