@@ -459,6 +459,26 @@ object SparkEntry {
         .orderBy(col("wstart"), col("event_type"))
     }),
 
+    // J-family extension: interval (range) join as a bin equi-join —
+    // Spark would plan the raw BETWEEN condition as broadcast-nested-
+    // loop; ops/TimeJoins bins both sides so Catalyst plans a hash
+    // shuffle join instead. 48 overlapping 2-hour windows anchored at
+    // the corpus's first event; every event joins the windows containing
+    // its instant. The oracle recomputes via the naive BETWEEN join.
+    "q_range_join_binned" -> ((s, dir) => {
+      val hourUs = 3600L * 1000000L
+      val ev = events(s, dir).select(col("event_id"), unix_micros(col("ts")).as("us"))
+      val base = ev.agg(min(col("us")).as("t0"))
+      val ivals = s.range(48).select(col("id").as("iid"))
+        .crossJoin(broadcast(base))
+        .select(col("iid"), (col("t0") + col("iid") * hourUs).as("lo"),
+          (col("t0") + (col("iid") + lit(2L)) * hourUs).as("hi"))
+      graft.ops.TimeJoins.pointInIntervalJoin(ev, "us", ivals, "lo", "hi", hourUs)
+        .select(col("event_id").cast("long").as("event_id"),
+          col("iid").cast("long").as("iid"))
+        .orderBy(col("event_id"), col("iid"))
+    }),
+
     // A2-family: ROLLUP hierarchy aggregation
     "q_rollup_orders" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -943,6 +963,18 @@ object SparkEntry {
         |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
         |FROM events GROUP BY date_trunc('hour', ts), event_type
         |ORDER BY wstart, event_type""".stripMargin,
+
+    // naive BETWEEN recompute of the binned interval join
+    "q_range_join_binned" ->
+      """WITH base AS (SELECT min(epoch_us(ts)) AS t0 FROM events),
+        |ivals AS (SELECT CAST(i AS BIGINT) AS iid,
+        |                 t0 + i * 3600000000 AS lo,
+        |                 t0 + (i + 2) * 3600000000 AS hi
+        |          FROM base, range(48) AS t(i))
+        |SELECT CAST(e.event_id AS BIGINT) AS event_id, v.iid
+        |FROM events e JOIN ivals v
+        |  ON epoch_us(e.ts) >= v.lo AND epoch_us(e.ts) < v.hi
+        |ORDER BY event_id, iid""".stripMargin,
 
     "q_rollup_orders" ->
       """SELECT coalesce(o_orderstatus, '(all)') AS dim_status,

@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interval (range) join — the set-oriented form of "which windows does
+  * this instant fall in" (SURVEY §2 J-family extension; sibling of
+  * [[AsOfJoin]], which covers the latest-at-or-before shape).
+  *
+  * Spark plans a `p BETWEEN lo AND hi` join condition as a broadcast
+  * nested-loop (or a cartesian when neither side broadcasts) — fine for
+  * a small interval table, catastrophic when both sides are large. The
+  * operator here is EQUI-JOIN shaped by construction, so Catalyst plans
+  * an ordinary hash shuffle join: scale is governed by shuffle volume
+  * and local bin density, never the pair count.
+  */
+object TimeJoins {
+
+  /** Interval join as a bin equi-join: rows of `points` paired with
+    * every `intervals` row whose `[loCol, hiCol)` contains `pCol`. Both
+    * sides bin to `binWidth`-sized cells — a point to its one bin, an
+    * interval to each bin it overlaps — the join is a plain equi-join
+    * on the bin id, and the exact containment predicate filters the
+    * bin-mates. Candidate volume per point is the number of intervals
+    * overlapping its bin (LOCAL density), never the full interval
+    * count; a long interval fans out over more bins, which is exactly
+    * the split that keeps any single bin's join population bounded.
+    * Pick `binWidth` near the median interval length: much smaller
+    * multiplies the interval side's explode, much larger degrades
+    * toward all-pairs within a bin.
+    *
+    * Precondition: `pCol`, `loCol`, `hiCol` are non-negative integral
+    * values on a shared scale (e.g. epoch micros — `div` truncation and
+    * floor agree only at-or-above zero); empty intervals (`lo >= hi`)
+    * are dropped.
+    */
+  def pointInIntervalJoin(points: DataFrame, pCol: String,
+                          intervals: DataFrame, loCol: String, hiCol: String,
+                          binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val p = points.withColumn("__bin", expr(s"$pCol div ${binWidth}L"))
+    val iv = intervals.filter(col(loCol) < col(hiCol))
+      .withColumn("__bin", explode(sequence(
+        expr(s"$loCol div ${binWidth}L"), expr(s"($hiCol - 1) div ${binWidth}L"))))
+    p.join(iv, Seq("__bin"))
+      .filter(col(pCol) >= col(loCol) && col(pCol) < col(hiCol))
+      .drop("__bin")
+  }
+}
