@@ -151,6 +151,18 @@ object CorpusQueries {
         .orderBy(col("n").desc, col("token")).limit(20)
     }),
 
+    // BM25 probe-query relevance ranking (rational idf — no ln, which is
+    // libm-dependent; every parenthesis mirrored in the oracle so the
+    // doubles are bit-identical). Everything past the term filter is
+    // posting-list-sized: the inverted-index probe as dataframes.
+    "txt_bm25_topk" -> ((s, dir) => {
+      graft.ops.Relevance.bm25(t(s, dir, "documents"), "doc_id", "text",
+          Seq("spark", "vector", "merge", "stream"))
+        .select(col("doc_id").cast("long").as("doc_id"), col("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(50)
+    }),
+
     // PII scrub pass: per-class counts + fingerprint of the redacted
     // text (the corpus here is PII-free by construction, so counts are
     // zero and the redacted fingerprint equals the lowercased-text md5 —
@@ -733,6 +745,30 @@ object CorpusQueries {
         |SELECT token, count(*) AS n
         |FROM (SELECT unnest(toks) AS token FROM tk)
         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin),
+
+    "txt_bm25_topk" -> (tkCte +
+      """,
+        |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tk),
+        |stats AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf
+        |       FROM (SELECT doc_id, unnest(toks) AS tok FROM tk)
+        |       WHERE tok IN ('spark', 'vector', 'merge', 'stream')
+        |       GROUP BY doc_id, tok),
+        |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |contrib AS (SELECT f.doc_id, f.tok,
+        |  ((CAST(s.n AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5::DOUBLE) / (CAST(d.df AS DOUBLE) + 0.5::DOUBLE)) *
+        |  ((CAST(f.tf AS DOUBLE) * (1.2::DOUBLE + 1.0::DOUBLE)) /
+        |   (CAST(f.tf AS DOUBLE) + 1.2::DOUBLE * ((1.0::DOUBLE - 0.75::DOUBLE) + 0.75::DOUBLE * (CAST(l.dl AS DOUBLE) / (CAST(s.sumdl AS DOUBLE) / CAST(s.n AS DOUBLE)))))) AS c
+        |  FROM tf f JOIN dfq d USING (tok) JOIN dl l USING (doc_id) CROSS JOIN stats s),
+        |piv AS (SELECT doc_id,
+        |  max(CASE WHEN tok = 'spark' THEN c END) AS c0,
+        |  max(CASE WHEN tok = 'vector' THEN c END) AS c1,
+        |  max(CASE WHEN tok = 'merge' THEN c END) AS c2,
+        |  max(CASE WHEN tok = 'stream' THEN c END) AS c3
+        |  FROM contrib GROUP BY doc_id)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |       coalesce(c0, 0.0::DOUBLE) + coalesce(c1, 0.0::DOUBLE) + coalesce(c2, 0.0::DOUBLE) + coalesce(c3, 0.0::DOUBLE) AS score
+        |FROM piv ORDER BY score DESC, doc_id LIMIT 50""".stripMargin),
 
     "txt_redact_pii" ->
       s"""SELECT doc_id,

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus relevance scoring (BM25) — the ranking half of training-data
+  * curation: "which documents best match this probe query" drives
+  * targeted-domain mixes, seed-set expansion and eval-set mining the
+  * same way the quality score drives filtering.
+  *
+  * Scale shape (the inverted-index probe as dataframes): the ONLY
+  * full-corpus work is the tokenize + per-row length scan; everything
+  * after `filter(tok in terms)` is proportional to the query terms'
+  * posting lists, not the corpus. Per-term document frequencies and the
+  * corpus stats are broadcast scalars; the per-(doc, term) contribution
+  * is one narrow join; the final score is a fixed-order sum over a
+  * pivoted row — no shuffle wider than the matched postings anywhere.
+  *
+  * Numeric parity: the idf is the RATIONAL BM25 idf
+  * `(N - df + 0.5) / (df + 0.5)` rather than the usual `ln` of it —
+  * a transcendental would be libm-dependent and break bit-identical
+  * cross-engine comparison, while rational arithmetic under one fixed
+  * parenthesization is IEEE-deterministic everywhere. Monotone in the
+  * true idf, so rankings are BM25 rankings.
+  */
+object Relevance {
+
+  /** BM25 scores for every document matching >= 1 of `terms`
+    * (whitespace-lowercase tokenization, [[TextAnalysis.tokens]]).
+    * Returns (idCol, score) — callers order/limit.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String, terms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms, "terms must be non-empty and distinct")
+    val toks = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+    val dl = toks.select(col(idCol), size(col("__toks")).cast("long").as("__dl"))
+    val stats = dl.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__sumdl"))
+    val tf = toks.select(col(idCol), explode(col("__toks")).as("__tok"))
+      .filter(col("__tok").isin(terms: _*))
+      .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__tf"))
+    // tf is unique per (doc, term), so df = row count per term
+    val dfreq = tf.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
+    // fixed parenthesization — every () below must match the oracle SQL
+    // character-for-character in association order
+    val idf = (col("__n").cast("double") - col("__df").cast("double") + lit(0.5)) /
+      (col("__df").cast("double") + lit(0.5))
+    val avgdl = col("__sumdl").cast("double") / col("__n").cast("double")
+    val tfw = (col("__tf").cast("double") * (lit(k1) + lit(1.0))) /
+      (col("__tf").cast("double") +
+        lit(k1) * ((lit(1.0) - lit(b)) + lit(b) * (col("__dl").cast("double") / avgdl)))
+    val contrib = tf.join(broadcast(dfreq), "__tok")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("__c", idf * tfw)
+    // fixed-order left-associated sum over the pivoted terms: a plain
+    // sum() would accumulate in partition order and drift in the last ulp
+    val pivoted = contrib.groupBy(col(idCol)).agg(
+      max(when(col("__tok") === terms.head, col("__c"))).as(s"__c_0"),
+      terms.tail.zipWithIndex.map { case (t, i) =>
+        max(when(col("__tok") === t, col("__c"))).as(s"__c_${i + 1}")
+      }: _*)
+    val score = terms.indices.map(i => coalesce(col(s"__c_$i"), lit(0.0)))
+      .reduceLeft[Column](_ + _)
+    pivoted.select(col(idCol), score.as("score"))
+  }
+}

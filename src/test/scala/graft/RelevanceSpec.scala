@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Relevance
+
+class RelevanceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "spark joins data with spark shuffles"),   // spark x2
+    (2L, "spark data"),                             // spark x1, short
+    (3L, "vector vector vector search"),            // rare term, repeated
+    (4L, "nothing relevant here at all whatsoever"),
+    (5L, "spark spark spark spark spark spark")     // tf saturation
+  ).toDF("doc_id", "text")
+
+  test("bm25: matched docs only, rare terms outweigh common, tf saturates") {
+    val scores = Relevance.bm25(docs, "doc_id", "text", Seq("spark", "vector"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores.keySet == Set(1L, 2L, 3L, 5L), "only matching docs emitted")
+    assert(scores.values.forall(_ > 0))
+    // 'vector' appears in 1 of 5 docs, 'spark' in 3: doc3's single rare
+    // term beats doc2's single common term
+    assert(scores(3L) > scores(2L))
+    // tf saturation: 6x'spark' scores more than 1x but far less than 6x
+    assert(scores(5L) > scores(2L) && scores(5L) < scores(2L) * 3)
+  }
+
+  test("bm25: score is independent of partitioning (fixed-order sum)") {
+    val terms = Seq("spark", "vector")
+    val a = Relevance.bm25(docs.repartition(1), "doc_id", "text", terms)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = Relevance.bm25(docs.repartition(7, col("doc_id")), "doc_id", "text", terms)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a == b, "bit-identical scores across physical layouts")
+  }
+}
