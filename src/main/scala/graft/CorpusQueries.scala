@@ -151,6 +151,19 @@ object CorpusQueries {
         .orderBy(col("n").desc, col("token")).limit(20)
     }),
 
+    // RAG/embedding-layout overlapping chunking: 64-token windows every
+    // 48 tokens (16 tokens of shared context), per-row Column algebra
+    // exploded to one row per chunk; tail chunks run short by design
+    "txt_chunk_overlap" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextAnalysis.chunkTokens(col("text"), 64, 48)).as("c"))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("c.chunk_id").as("chunk_id"), col("c.chunk").as("chunk"),
+          col("c.n_tokens").as("n_tokens"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     // BM25 probe-query relevance ranking (rational idf — no ln, which is
     // libm-dependent; every parenthesis mirrored in the oracle so the
     // doubles are bit-identical). Everything past the term filter is
@@ -745,6 +758,17 @@ object CorpusQueries {
         |SELECT token, count(*) AS n
         |FROM (SELECT unnest(toks) AS token FROM tk)
         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin),
+
+    "txt_chunk_overlap" -> (tkCte +
+      """,
+        |ex AS (SELECT doc_id, toks,
+        |              unnest(range(CASE WHEN len(toks) = 0 THEN 0
+        |                                ELSE (len(toks) - 1) // 48 + 1 END)) AS i
+        |       FROM tk)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, i AS chunk_id,
+        |       array_to_string(toks[CAST(i*48+1 AS BIGINT):CAST(i*48+64 AS BIGINT)], ' ') AS chunk,
+        |       CAST(len(toks[CAST(i*48+1 AS BIGINT):CAST(i*48+64 AS BIGINT)]) AS BIGINT) AS n_tokens
+        |FROM ex ORDER BY doc_id, chunk_id""".stripMargin),
 
     "txt_bm25_topk" -> (tkCte +
       """,

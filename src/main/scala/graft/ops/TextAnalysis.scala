@@ -191,6 +191,32 @@ object TextAnalysis {
     * (unsharded) pack would be a single-partition window; this API
     * deliberately requires the shard column.
     */
+  /** Overlapping token-window chunks — the RAG/embedding slicing layout
+    * (window tokens per chunk, a new chunk every `step`, so consecutive
+    * chunks share `window - step` tokens of context). Pure per-row
+    * Column algebra: an array of (chunk_id, chunk, n_tokens) structs,
+    * scan-bound like the rest of this file — explode at the call site.
+    * The tail chunk may be short (the trainer owns padding); an empty
+    * document yields no chunks.
+    */
+  def chunkTokens(text: Column, window: Int, step: Int): Column = {
+    require(window > 0 && step > 0 && step <= window,
+      "need 0 < step <= window (step > window would drop tokens)")
+    val toks = tokens(text)
+    val n = size(toks)
+    // chunks start at 0, step, 2*step, ...: floor((n-1)/step) + 1 of them.
+    // sequence(0, nChunks-1) must stay guarded: Spark's sequence infers a
+    // NEGATIVE step for start > stop, so an empty doc would yield [0,-1]
+    val nChunks = ((n - 1).cast("long") / step).cast("long") + 1
+    val chunks = transform(sequence(lit(0L), nChunks - 1), i => {
+      val part = slice(toks, (i * step + 1).cast("int"), lit(window))
+      struct(i.as("chunk_id"), concat_ws(" ", part).as("chunk"),
+        size(part).cast("long").as("n_tokens"))
+    })
+    when(n > 0, chunks).otherwise(
+      array().cast("array<struct<chunk_id:bigint,chunk:string,n_tokens:bigint>>"))
+  }
+
   def packSequences(docs: DataFrame, shardCol: String, orderCol: String,
                     textCol: String, budget: Int): DataFrame = {
     require(budget > 0, "token budget must be positive")

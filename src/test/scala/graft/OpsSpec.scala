@@ -568,4 +568,24 @@ class OpsSpec extends AnyFunSuite {
     assert(got(3) == ((4L, 1L, 1L, "")))             // fully dropped, row kept
     assert(got(4) == ((5L, 1L, 0L, "p q")))          // trailing partial block kept
   }
+
+  test("chunkTokens: overlap, short tail, exact-boundary and empty docs") {
+    import graft.ops.TextAnalysis
+    val df = Seq(
+      (1L, "a b c d e"), // window 3 step 2: [a b c][c d e][e]
+      (2L, "a b c d"),   // [a b c][c d] — tail short, no phantom chunk
+      (3L, "a"),         // single short chunk
+      (4L, "  ")         // zero tokens -> zero chunks
+    ).toDF("id", "text")
+    val got = df.select(col("id"), explode(TextAnalysis.chunkTokens(col("text"), 3, 2)).as("c"))
+      .select(col("id"), col("c.chunk_id"), col("c.chunk"), col("c.n_tokens"))
+      .orderBy("id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, 0L, "a b c", 3L), (1L, 1L, "c d e", 3L), (1L, 2L, "e", 1L),
+      (2L, 0L, "a b c", 3L), (2L, 1L, "c d", 2L),
+      (3L, 0L, "a", 1L)))
+    // consecutive chunks share window - step tokens
+    assert(got(0)._3.split(' ').last == got(1)._3.split(' ').head)
+  }
 }
