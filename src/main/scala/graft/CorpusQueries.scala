@@ -383,6 +383,20 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // graded leakage: per train doc, count + fraction of its distinct
+    // 3-shingles present in the eval slice — the thresholdable report
+    // behind the binary dedup_decontaminate flag
+    "dedup_contamination_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationReport(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+        .select(col("doc").cast("long").as("doc_id"),
+          col("n_shingles").cast("long").as("n_shingles"),
+          col("n_shared").cast("long").as("n_shared"), col("overlap"))
+        .orderBy(col("doc_id"))
+    }),
+
     // exact-substring decontamination: train docs containing an eval
     // doc's 64-char prefix verbatim — broadcast needles, per-row
     // contains probe, no shuffle
@@ -981,6 +995,20 @@ object CorpusQueries {
         |SELECT DISTINCT tr.doc_id AS doc_id
         |FROM tr JOIN ev USING (s)
         |ORDER BY doc_id""".stripMargin),
+
+    "dedup_contamination_report" -> (shCte +
+      """,
+        |ev AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 10 = 0),
+        |tr AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id % 10 <> 0),
+        |rep AS (SELECT tr.doc_id, count(*) AS n_shingles,
+        |               sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END) AS n_shared
+        |        FROM tr LEFT JOIN ev ON tr.s = ev.s
+        |        GROUP BY tr.doc_id)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |       CAST(n_shingles AS BIGINT) AS n_shingles,
+        |       CAST(n_shared AS BIGINT) AS n_shared,
+        |       CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS overlap
+        |FROM rep WHERE n_shared > 0 ORDER BY doc_id""".stripMargin),
 
     "dedup_decontaminate_exact" ->
       """SELECT DISTINCT d.doc_id AS doc_id

@@ -280,6 +280,31 @@ object Dedup {
         .filter(col("__n") >= minShared).select(col("doc"))
   }
 
+  /** Graded contamination report — [[contaminated]]'s analyst tier: for
+    * every train document sharing at least one w-gram with the eval
+    * set, the COUNT and FRACTION of its distinct shingles that leak.
+    * The binary flag answers "drop it?"; the fraction separates a stray
+    * common phrase (0.01) from a paraphrased benchmark item (0.5+) and
+    * is what a curation run actually thresholds on. Same scale shape as
+    * the flag: one equi-join on the shingle (the eval side distinct'd
+    * and small), one per-doc aggregate — the one exact division is the
+    * last step, same parenthesization both engines.
+    */
+  def contaminationReport(train: DataFrame, evalSet: DataFrame, idCol: String,
+                          textCol: String, w: Int = 3): DataFrame = {
+    val tr = train.select(col(idCol).as("doc"),
+      explode(shingles(col(textCol), w)).as("__sh"))
+    val ev = evalSet.select(explode(shingles(col(textCol), w)).as("__sh"))
+      .distinct().withColumn("__hit", lit(1L))
+    tr.join(ev, Seq("__sh"), "left_outer")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_shared"))
+      .filter(col("n_shared") > 0)
+      .withColumn("overlap",
+        col("n_shared").cast("double") / col("n_shingles").cast("double"))
+  }
+
   /** Exact-substring decontamination — the strictest leakage test: a
     * train document is contaminated iff some eval needle (the eval
     * text column, typically an example or a canonical prefix of one)
