@@ -266,7 +266,17 @@ object Main {
           println(s"[cli] snap cluster: rewrote sorted by ${cols.mkString(",")}")
         case other => println(s"snap --op history|read|vacuum|changes|compact|cluster (got '$other')")
       }
+    case "audit" =>
+      // schema drift between two parquet drops (footer-only): gate a
+      // pipeline run on upstream dtype changes instead of crashing on them
+      val before = arg(args, "--before").getOrElse(
+        sys.error("audit requires --before <parquetDir> --after <parquetDir>"))
+      val after = arg(args, "--after").getOrElse(
+        sys.error("audit requires --before <parquetDir> --after <parquetDir>"))
+      val d = graft.lake.SchemaAudit.diffPaths(spark, before, after)
+      if (d.isEmpty) println("[cli] audit: schemas identical")
+      else d.orderBy(col("change"), col("field")).show(1000, truncate = false)
     case other =>
-      println(s"usage: ingest|summary|harvest|sync|compact|stats|cluster|index|repair|purge|curate|snap (got '$other')")
+      println(s"usage: ingest|summary|harvest|sync|compact|stats|cluster|index|repair|purge|curate|snap|audit (got '$other')")
   }
 }

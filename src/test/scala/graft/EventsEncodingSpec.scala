@@ -92,4 +92,19 @@ class EventsEncodingSpec extends AnyFunSuite {
     val e = intercept[IllegalStateException](SparkEntry.decodeEventsTs(bogus))
     assert(e.getMessage.contains("unsupported parquet encoding"))
   }
+
+  test("SchemaAudit surfaces exactly the ts drift this spec exists for") {
+    // the round-10 incident: same columns, ts retyped nanos-long -> ntz
+    val d = graft.lake.SchemaAudit.diffPaths(spark, nanosDir, ntzDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(d.toSeq == Seq(("ts", "retyped", "bigint", "timestamp_ntz")))
+    // identical schemas diff empty; added/removed classified
+    assert(graft.lake.SchemaAudit.diffPaths(spark, ntzDir, ntzDir).isEmpty)
+    import org.apache.spark.sql.types._
+    val before = StructType(Seq(StructField("a", LongType), StructField("b", StringType)))
+    val after = StructType(Seq(StructField("a", DoubleType), StructField("c", StringType)))
+    val d2 = graft.lake.SchemaAudit.diff(spark, before, after)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(d2 == Set(("b", "removed"), ("c", "added"), ("a", "retyped")))
+  }
 }
