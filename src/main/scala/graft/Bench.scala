@@ -52,6 +52,15 @@ object Bench {
       docs.select(graft.ops.TextAnalysis.langId(col("text")),
         graft.ops.TextAnalysis.qualityScore(col("text")),
         graft.ops.TextAnalysis.tokenCount(col("text"))).count()
+      // round-11 kernel families: bm25 pivot-sum, chunk slicing,
+      // contamination report join, bin-explode range join
+      graft.ops.Relevance.bm25(docs, "doc_id", "text", Seq("spark", "data")).count()
+      docs.select(explode(graft.ops.TextAnalysis.chunkTokens(col("text"), 64, 48))).count()
+      graft.ops.Dedup.contaminationReport(docs, docs.limit(8), "doc_id", "text").count()
+      graft.ops.TimeJoins.pointInIntervalJoin(
+        docs.select(col("doc_id"), col("n_chars").as("p")),
+        "p", docs.select(col("doc_id").as("iid"), col("n_chars").as("lo"),
+          (col("n_chars") + 64).as("hi")).limit(8), "lo", "hi", 64L).count()
       docs.unpersist(blocking = false)
     }
     warm {
