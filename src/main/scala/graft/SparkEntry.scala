@@ -546,6 +546,29 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // §2.10: STREAM-STATIC enrichment join — the remaining streaming join
+    // shape: the replayed event stream joins the static customer dim
+    // in-flight (broadcast against every micro-batch; at scale the static
+    // side is a slowly-changing lake table) and aggregates per segment.
+    // Must hash-match the batch join+agg oracle exactly.
+    "q_stream_enrich_join" -> ((s, dir) => {
+      s.catalog.dropTempView("stream_enrich_sink") // stale sink from a prior run in this JVM
+      val dim = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      val stream = eventsStream(s, dir)
+        .withColumn("c_custkey", expr("user_id % 100 + 1"))
+        .join(dim, "c_custkey")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("__cents"))
+        .select(col("c_mktsegment"), col("n"),
+          (col("__cents").cast("double") / 100.0).as("sum_value"))
+      val q = stream.writeStream.format("memory").queryName("stream_enrich_sink")
+        .outputMode("complete").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("stream_enrich_sink").orderBy(col("c_mktsegment"))
+    }),
+
     // §2.10 x corpus tier: streaming exact-dedup of the document feed by
     // canonical fingerprint under the real streaming engine; the emitted
     // fingerprint SET must hash-match the batch DISTINCT oracle
@@ -993,6 +1016,12 @@ object SparkEntry {
         |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
         |FROM events GROUP BY date_trunc('hour', ts), event_type
         |ORDER BY wstart, event_type""".stripMargin,
+
+    "q_stream_enrich_join" ->
+      """SELECT c.c_mktsegment, count(*) AS n,
+        |       CAST(sum(CAST(round(e.value*100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+        |FROM events e JOIN customer c ON (e.user_id % 100) + 1 = c.c_custkey
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
 
     "q_stream_sessionize" ->
       """WITH marked AS (
