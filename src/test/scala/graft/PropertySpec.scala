@@ -193,4 +193,50 @@ class PropertySpec extends AnyFunSuite {
       assert(r.getAs[Boolean]("ab") == a.intersect(b).nonEmpty)
     }
   }
+
+  test("pointInIntervalJoin equals the naive BETWEEN join on random workloads") {
+    // random points and random intervals (some empty, some long, some
+    // clustered at bin boundaries), several bin widths — the binned
+    // equi-join must be EXACTLY the filtered cartesian on every draw
+    val pointGen = Gen.choose(0L, 999L)
+    val ivalGen = for {
+      lo <- Gen.choose(0L, 999L); len <- Gen.choose(-5L, 400L)
+    } yield (lo, lo + len) // negative len = empty interval (dropped)
+    for (round <- 0 until 3) {
+      val pts = samples(pointGen, 60).zipWithIndex
+        .map { case (p, i) => (i.toLong + round * 1000L, p) }.toDF("pid", "p")
+      val ivs = samples(ivalGen, 25).zipWithIndex
+        .map { case ((lo, hi), i) => (i.toLong, lo, hi) }.toDF("iid", "lo", "hi")
+      for (w <- Seq(1L, 7L, 100L, 1000L)) {
+        val got = graft.ops.TimeJoins.pointInIntervalJoin(pts, "p", ivs, "lo", "hi", w)
+          .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val want = pts.join(ivs, col("p") >= col("lo") && col("p") < col("hi"))
+          .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got == want, s"divergence at binWidth=$w round=$round")
+      }
+    }
+  }
+
+  test("chunkTokens at step==window partitions the token stream losslessly") {
+    import graft.ops.TextAnalysis
+    val wordGen = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.take(6).mkString)
+    val docGen = Gen.listOf(wordGen).map(_.take(40).mkString(" "))
+    val docs = samples(docGen, 24).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    for (w <- Seq(1, 3, 7, 64)) {
+      val rows = docs.select(col("id"), col("text"),
+          TextAnalysis.chunkTokens(col("text"), w, w).as("cs"))
+        .collect()
+      rows.foreach { r =>
+        val toks = r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+        val chunks = r.getSeq[org.apache.spark.sql.Row](2)
+        // non-overlapping chunks rejoin to the exact token stream
+        assert(chunks.flatMap(_.getString(1).split(' ').filter(_.nonEmpty)) == toks)
+        // chunk_ids are 0..n-1; all but the last chunk are full
+        assert(chunks.map(_.getLong(0)) == chunks.indices.map(_.toLong))
+        assert(chunks.dropRight(1).forall(_.getLong(2) == w))
+        assert(chunks.map(_.getLong(2)).sum == toks.size)
+      }
+    }
+  }
 }
