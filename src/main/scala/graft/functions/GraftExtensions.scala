@@ -1,22 +1,75 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{CreateArray, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{IntegerType, StringType}
 
-/** Session-extension entry point: registers the library's native
-  * expressions for SQL use.
+/** Session-extension entry point: registers every native expression the
+  * library ships for plain-SQL use, so `spark.sql` users get the same
+  * codegen'd kernels the Column API exposes.
   *
-  *   SparkSession.builder().withExtensions(new GraftExtensions)  ... or
-  *   spark.sql.extensions=graft.functions.GraftExtensions
+  *   SparkSession.builder().withExtensions(new GraftExtensions)   ... or
+  *   spark.sql.extensions=graft.functions.GraftExtensions         ... or
+  *   GraftExtensions.registerAll(spark)    // an already-built session
   *
-  * SQL: SELECT unidecode_es(name) FROM t
+  * SQL surface:
+  *   unidecode_es(str)                  accent-fold (es), native codegen
+  *   dot_float(arr, arr)                float dot product (ANN coarse gate)
+  *   dot_byte_float(codes, arr)         int8-code x float dot (IVF-SQ8)
+  *   minhash_sig(shingles, k)           k-hash MinHash signature
+  *   simhash_bits(tokens)               64-bit SimHash as '0'/'1' string
+  *   rolling_hash(tokens)               31-polynomial order-sensitive hash
+  *   stopword_count(tokens, array(...)) tokens contained in a word list
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("unidecode_es"),
-      new ExpressionInfo(classOf[UnidecodeEs].getName, "unidecode_es"),
-      (children: Seq[Expression]) => UnidecodeEs(children.head)))
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.inventory.foreach { case (name, builder) =>
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(this.getClass.getName, name),
+        builder))
+    }
+}
+
+object GraftExtensions {
+
+  /** Register the SQL functions on an ALREADY-BUILT session (the
+    * extension class only applies at session construction).
+    */
+  def registerAll(spark: SparkSession): Unit =
+    inventory.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+
+  private def intLit(e: Expression, usage: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case _ => throw new IllegalArgumentException(s"$usage: expected an integer literal, got $e")
   }
+
+  /** array('a','b',...) of string literals -> Seq[String]. */
+  private def stringArrayLit(e: Expression, usage: String): Seq[String] = e match {
+    case CreateArray(items, _) if items.forall {
+      case Literal(_, StringType) => true; case _ => false
+    } => items.map(_.eval(null).toString)
+    case _ => throw new IllegalArgumentException(
+      s"$usage: expected array('w1', 'w2', ...) of string literals, got $e")
+  }
+
+  private def arity(name: String, n: Int)(c: Seq[Expression]): Seq[Expression] = {
+    require(c.length == n, s"$name expects $n argument(s), got ${c.length}")
+    c
+  }
+
+  private[functions] val inventory: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "unidecode_es" -> (c => UnidecodeEs(arity("unidecode_es", 1)(c).head)),
+    "dot_float" -> (c => { val a = arity("dot_float", 2)(c); DotFloat(a(0), a(1)) }),
+    "dot_byte_float" -> (c => { val a = arity("dot_byte_float", 2)(c); DotByteFloat(a(0), a(1)) }),
+    "minhash_sig" -> (c => { val a = arity("minhash_sig", 2)(c)
+      MinHashSig(a(0), intLit(a(1), "minhash_sig(shingles, k)")) }),
+    "simhash_bits" -> (c => SimHashBits(arity("simhash_bits", 1)(c).head)),
+    "rolling_hash" -> (c => RollingHash31(arity("rolling_hash", 1)(c).head)),
+    "stopword_count" -> (c => { val a = arity("stopword_count", 2)(c)
+      StopwordCount(a(0), stringArrayLit(a(1), "stopword_count(tokens, words)")) }))
 }

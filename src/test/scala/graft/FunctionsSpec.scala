@@ -73,14 +73,43 @@ class FunctionsSpec extends AnyFunSuite {
     assert(empty.getString(1) == "0" * 64)
   }
 
-  test("unidecode_es is callable from SQL once registered") {
+  test("the whole native inventory is callable from SQL and matches the Column API") {
     // the suite shares one SparkSession, and withExtensions is ignored by
-    // getOrCreate on an existing session — register into the live
-    // registry with the same builder GraftExtensions injects
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "unidecode_es", exprs => graft.functions.UnidecodeEs(exprs.head), "scala_udf")
-    val r = spark.sql("SELECT unidecode_es('Señor Müller') AS p").collect().head.getString(0)
-    assert(r == "Senor Muller")
+    // getOrCreate on an existing session — registerAll targets the live
+    // registry with the same builders GraftExtensions injects
+    GraftExtensions.registerAll(spark)
+    assert(spark.sql("SELECT unidecode_es('Señor Müller') AS p")
+      .collect().head.getString(0) == "Senor Muller")
+
+    val row = spark.sql(
+      """SELECT dot_float(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d,
+        |       dot_byte_float(array(CAST(-128 AS TINYINT), CAST(127 AS TINYINT)),
+        |                      array(1.0F, 1.0F)) AS db,
+        |       minhash_sig(array('a b c', 'b c d'), 2) AS mh,
+        |       simhash_bits(array('x', 'y')) AS sh,
+        |       rolling_hash(array('x', 'y')) AS rh,
+        |       stopword_count(array('the', 'cat', 'the'), array('the', 'a')) AS sw
+        |""".stripMargin).collect().head
+    // cross-check each against the Column-API form on the same inputs
+    import graft.functions.TextHashes
+    val colRow = Seq(1).toDF("one").select(
+      graft.functions.DotFloat.dot_float(
+        array(lit(1.0f), lit(2.0f)), array(lit(3.0f), lit(4.0f))).as("d"),
+      TextHashes.minhash_signature(array(lit("a b c"), lit("b c d")), 2).as("mh"),
+      TextHashes.simhash_bits(array(lit("x"), lit("y"))).as("sh"),
+      TextHashes.rolling_hash(array(lit("x"), lit("y"))).as("rh"),
+      TextHashes.stopword_count(array(lit("the"), lit("cat"), lit("the")),
+        Seq("the", "a")).as("sw")).collect().head
+    assert(row.getDouble(0) == colRow.getDouble(0))
+    // the kernel's raw sum form: sum((code + 128) * q) = (0)*1 + (255)*1
+    assert(row.getDouble(1) == 255.0)
+    assert(row.getSeq[String](2) == colRow.getSeq[String](1))
+    assert(row.getString(3) == colRow.getString(2))
+    assert(row.getLong(4) == colRow.getLong(3))
+    assert(row.getInt(5) == colRow.getInt(4))
+    // literal-shape misuse fails loudly, not silently
+    val e = intercept[Exception](spark.sql("SELECT minhash_sig(array('x'), 'two')").collect())
+    assert(e.getMessage.contains("integer literal") || e.getCause != null)
     assert(new GraftExtensions() != null) // extension class constructs
   }
 }
