@@ -546,6 +546,36 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // §2.10: STREAM-STREAM interval join — each view event paired with
+    // the same user's purchases within the next 6 hours, both sides
+    // replayed as real streams. Spark buffers both sides in watermarked
+    // state and emits pairs as they match; the time-range condition is
+    // what lets the engine prune state at a real watermark (the replay
+    // watermark here is horizon-sized so no pair is dropped and the
+    // result is the exact batch join). Must hash-match the batch oracle.
+    "q_stream_stream_join" -> ((s, dir) => {
+      s.catalog.dropTempView("stream_ssjoin_sink") // stale sink from a prior run in this JVM
+      val views = eventsStream(s, dir).filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
+        .withWatermark("view_ts", "3650 days")
+      val purchases = eventsStream(s, dir).filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "3650 days")
+      val joined = views.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr("INTERVAL 6 HOURS"))
+        .select(col("view_id").cast("long").as("view_id"),
+          col("purchase_id").cast("long").as("purchase_id"),
+          col("user_id").cast("long").as("user_id"))
+      val q = joined.writeStream.format("memory").queryName("stream_ssjoin_sink")
+        .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("stream_ssjoin_sink").orderBy(col("view_id"), col("purchase_id"))
+    }),
+
     // §2.10: STREAM-STATIC enrichment join — the remaining streaming join
     // shape: the replayed event stream joins the static customer dim
     // in-flight (broadcast against every micro-batch; at scale the static
@@ -1016,6 +1046,15 @@ object SparkEntry {
         |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
         |FROM events GROUP BY date_trunc('hour', ts), event_type
         |ORDER BY wstart, event_type""".stripMargin,
+
+    "q_stream_stream_join" ->
+      """SELECT CAST(a.event_id AS BIGINT) AS view_id,
+        |       CAST(b.event_id AS BIGINT) AS purchase_id,
+        |       CAST(a.user_id AS BIGINT) AS user_id
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_type = 'view' AND b.event_type = 'purchase'
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+        |ORDER BY view_id, purchase_id""".stripMargin,
 
     "q_stream_enrich_join" ->
       """SELECT c.c_mktsegment, count(*) AS n,
