@@ -569,9 +569,17 @@ object SparkEntry {
         .select(col("view_id").cast("long").as("view_id"),
           col("purchase_id").cast("long").as("purchase_id"),
           col("user_id").cast("long").as("user_id"))
-      val q = joined.writeStream.format("memory").queryName("stream_ssjoin_sink")
-        .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      // a stream-stream join opens FOUR state stores per shuffle
+      // partition (left/right x keyed/keyWithIndex); at 32 partitions the
+      // per-batch store open/commit overhead dominates this replay — 8
+      // partitions quarters it (same lesson as q_stream_windowed)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        joined.writeStream.format("memory").queryName("stream_ssjoin_sink")
+          .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       q.awaitTermination()
       s.table("stream_ssjoin_sink").orderBy(col("view_id"), col("purchase_id"))
     }),
