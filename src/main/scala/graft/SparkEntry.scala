@@ -499,7 +499,7 @@ object SparkEntry {
       // watermark delay so no event is "late" across micro-batches — the
       // batch oracle sees every row, so must the stream. eventsStream
       // adapts to the file's actual ts encoding (nanos-long vs micros).
-      s.catalog.dropTempView("stream_windowed_sink") // stale sink from a prior run in this JVM
+      s.catalog.dropTempView("graft_stream_windowed_sink") // stale sink from a prior run in this JVM
       val stream = graft.streaming.EventStreams.windowedCounts(
         eventsStream(s, dir), "1 hour", "3650 days")
       // state-store count follows shuffle partitions: a (hour, type)
@@ -508,12 +508,12 @@ object SparkEntry {
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       val q = try {
         s.conf.set("spark.sql.shuffle.partitions", "8")
-        stream.writeStream.format("memory").queryName("stream_windowed_sink")
+        stream.writeStream.format("memory").queryName("graft_stream_windowed_sink")
           .outputMode("complete").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       q.awaitTermination()
-      s.table("stream_windowed_sink")
+      s.table("graft_stream_windowed_sink")
         .select(col("wstart"), col("event_type"), col("n"), col("sum_value"))
         .orderBy(col("wstart"), col("event_type"))
     }),
@@ -527,7 +527,7 @@ object SparkEntry {
     // cross-batch unit spec; each user's open tail session is unemitted.
     "q_stream_sessionize" -> ((s, dir) => {
       import graft.streaming.EventStreams
-      s.catalog.dropTempView("stream_sessionize_sink") // stale sink from a prior run in this JVM
+      s.catalog.dropTempView("graft_stream_sessionize_sink") // stale sink from a prior run in this JVM
       val stream = eventsStream(s, dir)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
         .as[EventStreams.Event](org.apache.spark.sql.Encoders.product[EventStreams.Event])
@@ -536,11 +536,11 @@ object SparkEntry {
       // wants the full partition parallelism — measured neutral at 8
       val q = EventStreams.sessionizeStateful(stream, gapMs = 30 * 60 * 1000,
           watermarkDelay = "3650 days")
-        .writeStream.format("memory").queryName("stream_sessionize_sink")
+        .writeStream.format("memory").queryName("graft_stream_sessionize_sink")
         .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.table("stream_sessionize_sink")
+      s.table("graft_stream_sessionize_sink")
         .select(col("user_id"), col("session_id"), col("n_events"),
           col("session_start"), col("session_end"))
         .orderBy(col("user_id"), col("session_id"))
@@ -554,7 +554,7 @@ object SparkEntry {
     // watermark here is horizon-sized so no pair is dropped and the
     // result is the exact batch join). Must hash-match the batch oracle.
     "q_stream_stream_join" -> ((s, dir) => {
-      s.catalog.dropTempView("stream_ssjoin_sink") // stale sink from a prior run in this JVM
+      s.catalog.dropTempView("graft_stream_ssjoin_sink") // stale sink from a prior run in this JVM
       val views = eventsStream(s, dir).filter(col("event_type") === "view")
         .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
         .withWatermark("view_ts", "3650 days")
@@ -576,12 +576,12 @@ object SparkEntry {
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       val q = try {
         s.conf.set("spark.sql.shuffle.partitions", "8")
-        joined.writeStream.format("memory").queryName("stream_ssjoin_sink")
+        joined.writeStream.format("memory").queryName("graft_stream_ssjoin_sink")
           .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       q.awaitTermination()
-      s.table("stream_ssjoin_sink").orderBy(col("view_id"), col("purchase_id"))
+      s.table("graft_stream_ssjoin_sink").orderBy(col("view_id"), col("purchase_id"))
     }),
 
     // §2.10: STREAM-STATIC enrichment join — the remaining streaming join
@@ -590,7 +590,7 @@ object SparkEntry {
     // side is a slowly-changing lake table) and aggregates per segment.
     // Must hash-match the batch join+agg oracle exactly.
     "q_stream_enrich_join" -> ((s, dir) => {
-      s.catalog.dropTempView("stream_enrich_sink") // stale sink from a prior run in this JVM
+      s.catalog.dropTempView("graft_stream_enrich_sink") // stale sink from a prior run in this JVM
       val dim = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
       val stream = eventsStream(s, dir)
         .withColumn("c_custkey", expr("user_id % 100 + 1"))
@@ -600,11 +600,11 @@ object SparkEntry {
           sum(round(col("value") * 100).cast("long")).as("__cents"))
         .select(col("c_mktsegment"), col("n"),
           (col("__cents").cast("double") / 100.0).as("sum_value"))
-      val q = stream.writeStream.format("memory").queryName("stream_enrich_sink")
+      val q = stream.writeStream.format("memory").queryName("graft_stream_enrich_sink")
         .outputMode("complete").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.table("stream_enrich_sink").orderBy(col("c_mktsegment"))
+      s.table("graft_stream_enrich_sink").orderBy(col("c_mktsegment"))
     }),
 
     // §2.10 x corpus tier: streaming exact-dedup of the document feed by
@@ -616,15 +616,15 @@ object SparkEntry {
         StructField("doc_id", LongType), StructField("text", StringType),
         StructField("lang", StringType), StructField("source", StringType),
         StructField("n_chars", LongType)))
-      s.catalog.dropTempView("stream_dedup_docs_sink") // stale sink from a prior run in this JVM
+      s.catalog.dropTempView("graft_stream_dedup_docs_sink") // stale sink from a prior run in this JVM
       val stream = s.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
       val q = graft.streaming.EventStreams.dedupCorpus(stream, "text")
-        .writeStream.format("memory").queryName("stream_dedup_docs_sink")
+        .writeStream.format("memory").queryName("graft_stream_dedup_docs_sink")
         .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.table("stream_dedup_docs_sink").orderBy(col("fp"))
+      s.table("graft_stream_dedup_docs_sink").orderBy(col("fp"))
     }),
 
     // Beyond-reference lake tier: REAL bloom-indexed point lookup over a

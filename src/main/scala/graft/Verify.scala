@@ -36,7 +36,7 @@ object Verify {
     */
   private[graft] def dropStreamSinks(spark: SparkSession): Unit =
     spark.catalog.listTables().collect()
-      .filter(t => t.isTemporary && t.name.endsWith("_sink"))
+      .filter(t => t.isTemporary && t.name.startsWith("graft_stream_") && t.name.endsWith("_sink"))
       .foreach(t => spark.catalog.dropTempView(t.name))
 
   def main(args: Array[String]): Unit = {

@@ -51,7 +51,7 @@ object GraftExtensions {
   /** array('a','b',...) of string literals -> Seq[String]. */
   private def stringArrayLit(e: Expression, usage: String): Seq[String] = e match {
     case CreateArray(items, _) if items.forall {
-      case Literal(_, StringType) => true; case _ => false
+      case Literal(v, StringType) => v != null; case _ => false
     } => items.map(_.eval(null).toString)
     case _ => throw new IllegalArgumentException(
       s"$usage: expected array('w1', 'w2', ...) of string literals, got $e")

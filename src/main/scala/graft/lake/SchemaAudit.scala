@@ -25,15 +25,21 @@ object SchemaAudit {
     */
   def diff(spark: SparkSession, before: StructType, after: StructType): DataFrame = {
     import spark.implicits._
-    val b = before.fields.map(f => f.name -> f.dataType).toMap
-    val a = after.fields.map(f => f.name -> f.dataType).toMap
+    // group (not toMap): duplicate field names are legal in parquet and
+    // must not be collapsed — duplicated names diff positionally over
+    // their ordered type lists, so drift inside the duplicates surfaces
+    def byName(s: StructType): Map[String, Seq[String]] =
+      s.fields.groupBy(_.name).view.mapValues(_.map(_.dataType.simpleString).toSeq).toMap
+    val b = byName(before)
+    val a = byName(after)
+    def show(ts: Seq[String]): String = ts.mkString(" | ")
     val rows =
       (b.keySet -- a.keySet).toSeq.sorted.map(n =>
-        (n, "removed", b(n).simpleString, null: String)) ++
+        (n, "removed", show(b(n)), null: String)) ++
       (a.keySet -- b.keySet).toSeq.sorted.map(n =>
-        (n, "added", null: String, a(n).simpleString)) ++
+        (n, "added", null: String, show(a(n)))) ++
       (b.keySet & a.keySet).toSeq.sorted.collect {
-        case n if b(n) != a(n) => (n, "retyped", b(n).simpleString, a(n).simpleString)
+        case n if b(n) != a(n) => (n, "retyped", show(b(n)), show(a(n)))
       }
     rows.toDF("field", "change", "from_type", "to_type")
   }

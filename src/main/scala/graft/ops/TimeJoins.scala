@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Interval (range) join — the set-oriented form of "which windows does
@@ -38,12 +38,24 @@ object TimeJoins {
                           intervals: DataFrame, loCol: String, hiCol: String,
                           binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    val p = points.withColumn("__bin", expr(s"$pCol div ${binWidth}L"))
+    val bin = "__graft_bin"
+    require(!points.columns.contains(bin) && !intervals.columns.contains(bin),
+      s"input already carries reserved working column '$bin'")
+    // Column-based integral division (`a div b` — exact on longs, unlike
+    // a double `/` which can cross an integer boundary at epoch-micro
+    // magnitudes): works for any column name, no string-built expr()
+    // injection.
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def intDiv(c: Column) = ColumnBridge.column(IntegralDivide(
+      ColumnBridge.expression(c.cast("long")),
+      ColumnBridge.expression(lit(binWidth))))
+    val p = points.withColumn(bin, intDiv(col(pCol)))
     val iv = intervals.filter(col(loCol) < col(hiCol))
-      .withColumn("__bin", explode(sequence(
-        expr(s"$loCol div ${binWidth}L"), expr(s"($hiCol - 1) div ${binWidth}L"))))
-    p.join(iv, Seq("__bin"))
+      .withColumn(bin, explode(sequence(
+        intDiv(col(loCol)), intDiv(col(hiCol).cast("long") - 1L))))
+    p.join(iv, Seq(bin))
       .filter(col(pCol) >= col(loCol) && col(pCol) < col(hiCol))
-      .drop("__bin")
+      .drop(bin)
   }
 }

@@ -107,4 +107,22 @@ class EventsEncodingSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(d2 == Set(("b", "removed"), ("c", "added"), ("a", "retyped")))
   }
+
+  test("SchemaAudit does not collapse duplicate field names (legal in parquet)") {
+    import org.apache.spark.sql.types._
+    // 'a' appears twice; only the FIRST occurrence drifts — a toMap-based
+    // diff would keep the last one and report nothing
+    val before = StructType(Seq(
+      StructField("a", LongType), StructField("a", StringType)))
+    val after = StructType(Seq(
+      StructField("a", DoubleType), StructField("a", StringType)))
+    val d = graft.lake.SchemaAudit.diff(spark, before, after)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(d.toSeq == Seq(("a", "retyped", "bigint | string", "double | string")))
+    // duplicate-count change also surfaces
+    val widened = StructType(Seq(StructField("a", LongType)))
+    val d2 = graft.lake.SchemaAudit.diff(spark, before, widened)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getString(3)))
+    assert(d2.toSeq == Seq(("retyped", "bigint | string", "bigint")))
+  }
 }

@@ -110,6 +110,14 @@ class FunctionsSpec extends AnyFunSuite {
     // literal-shape misuse fails loudly, not silently
     val e = intercept[Exception](spark.sql("SELECT minhash_sig(array('x'), 'two')").collect())
     assert(e.getMessage.contains("integer literal") || e.getCause != null)
+    // a NULL inside the word-list literal gets the descriptive error, not an NPE
+    val eNull = intercept[Exception](
+      spark.sql("SELECT stopword_count(array('x'), array('a', NULL))").collect())
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(!chain(eNull).exists(_.isInstanceOf[NullPointerException]))
+    assert(chain(eNull).exists(t =>
+      t.getMessage != null && t.getMessage.contains("string literals")))
     assert(new GraftExtensions() != null) // extension class constructs
   }
 }

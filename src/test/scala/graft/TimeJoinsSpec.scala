@@ -40,4 +40,33 @@ class TimeJoinsSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"range join must stay equi-join shaped:\n$plan")
   }
+
+  test("pointInIntervalJoin is exact at epoch-micro magnitudes") {
+    // a double-division binning would round across integer boundaries
+    // here; integral `div` must keep the binned join == the naive join
+    val base = 1723500000000000L // ~2024 epoch micros
+    val points = spark.range(500).select(col("id").as("pid"),
+      (lit(base) + col("id") * 977L).as("p"))
+    val intervals = spark.range(50).select(col("id").as("iid"),
+      (lit(base) + col("id") * 9770L).as("lo"),
+      (lit(base) + col("id") * 9770L + 5000L).as("hi"))
+    val got = TimeJoins.pointInIntervalJoin(points, "p", intervals, "lo", "hi", 3600L * 1000000L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = points.join(intervals, col("p") >= col("lo") && col("p") < col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("pointInIntervalJoin refuses inputs carrying the reserved working column") {
+    val points = spark.range(10).select(col("id").as("p"), lit(1L).as("__graft_bin"))
+    val intervals = Seq((0L, 0L, 5L)).toDF("iid", "lo", "hi")
+    val e = intercept[IllegalArgumentException](
+      TimeJoins.pointInIntervalJoin(points, "p", intervals, "lo", "hi", 10L))
+    assert(e.getMessage.contains("__graft_bin"))
+    // and odd column names needing quoting still work (no string expr())
+    val oddP = spark.range(100).select((col("id") * 3).as("p col"))
+    val oddI = Seq((0L, 10L, 40L)).toDF("i id", "lo-x", "hi x")
+    val n = TimeJoins.pointInIntervalJoin(oddP, "p col", oddI, "lo-x", "hi x", 16L).count()
+    assert(n == 10L) // 12,15,...,39 step 3
+  }
 }

@@ -39,6 +39,17 @@ class VerifyContractSpec extends AnyFunSuite {
     }
   }
 
+  test("dropStreamSinks only touches graft's own memory sinks") {
+    import spark.implicits._
+    Seq(1).toDF("x").createOrReplaceTempView("user_view_sink")
+    Seq(2).toDF("x").createOrReplaceTempView("graft_stream_test_sink")
+    Verify.dropStreamSinks(spark)
+    val names = spark.catalog.listTables().collect().map(_.name).toSet
+    assert(names.contains("user_view_sink"), "unrelated *_sink views must survive")
+    assert(!names.contains("graft_stream_test_sink"))
+    spark.catalog.dropTempView("user_view_sink")
+  }
+
   test("declared queries and oracle entries line up") {
     // every oracle row must have a runnable query; queries without oracle
     // SQL are allowed (weaker rows-only check) but must be rare
