@@ -8,7 +8,7 @@ import graft.core.NtpIds
 import graft.enrich.Entities
 import graft.functions.UnidecodeEs
 import graft.ingest.Normalize
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{Dedup, DedupIndex, Similarity, TextAnalysis}
 import graft.versions.Versions
 
 /** Training-data-pipeline + enrichment queries (SURVEY §7.6/§7.8):
@@ -356,6 +356,28 @@ object CorpusQueries {
     "dedup_minhash_pairs" -> ((s, dir) => {
       Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text", 4, 2)
         .orderBy(col("a"), col("b"))
+    }),
+
+    // Incremental near-dup dedup over a PERSISTED band index (the
+    // monthly-drop posture, reference read_parquet.py:85-123): drop 1
+    // (doc_id % 5 != 0) is indexed from scratch; the full corpus then
+    // lands as drop 2 and the refresh signs ONLY the new docs, carrying
+    // every indexed doc's band rows verbatim. Candidate pairs are served
+    // from the persisted sidecar — zero signing at query time — and must
+    // hash-match the from-scratch recompute oracle over the whole corpus.
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dedupidx_q").toString
+      val idx = tmp + "/bandidx"
+      DedupIndex.build(docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", idx)
+      DedupIndex.refresh(docs, "doc_id", "text", idx) // churn = the % 5 == 0 docs
+      val out = DedupIndex.candidatePairs(s, idx)
+        .orderBy(col("a"), col("b"))
+        .localCheckpoint(true) // the scratch index is deleted next
+      new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      out
     }),
 
     // n-gram Jaccard verification of the LSH candidates — the shingle
@@ -979,6 +1001,10 @@ object CorpusQueries {
       " FROM mh ORDER BY doc_id"),
 
     "dedup_minhash_pairs" -> (bandsCte + "\n" + candSelect + "\nORDER BY a, b"),
+
+    // the incremental index must converge to exactly the from-scratch
+    // candidate set over the full corpus
+    "dedup_incremental" -> (bandsCte + "\n" + candSelect + "\nORDER BY a, b"),
 
     "dedup_jaccard_verify" -> (bandsCte +
       s""",

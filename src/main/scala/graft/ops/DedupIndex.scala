@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted MinHash/LSH band index — incremental near-dup dedup.
+  *
+  * The recompute-per-run dedup queries ([[Dedup.minhashCandidates]])
+  * re-shingle and re-sign the WHOLE corpus on every invocation. That is
+  * the right shape for a one-shot audit and the wrong one for the
+  * reference's actual cadence — monthly drops reconciled against an
+  * existing corpus (reference: read_parquet.py:85-123, the max-id
+  * watermark + re-ingest loop): at 100 TB, signing O(corpus) per drop is
+  * the bottleneck, while the churn is O(drop).
+  *
+  * This sidecar makes near-dup candidate generation churn-proportional,
+  * the exact pattern [[graft.lake.BloomIndex.refreshSnapshot]] proves for
+  * point lookups:
+  *
+  *  - the index is a parquet table `(doc, fp, band, key)` — one row per
+  *    LSH band per document, `fp = md5(text)` as the change fingerprint;
+  *    documents with no shingles carry a single `band = -1` marker row so
+  *    their unchanged-ness is also tracked;
+  *  - `refresh` re-shingles ONLY documents that are new or whose text
+  *    fingerprint changed; every other document's band rows are carried
+  *    VERBATIM (never re-tokenized, never re-hashed — their bytes move,
+  *    their signatures are not recomputed); rows of vanished documents
+  *    drop out;
+  *  - `candidatePairs` serves the same (a, b) candidate set as the
+  *    from-scratch [[Dedup.minhashCandidatesFromShingles]] would on the
+  *    current corpus — one equi-join on the persisted band keys, no
+  *    signing at query time at all.
+  *
+  * Refresh cost at scale: one md5 pass over the drop's text for the
+  * fingerprint anti-join, shingling only for the churn, one shuffle of
+  * index-sized rows (band keys, never text) to land. The fingerprint
+  * comparison joins on (doc, fp) — both sides digest-sized.
+  *
+  * Landing is staged-swap (write `.staging`, delete, rename), same
+  * crash posture as the bloom sidecar: a crash leaves the old index, the
+  * new one, or none — "none" means rebuild, never a wrong candidate set.
+  */
+object DedupIndex {
+
+  /** Band rows for `docs`: (doc, fp, band, key); `band = -1` marker for
+    * shingle-less documents. One signing pass per document.
+    */
+  def bandRows(docs: DataFrame, idCol: String, textCol: String,
+               bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val base = docs.select(col(idCol).as("doc"), md5(col(textCol)).as("fp"),
+      Dedup.shingles(col(textCol)).as("sh"))
+    val signed = base.filter(size(col("sh")) >= 1)
+      .withColumn("__sig", Dedup.minhashSignature(col("sh"), bands * rowsPerBand))
+    val keys = Dedup.bandKeysFromSignature(col("__sig"), bands, rowsPerBand)
+    signed
+      .select(col("doc"), col("fp"), posexplode(array(keys: _*)).as(Seq("band", "key")))
+      .unionByName(base.filter(size(col("sh")) < 1)
+        .select(col("doc"), col("fp"), lit(-1).as("band"), lit(null).cast("string").as("key")))
+  }
+
+  /** Build the index from scratch at `path`. Returns indexed doc count. */
+  def build(docs: DataFrame, idCol: String, textCol: String, path: String,
+            bands: Int = 4, rowsPerBand: Int = 2): Long = {
+    val spark = docs.sparkSession
+    land(spark, path, bandRows(docs, idCol, textCol, bands, rowsPerBand))
+    spark.read.parquet(path).select("doc").distinct().count()
+  }
+
+  /** Churn-proportional refresh: carry unchanged documents' rows
+    * verbatim, sign only new/changed documents, drop vanished ones.
+    * Returns (keptDocs, signedDocs) — spec-observable proof that cost
+    * follows churn.
+    */
+  def refresh(docs: DataFrame, idCol: String, textCol: String, path: String,
+              bands: Int = 4, rowsPerBand: Int = 2): (Long, Long) = {
+    val spark = docs.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return (0L, build(docs, idCol, textCol, path, bands, rowsPerBand))
+    val old = spark.read.parquet(path)
+    // current fingerprints: digest-sized, no tokenization
+    val curFp = docs.select(col(idCol).as("doc"), md5(col(textCol)).as("fp"))
+    // unchanged docs: band rows carried verbatim (semi-join on doc+fp)
+    val kept = old.join(curFp, Seq("doc", "fp"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // churn: docs with no verbatim row set (new, or fp drifted)
+    val oldFp = old.select(col("doc").as("__odoc"), col("fp").as("__ofp")).distinct()
+    val fresh = docs.join(oldFp,
+      docs(idCol) === col("__odoc") && md5(docs(textCol)) === col("__ofp"), "left_anti")
+    val freshRows = bandRows(fresh, idCol, textCol, bands, rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keptDocs = kept.select("doc").distinct().count()
+    val signedDocs = freshRows.select("doc").distinct().count()
+    land(spark, path, kept.unionByName(freshRows))
+    kept.unpersist()
+    freshRows.unpersist()
+    (keptDocs, signedDocs)
+  }
+
+  /** LSH candidate pairs (a, b), a < b, from the PERSISTED index — no
+    * shingling or signing at query time; one equi-join on (band, key).
+    * Identical result to the from-scratch candidates over the corpus the
+    * index currently reflects.
+    */
+  def candidatePairs(spark: SparkSession, path: String): DataFrame = {
+    val banded = spark.read.parquet(path).filter(col("band") >= 0)
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("a"), col("y.doc").as("b"))
+      .distinct()
+  }
+
+  /** Staged-swap landing (the bloom-sidecar posture): never a torn index. */
+  private def land(spark: SparkSession, path: String, idx: DataFrame): Unit = {
+    val dest = new org.apache.hadoop.fs.Path(path)
+    val staging = new org.apache.hadoop.fs.Path(path + ".staging")
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(staging, true)
+    idx.write.mode("overwrite").parquet(staging.toString)
+    fs.delete(dest, true)
+    fs.rename(staging, dest)
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, DedupIndex}
+
+/** The persisted band index's incremental contract: refresh cost follows
+  * CHURN, not corpus size — unchanged documents' band rows are carried
+  * byte-verbatim (proven by a sentinel that only survives if the rows
+  * are never recomputed), and the served candidate set stays identical
+  * to the from-scratch recompute.
+  */
+class DedupIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def corpus(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+
+  private val base = Seq(
+    1L -> "the quick brown fox jumps over the lazy dog",
+    2L -> "the quick brown fox jumps over the lazy cat",
+    3L -> "a completely different document about spark engines",
+    4L -> "the quick brown fox jumps over the lazy dog", // exact dup of 1
+    5L -> "")                                            // shingle-less
+
+  test("refresh signs only churn; unchanged docs' rows survive verbatim") {
+    val tmp = Files.createTempDirectory("graft_dedupidx").toString
+    val idx = tmp + "/idx"
+    val n = DedupIndex.build(corpus(base: _*), "doc_id", "text", idx)
+    assert(n == 5, "every doc (incl. the shingle-less one) is tracked")
+
+    // tamper: prefix every band key with a sentinel the signer cannot
+    // produce — any recompute of an unchanged doc would erase it
+    val tampered = spark.read.parquet(idx)
+      .withColumn("key", concat(lit("SENTINEL#"), col("key")))
+    tampered.write.mode("overwrite").parquet(tmp + "/t")
+    spark.read.parquet(tmp + "/t").write.mode("overwrite").parquet(idx)
+
+    // no-op refresh: zero signing
+    val (kept0, signed0) = DedupIndex.refresh(corpus(base: _*), "doc_id", "text", idx)
+    assert(kept0 == 5 && signed0 == 0)
+    val keys0 = spark.read.parquet(idx).filter(col("band") >= 0).select("key")
+      .collect().map(_.getString(0))
+    assert(keys0.nonEmpty && keys0.forall(_.startsWith("SENTINEL#")),
+      "an unchanged doc's band rows must never be recomputed")
+
+    // churn: doc 2 retext'd, doc 6 new, doc 3 vanished
+    val drop2 = corpus((base.filterNot(d => d._1 == 2 || d._1 == 3) ++ Seq(
+      2L -> "the quick brown fox naps under the lazy dog",
+      6L -> "the quick brown fox jumps over the lazy dogs")): _*)
+    val (kept1, signed1) = DedupIndex.refresh(drop2, "doc_id", "text", idx)
+    assert(kept1 == 3, s"docs 1,4,5 carried; got $kept1")
+    assert(signed1 == 2, s"exactly the churn (2, 6) signed; got $signed1")
+    val after = spark.read.parquet(idx)
+    assert(after.filter(col("doc") === 3L).count() == 0, "vanished doc dropped")
+    val byDoc = after.filter(col("band") >= 0).select("doc", "key")
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1))).toMap
+    assert(Seq(1L, 4L).forall(d => byDoc(d).forall(_.startsWith("SENTINEL#"))),
+      "unchanged docs still verbatim after a churn refresh")
+    assert(Seq(2L, 6L).forall(d => byDoc(d).forall(k => !k.startsWith("SENTINEL#"))),
+      "churned docs freshly signed")
+  }
+
+  test("candidate pairs from the index == from-scratch recompute") {
+    val tmp = Files.createTempDirectory("graft_dedupidx2").toString
+    val idx = tmp + "/idx"
+    DedupIndex.build(corpus(base.take(3): _*), "doc_id", "text", idx)
+    val drop2 = corpus((base ++ Seq(
+      6L -> "the quick brown fox jumps over the lazy dogs")): _*)
+    DedupIndex.refresh(drop2, "doc_id", "text", idx)
+    val got = DedupIndex.candidatePairs(spark, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Dedup.minhashCandidates(drop2, "doc_id", "text", 4, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && got.nonEmpty)
+    // and a shingle-less doc never pairs
+    assert(!got.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+}
