@@ -8,7 +8,7 @@ import graft.core.NtpIds
 import graft.enrich.Entities
 import graft.functions.UnidecodeEs
 import graft.ingest.Normalize
-import graft.ops.{Dedup, DedupIndex, Similarity, TextAnalysis}
+import graft.ops.{Dedup, DedupIndex, Similarity, SimilarityIndex, TextAnalysis}
 import graft.versions.Versions
 
 /** Training-data-pipeline + enrichment queries (SURVEY §7.6/§7.8):
@@ -582,6 +582,29 @@ object CorpusQueries {
       Similarity.ivfTopKInt8(emb, emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
           5, 8, 2)
         .orderBy(col("qid"), col("rank"))
+    }),
+
+    // PERSISTED IVF-SQ8: the inverted lists live as a lake artifact —
+    // built on drop 1, churn-refreshed when drop 2 lands (only the new
+    // vectors quantize/assign; the codebook stays pinned), then probed
+    // with ZERO list-build work. Drop 1 keeps the 8 lowest vec_ids, so
+    // the pinned seed codebook equals the full-corpus codebook the
+    // recompute oracle derives — the served ranking must hash-match it.
+    "sim_ivf_persisted_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivfidx_q").toString
+      val idx = tmp + "/ivf"
+      SimilarityIndex.build(emb.filter(col("vec_id") % 10 =!= 9),
+        "vec_id", "embedding", idx, nList = 8)
+      SimilarityIndex.refresh(emb, "vec_id", "embedding", idx) // churn = % 10 == 9
+      val out = SimilarityIndex.topKInt8(emb, emb.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", idx, 5, 2)
+        .orderBy(col("qid"), col("rank"))
+        .localCheckpoint(true) // the scratch index is deleted next
+      new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      out
     }),
 
     // IVF under the sampled-k-means codebook, probed recall-complete
@@ -1202,6 +1225,11 @@ object CorpusQueries {
     // margin-absorbed and the exact-decimal decider sees full precision,
     // so the same oracle must hash-match
     "sim_ivf_int8_topk" -> ivfOracleSql,
+
+    // the persisted index converges to the same lists (pinned codebook ==
+    // the oracle's full-corpus seed codebook by construction), so the
+    // served ranking must hash-match the same recompute oracle
+    "sim_ivf_persisted_topk" -> ivfOracleSql,
 
     // nProbe = nList makes the candidate set codebook-invariant (the whole
     // corpus), so the oracle is the plain brute-force decimal ranking

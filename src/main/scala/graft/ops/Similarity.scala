@@ -360,13 +360,33 @@ object Similarity {
     * quantization, probing, error-bound gate and decider identical).
     */
   def ivfTopKInt8With(cents: Seq[(Long, Seq[Float])], corpus: DataFrame, queries: DataFrame,
-                      idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
-    // the materialized inverted lists: id, cell, lo/hi + tinyint codes
+                      idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame =
+    ivfTopKInt8FromLists(cents, int8Lists(corpus, idCol, vecCol, cents),
+      corpus, queries, idCol, vecCol, k, nProbe)
+
+  /** The IVF-SQ8 inverted lists in their landable form: one row per
+    * corpus vector, (cid, cell, lo, hi, codes) — the persisted-index
+    * layout [[SimilarityIndex]] stores and [[ivfTopKInt8FromLists]]
+    * probes. 1 byte per component + two doubles; never the float vector.
+    */
+  def int8Lists(corpus: DataFrame, idCol: String, vecCol: String,
+                cents: Seq[(Long, Seq[Float])],
+                extraCols: Seq[Column] = Nil): DataFrame = {
     val q8 = quantizeInt8(col(vecCol))
-    val lists = corpus.select(col(idCol).as("cid"),
+    corpus.select(Seq(col(idCol).as("cid"),
       ivfCell(col(vecCol), cents).as("cell"),
       q8.getField("lo").as("lo"), q8.getField("hi").as("hi"),
-      q8.getField("codes").cast("array<tinyint>").as("codes"))
+      q8.getField("codes").cast("array<tinyint>").as("codes")) ++ extraCols: _*)
+  }
+
+  /** IVF-SQ8 probe against CALLER-SUPPLIED inverted lists (freshly
+    * computed or read back from a persisted index): identical gate,
+    * margin and exact-decimal decider as [[ivfTopKInt8With]]; `corpus`
+    * is touched only for the k+margin full-precision survivor fetch.
+    */
+  def ivfTopKInt8FromLists(cents: Seq[(Long, Seq[Float])], lists: DataFrame,
+                           corpus: DataFrame, queries: DataFrame,
+                           idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
     // query-side scan: sum(q) / sum|q| once per query row; cells exploded
     val qsum = aggregate(col(vecCol), lit(0.0), (acc, x) => acc + x.cast("double"))
     val qabs = aggregate(col(vecCol), lit(0.0), (acc, x) => acc + abs(x.cast("double")))
@@ -381,7 +401,10 @@ object Similarity {
     val err = col("qabs") * (col("hi") - col("lo")) / 510.0 + lit(1e-9)
     val wq = Window.partitionBy(col("qid"))
     val wlb = wq.orderBy((col("__ad") - col("__err")).desc, col("cid").asc)
-    val survivors = q.join(lists, Seq("cell")).filter(col("qid") =!= col("cid"))
+    val survivors = q
+      .join(lists.select(col("cid"), col("cell"), col("lo"), col("hi"), col("codes")),
+        Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
       .withColumn("__ad", approxDot).withColumn("__err", err)
       .withColumn("__lbrank", row_number().over(wlb))
       // L = the k-th best candidate's lower bound; anything whose upper

@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF-SQ8 index — ANN as a lake artifact instead of a
+  * per-query rebuild.
+  *
+  * The recompute-form queries ([[Similarity.ivfTopKInt8]]) collect a
+  * codebook and quantize/assign the WHOLE corpus inside every probe.
+  * Correct, but O(corpus) per query — at 100 TB the inverted lists must
+  * be built once, refreshed on churn, and probed many times (the same
+  * posture as [[DedupIndex]] for near-dup and
+  * [[graft.lake.BloomIndex]] for point lookups). Layout at `path`:
+  *
+  *  - `path/centroids` — the codebook (cell id, float vector), pinned at
+  *    build time: a refresh NEVER retrains it (assignments must stay
+  *    comparable across drops); retraining is an explicit rebuild;
+  *  - `path/lists` — one row per corpus vector: (cid, vfp, cell, lo, hi,
+  *    codes) = the [[Similarity.int8Lists]] row plus `vfp`, an md5
+  *    fingerprint of the float vector used for churn detection.
+  *
+  * `refresh` quantizes/assigns ONLY vectors that are new or changed
+  * (fingerprint anti-join, digest-sized), carries unchanged rows
+  * verbatim, drops vanished ids. `topKInt8` probes the persisted lists
+  * with the exact gate/margin/decimal-decider of the recompute path —
+  * the only corpus touch at probe time is the k+margin full-precision
+  * survivor fetch, so probe cost follows list density, not corpus size,
+  * and a probe issues ZERO list-build work.
+  *
+  * Landing is staged-swap (the bloom/dedup sidecar posture): a crash
+  * leaves old, new, or none — never a torn index.
+  */
+object SimilarityIndex {
+
+  private def centsPath(path: String) = path + "/centroids"
+  private def listsPath(path: String) = path + "/lists"
+
+  /** md5 fingerprint of a float vector (stable string form). */
+  private def vecFp(vec: org.apache.spark.sql.Column) =
+    md5(concat_ws(",", transform(vec, x => x.cast("string"))))
+
+  /** Build from scratch: seed codebook (deterministic, oracle-shared)
+    * over `corpus`, then the full inverted lists. Returns indexed rows.
+    */
+  def build(corpus: DataFrame, idCol: String, vecCol: String, path: String,
+            nList: Int): Long = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = Similarity.ivfCentroids(corpus, idCol, vecCol, nList)
+    land(spark, centsPath(path),
+      cents.map { case (id, v) => (id, v) }.toDF("cell_id", "cv"))
+    land(spark, listsPath(path),
+      Similarity.int8Lists(corpus, idCol, vecCol, cents,
+        extraCols = Seq(vecFp(col(vecCol)).as("vfp"))))
+    spark.read.parquet(listsPath(path)).count()
+  }
+
+  /** The pinned codebook, collected back codebook-sized (nList rows). */
+  def loadCentroids(spark: SparkSession, path: String): Seq[(Long, Seq[Float])] =
+    spark.read.parquet(centsPath(path))
+      .orderBy(col("cell_id"))
+      .collect()
+      .toIndexedSeq
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
+
+  /** Churn-proportional refresh under the PINNED codebook: carry
+    * unchanged vectors' list rows verbatim, quantize/assign only
+    * new/changed ids, drop vanished ones. Returns (keptRows, signedRows).
+    */
+  def refresh(corpus: DataFrame, idCol: String, vecCol: String, path: String)
+      : (Long, Long) = {
+    val spark = corpus.sparkSession
+    val cents = loadCentroids(spark, path)
+    val old = spark.read.parquet(listsPath(path))
+    val curFp = corpus.select(col(idCol).as("cid"), vecFp(col(vecCol)).as("vfp"))
+    val kept = old.join(curFp, Seq("cid", "vfp"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val oldFp = old.select(col("cid").as("__ocid"), col("vfp").as("__ofp")).distinct()
+    val fresh = corpus.join(oldFp,
+      corpus(idCol) === col("__ocid") && vecFp(corpus(vecCol)) === col("__ofp"), "left_anti")
+    val freshRows = Similarity.int8Lists(fresh, idCol, vecCol, cents,
+        extraCols = Seq(vecFp(col(vecCol)).as("vfp")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keptN = kept.count()
+    val signedN = freshRows.count()
+    land(spark, listsPath(path), kept.unionByName(freshRows))
+    kept.unpersist()
+    freshRows.unpersist()
+    (keptN, signedN)
+  }
+
+  /** IVF-SQ8 top-k served FROM the persisted index: same result as the
+    * recompute form under the same codebook; zero quantization or cell
+    * assignment of corpus vectors at probe time.
+    */
+  def topKInt8(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+               path: String, k: Int, nProbe: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val cents = loadCentroids(spark, path)
+    Similarity.ivfTopKInt8FromLists(cents, spark.read.parquet(listsPath(path)),
+      corpus, queries, idCol, vecCol, k, nProbe)
+  }
+
+  /** Staged-swap landing — never a torn artifact. */
+  private def land(spark: SparkSession, path: String, df: DataFrame): Unit = {
+    val dest = new org.apache.hadoop.fs.Path(path)
+    val staging = new org.apache.hadoop.fs.Path(path + ".staging")
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(staging, true)
+    df.write.mode("overwrite").parquet(staging.toString)
+    fs.delete(dest, true)
+    fs.rename(staging, dest)
+  }
+}

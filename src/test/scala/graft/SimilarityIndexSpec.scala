@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Similarity, SimilarityIndex}
+
+/** The persisted IVF index's contract: probes serve from the LANDED
+  * inverted lists (zero list-build work — proven by editing the lists
+  * and watching the probe obey the edit), refresh cost follows churn
+  * (verbatim-carry sentinel), and the served ranking equals the
+  * recompute form under the same codebook.
+  */
+class SimilarityIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def vec(seed: Int): Seq[Float] =
+    (0 until 8).map(j => (((seed * 31 + j * 17) % 13) - 6).toFloat)
+
+  private def corpus(ids: Long*) =
+    ids.map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+
+  test("probe serves the persisted lists and matches the recompute ranking") {
+    val tmp = Files.createTempDirectory("graft_ivfidx").toString
+    val idx = tmp + "/ivf"
+    val full = corpus(0L to 39L: _*)
+    SimilarityIndex.build(full, "vec_id", "embedding", idx, nList = 4)
+    val queries = full.filter(col("vec_id") % 10 === 0)
+
+    val got = SimilarityIndex.topKInt8(full, queries, "vec_id", "embedding", idx, 3, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Similarity.ivfTopKInt8(full, queries, "vec_id", "embedding", 3, 4, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want && got.nonEmpty)
+
+    // zero list-build at probe time: delete one id's list row directly in
+    // the sidecar — a probe that rebuilt from the corpus would still rank
+    // it; a probe that serves the lists cannot
+    val victim = want.head._2
+    val edited = spark.read.parquet(idx + "/lists").filter(col("cid") =!= victim)
+    edited.write.mode("overwrite").parquet(tmp + "/edited")
+    spark.read.parquet(tmp + "/edited").write.mode("overwrite").parquet(idx + "/lists")
+    val after = SimilarityIndex.topKInt8(full, queries, "vec_id", "embedding", idx, 3, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(!after.exists(_._2 == victim),
+      "a probe must serve the persisted lists, not rebuild them from the corpus")
+  }
+
+  test("refresh signs only churn under the pinned codebook") {
+    val tmp = Files.createTempDirectory("graft_ivfidx2").toString
+    val idx = tmp + "/ivf"
+    val drop1 = corpus(0L to 19L: _*)
+    SimilarityIndex.build(drop1, "vec_id", "embedding", idx, nList = 4)
+
+    // sentinel: rewrite every row's lo — recompute would restore the
+    // true quantization bound, verbatim carry preserves the tamper
+    val tampered = spark.read.parquet(idx + "/lists").withColumn("lo", lit(-12345.0))
+    tampered.write.mode("overwrite").parquet(tmp + "/t")
+    spark.read.parquet(tmp + "/t").write.mode("overwrite").parquet(idx + "/lists")
+
+    val (kept0, signed0) = SimilarityIndex.refresh(drop1, "vec_id", "embedding", idx)
+    assert(kept0 == 20 && signed0 == 0, "no churn -> nothing signed")
+    assert(spark.read.parquet(idx + "/lists").filter(col("lo") =!= -12345.0).count() == 0)
+
+    // drop 2: id 3 re-vectored, ids 20/21 new, id 7 vanished
+    val drop2 = corpus((0L to 19L).filterNot(i => i == 3 || i == 7): _*)
+      .unionByName(Seq((3L, vec(300)), (20L, vec(20)), (21L, vec(21))).toDF("vec_id", "embedding"))
+    val (kept1, signed1) = SimilarityIndex.refresh(drop2, "vec_id", "embedding", idx)
+    assert(kept1 == 18, s"the 18 ids of 0..19 minus {3,7} carried; got $kept1")
+    assert(signed1 == 3, s"exactly ids 3,20,21 signed; got $signed1")
+    val lists = spark.read.parquet(idx + "/lists")
+    assert(lists.filter(col("cid") === 7L).count() == 0, "vanished id dropped")
+    assert(lists.filter(col("cid").isin(3L, 20L, 21L) && col("lo") === -12345.0).count() == 0,
+      "churned ids freshly quantized")
+    assert(lists.filter(!col("cid").isin(3L, 20L, 21L) && col("lo") =!= -12345.0).count() == 0,
+      "unchanged ids carried verbatim")
+    // codebook untouched by refresh
+    assert(SimilarityIndex.loadCentroids(spark, idx).map(_._1) ==
+      Similarity.ivfCentroids(drop1, "vec_id", "embedding", 4).map(_._1))
+  }
+}
