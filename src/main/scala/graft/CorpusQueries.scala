@@ -8,7 +8,7 @@ import graft.core.NtpIds
 import graft.enrich.Entities
 import graft.functions.UnidecodeEs
 import graft.ingest.Normalize
-import graft.ops.{Dedup, DedupIndex, Similarity, SimilarityIndex, TextAnalysis}
+import graft.ops.{Dedup, DedupIndex, Multimodal, Similarity, SimilarityIndex, TextAnalysis}
 import graft.versions.Versions
 
 /** Training-data-pipeline + enrichment queries (SURVEY §7.6/§7.8):
@@ -723,6 +723,25 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL image decode under the driver's hash gate: per-doc gray PNGs
+    // (dims + pixels derived from table columns) go through the JVM's
+    // actual PNG encoder, then decodeImages reads width/height/bands and
+    // the raster sample sum back out of the BYTES via javax.imageio. The
+    // oracle recomputes dims and pixel sum in pure arithmetic — PNG is
+    // lossless, so a single mismatched pixel anywhere fails the hash.
+    "multimodal_decode" -> ((s, dir) => {
+      val dims = t(s, dir, "documents").select(col("doc_id"),
+        (lit(1) + col("doc_id") % 16).cast("int").as("w"),
+        (lit(1) + col("n_chars").cast("long") % 16).cast("int").as("h"))
+      Multimodal.decodeImages(Multimodal.grayPngTable(dims, "doc_id", "w", "h"))
+        .select(col("media_id").as("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("bands").cast("long").as("channels"),
+          col("pix_sum").cast("long").as("pix_sum"))
+        .orderBy(col("doc_id"))
+    }),
+
     // S4-shape: code parse out of a delimited string column
     "cpv_parse_codes" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1395,6 +1414,19 @@ object CorpusQueries {
     "multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // dims and the lossless pixel sum recomputed arithmetically — the
+    // Spark side must round-trip them through the real PNG codec
+    "multimodal_decode" ->
+      """WITH g AS (SELECT doc_id, 1 + doc_id % 16 AS w,
+        |                  1 + CAST(n_chars AS BIGINT) % 16 AS h FROM documents),
+        |gx AS (SELECT doc_id, w, h, unnest(range(w)) AS x FROM g),
+        |gxy AS (SELECT doc_id, w, h, x, unnest(range(h)) AS y FROM gx),
+        |p AS (SELECT doc_id, w, h, SUM((doc_id * 7 + x * 13 + y * 31) % 256) AS pix_sum
+        |      FROM gxy GROUP BY doc_id, w, h)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(1 AS BIGINT) AS channels, CAST(pix_sum AS BIGINT) AS pix_sum
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     "cpv_parse_codes" ->
       """SELECT source, CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) AS code, count(*) AS n

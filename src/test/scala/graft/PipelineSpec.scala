@@ -363,6 +363,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.resize(intMedia, 2, 2).count() == 2)
   }
 
+  test("Multimodal: REAL image codec — PNG/BMP decode, Graphics2D resize") {
+    // real round-trip: encode through the JVM PNG writer, read the
+    // dims/bands/sample-sum back from the BYTES
+    val bytes = Multimodal.encodeGrayPng(7, 5, Multimodal.testPattern(42L))
+    assert(bytes.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    val Some((w, h, bands, sum)) = Multimodal.decodeImageMeta(bytes)
+    val wantSum = (for (y <- 0 until 5; x <- 0 until 7)
+      yield Multimodal.testPattern(42L)(x, y).toLong).sum
+    assert((w, h, bands, sum) == (7, 5, 1, wantSum))
+
+    // a second real format: the same image through the BMP writer
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val bmpOut = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "bmp", bmpOut))
+    assert(Multimodal.decodeImageMeta(bmpOut.toByteArray).contains((7, 5, 1, wantSum)))
+
+    // non-image payloads report None -> the stub arm, tagged as such
+    assert(Multimodal.decodeImageMeta("not an image".getBytes("UTF-8")).isEmpty)
+    val dims = Seq((1L, 7, 5), (2L, 3, 9)).toDF("doc_id", "w", "h")
+    val decoded = Multimodal.decodeImages(Multimodal.grayPngTable(dims, "doc_id", "w", "h"))
+      .orderBy("media_id").collect()
+    assert(decoded.map(r => (r.getLong(0), r.getInt(2), r.getInt(3), r.getString(6))).toSeq ==
+      Seq((1L, 7, 5, "imageio"), (2L, 3, 9, "imageio")))
+    val garbage = Seq((9L, Array[Byte](1, 2, 3), "application/octet-stream"))
+      .toDF("media_id", "payload", "mime")
+    assert(Multimodal.decodeImages(garbage).collect().head.getString(6) == "stub")
+
+    // real resize: a decodable payload comes back PNG at the target dims
+    val resized = Multimodal.resize(
+      Seq((1L, bytes, "image/png")).toDF("media_id", "payload", "mime"), 4, 3).collect().head
+    assert(resized.getString(2) == "image/png")
+    assert(Multimodal.decodeImageMeta(resized.getAs[Array[Byte]]("payload"))
+      .exists(m => m._1 == 4 && m._2 == 3))
+  }
+
   test("EventStreams: windowed aggregation over a stream matches batch (streaming)") {
     val dir = Files.createTempDirectory("events").toString
     val batch = Seq(
