@@ -78,6 +78,26 @@ object Bench {
       emb.unpersist(blocking = false)
     }
     warm {
+      // scratch-lake family warmup: the staged-swap landing (overwrite →
+      // rename-commit), the partition-scoped upsert and the repair join
+      // chain — so the first measured scratch-lake query (ntp_repair_report
+      // and the snapshot/bloom tier) pays plan+commit-path compile, not
+      // the measured pass (round-11 watch item: 1.9x pass-to-pass swing)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bench_lakewarm").toString
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(64)
+        .select(format_string("ntp%08d", col("doc_id")).as("_id"),
+          concat(lit("k"), (col("doc_id") % 8).cast("string")).as("nk"),
+          lit(false).as("obsolete_version"), lit(null).cast("string").as("updated_to"))
+        .withColumn("grp", lit(0)).withColumn("bucket", pmod(hash(col("nk")), lit(2)))
+      val lake = new graft.lake.LakeTable(spark, tmp + "/lake", "_id",
+        graft.pipeline.IngestJob.LakePartitionCols, nBuckets = 2)
+      lake.overwrite(docs)
+      graft.pipeline.RepairJob.run(spark, lake, "nk").count()
+      new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    warm {
       // streaming engine warmup: micro-batch planner, state-store setup,
       // and the stateful codegen paths. Same entry code as the measured
       // q_stream_* queries, against a 64-row copy of the events file laid

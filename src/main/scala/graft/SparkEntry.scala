@@ -499,21 +499,20 @@ object SparkEntry {
       // watermark delay so no event is "late" across micro-batches — the
       // batch oracle sees every row, so must the stream. eventsStream
       // adapts to the file's actual ts encoding (nanos-long vs micros).
-      s.catalog.dropTempView("graft_stream_windowed_sink") // stale sink from a prior run in this JVM
-      val stream = graft.streaming.EventStreams.windowedCounts(
-        eventsStream(s, dir), "1 hour", "3650 days")
       // state-store count follows shuffle partitions: a (hour, type)
       // aggregation has a few hundred groups — 8 stores, not 32, halves
-      // the per-batch store open/commit overhead that dominates this query
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      val q = try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        stream.writeStream.format("memory").queryName("graft_stream_windowed_sink")
-          .outputMode("complete").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // the per-batch store open/commit overhead that dominates this
+      // query. The 8 lives in a CLONED session (isolated SQL conf, shared
+      // context/cache) so a concurrent caller of `s` never observes it.
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val stream = graft.streaming.EventStreams.windowedCounts(
+        eventsStream(s2, dir), "1 hour", "3650 days")
+      val q = stream.writeStream.format("memory").queryName("graft_stream_windowed_sink")
+        .outputMode("complete").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
       q.awaitTermination()
-      s.table("graft_stream_windowed_sink")
+      s2.table("graft_stream_windowed_sink")
         .select(col("wstart"), col("event_type"), col("n"), col("sum_value"))
         .orderBy(col("wstart"), col("event_type"))
     }),
@@ -554,11 +553,13 @@ object SparkEntry {
     // watermark here is horizon-sized so no pair is dropped and the
     // result is the exact batch join). Must hash-match the batch oracle.
     "q_stream_stream_join" -> ((s, dir) => {
-      s.catalog.dropTempView("graft_stream_ssjoin_sink") // stale sink from a prior run in this JVM
-      val views = eventsStream(s, dir).filter(col("event_type") === "view")
+      // cloned session for the same hermeticity reason as q_stream_windowed
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val views = eventsStream(s2, dir).filter(col("event_type") === "view")
         .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
         .withWatermark("view_ts", "3650 days")
-      val purchases = eventsStream(s, dir).filter(col("event_type") === "purchase")
+      val purchases = eventsStream(s2, dir).filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
           col("ts").as("purchase_ts"))
         .withWatermark("purchase_ts", "3650 days")
@@ -572,16 +573,12 @@ object SparkEntry {
       // a stream-stream join opens FOUR state stores per shuffle
       // partition (left/right x keyed/keyWithIndex); at 32 partitions the
       // per-batch store open/commit overhead dominates this replay — 8
-      // partitions quarters it (same lesson as q_stream_windowed)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      val q = try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        joined.writeStream.format("memory").queryName("graft_stream_ssjoin_sink")
-          .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // partitions (set on the cloned session above) quarters it
+      val q = joined.writeStream.format("memory").queryName("graft_stream_ssjoin_sink")
+        .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
       q.awaitTermination()
-      s.table("graft_stream_ssjoin_sink").orderBy(col("view_id"), col("purchase_id"))
+      s2.table("graft_stream_ssjoin_sink").orderBy(col("view_id"), col("purchase_id"))
     }),
 
     // §2.10: STREAM-STATIC enrichment join — the remaining streaming join

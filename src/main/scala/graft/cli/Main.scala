@@ -64,10 +64,42 @@ object Main {
       // would all be "unknown" and land in the extra residue map)
       val codes = arg(args, "--codes").map(Sources.loadColumnCodes(spark, _))
         .getOrElse(drop.columns.map(c => c -> c).toMap)
+      // --audit-gate: the operational loop the events-ts incident
+      // motivates — each gated run persists the MAPPED drop schema as a
+      // sidecar and the next run refuses (diff printed) if its drop
+      // RETYPES a field relative to the previous drop, instead of
+      // discovering the drift as analysis errors mid-job. Added/removed
+      // fields pass (schema evolution is supported; silent retypes are
+      // not); comparing drop-vs-previous-drop, not drop-vs-lake, keeps
+      // the lake's own canonicalization casts out of the diff.
+      val gated = flag(args, "--audit-gate")
+      val gatePath = new org.apache.hadoop.fs.Path(lakePath + ".dropschema.json")
+      val gateFs = gatePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val mappedSchema = drop.select(drop.columns.map(c =>
+        col(s"`$c`").as(codes.getOrElse(c, c))): _*).schema
+      if (gated && gateFs.exists(gatePath)) {
+        val in = gateFs.open(gatePath)
+        val prevJson = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        val prev = org.apache.spark.sql.types.DataType.fromJson(prevJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val drift = graft.lake.SchemaAudit.diff(spark, prev, mappedSchema)
+          .filter(col("change") === "retyped").orderBy(col("field")).collect()
+        if (drift.nonEmpty) {
+          drift.foreach(r => println(s"[cli] audit-gate RETYPED ${r.getString(0)}: " +
+            s"${r.getString(2)} -> ${r.getString(3)}"))
+          sys.error(s"ingest refused by --audit-gate: ${drift.length} retyped field(s) " +
+            "vs the previous drop; fix the drop or rerun without --audit-gate to force")
+        }
+      }
       IngestJob.run(spark, lake, drop, codes,
         arg(args, "--natural-id").getOrElse("id"),
         arg(args, "--updated").getOrElse("updated"),
         arg(args, "--group").map(_.toInt).getOrElse(0))
+      if (gated) {
+        val out = gateFs.create(gatePath, true)
+        try out.write(mappedSchema.json.getBytes("UTF-8")) finally out.close()
+      }
       // incremental lands fragment touched buckets one file at a time;
       // --compact folds the housekeeping into the same run (threshold
       // semantics as 'cli compact', so steady-state runs rewrite nothing)

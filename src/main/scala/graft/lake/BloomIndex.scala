@@ -141,23 +141,26 @@ object BloomIndex {
     (keptN, freshFiles.size.toLong)
   }
 
-  /** Current data files (qualified URI -> length), the same enumeration
-    * spark's scan uses (underscore/dot files skipped, recursive over
-    * partition dirs).
+  /** Current data files (qualified URI -> length), resolved through
+    * Spark's OWN file index — the exact enumeration the scan planner
+    * performs (underscore/dot files skipped, partition dirs recursed),
+    * including its parallel/distributed listing above
+    * `spark.sql.sources.parallelPartitionDiscovery.threshold`. No
+    * hand-rolled driver `listStatus` recursion: bloom maintenance lists
+    * nothing a plain read of the table wouldn't. (The zero-listing tier
+    * is the snapshot variant below, where the file list comes from
+    * manifests; for plain LakeTables a listing is irreducible — there
+    * is no transactional manifest to trust, and a stale one would make
+    * lookups silently skip files.)
     */
   private def fileLengths(spark: SparkSession, path: String): Map[String, Long] = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = scala.collection.mutable.Map[String, Long]()
-    def walk(p: org.apache.hadoop.fs.Path): Unit =
-      fs.listStatus(p).foreach { s =>
-        val n = s.getPath.getName
-        if (n.startsWith("_") || n.startsWith(".")) ()
-        else if (s.isDirectory) walk(s.getPath)
-        else out(fs.makeQualified(s.getPath).toUri.toString) = s.getLen
-      }
-    walk(root)
-    out.toMap
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    spark.read.parquet(path).queryExecution.analyzed.collectFirst {
+      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+        lr.relation.asInstanceOf[HadoopFsRelation].location.listFiles(Nil, Nil)
+          .flatMap(_.files).map(f => f.getPath.toUri.toString -> f.getLen).toMap
+    }.getOrElse(throw new IllegalStateException(
+      s"parquet scan at $path did not expose a file index"))
   }
 
   /** Point lookup: rows of the table whose `keyCol` is in `keys`,

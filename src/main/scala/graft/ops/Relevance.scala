@@ -32,6 +32,15 @@ object Relevance {
   def bm25(docs: DataFrame, idCol: String, textCol: String, terms: Seq[String],
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty && terms.distinct == terms, "terms must be non-empty and distinct")
+    // the fixed-order sum pivots ONE agg column per term — right for
+    // probe-sized queries, O(terms) in plan width: a thousand-term
+    // query would want a sort_array-of-(term_index, contrib) fold
+    // instead of a thousand-column pivot, so fail loudly before
+    // handing the planner a pathological projection
+    require(terms.length <= 64,
+      s"bm25 pivots one aggregate column per term (fixed-order summation); " +
+        s"got ${terms.length} terms, max 64 — for large term sets fold a " +
+        s"sort_array of (term_index, contribution) pairs instead")
     val toks = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
     val dl = toks.select(col(idCol), size(col("__toks")).cast("long").as("__dl"))
     val stats = dl.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__sumdl"))

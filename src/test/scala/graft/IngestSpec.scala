@@ -122,6 +122,33 @@ class IngestSpec extends AnyFunSuite {
     assert(sum.filter(col("status") === "(all)").collect().head.getAs[Long]("n") == 2L)
   }
 
+  test("cli.Main: --audit-gate refuses a retyped drop, diff printed") {
+    val tmp = java.nio.file.Files.createTempDirectory("cli_gate").toString
+    val drop1 = tmp + "/drop1.parquet"
+    Seq(("url/a", "2024-01-01 10:00:00", 10L))
+      .toDF("id", "updated", "amount").write.parquet(drop1)
+    graft.cli.Main.run(spark, "ingest",
+      Array("--in", drop1, "--lake", tmp + "/lake", "--audit-gate"))
+    assert(spark.read.parquet(tmp + "/lake").count() == 1)
+
+    // drop 2 retypes amount bigint -> double: refused, lake untouched
+    val drop2 = tmp + "/drop2.parquet"
+    Seq(("url/b", "2024-01-02 10:00:00", 11.5))
+      .toDF("id", "updated", "amount").write.parquet(drop2)
+    val e = intercept[RuntimeException](graft.cli.Main.run(spark, "ingest",
+      Array("--in", drop2, "--lake", tmp + "/lake", "--audit-gate")))
+    assert(e.getMessage.contains("audit-gate"))
+    assert(spark.read.parquet(tmp + "/lake").count() == 1, "refused run must not land")
+
+    // same-typed and added-column drops pass the gate
+    val drop3 = tmp + "/drop3.parquet"
+    Seq(("url/c", "2024-01-03 10:00:00", 12L, "new"))
+      .toDF("id", "updated", "amount", "note").write.parquet(drop3)
+    graft.cli.Main.run(spark, "ingest",
+      Array("--in", drop3, "--lake", tmp + "/lake", "--audit-gate"))
+    assert(spark.read.parquet(tmp + "/lake").count() == 2)
+  }
+
   test("cli.Main: cluster + index operate a lake end-to-end") {
     val tmp = java.nio.file.Files.createTempDirectory("cli-idx").toString
     spark.range(5000).select(

@@ -37,4 +37,13 @@ class RelevanceSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(a == b, "bit-identical scores across physical layouts")
   }
+
+  test("bm25: plan-width guard refuses pathological term counts") {
+    val many = (0 until 65).map(i => s"t$i")
+    val e = intercept[IllegalArgumentException](
+      Relevance.bm25(docs, "doc_id", "text", many))
+    assert(e.getMessage.contains("max 64"))
+    // 64 terms is still accepted (plan builds without throwing)
+    Relevance.bm25(docs, "doc_id", "text", (0 until 64).map(i => s"t$i")).schema
+  }
 }
