@@ -165,23 +165,54 @@ object Main {
         targetFileBytes = arg(args, "--target-bytes").map(_.toLong).getOrElse(128L << 20))
       println(s"[cli] cluster: rewrote into $n files z-ordered by ${cols.mkString(",")}")
     case "index" =>
-      // bloom point-lookup sidecar: build / refresh / probe
+      // persisted index tiers: bloom point-lookup (default), minhash
+      // near-dup band index, IVF-SQ8 ANN lists — build / refresh / probe
       val lakePath = arg(args, "--lake").get
       val key = arg(args, "--key").getOrElse("_id")
-      val lake = LakeTable.layoutOf(spark, lakePath) match {
-        case Some((pc, nb)) => new LakeTable(spark, lakePath, key, pc, nb)
-        case None => new LakeTable(spark, lakePath, key)
-      }
-      arg(args, "--get") match {
-        case Some(keys) =>
-          val (rows, opened) = lake.lookupKeys(keys.split(",").toSeq)
-          rows.show(100, truncate = false)
-          println(s"[cli] index lookup: opened $opened files")
-        case None =>
+      arg(args, "--kind").getOrElse("bloom") match {
+        case "bloom" =>
+          val lake = LakeTable.layoutOf(spark, lakePath) match {
+            case Some((pc, nb)) => new LakeTable(spark, lakePath, key, pc, nb)
+            case None => new LakeTable(spark, lakePath, key)
+          }
+          arg(args, "--get") match {
+            case Some(keys) =>
+              val (rows, opened) = lake.lookupKeys(keys.split(",").toSeq)
+              rows.show(100, truncate = false)
+              println(s"[cli] index lookup: opened $opened files")
+            case None =>
+              if (flag(args, "--refresh")) {
+                val (kept, rebuilt) = lake.refreshBloomIndex()
+                println(s"[cli] index refresh: kept $kept, re-bloomed $rebuilt files")
+              } else println(s"[cli] index build: ${lake.buildBloomIndex()} files indexed")
+          }
+        case "minhash" =>
+          // churn-refreshed LSH band index over any parquet corpus
+          val docs = spark.read.parquet(lakePath)
+          val idx = arg(args, "--path").getOrElse(lakePath + ".bandidx")
+          val id = arg(args, "--key").getOrElse("doc_id")
+          val text = arg(args, "--text").getOrElse("text")
+          if (flag(args, "--pairs"))
+            println(s"[cli] index pairs: ${graft.ops.DedupIndex.candidatePairs(spark, idx).count()} candidate near-dup pairs")
+          else if (flag(args, "--refresh")) {
+            val (kept, signed) = graft.ops.DedupIndex.refresh(docs, id, text, idx)
+            println(s"[cli] index refresh: carried $kept docs, signed $signed (churn)")
+          } else println(s"[cli] index build: ${graft.ops.DedupIndex.build(docs, id, text, idx)} docs signed")
+        case "ivf" =>
+          // churn-refreshed IVF-SQ8 inverted lists over an embedding corpus
+          val emb = spark.read.parquet(lakePath)
+          val idx = arg(args, "--path").getOrElse(lakePath + ".ivfidx")
+          val id = arg(args, "--key").getOrElse("vec_id")
+          val vec = arg(args, "--vec").getOrElse("embedding")
           if (flag(args, "--refresh")) {
-            val (kept, rebuilt) = lake.refreshBloomIndex()
-            println(s"[cli] index refresh: kept $kept, re-bloomed $rebuilt files")
-          } else println(s"[cli] index build: ${lake.buildBloomIndex()} files indexed")
+            val (kept, signed) = graft.ops.SimilarityIndex.refresh(emb, id, vec, idx)
+            println(s"[cli] index refresh: carried $kept rows, quantized $signed (churn)")
+          } else {
+            val n = graft.ops.SimilarityIndex.build(emb, id, vec, idx,
+              arg(args, "--nlist").map(_.toInt).getOrElse(64))
+            println(s"[cli] index build: $n vectors listed")
+          }
+        case other => println(s"index --kind bloom|minhash|ivf (got '$other')")
       }
     case "repair" =>
       // chain maintenance (ref checking/check_versions_completness.py):

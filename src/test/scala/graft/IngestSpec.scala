@@ -166,6 +166,29 @@ class IngestSpec extends AnyFunSuite {
     graft.cli.Main.run(spark, "index", Array("--lake", tmp + "/lake", "--get", "k42"))
   }
 
+  test("cli.Main: index --kind minhash|ivf operate the persisted probe tiers") {
+    val tmp = java.nio.file.Files.createTempDirectory("cli-idx2").toString
+    Seq((1L, "the quick brown fox jumps over the dog"),
+        (2L, "the quick brown fox jumps over the cat"),
+        (3L, "something else entirely different here"))
+      .toDF("doc_id", "text").write.parquet(tmp + "/docs")
+    graft.cli.Main.run(spark, "index",
+      Array("--kind", "minhash", "--lake", tmp + "/docs"))
+    assert(spark.read.parquet(tmp + "/docs.bandidx").select("doc").distinct().count() == 3)
+    graft.cli.Main.run(spark, "index",
+      Array("--kind", "minhash", "--lake", tmp + "/docs", "--refresh"))
+    graft.cli.Main.run(spark, "index",
+      Array("--kind", "minhash", "--lake", tmp + "/docs", "--pairs"))
+
+    Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)), (3L, Seq(1f, 1f)))
+      .toDF("vec_id", "embedding").write.parquet(tmp + "/emb")
+    graft.cli.Main.run(spark, "index",
+      Array("--kind", "ivf", "--lake", tmp + "/emb", "--nlist", "2"))
+    assert(spark.read.parquet(tmp + "/emb.ivfidx/lists").count() == 3)
+    graft.cli.Main.run(spark, "index",
+      Array("--kind", "ivf", "--lake", tmp + "/emb", "--refresh"))
+  }
+
   test("cli.Main: curate lands a deduped, decontaminated, packed, shard-partitioned corpus") {
     val tmp = java.nio.file.Files.createTempDirectory("cli-curate").toString
     // two near-identical docs (one survives), one eval-contaminated doc,
