@@ -97,6 +97,40 @@ object DedupIndex {
     (keptDocs, signedDocs)
   }
 
+  /** Delta UPSERT — the streaming / foreachBatch form of [[refresh]]:
+    * add or replace exactly the batch's documents, leaving every other
+    * document's rows untouched (no drop semantics — deletions are a
+    * corpus-level `refresh` decision, not a micro-batch one). A
+    * re-delivered unchanged document (same fingerprint) keeps its rows
+    * verbatim, so replaying a feed never re-signs the steady state.
+    * Returns (carriedBatchDocs, signedBatchDocs).
+    */
+  def upsert(batch: DataFrame, idCol: String, textCol: String, path: String,
+             bands: Int = 4, rowsPerBand: Int = 2): (Long, Long) = {
+    val spark = batch.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return (0L, build(batch, idCol, textCol, path, bands, rowsPerBand))
+    val old = spark.read.parquet(path)
+    val curFp = batch.select(col(idCol).as("doc"), md5(col(textCol)).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // rows of documents outside this batch: untouched
+    val others = old.join(curFp.select(col("doc")), Seq("doc"), "left_anti")
+    // batch docs re-delivered unchanged: rows verbatim
+    val keptBatch = old.join(curFp, Seq("doc", "fp"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val oldFp = old.select(col("doc").as("__odoc"), col("fp").as("__ofp")).distinct()
+    val fresh = batch.join(oldFp,
+      batch(idCol) === col("__odoc") && md5(batch(textCol)) === col("__ofp"), "left_anti")
+    val freshRows = bandRows(fresh, idCol, textCol, bands, rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keptDocs = keptBatch.select("doc").distinct().count()
+    val signedDocs = freshRows.select("doc").distinct().count()
+    land(spark, path, others.unionByName(keptBatch).unionByName(freshRows))
+    curFp.unpersist(); keptBatch.unpersist(); freshRows.unpersist()
+    (keptDocs, signedDocs)
+  }
+
   /** LSH candidate pairs (a, b), a < b, from the PERSISTED index — no
     * shingling or signing at query time; one equi-join on (band, key).
     * Identical result to the from-scratch candidates over the corpus the

@@ -33,14 +33,46 @@ object Relevance {
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty && terms.distinct == terms, "terms must be non-empty and distinct")
     // the fixed-order sum pivots ONE agg column per term — right for
-    // probe-sized queries, O(terms) in plan width: a thousand-term
-    // query would want a sort_array-of-(term_index, contrib) fold
-    // instead of a thousand-column pivot, so fail loudly before
-    // handing the planner a pathological projection
+    // probe-sized queries, O(terms) in plan width: large term sets go
+    // through [[bm25Fold]] (same scores bit-for-bit, constant-width plan)
     require(terms.length <= 64,
       s"bm25 pivots one aggregate column per term (fixed-order summation); " +
-        s"got ${terms.length} terms, max 64 — for large term sets fold a " +
-        s"sort_array of (term_index, contribution) pairs instead")
+        s"got ${terms.length} terms, max 64 — use bm25Fold for large term sets")
+    val pivoted = contributions(docs, idCol, textCol, terms, k1, b)
+      .groupBy(col(idCol)).agg(
+        max(when(col("__tok") === terms.head, col("__c"))).as(s"__c_0"),
+        terms.tail.zipWithIndex.map { case (t, i) =>
+          max(when(col("__tok") === t, col("__c"))).as(s"__c_${i + 1}")
+        }: _*)
+    val score = terms.indices.map(i => coalesce(col(s"__c_$i"), lit(0.0)))
+      .reduceLeft[Column](_ + _)
+    pivoted.select(col(idCol), score.as("score"))
+  }
+
+  /** BM25 with a CONSTANT-WIDTH plan for large term sets: the per-term
+    * contributions collect as (term index, contribution) pairs, sort by
+    * term index, and fold left-associated — the same reduction order as
+    * the pivot (adding 0.0 for an absent term is the IEEE identity), so
+    * scores match [[bm25]] bit-for-bit while plan width stays O(1) in
+    * the term count.
+    */
+  def bm25Fold(docs: DataFrame, idCol: String, textCol: String, terms: Seq[String],
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms, "terms must be non-empty and distinct")
+    val termIdx = array_position(array(terms.map(lit): _*), col("__tok"))
+    contributions(docs, idCol, textCol, terms, k1, b)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(termIdx.as("i"), col("__c").as("c")))).as("__cs"))
+      .select(col(idCol),
+        aggregate(col("__cs"), lit(0.0), (acc, s) => acc + s.getField("c")).as("score"))
+  }
+
+  /** The shared BM25 core: one row per (doc, matched term) with the
+    * idf * tf-saturation contribution `__c` — everything past the
+    * `tok IN terms` filter is posting-list-sized.
+    */
+  private def contributions(docs: DataFrame, idCol: String, textCol: String,
+                            terms: Seq[String], k1: Double, b: Double): DataFrame = {
     val toks = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
     val dl = toks.select(col(idCol), size(col("__toks")).cast("long").as("__dl"))
     val stats = dl.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__sumdl"))
@@ -57,19 +89,9 @@ object Relevance {
     val tfw = (col("__tf").cast("double") * (lit(k1) + lit(1.0))) /
       (col("__tf").cast("double") +
         lit(k1) * ((lit(1.0) - lit(b)) + lit(b) * (col("__dl").cast("double") / avgdl)))
-    val contrib = tf.join(broadcast(dfreq), "__tok")
+    tf.join(broadcast(dfreq), "__tok")
       .join(dl, idCol)
       .crossJoin(broadcast(stats))
       .withColumn("__c", idf * tfw)
-    // fixed-order left-associated sum over the pivoted terms: a plain
-    // sum() would accumulate in partition order and drift in the last ulp
-    val pivoted = contrib.groupBy(col(idCol)).agg(
-      max(when(col("__tok") === terms.head, col("__c"))).as(s"__c_0"),
-      terms.tail.zipWithIndex.map { case (t, i) =>
-        max(when(col("__tok") === t, col("__c"))).as(s"__c_${i + 1}")
-      }: _*)
-    val score = terms.indices.map(i => coalesce(col(s"__c_$i"), lit(0.0)))
-      .reduceLeft[Column](_ + _)
-    pivoted.select(col(idCol), score.as("score"))
   }
 }

@@ -115,6 +115,20 @@ object EventStreams {
       if (!batch.isEmpty) lake.upsert(batch)
     }
 
+  /** STREAMING INDEX MAINTENANCE: each micro-batch of documents upserts
+    * the persisted MinHash band index ([[graft.ops.DedupIndex.upsert]])
+    * — new/changed docs are signed, re-delivered unchanged docs carry
+    * verbatim, documents outside the batch are untouched. A replayed
+    * document feed converges to exactly the index a from-scratch build
+    * over the final corpus produces, so near-dup candidate serving stays
+    * warm while drops stream in. Checkpointable like its sink siblings.
+    */
+  def dedupIndexSink(idxPath: String, idCol: String, textCol: String)(
+      docs: DataFrame): DataStreamWriter[org.apache.spark.sql.Row] =
+    upsertSink(docs) { (batch, _) =>
+      if (!batch.isEmpty) graft.ops.DedupIndex.upsert(batch, idCol, textCol, idxPath)
+    }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(lastTs: Long, sessionId: Long, curStart: Long, curN: Long)

@@ -64,6 +64,56 @@ class DedupIndexSpec extends AnyFunSuite {
       "churned docs freshly signed")
   }
 
+  test("upsert touches only the batch's docs; streaming feed converges to the batch build") {
+    val tmp = Files.createTempDirectory("graft_dedupidx3").toString
+    val idx = tmp + "/idx"
+    DedupIndex.build(corpus(base: _*), "doc_id", "text", idx)
+    // sentinel every row, then upsert a batch of {1 re-delivered
+    // unchanged, 2 changed, 6 new}: only 2 and 6 may lose the sentinel
+    val tampered = spark.read.parquet(idx)
+      .withColumn("key", concat(lit("SENTINEL#"), col("key")))
+    tampered.write.mode("overwrite").parquet(tmp + "/t")
+    spark.read.parquet(tmp + "/t").write.mode("overwrite").parquet(idx)
+    val batch = corpus(
+      1L -> "the quick brown fox jumps over the lazy dog", // unchanged
+      2L -> "the quick brown fox naps under the lazy dog", // changed
+      6L -> "the quick brown fox jumps over the lazy dogs") // new
+    val (kept, signed) = DedupIndex.upsert(batch, "doc_id", "text", idx)
+    assert(kept == 1 && signed == 2)
+    val after = spark.read.parquet(idx).filter(col("band") >= 0).select("doc", "key")
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1))).toMap
+    assert(Seq(1L, 3L, 4L).forall(d => after(d).forall(_.startsWith("SENTINEL#"))),
+      "docs outside the batch AND re-delivered unchanged docs carry verbatim")
+    assert(Seq(2L, 6L).forall(d => after(d).forall(k => !k.startsWith("SENTINEL#"))))
+    assert(spark.read.parquet(idx).filter(col("doc") === 5L).count() == 1,
+      "shingle-less doc outside the batch untouched (no drop semantics)")
+
+    // streaming maintenance: a 3-batch document feed through the sink
+    // converges to exactly the from-scratch index over the final corpus
+    val tmp2 = Files.createTempDirectory("graft_dedupidx4").toString
+    val feed = tmp2 + "/feed"
+    val idx2 = tmp2 + "/idx"
+    val all = base ++ Seq(6L -> "the quick brown fox jumps over the lazy dogs")
+    all.grouped(2).zipWithIndex.foreach { case (docs, i) =>
+      corpus(docs: _*).coalesce(1).write.parquet(s"$feed/b$i")
+    }
+    val stream = spark.readStream
+      .schema(corpus(base.head).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$feed/*")
+    val q = graft.streaming.EventStreams.dedupIndexSink(idx2, "doc_id", "text")(stream)
+      .option("checkpointLocation", tmp2 + "/ckpt")
+      .start()
+    q.awaitTermination()
+    val got = DedupIndex.candidatePairs(spark, idx2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val idx3 = tmp2 + "/scratch"
+    DedupIndex.build(corpus(all: _*), "doc_id", "text", idx3)
+    val want = DedupIndex.candidatePairs(spark, idx3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("candidate pairs from the index == from-scratch recompute") {
     val tmp = Files.createTempDirectory("graft_dedupidx2").toString
     val idx = tmp + "/idx"

@@ -46,4 +46,21 @@ class RelevanceSpec extends AnyFunSuite {
     // 64 terms is still accepted (plan builds without throwing)
     Relevance.bm25(docs, "doc_id", "text", (0 until 64).map(i => s"t$i")).schema
   }
+
+  test("bm25Fold: bit-identical to the pivot, constant plan width at any term count") {
+    val terms = Seq("spark", "vector", "the")
+    val pivot = Relevance.bm25(docs, "doc_id", "text", terms)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val fold = Relevance.bm25Fold(docs, "doc_id", "text", terms)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pivot == fold, "same reduction order -> same doubles bit-for-bit")
+    // beyond the pivot's width guard: 200 terms plan and run fine
+    val many = (0 until 200).map(i => s"t$i") :+ "spark"
+    val wide = Relevance.bm25Fold(docs, "doc_id", "text", many)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // only 'spark' matches, so scores equal the single-term query's
+    val single = Relevance.bm25(docs, "doc_id", "text", Seq("spark"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(wide == single)
+  }
 }
