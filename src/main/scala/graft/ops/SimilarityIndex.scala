@@ -90,6 +90,36 @@ object SimilarityIndex {
     (keptN, signedN)
   }
 
+  /** Delta UPSERT — the streaming / foreachBatch form of [[refresh]]:
+    * add or replace exactly the batch's vectors under the PINNED
+    * codebook, leaving every other vector's list row untouched (no drop
+    * semantics). Re-delivered unchanged vectors carry verbatim. Requires
+    * a built index (the codebook must exist — a micro-batch is not a
+    * corpus to train on). Returns (carriedBatchRows, signedBatchRows).
+    */
+  def upsert(batch: DataFrame, idCol: String, vecCol: String, path: String)
+      : (Long, Long) = {
+    val spark = batch.sparkSession
+    val cents = loadCentroids(spark, path)
+    val old = spark.read.parquet(listsPath(path))
+    val curFp = batch.select(col(idCol).as("cid"), vecFp(col(vecCol)).as("vfp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val others = old.join(curFp.select(col("cid")), Seq("cid"), "left_anti")
+    val keptBatch = old.join(curFp, Seq("cid", "vfp"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val oldFp = old.select(col("cid").as("__ocid"), col("vfp").as("__ofp")).distinct()
+    val fresh = batch.join(oldFp,
+      batch(idCol) === col("__ocid") && vecFp(batch(vecCol)) === col("__ofp"), "left_anti")
+    val freshRows = Similarity.int8Lists(fresh, idCol, vecCol, cents,
+        extraCols = Seq(vecFp(col(vecCol)).as("vfp")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keptN = keptBatch.count()
+    val signedN = freshRows.count()
+    land(spark, listsPath(path), others.unionByName(keptBatch).unionByName(freshRows))
+    curFp.unpersist(); keptBatch.unpersist(); freshRows.unpersist()
+    (keptN, signedN)
+  }
+
   /** IVF-SQ8 top-k served FROM the persisted index: same result as the
     * recompute form under the same codebook; zero quantization or cell
     * assignment of corpus vectors at probe time.

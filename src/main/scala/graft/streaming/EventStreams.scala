@@ -129,6 +129,18 @@ object EventStreams {
       if (!batch.isEmpty) graft.ops.DedupIndex.upsert(batch, idCol, textCol, idxPath)
     }
 
+  /** The ANN twin of [[dedupIndexSink]]: each micro-batch of embedding
+    * rows upserts the persisted IVF-SQ8 lists under the pinned codebook
+    * ([[graft.ops.SimilarityIndex.upsert]]). The index must be BUILT
+    * before the stream starts — a micro-batch is not a corpus to train a
+    * codebook on.
+    */
+  def simIndexSink(idxPath: String, idCol: String, vecCol: String)(
+      vectors: DataFrame): DataStreamWriter[org.apache.spark.sql.Row] =
+    upsertSink(vectors) { (batch, _) =>
+      if (!batch.isEmpty) graft.ops.SimilarityIndex.upsert(batch, idCol, vecCol, idxPath)
+    }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(lastTs: Long, sessionId: Long, curStart: Long, curN: Long)

@@ -49,6 +49,48 @@ class SimilarityIndexSpec extends AnyFunSuite {
       "a probe must serve the persisted lists, not rebuild them from the corpus")
   }
 
+  test("upsert touches only the batch; streaming feed converges to the build") {
+    val tmp = Files.createTempDirectory("graft_ivfidx3").toString
+    val idx = tmp + "/ivf"
+    SimilarityIndex.build(corpus(0L to 19L: _*), "vec_id", "embedding", idx, nList = 4)
+    val tampered = spark.read.parquet(idx + "/lists").withColumn("lo", lit(-777.0))
+    tampered.write.mode("overwrite").parquet(tmp + "/t")
+    spark.read.parquet(tmp + "/t").write.mode("overwrite").parquet(idx + "/lists")
+    // batch: id 1 re-delivered unchanged, id 2 re-vectored, id 20 new
+    val batch = corpus(1L).unionByName(
+      Seq((2L, vec(200)), (20L, vec(20))).toDF("vec_id", "embedding"))
+    val (kept, signed) = SimilarityIndex.upsert(batch, "vec_id", "embedding", idx)
+    assert(kept == 1 && signed == 2)
+    val lists = spark.read.parquet(idx + "/lists")
+    assert(lists.filter(col("cid").isin(2L, 20L) && col("lo") === -777.0).count() == 0)
+    assert(lists.filter(!col("cid").isin(2L, 20L) && col("lo") =!= -777.0).count() == 0,
+      "out-of-batch and unchanged rows carry verbatim")
+
+    // streaming replay == from-scratch build over the final corpus
+    val tmp2 = Files.createTempDirectory("graft_ivfidx4").toString
+    val feed = tmp2 + "/feed"
+    val idx2 = tmp2 + "/ivf"
+    val all = (0L to 20L).map(i => (i, vec(i.toInt)))
+    SimilarityIndex.build(corpus(0L to 19L: _*), "vec_id", "embedding", idx2, nList = 4)
+    all.grouped(7).zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("vec_id", "embedding").coalesce(1).write.parquet(s"$feed/b$i")
+    }
+    val stream = spark.readStream.schema(corpus(0L).schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$feed/*")
+    val q = graft.streaming.EventStreams.simIndexSink(idx2, "vec_id", "embedding")(stream)
+      .option("checkpointLocation", tmp2 + "/ckpt").start()
+    q.awaitTermination()
+    val full = all.toDF("vec_id", "embedding")
+    val queries = full.filter(col("vec_id") % 10 === 0)
+    val got = SimilarityIndex.topKInt8(full, queries, "vec_id", "embedding", idx2, 3, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Similarity.ivfTopKInt8With(
+        Similarity.ivfCentroids(corpus(0L to 19L: _*), "vec_id", "embedding", 4),
+        full, queries, "vec_id", "embedding", 3, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("refresh signs only churn under the pinned codebook") {
     val tmp = Files.createTempDirectory("graft_ivfidx2").toString
     val idx = tmp + "/ivf"
