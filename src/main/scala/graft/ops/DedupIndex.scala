@@ -145,6 +145,28 @@ object DedupIndex {
       .distinct()
   }
 
+  /** Candidate pairs INVOLVING the given documents — the monthly-drop
+    * working set: after `refresh`/`upsert` lands a drop, dedup decisions
+    * need the pairs where at least one side is in the drop, not the
+    * corpus's full O(collisions) pair set. One semi-join restricts the
+    * left side to the drop's band rows, then the usual band equi-join
+    * against the whole index; (a, b) normalized by least/greatest so a
+    * drop doc on either side of the id order is found. Output scales
+    * with the DROP's band collisions.
+    */
+  def candidatePairsInvolving(spark: SparkSession, path: String,
+                              docs: DataFrame, docCol: String): DataFrame = {
+    val banded = spark.read.parquet(path).filter(col("band") >= 0)
+    val target = docs.select(col(docCol).as("doc")).distinct()
+    val dropSide = banded.join(target, Seq("doc"), "left_semi")
+    dropSide.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc") =!= col("y.doc"))
+      .select(least(col("x.doc"), col("y.doc")).as("a"),
+        greatest(col("x.doc"), col("y.doc")).as("b"))
+      .distinct()
+  }
+
   /** Staged-swap landing (the bloom-sidecar posture): never a torn index. */
   private def land(spark: SparkSession, path: String, idx: DataFrame): Unit = {
     val dest = new org.apache.hadoop.fs.Path(path)

@@ -36,9 +36,15 @@ object SimilarityIndex {
   private def centsPath(path: String) = path + "/centroids"
   private def listsPath(path: String) = path + "/lists"
 
-  /** md5 fingerprint of a float vector (stable string form). */
-  private def vecFp(vec: org.apache.spark.sql.Column) =
-    md5(concat_ws(",", transform(vec, x => x.cast("string"))))
+  /** Vector change fingerprint: xxhash64 straight over the float array —
+    * no per-component string conversion (the earlier md5-of-joined-
+    * strings did 64 float->string formats per row; measured as a
+    * noticeable slice of refresh). A changed vector escaping re-signing
+    * needs an exact 64-bit collision (2^-64 per row) — the standard
+    * churn-detection tradeoff, negligible beside the SQ8 tier's own
+    * approximation envelope.
+    */
+  private def vecFp(vec: org.apache.spark.sql.Column) = xxhash64(vec)
 
   /** Build from scratch: seed codebook (deterministic, oracle-shared)
     * over `corpus`, then the full inverted lists. Returns indexed rows.

@@ -128,5 +128,12 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
     // and a shingle-less doc never pairs
     assert(!got.exists(p => p._1 == 5L || p._2 == 5L))
+
+    // the monthly-drop working set: pairs involving the drop == the full
+    // pair set filtered to rows touching a drop doc (either side)
+    val dropDocs = Seq(6L).toDF("doc_id")
+    val inv = DedupIndex.candidatePairsInvolving(spark, idx, dropDocs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inv == want.filter(p => p._1 == 6L || p._2 == 6L) && inv.nonEmpty)
   }
 }
