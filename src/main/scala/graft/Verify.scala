@@ -25,6 +25,11 @@ object Verify {
           s"${e.getClass.getName}: ${e.getMessage}\n")
       }
       spark.sharedState.cacheManager.clearCache()
+      // checkpoint-backed scratch queries (repair/bloom/snapshot/index
+      // tiers) leave localCheckpoint RDD blocks behind; free them NOW
+      // rather than waiting on the ContextCleaner so the dump's heap
+      // stays flat across 90+ queries (same hygiene as Bench)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       dropStreamSinks(spark)
     }
   }
