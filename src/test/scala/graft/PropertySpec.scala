@@ -217,6 +217,49 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("DedupIndex: any build+refresh/upsert history converges to the from-scratch index") {
+    import graft.ops.DedupIndex
+    // random corpora from a small word pool (collisions likely, which is
+    // what makes the band index non-trivial), random churn histories
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val docGen = Gen.listOf(wordGen).map(_.take(8).mkString(" "))
+    for (trial <- 0 until 3) {
+      val texts = samples(docGen, 12 + trial)
+      val v1 = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      // churn: rewrite every 3rd doc, drop every 5th, add two
+      val v2 = v1.collect {
+        case (i, t) if i % 5 != 4 => (i, if (i % 3 == 0) t + " omega" else t)
+      } ++ Seq((100L + trial, "omega alpha"), (101L + trial, "beta beta gamma"))
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_prop_didx$trial").toString
+      DedupIndex.build(v1.toDF("doc_id", "text"), "doc_id", "text", tmp + "/inc")
+      DedupIndex.refresh(v2.toDF("doc_id", "text"), "doc_id", "text", tmp + "/inc")
+      DedupIndex.build(v2.toDF("doc_id", "text"), "doc_id", "text", tmp + "/scratch")
+      def pairs(p: String) = DedupIndex.candidatePairs(spark, p)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs(tmp + "/inc") == pairs(tmp + "/scratch"),
+        s"trial $trial: incremental index must converge to the batch build")
+      // refresh is idempotent: a second identical refresh signs nothing
+      val (_, signed) = DedupIndex.refresh(v2.toDF("doc_id", "text"), "doc_id", "text", tmp + "/inc")
+      assert(signed == 0, s"trial $trial: no-op refresh must sign nothing")
+    }
+  }
+
+  test("bm25Fold equals the pivot bm25 bit-for-bit on random corpora and term sets") {
+    import graft.ops.Relevance
+    val wordGen = Gen.oneOf("spark", "data", "lake", "fox", "dog", "xyz", "qq")
+    val docGen = Gen.nonEmptyListOf(wordGen).map(_.take(12).mkString(" "))
+    for (trial <- 0 until 3) {
+      val docs = samples(docGen, 16 + trial).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val terms = Seq("spark", "lake", "dog", "absent")
+      val a = Relevance.bm25(docs, "doc_id", "text", terms)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val b = Relevance.bm25Fold(docs, "doc_id", "text", terms)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(a == b, s"trial $trial: fold and pivot must agree bit-for-bit")
+    }
+  }
+
   test("chunkTokens at step==window partitions the token stream losslessly") {
     import graft.ops.TextAnalysis
     val wordGen = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.take(6).mkString)
