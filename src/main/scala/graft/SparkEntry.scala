@@ -751,6 +751,107 @@ object SparkEntry {
         .orderBy(col("p_partkey"))
     }),
 
+    // Beyond-reference incremental-summary tier (the churn-proportional
+    // twin of q_summary_grouping_sets / calc_summary.py:53-80): three
+    // "monthly drops" each land ONE aggregate-sized partial segment, the
+    // first two fold via compact, and serve merges segments — the raw
+    // rows of a landed drop are never rescanned. Result must hash-match
+    // the one-shot GROUP BY oracle over the whole table.
+    "q_summary_incremental" -> ((s, dir) => {
+      import graft.lake.MaterializedAgg
+      val orders = t(s, dir, "orders")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_matagg_q").toString
+      val sumPath = tmp + "/summary"
+      val spec = MaterializedAgg.Spec(
+        dims = Seq("o_orderstatus", "o_orderpriority"),
+        sums = Seq("sum_cents" -> cents(col("o_totalprice"))),
+        mins = Seq("min_orderkey" -> col("o_orderkey")),
+        maxs = Seq("max_orderkey" -> col("o_orderkey")))
+      (0 to 1).foreach { d =>
+        MaterializedAgg.landDrop(
+          orders.filter(pmod(col("o_orderkey"), lit(3)) === d), spec, sumPath, s"drop$d")
+      }
+      MaterializedAgg.compact(s, sumPath, spec, "base")
+      // a late drop lands AFTER compaction — the segment merge must fold
+      // it in without touching the compacted history
+      MaterializedAgg.landDrop(
+        orders.filter(pmod(col("o_orderkey"), lit(3)) === 2), spec, sumPath, "drop2")
+      val out = MaterializedAgg.serve(s, sumPath, spec)
+        .select(col("o_orderstatus"), col("o_orderpriority"), col("n"),
+          (col("sum_cents").cast("double") / 100.0).as("total_price"),
+          col("min_orderkey"), col("max_orderkey"))
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+        .localCheckpoint(true) // the scratch summary is deleted next
+      new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      out
+    }),
+
+    // Beyond-reference incremental-cardinality tier, exact form: each
+    // drop lands its distinct (dims, key) pairs; distinct is idempotent
+    // under union, so the merged segments re-distinct to the corpus
+    // cardinality without ever rescanning a landed drop
+    "q_distinct_incremental" -> ((s, dir) => {
+      import graft.ops.Sketches
+      val orders = t(s, dir, "orders")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dsk_q").toString
+      val path = tmp + "/distinct"
+      (0 to 2).foreach { d =>
+        Sketches.landDistinctDrop(
+          orders.filter(pmod(col("o_orderkey"), lit(3)) === d),
+          Seq("o_orderstatus"), "o_custkey", path, s"drop$d")
+      }
+      val out = Sketches.serveDistinct(s, path, Seq("o_orderstatus"), "o_custkey")
+        .orderBy(col("o_orderstatus"))
+        .localCheckpoint(true) // the scratch segments are deleted next
+      new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      out
+    }),
+
+    // Sublinear form: per-drop Datasketches HLL sketches (KBs per group
+    // at ANY drop size), merged losslessly at serve. The driver-checked
+    // contract is the bound, not the estimate: n_exact must match the
+    // oracle's COUNT(DISTINCT) and the merged estimate must sit within
+    // 2% of it (the lgK=14 envelope is ~0.8%) — if the sketch tier ever
+    // drifts out of tolerance this query goes red
+    "q_approx_distinct_bound" -> ((s, dir) => {
+      import graft.ops.Sketches
+      val orders = t(s, dir, "orders")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_hll_q").toString
+      val path = tmp + "/hll"
+      (0 to 2).foreach { d =>
+        Sketches.landHllDrop(
+          orders.filter(pmod(col("o_orderkey"), lit(3)) === d),
+          Seq("o_orderpriority"), "o_custkey", path, s"drop$d")
+      }
+      val est = Sketches.serveHllEstimate(s, path, Seq("o_orderpriority"))
+      val exact = orders.groupBy(col("o_orderpriority"))
+        .agg(count_distinct(col("o_custkey")).as("n_exact"))
+      val out = exact.join(est, "o_orderpriority")
+        .select(col("o_orderpriority"), col("n_exact"),
+          Sketches.withinRelError(col("n_estimate"), col("n_exact"), 0.02)
+            .as("within_2pct"))
+        .orderBy(col("o_orderpriority"))
+        .localCheckpoint(true) // the scratch sketches are deleted next
+      new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      out
+    }),
+
+    // Beyond-reference data-quality tier: one-pass column profiler
+    // (rows/nulls/exact-distinct/min/max per column in a single wide
+    // aggregate + stack unpivot — no per-column rescans)
+    "q_profile_orders" -> ((s, dir) => {
+      graft.ops.Profiler.profile(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+          "o_orderdate"))
+        .orderBy(col("col_name"))
+    }),
+
     // F7-shape: JSON field extraction + agg
     "q_events_json_extract" -> ((s, dir) => {
       t(s, dir, "events")  // props only — no ts needed
@@ -817,6 +918,36 @@ object SparkEntry {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY dim_status, dim_priority""".stripMargin,
+
+    "q_distinct_incremental" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_distinct
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_approx_distinct_bound" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_exact,
+        |       true AS within_2pct
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_profile_orders" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority", "o_orderdate")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |       count(*) - count($c) AS n_null,
+           |       count(DISTINCT $c) AS n_distinct,
+           |       CAST(min($c) AS VARCHAR) AS min_value,
+           |       CAST(max($c) AS VARCHAR) AS max_value
+           |FROM orders""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+
+    "q_summary_incremental" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price,
+        |       min(o_orderkey) AS min_orderkey, max(o_orderkey) AS max_orderkey
+        |FROM orders
+        |GROUP BY o_orderstatus, o_orderpriority
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
 
     "q_customers_no_orders" ->
       """SELECT c_custkey, c_name FROM customer

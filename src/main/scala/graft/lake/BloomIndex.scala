@@ -137,8 +137,11 @@ object BloomIndex {
         .join(live.toSeq.toDF("file", "len"), "file")
         .select(col("file"), col("bloom"), col("nkeys"), col("len"))
     val keptN = kept.count()
+    // count the REBUILT frame, not freshFiles: if the lens join ever
+    // dropped a file on a URI-form mismatch, the metric must say so
+    val rebuiltN = rebuilt.count()
     landIndex(spark, sidecar(path), kept.unionByName(rebuilt))
-    (keptN, freshFiles.size.toLong)
+    (keptN, rebuiltN)
   }
 
   /** Current data files (qualified URI -> length), resolved through

@@ -1,0 +1,118 @@
+package graft.lake
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental materialized aggregate — per-drop partial-aggregate
+  * segments, merged at read.
+  *
+  * The reference recomputes its corpus summary from scratch on every run
+  * (calc_summary.py:53-80 — one full pass over the collection each
+  * invocation), which is the right shape for a small lake and O(corpus)
+  * at 100 TB. The decomposable-aggregate identity (count/sum/min/max
+  * distribute over disjoint partitions; avg = sum/count at serve) makes
+  * summaries churn-proportional instead: each monthly drop lands ONE
+  * aggregate-sized partial segment, and serving merges segments — a read
+  * of aggregate-sized data, never a rescan of raw history. This is the
+  * aggregate twin of the sidecar-index pattern
+  * ([[BloomIndex.refreshSnapshot]] for point lookups,
+  * [[graft.ops.DedupIndex]] for near-dup, [[graft.ops.SimilarityIndex]]
+  * for ANN): build per churn, serve from the artifact.
+  *
+  * Layout at `path`: one parquet dir per drop, `path/seg=<dropId>`
+  * (Spark's partition discovery exposes `seg` as a column for free).
+  * Landing a segment is staged-swap and SEGMENT-scoped: re-landing the
+  * same drop id replaces exactly that segment (idempotent re-ingest,
+  * the reference's own monthly posture), and never rewrites — or even
+  * reads — any other drop's bytes.
+  *
+  * Exactness: the merge is only as order-independent as the measures.
+  * Counts and int64 sums (money on the cents grid) are exact; float
+  * sums would not be — callers route money through the cents grid, the
+  * same convention as every oracle query (SparkEntry.cents).
+  *
+  * Scale: partial aggregation happens inside each drop's pass (map-side
+  * combine into group-sized rows), so the shuffle carries groups, not
+  * rows; serve shuffles `segments x groups` rows. When segment count
+  * itself grows large, [[compact]] folds history into one segment —
+  * cost O(aggregate rows), never a raw-data rescan.
+  */
+object MaterializedAgg {
+
+  /** The aggregate's shape: grouping dims + decomposable measures.
+    * `n` (row count) is always maintained. Aliases must be distinct
+    * across sums/mins/maxs and not collide with dims or `n`.
+    */
+  final case class Spec(dims: Seq[String],
+                        sums: Seq[(String, Column)] = Nil,
+                        mins: Seq[(String, Column)] = Nil,
+                        maxs: Seq[(String, Column)] = Nil) {
+    private[MaterializedAgg] def aliases: Seq[String] =
+      (sums ++ mins ++ maxs).map(_._1)
+    require(aliases.distinct == aliases, "measure aliases must be distinct")
+    require(!aliases.exists(a => a == "n" || dims.contains(a) || a == "seg"),
+      "measure aliases must not collide with dims, 'n', or 'seg'")
+  }
+
+  private def segDir(path: String, dropId: String): String = {
+    require(dropId.nonEmpty && dropId.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+      s"drop id must be [A-Za-z0-9_-]+: '$dropId'")
+    s"$path/seg=$dropId"
+  }
+
+  /** One drop's partial aggregate: group-sized, exact for the measure
+    * kinds above. This is the ONLY pass over the drop's raw rows.
+    */
+  def partial(drop: DataFrame, spec: Spec): DataFrame = {
+    val aggs =
+      spec.sums.map { case (a, c) => sum(c).as(a) } ++
+      spec.mins.map { case (a, c) => min(c).as(a) } ++
+      spec.maxs.map { case (a, c) => max(c).as(a) }
+    drop.groupBy(spec.dims.map(col): _*)
+      .agg(count(lit(1)).as("n"), aggs: _*)
+  }
+
+  /** Land (or idempotently replace) the drop's segment. Other segments'
+    * bytes are untouched. Returns the segment's group count.
+    */
+  def landDrop(drop: DataFrame, spec: Spec, path: String, dropId: String): Long = {
+    val spark = drop.sparkSession
+    Staged.land(spark, segDir(path, dropId), partial(drop, spec))
+    spark.read.parquet(segDir(path, dropId)).count()
+  }
+
+  /** The merged aggregate over every landed segment — reads only
+    * aggregate-sized partials. Column order: dims, n, sums, mins, maxs.
+    */
+  def serve(spark: SparkSession, path: String, spec: Spec): DataFrame = {
+    val merged =
+      spec.sums.map { case (a, _) => sum(col(a)).as(a) } ++
+      spec.mins.map { case (a, _) => min(col(a)).as(a) } ++
+      spec.maxs.map { case (a, _) => max(col(a)).as(a) }
+    spark.read.parquet(path)
+      .groupBy(spec.dims.map(col): _*)
+      .agg(sum(col("n")).as("n"), merged: _*)
+  }
+
+  /** Fold all segments into one (`dropId`), dropping the rest — bounds
+    * segment count without ever rescanning raw data. Serve results are
+    * unchanged (the merge is associative). The WHOLE summary root swaps
+    * in one rename: a sequence of per-segment deletes would have a
+    * window where a concurrent serve double-counts (folded segment
+    * landed, old segments not yet gone) — old root, new root, or none,
+    * never a double-counting mix.
+    */
+  def compact(spark: SparkSession, path: String, spec: Spec, dropId: String): Unit = {
+    // checkpoint: the folded rows must be materialized before the root
+    // they were computed from is deleted out from under the plan
+    val folded = serve(spark, path, spec).localCheckpoint(true)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(
+      root.getParent, "." + root.getName + ".compact.staging")
+    fs.delete(staging, true)
+    folded.write.parquet(segDir(staging.toString, dropId))
+    fs.delete(root, true)
+    fs.rename(staging, root)
+  }
+}

@@ -1,0 +1,27 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Staged-swap parquet landing, shared by every sidecar/index tier
+  * ([[BloomIndex]], [[graft.ops.DedupIndex]],
+  * [[graft.ops.SimilarityIndex]], [[MaterializedAgg]]): write
+  * `<path>.staging`, delete the destination, rename. A crash leaves the
+  * old artifact, the new one, or none — "none" means rebuild, never a
+  * torn artifact that silently serves wrong answers.
+  */
+object Staged {
+
+  def land(spark: SparkSession, path: String, df: DataFrame): Unit = {
+    val dest = new org.apache.hadoop.fs.Path(path)
+    // dot-prefixed staging: invisible to Spark's file listing AND to
+    // partition discovery — a `seg=1.staging` sibling would otherwise be
+    // inferred as partition seg='1.staging' by readers of the parent dir
+    val staging = new org.apache.hadoop.fs.Path(
+      dest.getParent, "." + dest.getName + ".staging")
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(staging, true)
+    df.write.mode("overwrite").parquet(staging.toString)
+    fs.delete(dest, true)
+    fs.rename(staging, dest)
+  }
+}

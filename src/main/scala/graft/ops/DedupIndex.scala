@@ -168,13 +168,6 @@ object DedupIndex {
   }
 
   /** Staged-swap landing (the bloom-sidecar posture): never a torn index. */
-  private def land(spark: SparkSession, path: String, idx: DataFrame): Unit = {
-    val dest = new org.apache.hadoop.fs.Path(path)
-    val staging = new org.apache.hadoop.fs.Path(path + ".staging")
-    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(staging, true)
-    idx.write.mode("overwrite").parquet(staging.toString)
-    fs.delete(dest, true)
-    fs.rename(staging, dest)
-  }
+  private def land(spark: SparkSession, path: String, idx: DataFrame): Unit =
+    graft.lake.Staged.land(spark, path, idx)
 }

@@ -139,13 +139,6 @@ object SimilarityIndex {
   }
 
   /** Staged-swap landing — never a torn artifact. */
-  private def land(spark: SparkSession, path: String, df: DataFrame): Unit = {
-    val dest = new org.apache.hadoop.fs.Path(path)
-    val staging = new org.apache.hadoop.fs.Path(path + ".staging")
-    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(staging, true)
-    df.write.mode("overwrite").parquet(staging.toString)
-    fs.delete(dest, true)
-    fs.rename(staging, dest)
-  }
+  private def land(spark: SparkSession, path: String, df: DataFrame): Unit =
+    graft.lake.Staged.land(spark, path, df)
 }

@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake.MaterializedAgg
+import graft.lake.MaterializedAgg.Spec
+
+class MaterializedAggSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("matagg").toString + "/summary"
+
+  private val rows = Seq(
+    // (grp, cents, k)
+    ("a", 100L, 1L), ("a", 250L, 5L), ("b", 10L, 3L),
+    ("b", 40L, 9L), ("c", 7L, 2L))
+  private val spec = Spec(dims = Seq("grp"),
+    sums = Seq("s" -> col("cents")),
+    mins = Seq("kmin" -> col("k")),
+    maxs = Seq("kmax" -> col("k")))
+
+  private def df(xs: Seq[(String, Long, Long)]) = xs.toDF("grp", "cents", "k")
+
+  private def served(path: String): Seq[(String, Long, Long, Long, Long)] =
+    MaterializedAgg.serve(spark, path, spec).orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+
+  private def oneShot(xs: Seq[(String, Long, Long)]): Seq[(String, Long, Long, Long, Long)] =
+    df(xs).groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum("cents").as("s"), min("k").as("kmin"), max("k").as("kmax"))
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+
+  test("segment merge equals the one-shot aggregate over all drops") {
+    val path = tmp()
+    val (d1, d2) = rows.splitAt(2)
+    MaterializedAgg.landDrop(df(d1), spec, path, "d1")
+    MaterializedAgg.landDrop(df(d2), spec, path, "d2")
+    assert(served(path) == oneShot(rows))
+  }
+
+  test("landing a drop leaves every other segment byte-identical") {
+    val path = tmp()
+    val (d1, d2) = rows.splitAt(2)
+    MaterializedAgg.landDrop(df(d1), spec, path, "d1")
+    def segBytes(): Map[String, Seq[Byte]] = {
+      val d = new java.io.File(path + "/seg=d1")
+      d.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+        f.getName -> Files.readAllBytes(f.toPath).toSeq
+      }.toMap
+    }
+    val before = segBytes()
+    MaterializedAgg.landDrop(df(d2), spec, path, "d2")
+    assert(segBytes() == before, "drop-1 segment must not be rewritten by drop-2's landing")
+  }
+
+  test("re-landing the same drop id is idempotent (replace, not append)") {
+    val path = tmp()
+    val (d1, d2) = rows.splitAt(2)
+    MaterializedAgg.landDrop(df(d1), spec, path, "d1")
+    MaterializedAgg.landDrop(df(d2), spec, path, "d2")
+    MaterializedAgg.landDrop(df(d2), spec, path, "d2") // re-ingest of the same drop
+    assert(served(path) == oneShot(rows))
+  }
+
+  test("compact folds history into one segment without changing serve") {
+    val path = tmp()
+    val (d1, d2) = rows.splitAt(2)
+    MaterializedAgg.landDrop(df(d1), spec, path, "d1")
+    MaterializedAgg.landDrop(df(d2), spec, path, "d2")
+    val before = served(path)
+    MaterializedAgg.compact(spark, path, spec, "base")
+    assert(served(path) == before)
+    val segs = new java.io.File(path).listFiles().map(_.getName).filter(_.startsWith("seg="))
+    assert(segs.toSeq == Seq("seg=base"))
+    // and a post-compaction drop folds in on top of the compacted base
+    MaterializedAgg.landDrop(df(Seq(("a", 1000L, 0L))), spec, path, "d3")
+    assert(served(path) == oneShot(rows :+ (("a", 1000L, 0L))))
+  }
+
+  test("spec validation rejects colliding or reserved aliases") {
+    intercept[IllegalArgumentException](Spec(Seq("grp"), sums = Seq("n" -> col("cents"))))
+    intercept[IllegalArgumentException](Spec(Seq("grp"), sums = Seq("grp" -> col("cents"))))
+    intercept[IllegalArgumentException](
+      Spec(Seq("grp"), sums = Seq("x" -> col("cents")), mins = Seq("x" -> col("k"))))
+    intercept[IllegalArgumentException] {
+      val path = tmp()
+      MaterializedAgg.landDrop(df(rows), spec, path, "bad/../id")
+    }
+  }
+}

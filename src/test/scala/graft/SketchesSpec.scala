@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Sketches
+
+class SketchesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("sketches").toString + "/idx"
+
+  private def rows(n: Int) = (0 until n).map(i => (s"g${i % 3}", (i % 97).toLong))
+
+  test("exact tier: merged segments equal one-shot count_distinct") {
+    val path = tmp()
+    val all = rows(500)
+    all.grouped(200).zipWithIndex.foreach { case (drop, i) =>
+      Sketches.landDistinctDrop(drop.toDF("g", "k"), Seq("g"), "k", path, s"d$i")
+    }
+    val got = Sketches.serveDistinct(spark, path, Seq("g"), "k")
+      .orderBy("g").collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val want = all.toDF("g", "k").groupBy("g").agg(count_distinct(col("k")).as("n"))
+      .orderBy("g").collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(got == want)
+  }
+
+  test("exact tier: a segment stores distinct pairs, not raw rows") {
+    val path = tmp()
+    // 400 raw rows but only 3x97 distinct (g, k) pairs
+    Sketches.landDistinctDrop(rows(400).toDF("g", "k"), Seq("g"), "k", path, "d0")
+    assert(spark.read.parquet(path).count() < 400)
+  }
+
+  test("hll tier: merged-segment estimate matches the whole-corpus sketch and sits in bound") {
+    val path = tmp()
+    val all = (0 until 3000).map(i => ("g", (i % 1231).toLong))
+    all.grouped(1000).zipWithIndex.foreach { case (drop, i) =>
+      Sketches.landHllDrop(drop.toDF("g", "k"), Seq("g"), "k", path, s"d$i")
+    }
+    val merged = Sketches.serveHllEstimate(spark, path, Seq("g")).collect().head.getLong(1)
+    val whole = all.toDF("g", "k").groupBy("g")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("k"), lit(14))).as("e"))
+      .collect().head.getLong(1)
+    assert(merged == whole,
+      s"sketch union must be lossless: merged=$merged whole-corpus=$whole")
+    assert(math.abs(merged - 1231L) <= 0.02 * 1231, s"estimate $merged outside 2% of 1231")
+  }
+
+  test("re-landing a drop id replaces its segment (idempotent)") {
+    val path = tmp()
+    val drop = rows(100).toDF("g", "k")
+    Sketches.landDistinctDrop(drop, Seq("g"), "k", path, "d0")
+    val once = Sketches.serveDistinct(spark, path, Seq("g"), "k")
+      .agg(sum("n_distinct")).collect().head.getLong(0)
+    Sketches.landDistinctDrop(drop, Seq("g"), "k", path, "d0")
+    val twice = Sketches.serveDistinct(spark, path, Seq("g"), "k")
+      .agg(sum("n_distinct")).collect().head.getLong(0)
+    assert(once == twice)
+  }
+
+  test("withinRelError handles the zero-exact edge") {
+    val df = Seq((0L, 0L), (0L, 1L), (100L, 101L), (100L, 110L)).toDF("exact", "est")
+    val got = df.select(Sketches.withinRelError(col("est"), col("exact"), 0.02))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(got == Seq(true, false, true, false))
+  }
+}
