@@ -98,6 +98,29 @@ object Bench {
         .delete(new org.apache.hadoop.fs.Path(tmp), true)
     }
     warm {
+      // round-12 kernel families: profiler Expand/stack, materialized-agg
+      // partial/serve, sketch segments (HLL agg + merge), knn-graph tail
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bench_aggwarm").toString
+      val ords = spark.read.parquet(s"$sfDir/orders.parquet").limit(64)
+        .persist(); ords.count()
+      graft.ops.Profiler.profile(ords, Seq("o_orderkey", "o_orderstatus")).count()
+      val spec = graft.lake.MaterializedAgg.Spec(Seq("o_orderstatus"),
+        sums = Seq("s" -> col("o_orderkey")), mins = Seq("mn" -> col("o_orderkey")),
+        maxs = Seq("mx" -> col("o_orderkey")))
+      graft.lake.MaterializedAgg.landDrop(ords, spec, s"$tmp/m", "w")
+      graft.lake.MaterializedAgg.serve(spark, s"$tmp/m", spec).count()
+      graft.ops.Sketches.landHllDrop(ords, Seq("o_orderstatus"), "o_custkey", s"$tmp/h", "w")
+      graft.ops.Sketches.serveHllEstimate(spark, s"$tmp/h", Seq("o_orderstatus")).count()
+      graft.ops.Sketches.landDistinctDrop(ords, Seq("o_orderstatus"), "o_custkey", s"$tmp/d", "w")
+      graft.ops.Sketches.serveDistinct(spark, s"$tmp/d", Seq("o_orderstatus"), "o_custkey").count()
+      ords.unpersist(blocking = false)
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(64)
+      graft.ops.Similarity.knnGraphBucketed(emb, "vec_id", "embedding", 2, 4, 64).count()
+      new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    warm {
       // streaming engine warmup: micro-batch planner, state-store setup,
       // and the stateful codegen paths. Same entry code as the measured
       // q_stream_* queries, against a 64-row copy of the events file laid

@@ -565,6 +565,14 @@ object CorpusQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // the WHOLE kNN graph (top-3 per vector), blocked by hyperplane
+    // bucket: cost follows local bucket density, never the n^2 pair
+    // count — the all-vectors operator embedding dedup/curation runs on
+    "sim_knn_graph" -> ((s, dir) => {
+      Similarity.knnGraphBucketed(t(s, dir, "embeddings"), "vec_id", "embedding", 3, 4, 64)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // IVF ANN: deterministic seed codebook, map-side cell assignment,
     // nProbe=2 inverted-list probe, exact-decimal re-rank
     "sim_ivf_topk" -> ((s, dir) => {
@@ -1237,6 +1245,15 @@ object CorpusQueries {
          |       e.vec_id = least(coalesce(r.mn, e.vec_id), e.vec_id) AS keep
          |FROM embeddings e LEFT JOIN reach r ON e.vec_id = r.u
          |ORDER BY e.vec_id""".stripMargin,
+
+    "sim_knn_graph" ->
+      s"""WITH bk AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+         |cand AS (SELECT x.vec_id AS qid, x.embedding AS qv, y.vec_id AS cid, y.embedding AS cv
+         |         FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id)
+         |SELECT qid, cid, CAST(rank AS BIGINT) AS rank FROM (
+         |  SELECT qid, cid, row_number() OVER (PARTITION BY qid
+         |    ORDER BY ${dotDecSql("qv", "cv")} DESC, cid) AS rank FROM cand) t
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     "sim_ivf_topk" -> ivfOracleSql,
 

@@ -490,6 +490,28 @@ object Similarity {
   private def dotFast(a: Column, b: Column): Column =
     graft.functions.DotFloat.dot_float(a, b)
 
+  /** Blocked kNN graph: every vector's top-k neighbors among its
+    * hyperplane-bucket mates — the all-vectors form of the single-probe
+    * queries ([[bucketedTopK]] asks "neighbors of THESE probes";
+    * training-data dedup/curation wants the whole neighbor graph). The
+    * bucket equi-join makes cost follow the sum of squared bucket sizes
+    * (local density), never the n^2 pair count; ranking reuses the one
+    * shared exact-decimal tail, so a tie-break change cannot drift
+    * between this and the probe tiers. Vectors whose bucket holds no
+    * other member have no neighbors in-block and emit no rows (probe
+    * more buckets via the multi-probe tier when recall needs them).
+    */
+  def knnGraphBucketed(corpus: DataFrame, idCol: String, vecCol: String,
+                       k: Int, nBits: Int, dim: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      hyperplaneBucket(col(vecCol), nBits, dim).as("bucket"))
+    val cands = c.as("x").join(c.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("qid"), col("x.v").as("qv"),
+        col("y.id").as("cid"), col("y.v").as("cv"))
+    exactTopKTail(cands, k)
+  }
+
   def dotNearDupExact(corpus: DataFrame, idCol: String, vecCol: String,
                       threshold: BigDecimal, nBits: Int, dim: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
