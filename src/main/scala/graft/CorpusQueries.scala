@@ -750,6 +750,24 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL audio decode under the driver's hash gate — the WAV twin of
+    // multimodal_decode: per-doc PCM16 tones go through the JVM's actual
+    // WAV encoder, then decodeAudio reads rate/channels/bits/frames and
+    // the sample sum back out of the BYTES via javax.sound.sampled. PCM
+    // is lossless, so the oracle recomputes the sum in pure arithmetic.
+    "multimodal_audio" -> ((s, dir) => {
+      val spec = t(s, dir, "documents").select(col("doc_id"),
+        lit(8000).as("rate"),
+        (lit(16) + col("n_chars").cast("long") % 240).cast("int").as("n"))
+      Multimodal.decodeAudio(Multimodal.wavTable(spec, "doc_id", "rate", "n"))
+        .select(col("media_id").as("doc_id"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("bits").cast("long").as("bits"),
+          col("n_frames"), col("sample_sum"))
+        .orderBy(col("doc_id"))
+    }),
+
     // S4-shape: code parse out of a delimited string column
     "cpv_parse_codes" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1443,6 +1461,19 @@ object CorpusQueries {
         |      FROM gxy GROUP BY doc_id, w, h)
         |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
         |       CAST(1 AS BIGINT) AS channels, CAST(pix_sum AS BIGINT) AS pix_sum
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    // rate/channels/bits are format constants; frames and the lossless
+    // PCM16 sample sum recomputed arithmetically — the Spark side must
+    // round-trip them through the real WAV codec
+    "multimodal_audio" ->
+      """WITH g AS (SELECT doc_id, 16 + CAST(n_chars AS BIGINT) % 240 AS n FROM documents),
+        |gi AS (SELECT doc_id, n, unnest(range(n)) AS i FROM g),
+        |p AS (SELECT doc_id, n, SUM((doc_id * 11 + i * 17) % 65536 - 32768) AS s
+        |      FROM gi GROUP BY doc_id, n)
+        |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate, CAST(1 AS BIGINT) AS channels,
+        |       CAST(16 AS BIGINT) AS bits, CAST(n AS BIGINT) AS n_frames,
+        |       CAST(s AS BIGINT) AS sample_sum
         |FROM p ORDER BY doc_id""".stripMargin,
 
     "cpv_parse_codes" ->

@@ -329,6 +329,68 @@ object Main {
           println(s"[cli] snap cluster: rewrote sorted by ${cols.mkString(",")}")
         case other => println(s"snap --op history|read|vacuum|changes|compact|cluster (got '$other')")
       }
+    case "profile" =>
+      // one-pass column audit (rows/nulls/distinct/min/max) before a
+      // drop is trusted; --approx swaps exact distinct for HLL
+      val df = spark.read.parquet(arg(args, "--in").get)
+      val cols = arg(args, "--cols").map(_.split(",").toSeq)
+        .getOrElse(df.columns.toSeq)
+      val prof = graft.ops.Profiler.profile(df, cols, approx = flag(args, "--approx"))
+        .orderBy(col("col_name"))
+      arg(args, "--out") match {
+        case Some(o) => prof.coalesce(1).write.mode("overwrite").parquet(o)
+        case None => prof.show(1000, truncate = false)
+      }
+    case "matagg" =>
+      // incremental materialized summary: land one partial-agg segment
+      // per drop, serve the merge, compact history — calc_summary made
+      // churn-proportional. Measures parse as alias=col comma lists.
+      import graft.lake.MaterializedAgg
+      def measures(name: String): Seq[(String, org.apache.spark.sql.Column)] =
+        arg(args, name).map(_.split(",").toSeq.map { kv =>
+          val Array(a, c) = kv.split("=", 2)
+          a -> col(c)
+        }).getOrElse(Nil)
+      val spec = MaterializedAgg.Spec(
+        dims = arg(args, "--dims").map(_.split(",").toSeq).getOrElse(Nil),
+        sums = measures("--sums"), mins = measures("--mins"), maxs = measures("--maxs"))
+      val path = arg(args, "--path").get
+      arg(args, "--op").getOrElse("serve") match {
+        case "land" =>
+          val n = MaterializedAgg.landDrop(
+            spark.read.parquet(arg(args, "--in").get), spec, path,
+            arg(args, "--drop-id").getOrElse(sys.error("matagg --op land requires --drop-id")))
+          println(s"[cli] matagg land: $n groups in segment")
+        case "serve" =>
+          MaterializedAgg.serve(spark, path, spec)
+            .orderBy(spec.dims.map(col): _*).show(1000, truncate = false)
+        case "compact" =>
+          MaterializedAgg.compact(spark, path, spec,
+            arg(args, "--drop-id").getOrElse("base"))
+          println(s"[cli] matagg compact: folded into seg=${arg(args, "--drop-id").getOrElse("base")}")
+        case other => println(s"matagg --op land|serve|compact (got '$other')")
+      }
+    case "sketch" =>
+      // churn-proportional distinct counting: exact distinct-pair
+      // segments or mergeable HLL sketches, landed per drop
+      import graft.ops.Sketches
+      val path = arg(args, "--path").get
+      val dims = arg(args, "--dims").map(_.split(",").toSeq).getOrElse(Nil)
+      val key = arg(args, "--key").getOrElse("_id")
+      val hll = arg(args, "--kind").contains("hll")
+      arg(args, "--op").getOrElse("serve") match {
+        case "land" =>
+          val drop = spark.read.parquet(arg(args, "--in").get)
+          val id = arg(args, "--drop-id").getOrElse(sys.error("sketch --op land requires --drop-id"))
+          val n = if (hll) Sketches.landHllDrop(drop, dims, key, path, id)
+            else Sketches.landDistinctDrop(drop, dims, key, path, id)
+          println(s"[cli] sketch land: $n rows in segment")
+        case "serve" =>
+          val out = if (hll) Sketches.serveHllEstimate(spark, path, dims)
+            else Sketches.serveDistinct(spark, path, dims, key)
+          out.orderBy(dims.map(col): _*).show(1000, truncate = false)
+        case other => println(s"sketch --op land|serve (got '$other')")
+      }
     case "audit" =>
       // schema drift between two parquet drops (footer-only): gate a
       // pipeline run on upstream dtype changes instead of crashing on them
@@ -340,6 +402,6 @@ object Main {
       if (d.isEmpty) println("[cli] audit: schemas identical")
       else d.orderBy(col("change"), col("field")).show(1000, truncate = false)
     case other =>
-      println(s"usage: ingest|summary|harvest|sync|compact|stats|cluster|index|repair|purge|curate|snap|audit (got '$other')")
+      println(s"usage: ingest|summary|harvest|sync|compact|stats|cluster|index|repair|purge|curate|snap|audit|profile|matagg|sketch (got '$other')")
   }
 }

@@ -11,10 +11,13 @@ import org.apache.spark.sql.types._
   * IMAGE decode/resize are REAL: `javax.imageio` ships PNG/BMP/GIF/
   * JPEG/TIFF/WBMP readers in every JVM, so [[decodeImages]] reads true
   * dimensions/bands/pixel sums from the payload bytes and [[resize]]
-  * rescales through `Graphics2D` and re-encodes. Payloads no registered
-  * reader accepts (audio/video/unknown) fall back to the deterministic
-  * stub, tagged in a `decoder` column — in production that arm is
-  * replaced by ffmpeg-style bindings without touching the plumbing.
+  * rescales through `Graphics2D` and re-encodes. AUDIO decode is real
+  * too: `javax.sound.sampled` ships WAV/AIFF/AU readers, so
+  * [[decodeAudio]] reads true rate/channels/bits/frames/sample sums
+  * from the bytes. Payloads no registered reader accepts (video/
+  * unknown) fall back to the deterministic stub, tagged in a `decoder`
+  * column — in production that arm is replaced by ffmpeg-style bindings
+  * without touching the plumbing.
   *
   * Scale notes: payloads stay opaque bytes end-to-end (no row-level
   * object churn); `mapPartitions` amortizes decoder init per partition
@@ -223,6 +226,118 @@ object Multimodal {
               (w.toLong * h) / math.max(1.0, targetW.toLong * targetH)).toInt)
             val sampled = payload.indices.collect { case i if i % k == 0 => payload(i) }.toArray
             Row(id, sampled, r.getString(2), targetW, targetH)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** REAL audio decode via javax.sound.sampled: sample rate, channels,
+    * bit depth, frame count and the PCM16 sample sum from the actual
+    * payload bytes; None when the JVM's audio readers reject them. WAV
+    * PCM is lossless, so the sample sum equals the sum of the values the
+    * encoder was handed — an oracle recomputes it in pure arithmetic,
+    * exactly the [[decodeImageMeta]] posture for images.
+    */
+  def decodeAudioMeta(payload: Array[Byte]): Option[(Int, Int, Int, Long, Long)] = {
+    val in =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => null
+        case _: java.io.IOException => null
+      }
+    Option(in).map { ais =>
+      val fmt = ais.getFormat
+      val bytes = ais.readAllBytes()
+      var sum = 0L
+      if (fmt.getSampleSizeInBits == 16) {
+        var i = 0
+        while (i + 1 < bytes.length) {
+          val lo = bytes(i) & 0xff
+          val hi = bytes(i + 1).toInt
+          sum += (if (fmt.isBigEndian) ((bytes(i).toInt << 8) | (bytes(i + 1) & 0xff)).toShort
+                  else ((hi << 8) | lo).toShort).toLong
+          i += 2
+        }
+      }
+      (fmt.getSampleRate.toInt, fmt.getChannels, fmt.getSampleSizeInBits,
+        bytes.length.toLong / math.max(1, fmt.getFrameSize), sum)
+    }
+  }
+
+  /** Encode mono PCM16 samples through the JVM's real WAV writer. */
+  def encodePcm16Wav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0, "sample rate must be positive")
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      bytes(2 * i) = (samples(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** The deterministic PCM16 test tone oracles recompute in plain
+    * arithmetic: `((id * 11 + i * 17) mod 65536) - 32768`.
+    */
+  def testTone(id: Long)(i: Int): Short =
+    (((id * 11 + i * 17L) % 65536) - 32768).toShort
+
+  /** Real WAV payloads from an (id, rate, n) frame, samples =
+    * [[testTone]] — partition-batched through the real encoder; the
+    * audio twin of [[grayPngTable]].
+    */
+  def wavTable(spec: DataFrame, idCol: String, rateCol: String, nCol: String): DataFrame = {
+    val spark = spec.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("mime", StringType)))
+    val rdd = spec.select(col(idCol).cast("long"), col(rateCol).cast("int"), col(nCol).cast("int"))
+      .rdd.mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val wav = encodePcm16Wav(r.getInt(1), Array.tabulate(r.getInt(2))(testTone(id)))
+          Row(id, wav, "audio/wav")
+        }
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Partition-batched REAL audio decode: true rate/channels/bits/frame
+    * count/sample sum for any payload the JVM's audio readers accept,
+    * the deterministic stub for the rest — tagged by `decoder` like
+    * [[decodeImages]]. One reader pipeline per partition.
+    */
+  def decodeAudio(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("n_bytes", LongType),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("bits", IntegerType),
+      StructField("n_frames", LongType),
+      StructField("sample_sum", LongType),
+      StructField("decoder", StringType)))
+    val rdd = media.select(col("media_id").cast("long"), col("payload")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        decodeAudioMeta(payload) match {
+          case Some((rate, ch, bits, frames, sum)) =>
+            Row(id, payload.length.toLong, rate, ch, bits, frames, sum, "javasound")
+          case None =>
+            val (w, h, _) = decodeStub(payload)
+            Row(id, payload.length.toLong, 0, 0, 0, w.toLong * h, 0L, "stub")
         }
       }
     }

@@ -141,6 +141,23 @@ object EventStreams {
       if (!batch.isEmpty) graft.ops.SimilarityIndex.upsert(batch, idCol, vecCol, idxPath)
     }
 
+  /** The summary twin of the index sinks: each micro-batch lands ONE
+    * aggregate-sized [[graft.lake.MaterializedAgg]] segment keyed by the
+    * batch id, so the served summary always covers everything streamed
+    * so far and a recovery replay of batch N REPLACES segment N instead
+    * of double-counting it (landDrop is idempotent per drop id). Compact
+    * periodically to bound segment count; give the writer a
+    * `checkpointLocation` like its siblings.
+    */
+  def summarySink(path: String, spec: graft.lake.MaterializedAgg.Spec)(
+      rows: DataFrame): DataStreamWriter[org.apache.spark.sql.Row] =
+    upsertSink(rows) { (batch, id) =>
+      if (!batch.isEmpty) {
+        graft.lake.MaterializedAgg.landDrop(batch, spec, path, s"batch$id")
+        ()
+      }
+    }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(lastTs: Long, sessionId: Long, curStart: Long, curN: Long)

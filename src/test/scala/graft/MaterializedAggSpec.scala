@@ -84,6 +84,58 @@ class MaterializedAggSpec extends AnyFunSuite {
     assert(served(path) == oneShot(rows :+ (("a", 1000L, 0L))))
   }
 
+  test("streaming summarySink: a batched feed converges to the one-shot aggregate") {
+    val root = Files.createTempDirectory("mataggstream").toString
+    val feed = root + "/feed"
+    val path = root + "/summary"
+    rows.grouped(2).zipWithIndex.foreach { case (chunk, i) =>
+      df(chunk).coalesce(1).write.parquet(s"$feed/b$i")
+    }
+    val stream = spark.readStream
+      .schema(df(rows).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$feed/*")
+    val q = graft.streaming.EventStreams.summarySink(path, spec)(stream)
+      .option("checkpointLocation", root + "/ckpt")
+      .start()
+    q.awaitTermination()
+    assert(served(path) == oneShot(rows))
+    // one segment per micro-batch: recovery replay of batch N replaces
+    // segment batchN rather than double-counting it
+    val segs = new java.io.File(path).listFiles().map(_.getName)
+      .filter(_.startsWith("seg=")).sorted
+    assert(segs.length == 3 && segs.forall(_.startsWith("seg=batch")))
+  }
+
+  test("cli: profile / matagg / sketch operate the tiers end-to-end") {
+    val root = Files.createTempDirectory("mataggcli").toString
+    val (d1, d2) = rows.splitAt(2)
+    df(d1).write.parquet(root + "/in1")
+    df(d2).write.parquet(root + "/in2")
+    df(rows).write.parquet(root + "/all")
+
+    graft.cli.Main.run(spark, "profile", Array(
+      "--in", root + "/all", "--cols", "grp,cents", "--out", root + "/prof"))
+    val prof = spark.read.parquet(root + "/prof").orderBy("col_name").collect()
+    assert(prof.length == 2 && prof.forall(_.getLong(1) == 5L))
+    assert(prof.head.getString(0) == "cents" && prof.head.getLong(3) == 5L)
+
+    val specArgs = Array("--path", root + "/sum", "--dims", "grp",
+      "--sums", "s=cents", "--mins", "kmin=k", "--maxs", "kmax=k")
+    graft.cli.Main.run(spark, "matagg",
+      Array("--op", "land", "--in", root + "/in1", "--drop-id", "d1") ++ specArgs)
+    graft.cli.Main.run(spark, "matagg",
+      Array("--op", "land", "--in", root + "/in2", "--drop-id", "d2") ++ specArgs)
+    graft.cli.Main.run(spark, "matagg", Array("--op", "compact") ++ specArgs)
+    assert(served(root + "/sum") == oneShot(rows))
+
+    graft.cli.Main.run(spark, "sketch", Array("--op", "land", "--in", root + "/all",
+      "--path", root + "/sk", "--dims", "grp", "--key", "k", "--drop-id", "d0"))
+    val nd = graft.ops.Sketches.serveDistinct(spark, root + "/sk", Seq("grp"), "k")
+      .orderBy("grp").collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(nd == Seq("a" -> 2L, "b" -> 2L, "c" -> 1L))
+  }
+
   test("spec validation rejects colliding or reserved aliases") {
     intercept[IllegalArgumentException](Spec(Seq("grp"), sums = Seq("n" -> col("cents"))))
     intercept[IllegalArgumentException](Spec(Seq("grp"), sums = Seq("grp" -> col("cents"))))

@@ -398,6 +398,28 @@ class PipelineSpec extends AnyFunSuite {
       .exists(m => m._1 == 4 && m._2 == 3))
   }
 
+  test("Multimodal: REAL audio codec — WAV PCM16 round-trip via javax.sound") {
+    // encode through the JVM WAV writer, read rate/channels/bits/frames
+    // and the lossless sample sum back from the BYTES
+    val samples = Array.tabulate(100)(Multimodal.testTone(42L))
+    val wav = Multimodal.encodePcm16Wav(8000, samples)
+    assert(wav.take(4).map(_.toChar).mkString == "RIFF")
+    val Some((rate, ch, bits, frames, sum)) = Multimodal.decodeAudioMeta(wav)
+    assert((rate, ch, bits, frames) == (8000, 1, 16, 100L))
+    assert(sum == samples.map(_.toLong).sum)
+
+    // non-audio payloads report None -> the stub arm, tagged as such
+    assert(Multimodal.decodeAudioMeta("not audio".getBytes("UTF-8")).isEmpty)
+    val spec = Seq((1L, 8000, 40), (2L, 16000, 17)).toDF("doc_id", "rate", "n")
+    val decoded = Multimodal.decodeAudio(Multimodal.wavTable(spec, "doc_id", "rate", "n"))
+      .orderBy("media_id").collect()
+    assert(decoded.map(r => (r.getLong(0), r.getInt(2), r.getLong(5), r.getString(7))).toSeq ==
+      Seq((1L, 8000, 40L, "javasound"), (2L, 16000, 17L, "javasound")))
+    val garbage = Seq((9L, Array[Byte](1, 2, 3), "application/octet-stream"))
+      .toDF("media_id", "payload", "mime")
+    assert(Multimodal.decodeAudio(garbage).collect().head.getString(7) == "stub")
+  }
+
   test("EventStreams: windowed aggregation over a stream matches batch (streaming)") {
     val dir = Files.createTempDirectory("events").toString
     val batch = Seq(
