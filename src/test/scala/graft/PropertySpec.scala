@@ -282,4 +282,65 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("MaterializedAgg: ANY drop partition + compaction points serves the one-shot aggregate") {
+    import graft.lake.MaterializedAgg
+    val rowGen = Gen.zip(Gen.oneOf("a", "b", "c"), Gen.choose(-500L, 500L),
+      Gen.choose(0L, 99L))
+    val rows = samples(rowGen, 60)
+    val spec = MaterializedAgg.Spec(Seq("g"),
+      sums = Seq("s" -> col("v")), mins = Seq("mn" -> col("k")),
+      maxs = Seq("mx" -> col("k")))
+    def oneShot = rows.toDF("g", "v", "k").groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"), min("k").as("mn"), max("k").as("mx"))
+      .orderBy("g").collect().map(_.toSeq).toSeq
+    val cutsGen = Gen.listOfN(3, Gen.choose(0, rows.size))
+    samples(cutsGen, 4).zipWithIndex.foreach { case (cuts, trial) =>
+      val path = java.nio.file.Files.createTempDirectory("maggprop").toString + "/s"
+      val bounds = (Seq(0, rows.size) ++ cuts).distinct.sorted
+      val drops = bounds.zip(bounds.tail).map { case (a, b) => rows.slice(a, b) }
+        .filter(_.nonEmpty)
+      drops.zipWithIndex.foreach { case (d, i) =>
+        MaterializedAgg.landDrop(d.toDF("g", "v", "k"), spec, path, s"d$i")
+        if (i == trial % drops.size) MaterializedAgg.compact(spark, path, spec, s"c$i")
+      }
+      val served = MaterializedAgg.serve(spark, path, spec)
+        .select(col("g"), col("n"), col("s"), col("mn"), col("mx"))
+        .orderBy("g").collect().map(_.toSeq).toSeq
+      assert(served == oneShot, s"cuts=$cuts compactAfter=${trial % drops.size}")
+    }
+  }
+
+  test("knnGraphBucketed: every edge stays in-bucket and ranks exactly per the decimal dot") {
+    import graft.ops.Similarity
+    val vecGen = Gen.listOfN(64, Gen.choose(-1000, 1000))
+      .map(_.map(_ / 1000.0f))
+    val vecs = samples(vecGen, 40).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.knnGraphBucketed(df, "vec_id", "embedding", 3, 4, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // reference: bucket via the same hyperplane signs, rank by exact
+    // BigDecimal dot, tie-break by cid — computed driver-side from scratch
+    val signs = Similarity.hyperplaneSigns(4, 64)
+    def bucket(v: Seq[Float]): String = signs.map { sv =>
+      val dot = v.zip(sv).map { case (x, w) =>
+        BigDecimal(x.toDouble) * BigDecimal(w) }.sum
+      if (dot >= 0) '1' else '0'
+    }.mkString
+    def dot(a: Seq[Float], b: Seq[Float]): BigDecimal =
+      a.zip(b).map { case (x, y) =>
+        BigDecimal(x.toDouble * y.toDouble).setScale(15, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+    val byBucket = vecs.groupBy { case (_, v) => bucket(v) }
+    val want = byBucket.values.flatMap { members =>
+      members.flatMap { case (qid, qv) =>
+        members.filter(_._1 != qid)
+          .map { case (cid, cv) => (cid, dot(qv, cv)) }
+          .sortBy { case (cid, d) => (-d, cid) }
+          .take(3).zipWithIndex
+          .map { case ((cid, _), r) => (qid, cid, (r + 1).toLong) }
+      }
+    }.toSet
+    assert(got.toSet == want && got.nonEmpty)
+  }
 }
