@@ -788,6 +788,46 @@ object SparkEntry {
       out
     }),
 
+    // CDC-maintained summary: the retractable form of
+    // q_summary_incremental. A snapshot lake goes through overwrite
+    // (with a deliberately WRONG doubled slice) -> correcting upsert ->
+    // delete; the summary is maintained from one full-drop segment plus
+    // one Delta-CDF-style change-feed segment per version interval
+    // (-pre +post retraction) and must hash-match the one-shot oracle
+    // over the FINAL state — updates, inserts, deletes and CoW-carried
+    // row cancellation all exercised without ever rescanning the lake
+    "q_summary_cdc" -> ((s, dir) => {
+      import graft.lake.{MaterializedAgg, SnapshotLake}
+      val orders = t(s, dir, "orders").select(
+        col("o_orderkey").cast("string").as("_id"),
+        col("o_orderstatus"), col("o_orderpriority"),
+        cents(col("o_totalprice")).as("vc"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cdcsum_q").toString
+      val lake = new SnapshotLake(s, tmp + "/lake", "_id")
+      val key = col("_id").cast("long")
+      lake.overwrite(orders.filter(key % 3 =!= 2)
+        .withColumn("vc", when(key % 5 === 0, col("vc") * 2).otherwise(col("vc"))))
+      lake.upsert(orders)                  // corrects the doubled slice, inserts the rest
+      lake.deleteWhere(key % 7 === 0)
+      val spec = MaterializedAgg.Spec(Seq("o_orderstatus", "o_orderpriority"),
+        sums = Seq("sum_cents" -> col("vc")))
+      val sumPath = tmp + "/summary"
+      MaterializedAgg.landDrop(lake.readAt(1), spec, sumPath, "v1")
+      MaterializedAgg.landChangesDrop(
+        lake.changesBetween(1, 2, preImages = true), spec, sumPath, "v1to2")
+      MaterializedAgg.landChangesDrop(
+        lake.changesBetween(2, 3, preImages = true), spec, sumPath, "v2to3")
+      val out = MaterializedAgg.serve(s, sumPath, spec)
+        .select(col("o_orderstatus"), col("o_orderpriority"), col("n"),
+          (col("sum_cents").cast("double") / 100.0).as("total_price"))
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+        .localCheckpoint(true) // the scratch lake+summary are deleted next
+      new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      out
+    }),
+
     // Beyond-reference incremental-cardinality tier, exact form: each
     // drop lands its distinct (dims, key) pairs; distinct is idempotent
     // under union, so the merged segments re-distinct to the corpus
@@ -918,6 +958,13 @@ object SparkEntry {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY dim_status, dim_priority""".stripMargin,
+
+    "q_summary_cdc" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price
+        |FROM orders WHERE o_orderkey % 7 <> 0
+        |GROUP BY o_orderstatus, o_orderpriority
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
 
     "q_distinct_incremental" ->
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_distinct

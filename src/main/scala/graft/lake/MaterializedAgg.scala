@@ -81,8 +81,37 @@ object MaterializedAgg {
     spark.read.parquet(segDir(path, dropId)).count()
   }
 
+  /** CDC form of [[landDrop]]: maintain the summary from a snapshot
+    * CHANGE FEED instead of full drops. Counts and sums are retractable
+    * (a delete or update_pre row applies with sign -1, an insert or
+    * update_post with +1 — consume
+    * [[SnapshotLake.changesBetween]]`(from, to, preImages = true)`);
+    * min/max are NOT retractable (a retracted extremum cannot be
+    * recomputed from aggregate state alone), so the spec must carry
+    * none — use full-drop [[landDrop]] segments when extrema matter.
+    * One segment per version interval; re-landing an interval's drop id
+    * replaces it (idempotent replay, like every segment land). A group
+    * whose rows all cancel serves n = 0 and is dropped at [[serve]].
+    */
+  def landChangesDrop(changes: DataFrame, spec: Spec, path: String, dropId: String,
+                      changeTypeCol: String = "change_type"): Long = {
+    require(spec.mins.isEmpty && spec.maxs.isEmpty,
+      "min/max are not retractable from a change feed; use landDrop over full drops")
+    val spark = changes.sparkSession
+    val sign = when(col(changeTypeCol).isin("delete", "update_pre"), lit(-1L))
+      .otherwise(lit(1L))
+    val aggs = spec.sums.map { case (a, c) => sum(sign * c).as(a) }
+    val partial = changes.groupBy(spec.dims.map(col): _*)
+      .agg(sum(sign).as("n"), aggs: _*)
+    Staged.land(spark, segDir(path, dropId), partial)
+    spark.read.parquet(segDir(path, dropId)).count()
+  }
+
   /** The merged aggregate over every landed segment — reads only
     * aggregate-sized partials. Column order: dims, n, sums, mins, maxs.
+    * Groups whose retractions cancelled every row (n = 0, only possible
+    * via [[landChangesDrop]] segments) are dropped — they no longer
+    * exist in the maintained state.
     */
   def serve(spark: SparkSession, path: String, spec: Spec): DataFrame = {
     val merged =
@@ -92,6 +121,7 @@ object MaterializedAgg {
     spark.read.parquet(path)
       .groupBy(spec.dims.map(col): _*)
       .agg(sum(col("n")).as("n"), merged: _*)
+      .filter(col("n") =!= 0)
   }
 
   /** Fold all segments into one (`dropId`), dropping the rest — bounds

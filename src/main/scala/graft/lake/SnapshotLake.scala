@@ -293,6 +293,11 @@ class SnapshotLake(private[lake] val spark: SparkSession, private[lake] val path
     * every row inserted, updated or deleted in `(fromV, toV]`, classified
     * in a `change_type` column (`insert` / `update_post` / `delete` —
     * updates and deletes carry the post- and pre-image respectively).
+    * With `preImages = true` each update ALSO emits its pre-image as an
+    * `update_pre` row (the Delta-CDF row pair): exactly what a
+    * downstream RETRACTABLE aggregate needs — apply -pre +post and a
+    * maintained sum/count never drifts from the snapshot state
+    * ([[MaterializedAgg.landChangesDrop]] consumes this form).
     *
     * Cost is bounded by CHURN, not table size: manifests are complete
     * file lists, so the file-set diff finds exactly the files added or
@@ -309,7 +314,7 @@ class SnapshotLake(private[lake] val spark: SparkSession, private[lake] val path
     * deleted shows not at all — the semantics of a snapshot diff, same
     * as a lakehouse "latest net changes" read.
     */
-  def changesBetween(fromV: Long, toV: Long): DataFrame = {
+  def changesBetween(fromV: Long, toV: Long, preImages: Boolean = false): DataFrame = {
     require(fromV <= toV, s"changesBetween: fromV=$fromV must be <= toV=$toV")
     val from = requireManifest(fromV)
     val to = requireManifest(toV)
@@ -329,16 +334,22 @@ class SnapshotLake(private[lake] val spark: SparkSession, private[lake] val path
     val sameRow = dataCols.map(c => col(s"n.$c") <=> col(s"o.$c"))
       .reduceOption(_ && _).getOrElse(lit(true))
     val isDelete = col(s"n.$keyCol").isNull
-    n.join(o, col(s"n.$keyCol") === col(s"o.$keyCol"), "full_outer")
+    val joined = n.join(o, col(s"n.$keyCol") === col(s"o.$keyCol"), "full_outer")
       .withColumn("change_type",
         when(col(s"o.$keyCol").isNull, "insert")
           .when(isDelete, "delete")
           .when(!sameRow, "update_post")
           .otherwise("carried"))
       .filter(col("change_type") =!= "carried")
+    val post = joined
       .select(when(isDelete, col(s"o.$keyCol")).otherwise(col(s"n.$keyCol")).as(keyCol) +:
         dataCols.map(c => when(isDelete, col(s"o.$c")).otherwise(col(s"n.$c")).as(c)) :+
         col("change_type"): _*)
+    if (!preImages) post
+    else post.unionByName(joined.filter(col("change_type") === "update_post")
+      .select(col(s"o.$keyCol").as(keyCol) +:
+        dataCols.map(c => col(s"o.$c").as(c)) :+
+        lit("update_pre").as("change_type"): _*))
   }
 
   /** Net changes from `v` to the current snapshot. */

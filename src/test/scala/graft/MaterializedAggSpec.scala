@@ -107,6 +107,42 @@ class MaterializedAggSpec extends AnyFunSuite {
     assert(segs.length == 3 && segs.forall(_.startsWith("seg=batch")))
   }
 
+  test("landChangesDrop retracts updates and deletes; cancelled groups vanish") {
+    val path = tmp()
+    val cdcSpec = Spec(Seq("grp"), sums = Seq("s" -> col("cents")))
+    MaterializedAgg.landDrop(df(rows), cdcSpec, path, "base")
+    // feed: correct a's 100 -> 150 (pre+post pair), delete BOTH b rows,
+    // insert a new d row
+    val feed = Seq(
+      ("a", 100L, "update_pre"), ("a", 150L, "update_post"),
+      ("b", 10L, "delete"), ("b", 40L, "delete"),
+      ("d", 7L, "insert")).toDF("grp", "cents", "change_type")
+    MaterializedAgg.landChangesDrop(feed, cdcSpec, path, "cdc1")
+    val got = MaterializedAgg.serve(spark, path, cdcSpec).orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // a: 2 rows, 350+50; b fully cancelled (absent); c untouched; d inserted
+    assert(got == Seq(("a", 2L, 400L), ("c", 1L, 7L), ("d", 1L, 7L)))
+    // min/max cannot be maintained from a change feed — refused loudly
+    intercept[IllegalArgumentException](
+      MaterializedAgg.landChangesDrop(feed, spec, path, "cdc2"))
+  }
+
+  test("changesBetween preImages=true emits the Delta-CDF update row pair") {
+    val root = Files.createTempDirectory("cdfpre").toString
+    val lake = new graft.lake.SnapshotLake(spark, root + "/lake", "_id")
+    lake.overwrite(Seq(("a", 1), ("b", 2), ("c", 3)).toDF("_id", "v"))
+    lake.upsert(Seq(("b", 20), ("d", 40)).toDF("_id", "v"))
+    lake.deleteWhere(col("_id") === "a")
+    val feed = lake.changesBetween(1, 3, preImages = true)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(feed == Set(("a", 1, "delete"), ("b", 2, "update_pre"),
+      ("b", 20, "update_post"), ("d", 40, "insert")))
+    // the default form is unchanged: post-images only
+    val noPre = lake.changesBetween(1, 3)
+      .collect().map(_.getString(2)).toSet
+    assert(noPre == Set("delete", "update_post", "insert"))
+  }
+
   test("cli: profile / matagg / sketch operate the tiers end-to-end") {
     val root = Files.createTempDirectory("mataggcli").toString
     val (d1, d2) = rows.splitAt(2)
