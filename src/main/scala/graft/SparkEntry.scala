@@ -892,6 +892,14 @@ object SparkEntry {
         .orderBy(col("col_name"))
     }),
 
+    // distribution audit beside the profiler: fixed-width histogram on
+    // the integer cents grid (bucket edges exact in any engine)
+    "q_histogram_prices" -> ((s, dir) => {
+      graft.ops.Profiler.intHistogram(t(s, dir, "orders"),
+        cents(col("o_totalprice")), lo = 0L, width = 500000L, nBuckets = 12)
+        .orderBy(col("bucket"))
+    }),
+
     // F7-shape: JSON field extraction + agg
     "q_events_json_extract" -> ((s, dir) => {
       t(s, dir, "events")  // props only — no ts needed
@@ -974,6 +982,14 @@ object SparkEntry {
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_exact,
         |       true AS within_2pct
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_histogram_prices" ->
+      """WITH c AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS v FROM orders)
+        |SELECT CASE WHEN v < 0 THEN -1
+        |            WHEN v >= 500000 * 12 THEN 12
+        |            ELSE v // 500000 END AS bucket,
+        |       count(*) AS n
+        |FROM c GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q_profile_orders" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",

@@ -54,4 +54,32 @@ object Profiler {
       s"stack(${cols.size}, ${branches.mkString(", ")}) AS " +
         "(col_name, n_rows, n_null, n_distinct, min_value, max_value)"))
   }
+
+  /** Fixed-width histogram on an INTEGER grid — the distribution audit
+    * beside [[profile]]'s scalar stats. Bucket arithmetic is pure int64
+    * (`(v - lo) / width` on non-negative offsets), so the same buckets
+    * fall out of any engine — no floating bucket edges to disagree at
+    * boundaries (floats route through a cents-style grid first, the
+    * repo-wide convention). Under/overflow land in buckets -1 and
+    * `nBuckets`; in-range bucket b covers `[lo + b*width, lo + (b+1)*width)`.
+    * One groupBy of bucket-count pairs — partials map-side, the shuffle
+    * carries at most nBuckets+2 rows per partition.
+    */
+  def intHistogram(df: DataFrame, value: org.apache.spark.sql.Column,
+                   lo: Long, width: Long, nBuckets: Int): DataFrame = {
+    require(width > 0 && nBuckets > 0, "width and nBuckets must be positive")
+    val v = value.cast("long")
+    // Column `/` is DOUBLE division; keep the bucket id in exact int64:
+    // subtract the remainder first so the one double division is of an
+    // exact multiple (k*width / width == k exactly in IEEE for any k
+    // this grid can produce), then cast back
+    val off = v - lo
+    val inRange = ((off - pmod(off, lit(width))) / width).cast("long")
+    val bucket = when(v < lo, lit(-1L))
+      .when(v >= lo + width * nBuckets.toLong, lit(nBuckets.toLong))
+      .otherwise(inRange)
+    df.select(bucket.as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

@@ -37,6 +37,17 @@ class ProfilerSpec extends AnyFunSuite {
     assert(scans.size == 1, s"profile must read its input once, saw ${scans.size} scans")
   }
 
+  test("intHistogram: exact edges, under/overflow buckets, empty buckets absent") {
+    val vals = Seq(-5L, 0L, 9L, 10L, 19L, 20L, 199L, 200L, 201L).toDF("v")
+    val got = Profiler.intHistogram(vals, col("v"), lo = 0L, width = 10L, nBuckets = 20)
+      .orderBy("bucket").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // -5 -> underflow; 0,9 -> b0; 10,19 -> b1; 20 -> b2; 199 -> b19 (last
+    // in-range); 200,201 -> overflow; buckets 3..18 emit nothing
+    assert(got == Seq((-1L, 1L), (0L, 2L), (1L, 2L), (2L, 1L), (19L, 1L), (20L, 2L)))
+    intercept[IllegalArgumentException](
+      Profiler.intHistogram(vals, col("v"), 0L, 0L, 10))
+  }
+
   test("rejects non-identifier column names instead of splicing them into SQL") {
     intercept[IllegalArgumentException](Profiler.profile(sample, Seq("k`; drop")))
     intercept[IllegalArgumentException](Profiler.profile(sample, Nil))
