@@ -892,6 +892,27 @@ object SparkEntry {
         .orderBy(col("col_name"))
     }),
 
+    // skewed-fact equi-join via deterministic salting: dim replicated
+    // per salt, fact salted from its own id — row-identical to the
+    // plain join, hot keys spread over `salt` reducers
+    "q_salted_join" -> ((s, dir) => {
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      graft.ops.Skew.saltedJoin(t(s, dir, "orders"), dim,
+          "o_custkey", col("o_orderkey"), salt = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total_price"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // time-series resample with zero-filled gaps: per event type, hourly
+    // counts over the type's dense [first, last] hour grid — quiet hours
+    // materialize at 0 instead of silently vanishing from the groupBy
+    "q_resample_gapfill" -> ((s, dir) => {
+      graft.ops.TimeJoins.resampleGapFill(events(s, dir), "event_type", "ts")
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
     // distribution audit beside the profiler: fixed-width histogram on
     // the integer cents grid (bucket edges exact in any engine)
     "q_histogram_prices" -> ((s, dir) => {
@@ -982,6 +1003,22 @@ object SparkEntry {
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_exact,
         |       true AS within_2pct
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // the salt only reshapes the shuffle — the oracle is the plain join
+    "q_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_resample_gapfill" ->
+      """WITH b AS (SELECT event_type, date_trunc('hour', ts) AS bucket, count(*) AS n
+        |           FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        |r AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi FROM b GROUP BY event_type),
+        |g AS (SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM r)
+        |SELECT g.event_type, g.bucket, coalesce(b.n, 0) AS n
+        |FROM g LEFT JOIN b ON g.event_type = b.event_type AND g.bucket = b.bucket
+        |ORDER BY g.event_type, g.bucket""".stripMargin,
 
     "q_histogram_prices" ->
       """WITH c AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS v FROM orders)

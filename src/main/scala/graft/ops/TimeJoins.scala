@@ -58,4 +58,33 @@ object TimeJoins {
       .filter(col(pCol) >= col(loCol) && col(pCol) < col(hiCol))
       .drop(bin)
   }
+
+  /** Time-series resample with gap fill: per group, the count of rows in
+    * each `unit`-truncated bucket between the group's first and last
+    * event, with EMPTY buckets materialized at n = 0 — the dense grid a
+    * charting/feature layer expects, where a plain groupBy silently
+    * omits quiet periods.
+    *
+    * Everything past the first aggregate is aggregate-sized: bucket
+    * counts shuffle once, the per-group [min, max] span is one tiny agg,
+    * the dense grid explodes from the span (one row per bucket, data
+    * never re-read), and the fill is a grid-vs-counts equi-join. A
+    * 100 TB event table with a 2-year hourly span costs the one count
+    * pass plus ~17k grid rows per group.
+    */
+  def resampleGapFill(df: DataFrame, groupCol: String, tsCol: String,
+                      unit: String = "hour"): DataFrame = {
+    require(Seq("year", "quarter", "month", "week", "day", "hour", "minute")
+      .contains(unit.toLowerCase), s"unsupported resample unit '$unit'")
+    val counts = df
+      .select(col(groupCol).as("g"), date_trunc(unit, col(tsCol)).as("bucket"))
+      .groupBy(col("g"), col("bucket")).agg(count(lit(1)).as("n"))
+    val spans = counts.groupBy(col("g"))
+      .agg(min(col("bucket")).as("__lo"), max(col("bucket")).as("__hi"))
+    val grid = spans.select(col("g"),
+      explode(expr(s"sequence(__lo, __hi, interval 1 $unit)")).as("bucket"))
+    grid.join(counts, Seq("g", "bucket"), "left_outer")
+      .select(col("g").as(groupCol), col("bucket"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
 }

@@ -478,6 +478,22 @@ class OpsSpec extends AnyFunSuite {
       v.fold(conf.unset(k))(conf.set(k, _)) }
   }
 
+  test("skew: saltedJoin is row-identical to the plain join, incl. duplicate dim rows") {
+    val fact = spark.range(2000).select(col("id"),
+      when(col("id") < 1800, lit("hot")).otherwise(concat(lit("k"), col("id"))).as("k"))
+    // dim with a DUPLICATE key row: each fact row must still meet both
+    val dim = (Seq(("hot", 1), ("hot", 2)) ++
+      (1800 until 2000).map(i => (s"k$i", i))).toDF("k", "d")
+    def norm(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("id"), col("k"), col("d")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sorted.toSeq
+    val plain = norm(fact.join(dim, "k"))
+    val salted = norm(graft.ops.Skew.saltedJoin(fact, dim, "k", col("id"), salt = 8))
+    assert(salted == plain && plain.size == 1800 * 2 + 200)
+    intercept[IllegalArgumentException](graft.ops.Skew.saltedJoin(
+      fact.withColumn("__salt", lit(1)), dim, "k", col("id")))
+  }
+
   test("packSequencesFirstFit: no doc straddles a bin; oversize doc gets its own bin") {
     val docs = Seq(
       ("a", 1L, "w1 w2 w3"),            // bin 0, off 0 (3)

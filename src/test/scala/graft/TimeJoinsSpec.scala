@@ -69,4 +69,26 @@ class TimeJoinsSpec extends AnyFunSuite {
     val n = TimeJoins.pointInIntervalJoin(oddP, "p col", oddI, "lo-x", "hi x", 16L).count()
     assert(n == 10L) // 12,15,...,39 step 3
   }
+
+  test("resampleGapFill materializes empty buckets at zero and keeps counts exact") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      ("a", ts("2024-01-01 10:05:00")), ("a", ts("2024-01-01 10:55:00")),
+      ("a", ts("2024-01-01 14:01:00")), // hours 11-13 are gaps
+      ("b", ts("2024-01-02 00:30:00"))) // single-bucket group
+      .toDF("g", "ts")
+    val got = TimeJoins.resampleGapFill(df, "g", "ts")
+      .orderBy("g", "bucket").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString, r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("a", "2024-01-01 10:00:00.0", 2L),
+      ("a", "2024-01-01 11:00:00.0", 0L),
+      ("a", "2024-01-01 12:00:00.0", 0L),
+      ("a", "2024-01-01 13:00:00.0", 0L),
+      ("a", "2024-01-01 14:00:00.0", 1L),
+      ("b", "2024-01-02 00:00:00.0", 1L)))
+    // day unit: each group spans a single day -> one row per group
+    assert(TimeJoins.resampleGapFill(df, "g", "ts", "day").count() == 2L)
+    intercept[IllegalArgumentException](TimeJoins.resampleGapFill(df, "g", "ts", "fortnight"))
+  }
 }
