@@ -98,8 +98,13 @@ object MaterializedAgg {
     require(spec.mins.isEmpty && spec.maxs.isEmpty,
       "min/max are not retractable from a change feed; use landDrop over full drops")
     val spark = changes.sparkSession
+    // an unrecognized change type must fail the job, not silently count
+    // as an insert (a feed with e.g. "carried" rows would drift the sum)
     val sign = when(col(changeTypeCol).isin("delete", "update_pre"), lit(-1L))
-      .otherwise(lit(1L))
+      .when(col(changeTypeCol).isin("insert", "update_post"), lit(1L))
+      .otherwise(raise_error(concat(
+        lit(s"landChangesDrop: unrecognized $changeTypeCol '"),
+        col(changeTypeCol), lit("'"))))
     val aggs = spec.sums.map { case (a, c) => sum(sign * c).as(a) }
     val partial = changes.groupBy(spec.dims.map(col): _*)
       .agg(sum(sign).as("n"), aggs: _*)

@@ -13,6 +13,7 @@ object Staged {
 
   def land(spark: SparkSession, path: String, df: DataFrame): Unit = {
     val dest = new org.apache.hadoop.fs.Path(path)
+    require(dest.getParent != null, s"cannot stage-land at a filesystem root: $path")
     // dot-prefixed staging: invisible to Spark's file listing AND to
     // partition discovery — a `seg=1.staging` sibling would otherwise be
     // inferred as partition seg='1.staging' by readers of the parent dir

@@ -76,6 +76,8 @@ object TimeJoins {
                       unit: String = "hour"): DataFrame = {
     require(Seq("year", "quarter", "month", "week", "day", "hour", "minute")
       .contains(unit.toLowerCase), s"unsupported resample unit '$unit'")
+    require(groupCol != "bucket" && groupCol != "n" && tsCol != "bucket" && tsCol != "n",
+      "input columns must not be named 'bucket' or 'n' (output column names)")
     val counts = df
       .select(col(groupCol).as("g"), date_trunc(unit, col(tsCol)).as("bucket"))
       .groupBy(col("g"), col("bucket")).agg(count(lit(1)).as("n"))

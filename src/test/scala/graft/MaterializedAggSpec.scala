@@ -125,6 +125,11 @@ class MaterializedAggSpec extends AnyFunSuite {
     // min/max cannot be maintained from a change feed — refused loudly
     intercept[IllegalArgumentException](
       MaterializedAgg.landChangesDrop(feed, spec, path, "cdc2"))
+    // an unrecognized change type fails the land rather than mis-counting
+    val bad = Seq(("a", 5L, "carried")).toDF("grp", "cents", "change_type")
+    val e = intercept[Exception](
+      MaterializedAgg.landChangesDrop(bad, cdcSpec, path, "cdc3"))
+    assert(e.getMessage != null)
   }
 
   test("changesBetween preImages=true emits the Delta-CDF update row pair") {
