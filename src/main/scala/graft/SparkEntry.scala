@@ -882,6 +882,33 @@ object SparkEntry {
       out
     }),
 
+    // the DISTRIBUTION member of the incremental tier: per-drop
+    // fixed-grid histograms merge by addition, and the merged sketch
+    // answers quantiles with error < one bucket width. The estimate is
+    // deterministically the grid-floor of the exact lower median, which
+    // is exactly what the oracle recomputes — hash-equal, no tolerance
+    "q_hist_median_est" -> ((s, dir) => {
+      import graft.ops.Sketches
+      val orders = t(s, dir, "orders")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_hseg_q").toString
+      val path = tmp + "/hist"
+      (0 to 2).foreach { d =>
+        Sketches.landHistDrop(
+          orders.filter(pmod(col("o_orderkey"), lit(3)) === d),
+          Seq("o_orderpriority"), cents(col("o_totalprice")),
+          lo = 0L, width = 500000L, nBuckets = 120, path, s"drop$d")
+      }
+      val out = Sketches.quantileFromHist(
+          Sketches.serveHist(s, path, Seq("o_orderpriority")),
+          Seq("o_orderpriority"), num = 1, den = 2, lo = 0L, width = 500000L)
+        .orderBy(col("o_orderpriority"))
+        .localCheckpoint(true) // the scratch segments are deleted next
+      new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      out
+    }),
+
     // Beyond-reference data-quality tier: one-pass column profiler
     // (rows/nulls/exact-distinct/min/max per column in a single wide
     // aggregate + stack unpivot — no per-column rescans)
@@ -1027,6 +1054,16 @@ object SparkEntry {
         |            ELSE v // 500000 END AS bucket,
         |       count(*) AS n
         |FROM c GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // the exact lower median's grid floor — what the merged histogram
+    // sketch must land on
+    "q_hist_median_est" ->
+      """WITH c AS (SELECT o_orderpriority, CAST(round(o_totalprice*100) AS BIGINT) AS v, o_orderkey FROM orders),
+        |r AS (SELECT o_orderpriority, v,
+        |       row_number() OVER (PARTITION BY o_orderpriority ORDER BY v, o_orderkey) AS rn,
+        |       count(*) OVER (PARTITION BY o_orderpriority) AS cnt FROM c)
+        |SELECT o_orderpriority, (v // 500000) * 500000 AS est FROM r
+        |WHERE rn = (cnt + 1) // 2 ORDER BY o_orderpriority""".stripMargin,
 
     "q_profile_orders" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",

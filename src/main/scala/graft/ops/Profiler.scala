@@ -66,20 +66,26 @@ object Profiler {
     * carries at most nBuckets+2 rows per partition.
     */
   def intHistogram(df: DataFrame, value: org.apache.spark.sql.Column,
-                   lo: Long, width: Long, nBuckets: Int): DataFrame = {
-    require(width > 0 && nBuckets > 0, "width and nBuckets must be positive")
-    val v = value.cast("long")
-    // Column `/` is DOUBLE division; keep the bucket id in exact int64:
-    // subtract the remainder first so the one double division is of an
-    // exact multiple (k*width / width == k exactly in IEEE for any k
-    // this grid can produce), then cast back
-    val off = v - lo
-    val inRange = ((off - pmod(off, lit(width))) / width).cast("long")
-    val bucket = when(v < lo, lit(-1L))
-      .when(v >= lo + width * nBuckets.toLong, lit(nBuckets.toLong))
-      .otherwise(inRange)
-    df.select(bucket.as("bucket"))
+                   lo: Long, width: Long, nBuckets: Int): DataFrame =
+    df.select(bucketOf(value, lo, width, nBuckets).as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"))
+
+  /** The exact int64 bucket id for [[intHistogram]] (shared with the
+    * mergeable histogram segments in [[Sketches]]): -1 below `lo`,
+    * `nBuckets` at/above the top edge, else `(v - lo) / width` in
+    * integer arithmetic. Column `/` is DOUBLE division; subtracting the
+    * remainder first makes the one double division exact (k*width /
+    * width == k in IEEE for any k this grid can produce).
+    */
+  def bucketOf(value: org.apache.spark.sql.Column, lo: Long, width: Long,
+               nBuckets: Int): org.apache.spark.sql.Column = {
+    require(width > 0 && nBuckets > 0, "width and nBuckets must be positive")
+    val v = value.cast("long")
+    val off = v - lo
+    val inRange = ((off - pmod(off, lit(width))) / width).cast("long")
+    when(v < lo, lit(-1L))
+      .when(v >= lo + width * nBuckets.toLong, lit(nBuckets.toLong))
+      .otherwise(inRange)
   }
 }

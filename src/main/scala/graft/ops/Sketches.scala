@@ -91,4 +91,55 @@ object Sketches {
   def withinRelError(est: Column, exact: Column, tol: Double): Column =
     when(exact === 0, est === 0)
       .otherwise(abs(est.cast("double") - exact.cast("double")) / exact.cast("double") <= tol)
+
+  // ------------------------------------------- histogram (distribution) tier
+
+  /** One drop's per-group fixed-grid histogram — the DISTRIBUTION
+    * sketch beside the cardinality tiers: bucket counts merge by plain
+    * addition (exactly — they are counts), so per-drop segments serve
+    * corpus quantiles with error bounded by the bucket width, no raw
+    * rescan. Grid params (lo, width, nBuckets) must be identical across
+    * a path's segments — they define the sketch, like lgK for HLL.
+    */
+  def histSegment(drop: DataFrame, dims: Seq[String], value: Column,
+                  lo: Long, width: Long, nBuckets: Int): DataFrame =
+    drop.groupBy(dims.map(col) :+ Profiler.bucketOf(value, lo, width, nBuckets).as("bucket"): _*)
+      .agg(count(lit(1)).as("n"))
+
+  def landHistDrop(drop: DataFrame, dims: Seq[String], value: Column,
+                   lo: Long, width: Long, nBuckets: Int,
+                   path: String, dropId: String): Long = {
+    val spark = drop.sparkSession
+    Staged.land(spark, segDir(path, dropId),
+      histSegment(drop, dims, value, lo, width, nBuckets))
+    spark.read.parquet(segDir(path, dropId)).count()
+  }
+
+  /** Merged histogram per dims: (dims..., bucket, n). */
+  def serveHist(spark: SparkSession, path: String, dims: Seq[String]): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(dims.map(col) :+ col("bucket"): _*)
+      .agg(sum(col("n")).as("n"))
+
+  /** Lower-quantile estimate from a merged histogram: per dims, the
+    * LOWER EDGE of the bucket holding the rank-ceil(n*num/den) value
+    * (num/den e.g. 1/2 = the lower median). The true quantile value
+    * lies inside that bucket, so `|est - exact| < width` whenever the
+    * grid covers the data (rank never in the -1 / nBuckets overflow
+    * buckets) — equivalently, est == exact - exact mod width, which is
+    * what an oracle recomputes from the exact quantile. The window runs
+    * over at most nBuckets+2 rows per group — never raw data.
+    */
+  def quantileFromHist(hist: DataFrame, dims: Seq[String], num: Int, den: Int,
+                       lo: Long, width: Long): DataFrame = {
+    require(num > 0 && den > 0 && num <= den, "quantile must be in (0, 1]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(dims.map(col): _*).orderBy(col("bucket"))
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy(dims.map(col): _*)
+    hist
+      .withColumn("__cum", sum(col("n")).over(w))
+      .withColumn("__k", ceil(sum(col("n")).over(tot) * num / den).cast("long"))
+      .filter(col("__cum") - col("n") < col("__k") && col("__k") <= col("__cum"))
+      .select(dims.map(col) :+ (lit(lo) + col("bucket") * width).as("est"): _*)
+  }
 }

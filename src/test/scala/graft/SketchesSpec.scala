@@ -62,6 +62,32 @@ class SketchesSpec extends AnyFunSuite {
     assert(once == twice)
   }
 
+  test("hist tier: merged segments answer quantiles within one bucket width of exact") {
+    val path = tmp()
+    // deterministic-but-irregular values over [0, 1000)
+    val all = (0 until 900).map(i => ("g" + (i % 2), ((i * 37 + 11) % 1000).toLong))
+    all.grouped(300).zipWithIndex.foreach { case (drop, i) =>
+      Sketches.landHistDrop(drop.toDF("g", "v"), Seq("g"), col("v"),
+        lo = 0L, width = 50L, nBuckets = 20, path, s"d$i")
+    }
+    val hist = Sketches.serveHist(spark, path, Seq("g"))
+    // merged histogram equals the one-shot histogram over everything
+    val whole = Sketches.histSegment(all.toDF("g", "v"), Seq("g"), col("v"), 0L, 50L, 20)
+    assert(hist.orderBy("g", "bucket").collect().map(_.toSeq).toSeq ==
+      whole.orderBy("g", "bucket").collect().map(_.toSeq).toSeq)
+    for ((num, den) <- Seq((1, 2), (1, 4), (3, 4), (1, 1))) {
+      val est = Sketches.quantileFromHist(hist, Seq("g"), num, den, 0L, 50L)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      all.groupBy(_._1).foreach { case (g, rows) =>
+        val sorted = rows.map(_._2).sorted
+        val exact = sorted((math.ceil(sorted.size.toDouble * num / den) - 1).toInt)
+        assert(est(g) <= exact && exact < est(g) + 50,
+          s"q=$num/$den g=$g est=${est(g)} exact=$exact")
+        assert(est(g) == exact - exact % 50, "estimate is the grid floor of the exact quantile")
+      }
+    }
+  }
+
   test("withinRelError handles the zero-exact edge") {
     val df = Seq((0L, 0L), (0L, 1L), (100L, 101L), (100L, 110L)).toDF("exact", "est")
     val got = df.select(Sketches.withinRelError(col("est"), col("exact"), 0.02))
