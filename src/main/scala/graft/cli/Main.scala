@@ -329,6 +329,33 @@ object Main {
           println(s"[cli] snap cluster: rewrote sorted by ${cols.mkString(",")}")
         case other => println(s"snap --op history|read|vacuum|changes|compact|cluster (got '$other')")
       }
+    case "drop" =>
+      // the monthly-drop runbook in one command: snapshot CoW upsert,
+      // then churn-proportional refresh of every maintained artifact
+      // (bloom sidecar; band index with --text-col; summary segments
+      // with --dims/--sums/--summary-path; HLL with --hll-path)
+      import graft.lake.MaterializedAgg
+      val lake = new graft.lake.SnapshotLake(spark,
+        arg(args, "--lake").get, arg(args, "--key").getOrElse("_id"))
+      val dropDf = spark.read.parquet(arg(args, "--in").get)
+      val summary = for {
+        dims <- arg(args, "--dims"); sums <- arg(args, "--sums")
+        p <- arg(args, "--summary-path")
+      } yield (MaterializedAgg.Spec(dims.split(",").toSeq,
+        sums = sums.split(",").toSeq.map { kv =>
+          val Array(a, c) = kv.split("=", 2); a -> col(c)
+        }), p)
+      val conf = graft.pipeline.DropCycle.Config(
+        textCol = arg(args, "--text-col"),
+        bandIdxPath = arg(args, "--band-path"),
+        bloom = !flag(args, "--no-bloom"),
+        summary = summary,
+        hll = arg(args, "--hll-path").map(p =>
+          (arg(args, "--dims").map(_.split(",").toSeq).getOrElse(Nil),
+            arg(args, "--key").getOrElse("_id"), p)))
+      val report = graft.pipeline.DropCycle.run(lake, dropDf, conf)
+      report.toSeq.sortBy(_._1).foreach { case (tier, (a, b)) =>
+        println(s"[cli] drop $tier: $a/$b") }
     case "profile" =>
       // one-pass column audit (rows/nulls/distinct/min/max) before a
       // drop is trusted; --approx swaps exact distinct for HLL
@@ -402,6 +429,6 @@ object Main {
       if (d.isEmpty) println("[cli] audit: schemas identical")
       else d.orderBy(col("change"), col("field")).show(1000, truncate = false)
     case other =>
-      println(s"usage: ingest|summary|harvest|sync|compact|stats|cluster|index|repair|purge|curate|snap|audit|profile|matagg|sketch (got '$other')")
+      println(s"usage: ingest|summary|harvest|sync|compact|stats|cluster|index|repair|purge|curate|snap|audit|profile|matagg|sketch|drop (got '$other')")
   }
 }

@@ -53,7 +53,7 @@ import org.apache.spark.sql.types.StructType
   * moves 1 % of the bytes — finer-grained than partition scoping and
   * independent of the partition layout.
   */
-class SnapshotLake(private[lake] val spark: SparkSession, private[lake] val path: String,
+class SnapshotLake(private[lake] val spark: SparkSession, val path: String,
                    val keyCol: String, claimStaleMs: Long = 10L * 60 * 1000) {
 
   import SnapshotLake._

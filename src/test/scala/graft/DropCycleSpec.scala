@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake.{MaterializedAgg, SnapshotLake}
+import graft.ops.{Dedup, DedupIndex, Sketches}
+import graft.pipeline.DropCycle
+
+class DropCycleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, Long)*) =
+    rows.toDF("_id", "text", "grp").select(col("_id").cast("string").as("_id"),
+      col("text"), col("grp"))
+
+  test("two monthly cycles: every artifact converges and maintenance follows churn") {
+    val root = Files.createTempDirectory("dropcycle").toString
+    val lake = new SnapshotLake(spark, root + "/lake", "_id")
+    val spec = MaterializedAgg.Spec(Seq("grp"), sums = Seq("chars" -> length(col("text")).cast("long")))
+    val conf = DropCycle.Config(
+      textCol = Some("text"),
+      bandIdxPath = Some(root + "/bandidx"),
+      summary = Some((spec, root + "/summary")),
+      hll = Some((Seq("grp"), "_id", root + "/hll")))
+
+    val drop1 = docs(
+      (1L, "the quick brown fox jumps over the lazy dog", 0L),
+      (2L, "the quick brown fox jumps over the lazy dogs", 0L),
+      (3L, "completely different text about spark engines", 1L))
+    val r1 = DropCycle.run(lake, drop1, conf)
+    assert(r1("lake") == ((0L, 1L)))
+
+    // drop 2: updates doc 3, re-delivers doc 1 unchanged, inserts doc 4
+    val drop2 = docs(
+      (1L, "the quick brown fox jumps over the lazy dog", 0L),
+      (3L, "completely different text about flink engines", 1L),
+      (4L, "the quick brown fox jumps over the lazy doge", 0L))
+    val r2 = DropCycle.run(lake, drop2, conf)
+    assert(r2("lake") == ((1L, 2L)))
+
+    // band maintenance was churn-scoped: doc 1 carried, docs 3+4 signed
+    assert(r2("band") == ((1L, 2L)))
+
+    // lake state == the batch-merged truth
+    val state = lake.read.orderBy("_id").collect().map(r => r.getString(0) -> r.getString(1))
+    assert(state.map(_._1).toSeq == Seq("1", "2", "3", "4"))
+    assert(state(2)._2.contains("flink"))
+
+    // summary (full seg + CDC seg) == one-shot aggregate over the lake
+    val served = MaterializedAgg.serve(spark, root + "/summary", spec)
+      .orderBy("grp").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val oneShot = lake.read.groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(length(col("text")).cast("long")).as("chars"))
+      .orderBy("grp").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(served == oneShot)
+
+    // band index == the from-scratch index over the final corpus
+    val got = DedupIndex.candidatePairs(spark, root + "/bandidx")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    DedupIndex.build(lake.read, "_id", "text", root + "/scratchidx")
+    val want = DedupIndex.candidatePairs(spark, root + "/scratchidx")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == want && got.nonEmpty)
+
+    // hll distinct per grp: re-delivered ids are union no-ops
+    val est = Sketches.serveHllEstimate(spark, root + "/hll", Seq("grp"))
+      .orderBy("grp").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(est == Seq((0L, 3L), (1L, 1L)))
+
+    // bloom: point lookup after the cycles opens fewer files than exist
+    // and serves the post-upsert value
+    val (rows, opened) = graft.lake.BloomIndex.lookupSnapshot(lake, "_id", Seq("3"))
+    assert(rows.collect().head.getAs[String]("text").contains("flink"))
+    assert(opened <= lake.readManifest(lake.latestVersion.get).get.files.size)
+  }
+
+  test("cli drop runs a cycle end-to-end") {
+    val root = Files.createTempDirectory("dropcli").toString
+    docs((1L, "alpha beta gamma", 0L), (2L, "delta epsilon zeta", 1L))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(root + "/in1")
+    docs((2L, "delta epsilon eta", 1L), (3L, "theta iota kappa", 0L))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(root + "/in2")
+    Seq("/in1", "/in2").foreach { in =>
+      graft.cli.Main.run(spark, "drop", Array(
+        "--lake", root + "/lake", "--in", root + in, "--text-col", "text",
+        "--dims", "grp", "--sums", "chars=n_chars", "--summary-path", root + "/sum",
+        "--hll-path", root + "/hll"))
+    }
+    val lake = new SnapshotLake(spark, root + "/lake", "_id")
+    assert(lake.latestVersion.contains(2L))
+    val spec = MaterializedAgg.Spec(Seq("grp"), sums = Seq("chars" -> col("n_chars")))
+    val served = MaterializedAgg.serve(spark, root + "/sum", spec)
+      .orderBy("grp").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val oneShot = lake.read.groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+      .orderBy("grp").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(served == oneShot)
+  }
+}
