@@ -8,7 +8,7 @@ import graft.core.NtpIds
 import graft.enrich.Entities
 import graft.functions.UnidecodeEs
 import graft.ingest.Normalize
-import graft.ops.{Dedup, DedupIndex, Multimodal, Similarity, SimilarityIndex, TextAnalysis}
+import graft.ops.{Dedup, DedupIndex, Multimodal, Similarity, SimilarityIndex, TextAnalysis, TextIndex}
 import graft.versions.Versions
 
 /** Training-data-pipeline + enrichment queries (SURVEY §7.6/§7.8):
@@ -139,6 +139,26 @@ object CorpusQueries {
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))
+    }),
+
+    // persisted per-doc text stats with churn-proportional refresh: the
+    // text tier's sidecar (one tokenize pass per CHANGED doc, unchanged
+    // rows carry verbatim). Drop 1 indexes 4/5 of the corpus; the full
+    // corpus then refreshes (churn = the % 5 == 0 docs) and the served
+    // table must hash-match the from-scratch recompute oracle
+    "txt_stats_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_txtidx_q").toString
+      val idx = tmp + "/txtstats"
+      TextIndex.build(docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", idx)
+      TextIndex.refresh(docs, "doc_id", "text", idx)
+      val out = TextIndex.serve(s, idx)
+        .orderBy(col("doc"))
+        .localCheckpoint(true) // the scratch index is deleted next
+      new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      out
     }),
 
     // corpus vocabulary heavy hitters: exact global top-20 tokens —
@@ -856,6 +876,30 @@ object CorpusQueries {
          |           THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
          |           ELSE 0.0 END) AS quality
          |FROM m ORDER BY doc_id""".stripMargin),
+
+    // the served sidecar == a from-scratch recompute of every stat
+    "txt_stats_incremental" -> (tkCte +
+      s""",
+         |sc AS (SELECT doc_id, text, toks,
+         |  len(list_filter(toks, t -> list_contains(${swList("de")}, t))) AS s_de,
+         |  len(list_filter(toks, t -> list_contains(${swList("en")}, t))) AS s_en,
+         |  len(list_filter(toks, t -> list_contains(${swList("es")}, t))) AS s_es,
+         |  len(list_filter(toks, t -> list_contains(${swList("fr")}, t))) AS s_fr
+         |FROM tk)
+         |SELECT doc_id AS doc, md5(text) AS fp, len(toks) AS n_tokens,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, t -> CAST(ascii(t) AS BIGINT))),
+         |              (a, b) -> (a * 31 + b) % 1000000007) AS rhash,
+         |  0.4 * least(len(toks) / 100.0, 1.0)
+         |  + 0.3 * least((CASE WHEN len(toks) > 0 THEN CAST(s_en AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END) * 5.0, 1.0)
+         |  + 0.3 * (CASE WHEN length(text) > 0
+         |           THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+         |           ELSE 0.0 END) AS quality,
+         |  CASE WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+         |       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |       WHEN s_es >= s_fr THEN 'es'
+         |       ELSE 'fr' END AS lang
+         |FROM sc ORDER BY doc""".stripMargin),
 
     "txt_top_tokens" -> (tkCte +
       """

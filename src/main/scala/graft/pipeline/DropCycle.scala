@@ -34,8 +34,9 @@ import graft.ops.{DedupIndex, Sketches}
 object DropCycle {
 
   final case class Config(
-    textCol: Option[String] = None,       // step 3 runs when set
+    textCol: Option[String] = None,       // steps 3 + 3b run when set
     bandIdxPath: Option[String] = None,   // default: <lake>.bandidx
+    textStatsPath: Option[String] = None, // step 3b: per-doc stats sidecar
     bloom: Boolean = true,
     summary: Option[(MaterializedAgg.Spec, String)] = None,
     hll: Option[(Seq[String], String, String)] = None) // (dims, key, path)
@@ -53,6 +54,9 @@ object DropCycle {
     conf.textCol.foreach { text =>
       val idx = conf.bandIdxPath.getOrElse(lake.path + ".bandidx")
       report("band") = DedupIndex.upsert(drop, lake.keyCol, text, idx)
+      conf.textStatsPath.foreach { statsPath =>
+        report("textstats") = graft.ops.TextIndex.upsert(drop, lake.keyCol, text, statsPath)
+      }
     }
     conf.summary.foreach { case (spec, path) =>
       val segs = before match {
