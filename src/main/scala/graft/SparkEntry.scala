@@ -807,7 +807,12 @@ object SparkEntry {
       val key = col("_id").cast("long")
       lake.overwrite(orders.filter(key % 3 =!= 2)
         .withColumn("vc", when(key % 5 === 0, col("vc") * 2).otherwise(col("vc"))))
-      lake.upsert(orders)                  // corrects the doubled slice, inserts the rest
+      // v2 batch = exactly the churn: the corrected slice + the missing
+      // third (an upsert of the FULL table would reach the same state
+      // but rewrite every file — the drop is the unit of work, not the
+      // corpus). CoW still carries and cancels the co-located untouched
+      // rows of every rewritten file.
+      lake.upsert(orders.filter(key % 5 === 0 || key % 3 === 2))
       lake.deleteWhere(key % 7 === 0)
       val spec = MaterializedAgg.Spec(Seq("o_orderstatus", "o_orderpriority"),
         sums = Seq("sum_cents" -> col("vc")))
