@@ -348,6 +348,7 @@ object Main {
       val conf = graft.pipeline.DropCycle.Config(
         textCol = arg(args, "--text-col"),
         bandIdxPath = arg(args, "--band-path"),
+        textStatsPath = arg(args, "--text-stats-path"),
         bloom = !flag(args, "--no-bloom"),
         summary = summary,
         hll = arg(args, "--hll-path").map(p =>

@@ -138,16 +138,11 @@ object MaterializedAgg {
     * never a double-counting mix.
     */
   def compact(spark: SparkSession, path: String, spec: Spec, dropId: String): Unit = {
+    require(dropId.nonEmpty && dropId.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+      s"drop id must be [A-Za-z0-9_-]+: '$dropId'")
     // checkpoint: the folded rows must be materialized before the root
     // they were computed from is deleted out from under the plan
-    val folded = serve(spark, path, spec).localCheckpoint(true)
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staging = new org.apache.hadoop.fs.Path(
-      root.getParent, "." + root.getName + ".compact.staging")
-    fs.delete(staging, true)
-    folded.write.parquet(segDir(staging.toString, dropId))
-    fs.delete(root, true)
-    fs.rename(staging, root)
+    Staged.swapRoot(spark, path,
+      serve(spark, path, spec).localCheckpoint(true), s"seg=$dropId")
   }
 }

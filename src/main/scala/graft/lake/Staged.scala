@@ -25,4 +25,25 @@ object Staged {
     fs.delete(dest, true)
     fs.rename(staging, dest)
   }
+
+  /** Swap an ENTIRE segmented root (`path/seg=...`) for one folded
+    * segment in a single rename — the compaction posture shared by
+    * [[MaterializedAgg.compact]] and the [[graft.ops.Sketches]] tiers.
+    * A per-segment delete sequence would give a concurrent reader a
+    * double-counting window; this gives old root, new root, or none.
+    * `folded` must already be materialized (e.g. localCheckpoint) — the
+    * root it was computed from is deleted before the rename.
+    */
+  def swapRoot(spark: SparkSession, path: String, folded: DataFrame,
+               segName: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    require(root.getParent != null, s"cannot swap a filesystem root: $path")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(
+      root.getParent, "." + root.getName + ".compact.staging")
+    fs.delete(staging, true)
+    folded.write.parquet(s"$staging/$segName")
+    fs.delete(root, true)
+    fs.rename(staging, root)
+  }
 }

@@ -85,6 +85,40 @@ object Sketches {
       .groupBy(dims.map(col): _*)
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(true))).as("n_estimate"))
 
+  // -------------------------------------------------------- compaction
+
+  /** Fold all of a tier's segments into one (`dropId`) via the shared
+    * whole-root swap — serve results unchanged (distinct is idempotent,
+    * sketch union and bucket addition are associative), segment count
+    * bounded without touching raw data. One per tier because the folded
+    * form differs: re-distinct, sketch union, bucket sum.
+    */
+  def compactDistinct(spark: SparkSession, path: String, dims: Seq[String],
+                      keyCol: String, dropId: String = "base"): Unit =
+    Staged.swapRoot(spark, path,
+      spark.read.parquet(path).select((dims :+ keyCol).map(col): _*)
+        .distinct().localCheckpoint(true),
+      segName(dropId))
+
+  def compactHll(spark: SparkSession, path: String, dims: Seq[String],
+                 dropId: String = "base"): Unit =
+    Staged.swapRoot(spark, path,
+      spark.read.parquet(path).groupBy(dims.map(col): _*)
+        .agg(hll_union_agg(col("sketch"), lit(true)).as("sketch"))
+        .localCheckpoint(true),
+      segName(dropId))
+
+  def compactHist(spark: SparkSession, path: String, dims: Seq[String],
+                  dropId: String = "base"): Unit =
+    Staged.swapRoot(spark, path,
+      serveHist(spark, path, dims).localCheckpoint(true), segName(dropId))
+
+  private def segName(dropId: String): String = {
+    require(dropId.nonEmpty && dropId.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+      s"drop id must be [A-Za-z0-9_-]+: '$dropId'")
+    s"seg=$dropId"
+  }
+
   /** Estimate-vs-exact audit column: true iff `est` is within `tol`
     * relative error of `exact` (exact == 0 demands est == 0).
     */

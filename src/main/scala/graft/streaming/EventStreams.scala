@@ -141,6 +141,16 @@ object EventStreams {
       if (!batch.isEmpty) graft.ops.SimilarityIndex.upsert(batch, idCol, vecCol, idxPath)
     }
 
+  /** The text-stats twin of the index sinks: each micro-batch of
+    * documents delta-upserts the per-doc stats sidecar
+    * ([[graft.ops.TextIndex.upsert]]) — only changed docs re-tokenize.
+    */
+  def textIndexSink(idxPath: String, idCol: String, textCol: String)(
+      docs: DataFrame): DataStreamWriter[org.apache.spark.sql.Row] =
+    upsertSink(docs) { (batch, _) =>
+      if (!batch.isEmpty) graft.ops.TextIndex.upsert(batch, idCol, textCol, idxPath)
+    }
+
   /** The summary twin of the index sinks: each micro-batch lands ONE
     * aggregate-sized [[graft.lake.MaterializedAgg]] segment keyed by the
     * batch id, so the served summary always covers everything streamed

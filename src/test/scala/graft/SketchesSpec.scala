@@ -88,6 +88,44 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction folds each tier to one segment without changing serve") {
+    // exact tier
+    val dPath = tmp()
+    val all = rows(500)
+    all.grouped(200).zipWithIndex.foreach { case (drop, i) =>
+      Sketches.landDistinctDrop(drop.toDF("g", "k"), Seq("g"), "k", dPath, s"d$i")
+    }
+    val dBefore = Sketches.serveDistinct(spark, dPath, Seq("g"), "k")
+      .orderBy("g").collect().map(_.toSeq).toSeq
+    Sketches.compactDistinct(spark, dPath, Seq("g"), "k")
+    assert(Sketches.serveDistinct(spark, dPath, Seq("g"), "k")
+      .orderBy("g").collect().map(_.toSeq).toSeq == dBefore)
+    assert(new java.io.File(dPath).listFiles().map(_.getName)
+      .filter(_.startsWith("seg=")).toSeq == Seq("seg=base"))
+
+    // hll tier: estimate unchanged by folding
+    val hPath = tmp()
+    val hAll = (0 until 2000).map(i => ("g", (i % 701).toLong))
+    hAll.grouped(700).zipWithIndex.foreach { case (drop, i) =>
+      Sketches.landHllDrop(drop.toDF("g", "k"), Seq("g"), "k", hPath, s"d$i")
+    }
+    val hBefore = Sketches.serveHllEstimate(spark, hPath, Seq("g")).collect().head.getLong(1)
+    Sketches.compactHll(spark, hPath, Seq("g"))
+    assert(Sketches.serveHllEstimate(spark, hPath, Seq("g")).collect().head.getLong(1) == hBefore)
+
+    // hist tier: bucket counts unchanged by folding
+    val tPath = tmp()
+    val tAll = (0 until 600).map(i => ("g" + (i % 2), ((i * 13) % 300).toLong))
+    tAll.grouped(200).zipWithIndex.foreach { case (drop, i) =>
+      Sketches.landHistDrop(drop.toDF("g", "v"), Seq("g"), col("v"), 0L, 30L, 10, tPath, s"d$i")
+    }
+    val tBefore = Sketches.serveHist(spark, tPath, Seq("g"))
+      .orderBy("g", "bucket").collect().map(_.toSeq).toSeq
+    Sketches.compactHist(spark, tPath, Seq("g"))
+    assert(Sketches.serveHist(spark, tPath, Seq("g"))
+      .orderBy("g", "bucket").collect().map(_.toSeq).toSeq == tBefore)
+  }
+
   test("withinRelError handles the zero-exact edge") {
     val df = Seq((0L, 0L), (0L, 1L), (100L, 101L), (100L, 110L)).toDF("exact", "est")
     val got = df.select(Sketches.withinRelError(col("est"), col("exact"), 0.02))

@@ -47,6 +47,28 @@ class TextIndexSpec extends AnyFunSuite {
     assert(row5.getString(5) == fresh.getString(2))
   }
 
+  test("streaming textIndexSink: a batched feed converges to the from-scratch stats") {
+    val tmp = Files.createTempDirectory("txtidx3").toString
+    val feed = tmp + "/feed"
+    val idx = tmp + "/stats"
+    base.grouped(2).zipWithIndex.foreach { case (docs, i) =>
+      corpus(docs: _*).coalesce(1).write.parquet(s"$feed/b$i")
+    }
+    val stream = spark.readStream
+      .schema(corpus(base.head).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$feed/*")
+    val q = graft.streaming.EventStreams.textIndexSink(idx, "doc_id", "text")(stream)
+      .option("checkpointLocation", tmp + "/ckpt")
+      .start()
+    q.awaitTermination()
+    val got = TextIndex.serve(spark, idx).orderBy("doc").collect().map(_.toSeq).toSeq
+    TextIndex.build(corpus(base: _*), "doc_id", "text", tmp + "/scratch")
+    val want = TextIndex.serve(spark, tmp + "/scratch").orderBy("doc")
+      .collect().map(_.toSeq).toSeq
+    assert(got == want && got.size == 4)
+  }
+
   test("upsert is batch-scoped: out-of-batch rows untouched, vanished docs kept") {
     val tmp = Files.createTempDirectory("txtidx2").toString
     val idx = tmp + "/stats"
