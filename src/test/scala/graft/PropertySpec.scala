@@ -311,6 +311,38 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("TextIndex: any build+refresh/upsert history converges to the from-scratch stats") {
+    import graft.ops.TextIndex
+    val wordGen = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.take(5).mkString)
+    val docGen = Gen.listOf(wordGen).map(_.take(12).mkString(" "))
+    val corpusGen = Gen.listOfN(8, docGen)
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    samples(Gen.zip(corpusGen, corpusGen, Gen.choose(0, 2)), 3).foreach {
+      case (v1, v2, mode) =>
+        val tmp = java.nio.file.Files.createTempDirectory("txtprop").toString
+        val idx = tmp + "/idx"
+        // final corpus: v2 wins per id; history varies by mode
+        TextIndex.build(v1.toDF("doc_id", "text"), "doc_id", "text", idx)
+        mode match {
+          case 0 => TextIndex.refresh(v2.toDF("doc_id", "text"), "doc_id", "text", idx)
+          case 1 => TextIndex.upsert(v2.toDF("doc_id", "text"), "doc_id", "text", idx)
+          case _ =>
+            v2.grouped(3).foreach { b =>
+              TextIndex.upsert(b.toDF("doc_id", "text"), "doc_id", "text", idx)
+            }
+        }
+        // refresh drops vanished ids; upsert keeps them — the reference
+        // corpus differs accordingly
+        val ref = if (mode == 0) v2
+          else (v1.toMap ++ v2.toMap).toSeq.sortBy(_._1)
+        TextIndex.build(ref.toDF("doc_id", "text"), "doc_id", "text", tmp + "/scratch")
+        val got = TextIndex.serve(spark, idx).orderBy("doc").collect().map(_.toSeq).toSeq
+        val want = TextIndex.serve(spark, tmp + "/scratch").orderBy("doc")
+          .collect().map(_.toSeq).toSeq
+        assert(got == want, s"mode=$mode")
+    }
+  }
+
   test("knnGraphBucketed: every edge stays in-bucket and ranks exactly per the decimal dot") {
     import graft.ops.Similarity
     val vecGen = Gen.listOfN(64, Gen.choose(-1000, 1000))
