@@ -196,6 +196,36 @@ object CorpusQueries {
         .limit(50)
     }),
 
+    // corpus-trained bigram LM fluency score (KenLM-shaped, in-domain
+    // perplexity proxy) on the integer ppm grid — rare token
+    // transitions drag a document's average conditional likelihood
+    // down. Counts aggregate over the bigram domain, never raw rows
+    "txt_lm_score" -> ((s, dir) => {
+      graft.ops.Relevance.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // compression-ratio quality signal (deflate level 6 via the native
+    // DeflateLen kernel — the Gopher/C4 Kolmogorov-proxy filter). SQL
+    // engines can't deflate, so the driver row is a CONTRACT query:
+    // n_docs is exact and the per-source ratio envelope booleans flip
+    // the row red if the kernel ever drifts out of the corpus's
+    // measured [37..100] band (generous margins for codec variation);
+    // the precise per-string semantics are spec-pinned in FunctionsSpec
+    "txt_compress_ratio" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("source"), TextAnalysis.compressRatioPct(col("text")).as("__r"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), min(col("__r")).as("__mn"),
+          max(col("__r")).as("__mx"), sum(col("__r")).as("__sum"))
+        .select(col("source"), col("n_docs"),
+          (col("__mn") >= 20 && col("__mn") <= 70).as("min_in_range"),
+          (col("__mx") >= 30 && col("__mx") <= 110).as("max_in_range"),
+          (expr("__sum div n_docs") >= 35 && expr("__sum div n_docs") <= 75)
+            .as("avg_in_range"))
+        .orderBy(col("source"))
+    }),
+
     // PII scrub pass: per-class counts + fingerprint of the redacted
     // text (the corpus here is PII-free by construction, so counts are
     // zero and the redacted fingerprint equals the lowercased-text md5 —
@@ -900,6 +930,29 @@ object CorpusQueries {
          |       WHEN s_es >= s_fr THEN 'es'
          |       ELSE 'fr' END AS lang
          |FROM sc ORDER BY doc""".stripMargin),
+
+    "txt_lm_score" -> (tkCte +
+      """,
+        |bgf AS (
+        |  SELECT doc_id, b.prev AS prev, b.cur AS cur
+        |  FROM (SELECT doc_id, unnest(list_transform(range(2, len(toks) + 1),
+        |          i -> struct_pack(prev := toks[i-1], cur := toks[i]))) AS b
+        |        FROM tk WHERE len(toks) >= 2)),
+        |c2 AS (SELECT prev, cur, count(*) AS c2 FROM bgf GROUP BY prev, cur),
+        |c1 AS (SELECT prev, count(*) AS c1 FROM bgf GROUP BY prev),
+        |sc AS (SELECT c2.prev, c2.cur, CAST((1000000 * c2.c2) // c1.c1 AS BIGINT) AS ppm
+        |       FROM c2 JOIN c1 USING (prev)),
+        |d AS (SELECT doc_id, count(*) AS n_bigrams, sum(ppm) AS sum_ppm
+        |      FROM bgf JOIN sc USING (prev, cur) GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, CAST(sum_ppm // n_bigrams AS BIGINT) AS avg_ppm
+        |FROM d ORDER BY doc_id""".stripMargin),
+
+    // deflate isn't SQL-expressible: the oracle pins the exact n_docs and
+    // the expected truth of the envelope contract
+    "txt_compress_ratio" ->
+      """SELECT source, count(*) AS n_docs,
+        |       true AS min_in_range, true AS max_in_range, true AS avg_in_range
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "txt_top_tokens" -> (tkCte +
       """

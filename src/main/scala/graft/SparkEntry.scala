@@ -168,6 +168,57 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // P-family: highly selective scan-level conjunction (TPC-H Q6 shape)
+    // — the pushdown showcase: all three predicates and the two read
+    // columns must reach the parquet scan (PushedFilters/ReadSchema), so
+    // at 100 TB the job reads row groups whose min/max admit the window,
+    // never the table
+    "q06_forecast_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+          cents(col("l_discount")).between(5L, 7L) && col("l_quantity") < 24)
+        .agg((sum(cents(col("l_extendedprice")) * cents(col("l_discount")))
+            .cast("double") / 10000.0).as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
+    // J-family: EXISTS-decorrelated semi join + priority histogram
+    // (TPC-H Q4 shape, adapted to the driver schema: the qualifying
+    // lineitem predicate is returnflag='R' since commit/receipt dates
+    // don't exist here). The filter on the probe side runs BEFORE the
+    // semi join, so the build side ships only qualifying orderkeys.
+    "q04_order_priority" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00")))
+      val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"))
+      o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // J-family: returned-item revenue per customer, 4-way join + top-k
+    // (TPC-H Q10 shape) — nation broadcasts, the orders date window and
+    // the returnflag filter both push to their scans before the fact
+    // join, and the top-20 is a TakeOrdered, never a global sort
+    "q10_returned_items" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = broadcast(t(s, dir, "nation"))
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1996-07-01 00:00:00")))
+      val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // W-family: ranked window (top-3 per group)
     "q_top3_customers_per_nation" -> ((s, dir) => {
       val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc, col("c_custkey"))
@@ -833,6 +884,57 @@ object SparkEntry {
       out
     }),
 
+    // the SUBSCRIPTION half of the CDC story: the same retractable
+    // summary as q_summary_cdc, but maintained through a DURABLE POLL
+    // CONSUMER (offset directory of create-exclusive claims) instead of
+    // hand-fed version intervals — a poll before any new commit
+    // delivers nothing, each interval lands as an idempotent
+    // interval-keyed segment, and a FRESH consumer instance on the same
+    // offset dir (the restart case) resumes exactly where the first
+    // left off and then reports caught-up. Served summary must
+    // hash-match the one-shot oracle over the final lake state.
+    "q_cdc_consume" -> ((s, dir) => {
+      import graft.lake.{CdcConsumer, MaterializedAgg, SnapshotLake}
+      // half the table: the row proves the consumption machinery (offsets,
+      // resume, idempotent interval segments), not lake throughput — the
+      // full-scan CDC cost is already measured by q_summary_cdc
+      val orders = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 2 === 0)
+        .select(
+          col("o_orderkey").cast("string").as("_id"),
+          col("o_orderstatus"), col("o_orderpriority"),
+          cents(col("o_totalprice")).as("vc"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cdccons_q").toString
+      val lake = new SnapshotLake(s, tmp + "/lake", "_id")
+      val key = col("_id").cast("long")
+      lake.overwrite(orders.filter(key % 3 =!= 2)                          // v1
+        .withColumn("vc", when(key % 5 === 0, col("vc") * 2).otherwise(col("vc"))))
+      val spec = MaterializedAgg.Spec(Seq("o_orderstatus", "o_orderpriority"),
+        sums = Seq("sum_cents" -> col("vc")))
+      val sumPath = tmp + "/summary"
+      MaterializedAgg.landDrop(lake.readAt(1), spec, sumPath, "v1")        // consumer base
+      def fold(changes: org.apache.spark.sql.DataFrame, f: Long, to: Long): Unit =
+        MaterializedAgg.landChangesDrop(changes, spec, sumPath, s"v${f}to$to")
+      val consumer = new CdcConsumer(lake, tmp + "/offsets", startVersion = 1L)
+      assert(consumer.poll(fold).isEmpty, "caught-up consumer must deliver nothing")
+      lake.upsert(orders.filter(key % 5 === 0 || key % 3 === 2))           // v2
+      assert(consumer.poll(fold).contains((1L, 2L)), "poll must deliver v1->v2")
+      lake.deleteWhere(key % 7 === 0)                                      // v3
+      // restart: a fresh consumer on the same offset dir resumes at 2
+      val resumed = new CdcConsumer(lake, tmp + "/offsets", startVersion = 1L)
+      assert(resumed.poll(fold).contains((2L, 3L)), "resumed poll must deliver v2->v3")
+      assert(resumed.poll(fold).isEmpty, "consumer must now be caught up")
+      val out = MaterializedAgg.serve(s, sumPath, spec)
+        .select(col("o_orderstatus"), col("o_orderpriority"), col("n"),
+          (col("sum_cents").cast("double") / 100.0).as("total_price"))
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+        .localCheckpoint(true) // the scratch lake+summary are deleted next
+      new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      out
+    }),
+
     // Beyond-reference incremental-cardinality tier, exact form: each
     // drop lands its distinct (dims, key) pairs; distinct is idempotent
     // under union, so the merged segments re-distinct to the corpus
@@ -881,6 +983,45 @@ object SparkEntry {
             .as("within_2pct"))
         .orderBy(col("o_orderpriority"))
         .localCheckpoint(true) // the scratch sketches are deleted next
+      new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      out
+    }),
+
+    // the FREQUENT-ITEMS member of the incremental tier: per-drop exact
+    // top-k segments (SpaceSaving posture — k rows per drop, never the
+    // key domain) merge to per-key bounds n_est <= true <= n_hi, and
+    // every key above the summed retention cutoffs is GUARANTEED to
+    // surface. The key is deterministically skewed (5 hot keys spread
+    // across all three drops, ~uniform cold tail) so the guarantee set
+    // is exactly the hot keys; the oracle recomputes segment retention,
+    // cutoffs and bounds from scratch in SQL — the whole sketch is
+    // hash-checked, not just the contract booleans
+    "q_heavy_hitters" -> ((s, dir) => {
+      import graft.ops.Sketches
+      val hhKey = when(col("o_orderkey") % 2 === 0,
+          concat(lit("hot"), (col("o_orderkey") % 5).cast("string")))
+        .otherwise(concat(lit("cold"), col("o_custkey").cast("string")))
+      val orders = t(s, dir, "orders").withColumn("hh_key", hhKey)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_topk_q").toString
+      val path = tmp + "/topk"
+      (0 to 2).foreach { d =>
+        Sketches.landTopKDrop(
+          orders.filter(pmod(col("o_orderkey"), lit(3)) === d),
+          Nil, "hh_key", k = 64, path, s"drop$d")
+      }
+      val sk = Sketches.serveTopK(s, path, Nil, "hh_key")
+      val exact = orders.groupBy(col("hh_key")).agg(count(lit(1)).as("n_exact"))
+      val out = exact
+        .crossJoin(broadcast(Sketches.totalCutoff(s, path, Nil)))
+        .filter(col("n_exact") > col("total_cutoff")) // the guarantee set
+        .join(sk, Seq("hh_key")) // inner: guaranteed present
+        .select(col("hh_key"), col("n_exact"), col("n_est"), col("n_hi"),
+          (col("n_est") <= col("n_exact") && col("n_exact") <= col("n_hi"))
+            .as("bounds_hold"))
+        .orderBy(col("n_exact").desc, col("hh_key"))
+        .localCheckpoint(true) // the scratch segments are deleted next
       new org.apache.hadoop.fs.Path(tmp)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
         .delete(new org.apache.hadoop.fs.Path(tmp), true)
@@ -998,6 +1139,36 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
 
+    "q06_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+        |       count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND CAST(round(l_discount*100) AS BIGINT) BETWEEN 5 AND 7
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q04_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
     "q_top3_customers_per_nation" ->
       """SELECT n_name, c_name, c_acctbal FROM (
         |  SELECT n_name, c_name, c_acctbal,
@@ -1027,6 +1198,16 @@ object SparkEntry {
         |GROUP BY o_orderstatus, o_orderpriority
         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
 
+    // same final state as q_summary_cdc — what differs is the consumption
+    // machinery (durable offsets, restart resume), which the assertions
+    // inside the query enforce
+    "q_cdc_consume" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price
+        |FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 7 <> 0
+        |GROUP BY o_orderstatus, o_orderpriority
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
     "q_distinct_incremental" ->
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_distinct
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
@@ -1035,6 +1216,36 @@ object SparkEntry {
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_exact,
         |       true AS within_2pct
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // full from-scratch recompute of the top-k sketch: per-segment
+    // retention (rn <= 64, ties by key), retention cutoffs, merged
+    // bounds, and the guarantee-set filter
+    "q_heavy_hitters" ->
+      """WITH base AS (
+        |  SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'hot' || CAST(o_orderkey % 5 AS VARCHAR)
+        |              ELSE 'cold' || CAST(o_custkey AS VARCHAR) END AS hh_key,
+        |         o_orderkey % 3 AS seg
+        |  FROM orders),
+        |cnts AS (SELECT seg, hh_key, count(*) AS cnt FROM base GROUP BY seg, hh_key),
+        |ranked AS (SELECT seg, hh_key, cnt,
+        |                  row_number() OVER (PARTITION BY seg ORDER BY cnt DESC, hh_key) AS rn
+        |           FROM cnts),
+        |kept AS (SELECT seg, hh_key, cnt FROM ranked WHERE rn <= 64),
+        |segcut AS (SELECT s.seg, coalesce(c.cutoff, 0) AS cutoff
+        |           FROM (SELECT DISTINCT seg FROM ranked) s
+        |           LEFT JOIN (SELECT seg, max(cnt) AS cutoff FROM ranked WHERE rn > 64 GROUP BY seg) c
+        |           USING (seg)),
+        |tot AS (SELECT CAST(sum(cutoff) AS BIGINT) AS total_cutoff FROM segcut),
+        |est AS (SELECT hh_key, CAST(sum(k.cnt) AS BIGINT) AS n_est,
+        |               CAST(sum(sc.cutoff) AS BIGINT) AS present
+        |        FROM kept k JOIN segcut sc USING (seg) GROUP BY hh_key),
+        |exact AS (SELECT hh_key, count(*) AS n_exact FROM base GROUP BY hh_key)
+        |SELECT e.hh_key, e.n_exact, s.n_est,
+        |       s.n_est + t.total_cutoff - s.present AS n_hi,
+        |       (s.n_est <= e.n_exact AND e.n_exact <= s.n_est + t.total_cutoff - s.present) AS bounds_hold
+        |FROM exact e CROSS JOIN tot t JOIN est s USING (hh_key)
+        |WHERE e.n_exact > t.total_cutoff
+        |ORDER BY e.n_exact DESC, e.hh_key""".stripMargin,
 
     // the salt only reshapes the shuffle — the oracle is the plain join
     "q_salted_join" ->

@@ -21,6 +21,7 @@ import org.apache.spark.sql.types.{IntegerType, StringType}
   *   simhash_bits(tokens)               64-bit SimHash as '0'/'1' string
   *   rolling_hash(tokens)               31-polynomial order-sensitive hash
   *   stopword_count(tokens, array(...)) tokens contained in a word list
+  *   deflate_len(str)                   deflate-compressed byte length
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -71,5 +72,6 @@ object GraftExtensions {
     "simhash_bits" -> (c => SimHashBits(arity("simhash_bits", 1)(c).head)),
     "rolling_hash" -> (c => RollingHash31(arity("rolling_hash", 1)(c).head)),
     "stopword_count" -> (c => { val a = arity("stopword_count", 2)(c)
-      StopwordCount(a(0), stringArrayLit(a(1), "stopword_count(tokens, words)")) }))
+      StopwordCount(a(0), stringArrayLit(a(1), "stopword_count(tokens, words)")) }),
+    "deflate_len" -> (c => DeflateLen(arity("deflate_len", 1)(c).head)))
 }

@@ -67,6 +67,50 @@ object Relevance {
         aggregate(col("__cs"), lit(0.0), (acc, s) => acc + s.getField("c")).as("score"))
   }
 
+  /** Corpus-trained bigram language-model likelihood score per document
+    * — the KenLM-shaped fluency signal of the curation tier (beside the
+    * heuristic quality score): gibberish and boilerplate-shuffled text
+    * scores low because its token transitions are rare in the corpus,
+    * fluent text scores high.
+    *
+    * The model is the corpus itself (train == score set, the classic
+    * in-domain perplexity proxy): per bigram (prev, cur), the ML
+    * conditional probability c(prev,cur)/c(prev) on an INTEGER
+    * PARTS-PER-MILLION grid — `(1e6 * c2) div c1` — instead of log
+    * space, because ln is libm-dependent while integer floor-division
+    * is exact in any engine (same reasoning as the rational BM25 idf
+    * above). A document's score is the integer mean of its bigram ppms:
+    * avg_ppm = sum_ppm div n_bigrams. Monotone in average conditional
+    * likelihood, so rankings are LM rankings.
+    *
+    * Scale shape: tokenize once; bigram and context counts are
+    * map-side-combined aggregations over the BIGRAM DOMAIN (vocabulary²
+    * bounded, corpus-distinct in practice — never raw-row-sized after
+    * the combine); the score table joins back to the per-doc bigram
+    * stream by (prev, cur) equi-join. Nothing driver-side, no window
+    * over the corpus.
+    *
+    * Returns (idCol, n_bigrams, avg_ppm) for documents with >= 2
+    * tokens; callers order.
+    */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = docs
+      .select(col(idCol).as("__doc"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= 2) // guard BEFORE sequence: sequence(1, 0) would descend
+      .select(col("__doc"), explode(expr(
+        "transform(sequence(1, size(__toks) - 1), i -> struct(__toks[i-1] AS prev, __toks[i] AS cur))")).as("__b"))
+      .select(col("__doc"), col("__b.prev").as("prev"), col("__b.cur").as("cur"))
+    val c2 = bg.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy(col("prev")).agg(count(lit(1)).as("c1"))
+    val scored = c2.join(c1, "prev")
+      .withColumn("ppm", expr("CAST((1000000 * c2) div c1 AS BIGINT)"))
+    bg.join(scored, Seq("prev", "cur"))
+      .groupBy(col("__doc"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("ppm")).as("__sum_ppm"))
+      .select(col("__doc").as(idCol), col("n_bigrams"),
+        expr("CAST(__sum_ppm div n_bigrams AS BIGINT)").as("avg_ppm"))
+  }
+
   /** The shared BM25 core: one row per (doc, matched term) with the
     * idf * tf-saturation contribution `__c` — everything past the
     * `tok IN terms` filter is posting-list-sized.

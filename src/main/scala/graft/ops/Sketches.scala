@@ -155,6 +155,121 @@ object Sketches {
       .groupBy(dims.map(col) :+ col("bucket"): _*)
       .agg(sum(col("n")).as("n"))
 
+  // ------------------------------------------- heavy-hitters (top-k) tier
+
+  /** One drop's per-dims top-`k` key counts — the FREQUENT-ITEMS member
+    * of the incremental tier (SpaceSaving/Misra-Gries posture, exact
+    * per-segment form). A segment retains the k highest (count, key)
+    * pairs per dims group (ties broken by key — deterministic, so an
+    * oracle can recompute retention exactly) plus the group's retention
+    * `cutoff` = the largest DROPPED count (0 if nothing was dropped).
+    *
+    * Serve-time bounds per key, with segments S and P = segments
+    * retaining the key:
+    *   n_est = sum of retained counts over P   (<= true count, exact
+    *           within each retaining segment)
+    *   n_hi  = n_est + sum of cutoffs over S\P (>= true count: a
+    *           non-retaining segment contributed at most its cutoff)
+    * so n_est <= true <= n_hi always, and any key whose true count
+    * exceeds the sum of ALL cutoffs is guaranteed to surface. The rank
+    * runs over the drop's DISTINCT-KEY count frame (vocabulary-sized,
+    * never raw rows); for unbounded key domains size k accordingly —
+    * the artifact is k rows per group per drop.
+    */
+  def topkSegment(drop: DataFrame, dims: Seq[String], keyCol: String, k: Int): DataFrame = {
+    require(k >= 1, "topkSegment: k must be >= 1")
+    val cnts = drop.groupBy((dims :+ keyCol).map(col): _*).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(dims.map(col): _*).orderBy(col("cnt").desc, col(keyCol))
+    val ranked = cnts.withColumn("__rn", row_number().over(w))
+    val kept = ranked.filter(col("__rn") <= k).drop("__rn")
+    val cut = ranked.filter(col("__rn") > k)
+      .groupBy(dims.map(col): _*).agg(max(col("cnt")).as("cutoff"))
+    val joined =
+      if (dims.isEmpty) kept.crossJoin(broadcast(cut)) // 0- or 1-row cutoff side
+      else kept.join(broadcast(cut), dims, "left_outer")
+    // groups where nothing was dropped (or a global empty cut side):
+    // retention was lossless, cutoff 0. A fresh segment's retained
+    // counts are exact, so their per-key upper-bound slack is 0 (the
+    // column exists for compacted segments, whose counts are lower
+    // bounds carrying their pre-fold slack).
+    joined.withColumn("cutoff", coalesce(col("cutoff"), lit(0L)))
+      .withColumn("slack", lit(0L))
+  }
+
+  def landTopKDrop(drop: DataFrame, dims: Seq[String], keyCol: String, k: Int,
+                   path: String, dropId: String): Long = {
+    val spark = drop.sparkSession
+    Staged.land(spark, segDir(path, dropId), topkSegment(drop, dims, keyCol, k))
+    spark.read.parquet(segDir(path, dropId)).count()
+  }
+
+  /** Merged per-key frequency bounds over every landed segment:
+    * (dims..., key, n_est, n_hi) with n_est <= true count <= n_hi.
+    * Reads k-rows-per-group segments, touches no raw data. The `seg`
+    * partition column (from the `seg=<drop>` layout) identifies which
+    * segments retained a key.
+    */
+  def serveTopK(spark: SparkSession, path: String, dims: Seq[String],
+                keyCol: String): DataFrame = {
+    val seg = spark.read.parquet(path)
+    // per-(segment, dims) retention cutoff (constant over the group's rows)
+    val perSeg = seg.groupBy((dims :+ "seg").map(col): _*).agg(max(col("cutoff")).as("__c"))
+    val totCut =
+      if (dims.isEmpty) perSeg.agg(sum(col("__c")).as("__tot"))
+      else perSeg.groupBy(dims.map(col): _*).agg(sum(col("__c")).as("__tot"))
+    val est = seg.groupBy((dims :+ keyCol).map(col): _*)
+      .agg(sum(col("cnt")).as("n_est"), sum(col("cutoff")).as("__present"),
+        sum(col("slack")).as("__slack"))
+    val joined =
+      if (dims.isEmpty) est.crossJoin(broadcast(totCut))
+      else est.join(broadcast(totCut), dims)
+    joined.select((dims :+ keyCol).map(col) :+ col("n_est") :+
+      (col("n_est") + col("__slack") + col("__tot") - col("__present")).as("n_hi"): _*)
+  }
+
+  /** Sum of retention cutoffs across segments per dims group: the
+    * guarantee threshold — every key whose true count exceeds it is
+    * retained by at least one segment and therefore surfaces in
+    * [[serveTopK]]. (dims..., total_cutoff); one row when dims is empty.
+    */
+  def totalCutoff(spark: SparkSession, path: String, dims: Seq[String]): DataFrame = {
+    val perSeg = spark.read.parquet(path)
+      .groupBy((dims :+ "seg").map(col): _*).agg(max(col("cutoff")).as("__c"))
+    if (dims.isEmpty) perSeg.agg(sum(col("__c")).as("total_cutoff"))
+    else perSeg.groupBy(dims.map(col): _*).agg(sum(col("__c")).as("total_cutoff"))
+  }
+
+  /** Fold a top-k tier's segments into one, preserving served bounds
+    * EXACTLY for retained keys: the folded segment keeps the top-k keys
+    * by merged n_est, each carrying cnt = n_est and slack = n_hi -
+    * n_est (so a later serve reconstructs the same (n_est, n_hi)), and
+    * the group cutoff' = the largest dropped key's n_hi, which keeps
+    * every absent key's true count covered. Dropped keys' bounds widen
+    * to [0, cutoff'] — the inherent Misra-Gries trade; the invariant
+    * n_est <= true <= n_hi survives arbitrary compaction points
+    * (property-tested).
+    */
+  def compactTopK(spark: SparkSession, path: String, dims: Seq[String],
+                  keyCol: String, k: Int, dropId: String = "base"): Unit = {
+    val served = serveTopK(spark, path, dims, keyCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(dims.map(col): _*).orderBy(col("n_est").desc, col(keyCol))
+    val ranked = served.withColumn("__rn", row_number().over(w))
+    val kept = ranked.filter(col("__rn") <= k)
+      .select((dims :+ keyCol).map(col) :+ col("n_est").as("cnt") :+
+        (col("n_hi") - col("n_est")).as("slack"): _*)
+    val cut = ranked.filter(col("__rn") > k)
+      .groupBy(dims.map(col): _*).agg(max(col("n_hi")).as("cutoff"))
+    val folded =
+      if (dims.isEmpty) kept.crossJoin(broadcast(cut))
+      else kept.join(broadcast(cut), dims, "left_outer")
+    Staged.swapRoot(spark, path,
+      folded.withColumn("cutoff", coalesce(col("cutoff"), lit(0L)))
+        .localCheckpoint(true),
+      segName(dropId))
+  }
+
   /** Lower-quantile estimate from a merged histogram: per dims, the
     * LOWER EDGE of the bucket holding the rank-ceil(n*num/den) value
     * (num/den e.g. 1/2 = the lower median). The true quantile value

@@ -164,6 +164,22 @@ object TextAnalysis {
   def fingerprintMd5(text: Column): Column =
     md5(trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " ")))
 
+  /** Deflate compression ratio in integer percent: `(100 * deflate_len)
+    * div octet_length`, 100 for empty text. The Gopher/C4-style
+    * Kolmogorov-proxy quality signal — near-random text sits near 100,
+    * templated boilerplate near 0, and a curation filter cuts both
+    * tails. Native codegen'd kernel ([[graft.functions.Compress]]);
+    * integer floor-division so thresholds are exact.
+    */
+  def compressRatioPct(text: Column): Column = {
+    // exact integer floor-div via pmod: the numerator made exactly
+    // divisible divides without rounding (both operands < 2^53)
+    val num = lit(100L) * graft.functions.Compress.deflate_len(text).cast("long")
+    val len = octet_length(text).cast("long")
+    when(len === 0, lit(100L))
+      .otherwise(((num - pmod(num, len)) / len).cast("long"))
+  }
+
   /** Polynomial rolling-hash fingerprint over the token stream
     * (order-sensitive, unlike the md5 canon form): h = fold(tokens,
     * h*31 + firstCodePoint) mod 1e9+7. Exact int64 arithmetic; native

@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake.{CdcConsumer, SnapshotLake}
+
+class CdcConsumerSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("cdccons").toString
+
+  private def mkLake(root: String): SnapshotLake = {
+    val lake = new SnapshotLake(spark, s"$root/lake", "id")
+    lake.overwrite((1 to 20).map(i => (i.toString, i * 10L)).toDF("id", "v"))
+    lake
+  }
+
+  test("caught-up consumer delivers nothing; each commit delivers one interval") {
+    val root = tmp()
+    val lake = mkLake(root)
+    val c = new CdcConsumer(lake, s"$root/off", startVersion = 1L)
+    assert(c.poll((_, _, _) => fail("must not deliver")) == None)
+    lake.upsert(Seq(("3", 999L), ("21", 210L)).toDF("id", "v")) // v2
+    var got: Seq[(String, Long, String)] = Nil
+    assert(c.poll((df, f, t) => {
+      assert((f, t) == ((1L, 2L)))
+      got = df.select(col("id"), coalesce(col("v"), lit(-1L)), col("change_type"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    }) == Some((1L, 2L)))
+    assert(got.toSet == Set(("3", 999L, "update_post"), ("3", 30L, "update_pre"),
+      ("21", 210L, "insert")))
+    assert(c.poll((_, _, _) => fail("must not redeliver")) == None)
+    assert(c.offset == 2L)
+  }
+
+  test("catch-up poll collapses multiple commits into one net interval") {
+    val root = tmp()
+    val lake = mkLake(root)
+    val c = new CdcConsumer(lake, s"$root/off", startVersion = 1L)
+    lake.upsert(Seq(("5", 1L)).toDF("id", "v"))   // v2
+    lake.upsert(Seq(("5", 2L)).toDF("id", "v"))   // v3
+    lake.deleteWhere(col("id") === "7")           // v4
+    var n = 0
+    assert(c.poll((df, f, t) => {
+      assert((f, t) == ((1L, 4L)))
+      val rows = df.collect().map(r => (r.getString(0), r.getString(2))).toSet
+      // intermediate v2 state collapses: one net update for key 5
+      assert(rows == Set(("5", "update_post"), ("5", "update_pre"), ("7", "delete")))
+      n += 1
+    }) == Some((1L, 4L)))
+    assert(n == 1)
+  }
+
+  test("a fresh consumer on the same offset dir resumes, not replays") {
+    val root = tmp()
+    val lake = mkLake(root)
+    val c1 = new CdcConsumer(lake, s"$root/off", startVersion = 1L)
+    lake.upsert(Seq(("2", 0L)).toDF("id", "v")) // v2
+    assert(c1.poll((_, _, _) => ()) == Some((1L, 2L)))
+    lake.upsert(Seq(("4", 0L)).toDF("id", "v")) // v3
+    val c2 = new CdcConsumer(lake, s"$root/off", startVersion = 1L)
+    assert(c2.offset == 2L)
+    assert(c2.poll((_, _, _) => ()) == Some((2L, 3L)))
+    assert(c2.poll((_, _, _) => ()) == None)
+  }
+
+  test("a handler failure leaves the offset unmoved (redelivery on next poll)") {
+    val root = tmp()
+    val lake = mkLake(root)
+    val c = new CdcConsumer(lake, s"$root/off", startVersion = 1L)
+    lake.upsert(Seq(("9", 0L)).toDF("id", "v")) // v2
+    intercept[RuntimeException](c.poll((_, _, _) => throw new RuntimeException("sink down")))
+    assert(c.offset == 1L)
+    assert(c.poll((_, _, _) => ()) == Some((1L, 2L)))
+  }
+}

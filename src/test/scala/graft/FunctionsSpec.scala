@@ -73,6 +73,30 @@ class FunctionsSpec extends AnyFunSuite {
     assert(empty.getString(1) == "0" * 64)
   }
 
+  test("DeflateLen: repetitive text compresses far below near-random text; ratio envelope") {
+    import graft.functions.Compress
+    import graft.ops.TextAnalysis
+    val repetitive = "the cat sat on the mat " * 50                       // ~1.1 KB, one phrase
+    val mixed = (0 until 200).map(i => s"w${i * 7919 % 997}").mkString(" ") // varied tokens
+    val df = Seq(("rep", repetitive), ("mix", mixed), ("empty", ""))
+      .toDF("k", "text")
+      .select(col("k"), Compress.deflate_len(col("text")).as("dl"),
+        TextAnalysis.compressRatioPct(col("text")).as("pct"))
+    val got = df.collect().map(r => r.getString(0) -> (r.getInt(1), r.getLong(2))).toMap
+    val (repDl, repPct) = got("rep")
+    val (mixDl, mixPct) = got("mix")
+    val (emptyDl, emptyPct) = got("empty")
+    assert(repDl > 0 && mixDl > 0)
+    assert(repPct < 15, s"repeated phrase must compress hard, got $repPct%")
+    assert(mixPct > repPct * 3, s"varied text ($mixPct%) must compress far worse than boilerplate ($repPct%)")
+    assert(emptyPct == 100L && emptyDl >= 0, "empty text pins ratio at 100")
+    // deterministic: same input, same JVM, same stream length
+    assert(df.collect().map(r => r.getInt(1)).toSeq == Seq(repDl, mixDl, emptyDl))
+    // null-safe
+    assert(Seq[String](null).toDF("text")
+      .select(Compress.deflate_len(col("text"))).collect().head.isNullAt(0))
+  }
+
   test("the whole native inventory is callable from SQL and matches the Column API") {
     // the suite shares one SparkSession, and withExtensions is ignored by
     // getOrCreate on an existing session — registerAll targets the live
@@ -88,7 +112,8 @@ class FunctionsSpec extends AnyFunSuite {
         |       minhash_sig(array('a b c', 'b c d'), 2) AS mh,
         |       simhash_bits(array('x', 'y')) AS sh,
         |       rolling_hash(array('x', 'y')) AS rh,
-        |       stopword_count(array('the', 'cat', 'the'), array('the', 'a')) AS sw
+        |       stopword_count(array('the', 'cat', 'the'), array('the', 'a')) AS sw,
+        |       deflate_len('aaaaaaaaaaaaaaaaaaaaaaaa') AS dfl
         |""".stripMargin).collect().head
     // cross-check each against the Column-API form on the same inputs
     import graft.functions.TextHashes
@@ -107,6 +132,8 @@ class FunctionsSpec extends AnyFunSuite {
     assert(row.getString(3) == colRow.getString(2))
     assert(row.getLong(4) == colRow.getLong(3))
     assert(row.getInt(5) == colRow.getInt(4))
+    assert(row.getInt(6) == Seq(1).toDF("one")
+      .select(graft.functions.Compress.deflate_len(lit("a" * 24))).collect().head.getInt(0))
     // literal-shape misuse fails loudly, not silently
     val e = intercept[Exception](spark.sql("SELECT minhash_sig(array('x'), 'two')").collect())
     assert(e.getMessage.contains("integer literal") || e.getCause != null)

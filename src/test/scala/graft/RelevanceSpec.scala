@@ -47,6 +47,31 @@ class RelevanceSpec extends AnyFunSuite {
     Relevance.bm25(docs, "doc_id", "text", (0 until 64).map(i => s"t$i")).schema
   }
 
+  test("bigramLmScore: hand-computed ppm scores on a tiny corpus") {
+    val tiny = Seq((1L, "a b a b"), (2L, "a b"), (3L, "a c"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    // corpus bigrams: d1 (a,b)(b,a)(a,b); d2 (a,b); d3 (a,c)
+    // c1: a->4, b->1 | c2: (a,b)->3, (b,a)->1, (a,c)->1
+    // ppm: (a,b)=750000, (b,a)=1000000, (a,c)=250000
+    val got = Relevance.bigramLmScore(tiny, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      1L -> ((3L, (750000L + 1000000L + 750000L) / 3)), // 833333: floor div
+      2L -> ((1L, 750000L)),
+      3L -> ((1L, 250000L))), "single-token docs emit no row")
+    // fluent repetition outscores the rare-transition doc
+    assert(got(1L)._2 > got(3L)._2)
+  }
+
+  test("bigramLmScore: partition-invariant (integer grid, no double sums)") {
+    val docs2 = docs.unionByName(Seq((6L, "spark data joins data")).toDF("doc_id", "text"))
+    val a = Relevance.bigramLmScore(docs2.repartition(1), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val b = Relevance.bigramLmScore(docs2.repartition(7, col("doc_id")), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(a == b)
+  }
+
   test("bm25Fold: bit-identical to the pivot, constant plan width at any term count") {
     val terms = Seq("spark", "vector", "the")
     val pivot = Relevance.bm25(docs, "doc_id", "text", terms)

@@ -126,6 +126,80 @@ class SketchesSpec extends AnyFunSuite {
       .orderBy("g", "bucket").collect().map(_.toSeq).toSeq == tBefore)
   }
 
+  // skewed corpus for the top-k tier: 3 hot keys x 60, 60 tail keys x 3
+  private def hhRows: Seq[(String, Int)] =
+    (0 until 180).map(i => (s"h${i % 3}", i)) ++
+      (0 until 180).map(i => (s"t${i % 60}", 1000 + i))
+
+  private def trueCounts: Map[String, Long] =
+    hhRows.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+
+  test("topk tier: merged bounds bracket every true count; guarantee set surfaces") {
+    val path = tmp()
+    hhRows.zipWithIndex.groupBy(_._2 % 3).foreach { case (d, part) =>
+      Sketches.landTopKDrop(part.map(_._1).toDF("k", "i"), Nil, "k", 8, path, s"d$d")
+    }
+    val served = Sketches.serveTopK(spark, path, Nil, "k").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val tot = Sketches.totalCutoff(spark, path, Nil).collect().head.getLong(0)
+    served.foreach { case (k, (est, hi)) =>
+      val t = trueCounts(k)
+      assert(est <= t && t <= hi, s"key $k: est=$est true=$t hi=$hi")
+    }
+    // absent keys' true counts can't exceed the summed cutoffs...
+    trueCounts.filterNot(kv => served.contains(kv._1))
+      .foreach { case (k, t) => assert(t <= tot, s"absent $k true=$t > tot=$tot") }
+    // ...so every key above them is guaranteed present — here the hot keys
+    val guaranteed = trueCounts.filter(_._2 > tot).keySet
+    assert(Set("h0", "h1", "h2").subsetOf(guaranteed))
+    assert(guaranteed.subsetOf(served.keySet), s"guarantee violated: tot=$tot")
+  }
+
+  test("topk tier: compaction preserves retained bounds exactly and the invariant under later drops") {
+    val path = tmp()
+    val parts = hhRows.zipWithIndex.groupBy(_._2 % 3).toSeq.sortBy(_._1)
+    parts.take(2).foreach { case (d, part) =>
+      Sketches.landTopKDrop(part.map(_._1).toDF("k", "i"), Nil, "k", 8, path, s"d$d")
+    }
+    val before = Sketches.serveTopK(spark, path, Nil, "k").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    Sketches.compactTopK(spark, path, Nil, "k", 8)
+    assert(new java.io.File(path).listFiles().map(_.getName)
+      .count(_.startsWith("seg=")) == 1)
+    val after = Sketches.serveTopK(spark, path, Nil, "k").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    after.foreach { case (k, bounds) =>
+      assert(before(k) == bounds, s"compaction changed $k: ${before(k)} -> $bounds")
+    }
+    // a post-compaction drop folds in and the bracket invariant survives
+    parts.drop(2).foreach { case (d, part) =>
+      Sketches.landTopKDrop(part.map(_._1).toDF("k", "i"), Nil, "k", 8, path, s"d$d")
+    }
+    val served = Sketches.serveTopK(spark, path, Nil, "k").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val tot = Sketches.totalCutoff(spark, path, Nil).collect().head.getLong(0)
+    served.foreach { case (k, (est, hi)) =>
+      val t = trueCounts(k)
+      assert(est <= t && t <= hi, s"post-compact key $k: est=$est true=$t hi=$hi")
+    }
+    trueCounts.filter(_._2 > tot).keySet
+      .foreach(k => assert(served.contains(k), s"guarantee violated post-compact for $k"))
+  }
+
+  test("topk tier: lossless retention (k >= domain) serves exact counts with zero slack") {
+    val path = tmp()
+    val all = (0 until 90).map(i => (s"k${i % 9}", i))
+    all.grouped(30).zipWithIndex.foreach { case (drop, i) =>
+      Sketches.landTopKDrop(drop.toDF("k", "i"), Nil, "k", 64, path, s"d$i")
+    }
+    val served = Sketches.serveTopK(spark, path, Nil, "k").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(Sketches.totalCutoff(spark, path, Nil).collect().head.getLong(0) == 0L)
+    all.groupBy(_._1).foreach { case (k, v) =>
+      assert(served(k) == ((v.size.toLong, v.size.toLong)))
+    }
+  }
+
   test("withinRelError handles the zero-exact edge") {
     val df = Seq((0L, 0L), (0L, 1L), (100L, 101L), (100L, 110L)).toDF("exact", "est")
     val got = df.select(Sketches.withinRelError(col("est"), col("exact"), 0.02))
