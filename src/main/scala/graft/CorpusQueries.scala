@@ -112,6 +112,26 @@ object CorpusQueries {
   private def swList(lang: String): String =
     TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString("[", ",", "]")
 
+  /** Bigram-LM scoring recompute (shared by txt_lm_score and its
+    * incremental twin — merged count segments must reproduce this
+    * exactly).
+    */
+  private val lmScoreSql = tkCte +
+    """,
+      |bgf AS (
+      |  SELECT doc_id, b.prev AS prev, b.cur AS cur
+      |  FROM (SELECT doc_id, unnest(list_transform(range(2, len(toks) + 1),
+      |          i -> struct_pack(prev := toks[i-1], cur := toks[i]))) AS b
+      |        FROM tk WHERE len(toks) >= 2)),
+      |c2 AS (SELECT prev, cur, count(*) AS c2 FROM bgf GROUP BY prev, cur),
+      |c1 AS (SELECT prev, count(*) AS c1 FROM bgf GROUP BY prev),
+      |sc AS (SELECT c2.prev, c2.cur, CAST((1000000 * c2.c2) // c1.c1 AS BIGINT) AS ppm
+      |       FROM c2 JOIN c1 USING (prev)),
+      |d AS (SELECT doc_id, count(*) AS n_bigrams, sum(ppm) AS sum_ppm
+      |      FROM bgf JOIN sc USING (prev, cur) GROUP BY doc_id)
+      |SELECT doc_id, n_bigrams, CAST(sum_ppm // n_bigrams AS BIGINT) AS avg_ppm
+      |FROM d ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -203,6 +223,30 @@ object CorpusQueries {
     "txt_lm_score" -> ((s, dir) => {
       graft.ops.Relevance.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    // incremental form of the LM tier: the bigram model is a SUMMABLE
+    // count table, so three "monthly drops" each land one
+    // aggregate-sized count segment and the merged model scores the
+    // corpus — bit-identical to the from-scratch recompute (same oracle
+    // SQL as txt_lm_score). Model maintenance is O(drop), not O(corpus)
+    "txt_lm_incremental" -> ((s, dir) => {
+      import graft.ops.Relevance
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_lmseg_q").toString
+      val path = tmp + "/lm"
+      (0 to 2).foreach { d =>
+        Relevance.landLmDrop(docs.filter(pmod(col("doc_id"), lit(3)) === d),
+          "doc_id", "text", path, s"drop$d")
+      }
+      val out = Relevance.scoreAgainstCounts(docs, "doc_id", "text",
+          Relevance.serveLmCounts(s, path))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true) // the scratch segments are deleted next
+      new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      out
     }),
 
     // compression-ratio quality signal (deflate level 6 via the native
@@ -931,21 +975,11 @@ object CorpusQueries {
          |       ELSE 'fr' END AS lang
          |FROM sc ORDER BY doc""".stripMargin),
 
-    "txt_lm_score" -> (tkCte +
-      """,
-        |bgf AS (
-        |  SELECT doc_id, b.prev AS prev, b.cur AS cur
-        |  FROM (SELECT doc_id, unnest(list_transform(range(2, len(toks) + 1),
-        |          i -> struct_pack(prev := toks[i-1], cur := toks[i]))) AS b
-        |        FROM tk WHERE len(toks) >= 2)),
-        |c2 AS (SELECT prev, cur, count(*) AS c2 FROM bgf GROUP BY prev, cur),
-        |c1 AS (SELECT prev, count(*) AS c1 FROM bgf GROUP BY prev),
-        |sc AS (SELECT c2.prev, c2.cur, CAST((1000000 * c2.c2) // c1.c1 AS BIGINT) AS ppm
-        |       FROM c2 JOIN c1 USING (prev)),
-        |d AS (SELECT doc_id, count(*) AS n_bigrams, sum(ppm) AS sum_ppm
-        |      FROM bgf JOIN sc USING (prev, cur) GROUP BY doc_id)
-        |SELECT doc_id, n_bigrams, CAST(sum_ppm // n_bigrams AS BIGINT) AS avg_ppm
-        |FROM d ORDER BY doc_id""".stripMargin),
+    "txt_lm_score" -> lmScoreSql,
+
+    // segment merge is exact count addition, so the incremental serve
+    // must reproduce the from-scratch model bit-for-bit
+    "txt_lm_incremental" -> lmScoreSql,
 
     // deflate isn't SQL-expressible: the oracle pins the exact n_docs and
     // the expected truth of the envelope contract

@@ -399,25 +399,42 @@ object Main {
         case other => println(s"matagg --op land|serve|compact (got '$other')")
       }
     case "sketch" =>
-      // churn-proportional distinct counting: exact distinct-pair
-      // segments or mergeable HLL sketches, landed per drop
+      // churn-proportional counting: exact distinct-pair segments,
+      // mergeable HLL sketches, or top-k frequent-items segments —
+      // landed per drop, folded with --op compact
       import graft.ops.Sketches
       val path = arg(args, "--path").get
       val dims = arg(args, "--dims").map(_.split(",").toSeq).getOrElse(Nil)
       val key = arg(args, "--key").getOrElse("_id")
-      val hll = arg(args, "--kind").contains("hll")
+      val kind = arg(args, "--kind").getOrElse("distinct")
+      val k = arg(args, "--k").map(_.toInt).getOrElse(64)
       arg(args, "--op").getOrElse("serve") match {
         case "land" =>
           val drop = spark.read.parquet(arg(args, "--in").get)
           val id = arg(args, "--drop-id").getOrElse(sys.error("sketch --op land requires --drop-id"))
-          val n = if (hll) Sketches.landHllDrop(drop, dims, key, path, id)
-            else Sketches.landDistinctDrop(drop, dims, key, path, id)
+          val n = kind match {
+            case "hll"  => Sketches.landHllDrop(drop, dims, key, path, id)
+            case "topk" => Sketches.landTopKDrop(drop, dims, key, k, path, id)
+            case _      => Sketches.landDistinctDrop(drop, dims, key, path, id)
+          }
           println(s"[cli] sketch land: $n rows in segment")
         case "serve" =>
-          val out = if (hll) Sketches.serveHllEstimate(spark, path, dims)
-            else Sketches.serveDistinct(spark, path, dims, key)
-          out.orderBy(dims.map(col): _*).show(1000, truncate = false)
-        case other => println(s"sketch --op land|serve (got '$other')")
+          kind match {
+            case "hll" => Sketches.serveHllEstimate(spark, path, dims)
+              .orderBy(dims.map(col): _*).show(1000, truncate = false)
+            case "topk" => Sketches.serveTopK(spark, path, dims, key)
+              .orderBy(col("n_est").desc).show(1000, truncate = false)
+            case _ => Sketches.serveDistinct(spark, path, dims, key)
+              .orderBy(dims.map(col): _*).show(1000, truncate = false)
+          }
+        case "compact" =>
+          kind match {
+            case "hll"  => Sketches.compactHll(spark, path, dims)
+            case "topk" => Sketches.compactTopK(spark, path, dims, key, k)
+            case _      => Sketches.compactDistinct(spark, path, dims, key)
+          }
+          println(s"[cli] sketch compact: $kind tier folded into seg=base")
+        case other => println(s"sketch --op land|serve|compact (got '$other')")
       }
     case "audit" =>
       // schema drift between two parquet drops (footer-only): gate a

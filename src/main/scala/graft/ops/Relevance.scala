@@ -94,17 +94,88 @@ object Relevance {
     * tokens; callers order.
     */
   def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val bg = docs
+    val bg = bigrams(docs, idCol, textCol)
+    scoreAgainstCounts(docs, idCol, textCol,
+      bg.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c2")))
+  }
+
+  /** The per-doc bigram stream (__doc, prev, cur). */
+  private def bigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
       .select(col(idCol).as("__doc"), TextAnalysis.tokens(col(textCol)).as("__toks"))
       .filter(size(col("__toks")) >= 2) // guard BEFORE sequence: sequence(1, 0) would descend
       .select(col("__doc"), explode(expr(
         "transform(sequence(1, size(__toks) - 1), i -> struct(__toks[i-1] AS prev, __toks[i] AS cur))")).as("__b"))
       .select(col("__doc"), col("__b.prev").as("prev"), col("__b.cur").as("cur"))
-    val c2 = bg.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c2"))
-    val c1 = bg.groupBy(col("prev")).agg(count(lit(1)).as("c1"))
-    val scored = c2.join(c1, "prev")
+
+  // --------------------------------------------- incremental LM model tier
+
+  /** One drop's bigram count table (prev, cur, c2) — the LM model IS a
+    * summable aggregate, so it maintains per drop like the
+    * MaterializedAgg/Sketches tiers: land one segment per drop, serve
+    * the sum. Context counts need no segment of their own: c1(prev) =
+    * sum over cur of c2(prev, cur), derived from the merged counts at
+    * serve time. A 100 TB corpus trains its fluency model O(drop) per
+    * drop instead of O(corpus) per run.
+    */
+  def bigramCountSegment(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    bigrams(docs, idCol, textCol)
+      .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c2"))
+
+  def landLmDrop(docs: DataFrame, idCol: String, textCol: String,
+                 path: String, dropId: String): Long = {
+    require(dropId.nonEmpty && dropId.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+      s"drop id must be [A-Za-z0-9_-]+: '$dropId'")
+    val spark = docs.sparkSession
+    graft.lake.Staged.land(spark, s"$path/seg=$dropId",
+      bigramCountSegment(docs, idCol, textCol))
+    spark.read.parquet(s"$path/seg=$dropId").count()
+  }
+
+  /** RETRACTABLE form for upsert/delete feeds: one SIGNED count segment
+    * from a pre-image-carrying change feed (insert/update_post bigrams
+    * count +1, update_pre/delete bigrams −1), so a changed document's
+    * old transitions cancel exactly — the merged model equals a
+    * from-scratch retrain over the final corpus, maintained at
+    * change-feed cost. The Delta-CDF pattern of
+    * [[graft.lake.MaterializedAgg.landChangesDrop]], applied to an LM.
+    */
+  def landLmChangesDrop(changes: DataFrame, idCol: String, textCol: String,
+                        path: String, dropId: String): Long = {
+    require(dropId.nonEmpty && dropId.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+      s"drop id must be [A-Za-z0-9_-]+: '$dropId'")
+    val spark = changes.sparkSession
+    val pos = bigramCountSegment(
+      changes.filter(col("change_type").isin("insert", "update_post")), idCol, textCol)
+    val neg = bigramCountSegment(
+      changes.filter(col("change_type").isin("update_pre", "delete")), idCol, textCol)
+      .withColumn("c2", -col("c2"))
+    graft.lake.Staged.land(spark, s"$path/seg=$dropId",
+      pos.unionByName(neg).groupBy(col("prev"), col("cur")).agg(sum(col("c2")).as("c2")))
+    spark.read.parquet(s"$path/seg=$dropId").count()
+  }
+
+  /** Merged model over every landed segment: counts sum exactly;
+    * fully-retracted transitions (net 0 under the signed change
+    * segments) drop out.
+    */
+  def serveLmCounts(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("prev"), col("cur")).agg(sum(col("c2")).as("c2"))
+      .filter(col("c2") =!= 0)
+
+  /** Score `docs` against an explicit count table (the serve half of the
+    * incremental tier; [[bigramLmScore]] is this with counts built from
+    * `docs` itself). Same integer-grid arithmetic, so scoring against
+    * the merged segments of a partitioned corpus is bit-identical to
+    * the from-scratch recompute.
+    */
+  def scoreAgainstCounts(docs: DataFrame, idCol: String, textCol: String,
+                         counts: DataFrame): DataFrame = {
+    val c1 = counts.groupBy(col("prev")).agg(sum(col("c2")).as("c1"))
+    val scored = counts.join(c1, "prev")
       .withColumn("ppm", expr("CAST((1000000 * c2) div c1 AS BIGINT)"))
-    bg.join(scored, Seq("prev", "cur"))
+    bigrams(docs, idCol, textCol).join(scored, Seq("prev", "cur"))
       .groupBy(col("__doc"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("ppm")).as("__sum_ppm"))
       .select(col("__doc").as(idCol), col("n_bigrams"),

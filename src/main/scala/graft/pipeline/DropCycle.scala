@@ -24,7 +24,12 @@ import graft.ops.{DedupIndex, Sketches}
   *  5. distinct sketch — [[Sketches.landHllDrop]] of the drop (HLL
   *     re-insertion of unchanged keys is a union no-op, so per-drop
   *     sketches stay correct under upserts; deletes are not retractable
-  *     from HLL — rebuild the sketch path when rows are purged).
+  *     from HLL — rebuild the sketch path when rows are purged);
+  *  6. frequent-items segments — [[Sketches.landTopKDrop]] over the
+  *     interval's inserted/updated rows (event-stream counting);
+  *  7. bigram-LM counts — [[graft.ops.Relevance.landLmChangesDrop]]
+  *     with pre-image retraction, so the merged model always equals a
+  *     from-scratch retrain over the current corpus.
   *
   * Every step's cost follows the DROP, never the corpus; each step is
   * idempotent per drop id (segment replace / fingerprint carry), so a
@@ -34,12 +39,14 @@ import graft.ops.{DedupIndex, Sketches}
 object DropCycle {
 
   final case class Config(
-    textCol: Option[String] = None,       // steps 3 + 3b run when set
+    textCol: Option[String] = None,       // steps 3 + 3b + 6 run when set
     bandIdxPath: Option[String] = None,   // default: <lake>.bandidx
     textStatsPath: Option[String] = None, // step 3b: per-doc stats sidecar
     bloom: Boolean = true,
     summary: Option[(MaterializedAgg.Spec, String)] = None,
-    hll: Option[(Seq[String], String, String)] = None) // (dims, key, path)
+    hll: Option[(Seq[String], String, String)] = None, // (dims, key, path)
+    topk: Option[(Seq[String], String, Int, String)] = None, // (dims, key, k, path)
+    lmPath: Option[String] = None)        // step 6: bigram-LM count segments
 
   /** Run one cycle; returns tier -> (carried, refreshed). */
   def run(lake: SnapshotLake, drop: DataFrame, conf: Config): Map[String, (Long, Long)] = {
@@ -70,6 +77,38 @@ object DropCycle {
     }
     conf.hll.foreach { case (dims, key, path) =>
       report("hll") = (0L, Sketches.landHllDrop(drop, dims, key, path, s"v$after"))
+    }
+    // top-k frequency segments are ADDITIVE row counts (unlike HLL's
+    // idempotent insertion), so they land from the version interval's
+    // change feed: counting only insert/update_post rows keeps
+    // re-delivered unchanged rows out (the CoW carries them, the feed
+    // cancels them). Frequency-sketch semantics: the tier counts the
+    // EVENT STREAM of arriving rows — deletes don't retract (the bound
+    // invariant is over what was counted; rebuild the path for
+    // current-state frequencies after purges)
+    conf.topk.foreach { case (dims, key, k, path) =>
+      val src = before match {
+        case Some(v0) => lake.changesBetween(v0, after)
+          .filter(org.apache.spark.sql.functions.col("change_type")
+            .isin("insert", "update_post"))
+        case None => lake.readAt(after)
+      }
+      report("topk") = (0L, Sketches.landTopKDrop(src, dims, key, k, path, s"v$after"))
+    }
+    // bigram-LM counts retract through the pre-image change feed — the
+    // merged model always equals a from-scratch retrain over the
+    // current corpus, at change-feed cost
+    (conf.textCol, conf.lmPath) match {
+      case (Some(text), Some(path)) =>
+        val n = before match {
+          case Some(v0) => graft.ops.Relevance.landLmChangesDrop(
+            lake.changesBetween(v0, after, preImages = true),
+            lake.keyCol, text, path, s"v${v0}to$after")
+          case None => graft.ops.Relevance.landLmDrop(
+            lake.readAt(after), lake.keyCol, text, path, s"v0to$after")
+        }
+        report("lm") = (0L, n)
+      case _ => ()
     }
     report.toMap
   }

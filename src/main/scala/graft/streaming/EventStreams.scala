@@ -168,6 +168,24 @@ object EventStreams {
       }
     }
 
+  /** The frequent-items twin of [[summarySink]]: each micro-batch lands
+    * ONE top-k count segment ([[graft.ops.Sketches.landTopKDrop]]) keyed
+    * by the batch id, so [[graft.ops.Sketches.serveTopK]] always bounds
+    * every key's frequency over everything streamed so far (n_est <=
+    * true <= n_hi, guarantee above the summed cutoffs). Replay of batch
+    * N replaces segment N (idempotent); compactTopK periodically to
+    * bound segment count — the fold preserves served bounds for
+    * retained keys.
+    */
+  def topkSink(path: String, dims: Seq[String], keyCol: String, k: Int)(
+      rows: DataFrame): DataStreamWriter[org.apache.spark.sql.Row] =
+    upsertSink(rows) { (batch, id) =>
+      if (!batch.isEmpty) {
+        graft.ops.Sketches.landTopKDrop(batch, dims, keyCol, k, path, s"batch$id")
+        ()
+      }
+    }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(lastTs: Long, sessionId: Long, curStart: Long, curN: Long)

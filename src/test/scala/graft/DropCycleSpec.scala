@@ -25,7 +25,9 @@ class DropCycleSpec extends AnyFunSuite {
       textCol = Some("text"),
       bandIdxPath = Some(root + "/bandidx"),
       summary = Some((spec, root + "/summary")),
-      hll = Some((Seq("grp"), "_id", root + "/hll")))
+      hll = Some((Seq("grp"), "_id", root + "/hll")),
+      topk = Some((Nil, "grp", 8, root + "/topk")),
+      lmPath = Some(root + "/lm"))
 
     val drop1 = docs(
       (1L, "the quick brown fox jumps over the lazy dog", 0L),
@@ -70,6 +72,29 @@ class DropCycleSpec extends AnyFunSuite {
     val est = Sketches.serveHllEstimate(spark, root + "/hll", Seq("grp"))
       .orderBy("grp").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(est == Seq((0L, 3L), (1L, 1L)))
+
+    // topk: event-stream counts over inserted/updated rows only — the
+    // re-delivered unchanged doc 1 cancelled out of the v1->v2 feed
+    // (drop1: grp0 x2 + grp1 x1; drop2 net: doc3 update + doc4 insert)
+    val topk = Sketches.serveTopK(spark, root + "/topk", Nil, "grp")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(topk == Map(0L -> ((3L, 3L)), 1L -> ((2L, 2L))))
+
+    // bigram-LM counts: pre-image retraction makes the merged model equal
+    // a from-scratch retrain over the final corpus, and scoring with it
+    // is bit-identical to the one-shot path
+    import graft.ops.Relevance
+    val servedLm = Relevance.serveLmCounts(spark, root + "/lm")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val scratchLm = Relevance.bigramCountSegment(lake.read, "_id", "text")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(servedLm == scratchLm && servedLm.nonEmpty)
+    val viaSegments = Relevance.scoreAgainstCounts(lake.read, "_id", "text",
+        Relevance.serveLmCounts(spark, root + "/lm"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val oneShotLm = Relevance.bigramLmScore(lake.read, "_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(viaSegments == oneShotLm)
 
     // bloom: point lookup after the cycles opens fewer files than exist
     // and serves the post-upsert value

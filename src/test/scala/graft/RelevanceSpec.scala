@@ -72,6 +72,37 @@ class RelevanceSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("incremental LM: partitioned segments and a retracting change feed both reproduce the from-scratch model") {
+    val root = java.nio.file.Files.createTempDirectory("lmseg").toString
+    val v1 = Seq((1L, "a b a b"), (2L, "c d"), (3L, "a b")).toDF("doc_id", "text")
+    // partitioned landing: two segments sum to the v1 model
+    Relevance.landLmDrop(v1.filter(col("doc_id") <= 2), "doc_id", "text", root + "/p", "d0")
+    Relevance.landLmDrop(v1.filter(col("doc_id") > 2), "doc_id", "text", root + "/p", "d1")
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(counts(Relevance.serveLmCounts(spark, root + "/p")) ==
+      counts(Relevance.bigramCountSegment(v1, "doc_id", "text")))
+
+    // retraction: doc2 rewritten, doc3 deleted, doc4 inserted
+    Relevance.landLmDrop(v1, "doc_id", "text", root + "/r", "base")
+    val changes = Seq(
+      (2L, "c d", "update_pre"), (2L, "a b", "update_post"),
+      (3L, "a b", "delete"), (4L, "c d c", "insert"))
+      .toDF("doc_id", "text", "change_type")
+    Relevance.landLmChangesDrop(changes, "doc_id", "text", root + "/r", "cdc1")
+    val finalCorpus = Seq((1L, "a b a b"), (2L, "a b"), (4L, "c d c")).toDF("doc_id", "text")
+    assert(counts(Relevance.serveLmCounts(spark, root + "/r")) ==
+      counts(Relevance.bigramCountSegment(finalCorpus, "doc_id", "text")),
+      "retracted model must equal a retrain over the final corpus")
+    // and scoring against the maintained model == the one-shot path
+    val a = Relevance.scoreAgainstCounts(finalCorpus, "doc_id", "text",
+        Relevance.serveLmCounts(spark, root + "/r"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val b = Relevance.bigramLmScore(finalCorpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(a == b)
+  }
+
   test("bm25Fold: bit-identical to the pivot, constant plan width at any term count") {
     val terms = Seq("spark", "vector", "the")
     val pivot = Relevance.bm25(docs, "doc_id", "text", terms)

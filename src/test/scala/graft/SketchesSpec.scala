@@ -200,6 +200,36 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming topkSink: a batched feed's merged bounds bracket the whole stream's counts") {
+    val root = Files.createTempDirectory("topkstream").toString
+    val feed = root + "/feed"
+    val path = root + "/topk"
+    val all = hhRows
+    all.grouped(120).zipWithIndex.foreach { case (chunk, i) =>
+      chunk.toDF("k", "i").coalesce(1).write.parquet(s"$feed/b$i")
+    }
+    val stream = spark.readStream
+      .schema(all.toDF("k", "i").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$feed/*")
+    val q = graft.streaming.EventStreams.topkSink(path, Nil, "k", 8)(stream)
+      .option("checkpointLocation", root + "/ckpt")
+      .start()
+    q.awaitTermination()
+    val segs = new java.io.File(path).listFiles().map(_.getName)
+      .filter(_.startsWith("seg=")).sorted
+    assert(segs.length == 3 && segs.forall(_.startsWith("seg=batch")))
+    val served = Sketches.serveTopK(spark, path, Nil, "k").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val tot = Sketches.totalCutoff(spark, path, Nil).collect().head.getLong(0)
+    served.foreach { case (k, (est, hi)) =>
+      val t = trueCounts(k)
+      assert(est <= t && t <= hi, s"stream key $k: est=$est true=$t hi=$hi")
+    }
+    trueCounts.filter(_._2 > tot).keySet
+      .foreach(k => assert(served.contains(k), s"stream guarantee violated for $k"))
+  }
+
   test("withinRelError handles the zero-exact edge") {
     val df = Seq((0L, 0L), (0L, 1L), (100L, 101L), (100L, 110L)).toDF("exact", "est")
     val got = df.select(Sketches.withinRelError(col("est"), col("exact"), 0.02))
