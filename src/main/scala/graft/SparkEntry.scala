@@ -219,6 +219,67 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // A-family: conditional aggregation over a fact-dim join (TPC-H Q14
+    // shape — promo revenue share): one month of lineitem joins part on
+    // the part key, the CASE folds inside the same aggregate pass, and
+    // the share is one deterministic division of two cents-grid sums
+    "q14_promo_revenue" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-03-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00")))
+      val p = broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_type")))
+      val disc = cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .agg(
+          (sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0L))).cast("double") * 100.0 /
+            sum(disc).cast("double")).as("promo_pct"),
+          count(lit(1)).as("n"))
+    }),
+
+    // A/J-family: argmax via a broadcast scalar (TPC-H Q15 shape — top
+    // supplier): quarterly revenue per supplier, the global max revenue
+    // computed once as a 1-row aggregate and broadcast back, so finding
+    // "who achieved the maximum" costs one extra aggregate-sized join,
+    // never a second fact scan or a global sort
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00")))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+          .as("__revc"))
+        // materialize the aggregate-sized frame once: referencing the lazy
+        // plan from both the max branch and the filter branch would expand
+        // it twice and SCAN THE FACT TABLE TWICE (verified via explain)
+        .localCheckpoint(true)
+      val top = rev.agg(max(col("__revc")).as("__maxc"))
+      rev.crossJoin(broadcast(top))
+        .filter(col("__revc") === col("__maxc"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          (col("__revc").cast("double") / 10000.0).as("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // A/J-family: HAVING-gated semi join (TPC-H Q18 shape — large-volume
+    // orders): the qualifying orderkey set is an aggregate + filter
+    // (map-side combined, aggregate-sized output), then orders/customer
+    // join only against that set; top-20 is a TakeOrdered
+    "q18_large_volume" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(round(col("l_quantity")).cast("long")).as("total_qty"))
+        .filter(col("total_qty") > 200L)
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"),
+          col("total_qty").cast("double").as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
     // W-family: ranked window (top-3 per group)
     "q_top3_customers_per_nation" -> ((s, dir) => {
       val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc, col("c_custkey"))
@@ -237,6 +298,39 @@ object SparkEntry {
         .select(col("o_custkey"), col("o_orderkey"),
           (sum(cents(col("o_totalprice"))).over(w).cast("double") / 100.0).as("running_total"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // X-family: FULL OUTER reconciliation — per-nation customer vs
+    // supplier balance totals where each side deliberately misses some
+    // nations, so both null-sides of the join are exercised; the dim
+    // attach resolves the surviving key via coalesce and broadcasts
+    "q_nation_balance_fulljoin" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").filter(col("c_nationkey") =!= 3)
+        .groupBy(col("c_nationkey")).agg(moneySum(col("c_acctbal")).as("cust_bal"))
+      val supp = t(s, dir, "supplier").filter(col("s_nationkey") < 12)
+        .groupBy(col("s_nationkey")).agg(moneySum(col("s_acctbal")).as("supp_bal"))
+      cust.join(supp, col("c_nationkey") === col("s_nationkey"), "full_outer")
+        .join(broadcast(t(s, dir, "nation")),
+          coalesce(col("c_nationkey"), col("s_nationkey")) === col("n_nationkey"))
+        .select(col("n_name"),
+          coalesce(col("cust_bal"), lit(0.0)).as("cust_bal"),
+          coalesce(col("supp_bal"), lit(0.0)).as("supp_bal"))
+        .orderBy(col("n_name"))
+    }),
+
+    // A-family: relational PIVOT — status counts spread into one column
+    // per status value (explicit value list keeps the plan single-pass:
+    // no distinct-scan to discover columns)
+    "q_pivot_status" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy(col("o_orderpriority"))
     }),
 
     // A2/K8: calc_summary one-pass GROUPING SETS (reference calc_summary.py:55-78)
@@ -1169,6 +1263,40 @@ object SparkEntry {
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
+    "q14_promo_revenue" ->
+      """SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+        |                     THEN CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))
+        |                     ELSE 0 END) AS DOUBLE) * 100.0 /
+        |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE) AS promo_pct,
+        |       count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS revc
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(revc AS DOUBLE) / 10000.0 AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE revc = (SELECT max(revc) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q18_large_volume" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(CAST(round(l_quantity) AS BIGINT)) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 200)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        |       CAST(total_qty AS DOUBLE) AS total_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
     "q_top3_customers_per_nation" ->
       """SELECT n_name, c_name, c_acctbal FROM (
         |  SELECT n_name, c_name, c_acctbal,
@@ -1182,6 +1310,25 @@ object SparkEntry {
         |            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS running_total
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_nation_balance_fulljoin" ->
+      """WITH cb AS (
+        |  SELECT c_nationkey, CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS DOUBLE) / 100.0 AS cust_bal
+        |  FROM customer WHERE c_nationkey <> 3 GROUP BY c_nationkey),
+        |sb AS (
+        |  SELECT s_nationkey, CAST(sum(CAST(round(s_acctbal*100) AS BIGINT)) AS DOUBLE) / 100.0 AS supp_bal
+        |  FROM supplier WHERE s_nationkey < 12 GROUP BY s_nationkey)
+        |SELECT n_name, coalesce(cust_bal, 0.0) AS cust_bal, coalesce(supp_bal, 0.0) AS supp_bal
+        |FROM cb FULL OUTER JOIN sb ON c_nationkey = s_nationkey
+        |JOIN nation ON coalesce(c_nationkey, s_nationkey) = n_nationkey
+        |ORDER BY n_name""".stripMargin,
+
+    "q_pivot_status" ->
+      """SELECT o_orderpriority,
+        |       CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_f,
+        |       CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_o,
+        |       CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_summary_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, '(all)') AS dim_status,

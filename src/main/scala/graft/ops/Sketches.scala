@@ -243,16 +243,22 @@ object Sketches {
   /** Fold a top-k tier's segments into one, preserving served bounds
     * EXACTLY for retained keys: the folded segment keeps the top-k keys
     * by merged n_est, each carrying cnt = n_est and slack = n_hi -
-    * n_est (so a later serve reconstructs the same (n_est, n_hi)), and
-    * the group cutoff' = the largest dropped key's n_hi, which keeps
-    * every absent key's true count covered. Dropped keys' bounds widen
-    * to [0, cutoff'] — the inherent Misra-Gries trade; the invariant
-    * n_est <= true <= n_hi survives arbitrary compaction points
-    * (property-tested).
+    * n_est (so a later serve reconstructs the same (n_est, n_hi)). The
+    * folded group cutoff' must cover BOTH classes of non-retained key:
+    * keys dropped at the fold (true <= their n_hi) and keys the
+    * pre-fold segments never retained at all (true <= pre-fold summed
+    * cutoffs) — so cutoff' = max(largest dropped n_hi, pre-fold total
+    * cutoff). Taking only the dropped-n_hi max under-covered the
+    * never-retained class and broke the surfacing guarantee (caught by
+    * the compaction-point property test). Dropped keys' bounds widen to
+    * [0, cutoff'] — the inherent Misra-Gries trade; the invariant
+    * n_est <= true <= n_hi and the guarantee survive arbitrary
+    * compaction points (property-tested).
     */
   def compactTopK(spark: SparkSession, path: String, dims: Seq[String],
                   keyCol: String, k: Int, dropId: String = "base"): Unit = {
     val served = serveTopK(spark, path, dims, keyCol)
+    val preTot = totalCutoff(spark, path, dims)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(dims.map(col): _*).orderBy(col("n_est").desc, col(keyCol))
     val ranked = served.withColumn("__rn", row_number().over(w))
@@ -260,12 +266,16 @@ object Sketches {
       .select((dims :+ keyCol).map(col) :+ col("n_est").as("cnt") :+
         (col("n_hi") - col("n_est")).as("slack"): _*)
     val cut = ranked.filter(col("__rn") > k)
-      .groupBy(dims.map(col): _*).agg(max(col("n_hi")).as("cutoff"))
-    val folded =
-      if (dims.isEmpty) kept.crossJoin(broadcast(cut))
+      .groupBy(dims.map(col): _*).agg(max(col("n_hi")).as("__dropped"))
+    val withCut =
+      if (dims.isEmpty) kept.crossJoin(broadcast(cut)).crossJoin(broadcast(preTot))
       else kept.join(broadcast(cut), dims, "left_outer")
+        .join(broadcast(preTot), dims, "left_outer")
     Staged.swapRoot(spark, path,
-      folded.withColumn("cutoff", coalesce(col("cutoff"), lit(0L)))
+      withCut.withColumn("cutoff",
+          greatest(coalesce(col("__dropped"), lit(0L)),
+            coalesce(col("total_cutoff"), lit(0L))))
+        .drop("__dropped", "total_cutoff")
         .localCheckpoint(true),
       segName(dropId))
   }

@@ -311,6 +311,39 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("topk sketch: ANY drop partition + compaction point keeps est <= true <= hi and the surfacing guarantee") {
+    import graft.ops.Sketches
+    // zipf-ish key mix: a few hot keys, a long uniform tail
+    val keyGen = Gen.frequency(
+      (5, Gen.oneOf("h0", "h1")), (2, Gen.oneOf("m0", "m1", "m2")),
+      (3, Gen.choose(0, 40).map(i => s"t$i")))
+    val rows = samples(keyGen, 300)
+    val truth = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cutsGen = Gen.listOfN(3, Gen.choose(0, rows.size))
+    samples(cutsGen, 4).zipWithIndex.foreach { case (cuts, trial) =>
+      val path = java.nio.file.Files.createTempDirectory("topkprop").toString + "/s"
+      val bounds = (Seq(0, rows.size) ++ cuts).distinct.sorted
+      val drops = bounds.zip(bounds.tail).map { case (a, b) => rows.slice(a, b) }
+        .filter(_.nonEmpty)
+      drops.zipWithIndex.foreach { case (d, i) =>
+        Sketches.landTopKDrop(d.zipWithIndex.toDF("k", "i"), Nil, "k", 5, path, s"d$i")
+        if (i == trial % drops.size) Sketches.compactTopK(spark, path, Nil, "k", 5)
+      }
+      val served = Sketches.serveTopK(spark, path, Nil, "k").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val tot = Sketches.totalCutoff(spark, path, Nil).collect().head.getLong(0)
+      served.foreach { case (k, (est, hi)) =>
+        assert(est <= truth(k) && truth(k) <= hi,
+          s"cuts=$cuts compactAfter=${trial % drops.size} key=$k est=$est true=${truth(k)} hi=$hi")
+      }
+      truth.foreach { case (k, t) =>
+        if (t > tot) assert(served.contains(k),
+          s"cuts=$cuts: key $k true=$t above tot=$tot must surface")
+        else if (!served.contains(k)) assert(t <= tot)
+      }
+    }
+  }
+
   test("TextIndex: any build+refresh/upsert history converges to the from-scratch stats") {
     import graft.ops.TextIndex
     val wordGen = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.take(5).mkString)
