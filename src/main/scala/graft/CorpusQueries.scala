@@ -862,6 +862,24 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // perceptual image hash under the driver's hash gate: per-doc gray
+    // PNGs (pattern decoupled from the id, so content repeats across
+    // docs) go through the real encoder, then averageHash64 pools the
+    // REAL decoded raster onto an 8x8 grid and thresholds each bucket
+    // against the image mean by integer cross-multiplication — which is
+    // why DuckDB can recompute all 64 bits in plain arithmetic. The
+    // near-dup half (banded Hamming join over these hashes) is
+    // spec-pinned; this row proves the hash bits themselves.
+    "multimodal_phash" -> ((s, dir) => {
+      val dims = t(s, dir, "documents").select(col("doc_id"),
+        (lit(8) + col("doc_id") % 9).cast("int").as("w"),
+        (lit(8) + col("n_chars").cast("long") % 9).cast("int").as("h"),
+        (col("doc_id") % 40).as("pat"))
+      Multimodal.imageHashes(Multimodal.grayPngTable(dims, "doc_id", "w", "h", "pat"))
+        .select(col("media_id").as("doc_id"), col("ahash"))
+        .orderBy(col("doc_id"))
+    }),
+
     // S4-shape: code parse out of a delimited string column
     "cpv_parse_codes" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1606,6 +1624,26 @@ object CorpusQueries {
         |       CAST(16 AS BIGINT) AS bits, CAST(n AS BIGINT) AS n_frames,
         |       CAST(s AS BIGINT) AS sample_sum
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    // all 64 average-hash bits recomputed arithmetically: per-bucket and
+    // whole-image pixel sums with the cross-multiplied mean compare —
+    // the Spark side must reproduce them from the real decoded raster
+    "multimodal_phash" ->
+      """WITH g AS (SELECT doc_id, 8 + doc_id % 9 AS w,
+        |                  8 + CAST(n_chars AS BIGINT) % 9 AS h,
+        |                  doc_id % 40 AS pid FROM documents),
+        |gx AS (SELECT doc_id, w, h, pid, unnest(range(w)) AS x FROM g),
+        |gxy AS (SELECT doc_id, w, h, pid, x, unnest(range(h)) AS y FROM gx),
+        |px AS (SELECT doc_id, ((y * 8) // h) * 8 + (x * 8) // w AS idx,
+        |              (pid * 7 + x * 13 + y * 31) % 256 AS p
+        |       FROM gxy),
+        |bk AS (SELECT doc_id, idx, sum(p) AS s, count(*) AS c FROM px GROUP BY doc_id, idx),
+        |tt AS (SELECT doc_id, sum(p) AS ts, count(*) AS tc FROM px GROUP BY doc_id)
+        |SELECT b.doc_id,
+        |       string_agg(CASE WHEN b.s * t.tc >= t.ts * b.c THEN '1' ELSE '0' END, ''
+        |                  ORDER BY b.idx) AS ahash
+        |FROM bk b JOIN tt t ON b.doc_id = t.doc_id
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
 
     "cpv_parse_codes" ->
       """SELECT source, CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) AS code, count(*) AS n

@@ -409,12 +409,28 @@ object Dedup {
     * query on clustered corpora where buckets produce 100k+ raw pairs.
     */
   def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-                        chunks: Int = 4, maxHamming: Int = 3): DataFrame = {
+                        chunks: Int = 4, maxHamming: Int = 3): DataFrame =
+    hammingCandidatesFromBits(
+      docs.select(col(idCol).as("doc"), simhashBits(col(textCol)).as("sig")),
+      chunks, maxHamming)
+
+  /** The generic pigeonhole core behind [[simhashCandidates]], usable for
+    * ANY 64-char '0'/'1' signature column — text SimHash, image
+    * average-hash ([[Multimodal.imageHashes]]), audio fingerprints.
+    * Input: (doc, sig); output: (a, b, hamming) pairs within
+    * `maxHamming`, found via chunk-bucket equi-join (never all pairs).
+    */
+  def hammingCandidatesFromBits(sigs: DataFrame, chunks: Int = 4,
+                                maxHamming: Int = 3): DataFrame = {
+    require(64 % chunks == 0, s"chunks must divide 64, got $chunks")
+    require(maxHamming < chunks,
+      s"pigeonhole needs maxHamming < chunks (got $maxHamming >= $chunks): " +
+        "a pair may differ in every chunk and never share a bucket")
     val width = 64 / chunks
     val wordCols = (0 until chunks).map { c =>
       conv(substring(col("sig"), c * width + 1, width), 2, 10).cast("long").as(s"w$c")
     }
-    val sig = docs.select(col(idCol).as("doc"), simhashBits(col(textCol)).as("sig"))
+    val sig = sigs
       .select(col("doc") +: wordCols: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sig.select(col("doc"),

@@ -109,21 +109,114 @@ object Multimodal {
     * [[testPattern]] — partition-batched generation through the real
     * encoder; stands in for reading a blob store of true images.
     */
-  def grayPngTable(dims: DataFrame, idCol: String, wCol: String, hCol: String): DataFrame = {
+  def grayPngTable(dims: DataFrame, idCol: String, wCol: String, hCol: String): DataFrame =
+    grayPngTable(dims.withColumn("__pat", col(idCol)), idCol, wCol, hCol, "__pat")
+
+  /** [[grayPngTable]] with the pixel pattern decoupled from the media id
+    * (`patternCol` seeds [[testPattern]]), so distinct media rows can
+    * carry IDENTICAL image content — the fixture shape perceptual-hash
+    * dedup needs.
+    */
+  def grayPngTable(dims: DataFrame, idCol: String, wCol: String, hCol: String,
+                   patternCol: String): DataFrame = {
     val spark = dims.sparkSession
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
       StructField("payload", BinaryType),
       StructField("mime", StringType)))
-    val rdd = dims.select(col(idCol).cast("long"), col(wCol).cast("int"), col(hCol).cast("int"))
+    val rdd = dims.select(col(idCol).cast("long"), col(wCol).cast("int"),
+        col(hCol).cast("int"), col(patternCol).cast("long"))
       .rdd.mapPartitions { it =>
         it.map { r =>
-          val id = r.getLong(0)
-          Row(id, encodeGrayPng(r.getInt(1), r.getInt(2), testPattern(id)), "image/png")
+          Row(r.getLong(0),
+            encodeGrayPng(r.getInt(1), r.getInt(2), testPattern(r.getLong(3))),
+            "image/png")
         }
       }
     spark.createDataFrame(rdd, outSchema)
   }
+
+  /** Perceptual average-hash (aHash) from REAL decoded pixels: the image
+    * is pooled onto an 8x8 grid (pixel (x, y) lands in bucket
+    * ((y*8) div h, (x*8) div w), band 0) and each bucket's bit is 1 iff
+    * its mean sample >= the whole image's mean — compared by
+    * cross-multiplication (`sum_b * n_total >= sum_total * n_b`), so the
+    * hash is INTEGER-EXACT and an oracle can recompute it in plain
+    * arithmetic for synthetic patterns, like the pix_sum contract.
+    * Returns the 64-char '0'/'1' string (bucket row-major, the SimHash
+    * bit encoding), or None when no reader accepts the payload. Buckets
+    * that receive no pixel (w or h < 8) are 0.
+    */
+  def averageHash64(payload: Array[Byte]): Option[String] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    Option(img).map { im =>
+      val raster = im.getRaster
+      val w = im.getWidth
+      val h = im.getHeight
+      val sums = new Array[Long](64)
+      val cnts = new Array[Long](64)
+      var tot = 0L
+      var y = 0
+      while (y < h) {
+        val by = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val idx = by * 8 + x * 8 / w
+          val s = raster.getSample(x, y, 0)
+          sums(idx) += s
+          cnts(idx) += 1
+          tot += s
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      val bits = new Array[Char](64)
+      var i = 0
+      while (i < 64) {
+        bits(i) = if (cnts(i) > 0 && sums(i) * n >= tot * cnts(i)) '1' else '0'
+        i += 1
+      }
+      new String(bits)
+    }
+  }
+
+  /** Partition-batched perceptual hashing: (media_id, ahash, decoder) —
+    * real aHash for decodable payloads, null hash tagged "stub"
+    * otherwise.
+    */
+  def imageHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("ahash", StringType),
+      StructField("decoder", StringType)))
+    val rdd = media.select(col("media_id").cast("long"), col("payload")).rdd.mapPartitions { it =>
+      it.map { r =>
+        averageHash64(r.getAs[Array[Byte]](1)) match {
+          case Some(hh) => Row(r.getLong(0), hh, "imageio")
+          case None     => Row(r.getLong(0), null, "stub")
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Image near-duplicate candidates: perceptual hashes through the SAME
+    * pigeonhole chunk-bucket join the text SimHash tier uses
+    * ([[Dedup.hammingCandidatesFromBits]]) — visually-close images land
+    * in a shared bucket, candidate generation never goes all-pairs.
+    * Undecodable payloads are excluded (a stub hash would fabricate
+    * similarity).
+    */
+  def imageNearDupPairs(media: DataFrame, chunks: Int = 4,
+                        maxHamming: Int = 3): DataFrame =
+    Dedup.hammingCandidatesFromBits(
+      imageHashes(media).filter(col("decoder") === "imageio")
+        .select(col("media_id").as("doc"), col("ahash").as("sig")),
+      chunks, maxHamming)
 
   /** Partition-batched REAL decode: true dimensions/bands/sample-sum for
     * any payload the JVM's image readers accept, the deterministic stub

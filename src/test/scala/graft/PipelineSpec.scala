@@ -363,6 +363,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.resize(intMedia, 2, 2).count() == 2)
   }
 
+  test("Multimodal: perceptual average-hash — exact bits, collision on identical content, banded near-dup join") {
+    // hand-computable image: left half black, right half white -> each
+    // 8x8 bucket row is 0000 1111 (white buckets sit above the mean)
+    val split = Multimodal.encodeGrayPng(8, 8, (x, _) => if (x < 4) 0 else 255)
+    assert(Multimodal.averageHash64(split).get == "00001111" * 8)
+    // undecodable payload -> None (never a fabricated hash)
+    assert(Multimodal.averageHash64("not an image".getBytes("UTF-8")).isEmpty)
+    // non-divisible dims still fill all 64 buckets when w, h >= 8
+    val odd = Multimodal.encodeGrayPng(11, 13, Multimodal.testPattern(7L))
+    assert(Multimodal.averageHash64(odd).get.length == 64)
+
+    // identical patterns produce identical hashes; the banded Hamming
+    // join surfaces exactly those pairs at distance 0 without all-pairs
+    val dims = Seq(
+      (1L, 12, 12, 100L), (2L, 12, 12, 100L),   // same content, distinct ids
+      (3L, 12, 12, 100L),                       // third copy -> 3 pairs
+      (4L, 12, 12, 23L), (5L, 9, 14, 31L))      // different content
+      .toDF("doc_id", "w", "h", "pat")
+    val media = Multimodal.grayPngTable(dims, "doc_id", "w", "h", "pat")
+    val hashes = Multimodal.imageHashes(media).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(hashes(1L) == hashes(2L) && hashes(2L) == hashes(3L))
+    val pairs = Multimodal.imageNearDupPairs(media, chunks = 4, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.intersect(Set((1L, 2L), (1L, 3L), (2L, 3L))) ==
+      Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"identical images must pair at Hamming 0, got $pairs")
+    pairs.foreach { case (a, b) => assert(hashes(a) == hashes(b)) }
+  }
+
   test("Multimodal: REAL image codec — PNG/BMP decode, Graphics2D resize") {
     // real round-trip: encode through the JVM PNG writer, read the
     // dims/bands/sample-sum back from the BYTES
