@@ -121,6 +121,26 @@ object Bench {
         .delete(new org.apache.hadoop.fs.Path(tmp), true)
     }
     warm {
+      // round-12 session kernel families: deflate ratio, bigram-LM join
+      // chain, top-k segments, png encode + perceptual hash — each on
+      // 64-row slices so the measured queries see steady-state codegen
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bench_r12warm").toString
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(64)
+        .persist(); docs.count()
+      docs.select(graft.ops.TextAnalysis.compressRatioPct(col("text"))).count()
+      graft.ops.Relevance.bigramLmScore(docs, "doc_id", "text").count()
+      graft.ops.Sketches.landTopKDrop(docs, Nil, "lang", 4, s"$tmp/tk", "w")
+      graft.ops.Sketches.serveTopK(spark, s"$tmp/tk", Nil, "lang").count()
+      val dims = docs.select(col("doc_id"), lit(8).cast("int").as("w"),
+        lit(8).cast("int").as("h"), (col("doc_id") % 4).as("pat")).limit(8)
+      graft.ops.Multimodal.imageHashes(
+        graft.ops.Multimodal.grayPngTable(dims, "doc_id", "w", "h", "pat")).count()
+      docs.unpersist(blocking = false)
+      new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    warm {
       // streaming engine warmup: micro-batch planner, state-store setup,
       // and the stateful codegen paths. Same entry code as the measured
       // q_stream_* queries, against a 64-row copy of the events file laid
