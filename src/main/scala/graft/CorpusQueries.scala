@@ -880,6 +880,20 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the audio twin of multimodal_phash: real PCM16 WAVs through the
+    // JVM codec, energy-envelope fingerprint (64 time windows, integer
+    // cross-multiplied mean compare) recomputed bit-for-bit by the
+    // oracle; n >= 64 so every window is populated
+    "multimodal_audio_hash" -> ((s, dir) => {
+      val spec = t(s, dir, "documents").select(col("doc_id"),
+        lit(8000).as("rate"),
+        (lit(64) + col("n_chars").cast("long") % 192).cast("int").as("n"),
+        (col("doc_id") % 40).as("tone"))
+      Multimodal.audioHashes(Multimodal.wavTable(spec, "doc_id", "rate", "n", "tone"))
+        .select(col("media_id").as("doc_id"), col("ahash"))
+        .orderBy(col("doc_id"))
+    }),
+
     // S4-shape: code parse out of a delimited string column
     "cpv_parse_codes" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1639,6 +1653,24 @@ object CorpusQueries {
         |       FROM gxy),
         |bk AS (SELECT doc_id, idx, sum(p) AS s, count(*) AS c FROM px GROUP BY doc_id, idx),
         |tt AS (SELECT doc_id, sum(p) AS ts, count(*) AS tc FROM px GROUP BY doc_id)
+        |SELECT b.doc_id,
+        |       string_agg(CASE WHEN b.s * t.tc >= t.ts * b.c THEN '1' ELSE '0' END, ''
+        |                  ORDER BY b.idx) AS ahash
+        |FROM bk b JOIN tt t ON b.doc_id = t.doc_id
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+
+    // all 64 envelope bits recomputed arithmetically from the tone
+    // formula — the Spark side must reproduce them from the real
+    // decoded PCM stream
+    "multimodal_audio_hash" ->
+      """WITH g AS (SELECT doc_id, 64 + CAST(n_chars AS BIGINT) % 192 AS n,
+        |                  doc_id % 40 AS tid FROM documents),
+        |gi AS (SELECT doc_id, n, tid, unnest(range(n)) AS i FROM g),
+        |px AS (SELECT doc_id, (i * 64) // n AS idx,
+        |              abs((tid * 11 + i * 17) % 65536 - 32768) AS e
+        |       FROM gi),
+        |bk AS (SELECT doc_id, idx, sum(e) AS s, count(*) AS c FROM px GROUP BY doc_id, idx),
+        |tt AS (SELECT doc_id, sum(e) AS ts, count(*) AS tc FROM px GROUP BY doc_id)
         |SELECT b.doc_id,
         |       string_agg(CASE WHEN b.s * t.tc >= t.ts * b.c THEN '1' ELSE '0' END, ''
         |                  ORDER BY b.idx) AS ahash

@@ -388,22 +388,105 @@ object Multimodal {
     * [[testTone]] — partition-batched through the real encoder; the
     * audio twin of [[grayPngTable]].
     */
-  def wavTable(spec: DataFrame, idCol: String, rateCol: String, nCol: String): DataFrame = {
+  def wavTable(spec: DataFrame, idCol: String, rateCol: String, nCol: String): DataFrame =
+    wavTable(spec.withColumn("__tone", col(idCol)), idCol, rateCol, nCol, "__tone")
+
+  /** [[wavTable]] with the tone seed decoupled from the media id, so
+    * distinct media rows can carry identical audio content (the
+    * fingerprint-dedup fixture shape, like the grayPngTable overload).
+    */
+  def wavTable(spec: DataFrame, idCol: String, rateCol: String, nCol: String,
+               toneCol: String): DataFrame = {
     val spark = spec.sparkSession
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
       StructField("payload", BinaryType),
       StructField("mime", StringType)))
-    val rdd = spec.select(col(idCol).cast("long"), col(rateCol).cast("int"), col(nCol).cast("int"))
+    val rdd = spec.select(col(idCol).cast("long"), col(rateCol).cast("int"),
+        col(nCol).cast("int"), col(toneCol).cast("long"))
       .rdd.mapPartitions { it =>
         it.map { r =>
-          val id = r.getLong(0)
-          val wav = encodePcm16Wav(r.getInt(1), Array.tabulate(r.getInt(2))(testTone(id)))
-          Row(id, wav, "audio/wav")
+          val wav = encodePcm16Wav(r.getInt(1),
+            Array.tabulate(r.getInt(2))(testTone(r.getLong(3))))
+          Row(r.getLong(0), wav, "audio/wav")
         }
       }
     spark.createDataFrame(rdd, outSchema)
   }
+
+  /** Energy-envelope audio fingerprint — the WAV twin of
+    * [[averageHash64]]: PCM16 samples pool onto 64 time windows (sample
+    * i lands in window (i*64) div n), each window's bit is 1 iff its
+    * mean ABSOLUTE amplitude >= the whole clip's mean, compared by
+    * integer cross-multiplication — so the 64 bits are exact and an
+    * oracle recomputes them in plain arithmetic for synthetic tones.
+    * Returns None when no audio reader accepts the payload or the
+    * stream isn't PCM16; windows with no sample (n < 64) are 0.
+    */
+  def audioHash64(payload: Array[Byte]): Option[String] = {
+    val in =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => null
+        case _: java.io.IOException => null
+      }
+    Option(in).filter(_.getFormat.getSampleSizeInBits == 16).map { ais =>
+      val fmt = ais.getFormat
+      val bytes = ais.readAllBytes()
+      val n = bytes.length / 2
+      val sums = new Array[Long](64)
+      val cnts = new Array[Long](64)
+      var tot = 0L
+      var i = 0
+      while (i < n) {
+        val s =
+          if (fmt.isBigEndian) ((bytes(2 * i).toInt << 8) | (bytes(2 * i + 1) & 0xff)).toShort
+          else (((bytes(2 * i + 1).toInt) << 8) | (bytes(2 * i) & 0xff)).toShort
+        val e = math.abs(s.toLong)
+        val idx = (i.toLong * 64 / n).toInt
+        sums(idx) += e
+        cnts(idx) += 1
+        tot += e
+        i += 1
+      }
+      val bits = new Array[Char](64)
+      var b = 0
+      while (b < 64) {
+        bits(b) = if (cnts(b) > 0 && sums(b) * n >= tot * cnts(b)) '1' else '0'
+        b += 1
+      }
+      new String(bits)
+    }
+  }
+
+  /** Partition-batched audio fingerprinting: (media_id, ahash, decoder). */
+  def audioHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("ahash", StringType),
+      StructField("decoder", StringType)))
+    val rdd = media.select(col("media_id").cast("long"), col("payload")).rdd.mapPartitions { it =>
+      it.map { r =>
+        audioHash64(r.getAs[Array[Byte]](1)) match {
+          case Some(hh) => Row(r.getLong(0), hh, "javasound")
+          case None     => Row(r.getLong(0), null, "stub")
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Audio near-duplicate candidates through the shared pigeonhole
+    * Hamming join — the WAV twin of [[imageNearDupPairs]].
+    */
+  def audioNearDupPairs(media: DataFrame, chunks: Int = 4,
+                        maxHamming: Int = 3): DataFrame =
+    Dedup.hammingCandidatesFromBits(
+      audioHashes(media).filter(col("decoder") === "javasound")
+        .select(col("media_id").as("doc"), col("ahash").as("sig")),
+      chunks, maxHamming)
 
   /** Partition-batched REAL audio decode: true rate/channels/bits/frame
     * count/sample sum for any payload the JVM's audio readers accept,

@@ -393,6 +393,28 @@ class PipelineSpec extends AnyFunSuite {
     pairs.foreach { case (a, b) => assert(hashes(a) == hashes(b)) }
   }
 
+  test("Multimodal: audio energy fingerprint — exact bits, collision on identical tones, banded near-dup join") {
+    // hand-computable clip: silent first half, full-scale second half ->
+    // first 32 windows 0, last 32 windows 1
+    val clip = Multimodal.encodePcm16Wav(8000,
+      Array.tabulate(128)(i => if (i < 64) 0.toShort else 32767.toShort))
+    assert(Multimodal.audioHash64(clip).get == "0" * 32 + "1" * 32)
+    assert(Multimodal.audioHash64("not audio".getBytes("UTF-8")).isEmpty)
+
+    val spec = Seq(
+      (1L, 8000, 200, 5L), (2L, 8000, 200, 5L),  // identical tone + length
+      (3L, 8000, 200, 9L), (4L, 8000, 150, 13L)) // different content
+      .toDF("doc_id", "rate", "n", "tone")
+    val media = Multimodal.wavTable(spec, "doc_id", "rate", "n", "tone")
+    val hashes = Multimodal.audioHashes(media).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(hashes(1L) == hashes(2L))
+    val pairs = Multimodal.audioNearDupPairs(media, chunks = 4, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"identical clips must pair, got $pairs")
+    pairs.foreach { case (a, b) => assert(hashes(a) == hashes(b)) }
+  }
+
   test("Multimodal: REAL image codec — PNG/BMP decode, Graphics2D resize") {
     // real round-trip: encode through the JVM PNG writer, read the
     // dims/bands/sample-sum back from the BYTES
