@@ -333,6 +333,33 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // A-family: CUBE — all four grouping combinations in one pass
+    // (completes the multi-grouping trio beside GROUPING SETS and ROLLUP)
+    "q_cube_orders" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total_price"))
+        .select(coalesce(col("o_orderstatus"), lit("(all)")).as("dim_status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("dim_priority"),
+          col("n"), col("total_price"))
+        .orderBy(col("dim_status"), col("dim_priority"))
+    }),
+
+    // W-family: the remaining analytic-window inventory in one pass —
+    // lag/lead on the cents grid, ntile buckets, percent_rank (exact:
+    // (rank-1)/(n-1) of small ints divides identically in any engine);
+    // one window spec shared by all four, so one sort per partition
+    "q_window_suite" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        lag(cents(col("o_totalprice")), 1).over(w).as("prev_cents"),
+        lead(cents(col("o_totalprice")), 1).over(w).as("next_cents"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // A2/K8: calc_summary one-pass GROUPING SETS (reference calc_summary.py:55-78)
     "q_summary_grouping_sets" -> ((s, dir) => {
       t(s, dir, "orders").createOrReplaceTempView("orders_gs")
@@ -1329,6 +1356,25 @@ object SparkEntry {
         |       CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_o,
         |       CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS n_p
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_cube_orders" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS dim_status,
+        |       coalesce(o_orderpriority, '(all)') AS dim_priority,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY dim_status, dim_priority""".stripMargin,
+
+    "q_window_suite" ->
+      """SELECT o_custkey, o_orderkey,
+        |       lag(CAST(round(o_totalprice*100) AS BIGINT)) OVER w AS prev_cents,
+        |       lead(CAST(round(o_totalprice*100) AS BIGINT)) OVER w AS next_cents,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |       percent_rank() OVER w AS pct_rank
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_summary_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, '(all)') AS dim_status,

@@ -61,7 +61,7 @@ class CdcConsumer(lake: SnapshotLake, offsetDir: String, startVersion: Long = 1L
     Some((from, to))
   }
 
-  private def commitOffset(v: Long): Unit = {
+  private[graft] def commitOffset(v: Long): Unit = {
     fs.mkdirs(dir)
     // create-exclusive: the claim either atomically lands or throws
     // (lost the race to a concurrent consumer of this offset dir)

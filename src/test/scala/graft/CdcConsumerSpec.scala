@@ -68,6 +68,23 @@ class CdcConsumerSpec extends AnyFunSuite {
     assert(c2.poll((_, _, _) => ()) == None)
   }
 
+  test("offset claims are create-exclusive: the loser of a racing advance throws, never double-claims") {
+    val root = tmp()
+    val lake = mkLake(root)
+    lake.upsert(Seq(("6", 0L)).toDF("id", "v")) // v2
+    val c1 = new CdcConsumer(lake, s"$root/off", startVersion = 1L)
+    val c2 = new CdcConsumer(lake, s"$root/off", startVersion = 1L)
+    assert(c1.poll((_, _, _) => ()) == Some((1L, 2L)))
+    // a racer that read offset=1 BEFORE c1's claim landed would now try
+    // to claim version 2 itself — the create-exclusive file makes that
+    // second claim throw instead of silently double-advancing
+    intercept[java.io.IOException](c2.commitOffset(2L))
+    // and a fresh poll through the public API sees the new offset: no
+    // redelivery, no error
+    assert(c2.offset == 2L)
+    assert(c2.poll((_, _, _) => fail("caught up consumer must not deliver")) == None)
+  }
+
   test("a handler failure leaves the offset unmoved (redelivery on next poll)") {
     val root = tmp()
     val lake = mkLake(root)
