@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Machine-checked plan audits for the declarative query surface: the
+  * properties the manual `.explain` reviews verify — pushdown reaching
+  * the scans, pruned read schemas, top-k as TakeOrdered (never a global
+  * sort), broadcast dims, and the absence of cartesian products — as
+  * regression tests, so a refactor that silently de-optimizes a plan
+  * fails CI instead of only the bench. Only side-effect-free queries are
+  * audited (scratch-lake queries execute work at construction).
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // formatted mode: the tree string truncates long scan detail lines
+  // (PushedFilters/ReadSchema), formatted prints them in full
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  // declarative queries with no construction-time side effects
+  private val pure = Seq(
+    "q01_pricing_summary", "q03_shipping_priority", "q04_order_priority",
+    "q05_local_supplier_volume", "q06_forecast_revenue", "q10_returned_items",
+    "q14_promo_revenue", "q18_large_volume", "q_top3_customers_per_nation",
+    "q_customers_no_orders", "q_customer_segments_active", "q_pivot_status",
+    "q_cube_orders", "q_window_suite", "q_nation_balance_fulljoin",
+    "q_running_revenue", "q_histogram_prices", "q_events_json_extract")
+
+  test("no audited query ever plans a CartesianProduct") {
+    pure.foreach { n =>
+      assert(!plan(n).contains("CartesianProduct"), s"$n plans a cartesian product")
+    }
+  }
+
+  test("q06: all three predicates push to the parquet scan; read schema is pruned to 4 columns") {
+    val p = plan("q06_forecast_revenue")
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThanOrEqual(l_shipdate"),
+      "shipdate lower bound must reach the scan")
+    assert(p.contains("LessThan(l_quantity"), "quantity filter must reach the scan")
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(Seq("l_quantity", "l_extendedprice", "l_discount", "l_shipdate")
+      .forall(rs.contains), s"pruned schema wrong: $rs")
+    assert(!rs.contains("l_orderkey") && !rs.contains("l_tax"),
+      s"unneeded columns read: $rs")
+  }
+
+  test("top-k queries are TakeOrdered, never a global sort of the full result") {
+    Seq("q03_shipping_priority", "q10_returned_items", "q18_large_volume").foreach { n =>
+      assert(plan(n).contains("TakeOrderedAndProject"), s"$n must plan TakeOrdered")
+    }
+  }
+
+  test("q05 star join broadcasts its dims") {
+    val p = plan("q05_local_supplier_volume")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "region/nation/supplier must broadcast")
+  }
+
+  test("q04 semi join keeps the returnflag filter at the probe scan") {
+    val p = plan("q04_order_priority")
+    assert(p.contains("LeftSemi"))
+    assert(p.contains("EqualTo(l_returnflag,R)"), "probe-side filter must push to the scan")
+  }
+}
