@@ -796,6 +796,28 @@ object SparkEntry {
       s.table("graft_stream_dedup_docs_sink").orderBy(col("fp"))
     }),
 
+    // §2.10 x frequent-items tier: the event feed streams through
+    // topkSink (one bounded-error count segment per micro-batch) and the
+    // SERVED sketch goes under the driver's hash gate — with k >= the
+    // event_type domain every segment retains losslessly (cutoffs 0), so
+    // n_est and n_hi must BOTH equal the exact batch GROUP BY count
+    "q_stream_topk" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_topk_q").toString
+      val stream = eventsStream(s, dir).select(col("event_type"))
+      val q = graft.streaming.EventStreams.topkSink(tmp + "/topk", Nil, "event_type", 64)(stream)
+        .option("checkpointLocation", tmp + "/ckpt")
+        .start()
+      q.awaitTermination()
+      val out = graft.ops.Sketches.serveTopK(s, tmp + "/topk", Nil, "event_type")
+        .select(col("event_type"), col("n_est"), col("n_hi"))
+        .orderBy(col("event_type"))
+        .localCheckpoint(true) // the scratch segments are deleted next
+      new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      out
+    }),
+
     // Beyond-reference lake tier: REAL bloom-indexed point lookup over a
     // REAL scratch lake (the ntp_repair_report pattern) — lands the
     // documents table as an 8-file hash-distributed lake, builds the
@@ -1722,6 +1744,12 @@ object SparkEntry {
     "q_stream_dedup_docs" ->
       """SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
         |FROM documents ORDER BY fp""".stripMargin,
+
+    // lossless retention (k >= domain): the served sketch's bounds
+    // collapse to the exact count on both sides
+    "q_stream_topk" ->
+      """SELECT event_type, count(*) AS n_est, count(*) AS n_hi
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_stream_windowed" ->
       """SELECT date_trunc('hour', ts) AS wstart, event_type, count(*) AS n,

@@ -398,6 +398,35 @@ object Main {
           println(s"[cli] matagg compact: folded into seg=${arg(args, "--drop-id").getOrElse("base")}")
         case other => println(s"matagg --op land|serve|compact (got '$other')")
       }
+    case "lm" =>
+      // incremental bigram-LM model: land one count segment per drop
+      // (or a retracting change-feed segment), score a corpus against
+      // the merged model — fluency filtering made churn-proportional
+      import graft.ops.Relevance
+      val path = arg(args, "--path").get
+      val id = arg(args, "--id").getOrElse("_id")
+      val text = arg(args, "--text-col").getOrElse("text")
+      arg(args, "--op").getOrElse("score") match {
+        case "land" =>
+          val n = Relevance.landLmDrop(spark.read.parquet(arg(args, "--in").get),
+            id, text, path,
+            arg(args, "--drop-id").getOrElse(sys.error("lm --op land requires --drop-id")))
+          println(s"[cli] lm land: $n bigrams in segment")
+        case "changes" =>
+          val n = Relevance.landLmChangesDrop(spark.read.parquet(arg(args, "--in").get),
+            id, text, path,
+            arg(args, "--drop-id").getOrElse(sys.error("lm --op changes requires --drop-id")))
+          println(s"[cli] lm changes: $n signed bigrams in segment")
+        case "score" =>
+          val scored = Relevance.scoreAgainstCounts(
+            spark.read.parquet(arg(args, "--in").get), id, text,
+            Relevance.serveLmCounts(spark, path))
+          arg(args, "--out") match {
+            case Some(o) => scored.write.mode("overwrite").parquet(o)
+            case None => scored.orderBy(col("avg_ppm")).show(50, truncate = false)
+          }
+        case other => println(s"lm --op land|changes|score (got '$other')")
+      }
     case "sketch" =>
       // churn-proportional counting: exact distinct-pair segments,
       // mergeable HLL sketches, or top-k frequent-items segments —
@@ -447,6 +476,6 @@ object Main {
       if (d.isEmpty) println("[cli] audit: schemas identical")
       else d.orderBy(col("change"), col("field")).show(1000, truncate = false)
     case other =>
-      println(s"usage: ingest|summary|harvest|sync|compact|stats|cluster|index|repair|purge|curate|snap|audit|profile|matagg|sketch|drop (got '$other')")
+      println(s"usage: ingest|summary|harvest|sync|compact|stats|cluster|index|repair|purge|curate|snap|audit|profile|matagg|sketch|lm|drop (got '$other')")
   }
 }

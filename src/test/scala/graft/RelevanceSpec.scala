@@ -103,6 +103,28 @@ class RelevanceSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("cli lm: land + changes + score runs the whole tier end-to-end") {
+    val root = java.nio.file.Files.createTempDirectory("lmcli").toString
+    val v1 = Seq(("1", "a b a b"), ("2", "c d"), ("3", "a b")).toDF("_id", "text")
+    v1.write.parquet(root + "/in1")
+    Seq(("2", "c d", "update_pre"), ("2", "a b", "update_post"),
+      ("3", "a b", "delete"), ("4", "c d c", "insert"))
+      .toDF("_id", "text", "change_type").write.parquet(root + "/cdc")
+    val finalCorpus = Seq(("1", "a b a b"), ("2", "a b"), ("4", "c d c")).toDF("_id", "text")
+    finalCorpus.write.parquet(root + "/corpus")
+    graft.cli.Main.run(spark, "lm", Array("--path", root + "/m", "--op", "land",
+      "--in", root + "/in1", "--drop-id", "base"))
+    graft.cli.Main.run(spark, "lm", Array("--path", root + "/m", "--op", "changes",
+      "--in", root + "/cdc", "--drop-id", "cdc1"))
+    graft.cli.Main.run(spark, "lm", Array("--path", root + "/m", "--op", "score",
+      "--in", root + "/corpus", "--out", root + "/scored"))
+    val got = spark.read.parquet(root + "/scored")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val want = Relevance.bigramLmScore(finalCorpus, "_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("bm25Fold: bit-identical to the pivot, constant plan width at any term count") {
     val terms = Seq("spark", "vector", "the")
     val pivot = Relevance.bm25(docs, "doc_id", "text", terms)
