@@ -249,6 +249,26 @@ object CorpusQueries {
       out
     }),
 
+    // the curation GATE the signals exist for: heuristic quality AND
+    // corpus-LM fluency compose into one keep/cut decision, counted per
+    // source — both signals recomputed end-to-end by the oracle, so the
+    // composition itself (join, null handling for sub-2-token docs,
+    // threshold compare) sits under the hash gate
+    "q_quality_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lm = graft.ops.Relevance.bigramLmScore(docs, "doc_id", "text")
+        .select(col("doc_id"), col("avg_ppm"))
+      docs.select(col("doc_id"), col("source"),
+          TextAnalysis.qualityScore(col("text")).as("__q"))
+        .join(lm, Seq("doc_id"), "left_outer")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("__q") >= 0.55 &&
+              coalesce(col("avg_ppm"), lit(0L)) >= 33000L, 1L).otherwise(0L))
+            .as("n_kept"))
+        .orderBy(col("source"))
+    }),
+
     // compression-ratio quality signal (deflate level 6 via the native
     // DeflateLen kernel — the Gopher/C4 Kolmogorov-proxy filter). SQL
     // engines can't deflate, so the driver row is a CONTRACT query:
@@ -1008,6 +1028,36 @@ object CorpusQueries {
          |FROM sc ORDER BY doc""".stripMargin),
 
     "txt_lm_score" -> lmScoreSql,
+
+    // both signals recomputed from scratch, then the same composed gate
+    "q_quality_gate" -> (tkCte +
+      s""",
+         |m AS (SELECT doc_id, text, toks,
+         |  len(list_filter(toks, t -> list_contains(${swList("en")}, t))) AS sh
+         |FROM tk),
+         |qs AS (SELECT doc_id,
+         |  0.4 * least(len(toks) / 100.0, 1.0)
+         |  + 0.3 * least((CASE WHEN len(toks) > 0 THEN CAST(sh AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END) * 5.0, 1.0)
+         |  + 0.3 * (CASE WHEN length(text) > 0
+         |           THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+         |           ELSE 0.0 END) AS q
+         |FROM m),
+         |bgf AS (
+         |  SELECT doc_id, b.prev AS prev, b.cur AS cur
+         |  FROM (SELECT doc_id, unnest(list_transform(range(2, len(toks) + 1),
+         |          i -> struct_pack(prev := toks[i-1], cur := toks[i]))) AS b
+         |        FROM tk WHERE len(toks) >= 2)),
+         |c2 AS (SELECT prev, cur, count(*) AS c2 FROM bgf GROUP BY prev, cur),
+         |c1 AS (SELECT prev, count(*) AS c1 FROM bgf GROUP BY prev),
+         |sc AS (SELECT c2.prev, c2.cur, CAST((1000000 * c2.c2) // c1.c1 AS BIGINT) AS ppm
+         |       FROM c2 JOIN c1 USING (prev)),
+         |lm AS (SELECT doc_id, CAST(sum(ppm) // count(*) AS BIGINT) AS avg_ppm
+         |       FROM bgf JOIN sc USING (prev, cur) GROUP BY doc_id)
+         |SELECT dd.source, count(*) AS n_total,
+         |       CAST(sum(CASE WHEN qs.q >= 0.55 AND coalesce(lm.avg_ppm, 0) >= 33000
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM documents dd JOIN qs USING (doc_id) LEFT JOIN lm USING (doc_id)
+         |GROUP BY dd.source ORDER BY dd.source""".stripMargin),
 
     // segment merge is exact count addition, so the incremental serve
     // must reproduce the from-scratch model bit-for-bit

@@ -360,6 +360,23 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // X-family: the remaining relational set operators explicitly —
+    // INTERSECT / EXCEPT (distinct) and their ALL multiset forms over
+    // two overlapping projections, reported as cardinalities
+    "q_set_ops" -> ((s, dir) => {
+      def side(m: Int) = t(s, dir, "customer")
+        .filter(col("c_custkey") % m === 0)
+        .select(col("c_nationkey"), col("c_mktsegment"))
+      val a = side(2)
+      val b = side(3)
+      Seq(
+        ("intersect", a.intersect(b)), ("except", a.except(b)),
+        ("intersect_all", a.intersectAll(b)), ("except_all", a.exceptAll(b)))
+        .map { case (op, df) => df.agg(count(lit(1)).as("n")).select(lit(op).as("op"), col("n")) }
+        .reduce(_.unionByName(_))
+        .orderBy(col("op"))
+    }),
+
     // A2/K8: calc_summary one-pass GROUPING SETS (reference calc_summary.py:55-78)
     "q_summary_grouping_sets" -> ((s, dir) => {
       t(s, dir, "orders").createOrReplaceTempView("orders_gs")
@@ -1378,6 +1395,18 @@ object SparkEntry {
         |       CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_o,
         |       CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS n_p
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_set_ops" ->
+      """WITH a AS (SELECT c_nationkey, c_mktsegment FROM customer WHERE c_custkey % 2 = 0),
+        |     b AS (SELECT c_nationkey, c_mktsegment FROM customer WHERE c_custkey % 3 = 0)
+        |SELECT 'except' AS op, count(*) AS n FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+        |UNION ALL
+        |SELECT 'except_all', count(*) FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        |UNION ALL
+        |SELECT 'intersect', count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+        |UNION ALL
+        |SELECT 'intersect_all', count(*) FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+        |ORDER BY op""".stripMargin,
 
     "q_cube_orders" ->
       """SELECT coalesce(o_orderstatus, '(all)') AS dim_status,

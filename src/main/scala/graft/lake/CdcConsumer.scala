@@ -61,6 +61,22 @@ class CdcConsumer(lake: SnapshotLake, offsetDir: String, startVersion: Long = 1L
     Some((from, to))
   }
 
+  /** Bound the offset directory: drop every claim below the current
+    * offset (the offset is the MAX claim, so pruning history can never
+    * move it — only the newest file is load-bearing; the older ones are
+    * audit trail). Returns the number of claims removed.
+    */
+  def pruneOffsets(): Int = {
+    val cur = offset
+    if (!fs.exists(dir)) 0
+    else fs.listStatus(dir).toSeq.map(_.getPath)
+      .filter(p => p.getName match {
+        case OffsetRe(d) => d.toLong < cur
+        case _ => false
+      })
+      .count(p => fs.delete(p, false))
+  }
+
   private[graft] def commitOffset(v: Long): Unit = {
     fs.mkdirs(dir)
     // create-exclusive: the claim either atomically lands or throws

@@ -85,6 +85,22 @@ class CdcConsumerSpec extends AnyFunSuite {
     assert(c2.poll((_, _, _) => fail("caught up consumer must not deliver")) == None)
   }
 
+  test("pruneOffsets drops claim history without moving the offset") {
+    val root = tmp()
+    val lake = mkLake(root)
+    val c = new CdcConsumer(lake, s"$root/off", startVersion = 1L)
+    lake.upsert(Seq(("2", 0L)).toDF("id", "v"))
+    assert(c.poll((_, _, _) => ()).isDefined)
+    lake.upsert(Seq(("4", 0L)).toDF("id", "v"))
+    assert(c.poll((_, _, _) => ()).isDefined)
+    assert(c.offset == 3L)
+    assert(c.pruneOffsets() == 1) // the v2 claim goes, the v3 claim stays
+    assert(c.offset == 3L)
+    assert(c.pruneOffsets() == 0)
+    lake.upsert(Seq(("6", 0L)).toDF("id", "v"))
+    assert(c.poll((_, _, _) => ()) == Some((3L, 4L)), "consumption continues after pruning")
+  }
+
   test("a handler failure leaves the offset unmoved (redelivery on next poll)") {
     val root = tmp()
     val lake = mkLake(root)
