@@ -333,7 +333,9 @@ object Main {
       // the monthly-drop runbook in one command: snapshot CoW upsert,
       // then churn-proportional refresh of every maintained artifact
       // (bloom sidecar; band index with --text-col; summary segments
-      // with --dims/--sums/--summary-path; HLL with --hll-path)
+      // with --dims/--sums/--summary-path; HLL with --hll-path;
+      // frequent-items with --topk-path [--topk-key --topk-k]; the
+      // retractable bigram-LM counts with --lm-path + --text-col)
       import graft.lake.MaterializedAgg
       val lake = new graft.lake.SnapshotLake(spark,
         arg(args, "--lake").get, arg(args, "--key").getOrElse("_id"))
@@ -353,7 +355,11 @@ object Main {
         summary = summary,
         hll = arg(args, "--hll-path").map(p =>
           (arg(args, "--dims").map(_.split(",").toSeq).getOrElse(Nil),
-            arg(args, "--key").getOrElse("_id"), p)))
+            arg(args, "--key").getOrElse("_id"), p)),
+        topk = arg(args, "--topk-path").map(p =>
+          (Nil, arg(args, "--topk-key").getOrElse(arg(args, "--key").getOrElse("_id")),
+            arg(args, "--topk-k").map(_.toInt).getOrElse(64), p)),
+        lmPath = arg(args, "--lm-path"))
       val report = graft.pipeline.DropCycle.run(lake, dropDf, conf)
       report.toSeq.sortBy(_._1).foreach { case (tier, (a, b)) =>
         println(s"[cli] drop $tier: $a/$b") }

@@ -115,10 +115,21 @@ class DropCycleSpec extends AnyFunSuite {
       graft.cli.Main.run(spark, "drop", Array(
         "--lake", root + "/lake", "--in", root + in, "--text-col", "text",
         "--dims", "grp", "--sums", "chars=n_chars", "--summary-path", root + "/sum",
-        "--hll-path", root + "/hll"))
+        "--hll-path", root + "/hll",
+        "--topk-path", root + "/topk", "--topk-key", "grp", "--topk-k", "8",
+        "--lm-path", root + "/lm"))
     }
     val lake = new SnapshotLake(spark, root + "/lake", "_id")
     assert(lake.latestVersion.contains(2L))
+    // new tiers landed through the CLI flags and converge like the direct API
+    val topkCli = Sketches.serveTopK(spark, root + "/topk", Nil, "grp")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(topkCli.values.sum == 4L, s"4 inserted/updated rows counted, got $topkCli")
+    val lmCli = graft.ops.Relevance.serveLmCounts(spark, root + "/lm")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val lmScratch = graft.ops.Relevance.bigramCountSegment(lake.read, "_id", "text")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(lmCli == lmScratch && lmCli.nonEmpty)
     val spec = MaterializedAgg.Spec(Seq("grp"), sums = Seq("chars" -> col("n_chars")))
     val served = MaterializedAgg.serve(spark, root + "/sum", spec)
       .orderBy("grp").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
