@@ -178,6 +178,11 @@ object Sketches {
     */
   def topkSegment(drop: DataFrame, dims: Seq[String], keyCol: String, k: Int): DataFrame = {
     require(k >= 1, "topkSegment: k must be >= 1")
+    // "seg" is the tier's partition-discovery column (path layout
+    // seg=<drop>); a key or dim of that name would silently alias it at
+    // serve time
+    require(keyCol != "seg" && !dims.contains("seg"),
+      "topk tier: 'seg' is reserved for the segment partition column")
     val cnts = drop.groupBy((dims :+ keyCol).map(col): _*).agg(count(lit(1)).as("cnt"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(dims.map(col): _*).orderBy(col("cnt").desc, col(keyCol))

@@ -95,6 +95,12 @@ class FunctionsSpec extends AnyFunSuite {
     // null-safe
     assert(Seq[String](null).toDF("text")
       .select(Compress.deflate_len(col("text"))).collect().head.isNullAt(0))
+    // multi-byte text: the ratio denominates in UTF-8 BYTES (octet_length),
+    // matching what the deflater consumes — ratio stays <= ~100 for text
+    // that would exceed it if char-counted
+    val utf8 = Seq("ñandú ñandú ñandú €€€ 👍👍").toDF("text")
+      .select(TextAnalysis.compressRatioPct(col("text"))).collect().head.getLong(0)
+    assert(utf8 > 0 && utf8 <= 110, s"byte-based ratio out of envelope: $utf8")
   }
 
   test("the whole native inventory is callable from SQL and matches the Column API") {
