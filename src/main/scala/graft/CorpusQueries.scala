@@ -52,6 +52,35 @@ object CorpusQueries {
     """SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
       |FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id""".stripMargin
 
+  /** The BM25 recompute in SQL (rational idf, fixed-order pivot sum) —
+    * oracle for BOTH txt_bm25_topk (tokenize per query) and
+    * txt_bm25_indexed (persisted postings probe): the two Spark paths
+    * share one arithmetic core, so one SQL recompute gates both.
+    */
+  private val bm25OracleSql = tkCte +
+    """,
+      |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tk),
+      |stats AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf
+      |       FROM (SELECT doc_id, unnest(toks) AS tok FROM tk)
+      |       WHERE tok IN ('spark', 'vector', 'merge', 'stream')
+      |       GROUP BY doc_id, tok),
+      |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+      |contrib AS (SELECT f.doc_id, f.tok,
+      |  ((CAST(s.n AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5::DOUBLE) / (CAST(d.df AS DOUBLE) + 0.5::DOUBLE)) *
+      |  ((CAST(f.tf AS DOUBLE) * (1.2::DOUBLE + 1.0::DOUBLE)) /
+      |   (CAST(f.tf AS DOUBLE) + 1.2::DOUBLE * ((1.0::DOUBLE - 0.75::DOUBLE) + 0.75::DOUBLE * (CAST(l.dl AS DOUBLE) / (CAST(s.sumdl AS DOUBLE) / CAST(s.n AS DOUBLE)))))) AS c
+      |  FROM tf f JOIN dfq d USING (tok) JOIN dl l USING (doc_id) CROSS JOIN stats s),
+      |piv AS (SELECT doc_id,
+      |  max(CASE WHEN tok = 'spark' THEN c END) AS c0,
+      |  max(CASE WHEN tok = 'vector' THEN c END) AS c1,
+      |  max(CASE WHEN tok = 'merge' THEN c END) AS c2,
+      |  max(CASE WHEN tok = 'stream' THEN c END) AS c3
+      |  FROM contrib GROUP BY doc_id)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |       coalesce(c0, 0.0::DOUBLE) + coalesce(c1, 0.0::DOUBLE) + coalesce(c2, 0.0::DOUBLE) + coalesce(c3, 0.0::DOUBLE) AS score
+      |FROM piv ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
+
   /** 64-bit SimHash expression over exploded token hashes (matches
     * Dedup.simhashBits bit-for-bit: MSB-first hex nibbles of md5[1..16]).
     */
@@ -214,6 +243,29 @@ object CorpusQueries {
         .select(col("doc_id").cast("long").as("doc_id"), col("score"))
         .orderBy(col("score").desc, col("doc_id"))
         .limit(50)
+    }),
+
+    // BM25 from the PERSISTED postings index (PostingsIndex, the
+    // search-engine posture: build once, refresh on churn, probe many
+    // times): build on a 60% slice, fingerprint-gated refresh to the
+    // full corpus, then probe the same terms — the probe plan reads
+    // posting lists + doclen only (never the corpus text) yet must
+    // hash-match the tokenize-per-query recompute oracle exactly
+    "txt_bm25_indexed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_postings_q").toString
+      val idx = tmp + "/bm25_idx"
+      graft.ops.PostingsIndex.build(docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", idx)
+      graft.ops.PostingsIndex.refresh(docs, "doc_id", "text", idx)
+      val out = graft.ops.PostingsIndex.bm25(s, idx, Seq("spark", "vector", "merge", "stream"))
+        .select(col("doc").cast("long").as("doc_id"), col("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(50)
+        .localCheckpoint(true) // the scratch index is deleted next
+      new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      out
     }),
 
     // corpus-trained bigram LM fluency score (KenLM-shaped, in-domain
@@ -1087,29 +1139,11 @@ object CorpusQueries {
         |       CAST(len(toks[CAST(i*48+1 AS BIGINT):CAST(i*48+64 AS BIGINT)]) AS BIGINT) AS n_tokens
         |FROM ex ORDER BY doc_id, chunk_id""".stripMargin),
 
-    "txt_bm25_topk" -> (tkCte +
-      """,
-        |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tk),
-        |stats AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl),
-        |tf AS (SELECT doc_id, tok, count(*) AS tf
-        |       FROM (SELECT doc_id, unnest(toks) AS tok FROM tk)
-        |       WHERE tok IN ('spark', 'vector', 'merge', 'stream')
-        |       GROUP BY doc_id, tok),
-        |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
-        |contrib AS (SELECT f.doc_id, f.tok,
-        |  ((CAST(s.n AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5::DOUBLE) / (CAST(d.df AS DOUBLE) + 0.5::DOUBLE)) *
-        |  ((CAST(f.tf AS DOUBLE) * (1.2::DOUBLE + 1.0::DOUBLE)) /
-        |   (CAST(f.tf AS DOUBLE) + 1.2::DOUBLE * ((1.0::DOUBLE - 0.75::DOUBLE) + 0.75::DOUBLE * (CAST(l.dl AS DOUBLE) / (CAST(s.sumdl AS DOUBLE) / CAST(s.n AS DOUBLE)))))) AS c
-        |  FROM tf f JOIN dfq d USING (tok) JOIN dl l USING (doc_id) CROSS JOIN stats s),
-        |piv AS (SELECT doc_id,
-        |  max(CASE WHEN tok = 'spark' THEN c END) AS c0,
-        |  max(CASE WHEN tok = 'vector' THEN c END) AS c1,
-        |  max(CASE WHEN tok = 'merge' THEN c END) AS c2,
-        |  max(CASE WHEN tok = 'stream' THEN c END) AS c3
-        |  FROM contrib GROUP BY doc_id)
-        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
-        |       coalesce(c0, 0.0::DOUBLE) + coalesce(c1, 0.0::DOUBLE) + coalesce(c2, 0.0::DOUBLE) + coalesce(c3, 0.0::DOUBLE) AS score
-        |FROM piv ORDER BY score DESC, doc_id LIMIT 50""".stripMargin),
+    "txt_bm25_topk" -> bm25OracleSql,
+
+    // identical recompute oracle: the indexed probe must match the
+    // from-scratch BM25 bit-for-bit
+    "txt_bm25_indexed" -> bm25OracleSql,
 
     "txt_redact_pii" ->
       s"""SELECT doc_id,

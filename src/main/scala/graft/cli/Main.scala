@@ -335,7 +335,8 @@ object Main {
       // (bloom sidecar; band index with --text-col; summary segments
       // with --dims/--sums/--summary-path; HLL with --hll-path;
       // frequent-items with --topk-path [--topk-key --topk-k]; the
-      // retractable bigram-LM counts with --lm-path + --text-col)
+      // retractable bigram-LM counts with --lm-path + --text-col; the
+      // BM25 posting-list index with --postings-path + --text-col)
       import graft.lake.MaterializedAgg
       val lake = new graft.lake.SnapshotLake(spark,
         arg(args, "--lake").get, arg(args, "--key").getOrElse("_id"))
@@ -359,7 +360,8 @@ object Main {
         topk = arg(args, "--topk-path").map(p =>
           (Nil, arg(args, "--topk-key").getOrElse(arg(args, "--key").getOrElse("_id")),
             arg(args, "--topk-k").map(_.toInt).getOrElse(64), p)),
-        lmPath = arg(args, "--lm-path"))
+        lmPath = arg(args, "--lm-path"),
+        postingsPath = arg(args, "--postings-path"))
       val report = graft.pipeline.DropCycle.run(lake, dropDf, conf)
       report.toSeq.sortBy(_._1).foreach { case (tier, (a, b)) =>
         println(s"[cli] drop $tier: $a/$b") }

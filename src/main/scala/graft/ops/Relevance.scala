@@ -38,7 +38,16 @@ object Relevance {
     require(terms.length <= 64,
       s"bm25 pivots one aggregate column per term (fixed-order summation); " +
         s"got ${terms.length} terms, max 64 — use bm25Fold for large term sets")
-    val pivoted = contributions(docs, idCol, textCol, terms, k1, b)
+    pivotScores(contributions(docs, idCol, textCol, terms, k1, b), idCol, terms)
+  }
+
+  /** The fixed-order pivot sum shared by [[bm25]] and
+    * [[bm25FromPostings]] — one agg column per term, summed in term
+    * order with 0.0 for absences (the IEEE identity), so every path
+    * through it produces bit-identical scores.
+    */
+  private def pivotScores(contribs: DataFrame, idCol: String, terms: Seq[String]): DataFrame = {
+    val pivoted = contribs
       .groupBy(col(idCol)).agg(
         max(when(col("__tok") === terms.head, col("__c"))).as(s"__c_0"),
         terms.tail.zipWithIndex.map { case (t, i) =>
@@ -47,6 +56,25 @@ object Relevance {
     val score = terms.indices.map(i => coalesce(col(s"__c_$i"), lit(0.0)))
       .reduceLeft[Column](_ + _)
     pivoted.select(col(idCol), score.as("score"))
+  }
+
+  /** BM25 from a PERSISTED postings index ([[PostingsIndex]]) instead of
+    * a corpus tokenize: `postings` is (doc, tok, tf), `doclen` is
+    * (doc, dl) — the serve halves of the index. The probe plan touches
+    * ONLY the query terms' posting lists plus the aggregate-sized doclen
+    * table; the corpus text is never read. Shares [[contributionsFrom]]
+    * and [[pivotScores]] with [[bm25]], so scores are bit-identical to
+    * the recompute whenever the index reflects the corpus.
+    */
+  def bm25FromPostings(postings: DataFrame, doclen: DataFrame, terms: Seq[String],
+                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms, "terms must be non-empty and distinct")
+    require(terms.length <= 64,
+      s"bm25FromPostings pivots one aggregate column per term; got ${terms.length}, max 64")
+    val tf = postings.filter(col("tok").isin(terms: _*))
+      .select(col("doc"), col("tok").as("__tok"), col("tf").as("__tf"))
+    val dl = doclen.select(col("doc"), col("dl").as("__dl"))
+    pivotScores(contributionsFrom(tf, dl, "doc", k1, b), "doc", terms)
   }
 
   /** BM25 with a CONSTANT-WIDTH plan for large term sets: the per-term
@@ -190,10 +218,21 @@ object Relevance {
                             terms: Seq[String], k1: Double, b: Double): DataFrame = {
     val toks = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
     val dl = toks.select(col(idCol), size(col("__toks")).cast("long").as("__dl"))
-    val stats = dl.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__sumdl"))
     val tf = toks.select(col(idCol), explode(col("__toks")).as("__tok"))
       .filter(col("__tok").isin(terms: _*))
       .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__tf"))
+    contributionsFrom(tf, dl, idCol, k1, b)
+  }
+
+  /** The arithmetic core over pre-built (doc, term, tf) + (doc, dl)
+    * frames — shared by the tokenize path ([[contributions]]) and the
+    * persisted-index path ([[bm25FromPostings]]) so both produce the
+    * same IEEE doubles. `tf` must already be restricted to the query
+    * terms (df per term = its row count).
+    */
+  private[graft] def contributionsFrom(tf: DataFrame, dl: DataFrame, idCol: String,
+                                       k1: Double, b: Double): DataFrame = {
+    val stats = dl.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__sumdl"))
     // tf is unique per (doc, term), so df = row count per term
     val dfreq = tf.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
     // fixed parenthesization — every () below must match the oracle SQL

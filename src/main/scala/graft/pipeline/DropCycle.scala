@@ -16,7 +16,10 @@ import graft.ops.{DedupIndex, Sketches}
   *  2. bloom point-lookup sidecar — [[BloomIndex.refreshSnapshot]],
   *     file list from manifests, immutable files never re-bloom;
   *  3. MinHash band index — [[DedupIndex.upsert]], batch-scoped delta
-  *     (unchanged re-delivered docs carry verbatim);
+  *     (unchanged re-delivered docs carry verbatim); optionally the
+  *     per-doc text-stats sidecar ([[graft.ops.TextIndex.upsert]]) and
+  *     the BM25 posting-list index ([[graft.ops.PostingsIndex.upsert]])
+  *     ride the same fingerprint-gated delta;
   *  4. summary — [[MaterializedAgg.landChangesDrop]] over the version
   *     interval's change feed with pre-images (-pre +post retraction);
   *     the FIRST cycle lands a full-drop segment instead (nothing to
@@ -42,6 +45,7 @@ object DropCycle {
     textCol: Option[String] = None,       // steps 3 + 3b + 6 run when set
     bandIdxPath: Option[String] = None,   // default: <lake>.bandidx
     textStatsPath: Option[String] = None, // step 3b: per-doc stats sidecar
+    postingsPath: Option[String] = None,  // step 3c: BM25 posting-list index
     bloom: Boolean = true,
     summary: Option[(MaterializedAgg.Spec, String)] = None,
     hll: Option[(Seq[String], String, String)] = None, // (dims, key, path)
@@ -63,6 +67,9 @@ object DropCycle {
       report("band") = DedupIndex.upsert(drop, lake.keyCol, text, idx)
       conf.textStatsPath.foreach { statsPath =>
         report("textstats") = graft.ops.TextIndex.upsert(drop, lake.keyCol, text, statsPath)
+      }
+      conf.postingsPath.foreach { postPath =>
+        report("postings") = graft.ops.PostingsIndex.upsert(drop, lake.keyCol, text, postPath)
       }
     }
     conf.summary.foreach { case (spec, path) =>

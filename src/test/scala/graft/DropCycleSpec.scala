@@ -27,7 +27,8 @@ class DropCycleSpec extends AnyFunSuite {
       summary = Some((spec, root + "/summary")),
       hll = Some((Seq("grp"), "_id", root + "/hll")),
       topk = Some((Nil, "grp", 8, root + "/topk")),
-      lmPath = Some(root + "/lm"))
+      lmPath = Some(root + "/lm"),
+      postingsPath = Some(root + "/bm25idx"))
 
     val drop1 = docs(
       (1L, "the quick brown fox jumps over the lazy dog", 0L),
@@ -46,6 +47,8 @@ class DropCycleSpec extends AnyFunSuite {
 
     // band maintenance was churn-scoped: doc 1 carried, docs 3+4 signed
     assert(r2("band") == ((1L, 2L)))
+    // the posting-list index rode the same fingerprint-gated delta
+    assert(r2("postings") == ((1L, 2L)))
 
     // lake state == the batch-merged truth
     val state = lake.read.orderBy("_id").collect().map(r => r.getString(0) -> r.getString(1))
@@ -67,6 +70,15 @@ class DropCycleSpec extends AnyFunSuite {
     val want = DedupIndex.candidatePairs(spark, root + "/scratchidx")
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(got == want && got.nonEmpty)
+
+    // posting-list index: an indexed BM25 probe over the maintained index
+    // is bit-identical to the tokenize-per-query recompute on the lake
+    val probeTerms = Seq("quick", "spark", "flink")
+    val viaIdx = graft.ops.PostingsIndex.bm25(spark, root + "/bm25idx", probeTerms)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val direct = graft.ops.Relevance.bm25(lake.read, "_id", "text", probeTerms)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(viaIdx == direct && viaIdx.nonEmpty)
 
     // hll distinct per grp: re-delivered ids are union no-ops
     val est = Sketches.serveHllEstimate(spark, root + "/hll", Seq("grp"))

@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{PostingsIndex, Relevance}
+
+class PostingsIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def corpus(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  private val base = Seq(
+    1L -> "spark stream merge spark spark vector",
+    2L -> "vector vector merge and some other words",
+    3L -> "no query terms here at all",
+    4L -> "", // empty doc: counts toward N with dl=0, like the recompute
+    5L -> "stream stream stream merge spark")
+
+  private val terms = Seq("spark", "vector", "merge", "stream")
+
+  test("indexed probe is bit-identical to the tokenize-per-query recompute") {
+    val tmp = Files.createTempDirectory("postidx").toString
+    val idx = tmp + "/bm25"
+    assert(PostingsIndex.build(corpus(base: _*), "doc_id", "text", idx) == 5L)
+    val direct = Relevance.bm25(corpus(base: _*), "doc_id", "text", terms)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val indexed = PostingsIndex.bm25(spark, idx, terms)
+      .orderBy("doc").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(indexed.toSeq == direct.toSeq) // exact doubles, not approx
+  }
+
+  test("refresh carries unchanged docs verbatim and signs only churn") {
+    val tmp = Files.createTempDirectory("postidx2").toString
+    val idx = tmp + "/bm25"
+    PostingsIndex.build(corpus(base.take(3): _*), "doc_id", "text", idx)
+    // sentinel: doctor doc 1's landed tf for 'spark'; a refresh that
+    // re-tokenized unchanged docs would silently repair it
+    val doctored = spark.read.parquet(s"$idx/postings")
+      .withColumn("tf", when(col("doc") === 1L && col("tok") === "spark", lit(99L))
+        .otherwise(col("tf")))
+    doctored.write.mode("overwrite").parquet(tmp + "/stage")
+    spark.read.parquet(tmp + "/stage").write.mode("overwrite").parquet(s"$idx/postings")
+    val changed = base.toMap ++ Map(3L -> "now it says spark", 6L -> "merge doc")
+    val (kept, signed) = PostingsIndex.refresh(
+      corpus(changed.toSeq.sortBy(_._1): _*), "doc_id", "text", idx)
+    assert(kept == 2L && signed == 4L) // 1,2 carried; 3 changed, 4,5,6 new-to-index
+    val tf1 = PostingsIndex.servePostings(spark, idx)
+      .filter(col("doc") === 1L && col("tok") === "spark").collect()
+    assert(tf1.head.getLong(2) == 99L, "unchanged doc 1's postings must carry verbatim")
+    // vanished docs drop: refresh to a 2-doc corpus
+    val (k2, s2) = PostingsIndex.refresh(corpus(base.take(2): _*), "doc_id", "text", idx)
+    assert(k2 == 2L && s2 == 0L)
+    assert(PostingsIndex.serveDocLen(spark, idx).count() == 2L)
+  }
+
+  test("probe plan reads the index, never the corpus parquet") {
+    val tmp = Files.createTempDirectory("postidx3").toString
+    val idx = tmp + "/bm25"
+    val corpusPath = tmp + "/documents.parquet"
+    corpus(base: _*).write.parquet(corpusPath)
+    val docs = spark.read.parquet(corpusPath)
+    PostingsIndex.build(docs, "doc_id", "text", idx)
+    val probe = PostingsIndex.bm25(spark, idx, terms)
+    val scans = probe.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    assert(scans.exists(_.contains("postings")) && scans.exists(_.contains("doclen")))
+    assert(!scans.exists(_.contains("documents.parquet")),
+      "an indexed probe must not re-read the corpus text")
+  }
+}
