@@ -280,6 +280,148 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // J-family: two-nation trade volume (TPC-H Q7 shape — volume
+    // shipping): supplier and customer both pre-restricted to the two
+    // nations via broadcast joins against the filtered nation dim, so
+    // the fact join carries only candidate rows; the cross-pair filter
+    // (different nations on each side) runs after both attaches; the
+    // date window pushes to the lineitem scan
+    "q07_volume_shipping" -> ((s, dir) => {
+      val nn = t(s, dir, "nation").filter(col("n_name").isin("NATION_1", "NATION_2"))
+      val sup = t(s, dir, "supplier")
+        .join(broadcast(nn.select(col("n_nationkey").as("__snk"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("__snk"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val cus = t(s, dir, "customer")
+        .join(broadcast(nn.select(col("n_nationkey").as("__cnk"), col("n_name").as("cust_nation"))),
+          col("c_nationkey") === col("__cnk"))
+        .select(col("c_custkey"), col("cust_nation"))
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+      l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(cus, col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // A/J-family: national market share (TPC-H Q8 shape): the ASIA
+    // customer filter rides a broadcast nation⨝region attach, the
+    // STANDARD part filter and the supplier-nation name both broadcast;
+    // the share is one deterministic division of two cents-grid sums
+    // folded in a single aggregate pass per order year
+    "q08_market_share" -> ((s, dir) => {
+      val p = broadcast(t(s, dir, "part").filter(col("p_type") === "STANDARD")
+        .select(col("p_partkey")))
+      val sup = broadcast(t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation").select(col("n_nationkey").as("__snk"),
+          col("n_name").as("__snation"))), col("s_nationkey") === col("__snk"))
+        .select(col("s_suppkey"), col("__snation")))
+      val asiaNations = broadcast(t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("__ank")))
+      val cus = t(s, dir, "customer")
+        .join(asiaNations, col("c_nationkey") === col("__ank"))
+        .select(col("c_custkey"))
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+      val volc = cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
+      t(s, dir, "lineitem")
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(cus, col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg((sum(when(col("__snation") === "NATION_2", volc).otherwise(lit(0L))).cast("double") /
+          sum(volc).cast("double")).as("mkt_share"))
+        .orderBy(col("o_year"))
+    }),
+
+    // A/J-family: customer order-count distribution (TPC-H Q13 shape):
+    // LEFT OUTER with the anti-predicate inside the join condition so
+    // zero-order customers survive with count 0; two aggregate-sized
+    // group-bys, the second over at most max-order-count rows
+    "q13_customer_distribution" -> ((s, dir) => {
+      val o = t(s, dir, "orders").filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+        .select(col("o_custkey"), col("o_orderkey"))
+      t(s, dir, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // A/J-family: small-quantity-order revenue (TPC-H Q17 shape —
+    // correlated per-part average): the brand-scoped fact slice is
+    // materialized ONCE (localCheckpoint, the q15 discipline) and feeds
+    // both the per-part quantity stats and the final filter; the
+    // correlated `qty < 0.2 * avg(qty)` comparison runs as exact
+    // integer cross-multiplication (qty*5*n < sum), no doubles anywhere
+    // until the single output division
+    "q17_small_quantity_revenue" -> ((s, dir) => {
+      val bp = broadcast(t(s, dir, "part").filter(col("p_brand") === "Brand#23")
+        .select(col("p_partkey")))
+      val lp = t(s, dir, "lineitem")
+        .join(bp, col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), round(col("l_quantity")).cast("long").as("__qty"),
+          col("l_extendedprice"))
+        .localCheckpoint(true)
+      val pq = lp.groupBy(col("l_partkey").as("__pk"))
+        .agg(count(lit(1)).as("__pn"), sum(col("__qty")).as("__psq"))
+      lp.join(broadcast(pq), col("l_partkey") === col("__pk"))
+        .filter(col("__qty") * lit(5L) * col("__pn") < col("__psq"))
+        .agg((moneySum(col("l_extendedprice")) / 7.0).as("avg_yearly"),
+          count(lit(1)).as("n"))
+    }),
+
+    // P/J-family: disjunctive predicate pushdown (TPC-H Q19 shape): the
+    // three-brand union prunes the part scan, the per-branch size
+    // bounds ride the broadcast dim, and the quantity arm of each
+    // disjunct evaluates post-join on the cents-free integer grid
+    "q19_disjunctive_revenue" -> ((s, dir) => {
+      val p = broadcast(t(s, dir, "part")
+        .filter((col("p_brand") === "Brand#12" && col("p_size").between(1, 5)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 15)))
+        .select(col("p_partkey"), col("p_brand")))
+      val qty = round(col("l_quantity")).cast("long")
+      t(s, dir, "lineitem")
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .filter((col("p_brand") === "Brand#12" && qty.between(1L, 11L)) ||
+          (col("p_brand") === "Brand#23" && qty.between(10L, 20L)) ||
+          (col("p_brand") === "Brand#34" && qty.between(20L, 30L)))
+        .agg(revenueSum(col("l_extendedprice"), col("l_discount")).as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
+    // A/X-family: dormant high-balance customers (TPC-H Q22 shape): the
+    // positive-balance average comparison runs as exact integer
+    // cross-multiplication against a broadcast 1-row aggregate
+    // (bal*n > sum), recent-order holders drop via one anti join, and
+    // the result is an aggregate per nation
+    "q22_sales_opportunity" -> ((s, dir) => {
+      val pos = t(s, dir, "customer").filter(col("c_acctbal") > 0.0)
+        .agg(sum(cents(col("c_acctbal"))).as("__s"), count(lit(1)).as("__n"))
+      val recent = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1999-01-01 00:00:00")))
+        .select(col("o_custkey"))
+      t(s, dir, "customer")
+        .crossJoin(broadcast(pos))
+        .filter(cents(col("c_acctbal")) * col("__n") > col("__s"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("numcust"), moneySum(col("c_acctbal")).as("totacctbal"))
+        .orderBy(col("nationkey"))
+    }),
+
     // W-family: ranked window (top-3 per group)
     "q_top3_customers_per_nation" -> ((s, dir) => {
       val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc, col("c_custkey"))
@@ -1362,6 +1504,78 @@ object SparkEntry {
         |FROM orders JOIN big ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q07_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue
+        |FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        |WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey AND c_custkey = o_custkey
+        |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q08_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       CAST(sum(CASE WHEN n2.n_name = 'NATION_2'
+        |                     THEN CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))
+        |                     ELSE 0 END) AS DOUBLE) /
+        |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE) AS mkt_share
+        |FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+        |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey AND l_orderkey = o_orderkey
+        |  AND o_custkey = c_custkey AND c_nationkey = n1.n_nationkey
+        |  AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |  AND s_nationkey = n2.n_nationkey AND p_type = 'STANDARD'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "q13_customer_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q17_small_quantity_revenue" ->
+      """WITH lp AS (
+        |  SELECT l_partkey, CAST(round(l_quantity) AS BIGINT) AS qty, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#23'),
+        |pq AS (SELECT l_partkey AS pk, count(*) AS pn, sum(qty) AS psq FROM lp GROUP BY pk)
+        |SELECT CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE) / 100.0 / 7.0 AS avg_yearly,
+        |       count(*) AS n
+        |FROM lp JOIN pq ON l_partkey = pk
+        |WHERE qty * 5 * pn < psq""".stripMargin,
+
+    "q19_disjunctive_revenue" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,
+        |       count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND CAST(round(l_quantity) AS BIGINT) BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |       AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30)""".stripMargin,
+
+    "q22_sales_opportunity" ->
+      """WITH pos AS (
+        |  SELECT sum(CAST(round(c_acctbal*100) AS BIGINT)) AS s, count(*) AS n
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c_nationkey AS nationkey, count(*) AS numcust,
+        |       CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS DOUBLE) / 100.0 AS totacctbal
+        |FROM customer, pos
+        |WHERE CAST(round(c_acctbal*100) AS BIGINT) * n > s
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
 
     "q_top3_customers_per_nation" ->
       """SELECT n_name, c_name, c_acctbal FROM (

@@ -28,7 +28,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q14_promo_revenue", "q18_large_volume", "q_top3_customers_per_nation",
     "q_customers_no_orders", "q_customer_segments_active", "q_pivot_status",
     "q_cube_orders", "q_window_suite", "q_nation_balance_fulljoin",
-    "q_running_revenue", "q_histogram_prices", "q_events_json_extract")
+    "q_running_revenue", "q_histogram_prices", "q_events_json_extract",
+    "q07_volume_shipping", "q08_market_share", "q13_customer_distribution",
+    "q19_disjunctive_revenue", "q22_sales_opportunity")
 
   test("no audited query ever plans a CartesianProduct") {
     pure.foreach { n =>
@@ -64,5 +66,29 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("q04_order_priority")
     assert(p.contains("LeftSemi"))
     assert(p.contains("EqualTo(l_returnflag,R)"), "probe-side filter must push to the scan")
+  }
+
+  test("q07: shipdate window pushes to the fact scan; both nation attaches broadcast") {
+    val p = plan("q07_volume_shipping")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") && p.contains("LessThan(l_shipdate"),
+      "date window must reach the lineitem scan")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "filtered supplier and customer nation attaches must broadcast")
+  }
+
+  test("q19: the disjunctive brand/size predicate prunes the part scan") {
+    val p = plan("q19_disjunctive_revenue")
+    assert(p.contains("Or(") && p.contains("EqualTo(p_brand,Brand#12"),
+      "three-brand disjunction must push to the part scan")
+    val rs = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!rs.contains("p_retailprice"), s"part scan must prune unused columns: $rs")
+  }
+
+  test("q22: dormant-customer check is one anti join with the date bound at the orders scan") {
+    val p = plan("q22_sales_opportunity")
+    assert(p.contains("LeftAnti"))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "recent-order date bound must push to the orders scan")
+    assert(!p.contains("CartesianProduct"), "the 1-row stats attach must stay broadcast")
   }
 }
