@@ -151,6 +151,19 @@ object EventStreams {
       if (!batch.isEmpty) graft.ops.TextIndex.upsert(batch, idCol, textCol, idxPath)
     }
 
+  /** The BM25 posting-list twin: each micro-batch delta-upserts the
+    * persisted inverted index ([[graft.ops.PostingsIndex.upsert]]) —
+    * re-delivered unchanged docs carry verbatim, so replaying a feed
+    * never re-tokenizes the steady state, and an indexed probe after any
+    * batch scores exactly like a from-scratch recompute over everything
+    * streamed so far.
+    */
+  def postingsIndexSink(idxPath: String, idCol: String, textCol: String)(
+      docs: DataFrame): DataStreamWriter[org.apache.spark.sql.Row] =
+    upsertSink(docs) { (batch, _) =>
+      if (!batch.isEmpty) graft.ops.PostingsIndex.upsert(batch, idCol, textCol, idxPath)
+    }
+
   /** The summary twin of the index sinks: each micro-batch lands ONE
     * aggregate-sized [[graft.lake.MaterializedAgg]] segment keyed by the
     * batch id, so the served summary always covers everything streamed

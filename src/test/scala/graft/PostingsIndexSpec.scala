@@ -57,6 +57,41 @@ class PostingsIndexSpec extends AnyFunSuite {
     assert(PostingsIndex.serveDocLen(spark, idx).count() == 2L)
   }
 
+  test("streaming postingsIndexSink: a batched feed converges to the from-scratch index") {
+    val tmp = Files.createTempDirectory("postidx4").toString
+    val feed = tmp + "/feed"
+    val idx = tmp + "/bm25"
+    base.grouped(2).zipWithIndex.foreach { case (docs, i) =>
+      corpus(docs: _*).coalesce(1).write.parquet(s"$feed/b$i")
+    }
+    val stream = spark.readStream
+      .schema(corpus(base.head).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$feed/*")
+    val q = graft.streaming.EventStreams.postingsIndexSink(idx, "doc_id", "text")(stream)
+      .option("checkpointLocation", tmp + "/ckpt")
+      .start()
+    q.awaitTermination()
+    val got = PostingsIndex.bm25(spark, idx, terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    PostingsIndex.build(corpus(base: _*), "doc_id", "text", tmp + "/scratch")
+    val want = PostingsIndex.bm25(spark, tmp + "/scratch", terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("upsert is batch-scoped: out-of-batch docs untouched") {
+    val tmp = Files.createTempDirectory("postidx5").toString
+    val idx = tmp + "/bm25"
+    PostingsIndex.build(corpus(base: _*), "doc_id", "text", idx)
+    val (kept, signed) = PostingsIndex.upsert(
+      corpus(1L -> base.head._2, 3L -> "replaced text entirely"), "doc_id", "text", idx)
+    assert(kept == 1L && signed == 1L)
+    assert(PostingsIndex.serveDocLen(spark, idx).orderBy("doc")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L, 5L),
+      "docs outside the batch survive an upsert")
+  }
+
   test("probe plan reads the index, never the corpus parquet") {
     val tmp = Files.createTempDirectory("postidx3").toString
     val idx = tmp + "/bm25"
