@@ -435,6 +435,32 @@ object Main {
           }
         case other => println(s"lm --op land|changes|score (got '$other')")
       }
+    case "bm25" =>
+      // persisted posting-list index: build from a corpus, refresh on a
+      // new corpus state (churn-proportional), probe terms without ever
+      // re-reading the corpus text
+      import graft.ops.PostingsIndex
+      val path = arg(args, "--path").get
+      val id = arg(args, "--id").getOrElse("_id")
+      val text = arg(args, "--text-col").getOrElse("text")
+      arg(args, "--op").getOrElse("probe") match {
+        case "build" =>
+          val n = PostingsIndex.build(spark.read.parquet(arg(args, "--in").get), id, text, path)
+          println(s"[cli] bm25 build: $n docs indexed")
+        case "refresh" =>
+          val (kept, signed) = PostingsIndex.refresh(
+            spark.read.parquet(arg(args, "--in").get), id, text, path)
+          println(s"[cli] bm25 refresh: $kept carried, $signed signed")
+        case "probe" =>
+          val terms = arg(args, "--terms")
+            .getOrElse(sys.error("bm25 --op probe requires --terms t1,t2,...")).split(",").toSeq
+          val scored = PostingsIndex.bm25(spark, path, terms)
+          arg(args, "--out") match {
+            case Some(o) => scored.write.mode("overwrite").parquet(o)
+            case None => scored.orderBy(col("score").desc).show(50, truncate = false)
+          }
+        case other => println(s"bm25 --op build|refresh|probe (got '$other')")
+      }
     case "sketch" =>
       // churn-proportional counting: exact distinct-pair segments,
       // mergeable HLL sketches, or top-k frequent-items segments —
@@ -484,6 +510,6 @@ object Main {
       if (d.isEmpty) println("[cli] audit: schemas identical")
       else d.orderBy(col("change"), col("field")).show(1000, truncate = false)
     case other =>
-      println(s"usage: ingest|summary|harvest|sync|compact|stats|cluster|index|repair|purge|curate|snap|audit|profile|matagg|sketch|lm|drop (got '$other')")
+      println(s"usage: ingest|summary|harvest|sync|compact|stats|cluster|index|repair|purge|curate|snap|audit|profile|matagg|sketch|lm|bm25|drop (got '$other')")
   }
 }

@@ -92,6 +92,24 @@ class PostingsIndexSpec extends AnyFunSuite {
       "docs outside the batch survive an upsert")
   }
 
+  test("cli bm25 build/refresh/probe round-trips") {
+    val tmp = Files.createTempDirectory("postcli").toString
+    corpus(base.take(3): _*).write.parquet(tmp + "/in1")
+    corpus(base: _*).write.parquet(tmp + "/in2")
+    graft.cli.Main.run(spark, "bm25", Array(
+      "--op", "build", "--path", tmp + "/idx", "--id", "doc_id", "--in", tmp + "/in1"))
+    graft.cli.Main.run(spark, "bm25", Array(
+      "--op", "refresh", "--path", tmp + "/idx", "--id", "doc_id", "--in", tmp + "/in2"))
+    graft.cli.Main.run(spark, "bm25", Array(
+      "--op", "probe", "--path", tmp + "/idx",
+      "--terms", terms.mkString(","), "--out", tmp + "/scores"))
+    val got = spark.read.parquet(tmp + "/scores")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val want = Relevance.bm25(corpus(base: _*), "doc_id", "text", terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("probe plan reads the index, never the corpus parquet") {
     val tmp = Files.createTempDirectory("postidx3").toString
     val idx = tmp + "/bm25"
