@@ -422,6 +422,188 @@ object SparkEntry {
         .orderBy(col("nationkey"))
     }),
 
+    // J/W-family: min-cost supplier per part (TPC-H Q2 shape — the
+    // correlated `cost = (SELECT min(cost) ...)` subquery decorrelated
+    // as a window min). The offer table (partsupp stand-in) is derived
+    // once from the fact restricted by BOTH broadcast dims BEFORE the
+    // pair aggregate, so the shuffle carries only qualifying pairs; the
+    // per-part minimum rides a window over the pair-sized frame (one
+    // extra pair-sized shuffle, never a second fact scan), and supplier
+    // attributes re-attach by broadcast after the aggregate
+    "q02_min_cost_supplier" -> ((s, dir) => {
+      val selp = broadcast(t(s, dir, "part")
+        .filter(col("p_size") <= 15 && col("p_type") === "STANDARD")
+        .select(col("p_partkey")))
+      val asupp = broadcast(t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name")))
+      val ps = t(s, dir, "lineitem")
+        .join(selp, col("l_partkey") === col("p_partkey"))
+        .join(asupp.select(col("s_suppkey")), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(cents(col("l_extendedprice"))).as("__cost"))
+      val w = Window.partitionBy(col("l_partkey"))
+      ps.withColumn("__minc", min(col("__cost")).over(w))
+        .filter(col("__cost") === col("__minc"))
+        .join(asupp, col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("l_partkey").as("p_partkey"),
+          (col("__cost").cast("double") / 100.0).as("min_cost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+    }),
+
+    // A/J-family: profit rollup by supplier nation and ship year (TPC-H
+    // Q9 shape): both dims broadcast onto the fact, the profit measure
+    // (revenue minus retail cost) folds on an exact 1/10000-dollar
+    // integer grid inside ONE aggregate pass — negative line profits are
+    // exact too, so the sum is order-independent
+    "q09_product_profit" -> ((s, dir) => {
+      val p = broadcast(t(s, dir, "part").filter(col("p_name").contains("widget"))
+        .select(col("p_partkey"), cents(col("p_retailprice")).as("__rp")))
+      val sup = broadcast(t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name")))
+      val profit = cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))) -
+        col("__rp") * lit(100L) * round(col("l_quantity")).cast("long")
+      t(s, dir, "lineitem")
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("n_name").as("nation"), year(col("l_shipdate")).cast("long").as("o_year"))
+        .agg((sum(profit).cast("double") / 10000.0).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // A-family: parts above a fraction of global value (TPC-H Q11 shape
+    // — HAVING against a global scalar): the per-part aggregate is
+    // materialized ONCE (q15 discipline — both the total and the filter
+    // read it, a lazy plan would scan the fact twice), the global total
+    // is a broadcast 1-row aggregate, and the fraction compare runs as
+    // exact integer cross-multiplication (vc*1000 > total)
+    "q11_important_parts" -> ((s, dir) => {
+      val euro = broadcast(t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey")))
+      val g = t(s, dir, "lineitem")
+        .join(euro, col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy(col("l_partkey"))
+        .agg(sum(cents(col("l_extendedprice"))).as("__vc"))
+        .localCheckpoint(true)
+      val tot = g.agg(sum(col("__vc")).as("__tot"))
+      g.crossJoin(broadcast(tot))
+        .filter(col("__vc") * lit(1000L) > col("__tot"))
+        .select(col("l_partkey").as("partkey"),
+          (col("__vc").cast("double") / 100.0).as("value"))
+        .orderBy(col("value").desc, col("partkey"))
+    }),
+
+    // A/J-family: two-way conditional line counts by flag (TPC-H Q12
+    // shape — shipmode priority split, adapted: returnflag plays the
+    // shipmode dimension since the driver schema has no shipmode): the
+    // ship-year window pushes to the fact scan, the order join carries
+    // only (orderkey, priority), and both CASE counts fold in one
+    // aggregate pass
+    "q12_priority_lines" -> ((s, dir) => {
+      val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+        .select(col("l_orderkey"), col("l_returnflag"))
+      l.join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(urgent, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(urgent, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // A/X-family: distinct supplier counts per part attribute (TPC-H
+    // Q16 shape): the brand/type/size slice prunes the broadcast part
+    // dim, complained-about suppliers drop via one broadcast anti join
+    // (NOT IN over a never-null key), and the count(DISTINCT) shuffles
+    // pairs, never raw lines
+    "q16_supplier_part_counts" -> ((s, dir) => {
+      val p = broadcast(t(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#23" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 4, 7, 10, 14, 19, 23, 36, 45, 49))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size")))
+      val bad = broadcast(t(s, dir, "supplier").filter(col("s_acctbal") < 2000.0)
+        .select(col("s_suppkey")))
+      t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(bad, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    }),
+
+    // A/J-family: suppliers whose recent share exceeds half their total
+    // (TPC-H Q20 shape — the nested `> 0.5 * (SELECT sum ...)`
+    // correlated threshold): both conditional sums fold in ONE pair
+    // aggregate over the brand-sliced fact (the correlated subquery
+    // never runs per-row), the half compare is exact integer
+    // cross-multiplication, and the supplier/nation gates are semi joins
+    "q20_excess_share_suppliers" -> ((s, dir) => {
+      val lp = broadcast(t(s, dir, "part").filter(col("p_name").startsWith("large"))
+        .select(col("p_partkey")))
+      val qty = round(col("l_quantity")).cast("long")
+      val in96 = col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
+      val sel = t(s, dir, "lineitem")
+        .join(lp, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(when(in96, qty).otherwise(0L)).as("__q96"), sum(qty).as("__qall"))
+        .filter(col("__q96") * lit(2L) > col("__qall"))
+        .select(col("l_suppkey"))
+      val asiaN = broadcast(t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey")))
+      t(s, dir, "supplier")
+        .join(sel, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(asiaN, col("s_nationkey") === col("n_nationkey"), "left_semi")
+        .select(col("s_name"), col("s_acctbal"))
+        .orderBy(col("s_name"))
+    }),
+
+    // A/J/W-family: the sole late supplier of multi-supplier orders
+    // (TPC-H Q21 shape — EXISTS l2 / NOT EXISTS l3 self-joins,
+    // decorrelated): one pair aggregate over the F-status fact (late
+    // flag + late-line count per order×supplier), then BOTH existence
+    // tests ride one window over the pair-sized frame — supplier count
+    // and late-supplier count per order — so the fact is scanned once,
+    // vs three times for the literal semi+anti formulation; lateness is
+    // shipdate > orderdate + 90 days (the driver schema has no
+    // commit/receipt dates)
+    "q21_waiting_suppliers" -> ((s, dir) => {
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")
+      val pairs = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(late).as("__late"), sum(when(late, 1L).otherwise(0L)).as("__nll"))
+      val w = Window.partitionBy(col("l_orderkey"))
+      pairs
+        .withColumn("__ns", count(lit(1)).over(w))
+        .withColumn("__nlate", sum(when(col("__late"), 1L).otherwise(0L)).over(w))
+        .filter(col("__late") && col("__ns") > 1 && col("__nlate") === 1)
+        .join(broadcast(t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(sum(col("__nll")).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    }),
+
     // W-family: ranked window (top-3 per group)
     "q_top3_customers_per_nation" -> ((s, dir) => {
       val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc, col("c_custkey"))
@@ -1576,6 +1758,88 @@ object SparkEntry {
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
         |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+
+    "q02_min_cost_supplier" ->
+      """WITH selp AS (SELECT p_partkey FROM part WHERE p_size <= 15 AND p_type = 'STANDARD'),
+        |asupp AS (SELECT s_suppkey, s_name, s_acctbal, n_name FROM supplier, nation, region
+        |          WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'ASIA'),
+        |ps AS (SELECT l_partkey, l_suppkey, min(CAST(round(l_extendedprice*100) AS BIGINT)) AS cost
+        |       FROM lineitem JOIN selp ON l_partkey = p_partkey
+        |       WHERE l_suppkey IN (SELECT s_suppkey FROM asupp)
+        |       GROUP BY l_partkey, l_suppkey),
+        |off AS (SELECT l_partkey, l_suppkey, cost, s_name, s_acctbal, n_name
+        |        FROM ps JOIN asupp ON l_suppkey = s_suppkey)
+        |SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey,
+        |       CAST(cost AS DOUBLE)/100.0 AS min_cost
+        |FROM off WHERE cost = (SELECT min(cost) FROM off o2 WHERE o2.l_partkey = off.l_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""".stripMargin,
+
+    "q09_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+        |       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))
+        |                - CAST(round(p_retailprice*100) AS BIGINT) * 100 * CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)/10000.0 AS sum_profit
+        |FROM lineitem, part, supplier, nation
+        |WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |  AND p_name LIKE '%widget%'
+        |GROUP BY n_name, CAST(year(l_shipdate) AS BIGINT)
+        |ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q11_important_parts" ->
+      """WITH g AS (
+        |  SELECT l_partkey, sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS vc
+        |  FROM lineitem WHERE l_suppkey IN (
+        |    SELECT s_suppkey FROM supplier, nation, region
+        |    WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'EUROPE')
+        |  GROUP BY l_partkey)
+        |SELECT l_partkey AS partkey, CAST(vc AS DOUBLE)/100.0 AS value
+        |FROM g WHERE vc * 1000 > (SELECT sum(vc) FROM g)
+        |ORDER BY value DESC, partkey""".stripMargin,
+
+    "q12_priority_lines" ->
+      """SELECT l_returnflag,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q16_supplier_part_counts" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#23' AND p_type <> 'PROMO'
+        |  AND p_size IN (1,4,7,10,14,19,23,36,45,49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000.0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q20_excess_share_suppliers" ->
+      """WITH sel AS (
+        |  SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'large%'
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING 2*sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |                     AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |               THEN CAST(round(l_quantity) AS BIGINT) ELSE 0 END)
+        |        > sum(CAST(round(l_quantity) AS BIGINT)))
+        |SELECT s_name, s_acctbal FROM supplier
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM sel)
+        |  AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey IN
+        |      (SELECT r_regionkey FROM region WHERE r_name = 'ASIA'))
+        |ORDER BY s_name""".stripMargin,
+
+    "q21_waiting_suppliers" ->
+      """WITH o AS (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'),
+        |l AS (SELECT l_orderkey, l_suppkey, (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+        |      FROM lineitem JOIN o ON l_orderkey = o_orderkey)
+        |SELECT s_name, count(*) AS numwait
+        |FROM l l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE l1.late
+        |  AND EXISTS (SELECT 1 FROM l l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM l l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
 
     "q_top3_customers_per_nation" ->
       """SELECT n_name, c_name, c_acctbal FROM (

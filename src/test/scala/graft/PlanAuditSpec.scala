@@ -30,7 +30,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_cube_orders", "q_window_suite", "q_nation_balance_fulljoin",
     "q_running_revenue", "q_histogram_prices", "q_events_json_extract",
     "q07_volume_shipping", "q08_market_share", "q13_customer_distribution",
-    "q19_disjunctive_revenue", "q22_sales_opportunity")
+    "q19_disjunctive_revenue", "q22_sales_opportunity", "q02_min_cost_supplier",
+    "q09_product_profit", "q12_priority_lines", "q16_supplier_part_counts",
+    "q20_excess_share_suppliers", "q21_waiting_suppliers")
 
   test("no audited query ever plans a CartesianProduct") {
     pure.foreach { n =>
@@ -90,5 +92,54 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("GreaterThanOrEqual(o_orderdate"),
       "recent-order date bound must push to the orders scan")
     assert(!p.contains("CartesianProduct"), "the 1-row stats attach must stay broadcast")
+  }
+
+  private def factScans(p: String, table: String): Int =
+    p.linesIterator.count(l => l.contains("Location") && l.contains(s"$table.parquet"))
+
+  test("q02: correlated min decorrelates to ONE window over ONE fact scan, dims broadcast") {
+    val p = plan("q02_min_cost_supplier")
+    assert(factScans(p, "lineitem") == 1,
+      s"window-min decorrelation must not rescan the fact: ${factScans(p, "lineitem")} scans")
+    assert(p.contains("Window"), "per-part min must ride a window, not a self-join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "part slice and supplier attach must broadcast")
+  }
+
+  test("q09: the widget filter pushes to the part scan; both dims broadcast") {
+    val p = plan("q09_product_profit")
+    assert(p.contains("StringContains(p_name,widget)"),
+      "p_name contains-filter must reach the part scan")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, "part and supplier-nation must broadcast")
+  }
+
+  test("q12: the ship-year window pushes to the lineitem scan and its read schema stays 2-wide after the join keys") {
+    val p = plan("q12_priority_lines")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") && p.contains("LessThan(l_shipdate"),
+      "year window must reach the fact scan")
+    val rs = p.linesIterator.filter(l => l.contains("ReadSchema") && l.contains("l_")).mkString
+    assert(!rs.contains("l_extendedprice") && !rs.contains("l_quantity"),
+      s"unused fact columns must prune: $rs")
+  }
+
+  test("q16: complained suppliers drop via LeftAnti; the size slice pushes to the part scan") {
+    val p = plan("q16_supplier_part_counts")
+    assert(p.contains("LeftAnti"), "NOT IN over a never-null key must plan as an anti join")
+    assert(p.contains("In(p_size"), "size list must push to the part scan")
+  }
+
+  test("q20: both gates are semi joins; the correlated half-threshold runs in ONE fact pass") {
+    val p = plan("q20_excess_share_suppliers")
+    assert("LeftSemi".r.findAllIn(p).size >= 2, "supplier and nation gates must be semi joins")
+    assert(factScans(p, "lineitem") == 1,
+      "both conditional sums must fold in one pair aggregate over one fact scan")
+  }
+
+  test("q21: EXISTS/NOT EXISTS decorrelate to ONE fact scan + window, never self-joins of the fact") {
+    val p = plan("q21_waiting_suppliers")
+    assert(factScans(p, "lineitem") == 1,
+      s"the two existence tests must ride the pair window: ${factScans(p, "lineitem")} fact scans")
+    assert(p.contains("Window"), "per-order supplier counts must ride a window")
+    assert(p.contains("TakeOrderedAndProject"), "top-100 must plan TakeOrdered, not a global sort")
   }
 }
