@@ -447,6 +447,19 @@ object CorpusQueries {
         .orderBy(col("lang"), col("doc_id"))
     }),
 
+    // data mixing: ONE global budget of 200 docs split across sources
+    // proportionally to their char mass by exact-integer largest
+    // remainder, then per-source admission in content-hash order —
+    // Σalloc == budget, |alloc_s - ideal_s| <= 1, no floats in the
+    // seat arithmetic
+    "q_sample_mixture" -> ((s, dir) => {
+      graft.ops.Curation.sampleMixture(
+          t(s, dir, "documents"), "source", "doc_id", "text",
+          rowWeight = col("n_chars").cast("long"), total = 200L)
+        .select(col("source"), col("doc_id"), col("alloc"))
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
     // embedding-space diagnostics: per-label per-component exact sums
     // (class centroids = csum_nano/n/1e9 downstream). Components are
     // snapped to an integer NANO grid and summed as int64 — the same
@@ -1249,6 +1262,21 @@ object CorpusQueries {
         |         row_number() OVER (PARTITION BY lang ORDER BY md5('s0' || text), doc_id) AS rn
         |  FROM documents) t
         |WHERE rn <= 10 ORDER BY lang, doc_id""".stripMargin,
+
+    "q_sample_mixture" ->
+      """WITH wts AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS w FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM wts),
+        |a AS (SELECT source, w, CAST((200*w) // tw AS BIGINT) AS fl,
+        |             CAST((200*w) % tw AS BIGINT) AS rem FROM wts, tot),
+        |r AS (SELECT source, fl, row_number() OVER (ORDER BY rem DESC, source) AS rk,
+        |             CAST(200 - (SELECT sum(fl) FROM a) AS BIGINT) AS leftover FROM a),
+        |alloc AS (SELECT source AS asrc,
+        |                 CAST(fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc FROM r),
+        |rk AS (SELECT source, doc_id, text,
+        |              row_number() OVER (PARTITION BY source ORDER BY md5('s0' || text), doc_id) AS rn
+        |       FROM documents)
+        |SELECT source, doc_id, alloc FROM rk JOIN alloc ON source = asrc
+        |WHERE rn <= alloc ORDER BY source, doc_id""".stripMargin,
 
     "sim_label_stats" ->
       """SELECT CAST(label AS BIGINT) AS label, i - 1 AS component, count(*) AS n,

@@ -63,6 +63,53 @@ object Curation {
       .filter(col("start") < budget)
   }
 
+  /** Global-budget mixture allocation — the data-mixing step ABOVE the
+    * per-shard budgets: split ONE document budget across strata
+    * proportionally to a per-stratum weight (sum of `rowWeight`, an
+    * int64 per-row measure such as chars or tokens), then admit each
+    * stratum's first `alloc` documents in the same deterministic
+    * content-hash order as [[sampleStratified]].
+    *
+    * The split is the largest-remainder (Hamilton) method on EXACT
+    * integers: floor_s = (total*w_s) div W, and the R = total -
+    * Σfloor_s leftover seats go to the largest remainders (ties broken
+    * by stratum name) — so Σalloc_s == total whenever every stratum
+    * holds enough documents, |alloc_s - total*w_s/W| <= 1 always, and
+    * no doubles appear anywhere (total*w_s can exceed 2^53 at corpus
+    * scale, where a float division would mis-seat documents).
+    *
+    * Scale: the weights frame is aggregate-sized (one row per stratum);
+    * its two windows are deliberately single-partition over that tiny
+    * frame. The corpus-side cost is one broadcast join of the
+    * allocation table + one per-stratum rank window — the same shuffle
+    * shape as [[sampleStratified]].
+    */
+  def sampleMixture(df: DataFrame, strataCol: String, idCol: String,
+                    contentCol: String, rowWeight: Column, total: Long,
+                    seed: String = "s0"): DataFrame = {
+    require(total > 0, "total budget must be positive")
+    val one = Window.partitionBy(lit(1))
+    // NB: names must differ by more than case — Spark resolves columns
+    // case-insensitively by default, so a `__W` withColumn would silently
+    // REPLACE a `__w` aggregate
+    val alloc = df.groupBy(col(strataCol)).agg(sum(rowWeight).as("__wsum"))
+      .withColumn("__wtot", sum(col("__wsum")).over(one))
+      .withColumn("__num", lit(total) * col("__wsum"))
+      .withColumn("__fl", expr("__num div __wtot"))
+      .withColumn("__rem", col("__num") % col("__wtot"))
+      .withColumn("__left", lit(total) - sum(col("__fl")).over(one))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col("__rem").desc, col(strataCol))))
+      .select(col(strataCol).as("__stratum"),
+        (col("__fl") + when(col("__rk") <= col("__left"), 1L).otherwise(0L)).as("alloc"))
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5(concat(lit(seed), col(contentCol))), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .join(broadcast(alloc), col(strataCol) === col("__stratum"))
+      .filter(col("__rn") <= col("alloc"))
+      .drop("__rn", "__stratum")
+  }
+
   /** Deterministic output sharding for training-data landing: shard id =
     * first `hexChars` hex digits of md5(content) — 16^hexChars shards,
     * uniform over the corpus and (like [[sampleStratified]]'s hash

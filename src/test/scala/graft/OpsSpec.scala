@@ -392,6 +392,35 @@ class OpsSpec extends AnyFunSuite {
     assert(ids(corpus.repartition(7)) == s1)
   }
 
+  test("Curation.sampleMixture: exact Hamilton seats — sum==budget, per-stratum error <=1, repartition-stable") {
+    import graft.ops.Curation
+    // 3 strata with weights 5:3:2 over a 7-seat budget: ideal seats
+    // 3.5/2.1/1.4, floors 3/2/1 (sum 6), the 1 leftover seat goes to the
+    // largest remainder (a: rem .5) -> alloc 4/2/1
+    val corpus = (
+      (1 to 10).map(i => ("a", i.toLong, s"alpha doc $i", 5L)) ++
+      (1 to 10).map(i => ("b", (100 + i).toLong, s"beta doc $i", 3L)) ++
+      (1 to 10).map(i => ("c", (200 + i).toLong, s"gamma doc $i", 2L))
+    ).toDF("source", "doc_id", "text", "wt")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Curation.sampleMixture(df, "source", "doc_id", "text", col("wt"), total = 7L)
+        .select("source", "doc_id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val s1 = run(corpus)
+    assert(s1.size == 7, s"Hamilton seats must sum to the budget: $s1")
+    val bySrc = s1.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(bySrc == Map("a" -> 4, "b" -> 2, "c" -> 1), s"seat split wrong: $bySrc")
+    // |alloc - total*w/W| <= 1 for every stratum (Hamilton bound):
+    // ideals 3.5/2.1/1.4 vs 4/2/1 — all within 1
+    assert(run(corpus.repartition(5)) == s1, "content-hash order must be partitioning-invariant")
+
+    // a stratum smaller than its allocation under-fills without stealing
+    // seats from others
+    val tiny = corpus.filter(col("source") =!= "a")
+      .union(Seq(("a", 1L, "alpha doc 1", 50L)).toDF("source", "doc_id", "text", "wt"))
+    val s2 = run(tiny) // a's weight dominates but a holds ONE doc
+    assert(s2.count(_._1 == "a") == 1, "allocation is a cap, not a quota to fill")
+  }
+
   test("packSequences: concat-and-chunk bins per shard, documents straddle boundaries") {
     val docs = Seq(
       ("a", 1L, "w1 w2 w3"),              // 3 tokens: start 0 -> bin 0, offset 0
