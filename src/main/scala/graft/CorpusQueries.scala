@@ -447,6 +447,22 @@ object CorpusQueries {
         .orderBy(col("lang"), col("doc_id"))
     }),
 
+    // unicode canonicalization ahead of exact dedup: a decomposed prefix
+    // (combining acute/tilde) NFC-composes to the same md5 as the
+    // composed spelling — cross-engine via the native NfcNormalize
+    // kernel vs DuckDB's nfc_normalize. delta counts the combining
+    // marks the composition absorbed.
+    "txt_nfc_dedup" -> ((s, dir) => {
+      val raw = concat(lit("José niño "), col("text"))
+      val norm = graft.functions.NfcNormalize.nfc_normalize(raw)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          (length(raw) - length(norm)).cast("long").as("delta"),
+          (md5(norm) === md5(concat(lit("José niño "), col("text"))))
+            .as("composed_match"))
+        .orderBy(col("doc_id"))
+    }),
+
     // data mixing: ONE global budget of 200 docs split across sources
     // proportionally to their char mass by exact-integer largest
     // remainder, then per-source admission in content-hash order —
@@ -1262,6 +1278,14 @@ object CorpusQueries {
         |         row_number() OVER (PARTITION BY lang ORDER BY md5('s0' || text), doc_id) AS rn
         |  FROM documents) t
         |WHERE rn <= 10 ORDER BY lang, doc_id""".stripMargin,
+
+    "txt_nfc_dedup" ->
+      """SELECT doc_id,
+        |  CAST(length(raw) - length(nfc_normalize(raw)) AS BIGINT) AS delta,
+        |  md5(nfc_normalize(raw)) = md5('Jos' || chr(233) || ' ni' || chr(241) || 'o ' || text) AS composed_match
+        |FROM (SELECT doc_id, text, 'Jose' || chr(769) || ' nin' || chr(771) || 'o ' || text AS raw
+        |      FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
 
     "q_sample_mixture" ->
       """WITH wts AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS w FROM documents GROUP BY source),

@@ -22,6 +22,7 @@ import org.apache.spark.sql.types.{IntegerType, StringType}
   *   rolling_hash(tokens)               31-polynomial order-sensitive hash
   *   stopword_count(tokens, array(...)) tokens contained in a word list
   *   deflate_len(str)                   deflate-compressed byte length
+  *   nfc_normalize(str)                 Unicode NFC canonicalization
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -73,5 +74,6 @@ object GraftExtensions {
     "rolling_hash" -> (c => RollingHash31(arity("rolling_hash", 1)(c).head)),
     "stopword_count" -> (c => { val a = arity("stopword_count", 2)(c)
       StopwordCount(a(0), stringArrayLit(a(1), "stopword_count(tokens, words)")) }),
-    "deflate_len" -> (c => DeflateLen(arity("deflate_len", 1)(c).head)))
+    "deflate_len" -> (c => DeflateLen(arity("deflate_len", 1)(c).head)),
+    "nfc_normalize" -> (c => NfcNormalize(arity("nfc_normalize", 1)(c).head)))
 }
