@@ -509,7 +509,20 @@ object Main {
       val d = graft.lake.SchemaAudit.diffPaths(spark, before, after)
       if (d.isEmpty) println("[cli] audit: schemas identical")
       else d.orderBy(col("change"), col("field")).show(1000, truncate = false)
+    case "explain" =>
+      // formatted physical plan of any registered query against a testdata
+      // dir — the plan-first review loop (PushedFilters / ReadSchema /
+      // broadcast / TakeOrdered) as a one-liner, no code edit needed
+      val name = arg(args, "--query").getOrElse(
+        sys.error("explain requires --query <name> [--sf <dir>]"))
+      val dir = arg(args, "--sf").getOrElse("/root/testdata/sf0.001")
+      graft.SparkEntry.queries.get(name) match {
+        case Some(fn) => println(fn(spark, dir).queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+        case None => println(s"[cli] unknown query '$name'; names:\n  " +
+          graft.SparkEntry.queries.keys.toSeq.sorted.mkString("\n  "))
+      }
     case other =>
-      println(s"usage: ingest|summary|harvest|sync|compact|stats|cluster|index|repair|purge|curate|snap|audit|profile|matagg|sketch|lm|bm25|drop (got '$other')")
+      println(s"usage: ingest|summary|harvest|sync|compact|stats|cluster|index|repair|purge|curate|snap|audit|profile|matagg|sketch|lm|bm25|drop|explain (got '$other')")
   }
 }

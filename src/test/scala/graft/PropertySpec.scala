@@ -408,4 +408,29 @@ class PropertySpec extends AnyFunSuite {
     }.toSet
     assert(got.toSet == want && got.nonEmpty)
   }
+
+  test("sampleMixture seats: for random weights, Σalloc == budget and |alloc - ideal| <= 1 per stratum") {
+    import graft.ops.Curation
+    // strata counts large enough that the seat allocation (not corpus
+    // size) is the binding constraint; weights random in [1, 1000]
+    val wGen = Gen.nonEmptyListOf(Gen.choose(1L, 1000L)).map(_.take(9))
+    samples(wGen, 12).filter(_.size >= 2).foreach { ws =>
+      val total = 37L
+      val rows = ws.zipWithIndex.flatMap { case (w, i) =>
+        (0 until 40).map(j => (s"s$i", (i * 1000 + j).toLong, s"doc $i $j", w))
+      }
+      val got = Curation.sampleMixture(rows.toDF("src", "id", "text", "w"),
+          "src", "id", "text", col("w"), total)
+        .groupBy(col("src")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val bigW = ws.map(BigInt(_)).sum
+      assert(got.values.sum == total, s"seats must sum to budget for weights $ws: $got")
+      ws.zipWithIndex.foreach { case (w, i) =>
+        val seats = BigDecimal(got.getOrElse(s"s$i", 0L))
+        val ideal = BigDecimal(total) * BigDecimal(w) / BigDecimal(bigW)
+        assert((seats - ideal).abs <= 1,
+          s"stratum s$i seats $seats vs ideal $ideal for weights $ws")
+      }
+    }
+  }
 }
