@@ -29,14 +29,22 @@ import org.apache.spark.sql.types.StructType
   *  2. data files land under immutable unique names (a visible manifest
   *     can therefore never reference missing data);
   *  3. the claim: `fs.create(v<max(claimed)+1>, overwrite = false)` —
-  *     atomic create-exclusive serializes version numbers;
-  *  4. manifest content (ending in the `end` terminator) is written;
-  *  5. validation: any OTHER claim strictly between `base` and the
+  *     atomic create-exclusive serializes version numbers; the claim
+  *     stays EMPTY (torn ⇒ invisible to readers) through validation;
+  *  4. validation: any OTHER claim strictly between `base` and the
   *     claimed version that is complete — or torn but younger than
   *     `claimStaleMs` (a possibly in-flight writer) — means this commit
-  *     built on stale state: the writer deletes its own manifest and
+  *     built on stale state: the writer deletes its own empty claim and
   *     throws [[SnapshotConflict]]. Spurious conflicts (a young corpse)
   *     cost a retry; lost updates cannot happen.
+  *  5. only now is the manifest content (ending in the `end`
+  *     terminator) written and closed — the version becomes readable
+  *     and can never be rolled back afterwards. Ordering 4 before 5 is
+  *     load-bearing: content-before-validation would let a reader
+  *     resolve a version the conflict check is about to delete (a
+  *     latestVersion/readManifest pair in a concurrent reader would
+  *     see the version appear and then vanish — caught by the
+  *     SnapshotLakeSpec writer-race test).
   * A writer that crashes mid-commit leaves a terminator-less manifest:
   * invisible to readers, claimed-above by later writers, conflict-inert
   * once older than `claimStaleMs`, removed by `vacuum`. Its data files
@@ -157,9 +165,10 @@ class SnapshotLake(private[lake] val spark: SparkSession, val path: String,
       try claimed = fs.create(manifestPath(v), false)
       catch { case _: java.io.IOException => () }
     }
-    val m = Manifest(v, op, System.currentTimeMillis(), base, schema, files)
-    try claimed.write(renderManifest(m).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally claimed.close()
+    // the claim is held EMPTY through validation: an empty manifest is
+    // torn ⇒ invisible to every reader, so aborting below cannot yank a
+    // version out from under a concurrent latestVersion/readManifest
+    // pair. Content is written only once this commit can no longer fail.
     val cutoff = System.currentTimeMillis() - claimStaleMs
     val intervening = claimedVersions.filter(w => w > base && w < v).filter { w =>
       readManifest(w).isDefined || {
@@ -169,11 +178,15 @@ class SnapshotLake(private[lake] val spark: SparkSession, val path: String,
       }
     }
     if (intervening.nonEmpty) {
+      claimed.close()
       fs.delete(manifestPath(v), false)
       throw new SnapshotConflict(
         s"snapshot commit at $path built against v$base but v${intervening.mkString(",v")} " +
           "intervened; rebuild against the new state and retry")
     }
+    val m = Manifest(v, op, System.currentTimeMillis(), base, schema, files)
+    try claimed.write(renderManifest(m).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally claimed.close()
     v
   }
 

@@ -76,6 +76,38 @@ class SnapshotLakeSpec extends AnyFunSuite {
     assert(lake.read.count() == 2)
   }
 
+  test("REAL writer race: concurrent upserts with conflict-retry all land exactly once, versions dense") {
+    val lake = new SnapshotLake(spark, tmp(), "_id")
+    lake.overwrite(Seq(("base", 0)).toDF("_id", "v"))
+    val nWriters = 4
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to nWriters).map { i =>
+      new Thread(() => {
+        try {
+          var done = false
+          var attempts = 0
+          while (!done && attempts < 20) {
+            attempts += 1
+            try { lake.upsert(Seq((s"w$i", i)).toDF("_id", "v")); done = true }
+            catch { case _: SnapshotConflict => () } // rebuild-and-retry contract
+          }
+          if (!done) errors.add(new RuntimeException(s"writer $i never landed"))
+        } catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errors.isEmpty, s"writer errors: ${errors.toArray.mkString("; ")}")
+    // every writer's row present exactly once, nothing lost to the race
+    val got = lake.read.orderBy("_id").collect().map(r => r.getString(0) -> r.getInt(1))
+    assert(got.toSeq == ("base" -> 0) +: (1 to nWriters).map(i => s"w$i" -> i),
+      s"lost or duplicated rows: ${got.toSeq}")
+    // versions are DENSE 1..n+1: optimistic claims that lost were rolled
+    // back, every surviving version is a readable manifest
+    val vmax = lake.latestVersion.get
+    assert(vmax == nWriters + 1L, s"expected ${nWriters + 1} dense versions, got $vmax")
+    (1L to vmax).foreach(v => assert(lake.readManifest(v).nonEmpty, s"hole at v$v"))
+  }
+
   test("torn manifest is invisible to readers and does not block writers") {
     val dir = tmp()
     val lake = new SnapshotLake(spark, dir, "_id", claimStaleMs = 0L)
