@@ -113,6 +113,30 @@ class DropCycleSpec extends AnyFunSuite {
     val (rows, opened) = graft.lake.BloomIndex.lookupSnapshot(lake, "_id", Seq("3"))
     assert(rows.collect().head.getAs[String]("text").contains("flink"))
     assert(opened <= lake.readManifest(lake.latestVersion.get).get.files.size)
+
+    // CRASH RERUN: the runbook's recovery contract is "a crashed cycle
+    // re-runs safely" — re-running the SAME drop must be a no-op on
+    // every served artifact: fingerprint gates carry all unchanged docs,
+    // the rerun's CDC interval nets to zero (identical pre/post rows
+    // cancel), HLL re-insertion is a union no-op
+    val r3 = DropCycle.run(lake, drop2, conf)
+    assert(r3("band") == ((3L, 0L)), s"rerun must re-sign nothing: ${r3("band")}")
+    assert(r3("postings") == ((3L, 0L)), s"rerun must re-post nothing: ${r3("postings")}")
+    val servedAfter = MaterializedAgg.serve(spark, root + "/summary", spec)
+      .orderBy("grp").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(servedAfter == served, "rerun CDC segment must net to zero")
+    val topkAfter = Sketches.serveTopK(spark, root + "/topk", Nil, "grp")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(topkAfter == topk, "rerun top-k segment must net to zero")
+    val estAfter = Sketches.serveHllEstimate(spark, root + "/hll", Seq("grp"))
+      .orderBy("grp").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(estAfter == est, "HLL re-insertion must be a union no-op")
+    val lmAfter = Relevance.serveLmCounts(spark, root + "/lm")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(lmAfter == servedLm, "rerun LM change segment must net to zero")
+    val stateAfter = lake.read.orderBy("_id").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toSeq
+    assert(stateAfter == state.toSeq, "lake rows unchanged by the rerun")
   }
 
   test("cli drop runs a cycle end-to-end") {
