@@ -363,7 +363,15 @@ object Main {
         lmPath = arg(args, "--lm-path"),
         postingsPath = arg(args, "--postings-path"))
       val report = graft.pipeline.DropCycle.run(lake, dropDf, conf)
-      report.toSeq.sortBy(_._1).foreach { case (tier, (a, b)) =>
+      // embeddings-side maintenance rides the same command when the drop
+      // ships re-embedded vectors: --emb-in + --emb-index-path
+      // [--emb-id --emb-vec]
+      val embReport = arg(args, "--emb-in").zip(arg(args, "--emb-index-path")).map {
+        case (in, idx) => graft.pipeline.DropCycle.runEmbeddings(
+          spark.read.parquet(in), arg(args, "--emb-id").getOrElse("vec_id"),
+          arg(args, "--emb-vec").getOrElse("embedding"), idx)
+      }.getOrElse(Map.empty)
+      (report ++ embReport).toSeq.sortBy(_._1).foreach { case (tier, (a, b)) =>
         println(s"[cli] drop $tier: $a/$b") }
     case "profile" =>
       // one-pass column audit (rows/nulls/distinct/min/max) before a

@@ -119,4 +119,19 @@ object DropCycle {
     }
     report.toMap
   }
+
+  /** The embeddings-side twin of [[run]]: maintain the persisted IVF-SQ8
+    * index for a drop of (re)embedded documents. Thin by design — the
+    * churn gating (vector fingerprints: unchanged vectors carry
+    * verbatim, only new/changed ones are quantized and assigned) lives
+    * in [[graft.ops.SimilarityIndex.upsert]]; this is the runbook seam
+    * that puts embedding drops on the same per-drop cadence and
+    * (carried, refreshed) reporting as the text tiers. Requires the
+    * index to exist (codebook pinned at [[graft.ops.SimilarityIndex
+    * .build]] — refresh NEVER retrains, so assignments stay comparable
+    * across drops).
+    */
+  def runEmbeddings(embBatch: DataFrame, idCol: String, vecCol: String,
+                    indexPath: String): Map[String, (Long, Long)] =
+    Map("simidx" -> graft.ops.SimilarityIndex.upsert(embBatch, idCol, vecCol, indexPath))
 }

@@ -174,4 +174,33 @@ class DropCycleSpec extends AnyFunSuite {
       .orderBy("grp").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(served == oneShot)
   }
+
+  test("cli drop --emb-in maintains the embeddings-side IVF index at churn cost") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("dropemb").toString
+    def embs(rows: (Long, Seq[Float])*) =
+      rows.toDF("vec_id", "embedding")
+    // pinned codebook from the initial corpus
+    val base = embs((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)), (3L, Seq(-1f, 0f)))
+    graft.ops.SimilarityIndex.build(base, "vec_id", "embedding", root + "/ivf", nList = 2)
+    // a text drop that also ships one changed + one new embedding;
+    // vectors 1 and 3 are not in the batch and must carry untouched
+    docs((10L, "alpha beta", 0L)).withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(root + "/in")
+    embs((2L, Seq(0.5f, 0.5f)), (4L, Seq(0f, -1f))).write.parquet(root + "/embin")
+    graft.cli.Main.run(spark, "drop", Array(
+      "--lake", root + "/lake", "--in", root + "/in",
+      "--emb-in", root + "/embin", "--emb-index-path", root + "/ivf"))
+    // the landed index now answers for all 4 vectors, matching the
+    // recompute under the same pinned codebook
+    val allVecs = embs((1L, Seq(1f, 0f)), (2L, Seq(0.5f, 0.5f)),
+      (3L, Seq(-1f, 0f)), (4L, Seq(0f, -1f)))
+    val probe = embs((100L, Seq(1f, 1f)))
+    val viaIdx = graft.ops.SimilarityIndex.topKInt8(allVecs, probe,
+        "vec_id", "embedding", root + "/ivf", k = 2, nProbe = 2)
+      .select("qid", "cid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaIdx.nonEmpty && viaIdx.exists(_._2 == 2L),
+      s"updated vector 2 must be servable from the refreshed index: $viaIdx")
+  }
 }
