@@ -945,6 +945,30 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL animation decode under the driver's hash gate: per-doc
+    // multi-frame GIFs go through the JVM's actual GIF sequence writer,
+    // then sampleAnimationFrames reads frame count and every 2nd frame's
+    // dims + palette-resolved pixel sum back out of the BYTES. The
+    // indexed-gray encode is lossless, so the oracle recomputes each
+    // sampled frame's sum in pure arithmetic — frame-sampling for
+    // animated media made real (the remaining stub is only formats the
+    // JVM has no reader for).
+    "multimodal_frames" -> ((s, dir) => {
+      val dims = t(s, dir, "documents").select(col("doc_id"),
+        (lit(2) + col("doc_id") % 5).cast("int").as("w"),
+        (lit(2) + col("n_chars").cast("long") % 4).cast("int").as("h"),
+        (lit(1) + col("doc_id") % 3).cast("int").as("nf"))
+      Multimodal.sampleAnimationFrames(
+          Multimodal.grayGifTable(dims, "doc_id", "w", "h", "nf"), stride = 2)
+        .select(col("media_id").as("doc_id"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("frame_no").cast("long").as("frame_no"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("px_sum"))
+        .orderBy(col("doc_id"), col("frame_no"))
+    }),
+
     // REAL audio decode under the driver's hash gate — the WAV twin of
     // multimodal_decode: per-doc PCM16 tones go through the JVM's actual
     // WAV encoder, then decodeAudio reads rate/channels/bits/frames and
@@ -1761,6 +1785,22 @@ object CorpusQueries {
         |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
         |       CAST(1 AS BIGINT) AS channels, CAST(pix_sum AS BIGINT) AS pix_sum
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    "multimodal_frames" ->
+      """WITH g AS (SELECT doc_id, 2 + doc_id % 5 AS w,
+        |                  2 + CAST(n_chars AS BIGINT) % 4 AS h,
+        |                  1 + doc_id % 3 AS nf FROM documents),
+        |f AS (SELECT doc_id, w, h, nf, unnest(range(nf)) AS fr FROM g),
+        |fk AS (SELECT * FROM f WHERE fr % 2 = 0),
+        |fx AS (SELECT doc_id, w, h, nf, fr, unnest(range(w)) AS x FROM fk),
+        |fxy AS (SELECT doc_id, w, h, nf, fr, x, unnest(range(h)) AS y FROM fx),
+        |p AS (SELECT doc_id, nf, fr, w, h,
+        |        SUM(((doc_id * 131 + fr) * 7 + x * 13 + y * 31) % 256) AS px_sum
+        |      FROM fxy GROUP BY doc_id, nf, fr, w, h)
+        |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames, CAST(fr AS BIGINT) AS frame_no,
+        |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(px_sum AS BIGINT) AS px_sum
+        |FROM p ORDER BY doc_id, frame_no""".stripMargin,
 
     // rate/channels/bits are format constants; frames and the lossless
     // PCM16 sample sum recomputed arithmetically — the Spark side must

@@ -14,7 +14,11 @@ import org.apache.spark.sql.types._
   * rescales through `Graphics2D` and re-encodes. AUDIO decode is real
   * too: `javax.sound.sampled` ships WAV/AIFF/AU readers, so
   * [[decodeAudio]] reads true rate/channels/bits/frames/sample sums
-  * from the bytes. Payloads no registered reader accepts (video/
+  * from the bytes. ANIMATION frame-sampling is real as well:
+  * [[sampleAnimationFrames]] decodes every stride-th frame of a
+  * multi-frame payload (GIF animations in every JVM; single-frame
+  * formats decode as 1-frame animations) without ever decoding skipped
+  * frames. Payloads no registered reader accepts (true video codecs /
   * unknown) fall back to the deterministic stub, tagged in a `decoder`
   * column — in production that arm is replaced by ffmpeg-style bindings
   * without touching the plumbing.
@@ -517,6 +521,172 @@ object Multimodal {
         }
       }
     }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Encode an animated grayscale GIF through the JVM's real GIF
+    * SEQUENCE writer (`pix(frame)(x, y)` supplies each frame). The
+    * explicit 256-gray IndexColorModel is load-bearing: an indexed
+    * raster writes its palette verbatim so the round-trip is LOSSLESS
+    * (sample index == gray value), where a TYPE_BYTE_GRAY raster would
+    * go through the writer's RGB quantization.
+    */
+  def encodeGrayAnimatedGif(w: Int, h: Int, nFrames: Int,
+                            pix: Int => (Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0 && nFrames > 0, "dims and frame count must be positive")
+    val grays = Array.tabulate(256)(i => i.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    // JDK GIF writer quirk: the default write param flags frames as
+    // interlaced but emits row-ordered data, so a reader de-interlaces
+    // rows that were never interlaced — rows come back scrambled and the
+    // tail rows blank. MODE_DISABLED makes flag and data agree.
+    val wp = writer.getDefaultWriteParam
+    wp.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < nFrames) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+      val raster = img.getRaster
+      val p = pix(f)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { raster.setSample(x, y, 0, p(x, y) & 0xff); x += 1 }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), wp)
+      f += 1
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    out.toByteArray
+  }
+
+  /** Animated fixtures from an (id, w, h, nFrames) frame — pixels =
+    * [[testPattern]] seeded per frame (`id * 131 + frame`), so an oracle
+    * recomputes every sampled frame's sum in plain arithmetic.
+    */
+  def grayGifTable(dims: DataFrame, idCol: String, wCol: String, hCol: String,
+                   framesCol: String): DataFrame = {
+    val spark = dims.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("mime", StringType)))
+    val rdd = dims.select(col(idCol).cast("long"), col(wCol).cast("int"),
+        col(hCol).cast("int"), col(framesCol).cast("int"))
+      .rdd.mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          Row(id,
+            encodeGrayAnimatedGif(r.getInt(1), r.getInt(2), r.getInt(3),
+              f => testPattern(id * 131 + f)),
+            "image/gif")
+        }
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** REAL frame-sampled animation decode: total frame count plus every
+    * `stride`-th frame's (frame_no, width, height, sample sum) read from
+    * the payload bytes by whichever registered reader accepts them
+    * (GIF's is multi-frame in every JVM; a single-frame PNG/BMP decodes
+    * as a 1-frame animation). None when no reader accepts the bytes.
+    * Skipped frames are never decoded — `reader.read(f)` is per-frame,
+    * so cost follows kept frames like the byte-level [[sampleFrames]].
+    */
+  def decodeAnimation(payload: Array[Byte], stride: Int)
+      : Option[(Int, Seq[(Int, Int, Int, Long)])] = {
+    require(stride > 0, "stride must be positive")
+    val iis =
+      try javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (iis == null) return None
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      reader.setInput(iis)
+      try {
+        val n = reader.getNumImages(true)
+        val frames = (0 until n by stride).map { f =>
+          val im = reader.read(f)
+          val raster = im.getRaster
+          // Exactness per color model: an indexed image's raw samples are
+          // palette INDEXES and GIF writers may remap them — resolve
+          // through the palette (exact color components). Everything else
+          // (gray/RGB rasters) sums raw samples like decodeImageMeta —
+          // getRGB would gamma-convert gray and break losslessness.
+          var sum = 0L
+          im.getColorModel match {
+            case icm: java.awt.image.IndexColorModel =>
+              val blues = new Array[Byte](icm.getMapSize)
+              icm.getBlues(blues)
+              var y = 0
+              while (y < im.getHeight) {
+                var x = 0
+                while (x < im.getWidth) {
+                  sum += blues(raster.getSample(x, y, 0)) & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+            case _ =>
+              val bands = raster.getNumBands
+              var y = 0
+              while (y < im.getHeight) {
+                var x = 0
+                while (x < im.getWidth) {
+                  var b = 0
+                  while (b < bands) { sum += raster.getSample(x, y, b); b += 1 }
+                  x += 1
+                }
+                y += 1
+              }
+          }
+          (f, im.getWidth, im.getHeight, sum)
+        }
+        Some((n, frames))
+      } finally reader.dispose()
+    } catch { case _: java.io.IOException => None }
+    finally iis.close()
+  }
+
+  /** Partition-batched REAL animation frame sampling: one row per kept
+    * frame — (media_id, n_frames, frame_no, width, height, px_sum,
+    * decoder) — via [[decodeAnimation]]; payloads no reader accepts keep
+    * the tagged stub arm (one null-frame row), same discipline as
+    * [[decodeImages]]/[[decodeAudio]].
+    */
+  def sampleAnimationFrames(media: DataFrame, stride: Int): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("n_frames", IntegerType),
+      StructField("frame_no", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("px_sum", LongType),
+      StructField("decoder", StringType)))
+    val rdd = media.select(col("media_id").cast("long"), col("payload"))
+      .rdd.mapPartitions { it =>
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          decodeAnimation(r.getAs[Array[Byte]](1), stride) match {
+            case Some((n, frames)) => frames.iterator.map { case (f, w, h, s) =>
+              Row(id, n, f, w, h, s, "imageio")
+            }
+            case None => Iterator.single(Row(id, null, null, null, null, null, "stub"))
+          }
+        }
+      }
     spark.createDataFrame(rdd, outSchema)
   }
 

@@ -450,6 +450,36 @@ class PipelineSpec extends AnyFunSuite {
       .exists(m => m._1 == 4 && m._2 == 3))
   }
 
+  test("Multimodal: REAL animation codec — multi-frame GIF round-trip, stride sampling, stub arm") {
+    // 3-frame animated GIF through the JVM's real sequence writer; the
+    // indexed 256-gray palette makes the round-trip lossless
+    def pat(f: Int): (Int, Int) => Int = Multimodal.testPattern(5L * 131 + f)
+    val gif = Multimodal.encodeGrayAnimatedGif(6, 4, 3, pat)
+    assert(gif.take(3).toSeq == "GIF".getBytes("US-ASCII").toSeq)
+    def wantSum(f: Int): Long =
+      (for (y <- 0 until 4; x <- 0 until 6) yield pat(f)(x, y).toLong).sum
+    val Some((n1, all)) = Multimodal.decodeAnimation(gif, 1)
+    assert(n1 == 3 && all == (0 until 3).map(f => (f, 6, 4, wantSum(f))))
+    // stride 2 keeps frames 0 and 2, never decodes frame 1
+    val Some((n2, kept)) = Multimodal.decodeAnimation(gif, 2)
+    assert(n2 == 3 && kept.map(_._1) == Seq(0, 2))
+    // a single-frame PNG decodes as a 1-frame animation through the same path
+    val png = Multimodal.encodeGrayPng(6, 4, pat(0))
+    assert(Multimodal.decodeAnimation(png, 1).exists {
+      case (n, fs) => n == 1 && fs == Seq((0, 6, 4, wantSum(0)))
+    })
+    // DataFrame op: per-frame rows for decodable payloads, tagged stub row otherwise
+    val dims = Seq((5L, 6, 4, 3), (6L, 3, 3, 2)).toDF("doc_id", "w", "h", "nf")
+    val rows = Multimodal.sampleAnimationFrames(
+        Multimodal.grayGifTable(dims, "doc_id", "w", "h", "nf"), 2)
+      .orderBy("media_id", "frame_no").collect()
+    assert(rows.map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(6))).toSeq ==
+      Seq((5L, 3, 0, "imageio"), (5L, 3, 2, "imageio"), (6L, 2, 0, "imageio")))
+    val garbage = Seq((9L, Array[Byte](9, 9, 9), "video/mp4"))
+      .toDF("media_id", "payload", "mime")
+    assert(Multimodal.sampleAnimationFrames(garbage, 1).collect().head.getString(6) == "stub")
+  }
+
   test("Multimodal: REAL audio codec — WAV PCM16 round-trip via javax.sound") {
     // encode through the JVM WAV writer, read rate/channels/bits/frames
     // and the lossless sample sum back from the BYTES
