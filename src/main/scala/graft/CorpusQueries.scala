@@ -453,7 +453,10 @@ object CorpusQueries {
     // kernel vs DuckDB's nfc_normalize. delta counts the combining
     // marks the composition absorbed.
     "txt_nfc_dedup" -> ((s, dir) => {
-      val raw = concat(lit("José niño "), col("text"))
+      // explicit escapes: an editor or formatter that NFC-normalizes
+      // the source would silently compose an inline literal and turn
+      // this query into a no-op (delta 0) — invisible in review
+      val raw = concat(lit("Jose\u0301 nin\u0303o "), col("text"))
       val norm = graft.functions.NfcNormalize.nfc_normalize(raw)
       t(s, dir, "documents")
         .select(col("doc_id"),

@@ -365,8 +365,13 @@ object Main {
       val report = graft.pipeline.DropCycle.run(lake, dropDf, conf)
       // embeddings-side maintenance rides the same command when the drop
       // ships re-embedded vectors: --emb-in + --emb-index-path
-      // [--emb-id --emb-vec]
-      val embReport = arg(args, "--emb-in").zip(arg(args, "--emb-index-path")).map {
+      // [--emb-id --emb-vec]. Half the pair is a hard error — silently
+      // skipping index maintenance would serve stale neighbors
+      val embIn = arg(args, "--emb-in")
+      val embIdx = arg(args, "--emb-index-path")
+      if (embIn.isDefined != embIdx.isDefined)
+        sys.error("drop needs BOTH --emb-in and --emb-index-path (or neither)")
+      val embReport = embIn.zip(embIdx).map {
         case (in, idx) => graft.pipeline.DropCycle.runEmbeddings(
           spark.read.parquet(in), arg(args, "--emb-id").getOrElse("vec_id"),
           arg(args, "--emb-vec").getOrElse("embedding"), idx)
@@ -520,16 +525,12 @@ object Main {
     case "explain" =>
       // formatted physical plan of any registered query against a testdata
       // dir — the plan-first review loop (PushedFilters / ReadSchema /
-      // broadcast / TakeOrdered) as a one-liner, no code edit needed
+      // broadcast / TakeOrdered) as a one-liner; delegates to
+      // graft.Explain so the two entry points can't drift
       val name = arg(args, "--query").getOrElse(
         sys.error("explain requires --query <name> [--sf <dir>]"))
-      val dir = arg(args, "--sf").getOrElse("/root/testdata/sf0.001")
-      graft.SparkEntry.queries.get(name) match {
-        case Some(fn) => println(fn(spark, dir).queryExecution.explainString(
-          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
-        case None => println(s"[cli] unknown query '$name'; names:\n  " +
-          graft.SparkEntry.queries.keys.toSeq.sorted.mkString("\n  "))
-      }
+      graft.Explain.print(spark,
+        arg(args, "--sf").getOrElse("/root/testdata/sf0.001"), Seq(name))
     case other =>
       println(s"usage: ingest|summary|harvest|sync|compact|stats|cluster|index|repair|purge|curate|snap|audit|profile|matagg|sketch|lm|bm25|drop|explain (got '$other')")
   }

@@ -50,6 +50,14 @@ import org.apache.spark.sql.types.StructType
   * once older than `claimStaleMs`, removed by `vacuum`. Its data files
   * are age-guarded orphans that `vacuum` collects.
   *
+  * Liveness constraint: a LIVE writer must finish steps 4-5 within
+  * `claimStaleMs` of its claim, or a competitor may classify the claim
+  * as a corpse and commit past it (a lost update). The validation is
+  * metadata-only (one claim listing + one manifest read per intervening
+  * version), so the 10-minute default leaves orders of magnitude of
+  * headroom — but do not shrink `claimStaleMs` toward the scale of a
+  * listing RPC on a slow store.
+  *
   * Readers are snapshot-isolated for free: a resolved manifest's files
   * are immutable and never touched by writers — only `vacuum` deletes,
   * and only files unreferenced by every retained version.
@@ -178,8 +186,13 @@ class SnapshotLake(private[lake] val spark: SparkSession, val path: String,
       }
     }
     if (intervening.nonEmpty) {
-      claimed.close()
-      fs.delete(manifestPath(v), false)
+      // delete must run even if close() throws (object-store streams can
+      // fail at close) — a leaked empty claim would block competitors as
+      // a young torn claim until claimStaleMs, and the caller's
+      // rebuild-and-retry contract expects SnapshotConflict, not IOException
+      try claimed.close()
+      catch { case _: java.io.IOException => () }
+      finally fs.delete(manifestPath(v), false)
       throw new SnapshotConflict(
         s"snapshot commit at $path built against v$base but v${intervening.mkString(",v")} " +
           "intervened; rebuild against the new state and retry")

@@ -91,17 +91,27 @@ object Curation {
     val one = Window.partitionBy(lit(1))
     // NB: names must differ by more than case — Spark resolves columns
     // case-insensitively by default, so a `__W` withColumn would silently
-    // REPLACE a `__w` aggregate
-    val alloc = df.groupBy(col(strataCol)).agg(sum(rowWeight).as("__wsum"))
+    // REPLACE a `__w` aggregate.
+    // Seat arithmetic rides decimal(38,0): total*w_s is the whole point
+    // of exact seating, and at a billion-doc budget over a 10 TB stratum
+    // it passes 2^63 — an int64 product would overflow (ANSI: abort;
+    // legacy: silently mis-seat). The floor is (num - num%wtot)/wtot —
+    // an exact multiple divided exactly, immune to decimal division's
+    // scale rounding.
+    val dec = "decimal(38,0)"
+    val alloc = df.groupBy(col(strataCol))
+      .agg(sum(rowWeight).cast(dec).as("__wsum"))
       .withColumn("__wtot", sum(col("__wsum")).over(one))
-      .withColumn("__num", lit(total) * col("__wsum"))
-      .withColumn("__fl", expr("__num div __wtot"))
+      .withColumn("__num", lit(total).cast(dec) * col("__wsum"))
       .withColumn("__rem", col("__num") % col("__wtot"))
-      .withColumn("__left", lit(total) - sum(col("__fl")).over(one))
+      .withColumn("__fl",
+        ((col("__num") - col("__rem")) / col("__wtot")).cast(dec))
+      .withColumn("__left", lit(total).cast(dec) - sum(col("__fl")).over(one))
       .withColumn("__rk", row_number().over(
         Window.partitionBy(lit(1)).orderBy(col("__rem").desc, col(strataCol))))
       .select(col(strataCol).as("__stratum"),
-        (col("__fl") + when(col("__rk") <= col("__left"), 1L).otherwise(0L)).as("alloc"))
+        (col("__fl") + when(col("__rk") <= col("__left"), lit(1).cast(dec))
+          .otherwise(lit(0).cast(dec))).cast("long").as("alloc"))
     val w = Window.partitionBy(col(strataCol))
       .orderBy(md5(concat(lit(seed), col(contentCol))), col(idCol))
     df.withColumn("__rn", row_number().over(w))

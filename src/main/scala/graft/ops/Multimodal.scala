@@ -655,7 +655,11 @@ object Multimodal {
         }
         Some((n, frames))
       } finally reader.dispose()
-    } catch { case _: java.io.IOException => None }
+      // NonFatal, not just IOException: the JDK GIF reader throws
+      // unchecked exceptions (AIOOBE) on corrupt LZW data AFTER its SPI
+      // accepted the signature — one bad payload in a corpus must become
+      // a stub row, never a task failure
+    } catch { case scala.util.control.NonFatal(_) => None }
     finally iis.close()
   }
 

@@ -106,14 +106,14 @@ class FunctionsSpec extends AnyFunSuite {
   test("nfc_normalize composes combining marks, passes ASCII untouched, null-safe, SQL == Column API") {
     import graft.functions.NfcNormalize
     // "e" + U+0301 -> "é"; ASCII hits the isNormalized fast path
-    val df = Seq("José niño", "plain ascii", null)
+    val df = Seq("Jose\u0301 nin\u0303o", "plain ascii", null)
       .toDF("s").select(NfcNormalize.nfc_normalize(col("s")).as("n"))
     val got = df.collect()
-    assert(got(0).getString(0) == "José niño")
+    assert(got(0).getString(0) == "Jos\u00e9 ni\u00f1o")
     assert(got(1).getString(0) == "plain ascii")
     assert(got(2).isNullAt(0))
     // different raw bytes, same md5 AFTER normalization — the dedup story
-    val hashes = Seq(("José", "José")).toDF("a", "b")
+    val hashes = Seq(("Jose\u0301", "Jos\u00e9")).toDF("a", "b")
       .select(md5(NfcNormalize.nfc_normalize(col("a"))).as("ha"),
         md5(NfcNormalize.nfc_normalize(col("b"))).as("hb"),
         (md5(col("a")) =!= md5(col("b"))).as("raw_differs")).collect().head
@@ -121,8 +121,8 @@ class FunctionsSpec extends AnyFunSuite {
     GraftExtensions.registerAll(spark)
     // NB: Spark's chr() is ASCII-only (n % 256), unlike DuckDB's
     // codepoint chr — embed the combining mark in the SQL text itself
-    assert(spark.sql("SELECT nfc_normalize('José') AS n")
-      .collect().head.getString(0) == "José")
+    assert(spark.sql("SELECT nfc_normalize('Jose\u0301') AS n")
+      .collect().head.getString(0) == "Jos\u00e9")
   }
 
   test("the whole native inventory is callable from SQL and matches the Column API") {
