@@ -136,11 +136,16 @@ object BloomIndex {
         keyCol, expectedItemsPerFile, fpp)
         .join(live.toSeq.toDF("file", "len"), "file")
         .select(col("file"), col("bloom"), col("nkeys"), col("len"))
+    // pin the rebuilt frame: it is counted AND landed, and the bloom
+    // build over the churn files is the refresh's dominant cost — unpinned
+    // it would run twice
+    val rebuiltP = rebuilt.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keptN = kept.count()
     // count the REBUILT frame, not freshFiles: if the lens join ever
     // dropped a file on a URI-form mismatch, the metric must say so
-    val rebuiltN = rebuilt.count()
-    landIndex(spark, sidecar(path), kept.unionByName(rebuilt))
+    val rebuiltN = rebuiltP.count()
+    landIndex(spark, sidecar(path), kept.unionByName(rebuiltP))
+    rebuiltP.unpersist()
     (keptN, rebuiltN)
   }
 
@@ -292,11 +297,15 @@ object BloomIndex {
         keyCol, expectedItemsPerFile, fpp)
         .join(lens.withColumnRenamed("len2", "len"), "file")
         .select(col("file"), col("bloom"), col("nkeys"), col("len"))
+    // pin the rebuilt frame: counted AND landed — the churn bloom build
+    // must run once, not twice
+    val rebuiltP = rebuilt.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keptN = kept.count()
     // count the REBUILT frame, not freshFiles: if the lens join ever
     // dropped a file on a URI-form mismatch, the metric must say so
-    val rebuiltN = rebuilt.count()
-    landIndex(spark, snapSidecar(lake.path), kept.unionByName(rebuilt))
+    val rebuiltN = rebuiltP.count()
+    landIndex(spark, snapSidecar(lake.path), kept.unionByName(rebuiltP))
+    rebuiltP.unpersist()
     (keptN, rebuiltN)
   }
 

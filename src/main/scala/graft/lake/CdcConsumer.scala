@@ -86,5 +86,9 @@ class CdcConsumer(lake: SnapshotLake, offsetDir: String, startVersion: Long = 1L
 }
 
 object CdcConsumer {
-  private val OffsetRe = "^o(\\d{8})\\.offset$".r
+  // \d{8,}, not \d{8}: %08d PADS to at least 8 digits — at version
+  // 100,000,000 the claim grows a 9th digit, and an exact-8 match would
+  // stop advancing the offset (every poll redelivers, every commit
+  // collides with the unmatched claim)
+  private val OffsetRe = "^o(\\d{8,})\\.offset$".r
 }

@@ -64,6 +64,12 @@ object MaterializedAgg {
     * kinds above. This is the ONLY pass over the drop's raw rows.
     */
   def partial(drop: DataFrame, spec: Spec): DataFrame = {
+    // layout is path/seg=<drop>: a dim or measure named 'seg' would
+    // silently alias the partition-discovery column at serve time (the
+    // same reserved-name rule as graft.ops.Sketches.requireNoSegColumn)
+    require(!(spec.dims ++ spec.sums.map(_._1) ++ spec.mins.map(_._1) ++
+        spec.maxs.map(_._1)).contains("seg"),
+      "materialized-agg: 'seg' is reserved for the segment partition column")
     val aggs =
       spec.sums.map { case (a, c) => sum(c).as(a) } ++
       spec.mins.map { case (a, c) => min(c).as(a) } ++

@@ -26,6 +26,31 @@ object Staged {
     fs.rename(staging, dest)
   }
 
+  /** Land SEVERAL tables under one root in a SINGLE swap: every table
+    * writes to `.root.staging/<name>`, then the root is replaced by one
+    * rename. For an index whose tables must agree (e.g. a posting list
+    * and its length norms), two independent [[land]] calls would leave a
+    * crash window between the swaps where new postings pair with old
+    * norms — a torn index that serves wrong answers with no error. One
+    * root rename gives old index, new index, or none.
+    *
+    * Plans may read the CURRENT tables under `root`: staging writes
+    * materialize them before the old root is touched.
+    */
+  def landMany(spark: SparkSession, root: String, tables: Seq[(String, DataFrame)]): Unit = {
+    val dest = new org.apache.hadoop.fs.Path(root)
+    require(dest.getParent != null, s"cannot stage-land at a filesystem root: $root")
+    val staging = new org.apache.hadoop.fs.Path(
+      dest.getParent, "." + dest.getName + ".staging")
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(staging, true)
+    tables.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$staging/$name")
+    }
+    fs.delete(dest, true)
+    fs.rename(staging, dest)
+  }
+
   /** Swap an ENTIRE segmented root (`path/seg=...`) for one folded
     * segment in a single rename — the compaction posture shared by
     * [[MaterializedAgg.compact]] and the [[graft.ops.Sketches]] tiers.

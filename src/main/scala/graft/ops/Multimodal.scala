@@ -67,7 +67,7 @@ object Multimodal {
   def decodeImageMeta(payload: Array[Byte]): Option[(Int, Int, Int, Long)] = {
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     Option(img).map { im =>
       val raster = im.getRaster
       val bands = raster.getNumBands
@@ -154,7 +154,7 @@ object Multimodal {
   def averageHash64(payload: Array[Byte]): Option[String] = {
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     Option(img).map { im =>
       val raster = im.getRaster
       val w = im.getWidth
@@ -302,7 +302,7 @@ object Multimodal {
         val payload = r.getAs[Array[Byte]](1)
         val decoded =
           try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
-          catch { case _: java.io.IOException => None }
+          catch { case scala.util.control.NonFatal(_) => None }
         decoded match {
           case Some(img) =>
             val scaled = new java.awt.image.BufferedImage(targetW, targetH, img.getType match {
@@ -607,7 +607,7 @@ object Multimodal {
     val iis =
       try javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (iis == null) return None
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)

@@ -33,35 +33,38 @@ import graft.lake.Staged
   * property, and what lets an indexed probe replace the recompute in
   * any downstream ranking.
   *
-  * Landing is staged-swap ([[Staged]]): a crash leaves the old index,
-  * the new one, or none — never a torn posting list serving wrong
-  * rankings.
+  * Landing is one ATOMIC whole-root swap ([[Staged.landMany]]): both
+  * tables replace together, so a crash leaves the old index, the new
+  * one, or none — never new postings paired with old length norms (two
+  * independent swaps had exactly that torn window).
   */
 object PostingsIndex {
 
   /** Both index tables from ONE tokenize pass over `docs` (the exploded
     * token stream aggregates to postings; doclen's dl comes from the
-    * same token arrays). Returns (postings, doclen).
+    * same token arrays). The shared token frame comes back PERSISTED —
+    * both returned tables consume it, and without the pin the doclen
+    * write would re-run the whole scan+tokenize (the postings aggregate
+    * alone can't be reused: it has already exploded the arrays away).
+    * Callers unpersist it after landing.
     */
-  private def indexRows(docs: DataFrame, idCol: String, textCol: String): (DataFrame, DataFrame) = {
+  private def indexRows(docs: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val base = docs.select(col(idCol).as("doc"), md5(col(textCol)).as("fp"),
       TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val postings = base
       .select(col("doc"), explode(col("__toks")).as("tok"))
       .groupBy(col("doc"), col("tok")).agg(count(lit(1)).as("tf"))
     val doclen = base.select(col("doc"), col("fp"), size(col("__toks")).cast("long").as("dl"))
-    (postings, doclen)
+    (postings, doclen, base)
   }
 
   def build(docs: DataFrame, idCol: String, textCol: String, path: String): Long = {
     val spark = docs.sparkSession
-    val (postings, doclen) = indexRows(docs, idCol, textCol)
-    // two landings from one logical tokenize: pin the token frame so the
-    // second write reuses it instead of re-running the scan+tokenize
-    val p = postings.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Staged.land(spark, s"$path/postings", p)
-    Staged.land(spark, s"$path/doclen", doclen)
-    p.unpersist()
+    val (postings, doclen, base) = indexRows(docs, idCol, textCol)
+    Staged.landMany(spark, path, Seq("postings" -> postings, "doclen" -> doclen))
+    base.unpersist()
     spark.read.parquet(s"$path/doclen").count()
   }
 
@@ -77,6 +80,11 @@ object PostingsIndex {
     if (!fs.exists(root)) return (0L, build(docs, idCol, textCol, path))
     val oldLen = spark.read.parquet(s"$path/doclen")
     val oldPost = spark.read.parquet(s"$path/postings")
+    // md5(text) appears in both the kept semi-join (here) and the fresh
+    // anti-join below — two expressions but also two separate SCANS of
+    // `docs`, and the scan dominates the hash. Collapsing them needs a
+    // corpus-sized persist of (doc, fp), which costs more than it saves;
+    // the churn-sized indexRows pass re-hashing fresh docs is noise.
     val curFp = docs.select(col(idCol).as("doc"), md5(col(textCol)).as("fp"))
     // unchanged docs: length rows carried verbatim (semi-join on doc+fp)
     val keptLen = oldLen.join(curFp, Seq("doc", "fp"), "left_semi")
@@ -87,14 +95,14 @@ object PostingsIndex {
     val oldFp = oldLen.select(col("doc").as("__odoc"), col("fp").as("__ofp"))
     val fresh = docs.join(oldFp,
       docs(idCol) === col("__odoc") && md5(docs(textCol)) === col("__ofp"), "left_anti")
-    val (freshPost, freshLen) = indexRows(fresh, idCol, textCol)
-    val freshPostP = freshPost.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (freshPost, freshLen, freshBase) = indexRows(fresh, idCol, textCol)
     val freshLenP = freshLen.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keptN = keptLen.count()
     val signedN = freshLenP.count()
-    Staged.land(spark, s"$path/postings", keptPost.unionByName(freshPostP))
-    Staged.land(spark, s"$path/doclen", keptLen.unionByName(freshLenP))
-    keptLen.unpersist(); keptPost.unpersist(); freshPostP.unpersist(); freshLenP.unpersist()
+    Staged.landMany(spark, path, Seq(
+      "postings" -> keptPost.unionByName(freshPost),
+      "doclen" -> keptLen.unionByName(freshLenP)))
+    keptLen.unpersist(); keptPost.unpersist(); freshBase.unpersist(); freshLenP.unpersist()
     (keptN, signedN)
   }
 
@@ -123,15 +131,15 @@ object PostingsIndex {
     val oldFp = oldLen.select(col("doc").as("__odoc"), col("fp").as("__ofp"))
     val fresh = batch.join(oldFp,
       batch(idCol) === col("__odoc") && md5(batch(textCol)) === col("__ofp"), "left_anti")
-    val (freshPost, freshLen) = indexRows(fresh, idCol, textCol)
-    val freshPostP = freshPost.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (freshPost, freshLen, freshBase) = indexRows(fresh, idCol, textCol)
     val freshLenP = freshLen.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keptN = keptLen.count()
     val signedN = freshLenP.count()
-    Staged.land(spark, s"$path/postings", keptPost.unionByName(freshPostP))
-    Staged.land(spark, s"$path/doclen", othersLen.unionByName(keptLen).unionByName(freshLenP))
+    Staged.landMany(spark, path, Seq(
+      "postings" -> keptPost.unionByName(freshPost),
+      "doclen" -> othersLen.unionByName(keptLen).unionByName(freshLenP)))
     curFp.unpersist(); keptLen.unpersist(); keptPost.unpersist()
-    freshPostP.unpersist(); freshLenP.unpersist()
+    freshBase.unpersist(); freshLenP.unpersist()
     (keptN, signedN)
   }
 

@@ -122,8 +122,11 @@ object Relevance {
     * tokens; callers order.
     */
   def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val bg = bigrams(docs, idCol, textCol)
-    scoreAgainstCounts(docs, idCol, textCol,
+    // the bigram stream feeds BOTH the count model and the scoring join:
+    // materialize it once (q15/q17 checkpoint discipline) — lazily it
+    // would tokenize+explode the corpus twice
+    val bg = bigrams(docs, idCol, textCol).localCheckpoint(true)
+    scoreAgainstBigrams(bg, idCol,
       bg.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c2")))
   }
 
@@ -199,11 +202,15 @@ object Relevance {
     * the from-scratch recompute.
     */
   def scoreAgainstCounts(docs: DataFrame, idCol: String, textCol: String,
-                         counts: DataFrame): DataFrame = {
+                         counts: DataFrame): DataFrame =
+    scoreAgainstBigrams(bigrams(docs, idCol, textCol), idCol, counts)
+
+  private def scoreAgainstBigrams(bg: DataFrame, idCol: String,
+                                  counts: DataFrame): DataFrame = {
     val c1 = counts.groupBy(col("prev")).agg(sum(col("c2")).as("c1"))
     val scored = counts.join(c1, "prev")
       .withColumn("ppm", expr("CAST((1000000 * c2) div c1 AS BIGINT)"))
-    bigrams(docs, idCol, textCol).join(scored, Seq("prev", "cur"))
+    bg.join(scored, Seq("prev", "cur"))
       .groupBy(col("__doc"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("ppm")).as("__sum_ppm"))
       .select(col("__doc").as(idCol), col("n_bigrams"),

@@ -40,11 +40,23 @@ object Sketches {
     s"$path/seg=$dropId"
   }
 
+  /** Every tier's layout is `path/seg=<drop>`, so `seg` IS the
+    * partition-discovery column on read: a data column of that name
+    * would silently alias it and serve wrong groups. Guarded here, in
+    * the SHARED layer, so no tier can forget it (the original guard sat
+    * only on the top-k tier).
+    */
+  private[graft] def requireNoSegColumn(cols: Seq[String], tier: String): Unit =
+    require(!cols.contains("seg"),
+      s"$tier tier: 'seg' is reserved for the segment partition column")
+
   // ------------------------------------------------------------ exact tier
 
   /** One drop's distinct (dims, key) set — the only raw-data pass. */
-  def distinctSegment(drop: DataFrame, dims: Seq[String], keyCol: String): DataFrame =
+  def distinctSegment(drop: DataFrame, dims: Seq[String], keyCol: String): DataFrame = {
+    requireNoSegColumn(dims :+ keyCol, "distinct")
     drop.select((dims :+ keyCol).map(col): _*).distinct()
+  }
 
   def landDistinctDrop(drop: DataFrame, dims: Seq[String], keyCol: String,
                        path: String, dropId: String): Long = {
@@ -66,9 +78,11 @@ object Sketches {
 
   /** One drop's per-group HLL sketch (binary, mergeable). */
   def hllSegment(drop: DataFrame, dims: Seq[String], keyCol: String,
-                 lgK: Int = 14): DataFrame =
+                 lgK: Int = 14): DataFrame = {
+    requireNoSegColumn(dims :+ keyCol, "hll")
     drop.groupBy(dims.map(col): _*)
       .agg(hll_sketch_agg(col(keyCol), lit(lgK)).as("sketch"))
+  }
 
   def landHllDrop(drop: DataFrame, dims: Seq[String], keyCol: String,
                   path: String, dropId: String, lgK: Int = 14): Long = {
@@ -136,9 +150,11 @@ object Sketches {
     * a path's segments — they define the sketch, like lgK for HLL.
     */
   def histSegment(drop: DataFrame, dims: Seq[String], value: Column,
-                  lo: Long, width: Long, nBuckets: Int): DataFrame =
+                  lo: Long, width: Long, nBuckets: Int): DataFrame = {
+    requireNoSegColumn(dims :+ "bucket", "hist")
     drop.groupBy(dims.map(col) :+ Profiler.bucketOf(value, lo, width, nBuckets).as("bucket"): _*)
       .agg(count(lit(1)).as("n"))
+  }
 
   def landHistDrop(drop: DataFrame, dims: Seq[String], value: Column,
                    lo: Long, width: Long, nBuckets: Int,
@@ -178,11 +194,7 @@ object Sketches {
     */
   def topkSegment(drop: DataFrame, dims: Seq[String], keyCol: String, k: Int): DataFrame = {
     require(k >= 1, "topkSegment: k must be >= 1")
-    // "seg" is the tier's partition-discovery column (path layout
-    // seg=<drop>); a key or dim of that name would silently alias it at
-    // serve time
-    require(keyCol != "seg" && !dims.contains("seg"),
-      "topk tier: 'seg' is reserved for the segment partition column")
+    requireNoSegColumn(dims :+ keyCol, "topk")
     val cnts = drop.groupBy((dims :+ keyCol).map(col): _*).agg(count(lit(1)).as("cnt"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(dims.map(col): _*).orderBy(col("cnt").desc, col(keyCol))
