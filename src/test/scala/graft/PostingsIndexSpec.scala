@@ -123,4 +123,26 @@ class PostingsIndexSpec extends AnyFunSuite {
     assert(!scans.exists(_.contains("documents.parquet")),
       "an indexed probe must not re-read the corpus text")
   }
+
+  test("landMany atomicity: a failing staging write leaves the live index fully intact") {
+    import graft.lake.Staged
+    val tmp = java.nio.file.Files.createTempDirectory("pidx").toString
+    val idx = tmp + "/bm25"
+    PostingsIndex.build(corpus(base: _*), "doc_id", "text", idx)
+    val before = PostingsIndex.bm25(spark, idx, terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    // a swap whose SECOND table's write blows up mid-staging: the live
+    // root must stay untouched — both tables, not just the first
+    val boom = corpus(base: _*).select(col("doc_id"),
+      expr("raise_error('staged write dies')").as("x"))
+    intercept[Exception] {
+      Staged.landMany(spark, idx, Seq(
+        "postings" -> corpus(base: _*).select(col("doc_id").as("doc"),
+          lit("tok").as("tok"), lit(1L).as("tf")),
+        "doclen" -> boom))
+    }
+    val after = PostingsIndex.bm25(spark, idx, terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(after == before, "a failed staging write must not touch the served index")
+  }
 }
