@@ -421,7 +421,12 @@ class SnapshotLake(private[lake] val spark: SparkSession, val path: String,
 class SnapshotConflict(msg: String) extends IllegalStateException(msg)
 
 object SnapshotLake {
-  private val VersionRe = "v([0-9]{8})\\.manifest".r
+  // {8,}, not {8}: %08d pads to AT LEAST 8 digits. An exact-8 match
+  // would blind claimedVersions at version 100,000,000 — latestVersion
+  // stalls and every new claim collides with the invisible v100000000
+  // manifest until the writer-storm guard kills the commit (the same
+  // off-by-width found and fixed in CdcConsumer's offset claims).
+  private val VersionRe = "v([0-9]{8,})\\.manifest".r
 
   private[graft] case class FileEntry(rel: String, len: Long)
   private[graft] case class Manifest(version: Long, op: String, ts: Long, base: Long,

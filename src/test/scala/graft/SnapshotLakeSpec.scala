@@ -125,6 +125,34 @@ class SnapshotLakeSpec extends AnyFunSuite {
     }
   }
 
+  test("9-digit versions stay visible: claim naming pads to AT LEAST 8 digits") {
+    val dir = tmp()
+    val lake = new SnapshotLake(spark, dir, "_id")
+    lake.overwrite(Seq(("a", 1)).toDF("_id", "v"))
+    // simulate the lake's 100-millionth commit: the manifest name grows a
+    // 9th digit. An exact-8 listing regex would blind latestVersion and
+    // wedge every later claim against the invisible file. The body's
+    // version field must move with the name (base chains read it).
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p1 = new org.apache.hadoop.fs.Path(dir, "_snap/v00000001.manifest")
+    val body = {
+      val in = fs.open(p1)
+      try org.apache.commons.io.IOUtils.toString(in, java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, "_snap/v100000001.manifest"), false)
+    try out.write(body.replace("version=1\n", "version=100000001\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    assert(fs.delete(p1, false))
+    assert(lake.latestVersion.contains(100000001L))
+    assert(lake.read.count() == 1)
+    lake.append(Seq(("b", 2)).toDF("_id", "v"))
+    assert(lake.latestVersion.contains(100000002L))
+    assert(lake.read.count() == 2)
+  }
+
   test("torn manifest is invisible to readers and does not block writers") {
     val dir = tmp()
     val lake = new SnapshotLake(spark, dir, "_id", claimStaleMs = 0L)
