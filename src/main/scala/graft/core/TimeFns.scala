@@ -26,7 +26,11 @@ object TimeFns {
     * shapes in ntp_utils.py:229-255).
     */
   def toUpdatesArray(updated: Column): Column =
-    array_sort(array_distinct(array(canon(updated))))
+    // array_compact: a null/unparseable timestamp must yield [] — a
+    // [null] timeline poisons arrays_overlap to SQL NULL downstream,
+    // and a row whose overlap is NULL falls out of BOTH classification
+    // branches (neither merged nor fresh: silently lost from the ingest)
+    array_sort(array_distinct(array_compact(array(canon(updated)))))
 
   /** Merge two update timelines: union + dedupe + sort (reference:
     * ntp_utils.py:257-265 `merge_updates`).

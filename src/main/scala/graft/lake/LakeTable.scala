@@ -101,6 +101,24 @@ class LakeTable(spark: SparkSession, path: String, keyCol: String,
     atomicWrite(new org.apache.hadoop.fs.Path(dir, layoutMarker),
       s"partitionCols=${partitionCols.mkString(",")}\nnBuckets=$nBuckets\n")
 
+  /** Shared partition-dir walk + data-file filter for the maintenance
+    * views (stats) and the maintenance planner (compact): one definition
+    * so the operator's numbers and the planner's decisions can never
+    * disagree. Skips metadata/scratch names (underscore AND dot) at both
+    * the dir and the file level — a crashed write's `_temporary` dir has
+    * no `col=value` segment, and a dotted sidecar tmp is not data.
+    */
+  private def isDataFile(st: org.apache.hadoop.fs.FileStatus): Boolean =
+    st.isFile && !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith(".")
+  private def leafDataDirs(root: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+    def isDataDir(n: String) = !n.startsWith("_") && !n.startsWith(".") && n.contains("=")
+    def walk(p: org.apache.hadoop.fs.Path, depth: Int): Seq[org.apache.hadoop.fs.Path] =
+      if (depth == 0) Seq(p)
+      else fs.listStatus(p).filter(s => s.isDirectory && isDataDir(s.getPath.getName))
+        .map(_.getPath).flatMap(walk(_, depth - 1)).toSeq
+    walk(root, partitionCols.length)
+  }
+
   /** Write a small marker/sidecar file atomically: full content to a
     * dotted temp sibling, then delete-and-rename into place. A crash
     * leaves the old content, the new content, or no file (every caller
@@ -114,7 +132,11 @@ class LakeTable(spark: SparkSession, path: String, keyCol: String,
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     fs.delete(dest, false)
-    fs.rename(tmp, dest)
+    // an unchecked false here silently keeps the OLD sidecar content —
+    // for the watermark sidecar that is exactly the re-issued-ids bug
+    // this write protocol exists to prevent
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"atomic sidecar swap failed: rename $tmp -> $dest")
   }
   private def requireLayoutMatch(): Unit =
     LakeTable.layoutOf(spark, path).foreach { case (pc, nb) =>
@@ -330,17 +352,9 @@ class LakeTable(spark: SparkSession, path: String, keyCol: String,
     if (!exists) return Seq.empty[(String, Long, Long, Long, Long)]
       .toDF("partition", "n_files", "bytes", "min_file_bytes", "max_file_bytes")
     val root = new org.apache.hadoop.fs.Path(path)
-    def isDataDir(n: String) = !n.startsWith("_") && !n.startsWith(".") && n.contains("=")
-    def leafDirs(p: org.apache.hadoop.fs.Path, depth: Int): Seq[org.apache.hadoop.fs.Path] =
-      if (depth == 0) Seq(p)
-      else fs.listStatus(p).filter(s => s.isDirectory && isDataDir(s.getPath.getName))
-        .map(_.getPath).flatMap(leafDirs(_, depth - 1)).toSeq
     val rootQ = fs.makeQualified(root).toString
-    leafDirs(root, partitionCols.length).map { d =>
-      val sizes = fs.listStatus(d)
-        .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
-          !s.getPath.getName.startsWith("."))
-        .map(_.getLen)
+    leafDataDirs(root).map { d =>
+      val sizes = fs.listStatus(d).filter(isDataFile).map(_.getLen)
       val rel = fs.makeQualified(d).toString.stripPrefix(rootQ).stripPrefix("/")
       (if (rel.isEmpty) "." else rel, sizes.length.toLong, sizes.sum,
         if (sizes.isEmpty) 0L else sizes.min, if (sizes.isEmpty) 0L else sizes.max)
@@ -371,20 +385,12 @@ class LakeTable(spark: SparkSession, path: String, keyCol: String,
   private def compactLocked(maxFilesPerPartition: Int,
                             targetFileBytes: Long): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(path)
-    // partition dirs sit partitionCols.length deep; a flat table is one
-    // "partition" at the root
-    // skip metadata/scratch dirs (_temporary from a crashed plain
-    // overwrite, dotted scratch) exactly like the file filter below — a
-    // leftover _temporary dir has no 'col=value' segment and would abort
-    // the whole compaction at the segment parse
-    def isDataDir(n: String) = !n.startsWith("_") && !n.startsWith(".") && n.contains("=")
-    def leafDirs(p: org.apache.hadoop.fs.Path, depth: Int): Seq[org.apache.hadoop.fs.Path] =
-      if (depth == 0) Seq(p)
-      else fs.listStatus(p).filter(s => s.isDirectory && isDataDir(s.getPath.getName))
-        .map(_.getPath).flatMap(leafDirs(_, depth - 1)).toSeq
-    val dirs = leafDirs(root, partitionCols.length)
+    val dirs = leafDataDirs(root)
     val over = dirs.flatMap { d =>
-      val files = fs.listStatus(d).filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      // the SAME data-file filter as stats: counting dotted scratch files
+      // here once made the planner rewrite a partition the stats view
+      // showed as under threshold
+      val files = fs.listStatus(d).filter(isDataFile)
       if (files.length > maxFilesPerPartition) Some((d, files.map(_.getLen).sum))
       else None
     }
@@ -531,6 +537,16 @@ class LakeTable(spark: SparkSession, path: String, keyCol: String,
     * the partition columns falls back to the full staged rewrite.
     */
   def upsert(updates: DataFrame, verifyScope: Boolean = false): Unit = {
+    // K1 is upsert BY KEY: a batch carrying two rows for one key would
+    // anti-join the existing row away and land BOTH — duplicate keys in
+    // a table every downstream join assumes key-unique. There is no
+    // generic "latest" among duplicates (no ordering column here), so
+    // refuse loudly and let the caller dedupe with its own order.
+    val Array(dup) = updates.agg(
+      (count(lit(1)) - countDistinct(col(keyCol))).as("d")).collect()
+    require(dup.getLong(0) == 0L,
+      s"upsert batch contains ${dup.getLong(0)} duplicate '$keyCol' rows; " +
+        "dedupe latest-wins before upserting")
     if (!exists) { overwrite(updates); return }
     val scoped = partitionCols.nonEmpty && partitionCols.forall(updates.columns.contains)
     val existing =

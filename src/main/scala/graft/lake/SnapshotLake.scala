@@ -230,8 +230,11 @@ class SnapshotLake(private[lake] val spark: SparkSession, val path: String,
     * (bounded by file count, never row count).
     */
   def upsert(batch: DataFrame): Unit = latestVersion match {
-    case None => overwrite(batch)
+    case None =>
+      requireKeyUnique(batch)
+      overwrite(batch)
     case Some(b) =>
+      requireKeyUnique(batch)
       val cur = requireManifest(b)
       val keys = batch.select(col(keyCol)).distinct()
       val touchedNames: Set[String] =
@@ -251,6 +254,19 @@ class SnapshotLake(private[lake] val spark: SparkSession, val path: String,
           .unionByName(batch, allowMissingColumns = true)
       commitVersion(cur.version, "upsert", unionSchema(cur.schema, batch.schema),
         untouched ++ landFiles(merged))
+  }
+
+  /** Upsert is BY KEY: a batch with two rows for one key would remove
+    * the existing row and land both — duplicate keys in a table whose
+    * readers assume key-uniqueness. No ordering column exists here to
+    * pick a "latest", so refuse loudly; callers dedupe with their own
+    * order first.
+    */
+  private def requireKeyUnique(batch: DataFrame): Unit = {
+    val d = batch.agg((count(lit(1)) - countDistinct(col(keyCol))).as("d"))
+      .collect().head.getLong(0)
+    require(d == 0L,
+      s"upsert batch contains $d duplicate '$keyCol' rows; dedupe latest-wins first")
   }
 
   /** Copy-on-write delete: rewrite only the files with matching rows. A

@@ -56,15 +56,30 @@ object IngestJob {
     val actKey = actives.select(col(naturalId).as("__ank"), col("_id").as("__aid"),
       col("updated_arr").as("__aarr"))
 
+    // coalesce(.., false): arrays_overlap returns SQL NULL when either
+    // timeline still contains a null (legacy rows written before
+    // toUpdatesArray compacted them away) -- and a NULL overlap would
+    // drop the row from BOTH branches below (neither merged nor fresh:
+    // silently lost). Unprovable overlap classifies as fresh.
+    // The checkpoint materializes the classification ONCE: the patch
+    // append, the fresh count and the staging write otherwise each
+    // re-run the scan+join (and the fold tie-break could choose
+    // per-action).
     val cls = incoming.join(actKey, col(naturalId) === col("__ank"), "left_outer")
       .withColumn("__overlap",
-        col("__aid").isNotNull && TimeFns.updatesOverlap(col("updated_arr"), col("__aarr")))
+        col("__aid").isNotNull &&
+          coalesce(TimeFns.updatesOverlap(col("updated_arr"), col("__aarr")), lit(false)))
+      .localCheckpoint(true)
     val fresh = cls.filter(!col("__overlap")).drop("__ank", "__aid", "__aarr", "__overlap")
 
     // fold all overlapping re-deliveries per active: union the timelines,
     // pick the latest incoming row's fields (content-deterministic order)
-    val ord = concat_ws("",
-      col("updated_key") +: dataCols.map(c => col(c).cast("string")): _*)
+    // \u0001-separated with a \u0000 null sentinel: a TOTAL order on
+    // the value tuple. concat_ws alone SKIPS nulls, so (null, "x") and
+    // ("x", null) would collide and max_by could pick either.
+    val ord = concat_ws("\u0001",
+      (col("updated_key") +: dataCols.map(c => col(c).cast("string")))
+        .map(c => coalesce(c, lit("\u0000"))): _*)
     val folded = cls.filter(col("__overlap"))
       .groupBy(col("__aid").as("_id"))
       .agg(
@@ -144,10 +159,20 @@ object IngestJob {
     val renamed = graft.ingest.Normalize.normalizeDrop(drop,
       codes ++ Seq(naturalId, updated).filterNot(codes.contains).map(c => c -> c))
 
-    // 2. normalize: canonical 19-char updated timeline
+    // 2. normalize: canonical 19-char updated timeline. A MISSING
+    // timestamp (null upstream, or the '' that nullToEmpty mapped it to)
+    // becomes the EMPTY timeline — the row ingests as fresh with no
+    // version anchor. Without the blank guard, ANSI casts abort the whole
+    // drop on ''; genuinely malformed non-blank strings still fail loudly
+    // there, which is the correct posture for corrupt data.
+    val updatedOrNull = when(trim(col(updated).cast("string")) === "", lit(null))
+      .otherwise(col(updated))
     val normalized = renamed
-      .withColumn("updated_arr", TimeFns.toUpdatesArray(col(updated)))
-      .withColumn("updated_key", element_at(col("updated_arr"), -1))
+      .withColumn("updated_arr", TimeFns.toUpdatesArray(updatedOrNull))
+      // try_: the empty timeline has no last element (ANSI element_at
+      // throws); a null updated_key sorts below every real timestamp in
+      // the fold's tie-break sentinel, which is the right precedence
+      .withColumn("updated_key", try_element_at(col("updated_arr"), lit(-1)))
 
     // 3. id watermark per group (A1): continue the sequence. With the
     //    partitioned layout the group filter hits the `grp` partition
@@ -181,7 +206,14 @@ object IngestJob {
       else if (partitioned) {
         val touched = normalized.select(bucketOf(col(naturalId)).as("b"))
           .distinct().collect().map(_.getInt(0)).toSeq
-        lake.read.filter(col("bucket").isin(touched: _*)).drop("grp", "bucket")
+        // grp prunes for free alongside the bucket scope: without it a
+        // group-g drop reads AND byte-identically rewrites the OTHER
+        // group's co-bucketed partitions (2x read/write amplification,
+        // churned files invalidating their bloom sidecar entries). Group
+        // id sub-spaces are disjoint by construction, so the merge never
+        // needs the other group's actives.
+        lake.read.filter(col("grp") === group && col("bucket").isin(touched: _*))
+          .drop("grp", "bucket")
       } else lake.read
 
     // 4. J2/F21 overlap-merge against existing actives: a re-delivered row
@@ -227,10 +259,25 @@ object IngestJob {
           allowMissingColumns = true)
       else state0
 
-    // land the patch log FIRST — its plan reads the pre-swap lake files,
-    // which replace() deletes (append to a sibling path, so no self-read)
-    if (patches != null) lake.appendPatches(patches.filter(
-      size(col("added")) > 0 || size(col("modified")) > 0))
+    // materialize the patch rows BEFORE the land (their plan reads the
+    // pre-swap lake files, which replace() deletes) but APPEND them only
+    // after the land succeeds: append-then-land meant a failed land left
+    // phantom patch rows that the retry appended AGAIN — permanent
+    // duplicates in the F18 history. A crash in the tiny window between
+    // land and append loses that drop's diff records instead, which a
+    // retry cannot double-count (the re-merge diffs as empty).
+    val patchesM =
+      if (patches == null) null
+      else patches.filter(size(col("added")) > 0 || size(col("modified")) > 0)
+        .localCheckpoint(true)
+    // id-space guard (W1/F1): group g owns orders [g*10M, (g+1)*10M).
+    // Crossing the ceiling would not fail — setNtpId formats 9 digits,
+    // NtpIds.group reclassifies the row into the NEXT group, and the
+    // other group's watermark scan then collides with it. Refuse loudly.
+    val nFresh = fresh.count()
+    require(watermark + nFresh <= (group + 1L) * NtpIds.MinOrderMinors,
+      s"id space exhausted for group $group: watermark $watermark + $nFresh fresh ids " +
+        s"would cross ${(group + 1L) * NtpIds.MinOrderMinors}")
     if (partitioned) {
       // partition values are derived from the row itself (never from the
       // scan), so rows land in the right directory no matter which path
@@ -243,7 +290,7 @@ object IngestJob {
       // lake (see WatermarkSidecar's crash protocol); post-land for a
       // brand-new one (writing the sidecar first would materialize the
       // table dir early and break the exists-checks in the land path).
-      val next = s"next.$group" -> (watermark + fresh.count()).toString
+      val next = s"next.$group" -> (watermark + nFresh).toString
       if (lake.exists) {
         lake.writeProps(WatermarkSidecar, lake.readProps(WatermarkSidecar) + next)
         lake.overwritePartitions(stateP) // touched buckets only
@@ -253,6 +300,7 @@ object IngestJob {
       }
     } else
       lake.replace(state) // state reads the current lake — staged swap, not in-place overwrite
+    if (patchesM != null) lake.appendPatches(patchesM)
   }
 
   /** calc_summary (SURVEY §3.3 footnote, A2/K8): one GROUPING SETS pass

@@ -438,5 +438,42 @@ class InvariantSpec extends AnyFunSuite {
     val tomb = s4.filter(col("_id") === ids1("url/a")).collect().head
     assert(tomb.getAs[Boolean]("obsolete_version"))
     assert(tomb.getAs[String]("updated_to") == newActive.getAs[String]("_id"))
+
+    // 5. a row with a NULL timestamp still ingests (as fresh): its
+    //    timeline compacts to [] and its overlap must coalesce to false —
+    //    a NULL overlap once dropped the row from BOTH classification
+    //    branches, silently losing it from the ingest. (A garbage STRING
+    //    timestamp fails loudly at the ANSI cast, which is the right
+    //    behavior; null is the silent shape.)
+    val drop5 = Seq(("url/nullts", null.asInstanceOf[String], "ghost"))
+      .toDF("id", "updated", "title")
+    IngestJob.run(spark, lake, drop5, codes, "id", "updated", group = 0)
+    assert(lake.read.filter(col("id") === "url/nullts").count() == 1,
+      "null-timestamp rows must classify as fresh, never vanish")
+    // and re-delivering it against ITS OWN active (both timelines empty —
+    // overlap unprovable) keeps it present rather than losing it
+    IngestJob.run(spark, lake, drop5, codes, "id", "updated", group = 0)
+    assert(lake.read.filter(col("id") === "url/nullts").count() >= 1)
+  }
+
+  test("id-space ceiling: a drop that would cross its group's boundary is refused loudly") {
+    val dir = Files.createTempDirectory("lake-ceiling").toString + "/place"
+    // partitioned layout: the watermark sidecar is only consulted there
+    val lake = new LakeTable(spark, dir, "_id", IngestJob.LakePartitionCols, nBuckets = 4)
+    val codes = Map("id" -> "id", "updated" -> "updated", "title" -> "title")
+    // seed the lake, then plant a watermark just under group 0's 10M
+    // ceiling: the next 2-row drop must refuse instead of silently
+    // minting ntp1000000x ids that NtpIds.group reclassifies as minors
+    IngestJob.run(spark, lake,
+      Seq(("url/a", "2024-01-01 10:00:00", "a")).toDF("id", "updated", "title"),
+      codes, "id", "updated", group = 0)
+    lake.writeProps(IngestJob.WatermarkSidecar, Map("next.0" -> "9999999"))
+    val e = intercept[IllegalArgumentException] {
+      IngestJob.run(spark, lake,
+        Seq(("url/x", "2024-01-01 10:00:00", "x"),
+            ("url/y", "2024-01-01 10:00:00", "y")).toDF("id", "updated", "title"),
+        codes, "id", "updated", group = 0)
+    }
+    assert(e.getMessage.contains("id space exhausted"))
   }
 }

@@ -21,6 +21,13 @@ class PipelineSpec extends AnyFunSuite {
     lake.upsert(Seq(("b", 20), ("c", 30)).toDF("_id", "v"))
     val got = lake.read.orderBy("_id").collect().map(r => r.getString(0) -> r.getInt(1))
     assert(got.toSeq == Seq("a" -> 1, "b" -> 20, "c" -> 30))
+    // a batch with two rows for one key would anti-join the existing row
+    // away and land BOTH — refused loudly (no generic latest-wins here)
+    val dup = intercept[IllegalArgumentException] {
+      lake.upsert(Seq(("d", 1), ("d", 2)).toDF("_id", "v"))
+    }
+    assert(dup.getMessage.contains("duplicate"))
+    assert(lake.read.count() == 3, "a refused batch must not land")
   }
 
   test("LakeTable.replace recovers from every crash point of the swap") {
