@@ -1206,10 +1206,10 @@ object CorpusQueries {
          |  CAST(len(regexp_extract_all(lower(text), '${TextAnalysis.EmailRegex}')) AS BIGINT) AS n_emails,
          |  CAST(len(regexp_extract_all(lower(text), '${TextAnalysis.Ipv4Regex}')) AS BIGINT) AS n_ipv4,
          |  CAST(len(regexp_extract_all(lower(text), '${TextAnalysis.PhoneRegex}')) AS BIGINT) AS n_phones,
-         |  md5(regexp_replace(regexp_replace(regexp_replace(lower(text),
-         |      '${TextAnalysis.EmailRegex}', '[email]', 'g'),
-         |      '${TextAnalysis.Ipv4Regex}', '[ip]', 'g'),
-         |      '${TextAnalysis.PhoneRegex}', '[phone]', 'g')) AS redacted_fp
+         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |      '(?i)${TextAnalysis.EmailRegex}', '[email]', 'g'),
+         |      '(?i)${TextAnalysis.Ipv4Regex}', '[ip]', 'g'),
+         |      '(?i)${TextAnalysis.PhoneRegex}', '[phone]', 'g')) AS redacted_fp
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the regex constant is shared with the Spark side; ASCII classes +

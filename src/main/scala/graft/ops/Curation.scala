@@ -26,7 +26,10 @@ object Curation {
                        contentCol: String, n: Int, seed: String = "s0"): DataFrame = {
     require(n > 0, "sample size must be positive")
     val w = Window.partitionBy(col(strataCol))
-      .orderBy(md5(concat(lit(seed), col(contentCol))), col(idCol))
+      // nulls LAST: null content hashes to null, and Spark's default
+      // nulls-first ascending order would let null-content rows
+      // deterministically crowd real documents out of every sample
+      .orderBy(md5(concat(lit(seed), col(contentCol))).asc_nulls_last, col(idCol))
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= n).drop("__rn")
   }
@@ -113,9 +116,11 @@ object Curation {
         (col("__fl") + when(col("__rk") <= col("__left"), lit(1).cast(dec))
           .otherwise(lit(0).cast(dec))).cast("long").as("alloc"))
     val w = Window.partitionBy(col(strataCol))
-      .orderBy(md5(concat(lit(seed), col(contentCol))), col(idCol))
+      .orderBy(md5(concat(lit(seed), col(contentCol))).asc_nulls_last, col(idCol))
+    // <=>: a null stratum is a legitimate group (it received seats in the
+    // allocation); plain === would drop its rows and silently under-fill
     df.withColumn("__rn", row_number().over(w))
-      .join(broadcast(alloc), col(strataCol) === col("__stratum"))
+      .join(broadcast(alloc), col(strataCol) <=> col("__stratum"))
       .filter(col("__rn") <= col("alloc"))
       .drop("__rn", "__stratum")
   }

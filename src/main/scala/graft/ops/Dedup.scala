@@ -99,11 +99,15 @@ object Dedup {
     val withSig = shingled.filter(size(col("sh")) >= 1)
       .withColumn("__sig", minhashSignature(col("sh"), bands * rowsPerBand))
     val keys = bandKeysFromSignature(col("__sig"), bands, rowsPerBand)
-    // persist: the self-join would otherwise evaluate the whole
-    // shingle+minhash pipeline once per side
+    // localCheckpoint, not persist: the self-join would otherwise
+    // evaluate the whole shingle+minhash pipeline once per side, and a
+    // persist here can never be unpersisted (the caller materializes the
+    // returned frame later) — it leaked one cache entry per call.
+    // Checkpoint blocks are reclaimed by the ContextCleaner once the
+    // frame is unreachable (the roundtrip-query discipline).
     val banded = withSig
       .select(col("doc"), posexplode(array(keys: _*)).as(Seq("band", "key")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc") < col("y.doc"))
@@ -140,6 +144,16 @@ object Dedup {
                           driverMaxBytes: Long = 64L << 20): DataFrame = {
     def timed[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f; phase(label, (System.nanoTime() - t0) / 1e9); r
+    }
+    Seq(srcCol, dstCol).foreach { c =>
+      require(Set[org.apache.spark.sql.types.DataType](
+          org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.ShortType, org.apache.spark.sql.types.ByteType)
+          .contains(edges.schema(c).dataType),
+        s"connectedComponents needs integral node ids; '$c' is " +
+          s"${edges.schema(c).dataType.catalogString} — map string ids to " +
+          "a dense integer surrogate first (an ANSI cast would abort " +
+          "mid-job; a legacy cast would null-collapse distinct nodes)")
     }
     val e = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -233,6 +247,12 @@ object Dedup {
       i += 1
     }
     sym.unpersist(blocking = false)
+    // a silent unconverged exit would split one real component into
+    // several and downstream dedup would keep duplicate clusters with no
+    // sign anything failed — refuse instead
+    require(!moved,
+      s"component propagation did not converge in $maxIter rounds " +
+        s"(graph diameter exceeds ${2 * maxIter}); raise maxIter")
     val out = labels.select(col("node"), col("label").as("component"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
@@ -423,6 +443,10 @@ object Dedup {
   def hammingCandidatesFromBits(sigs: DataFrame, chunks: Int = 4,
                                 maxHamming: Int = 3): DataFrame = {
     require(64 % chunks == 0, s"chunks must divide 64, got $chunks")
+    require(chunks >= 2,
+      "chunks=1 needs the whole 64-bit signature as one bucket key, which " +
+        "overflows conv->long for high-bit signatures; a maxHamming=0 " +
+        "dedup is the exact-match groupBy, not a pigeonhole join")
     require(maxHamming < chunks,
       s"pigeonhole needs maxHamming < chunks (got $maxHamming >= $chunks): " +
         "a pair may differ in every chunk and never share a bucket")
@@ -432,7 +456,7 @@ object Dedup {
     }
     val sig = sigs
       .select(col("doc") +: wordCols: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true) // reclaimed when unreachable; persist leaked
     val banded = sig.select(col("doc"),
       posexplode(array((0 until chunks).map(c => col(s"w$c")): _*)).as(Seq("chunk", "key")))
     val hamming = (0 until chunks)

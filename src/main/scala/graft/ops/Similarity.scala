@@ -30,6 +30,13 @@ object Similarity {
     * decimal-addition precision promotion never truncates a digit
     * ((38,15)+(38,15) would silently become (38,14)).
     */
+  /** Inputs are expected unit-scale (normalized embeddings): each
+    * product must fit 10 integer digits (|x*y| < 1e10). Out-of-contract
+    * magnitudes fail LOUDLY under ANSI (the default) at the product cast
+    * rather than mis-ranking; widening the product type is not an option
+    * because the accumulator addition would then hit the (38,15)+(38,15)
+    * scale-truncation documented above.
+    */
   def dotExactDec(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast("decimal(25,15)")),
@@ -42,16 +49,28 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dotExact(a, b) / (normExact(a) * normExact(b))
 
+  /** [[cosine]] with the norms supplied: the per-pair work drops to one
+    * dot product. A norm is a full interpreted decimal aggregate —
+    * inlining [[cosine]] into a join recomputes each side's norm once
+    * per PAIR; hoisting it to a projected column computes it once per
+    * ROW. Same doubles: the norm value is identical wherever evaluated.
+    */
+  def cosineWithNorms(a: Column, b: Column, an: Column, bn: Column): Column =
+    dotExact(a, b) / (an * bn)
+
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding itself), ranked by (cosine desc, id asc).
     * `queries` is expected to be small — it is broadcast.
     */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
                 k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")))
+    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .withColumn("__qn", normExact(col("qv"))))
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+      .withColumn("__cn", normExact(col("cv")))
     val scored = q.join(c, col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), cosine(col("qv"), col("cv")).as("cos"))
+      .select(col("qid"), col("cid"),
+        cosineWithNorms(col("qv"), col("cv"), col("__qn"), col("__cn")).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -110,9 +129,12 @@ object Similarity {
                    k: Int, nBits: Int, dim: Int): DataFrame = {
     val bc = hyperplaneBucket(col(vecCol), nBits, dim)
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"), bc.as("bucket"))
+      .withColumn("__cn", normExact(col("cv")))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"), bc.as("bucket"))
+      .withColumn("__qn", normExact(col("qv")))
     val scored = q.join(c, Seq("bucket")).filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), cosine(col("qv"), col("cv")).as("cos"))
+      .select(col("qid"), col("cid"),
+        cosineWithNorms(col("qv"), col("cv"), col("__qn"), col("__cn")).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -151,9 +173,12 @@ object Similarity {
                              vecCol: String, k: Int, nBits: Int, dim: Int): DataFrame = {
     val bc = hyperplaneBucket(col(vecCol), nBits, dim)
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"), bc.as("bucket"))
+      .withColumn("__cn", normExact(col("cv")))
     val q = multiProbeQueries(queries, idCol, vecCol, nBits, dim)
+      .withColumn("__qn", normExact(col("qv")))
     val scored = q.join(c, Seq("bucket")).filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), cosine(col("qv"), col("cv")).as("cos"))
+      .select(col("qid"), col("cid"),
+        cosineWithNorms(col("qv"), col("cv"), col("__qn"), col("__cn")).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -181,8 +206,10 @@ object Similarity {
                     threshold: Double, nBits: Int, dim: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       hyperplaneBucket(col(vecCol), nBits, dim).as("bucket"))
+      .withColumn("__n", normExact(col("v")))
     c.as("x").join(c.as("y"), col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"), cosine(col("x.v"), col("y.v")).as("cos"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        cosineWithNorms(col("x.v"), col("y.v"), col("x.__n"), col("y.__n")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 

@@ -151,11 +151,16 @@ object TextAnalysis {
     * the replacement tokens contain no redactable substrings.
     */
   def redactPii(text: Column): Column =
+    // (?i) on the ORIGINAL text: redaction must surgically replace the
+    // PII spans, not return a lowercased copy of the whole document (a
+    // curation pipeline rewriting textCol with this output would
+    // case-mangle the corpus). Counting above still matches on lower()
+    // — same occurrence set, no behavioral gap between the two.
     regexp_replace(
       regexp_replace(
-        regexp_replace(lower(text), EmailRegex, "[email]"),
-        Ipv4Regex, "[ip]"),
-      PhoneRegex, "[phone]")
+        regexp_replace(text, "(?i)" + EmailRegex, "[email]"),
+        "(?i)" + Ipv4Regex, "[ip]"),
+      "(?i)" + PhoneRegex, "[phone]")
 
   /** Canonical-form content fingerprint: md5 of lowercased,
     * punctuation-stripped, whitespace-collapsed text. Equal fingerprints =
@@ -244,7 +249,9 @@ object TextAnalysis {
         coalesce(tokenCount(col(textCol)).cast("long"), lit(0L)).as("n_tokens"))
       .withColumn("__start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col(shardCol), col(orderCol), col("n_tokens"),
-        (col("__start") / budget).cast("long").as("bin"),
+        // integer div, not double `/`: a prefix sum past 2^53 would round
+        // through double and put bin and offset in different buckets
+        expr(s"__start div $budget").as("bin"),
         (col("__start") % budget).as("offset"))
   }
 

@@ -57,6 +57,12 @@ class OpsSpec extends AnyFunSuite {
     val again = df.select(TextAnalysis.redactPii(TextAnalysis.redactPii(col("text"))).as("r"))
       .collect().map(_.getString(0)).toSeq
     assert(again == got.map(_.getString(1)).toSeq)
+    // case-PRESERVING: only the PII spans are replaced — an earlier form
+    // lowercased the entire document, silently case-mangling any corpus
+    // whose textCol was rewritten with the redacted output
+    val cased = Seq("Contact John Smith at JOHN@EXAMPLE.COM today").toDF("text")
+      .select(TextAnalysis.redactPii(col("text"))).collect().head.getString(0)
+    assert(cased == "Contact John Smith at [email] today", cased)
   }
 
   test("bpeTokens: contractions/digits/punctuation segment separately; ws count unchanged") {
