@@ -73,15 +73,21 @@ object BloomIndex {
     */
   private def landIndex(spark: SparkSession, idxPath: String,
                         idx: org.apache.spark.sql.DataFrame): Long = {
-    val dest = new org.apache.hadoop.fs.Path(idxPath)
-    val staging = new org.apache.hadoop.fs.Path(idxPath + ".staging")
-    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(staging, true)
-    idx.write.mode("overwrite").parquet(staging.toString)
-    fs.delete(dest, true)
-    fs.rename(staging, dest)
-    spark.read.parquet(dest.toString).count()
+    // Staged.land, not a local re-implementation: its dot-prefixed
+    // staging dir stays invisible to Spark listing/partition discovery,
+    // which a bare ".staging" sibling would not
+    Staged.land(spark, idxPath, idx)
+    spark.read.parquet(idxPath).count()
   }
+
+  /** URI strings (Path.toUri.toString, the index's join key form) fed
+    * back into spark.read would be re-parsed as PATH strings, double
+    * percent-encoding any escaped character — a lake under '/my lake'
+    * lists as 'my%20lake' and a naive read resolves a literal 'my%20lake'
+    * dir. Route through java.net.URI so the read sees the decoded path.
+    */
+  private def readablePaths(uris: Seq[String]): Seq[String] =
+    uris.map(u => new org.apache.hadoop.fs.Path(new java.net.URI(u)).toString)
 
   /** Build (or rebuild) the index sidecar: one row per data file with
     * the file's length and a bloom filter of its `keyCol` values.
@@ -132,7 +138,7 @@ object BloomIndex {
       if (freshFiles.isEmpty) kept.limit(0)
       else bloomRows(
         spark.read.option("basePath", path).schema(table.read.schema)
-          .parquet(freshFiles: _*),
+          .parquet(readablePaths(freshFiles): _*),
         keyCol, expectedItemsPerFile, fpp)
         .join(live.toSeq.toDF("file", "len"), "file")
         .select(col("file"), col("bloom"), col("nkeys"), col("len"))
@@ -180,11 +186,8 @@ object BloomIndex {
   def lookup(table: LakeTable, path: String, keyCol: String,
              keys: Seq[String]): (DataFrame, Int) = {
     val spark = table.read.sparkSession
-    import spark.implicits._
     val live = fileLengths(spark, path)
     val idxPath = sidecar(path)
-    val fs = new org.apache.hadoop.fs.Path(idxPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val schema = table.read.schema
     val candidates = bloomCandidates(spark, idxPath, live, keys)
     val df =
@@ -192,7 +195,7 @@ object BloomIndex {
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       // basePath keeps partition columns derivable when the candidate
       // list names leaf files inside partition dirs
-      else spark.read.option("basePath", path).schema(schema).parquet(candidates: _*)
+      else spark.read.option("basePath", path).schema(schema).parquet(readablePaths(candidates): _*)
         .filter(col(keyCol).cast("string").isin(keys: _*))
     (df, candidates.size)
   }
@@ -293,7 +296,7 @@ object BloomIndex {
         .select(col("old.file"), col("old.bloom"), col("old.nkeys"), col("old.len"))
     val rebuilt =
       if (freshFiles.isEmpty) kept.limit(0)
-      else bloomRows(spark.read.schema(schema).parquet(freshFiles: _*),
+      else bloomRows(spark.read.schema(schema).parquet(readablePaths(freshFiles): _*),
         keyCol, expectedItemsPerFile, fpp)
         .join(lens.withColumnRenamed("len2", "len"), "file")
         .select(col("file"), col("bloom"), col("nkeys"), col("len"))
@@ -327,7 +330,7 @@ object BloomIndex {
     val df =
       if (candidates.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
-      else spark.read.schema(m.schema).parquet(candidates: _*)
+      else spark.read.schema(m.schema).parquet(readablePaths(candidates): _*)
         .filter(col(keyCol).cast("string").isin(keys: _*))
     (df, candidates.size)
   }

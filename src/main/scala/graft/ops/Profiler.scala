@@ -67,7 +67,8 @@ object Profiler {
     */
   def intHistogram(df: DataFrame, value: org.apache.spark.sql.Column,
                    lo: Long, width: Long, nBuckets: Int): DataFrame =
-    df.select(bucketOf(value, lo, width, nBuckets).as("bucket"))
+    df.filter(value.isNotNull) // distributions are over VALUES (see bucketOf)
+      .select(bucketOf(value, lo, width, nBuckets).as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"))
 
@@ -81,6 +82,10 @@ object Profiler {
   def bucketOf(value: org.apache.spark.sql.Column, lo: Long, width: Long,
                nBuckets: Int): org.apache.spark.sql.Column = {
     require(width > 0 && nBuckets > 0, "width and nBuckets must be positive")
+    // nulls map to a NULL bucket by design: a distribution is over
+    // VALUES, so histogram builders filter nulls out before bucketing
+    // (folding them into the underflow bucket would corrupt quantile
+    // ranks; see Sketches.histSegment / intHistogram)
     val v = value.cast("long")
     val off = v - lo
     val inRange = ((off - pmod(off, lit(width))) / width).cast("long")

@@ -34,11 +34,8 @@ import graft.lake.Staged
   */
 object Sketches {
 
-  private def segDir(path: String, dropId: String): String = {
-    require(dropId.nonEmpty && dropId.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
-      s"drop id must be [A-Za-z0-9_-]+: '$dropId'")
-    s"$path/seg=$dropId"
-  }
+  private def segDir(path: String, dropId: String): String =
+    s"$path/${segName(dropId)}" // one validation + layout definition (segName)
 
   /** Every tier's layout is `path/seg=<drop>`, so `seg` IS the
     * partition-discovery column on read: a data column of that name
@@ -47,8 +44,21 @@ object Sketches {
     * only on the top-k tier).
     */
   private[graft] def requireNoSegColumn(cols: Seq[String], tier: String): Unit =
-    require(!cols.contains("seg"),
-      s"$tier tier: 'seg' is reserved for the segment partition column")
+    requireNoReserved(cols, tier)
+
+  /** `seg` plus any tier-generated output columns: a dims/key of a
+    * reserved name would silently alias the partition-discovery column
+    * or collide with a generated aggregate. (An earlier hist guard
+    * appended "bucket" to the CHECKED list instead of the RESERVED list
+    * — a no-op that let dims=Seq("bucket") through to a confusing
+    * duplicate-column failure.)
+    */
+  private[graft] def requireNoReserved(cols: Seq[String], tier: String,
+                                       extra: Seq[String] = Nil): Unit = {
+    val hit = cols.toSet.intersect(("seg" +: extra).toSet)
+    require(hit.isEmpty,
+      s"$tier tier: ${hit.mkString(", ")} reserved (segment partition / generated columns)")
+  }
 
   // ------------------------------------------------------------ exact tier
 
@@ -151,8 +161,11 @@ object Sketches {
     */
   def histSegment(drop: DataFrame, dims: Seq[String], value: Column,
                   lo: Long, width: Long, nBuckets: Int): DataFrame = {
-    requireNoSegColumn(dims :+ "bucket", "hist")
-    drop.groupBy(dims.map(col) :+ Profiler.bucketOf(value, lo, width, nBuckets).as("bucket"): _*)
+    requireNoReserved(dims, "hist", extra = Seq("bucket"))
+    // a distribution is over VALUES: null rows would land in a NULL
+    // bucket, inflate quantile ranks, and can surface as a null estimate
+    drop.filter(value.isNotNull)
+      .groupBy(dims.map(col) :+ Profiler.bucketOf(value, lo, width, nBuckets).as("bucket"): _*)
       .agg(count(lit(1)).as("n"))
   }
 
@@ -194,7 +207,7 @@ object Sketches {
     */
   def topkSegment(drop: DataFrame, dims: Seq[String], keyCol: String, k: Int): DataFrame = {
     require(k >= 1, "topkSegment: k must be >= 1")
-    requireNoSegColumn(dims :+ keyCol, "topk")
+    requireNoReserved(dims :+ keyCol, "topk", extra = Seq("cnt", "cutoff", "slack"))
     val cnts = drop.groupBy((dims :+ keyCol).map(col): _*).agg(count(lit(1)).as("cnt"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(dims.map(col): _*).orderBy(col("cnt").desc, col(keyCol))
@@ -230,11 +243,10 @@ object Sketches {
   def serveTopK(spark: SparkSession, path: String, dims: Seq[String],
                 keyCol: String): DataFrame = {
     val seg = spark.read.parquet(path)
-    // per-(segment, dims) retention cutoff (constant over the group's rows)
-    val perSeg = seg.groupBy((dims :+ "seg").map(col): _*).agg(max(col("cutoff")).as("__c"))
-    val totCut =
-      if (dims.isEmpty) perSeg.agg(sum(col("__c")).as("__tot"))
-      else perSeg.groupBy(dims.map(col): _*).agg(sum(col("__c")).as("__tot"))
+    // one definition of the guarantee threshold: totalCutoff (serve and
+    // compact must never disagree on it)
+    val totCut = totalCutoff(spark, path, dims)
+      .withColumnRenamed("total_cutoff", "__tot")
     val est = seg.groupBy((dims :+ keyCol).map(col): _*)
       .agg(sum(col("cnt")).as("n_est"), sum(col("cutoff")).as("__present"),
         sum(col("slack")).as("__slack"))

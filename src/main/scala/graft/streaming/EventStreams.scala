@@ -237,11 +237,23 @@ object EventStreams {
           def sess(st: SessionState) = Session(userId, st.sessionId, st.curN,
             DateTimeUtils.toJavaTimestamp(st.curStart), DateTimeUtils.toJavaTimestamp(st.lastTs))
           if (state.hasTimedOut) {
-            // the watermark passed lastTs + gap with no successor event:
-            // the open session is definitively closed — flush, drop state
             val st = state.get
-            state.remove()
-            Iterator.single(sess(st))
+            if (st.lastTs == Long.MinValue) {
+              // idle marker expired with no new events: reap the counter
+              state.remove()
+              Iterator.empty
+            } else {
+              // the watermark passed lastTs + gap with no successor:
+              // flush the closed session but RETAIN the session counter
+              // for a while — dropping state here restarted session_id
+              // at 1, so (user_id, session_id) collided across timeout
+              // flushes. The idle marker expires after ~10 more gaps
+              // (bounded state); a user idle longer restarts numbering,
+              // which is the documented trade against unbounded state.
+              state.update(SessionState(Long.MinValue, st.sessionId, Long.MinValue, 0L))
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 10 * gapMs + 1)
+              Iterator.single(sess(st))
+            }
           } else {
             val sorted = it.toSeq.sortBy(e => (DateTimeUtils.fromJavaTimestamp(e.ts), e.event_id))
             var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, Long.MinValue, 0L))
@@ -254,7 +266,14 @@ object EventStreams {
                 out += sess(st)
                 st = SessionState(t, st.sessionId + 1, t, 1L)
               } else {
-                st = SessionState(t, st.sessionId, st.curStart, st.curN + 1)
+                // cross-batch late event (admissible under the watermark):
+                // never regress the session clock — max for the end, min
+                // for the start, matching the globally-sorted batch
+                // oracle's view of the still-open session. Unconditional
+                // lastTs = t once emitted end < start and split sessions
+                // whose true last event was within the gap.
+                st = SessionState(math.max(t, st.lastTs), st.sessionId,
+                  math.min(st.curStart, t), st.curN + 1)
               }
             }
             state.update(st)

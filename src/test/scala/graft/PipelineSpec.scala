@@ -529,6 +529,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(1).getAs[String]("event_type") == "view")
   }
 
+  test("EventStreams: a cross-batch LATE event never regresses the session clock") {
+    val dir = Files.createTempDirectory("events_late").toString
+    def land(rows: (Long, String)*): Unit =
+      rows.map { case (id, ts) =>
+        (id, java.sql.Timestamp.valueOf(ts), 9L, "click", 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(dir + "/in")
+    import graft.streaming.EventStreams.Event
+    land(1L -> "2024-01-01 10:00:00", 2L -> "2024-01-01 10:05:00")
+    val stream = EventStreams.readEvents(spark, dir + "/in")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    val q = EventStreams.sessionizeStateful(stream, gapMs = 30 * 60 * 1000,
+        watermarkDelay = "1 day")
+      .writeStream.format("memory").queryName("sess_late").outputMode("append")
+      .option("checkpointLocation", dir + "/ckpt").start()
+    q.processAllAvailable()
+    // batch 2: a LATE 9:58 event (admissible under the 1-day watermark)
+    // plus 10:30. The buggy clock regressed lastTs to 9:58, saw
+    // 10:30 - 9:58 > gap, and emitted a session ending BEFORE it started
+    land(3L -> "2024-01-01 09:58:00", 4L -> "2024-01-01 10:30:00")
+    q.processAllAvailable()
+    assert(spark.table("sess_late").count() == 0,
+      "10:30 is within gap of the true last event (10:05) — nothing closes")
+    // batch 3: 13:00 closes the session: all four events, true span
+    land(5L -> "2024-01-01 13:00:00")
+    q.processAllAvailable(); q.stop()
+    val s = spark.table("sess_late").orderBy("session_id").collect()
+    assert(s.length == 1)
+    assert(s(0).getAs[Long]("n_events") == 4)
+    assert(s(0).getAs[java.sql.Timestamp]("session_start") ==
+      java.sql.Timestamp.valueOf("2024-01-01 09:58:00"))
+    assert(s(0).getAs[java.sql.Timestamp]("session_end") ==
+      java.sql.Timestamp.valueOf("2024-01-01 10:30:00"))
+  }
+
   test("EventStreams: sessionization spans micro-batches, emits each session once") {
     val dir = Files.createTempDirectory("events3").toString
     // batch 1: user 7 opens a session (10:00, 10:10); user 8 opens one (10:00)
