@@ -37,16 +37,25 @@ object Companies {
     * shuffles total regardless of corpus size.
     */
   def enrich(records: DataFrame, recordId: String, companies: DataFrame,
-             resolved: DataFrame): DataFrame = {
+             resolved: DataFrame, resolvedSrcCol: String = "src"): DataFrame = {
+    // resolvedSrcCol: Versions.resolveChains names its pointer column
+    // after ITS caller's id argument — pass that name when wiring the two
+    // (the default matches the hand-built (src, resolved_to) shape).
     val repointed = withCompanies(companies)
-      .join(resolved, companies("procurement_id") === resolved("src"), "left_outer")
+      .join(resolved, companies("procurement_id") === resolved(resolvedSrcCol), "left_outer")
       .withColumn("target_id", coalesce(col("resolved_to"), col("procurement_id")))
-    val nested = repointed.groupBy(col("target_id"))
-      .agg(map_from_entries(collect_list(struct(
-        col("doc_name"),
-        struct(
-          coalesce(col("SINGLE_COMPANY"), array().cast("array<string>")).as("single_company"),
-          coalesce(col("UTE"), array().cast("array<array<string>>")).as("ute"))))).as("empresas_en_docs"))
+    // one payload per (target, doc_name) BEFORE the map: map_from_entries
+    // throws on duplicate keys (two obsolete versions repointing to one
+    // active, or a re-delivered JSONL row) and on null keys. The winner
+    // is the content-max payload — deterministic where "last read" is not.
+    val perDoc = repointed.filter(col("doc_name").isNotNull)
+      .groupBy(col("target_id"), col("doc_name"))
+      .agg(max(struct(
+        coalesce(col("SINGLE_COMPANY"), array().cast("array<string>")).as("single_company"),
+        coalesce(col("UTE"), array().cast("array<array<string>>")).as("ute"))).as("__p"))
+    val nested = perDoc.groupBy(col("target_id"))
+      .agg(map_from_entries(collect_list(struct(col("doc_name"), col("__p"))))
+        .as("empresas_en_docs"))
     records.join(nested, records(recordId) === nested("target_id"), "left_outer")
       .drop("target_id")
   }

@@ -158,13 +158,27 @@ object Fetch {
                fetcher: String => FetchResult = stubFetcher): DataFrame = {
     val spark = urls.sparkSession
     import spark.implicits._
+    // errors are DATA here, never exceptions: try_parse_url (ANSI
+    // parse_url throws on one malformed URL and kills the batch), and
+    // rows that are never fetched still land in the ledger — skip-listed
+    // hosts as status=skipped (the Status code existed and was never
+    // emitted), unparseable URLs as status=error. The old NOT-IN filter
+    // also silently dropped NULL hosts by three-valued logic.
     val withHost = urls.select(col(urlCol).as("url"))
-      .withColumn("host", parse_url(col("url"), lit("HOST")))
-      .filter(!col("host").isin(skipServers.toSeq: _*))
+      .withColumn("host", try_parse_url(col("url"), lit("HOST")))
+    val skipListed =
+      if (skipServers.isEmpty) lit(false)
+      else coalesce(col("host").isin(skipServers.toSeq: _*), lit(false))
+    val ledgerOnly = withHost.filter(col("host").isNull || skipListed)
+      .select(col("url"),
+        when(col("host").isNull, lit(Status.Error)).otherwise(lit(Status.Skipped)).as("status"),
+        lit("").as("contentType"), lit(0L).as("nBytes"),
+        lit("").as("contentDisposition"))
+    val eligible = withHost.filter(col("host").isNotNull && !skipListed)
       // co-locate each host in one partition -> the politeness delay below
       // is a true per-host rate limit even with many executors
       .repartition(hostPartitions, col("host"))
-    val results: Dataset[FetchResult] = withHost.select(col("url"), col("host"))
+    val results: Dataset[FetchResult] = eligible.select(col("url"), col("host"))
       .as[(String, String)]
       .mapPartitions { it =>
         // per-HOST sub-queues within the shared partition: the delay
@@ -183,7 +197,7 @@ object Fetch {
       }
     // F15 header sniff + F20 acceptance on the fetched headers (Column
     // algebra — UrlSniff — so the sniff itself is codegen'd, not UDF)
-    results.toDF()
+    results.toDF().unionByName(ledgerOnly)
       .withColumn("doc_type", UrlSniff.fileTypeFromHeaders(
         nullif(col("contentType"), lit("")), nullif(col("contentDisposition"), lit(""))))
       .withColumn("accepted", col("doc_type").isin(AcceptedTypes.toSeq: _*))

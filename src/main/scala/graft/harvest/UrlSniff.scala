@@ -33,9 +33,11 @@ object UrlSniff {
     * Null when no item mentions a filename.
     */
   private def filenameItem(cd: Column): Column =
-    element_at(
+    // try_: a Content-Disposition with no filename item yields an empty
+    // array, and ANSI element_at would abort the whole fetch batch on it
+    try_element_at(
       filter(split(replace(replace(cd, lit("769;"), lit("_")), lit("8230;"), lit("_")), ";"),
-        x => x.contains("filename")), -1)
+        x => x.contains("filename")), lit(-1))
 
   /** F15b: extension extracted from the Content-Disposition filename
     * (ntp_utils.py:210-214): text after the first '=', ' .' glitch fixed,
@@ -73,7 +75,9 @@ object UrlSniff {
         "(?i)<meta[^>]*http-equiv=[\"']?refresh[\"']?[^>]*content=[\"']([^\"']*)[\"']", 1), lit("")),
       nullif(regexp_extract(head,
         "(?i)<meta[^>]*content=[\"']([^\"']*)[\"'][^>]*http-equiv=[\"']?refresh[\"']?", 1), lit("")))
-    val after = trim(element_at(split(content, ";"), 2))
+    // try_: a bare-reload content="0" has no ';' — ANSI element_at would
+    // throw where the Scala mirror (metaRefreshTarget) returns ""
+    val after = trim(try_element_at(split(content, ";"), lit(2)))
     val redir = when(lower(after).startsWith("url="),
       replace(after.substr(lit(5), length(after)), lit("'"), lit("")))
     val scheme = regexp_extract(url, "^([a-z]+)://", 1)

@@ -210,7 +210,15 @@ object Relevance {
     val c1 = counts.groupBy(col("prev")).agg(sum(col("c2")).as("c1"))
     val scored = counts.join(c1, "prev")
       .withColumn("ppm", expr("CAST((1000000 * c2) div c1 AS BIGINT)"))
-    bg.join(scored, Seq("prev", "cur"))
+    // LEFT join + ppm 0 for transitions the model never saw: an inner
+    // join EXCLUDED them from both the count and the mean, so OOV
+    // gibberish scored as fluent from its few common bigrams (and a
+    // fully-unseen document vanished from the output). Self-trained
+    // callers (bigramLmScore) are unaffected — every bigram is in the
+    // model there. "Rare transitions score low" now holds for unseen
+    // ones too, which is the fluency gate's whole point.
+    bg.join(scored, Seq("prev", "cur"), "left_outer")
+      .withColumn("ppm", coalesce(col("ppm"), lit(0L)))
       .groupBy(col("__doc"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("ppm")).as("__sum_ppm"))
       .select(col("__doc").as(idCol), col("n_bigrams"),

@@ -83,8 +83,11 @@ object TimeJoins {
       .groupBy(col("g"), col("bucket")).agg(count(lit(1)).as("n"))
     val spans = counts.groupBy(col("g"))
       .agg(min(col("bucket")).as("__lo"), max(col("bucket")).as("__hi"))
+    // 'interval 1 quarter' is not a legal Spark interval literal even
+    // though date_trunc accepts the unit — step by 3 months instead
+    val step = if (unit.toLowerCase == "quarter") "3 month" else s"1 $unit"
     val grid = spans.select(col("g"),
-      explode(expr(s"sequence(__lo, __hi, interval 1 $unit)")).as("bucket"))
+      explode(expr(s"sequence(__lo, __hi, interval $step)")).as("bucket"))
     grid.join(counts, Seq("g", "bucket"), "left_outer")
       .select(col("g").as(groupCol), col("bucket"),
         coalesce(col("n"), lit(0L)).as("n"))

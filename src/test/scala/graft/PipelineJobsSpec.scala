@@ -67,8 +67,15 @@ class PipelineJobsSpec extends AnyFunSuite {
       Set("https://h1.es/a.pdf", "https://skip.es/b.pdf"))
     val fetched = HarvestJobs.harvest(records, "_id", Seq("u1", "u2"),
       skipServers = Set("skip.es"))
-    assert(fetched.collect().map(_.getAs[String]("url")).toSet ==
-      Set("https://h1.es/a.pdf", "https://h1.es/c.pdf"))
+    // skip-listed hosts stay in the LEDGER as status=skipped (never
+    // fetched) — they used to vanish, so 'attempted' and 'never tried'
+    // were indistinguishable in the harvest accounting
+    val byUrl = fetched.collect()
+      .map(r => r.getAs[String]("url") -> r.getAs[String]("status")).toMap
+    assert(byUrl.keySet ==
+      Set("https://h1.es/a.pdf", "https://h1.es/c.pdf", "https://skip.es/b.pdf"))
+    assert(byUrl("https://skip.es/b.pdf") == graft.harvest.Fetch.Status.Skipped)
+    assert(byUrl("https://h1.es/a.pdf") != graft.harvest.Fetch.Status.Skipped)
   }
 
   test("HarvestJobs.sync + purgeManifest: range-filtered reconciliation") {
