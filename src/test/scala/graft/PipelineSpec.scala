@@ -319,10 +319,13 @@ class PipelineSpec extends AnyFunSuite {
     ).toDF("url")
     val res = Fetch.fetchAll(urls, "url", hostPartitions = 4,
       skipServers = Set("skipme.example.es")).collect()
-    assert(res.length == 3) // skip-listed host filtered before fetch
+    // skip-listed hosts stay in the ledger as status=skipped, never
+    // fetched (they used to vanish from the accounting entirely)
+    assert(res.length == 4)
     val byUrl = res.map(r => r.getAs[String]("url") -> r.getAs[String]("status")).toMap
     assert(byUrl("https://h1.example.es/docs/ntp00000003_c.exe") == Fetch.Status.UnknownType)
     assert(byUrl("https://h1.example.es/docs/ntp00000001_a.pdf") == Fetch.Status.Ok)
+    assert(byUrl("https://skipme.example.es/docs/ntp00000004_d.pdf") == Fetch.Status.Skipped)
   }
 
   test("Multimodal: binary payload plumbing + partition-batched decode stub") {
