@@ -1022,6 +1022,27 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // S1/ORC: the second lake format — a parquet table landed as ORC and
+    // read back through Sources.loadOrc must round-trip every type
+    // (int64/string/double/timestamp_ntz) bit-exactly vs the parquet
+    // oracle; the filter proves ORC predicate pushdown yields the same
+    // row set the oracle's WHERE does
+    "ingest_orc_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_orc_q").toString
+      val orc = tmp + "/orders_orc"
+      t(s, dir, "orders").write.orc(orc)
+      val out = graft.sources.Sources.loadOrc(s, orc)
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+        .localCheckpoint(true) // the scratch ORC dir is deleted next
+      new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      out
+    }),
+
     // S4-shape: code parse out of a delimited string column
     "cpv_parse_codes" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1855,6 +1876,10 @@ object CorpusQueries {
         |                  ORDER BY b.idx) AS ahash
         |FROM bk b JOIN tt t ON b.doc_id = t.doc_id
         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+
+    "ingest_orc_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey""".stripMargin,
 
     "cpv_parse_codes" ->
       """SELECT source, CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) AS code, count(*) AS n

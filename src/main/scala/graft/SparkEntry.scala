@@ -118,6 +118,24 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- queries
 
+  /** The end-to-end machinery journeys: queries that build a scratch
+    * lake/index/sketch root on disk, land multiple drops/versions, then
+    * serve — their wall time is dominated by many small staged-swap
+    * write jobs, not by a query plan. Bench reports this tier separately
+    * from the pure-plan tier so a plan regression in the 0.1-0.8 s pure
+    * queries cannot hide inside the ±1 s of filesystem noise these
+    * carry. Membership = "the query body creates a scratch temp dir"
+    * (VerifyContractSpec pins the set against the query map).
+    */
+  val integrationQueries: Set[String] = Set(
+    "dedup_incremental", "ingest_orc_roundtrip", "ntp_repair_report",
+    "q_approx_distinct_bound", "q_cdc_consume", "q_distinct_incremental",
+    "q_heavy_hitters", "q_hist_median_est", "q_lake_point_lookup",
+    "q_lake_time_travel", "q_snapshot_changes", "q_snapshot_point_lookup",
+    "q_stream_topk", "q_summary_cdc", "q_summary_incremental",
+    "sim_ivf_persisted_topk", "txt_bm25_indexed", "txt_lm_incremental",
+    "txt_stats_incremental")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map[String, (SparkSession, String) => DataFrame](
     // A2/A3-style wide aggregation (TPC-H Q1 shape)
     "q01_pricing_summary" -> ((s, dir) => {

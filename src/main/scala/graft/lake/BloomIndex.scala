@@ -124,16 +124,19 @@ object BloomIndex {
       return (0L, build(table, path, keyCol, expectedItemsPerFile, fpp))
     val live = fileLengths(spark, path)
     val old = spark.read.parquet(idxPath.toString)
-    val oldMeta = old.select(col("file"), col("len"))
-      .as[(String, Long)].collect().toMap
-    val freshFiles = live.collect {
-      case (f, l) if !oldMeta.get(f).contains(l) => f
-    }.toSeq
     val lens = live.toSeq.toDF("file", "len2")
     // unchanged rows: same path AND same length as the live listing
     val kept = old.join(lens, old("file") === lens("file") &&
         old("len") === lens("len2"))
       .select(old("file"), old("bloom"), old("nkeys"), old("len"))
+    // churn = live files with NO unchanged index row, computed
+    // CLUSTER-side (anti-join against the index) — only the churn-sized
+    // path list ever reaches the driver, never an O(files) copy of the
+    // index. (The live listing itself is the scan planner's own driver
+    // file index — irreducible for a plain lake, see fileLengths.)
+    val freshFiles = lens
+      .join(old.select(col("file"), col("len").as("len2")), Seq("file", "len2"), "left_anti")
+      .select(col("file")).as[String].collect().toSeq.sorted
     val rebuilt =
       if (freshFiles.isEmpty) kept.limit(0)
       else bloomRows(
@@ -279,21 +282,24 @@ object BloomIndex {
     val idxPath = snapSidecar(lake.path)
     val fs = new org.apache.hadoop.fs.Path(idxPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val oldMeta: Map[String, Long] =
-      if (!fs.exists(new org.apache.hadoop.fs.Path(idxPath))) Map.empty
-      else spark.read.parquet(idxPath).select(col("file"), col("len"))
-        .as[(String, Long)].collect().toMap
-    val freshFiles = live.collect {
-      case (f, l) if !oldMeta.get(f).contains(l) => f
-    }.toSeq.sorted
+    val idxExists = fs.exists(new org.apache.hadoop.fs.Path(idxPath))
     val lens = live.toSeq.toDF("file", "len2")
     val kept =
-      if (oldMeta.isEmpty)
+      if (!idxExists)
         spark.emptyDataset[(String, Array[Byte], Long, Long)]
           .toDF("file", "bloom", "nkeys", "len")
       else spark.read.parquet(idxPath).alias("old")
         .join(lens, col("old.file") === lens("file") && col("old.len") === lens("len2"))
         .select(col("old.file"), col("old.bloom"), col("old.nkeys"), col("old.len"))
+    // churn computed cluster-side, like the directory tier: anti-join the
+    // manifest-resolved live set against the index; only churn-sized
+    // paths land on the driver
+    val freshFiles =
+      if (!idxExists) live.keys.toSeq.sorted
+      else lens.join(
+          spark.read.parquet(idxPath).select(col("file"), col("len").as("len2")),
+          Seq("file", "len2"), "left_anti")
+        .select(col("file")).as[String].collect().toSeq.sorted
     val rebuilt =
       if (freshFiles.isEmpty) kept.limit(0)
       else bloomRows(spark.read.schema(schema).parquet(readablePaths(freshFiles): _*),

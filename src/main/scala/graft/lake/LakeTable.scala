@@ -542,10 +542,17 @@ class LakeTable(spark: SparkSession, path: String, keyCol: String,
     // a table every downstream join assumes key-unique. There is no
     // generic "latest" among duplicates (no ordering column here), so
     // refuse loudly and let the caller dedupe with its own order.
-    val Array(dup) = updates.agg(
-      (count(lit(1)) - countDistinct(col(keyCol))).as("d")).collect()
-    require(dup.getLong(0) == 0L,
-      s"upsert batch contains ${dup.getLong(0)} duplicate '$keyCol' rows; " +
+    // countDistinct ignores NULLs — a null-key row must be diagnosed as
+    // such, not miscounted as a "duplicate" (which would misdirect the
+    // caller toward deduping a batch with no duplication at all).
+    val Array(chk) = updates.agg(count(lit(1)).as("n"),
+      count(col(keyCol)).as("nn"), countDistinct(col(keyCol)).as("nd")).collect()
+    val nulls = chk.getLong(0) - chk.getLong(1)
+    require(nulls == 0L,
+      s"upsert batch contains $nulls NULL '$keyCol' rows; a null key cannot be merged by key")
+    val dup = chk.getLong(1) - chk.getLong(2)
+    require(dup == 0L,
+      s"upsert batch contains $dup duplicate '$keyCol' rows; " +
         "dedupe latest-wins before upserting")
     if (!exists) { overwrite(updates); return }
     val scoped = partitionCols.nonEmpty && partitionCols.forall(updates.columns.contains)

@@ -200,7 +200,27 @@ class SnapshotLake(private[lake] val spark: SparkSession, val path: String,
     val m = Manifest(v, op, System.currentTimeMillis(), base, schema, files)
     try claimed.write(renderManifest(m).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally claimed.close()
+    raiseIfShadowed(v)
     v
+  }
+
+  /** Lost-update detection, run AFTER the manifest content lands: a
+    * writer paused > claimStaleMs between claim and content-write can be
+    * classified as a corpse and committed past — its version is then
+    * visible but SHADOWED by a later version (one with `base < v`) that
+    * never saw it. The version log stays linear and readers stay
+    * consistent, but this writer's change is silently absent from
+    * latest. Re-list and fail LOUDLY so the caller rebuilds against the
+    * new state and retries, instead of receiving a success that
+    * `latest()` does not reflect.
+    */
+  private[graft] def raiseIfShadowed(v: Long): Unit = {
+    val shadowed = claimedVersions.filter(_ > v).flatMap(readManifest)
+      .filter(_.base < v)
+    if (shadowed.nonEmpty) throw new SnapshotConflict(
+      s"snapshot commit v$v at $path was shadowed by " +
+        s"v${shadowed.map(_.version).mkString(",v")} (claimed past this writer as a " +
+        "stale corpse); the change is not in latest — rebuild and retry")
   }
 
   /** Truncate-and-load: the new snapshot references only the new files. */
@@ -263,8 +283,17 @@ class SnapshotLake(private[lake] val spark: SparkSession, val path: String,
     * order first.
     */
   private def requireKeyUnique(batch: DataFrame): Unit = {
-    val d = batch.agg((count(lit(1)) - countDistinct(col(keyCol))).as("d"))
-      .collect().head.getLong(0)
+    // countDistinct ignores NULLs — counting nulls into the duplicate
+    // delta would reject a single null-key row as "1 duplicate" and
+    // misdirect the caller toward deduping. Diagnose null keys
+    // separately; duplicates are computed over NON-NULL keys only.
+    val r = batch.agg(count(lit(1)).as("n"), count(col(keyCol)).as("nn"),
+        countDistinct(col(keyCol)).as("nd"))
+      .collect().head
+    val nulls = r.getLong(0) - r.getLong(1)
+    require(nulls == 0L,
+      s"upsert batch contains $nulls NULL '$keyCol' rows; a null key cannot be merged by key")
+    val d = r.getLong(1) - r.getLong(2)
     require(d == 0L,
       s"upsert batch contains $d duplicate '$keyCol' rows; dedupe latest-wins first")
   }

@@ -23,8 +23,22 @@ object Staged {
     fs.delete(staging, true)
     df.write.mode("overwrite").parquet(staging.toString)
     fs.delete(dest, true)
-    fs.rename(staging, dest)
+    renameOrThrow(fs, staging, dest)
   }
+
+  /** `FileSystem.rename` signals most failures (cross-filesystem move,
+    * concurrent re-creation of dest, object-store rename fallback) by
+    * returning FALSE, not by throwing. Swallowing that false would
+    * report success while NO live artifact exists — fail loudly instead
+    * so the caller's "old, new, or none → rebuild" contract holds.
+    */
+  private[graft] def renameOrThrow(fs: org.apache.hadoop.fs.FileSystem,
+                            from: org.apache.hadoop.fs.Path,
+                            to: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.rename(from, to))
+      throw new java.io.IOException(
+        s"staged swap failed: rename($from -> $to) returned false; " +
+          "the destination is absent — rebuild the artifact")
 
   /** Land SEVERAL tables under one root in a SINGLE swap: every table
     * writes to `.root.staging/<name>`, then the root is replaced by one
@@ -48,7 +62,7 @@ object Staged {
       df.write.mode("overwrite").parquet(s"$staging/$name")
     }
     fs.delete(dest, true)
-    fs.rename(staging, dest)
+    renameOrThrow(fs, staging, dest)
   }
 
   /** Swap an ENTIRE segmented root (`path/seg=...`) for one folded
@@ -69,6 +83,6 @@ object Staged {
     fs.delete(staging, true)
     folded.write.parquet(s"$staging/$segName")
     fs.delete(root, true)
-    fs.rename(staging, root)
+    renameOrThrow(fs, staging, root)
   }
 }

@@ -102,9 +102,18 @@ object Curation {
     // an exact multiple divided exactly, immune to decimal division's
     // scale rounding.
     val dec = "decimal(38,0)"
+    // coalesce: a stratum whose weights are all NULL sums to NULL — left
+    // bare it would get a NULL allocation and vanish from the output
+    // despite the Σalloc == total contract; pin it to explicit zero seats
     val alloc = df.groupBy(col(strataCol))
-      .agg(sum(rowWeight).cast(dec).as("__wsum"))
+      .agg(coalesce(sum(rowWeight).cast(dec), lit(0).cast(dec)).as("__wsum"))
       .withColumn("__wtot", sum(col("__wsum")).over(one))
+      // a non-positive total weight would surface as an opaque ANSI
+      // divide-by-zero at `% __wtot` below — diagnose it by name instead
+      .withColumn("__wtot", when(col("__wtot") > 0, col("__wtot"))
+        .otherwise(raise_error(concat(
+          lit("sampleMixture: total rowWeight must be positive, got "),
+          col("__wtot").cast("string")))))
       .withColumn("__num", lit(total).cast(dec) * col("__wsum"))
       .withColumn("__rem", col("__num") % col("__wtot"))
       .withColumn("__fl",

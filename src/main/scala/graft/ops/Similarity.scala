@@ -229,63 +229,100 @@ object Similarity {
       .toIndexedSeq
       .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
 
+  /** Largest row count any single trainer collect brought to the driver
+    * in this JVM (spec probe: KMeansTrainerSpec asserts it never exceeds
+    * nList). Every trainer collect goes through `collectBounded`, which
+    * ALSO fails loudly at runtime if the bound is breached — the
+    * "codebook-sized driver traffic" contract is enforced, not assumed.
+    */
+  private[graft] val trainerCollectMax = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def collectBounded(df: DataFrame, bound: Int, what: String): Array[org.apache.spark.sql.Row] = {
+    val rows = df.limit(bound + 1).collect()
+    require(rows.length <= bound,
+      s"$what collected ${rows.length} rows to the driver (bound $bound)")
+    trainerCollectMax.getAndUpdate(m => math.max(m, rows.length.toLong))
+    rows
+  }
+
   /** Deterministic sampled k-means codebook — the production-quality
     * alternative to the seed codebook (recall at scale depends on
     * centroid quality; the seed codebook stays for oracle determinism).
+    * Fully DISTRIBUTED Lloyd's: the sample never lands on the driver and
+    * no single collect exceeds `nList` rows (enforced by
+    * `collectBounded`), so at the 100 TB target — nList ~ sqrt(n) ~ 1e6,
+    * sample = 8 * nList — the O(sample * nList * dim * iters) assignment
+    * flops run on the executors, not a single driver thread.
     * Bit-reproducible by construction, no Math.random anywhere:
     *  - sample = the `nList * sampleFactor` rows with the lowest
-    *    murmur3 `hash(id, seed)` (ties by id) — a seeded uniform sample
-    *    whose ORDER is deterministic, collected once (cluster-side it is
-    *    a top-n by hash, never a full collect);
-    *  - init = the first `nList` sample vectors in that hash order;
-    *  - `iters` fixed Lloyd rounds, sequential double arithmetic on the
-    *    driver in sample order (empty cells keep their position).
-    * Centroid ids are 0..nList-1. At 100 TB the sample is
-    * codebook-sized (nList ~ sqrt(n), sampleFactor small), so the
-    * driver-side Lloyd cost is O(nList^2 * sampleFactor * dim * iters),
-    * independent of corpus size.
+    *    murmur3 `hash(id, seed)` (ties by id) — a seeded uniform sample.
+    *    The top-n is a distributed local-sort + local-limit merge;
+    *    afterwards the sample is hash-REPARTITIONED so every Lloyd pass
+    *    runs wide, and cached so it is computed once across `iters`;
+    *  - init = the first `nList` sample vectors in hash order (one
+    *    nList-row collect);
+    *  - each round: cross-join the sample against the BROADCAST codebook
+    *    (map-side, no shuffle of the sample), argmin by
+    *    `min(struct(dist, cell))` — squared distance folded
+    *    element-sequentially in double, so each (vector, centroid) pair
+    *    is IEEE-deterministic, ties to the lowest cell id — then the new
+    *    mean per (cell, coordinate) as a DECIMAL(38,15) sum / count:
+    *    decimal addition is exact, hence order-independent, hence the
+    *    mean is bit-identical no matter how Spark schedules the shuffle.
+    *    Empty cells keep their previous centroid. One nList-row collect
+    *    feeds the next round's broadcast.
+    * Centroid ids are 0..nList-1.
     */
   def ivfCentroidsKMeans(corpus: DataFrame, idCol: String, vecCol: String,
                          nList: Int, sampleFactor: Int = 8, iters: Int = 5,
                          seed: Int = 42): Seq[(Long, Seq[Float])] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val sample = corpus
       .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"),
         hash(col(idCol).cast("long"), lit(seed)).as("__h"))
       .orderBy(col("__h"), col("__id"))
       .limit(nList * sampleFactor)
-      .collect()
-      .map(r => r.getSeq[Float](1).toArray)
-    require(sample.nonEmpty, "k-means codebook needs a non-empty corpus")
-    val dim = sample.head.length
-    val cents = Array.tabulate(nList)(i => sample(i % sample.length).map(_.toDouble))
-    var it = 0
-    while (it < iters) {
-      val sums = Array.fill(nList)(new Array[Double](dim))
-      val counts = new Array[Long](nList)
-      sample.foreach { v =>
-        var best = 0; var bestD = Double.MaxValue; var c = 0
-        while (c < nList) {
-          var d = 0.0; var j = 0
-          while (j < dim) { val t = cents(c)(j) - v(j); d += t * t; j += 1 }
-          if (d < bestD) { bestD = d; best = c }
-          c += 1
-        }
-        val s = sums(best); var j = 0
-        while (j < dim) { s(j) += v(j); j += 1 }
-        counts(best) += 1
+    // init: the first nList sample vectors in hash order (wraps when the
+    // corpus is smaller than nList) — the one place hash ORDER matters
+    val initRows = collectBounded(
+      sample.select(col("__v")).limit(nList), nList, "k-means init")
+    require(initRows.nonEmpty, "k-means codebook needs a non-empty corpus")
+    val init = initRows.map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    var cents: IndexedSeq[Array[Double]] =
+      IndexedSeq.tabulate(nList)(i => init(i % init.length))
+    // the Lloyd passes are order-independent: repartition wide + cache
+    val wide = sample.select(col("__id"), col("__v"))
+      .repartition(col("__id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var it = 0
+      while (it < iters) {
+        val centsDf = cents.zipWithIndex
+          .map { case (cv, i) => (i, cv.toSeq) }.toDF("__c", "__cv")
+        val sqDist =
+          aggregate(zip_with(col("__v"), col("__cv"),
+              (a, b) => { val t = a.cast("double") - b; t * t }),
+            lit(0.0), (acc, x) => acc + x)
+        val assigned = wide.crossJoin(broadcast(centsDf))
+          .groupBy(col("__id"))
+          .agg(min(struct(sqDist.as("d"), col("__c").as("c"))).as("m"),
+            first(col("__v")).as("__v"))
+        val means = assigned
+          .select(col("m.c").as("__c"), posexplode(col("__v")).as(Seq("__j", "__x")))
+          .groupBy(col("__c"), col("__j"))
+          .agg(sum(col("__x").cast("decimal(38,15)")).as("s"), count(lit(1)).as("n"))
+          .groupBy(col("__c"))
+          .agg(sort_array(collect_list(struct(col("__j"),
+            (col("s") / col("n")).cast("double").as("mv")))).as("arr"))
+          .select(col("__c"), transform(col("arr"), e => e.getField("mv")).as("mean"))
+        val meanMap = collectBounded(means, nList, s"k-means round $it means")
+          .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+        cents = IndexedSeq.tabulate(nList)(c => meanMap.getOrElse(c, cents(c)))
+        it += 1
       }
-      var c = 0
-      while (c < nList) {
-        if (counts(c) > 0) {
-          var j = 0
-          while (j < dim) { cents(c)(j) = sums(c)(j) / counts(c); j += 1 }
-        }
-        c += 1
-      }
-      it += 1
-    }
-    cents.toIndexedSeq.zipWithIndex.map { case (cv, i) =>
-      (i.toLong, cv.map(_.toFloat).toSeq) }
+    } finally wide.unpersist()
+    cents.zipWithIndex.map { case (cv, i) => (i.toLong, cv.map(_.toFloat).toSeq) }
   }
 
   /** The `m` best centroids for a vector as a decimal-ranked struct

@@ -34,6 +34,20 @@ object Sources {
         col("control").cast("int").as("control"),
         regexp_replace(col("descripcion"), "'", "").as("descripcion"))
 
+  /** S1-alt: ORC lake scan — the mixed-format lake surface (Parquet/ORC).
+    * ORC rides the same vectorized columnar reader stack as parquet:
+    * predicate pushdown (`spark.sql.orc.filterPushdown`, on by default)
+    * and column pruning both reach the stripe reader, so `.explain`
+    * shows PushedFilters/ReadSchema exactly like a parquet scan. Pin
+    * `schema` to skip footer inference over wide directories (the same
+    * contract as the lake readers' manifest-pinned schemas).
+    */
+  def loadOrc(spark: SparkSession, path: String,
+              schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val r = spark.read.format("orc")
+    schema.fold(r)(r.schema).load(path)
+  }
+
   /** S9: storage listing scan — enumerate stored blobs as a DataFrame of
     * (path, name, ntp_id, length), via the built-in binaryFile source
     * (metadata only: payloads are not read unless the content column is

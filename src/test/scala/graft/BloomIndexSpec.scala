@@ -83,6 +83,12 @@ class BloomIndexSpec extends AnyFunSuite {
     assert(after.intersect(before).size.toLong == kept)
     assert(rebuilt == after.size - kept && rebuilt > 0,
       s"rebuilt=$rebuilt should cover exactly the churned files")
+    // the cluster-side anti-join diff picks EXACTLY the churned files:
+    // every rebuilt row is a grp=1 file (the upserted partition), every
+    // grp=0 row was carried — identical sets to the old driver-map diff
+    val rebuiltFiles = after.diff(before).map(_._1)
+    assert(rebuiltFiles.nonEmpty && rebuiltFiles.forall(_.contains("grp=1")),
+      s"rebuilt set must be exactly the churned partition's files: $rebuiltFiles")
     // and the refreshed index serves both old and new keys selectively
     val (r1, o1) = t.lookupKeys(Seq("doc-7"))
     assert(r1.count() == 1 && o1 <= 3)

@@ -28,6 +28,14 @@ class PipelineSpec extends AnyFunSuite {
     }
     assert(dup.getMessage.contains("duplicate"))
     assert(lake.read.count() == 3, "a refused batch must not land")
+    // a single NULL-key row is NOT a duplicate (countDistinct ignores
+    // nulls) — it must be diagnosed as a null key, not as "1 duplicate"
+    val nul = intercept[IllegalArgumentException] {
+      lake.upsert(Seq((null.asInstanceOf[String], 7)).toDF("_id", "v"))
+    }
+    assert(nul.getMessage.contains("NULL"), nul.getMessage)
+    assert(!nul.getMessage.contains("duplicate"))
+    assert(lake.read.count() == 3)
   }
 
   test("LakeTable.replace recovers from every crash point of the swap") {

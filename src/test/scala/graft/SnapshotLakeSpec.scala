@@ -356,4 +356,62 @@ class SnapshotLakeSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(2))).toSeq
     assert(ch == Seq(("a", "update_post"), ("c", "insert")))
   }
+
+  test("a writer committed past as a stale corpse fails loudly instead of returning success") {
+    val dir = tmp()
+    val lake = new SnapshotLake(spark, dir, "_id", claimStaleMs = 100L)
+    lake.overwrite(Seq(("a", 1)).toDF("_id", "v")) // v1
+    // writer A claims v2, then stalls past claimStaleMs with the claim
+    // still torn (empty manifest = claimed but contentless)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val aClaim = new org.apache.hadoop.fs.Path(dir, "_snap/v00000002.manifest")
+    fs.create(aClaim, false).close()
+    Thread.sleep(250)
+    // writer B validates, classifies A's claim as a corpse, and commits
+    // v3 with base=1 — A's version is now pre-shadowed
+    lake.append(Seq(("b", 2)).toDF("_id", "v"))
+    assert(lake.readManifest(3L).exists(_.base == 1L))
+    // A resumes and lands its content: the post-write shadow check must
+    // raise (its change is absent from latest), naming the shadowing
+    // version — NOT return success
+    val lost = intercept[SnapshotConflict] { lake.raiseIfShadowed(2L) }
+    assert(lost.getMessage.contains("v3") && lost.getMessage.contains("shadowed"),
+      lost.getMessage)
+    // the winner itself is not shadowed
+    lake.raiseIfShadowed(3L)
+    // readers stayed consistent throughout: latest is B's state
+    assert(lake.read.count() == 2)
+  }
+
+  test("upsert: a null-key row is diagnosed as a null key, not as a duplicate") {
+    val lake = new SnapshotLake(spark, tmp(), "_id")
+    lake.overwrite(Seq(("a", 1)).toDF("_id", "v"))
+    val nul = intercept[IllegalArgumentException] {
+      lake.upsert(Seq((null.asInstanceOf[String], 9)).toDF("_id", "v"))
+    }
+    assert(nul.getMessage.contains("NULL"), nul.getMessage)
+    assert(!nul.getMessage.contains("duplicate"))
+    val dup = intercept[IllegalArgumentException] {
+      lake.upsert(Seq(("d", 1), ("d", 2)).toDF("_id", "v"))
+    }
+    assert(dup.getMessage.contains("duplicate"), dup.getMessage)
+    assert(lake.latestVersion.contains(1L), "refused batches must not commit")
+  }
+
+  test("Staged.renameOrThrow: a false rename raises instead of reporting success with no live root") {
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val base = Files.createTempDirectory("stagedrn").toString
+    val src = new org.apache.hadoop.fs.Path(base, "staging")
+    val dst = new org.apache.hadoop.fs.Path(base, "dest")
+    fs.create(src, false).close()
+    // a concurrently re-created destination makes rename return FALSE
+    // (no exception) — exactly the silent failure mode the guard catches
+    fs.create(dst, false).close()
+    val ex = intercept[java.io.IOException] {
+      graft.lake.Staged.renameOrThrow(fs, src, dst)
+    }
+    assert(ex.getMessage.contains("rename"), ex.getMessage)
+  }
 }

@@ -78,4 +78,24 @@ class SourcesSpec extends AnyFunSuite {
       .getAs[scala.collection.Seq[String]]("docs")
     assert(m.toSet == Set("d1.pdf", "d2.pdf")) // both landed on the active record
   }
+
+  test("loadOrc: mixed-format lake scan — typed round-trip, pushdown + pruning reach the stripe reader (S1/ORC)") {
+    val src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val dir = Files.createTempDirectory("orcsrc").toString + "/orders"
+    src.write.orc(dir)
+    val back = graft.sources.Sources.loadOrc(spark, dir)
+    // schema (incl. the NTZ timestamp) and every value survive the format hop
+    assert(back.schema == src.schema,
+      s"ORC round-trip changed the schema:\n${back.schema}\nvs\n${src.schema}")
+    assert(back.count() == src.count())
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+    // filter + projection are pushed into the ORC scan, like parquet
+    val plan = back.filter(col("o_orderkey") === 42L).select("o_orderkey", "o_totalprice")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,42)]"), plan)
+    assert(plan.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"), plan)
+    // schema pin skips inference and is enforced
+    val pinned = graft.sources.Sources.loadOrc(spark, dir, Some(src.schema))
+    assert(pinned.schema == src.schema)
+  }
 }

@@ -50,6 +50,28 @@ class VerifyContractSpec extends AnyFunSuite {
     spark.catalog.dropTempView("user_view_sink")
   }
 
+  test("integration tier is exactly the scratch-dir-building queries") {
+    val q = SparkEntry.queries.keySet
+    assert((SparkEntry.integrationQueries -- q).isEmpty,
+      s"integration tier names unknown queries: ${SparkEntry.integrationQueries -- q}")
+    // pin membership against the SOURCE: a query body that creates a
+    // scratch temp dir is a machinery journey and must be tiered as
+    // such, else its fs noise pollutes the pure tier's thresholds
+    val entryRe = """"([a-z0-9_]+)" -> \(\(s, dir\)""".r
+    val scratch = Seq("src/main/scala/graft/CorpusQueries.scala",
+      "src/main/scala/graft/SparkEntry.scala").flatMap { f =>
+      val src = Files.readString(Paths.get(f))
+      val entries = entryRe.findAllMatchIn(src).map(m => (m.start, m.group(1))).toSeq
+      entries.zipWithIndex.collect { case ((pos, name), i)
+        if src.substring(pos,
+          if (i + 1 < entries.size) entries(i + 1)._1 else src.length)
+          .contains("createTempDirectory") => name }
+    }.toSet
+    assert(scratch == SparkEntry.integrationQueries,
+      s"tier drift — missing: ${scratch -- SparkEntry.integrationQueries}, " +
+        s"stale: ${SparkEntry.integrationQueries -- scratch}")
+  }
+
   test("declared queries and oracle entries line up") {
     // every oracle row must have a runnable query; queries without oracle
     // SQL are allowed (weaker rows-only check) but must be rare
