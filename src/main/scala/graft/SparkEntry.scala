@@ -131,8 +131,8 @@ object SparkEntry {
     "dedup_incremental", "ingest_orc_roundtrip", "ntp_repair_report",
     "q_approx_distinct_bound", "q_cdc_consume", "q_distinct_incremental",
     "q_heavy_hitters", "q_hist_median_est", "q_lake_point_lookup",
-    "q_lake_time_travel", "q_snapshot_changes", "q_snapshot_point_lookup",
-    "q_stream_topk", "q_summary_cdc", "q_summary_incremental",
+    "q_lake_time_travel", "q_quantile_sketch_bound", "q_snapshot_changes",
+    "q_snapshot_point_lookup", "q_stream_topk", "q_summary_cdc", "q_summary_incremental",
     "sim_ivf_persisted_topk", "txt_bm25_indexed", "txt_lm_incremental",
     "txt_stats_incremental")
 
@@ -1491,6 +1491,42 @@ object SparkEntry {
       out
     }),
 
+    // the LONG-TAIL distribution member of the incremental tier: per-drop
+    // ε-rank quantile summaries (weighted exact order statistics) merged
+    // across 3 drops; the estimate's TRUE rank must sit within the
+    // summed segment bound of the target rank — a fixed-width histogram
+    // has no such bound on a heavy tail. DuckDB recomputes the exact
+    // side; the flag goes red if the sketch tier ever drifts
+    "q_quantile_sketch_bound" -> ((s, dir) => {
+      import graft.ops.Sketches
+      val orders = t(s, dir, "orders")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_qsk_q").toString
+      val path = tmp + "/qs"
+      val k = 64
+      (0 to 2).foreach { d =>
+        Sketches.landQuantileDrop(
+          orders.filter(pmod(col("o_orderkey"), lit(3)) === d),
+          Seq("o_orderpriority"), col("o_totalprice"), k, path, s"drop$d")
+      }
+      val est = Sketches.serveQuantile(s, path, Seq("o_orderpriority"), 1, 2)
+      // true rank of the estimate vs the target rank, within the summed
+      // segment envelope Σ_seg (ceil(n_seg/(2k)) + 1) <= n/(2k) + 2·S
+      // (S = 3 drops here)
+      val out = orders.join(est, "o_orderpriority")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_exact"),
+          sum(when(col("o_totalprice") <= col("q_est"), 1L).otherwise(0L)).as("__rk"))
+        .select(col("o_orderpriority"), col("n_exact"),
+          (abs(col("__rk") - ((col("n_exact") + 1) / lit(2)).cast("long")) <=
+            col("n_exact") / lit(2 * k) + lit(6)).as("within_rank_bound"))
+        .orderBy(col("o_orderpriority"))
+        .localCheckpoint(true) // the scratch sketches are deleted next
+      new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      out
+    }),
+
     // the FREQUENT-ITEMS member of the incremental tier: per-drop exact
     // top-k segments (SpaceSaving posture — k rows per drop, never the
     // key domain) merge to per-key bounds n_est <= true <= n_hi, and
@@ -1955,6 +1991,10 @@ object SparkEntry {
     "q_approx_distinct_bound" ->
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_exact,
         |       true AS within_2pct
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_quantile_sketch_bound" ->
+      """SELECT o_orderpriority, count(*) AS n_exact, true AS within_rank_bound
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // full from-scratch recompute of the top-k sketch: per-segment

@@ -106,47 +106,75 @@ object Fetch {
         .connectTimeout(java.time.Duration.ofMillis(t))
         .build())
 
-  def httpFetcher(timeoutMs: Long = 10000L, maxRedirects: Int = 30): String => FetchResult = {
-    (url0: String) =>
-      try {
-        val client = clientFor(timeoutMs)
-        var url = url0
-        var redirects = 0
-        var metaHops = 0
-        var out: FetchResult = null
-        while (out == null) {
-          val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
-            .timeout(java.time.Duration.ofMillis(timeoutMs)).GET().build()
-          val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofByteArray())
-          val status = resp.statusCode()
-          val loc = resp.headers().firstValue("Location").orElse(null)
-          if (status >= 300 && status < 400 && loc != null) {
-            redirects += 1
-            if (redirects > maxRedirects) out = FetchResult(url0, Status.Error, "", 0L)
-            else url = java.net.URI.create(url).resolve(loc).toString
-          } else if (status >= 200 && status < 300) {
-            val ct = resp.headers().firstValue("Content-Type").orElse("")
-            val cd = resp.headers().firstValue("Content-Disposition").orElse("")
-            val body = resp.body()
-            val refresh =
-              if (ct.startsWith("text/html") && metaHops == 0)
-                metaRefreshTarget(url, new String(body, java.nio.charset.StandardCharsets.UTF_8))
-              else ""
-            // resolve document-relative targets against the page URL —
-            // same treatment the 3xx branch gives Location headers (an
-            // unresolved "next.pdf" would blow up URI parsing and turn a
-            // successful fetch into Status.Error)
-            if (refresh.nonEmpty) {
-              metaHops = 1
-              url = java.net.URI.create(url).resolve(refresh).toString
-            }
-            else out = FetchResult(url0, Status.Ok, ct, body.length.toLong, cd)
-          } else out = FetchResult(url0, Status.Error, "", 0L)
-        }
-        out
-      } catch {
-        case _: Exception => FetchResult(url0, Status.Error, "", 0L)
+  /** One GET journey (redirect + meta-refresh hops). Returns the result
+    * plus whether a failure is RETRYABLE: transport errors and 5xx are
+    * transient (a retry can succeed); 4xx and the redirect-cap breach
+    * are deterministic — retrying them only re-hammers the server.
+    */
+  private def fetchOnce(url0: String, timeoutMs: Long,
+                        maxRedirects: Int): (FetchResult, Boolean) = {
+    try {
+      val client = clientFor(timeoutMs)
+      var url = url0
+      var redirects = 0
+      var metaHops = 0
+      var out: (FetchResult, Boolean) = null
+      while (out == null) {
+        val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+          .timeout(java.time.Duration.ofMillis(timeoutMs)).GET().build()
+        val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+        val status = resp.statusCode()
+        val loc = resp.headers().firstValue("Location").orElse(null)
+        if (status >= 300 && status < 400 && loc != null) {
+          redirects += 1
+          if (redirects > maxRedirects) out = (FetchResult(url0, Status.Error, "", 0L), false)
+          else url = java.net.URI.create(url).resolve(loc).toString
+        } else if (status >= 200 && status < 300) {
+          val ct = resp.headers().firstValue("Content-Type").orElse("")
+          val cd = resp.headers().firstValue("Content-Disposition").orElse("")
+          val body = resp.body()
+          val refresh =
+            if (ct.startsWith("text/html") && metaHops == 0)
+              metaRefreshTarget(url, new String(body, java.nio.charset.StandardCharsets.UTF_8))
+            else ""
+          // resolve document-relative targets against the page URL —
+          // same treatment the 3xx branch gives Location headers (an
+          // unresolved "next.pdf" would blow up URI parsing and turn a
+          // successful fetch into Status.Error)
+          if (refresh.nonEmpty) {
+            metaHops = 1
+            url = java.net.URI.create(url).resolve(refresh).toString
+          }
+          else out = (FetchResult(url0, Status.Ok, ct, body.length.toLong, cd), false)
+        } else out = (FetchResult(url0, Status.Error, "", 0L), status >= 500)
       }
+      out
+    } catch {
+      case _: Exception => (FetchResult(url0, Status.Error, "", 0L), true)
+    }
+  }
+
+  /** `retries`/`backoffMs`: transient failures (5xx, transport errors)
+    * are re-attempted up to `retries` extra times with exponential
+    * backoff (backoffMs, 2x per attempt) — beyond-reference hardening
+    * (the reference fetch is single-shot). Because fetchAll co-locates
+    * each host in one partition and fetches it sequentially, the backoff
+    * sleep doubles as per-host load-shedding: a struggling server sees
+    * the whole host queue pause, not one URL's. Deterministic failures
+    * (4xx, redirect cap) are never retried.
+    */
+  def httpFetcher(timeoutMs: Long = 10000L, maxRedirects: Int = 30,
+                  retries: Int = 2, backoffMs: Long = 500L): String => FetchResult = {
+    (url0: String) => {
+      var attempt = 0
+      var res: FetchResult = null
+      while (res == null) {
+        val (r, retryable) = fetchOnce(url0, timeoutMs, maxRedirects)
+        if (r.status != Status.Error || !retryable || attempt >= retries) res = r
+        else { Thread.sleep(backoffMs << attempt); attempt += 1 }
+      }
+      res
+    }
   }
 
   /** Host-partitioned, rate-limited fetch. `delayMs` is the per-host

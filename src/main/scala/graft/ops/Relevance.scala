@@ -195,6 +195,20 @@ object Relevance {
       .groupBy(col("prev"), col("cur")).agg(sum(col("c2")).as("c2"))
       .filter(col("c2") =!= 0)
 
+  /** Fold every landed LM segment into one via the shared whole-root
+    * swap — counts are summable so the served model is unchanged, the
+    * segment count resets to 1, and fully-retracted (net-0) transitions
+    * leave the physical table. The same compaction cadence hook as the
+    * [[graft.ops.Sketches]] tiers.
+    */
+  def compactLm(spark: org.apache.spark.sql.SparkSession, path: String,
+                dropId: String = "base"): Unit = {
+    require(dropId.nonEmpty && dropId.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+      s"drop id must be [A-Za-z0-9_-]+: '$dropId'")
+    graft.lake.Staged.swapRoot(spark, path,
+      serveLmCounts(spark, path).localCheckpoint(true), s"seg=$dropId")
+  }
+
   /** Score `docs` against an explicit count table (the serve half of the
     * incremental tier; [[bigramLmScore]] is this with counts built from
     * `docs` itself). Same integer-grid arithmetic, so scoring against

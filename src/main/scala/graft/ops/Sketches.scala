@@ -184,6 +184,126 @@ object Sketches {
       .groupBy(dims.map(col) :+ col("bucket"): _*)
       .agg(sum(col("n")).as("n"))
 
+  // ------------------------- mergeable quantile-summary (ε-rank) tier
+
+  /** One drop's per-group ε-approximate quantile summary — the
+    * LONG-TAIL distribution member of the incremental tier, beside the
+    * fixed-grid histogram: no grid to size, and the error bound is on
+    * RANK, not value, so a heavy tail cannot blow it up the way it
+    * blows up a fixed bucket width.
+    *
+    * A segment stores, per dims group of n rows, the `k` EXACT order
+    * statistics at ranks ceil((2i-1)·n/(2k)) as weighted points whose
+    * integer weights (largest-remainder split) sum to n — a classic
+    * ε = 1/(2k) quantile summary. Summaries MERGE by plain multiset
+    * union of weighted points (the mergeable-summaries result: a union
+    * of ε-summaries is an ε-summary of the union), so serving a
+    * quantile from S landed segments answers within rank error
+    * Σ_seg (ceil(n_seg/(2k)) + 1)  <=  N/(2k) + 2·S
+    * of the true rank. Everything is deterministic (exact order
+    * statistics, fixed tie and weight rules) — specs and oracles pin
+    * the bound as a hard boolean, the q_approx_distinct_bound pattern.
+    *
+    * The per-segment rank pass rides [[Quantiles.histogramCdf]]'s
+    * bucketed prefix sums — full shuffle parallelism on the drop, no
+    * per-group window over raw rows. Serve/compact windows run over the
+    * POINTS frame (k · segments rows per group), never data.
+    */
+  def quantileSegment(drop: DataFrame, dims: Seq[String], value: Column,
+                      k: Int): DataFrame = {
+    require(k >= 1, "quantileSegment: k must be >= 1")
+    requireNoReserved(dims, "quantile", extra = Seq("v", "w"))
+    val keyed = drop.filter(value.isNotNull)
+      .select(groupStruct(dims).as("__qg"), value.as("__qv"))
+    val cdf = Quantiles.histogramCdf(keyed, "__qg", "__qv")
+    summarizePoints(cdf.select(col("__qg"), col("__qv").as("v"),
+      col("c").as("w"), col("cum"), col("prev")), dims, k)
+  }
+
+  private def groupStruct(dims: Seq[String]): Column =
+    if (dims.isEmpty) struct(lit(0).as("__all")) else struct(dims.map(col): _*)
+
+  /** k weighted points from a weighted CDF (__qg, v, w, cum, prev).
+    * The rank axis [0, n] splits into k spans at boundaries
+    * b_i = floor(i·n/k); point i = the exact value at the MIDPOINT rank
+    * of span (b_{i-1}, b_i], weight = the span width b_i - b_{i-1}. The
+    * summary's cumulative weight after point i is exactly b_i, so its
+    * CDF deviates from the true CDF by at most half the widest span —
+    * ceil(n/(2k)) + 1. (A largest-remainder split by INDEX is wrong:
+    * weights drift from the rank spacing and the deviation grows to
+    * O(n·|n/k - round(n/k)|) — caught by the sf0.001 oracle probe.)
+    * Shared by the segment builder (exact per-drop CDF) and compaction
+    * (merged points CDF).
+    */
+  private def summarizePoints(cdf: DataFrame, dims: Seq[String], k: Int): DataFrame = {
+    // effective k = min(k, n): a group smaller than k keeps EVERY value
+    // with its true multiplicity (the summary degenerates to the exact
+    // data) — empty spans would otherwise produce zero-weight points
+    val tot = cdf.groupBy(col("__qg")).agg(sum(col("w")).as("__n"))
+    val targets = tot.select(col("__qg").as("__qg2"), col("__n"),
+        explode(sequence(lit(1), lit(k))).as("__i"))
+      .withColumn("__k", least(lit(k.toLong), col("__n")))
+      .filter(col("__i") <= col("__k"))
+      .withColumn("__b", expr("(__i * __n) div __k"))
+      .withColumn("__bp", expr("((__i - 1) * __n) div __k"))
+      .withColumn("__w", col("__b") - col("__bp"))
+      .withColumn("__r", expr("(__bp + __b + 2) div 2"))
+    val named = dims.map(d => col("__qg").getField(d).as(d))
+    cdf.join(targets,
+        col("__qg") === col("__qg2") && col("prev") < col("__r") && col("__r") <= col("cum"))
+      .select(named :+ col("v") :+ col("__w").as("w"): _*)
+  }
+
+  def landQuantileDrop(drop: DataFrame, dims: Seq[String], value: Column,
+                       k: Int, path: String, dropId: String): Long = {
+    val spark = drop.sparkSession
+    Staged.land(spark, segDir(path, dropId), quantileSegment(drop, dims, value, k))
+    spark.read.parquet(segDir(path, dropId)).count()
+  }
+
+  /** num/den-quantile estimate per dims from the merged summaries (e.g.
+    * 1/2 = median): the value at weighted rank ceil(N·num/den). True
+    * rank of the answer is within the summed segment bound (class doc).
+    */
+  def serveQuantile(spark: SparkSession, path: String, dims: Seq[String],
+                    num: Int, den: Int): DataFrame = {
+    require(num >= 1 && num < den, "quantile must be in (0, 1): num/den")
+    val merged = spark.read.parquet(path)
+      .groupBy(dims.map(col) :+ col("v"): _*).agg(sum(col("w")).as("w"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(dims.map(col): _*).orderBy(col("v"))
+    val cum = merged.withColumn("__cw", sum(col("w")).over(win))
+    val tot = merged.groupBy(dims.map(col): _*).agg(sum(col("w")).as("__qn"))
+    val joined =
+      if (dims.isEmpty) cum.crossJoin(broadcast(tot))
+      else cum.join(broadcast(tot), dims)
+    joined
+      .withColumn("__t", expr(s"(__qn * $num + ${den - 1}) div $den"))
+      .filter(col("__cw") - col("w") < col("__t") && col("__t") <= col("__cw"))
+      .select(dims.map(col) :+ col("v").as("q_est"): _*)
+  }
+
+  /** Fold all quantile segments into one k-point summary. Each fold
+    * re-summarizes the merged points, so it ADDS one ε of rank error —
+    * the bound after a fold is the folded summary's ceil(N/(2k)) + 1
+    * plus whatever the pre-fold segments carried. Cadence trade like
+    * every compaction: bounded artifact count vs a bounded, documented
+    * error increment.
+    */
+  def compactQuantile(spark: SparkSession, path: String, dims: Seq[String],
+                      k: Int, dropId: String = "base"): Unit = {
+    val merged = spark.read.parquet(path)
+      .groupBy(dims.map(col) :+ col("v"): _*).agg(sum(col("w")).as("w"))
+      .withColumn("__qg", groupStruct(dims))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__qg")).orderBy(col("v"))
+    val cdf = merged.withColumn("cum", sum(col("w")).over(win))
+      .withColumn("prev", col("cum") - col("w"))
+      .select(col("__qg"), col("v"), col("w"), col("cum"), col("prev"))
+    Staged.swapRoot(spark, path,
+      summarizePoints(cdf, dims, k).localCheckpoint(true), segName(dropId))
+  }
+
   // ------------------------------------------- heavy-hitters (top-k) tier
 
   /** One drop's per-dims top-`k` key counts — the FREQUENT-ITEMS member

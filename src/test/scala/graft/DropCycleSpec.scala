@@ -139,6 +139,96 @@ class DropCycleSpec extends AnyFunSuite {
     assert(stateAfter == state.toSeq, "lake rows unchanged by the rerun")
   }
 
+  test("25-drop soak: artifact counts stay bounded under the compaction cadence, serve stays flat") {
+    val root = Files.createTempDirectory("dropsoak").toString
+    val lake = new SnapshotLake(spark, root + "/lake", "_id")
+    val spec = MaterializedAgg.Spec(Seq("grp"),
+      sums = Seq("chars" -> length(col("text")).cast("long")))
+    val conf = DropCycle.Config(
+      textCol = Some("text"),
+      bandIdxPath = Some(root + "/bandidx"),
+      summary = Some((spec, root + "/summary")),
+      hll = Some((Seq("grp"), "_id", root + "/hll")),
+      topk = Some((Nil, "grp", 8, root + "/topk")),
+      lmPath = Some(root + "/lm"))
+    def segCount(p: String): Int = {
+      val d = new java.io.File(p)
+      if (!d.exists) 0
+      else d.listFiles().count(f => f.isDirectory && f.getName.startsWith("seg="))
+    }
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
+    def text(i: Int, v: Int): String =
+      (0 until 6).map(j => words((i * 7 + j * 3 + v) % words.length)).mkString(" ")
+    def serveAll(): Double = {
+      val t0 = System.nanoTime()
+      MaterializedAgg.serve(spark, root + "/summary", spec).count()
+      graft.ops.Relevance.serveLmCounts(spark, root + "/lm").count()
+      Sketches.serveHllEstimate(spark, root + "/hll", Seq("grp")).count()
+      Sketches.serveTopK(spark, root + "/topk", Nil, "grp").count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    var serveMid = 0.0
+    var serveEnd = 0.0
+    (1 to 25).foreach { d =>
+      // each drop: 3 rotating updates + 1 new doc — sustained churn
+      val rows = (0 until 3).map { j =>
+        val id = (d + j * 5) % 20
+        (id.toLong, text(id, d), (id % 3).toLong)
+      } :+ (((100 + d).toLong, text(100 + d, 0), (d % 3).toLong))
+      DropCycle.run(lake, docs(rows: _*), conf)
+      if (d % 5 == 0) { // the compaction cadence: every 5th drop
+        MaterializedAgg.compact(spark, root + "/summary", spec, s"fold$d")
+        Sketches.compactHll(spark, root + "/hll", Seq("grp"), s"fold$d")
+        Sketches.compactTopK(spark, root + "/topk", Nil, "grp", 8, s"fold$d")
+        graft.ops.Relevance.compactLm(spark, root + "/lm", s"fold$d")
+        lake.compact()
+        lake.vacuum(retainVersions = 2)
+      }
+      if (d == 5) serveMid = serveAll()
+      if (d == 25) serveEnd = serveAll()
+    }
+    // BOUNDED ARTIFACTS: at most the folded segment + one cadence window
+    for (tier <- Seq("/summary", "/hll", "/topk", "/lm"))
+      assert(segCount(root + tier) <= 6,
+        s"$tier grew to ${segCount(root + tier)} segments despite the cadence")
+    // lake: vacuum bounds retained versions, compact bounds file count
+    assert(lake.history().count() <= 4L,
+      s"versions unbounded: ${lake.history().collect().map(_.getLong(0)).toSeq}")
+    val files = lake.readManifest(lake.latestVersion.get).get.files.size
+    assert(files <= 8, s"live file count unbounded after compaction: $files")
+    // bloom sidecar sheds vacuumed versions' rows on the next refresh
+    graft.lake.BloomIndex.refreshSnapshot(lake, "_id")
+    val idxRows = spark.read.parquet(root + "/lake/_bloomidx").count()
+    assert(idxRows <= 32L, s"bloom index rows unbounded: $idxRows")
+
+    // SERVED TRUTH unchanged by 5 fold cycles: summary == one-shot,
+    // LM == from-scratch retrain, HLL within tolerance of exact
+    val served = MaterializedAgg.serve(spark, root + "/summary", spec)
+      .orderBy("grp").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val oneShot = lake.read.groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(length(col("text")).cast("long")).as("chars"))
+      .orderBy("grp").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(served == oneShot)
+    val servedLm = graft.ops.Relevance.serveLmCounts(spark, root + "/lm")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val scratchLm = graft.ops.Relevance.bigramCountSegment(lake.read, "_id", "text")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(servedLm == scratchLm && servedLm.nonEmpty)
+    val exactDistinct = lake.read.groupBy("grp").agg(countDistinct(col("_id")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Sketches.serveHllEstimate(spark, root + "/hll", Seq("grp")).collect().foreach { r =>
+      val (g, est) = (r.getLong(0), r.getLong(1))
+      assert(math.abs(est - exactDistinct(g)).toDouble <= 0.1 * exactDistinct(g) + 2,
+        s"grp $g HLL estimate $est vs exact ${exactDistinct(g)}")
+    }
+    // SERVE LATENCY FLAT: 20 further drops must not grow the serve cost
+    // (segment counts are the mechanism; this is the observable). Bound
+    // is deliberately loose — it catches unbounded growth, not jitter.
+    info(f"serve at drop 5: $serveMid%.2f s, at drop 25: $serveEnd%.2f s")
+    assert(serveEnd <= 5.0 * math.max(serveMid, 0.2),
+      f"serve latency grew $serveMid%.2f s -> $serveEnd%.2f s across the soak")
+  }
+
   test("cli drop runs a cycle end-to-end") {
     val root = Files.createTempDirectory("dropcli").toString
     docs((1L, "alpha beta gamma", 0L), (2L, "delta epsilon zeta", 1L))

@@ -83,6 +83,45 @@ class FetchSpec extends AnyFunSuite {
     }
   }
 
+  test("httpFetcher retry budget: 5xx backs off and recovers, 4xx never retried, budget exhaustion errors") {
+    withServer { (server, base) =>
+      // flaky endpoint: 503 twice, then 200
+      val flakyHits = new java.util.concurrent.atomic.AtomicInteger(0)
+      server.createContext("/flaky.pdf", (ex: HttpExchange) => {
+        if (flakyHits.incrementAndGet() <= 2) ex.sendResponseHeaders(503, -1)
+        else {
+          ex.getResponseHeaders.set("Content-Type", "application/pdf")
+          ex.sendResponseHeaders(200, 2L); ex.getResponseBody.write("OK".getBytes)
+        }
+        ex.close()
+      })
+      // hard-down endpoint: always 500
+      val downHits = new java.util.concurrent.atomic.AtomicInteger(0)
+      server.createContext("/down.pdf", (ex: HttpExchange) => {
+        downHits.incrementAndGet(); ex.sendResponseHeaders(500, -1); ex.close()
+      })
+      val goneHits = new java.util.concurrent.atomic.AtomicInteger(0)
+      server.createContext("/gone2.pdf", (ex: HttpExchange) => {
+        goneHits.incrementAndGet(); ex.sendResponseHeaders(404, -1); ex.close()
+      })
+
+      val f = Fetch.httpFetcher(5000L, 30, retries = 3, backoffMs = 1L)
+      // transient 503s are absorbed by the budget
+      assert(f(s"$base/flaky.pdf").status == Fetch.Status.Ok)
+      assert(flakyHits.get() == 3, s"expected 2 failures + 1 success, saw ${flakyHits.get()} hits")
+      // budget exhaustion: retries+1 total attempts, then Error-as-data
+      assert(f(s"$base/down.pdf").status == Fetch.Status.Error)
+      assert(downHits.get() == 4, s"budget is retries+1 attempts, saw ${downHits.get()}")
+      // 4xx is deterministic — exactly one attempt, no server re-hammering
+      assert(f(s"$base/gone2.pdf").status == Fetch.Status.Error)
+      assert(goneHits.get() == 1, s"4xx must not be retried, saw ${goneHits.get()} hits")
+      // single-shot config (retries = 0) keeps the reference's behavior
+      val single = Fetch.httpFetcher(5000L, 30, retries = 0)
+      downHits.set(0)
+      assert(single(s"$base/down.pdf").status == Fetch.Status.Error && downHits.get() == 1)
+    }
+  }
+
   test("fetchAll drives the real fetcher end-to-end with sniff + acceptance") {
     withServer { (_, base) =>
       val urls = Seq(s"$base/doc.pdf", s"$base/cd.bin", s"$base/gone").toDF("url")

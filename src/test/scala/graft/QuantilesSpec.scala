@@ -61,4 +61,56 @@ class QuantilesSpec extends AnyFunSuite {
         s"window at plan line $i has no aggregate below it:\n$plan")
     }
   }
+
+  test("quantile-summary tier: exact at k>=n, merged rank error within the pinned bound on a long tail") {
+    import graft.ops.Sketches
+    val root = java.nio.file.Files.createTempDirectory("qsketch").toString
+    // long-tailed values: cubes — a fixed-width histogram's bucket-width
+    // error explodes here, the rank sketch must not care
+    val n = 3000
+    val rows = (1 to n).map(i => (if (i % 2 == 0) "a" else "b", i.toLong * i * i))
+    val df = rows.toDF("grp", "x")
+    val k = 32
+    // three drops land thirds of the data
+    (0 until 3).foreach { d =>
+      Sketches.landQuantileDrop(df.filter(col("x") % 3 === d), Seq("grp"), col("x"),
+        k, root + "/q", s"drop$d")
+    }
+    // exact per-group CDF for rank checking
+    def trueRank(grp: String, v: Long): Long =
+      rows.count(r => r._1 == grp && r._2 <= v).toLong
+    val nGrp = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    // per the class doc: total rank error <= sum over segments of
+    // (ceil(n_seg/(2k)) + 1); with 3 drops that is <= N/(2k) + 6 per group
+    def bound(g: String) = nGrp(g) / (2 * k) + 6
+    for ((num, den) <- Seq((1, 2), (1, 4), (9, 10))) {
+      val est = Sketches.serveQuantile(spark, root + "/q", Seq("grp"), num, den)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      for (g <- Seq("a", "b")) {
+        val target = (nGrp(g) * num + den - 1) / den
+        val err = math.abs(trueRank(g, est(g)) - target)
+        assert(err <= bound(g),
+          s"$num/$den quantile of $g: rank error $err > bound ${bound(g)}")
+      }
+    }
+    // compaction folds to k points per group, serve stays in (grown) bound
+    Sketches.compactQuantile(spark, root + "/q", Seq("grp"), k)
+    val segs = new java.io.File(root + "/q").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("seg="))
+    assert(segs == 1)
+    val estC = Sketches.serveQuantile(spark, root + "/q", Seq("grp"), 1, 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (g <- Seq("a", "b")) {
+      val target = (nGrp(g) + 1) / 2
+      assert(math.abs(trueRank(g, estC(g)) - target) <= 2 * bound(g),
+        s"post-compaction median of $g out of the doubled bound")
+    }
+
+    // k >= n: the summary IS the data — the served median is exact
+    val tiny = Seq(("t", 10L), ("t", 20L), ("t", 30L), ("t", 40L), ("t", 50L)).toDF("grp", "x")
+    Sketches.landQuantileDrop(tiny, Seq("grp"), col("x"), 16, root + "/exact", "d0")
+    val m = Sketches.serveQuantile(spark, root + "/exact", Seq("grp"), 1, 2)
+      .collect().head.getLong(1)
+    assert(m == 30L, s"k>=n must serve the exact median, got $m")
+  }
 }

@@ -414,4 +414,57 @@ class SnapshotLakeSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("rename"), ex.getMessage)
   }
+
+  test("marker-commit landing never serves a torn artifact under copy-then-crash (object-store posture)") {
+    import graft.lake.Staged
+    import org.apache.hadoop.fs.Path
+    val base = Files.createTempDirectory("stagedmark").toString
+    val path = base + "/idx"
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    Staged.landMarked(spark, path, Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    val g1 = Staged.resolveMarked(spark, path).get
+    assert(spark.read.parquet(g1).count() == 2)
+
+    Staged.landMarked(spark, path, Seq((3, "c")).toDF("k", "v"))
+    val g2 = Staged.resolveMarked(spark, path).get
+    assert(g2 != g1 && spark.read.parquet(g2).count() == 1)
+    // one cycle of reader grace: the previous gen survives this land
+    assert(fs.exists(new Path(g1)))
+
+    // CRASH SIM 1 — a copy+delete "rename" died mid-copy: a newer
+    // generation dir exists with partial parquet bytes and no _SUCCESS,
+    // and the marker was never updated. Readers must keep serving g2.
+    val torn = new Path(base + "/idx.g000099")
+    fs.mkdirs(torn)
+    val part = fs.listStatus(new Path(g2))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    // half-copied: truncated bytes of a real part file
+    val in = fs.open(part)
+    val bytes = new Array[Byte](16); in.readFully(bytes); in.close()
+    val out = fs.create(new Path(torn, part.getName), true)
+    out.write(bytes); out.close()
+    assert(Staged.resolveMarked(spark, path).contains(g2),
+      "a _SUCCESS-less generation must never be served")
+
+    // CRASH SIM 2 — the marker PUT itself died half-written (no
+    // terminator): readers fall back to the newest COMPLETE generation.
+    val marker = new Path(base + "/idx.current")
+    val mo = fs.create(marker, true); mo.write("99\n".getBytes); mo.close()
+    assert(Staged.resolveMarked(spark, path).contains(g2),
+      "a torn marker must degrade to the complete-gen scan, not serve gen 99")
+
+    // CRASH SIM 3 — marker lost entirely: same fallback.
+    fs.delete(marker, false)
+    assert(Staged.resolveMarked(spark, path).contains(g2))
+
+    // recovery: the next land re-establishes the marker and prunes
+    // everything older than the previously-live gen (the torn orphan
+    // sorts above and is named by nothing, so it stays inert until a
+    // later cycle; correctness never depends on pruning)
+    Staged.landMarked(spark, path, Seq((4, "d"), (5, "e")).toDF("k", "v"))
+    val g3 = Staged.resolveMarked(spark, path).get
+    assert(spark.read.parquet(g3).count() == 2)
+    assert(!fs.exists(new Path(g1)), "gens older than the previous live gen are pruned")
+  }
 }
