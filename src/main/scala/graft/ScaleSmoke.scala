@@ -1,0 +1,186 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale smoke (round-12 verdict #2): run the three heaviest maintained
+  * pipelines — the flagship versioned ingest, the persisted MinHash band
+  * index, and the persisted IVF-SQ8 index — at ~sf1 (a `factor`×
+  * synthetic inflation of an sf0.1 testdata dir, ≈1.5M orders ≈ TPC-H
+  * sf1) and record per-phase wall time, shuffle read/write bytes and
+  * spill. sf0.1 is too small to surface skew or spill; the 100×-scale
+  * claims should rest on at least one order-of-magnitude extrapolation
+  * measured, not argued from plans alone.
+  *
+  * Inflation is key-shifted union: copy i shifts every key by
+  * i·KeySpan, shifts `o_orderdate` by i days (so versions are distinct,
+  * not pure re-deliveries), and suffixes document text with the copy
+  * tag (near-dups across copies — the minhash path sees realistic
+  * candidate pressure, not degenerate exact clones). Embeddings carry
+  * verbatim under shifted ids (duplicate vectors are the realistic
+  * dedup case and stress shared IVF cells).
+  *
+  * Usage: `runMain graft.ScaleSmoke [baseSfDir] [factor] [outFile]`.
+  * Prints one JSON line per phase and the aggregate; also lands the
+  * aggregate at `outFile` (default SCALE_SMOKE.json).
+  */
+object ScaleSmoke {
+
+  private class MetricsListener extends SparkListener {
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong(0L)
+    val shufRead = new java.util.concurrent.atomic.AtomicLong(0L)
+    val memSpill = new java.util.concurrent.atomic.AtomicLong(0L)
+    val diskSpill = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        memSpill.addAndGet(m.memoryBytesSpilled)
+        diskSpill.addAndGet(m.diskBytesSpilled)
+      }
+    }
+    def snapshot: (Long, Long, Long, Long) =
+      (shufWrite.get, shufRead.get, memSpill.get, diskSpill.get)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val outFile = args.lift(2).getOrElse("SCALE_SMOKE.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.max(4, Runtime.getRuntime.availableProcessors()).toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val listener = new MetricsListener
+    spark.sparkContext.addSparkListener(listener)
+
+    val work = java.nio.file.Files.createTempDirectory("graft_scale").toString
+    val phases = scala.collection.mutable.ArrayBuffer[(String, Double, Long, Long, Long, Long, Long)]()
+    def phase(name: String)(body: => Long): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
+      val (w0, r0, m0, d0) = listener.snapshot
+      val t0 = System.nanoTime()
+      val rows = body
+      val dt = (System.nanoTime() - t0) / 1e9
+      val (w1, r1, m1, d1) = listener.snapshot
+      phases += ((name, dt, rows, w1 - w0, r1 - r0, m1 - m0, d1 - d0))
+      println(f"[scale-smoke] $name%-28s ${dt}%8.1f s  rows=$rows%10d  " +
+        f"shufW=${(w1 - w0) / 1e6}%9.1f MB  shufR=${(r1 - r0) / 1e6}%9.1f MB  " +
+        f"spillMem=${(m1 - m0) / 1e6}%7.1f MB  spillDisk=${(d1 - d0) / 1e6}%7.1f MB")
+    }
+
+    // ---------------------------------------------------------- inflate
+    val keySpan = 100000000L // copies never collide: above any sf0.1 key
+    phase("inflate-inputs") {
+      val orders = spark.read.parquet(s"$baseDir/orders.parquet")
+      val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+      val embs = spark.read.parquet(s"$baseDir/embeddings.parquet")
+      def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =
+        (0 until factor).map(i => shift(df, i)).reduce(_ unionByName _)
+      copies(orders) { (df, i) =>
+        df.withColumn("o_orderkey", col("o_orderkey") + lit(i * keySpan))
+          .withColumn("o_orderdate", col("o_orderdate") + expr(s"INTERVAL $i DAYS"))
+      }.write.mode("overwrite").parquet(s"$work/orders.parquet")
+      copies(docs) { (df, i) =>
+        df.withColumn("doc_id", col("doc_id") + lit(i * keySpan))
+          .withColumn("text",
+            if (i == 0) col("text") else concat(col("text"), lit(s" copytag$i")))
+      }.write.mode("overwrite").parquet(s"$work/documents.parquet")
+      copies(embs) { (df, i) =>
+        df.withColumn("vec_id", col("vec_id") + lit(i * keySpan))
+      }.write.mode("overwrite").parquet(s"$work/embeddings.parquet")
+      spark.read.parquet(s"$work/orders.parquet").count()
+    }
+
+    // --------------------------------------------- flagship ingest (K1)
+    // versions-shaped drop from the inflated orders; bulk load, then a
+    // 10%-churn second drop — the per-drop cost is the 100 TB question
+    val codes = Map("id" -> "id", "updated" -> "updated",
+      "status" -> "status", "totalprice" -> "totalprice")
+    def versionsDrop(filter: org.apache.spark.sql.Column): DataFrame =
+      spark.read.parquet(s"$work/orders.parquet").filter(filter)
+        .select(concat(lit("url/"), col("o_custkey")).as("id"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("updated"),
+          col("o_orderstatus").as("status"),
+          col("o_totalprice").cast("string").as("totalprice"))
+    val lake = new graft.lake.LakeTable(spark, s"$work/lake", "_id",
+      graft.pipeline.IngestJob.LakePartitionCols, nBuckets = 64)
+    phase("ingest-bulk-90pct") {
+      graft.pipeline.IngestJob.run(spark, lake,
+        versionsDrop(pmod(col("o_orderkey"), lit(10)) =!= 9), codes, "id", "updated", 0)
+      lake.read.count()
+    }
+    phase("ingest-drop-10pct") {
+      graft.pipeline.IngestJob.run(spark, lake,
+        versionsDrop(pmod(col("o_orderkey"), lit(10)) === 9), codes, "id", "updated", 0)
+      lake.read.count()
+    }
+
+    // ------------------------------------- persisted MinHash band index
+    val docsAll = spark.read.parquet(s"$work/documents.parquet")
+    phase("dedup-index-build-90pct") {
+      graft.ops.DedupIndex.build(
+        docsAll.filter(pmod(col("doc_id"), lit(10)) =!= 9), "doc_id", "text", s"$work/bandidx")
+    }
+    phase("dedup-index-refresh-10pct") {
+      val (kept, signed) = graft.ops.DedupIndex.refresh(
+        docsAll, "doc_id", "text", s"$work/bandidx")
+      require(signed > 0 && signed.toDouble / (kept + signed) < 0.2,
+        s"refresh must be churn-proportional: kept=$kept signed=$signed")
+      signed
+    }
+    phase("dedup-candidate-pairs") {
+      graft.ops.DedupIndex.candidatePairs(spark, s"$work/bandidx").count()
+    }
+
+    // --------------------------------------- persisted IVF-SQ8 index
+    val embsAll = spark.read.parquet(s"$work/embeddings.parquet")
+    phase("sim-index-build-90pct") {
+      graft.ops.SimilarityIndex.build(
+        embsAll.filter(pmod(col("vec_id"), lit(10)) =!= 9),
+        "vec_id", "embedding", s"$work/ivfidx", nList = 128)
+      spark.read.parquet(s"$work/ivfidx/lists").count()
+    }
+    phase("sim-index-refresh-10pct") {
+      val (kept, refreshed) = graft.ops.SimilarityIndex.refresh(
+        embsAll, "vec_id", "embedding", s"$work/ivfidx")
+      require(refreshed > 0 && refreshed.toDouble / (kept + refreshed) < 0.2,
+        s"refresh must be churn-proportional: kept=$kept refreshed=$refreshed")
+      refreshed
+    }
+    phase("sim-indexed-topk-500q") {
+      graft.ops.SimilarityIndex.topKInt8(embsAll,
+        embsAll.filter(pmod(col("vec_id"), lit(1000)) === 0),
+        "vec_id", "embedding", s"$work/ivfidx", 10, 8).count()
+    }
+
+    // distributed k-means trainer at scale-proportional nList
+    phase("kmeans-trainer-nlist128") {
+      graft.ops.Similarity.ivfCentroidsKMeans(embsAll, "vec_id", "embedding",
+        nList = 128, iters = 3).size.toLong
+    }
+
+    val json = phases.map { case (n, dt, rows, w, r, m, d) =>
+      s"""{"phase":"$n","sec":$dt,"rows":$rows,"shuffle_write_b":$w,"shuffle_read_b":$r,"spill_mem_b":$m,"spill_disk_b":$d}"""
+    }.mkString("[", ",", "]")
+    val line = s"""{"metric":"scale_smoke","base":"$baseDir","factor":$factor,"phases":$json}"""
+    println(line)
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    new org.apache.hadoop.fs.Path(work)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(work), true)
+    spark.stop()
+  }
+}

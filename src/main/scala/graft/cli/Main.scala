@@ -336,7 +336,9 @@ object Main {
       // with --dims/--sums/--summary-path; HLL with --hll-path;
       // frequent-items with --topk-path [--topk-key --topk-k]; the
       // retractable bigram-LM counts with --lm-path + --text-col; the
-      // BM25 posting-list index with --postings-path + --text-col)
+      // BM25 posting-list index with --postings-path + --text-col; the
+      // ε-rank quantile summaries with --quantile-path +
+      // --quantile-value [--quantile-k])
       import graft.lake.MaterializedAgg
       val lake = new graft.lake.SnapshotLake(spark,
         arg(args, "--lake").get, arg(args, "--key").getOrElse("_id"))
@@ -361,7 +363,13 @@ object Main {
           (Nil, arg(args, "--topk-key").getOrElse(arg(args, "--key").getOrElse("_id")),
             arg(args, "--topk-k").map(_.toInt).getOrElse(64), p)),
         lmPath = arg(args, "--lm-path"),
-        postingsPath = arg(args, "--postings-path"))
+        postingsPath = arg(args, "--postings-path"),
+        // ε-rank quantile summaries: --quantile-path + --quantile-value
+        // [--dims --quantile-k]; event-stream semantics (Config.quantile)
+        quantile = for {
+          p <- arg(args, "--quantile-path"); v <- arg(args, "--quantile-value")
+        } yield (arg(args, "--dims").map(_.split(",").toSeq).getOrElse(Nil),
+          v, arg(args, "--quantile-k").map(_.toInt).getOrElse(64), p))
       val report = graft.pipeline.DropCycle.run(lake, dropDf, conf)
       // embeddings-side maintenance rides the same command when the drop
       // ships re-embedded vectors: --emb-in + --emb-index-path

@@ -162,7 +162,10 @@ object Staged {
     val dest = new org.apache.hadoop.fs.Path(path)
     require(dest.getParent != null, s"cannot marker-land at a filesystem root: $path")
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val prev = markerGen(fs, dest)
+    // the gen live BEFORE this land — via marker, or (marker torn/lost)
+    // the same complete-gen fallback readers resolve through, so the
+    // one-cycle reader grace survives marker-loss recovery too
+    val prev = markerGen(fs, dest).orElse(completeGens(fs, dest).lastOption)
     val g = (listGens(fs, dest) :+ 0L).max + 1
     val gen = genPath(dest, g)
     df.write.parquet(gen.toString) // immutable once complete; _SUCCESS is the witness

@@ -207,7 +207,10 @@ object Sketches {
     * The per-segment rank pass rides [[Quantiles.histogramCdf]]'s
     * bucketed prefix sums — full shuffle parallelism on the drop, no
     * per-group window over raw rows. Serve/compact windows run over the
-    * POINTS frame (k · segments rows per group), never data.
+    * POINTS frame (k · segments rows per group), never data. Like the
+    * histogram grid's (lo, width, nBuckets), `k` defines the sketch:
+    * keep it identical across a path's segments (a smaller-k segment
+    * would silently widen the path's error envelope).
     */
   def quantileSegment(drop: DataFrame, dims: Seq[String], value: Column,
                       k: Int): DataFrame = {

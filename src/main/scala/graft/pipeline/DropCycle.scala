@@ -50,7 +50,13 @@ object DropCycle {
     summary: Option[(MaterializedAgg.Spec, String)] = None,
     hll: Option[(Seq[String], String, String)] = None, // (dims, key, path)
     topk: Option[(Seq[String], String, Int, String)] = None, // (dims, key, k, path)
-    lmPath: Option[String] = None)        // step 6: bigram-LM count segments
+    lmPath: Option[String] = None,        // step 6: bigram-LM count segments
+    // step 7: ε-rank quantile summaries (dims, value col, k, path).
+    // Event-stream semantics like the top-k tier: segments summarize the
+    // interval's inserted/updated rows — deletes/pre-images don't
+    // retract (a summary point is not a signed count); rebuild the path
+    // for current-state quantiles after purges.
+    quantile: Option[(Seq[String], String, Int, String)] = None)
 
   /** Run one cycle; returns tier -> (carried, refreshed). */
   def run(lake: SnapshotLake, drop: DataFrame, conf: Config): Map[String, (Long, Long)] = {
@@ -101,6 +107,20 @@ object DropCycle {
         case None => lake.readAt(after)
       }
       report("topk") = (0L, Sketches.landTopKDrop(src, dims, key, k, path, s"v$after"))
+    }
+    // quantile summaries ride the same interval feed as top-k: the
+    // distribution of ARRIVING rows (insert/update_post), per-drop
+    // segments merged at serve; see Config.quantile for the
+    // non-retractability note
+    conf.quantile.foreach { case (dims, valueCol, k, path) =>
+      val src = before match {
+        case Some(v0) => lake.changesBetween(v0, after)
+          .filter(org.apache.spark.sql.functions.col("change_type")
+            .isin("insert", "update_post"))
+        case None => lake.readAt(after)
+      }
+      report("quantile") = (0L, Sketches.landQuantileDrop(src, dims,
+        org.apache.spark.sql.functions.col(valueCol), k, path, s"v$after"))
     }
     // bigram-LM counts retract through the pre-image change feed — the
     // merged model always equals a from-scratch retrain over the

@@ -243,10 +243,25 @@ class DropCycleSpec extends AnyFunSuite {
         "--dims", "grp", "--sums", "chars=n_chars", "--summary-path", root + "/sum",
         "--hll-path", root + "/hll",
         "--topk-path", root + "/topk", "--topk-key", "grp", "--topk-k", "8",
-        "--lm-path", root + "/lm"))
+        "--lm-path", root + "/lm",
+        "--quantile-path", root + "/qs", "--quantile-value", "n_chars"))
     }
     val lake = new SnapshotLake(spark, root + "/lake", "_id")
     assert(lake.latestVersion.contains(2L))
+    // quantile tier landed one segment per drop; with k >= arrived rows
+    // the summary is exact: the served median of the ARRIVED row stream
+    // (grp-dim from --dims) equals a direct recompute over those rows
+    val qSegs = new java.io.File(root + "/qs").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("seg="))
+    assert(qSegs == 2, s"one quantile segment per drop, got $qSegs")
+    val qServe = Sketches.serveQuantile(spark, root + "/qs", Seq("grp"), 1, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // arrived rows: drop1's 2 + drop2's update of id 2 + insert of id 3
+    val arrived = Seq((0L, 16L), (1L, 18L), (1L, 17L), (0L, 16L)) // (grp, n_chars)
+    val expect = arrived.groupBy(_._1).view.mapValues { vs =>
+      val s = vs.map(_._2).sorted; s((s.size - 1) / 2)
+    }.toMap
+    assert(qServe == expect, s"quantile serve $qServe != exact $expect")
     // new tiers landed through the CLI flags and converge like the direct API
     val topkCli = Sketches.serveTopK(spark, root + "/topk", Nil, "grp")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
