@@ -60,6 +60,17 @@ object ScaleSmoke {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, baseDir, factor, outFile)
+    spark.stop()
+  }
+
+  /** The smoke body, callable under an existing session (spec-driven at
+    * sf0.001 so the runner and its churn-proportionality asserts cannot
+    * rot). Returns the per-phase (name, sec, rows, shufW, shufR,
+    * spillMem, spillDisk) tuples.
+    */
+  def run(spark: SparkSession, baseDir: String, factor: Int,
+          outFile: String): Seq[(String, Double, Long, Long, Long, Long, Long)] = {
     val listener = new MetricsListener
     spark.sparkContext.addSparkListener(listener)
 
@@ -181,6 +192,7 @@ object ScaleSmoke {
     new org.apache.hadoop.fs.Path(work)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(work), true)
-    spark.stop()
+    spark.sparkContext.removeSparkListener(listener)
+    phases.toSeq
   }
 }

@@ -291,9 +291,17 @@ object Similarity {
     val init = initRows.map(_.getSeq[Float](0).toArray.map(_.toDouble))
     var cents: IndexedSeq[Array[Double]] =
       IndexedSeq.tabulate(nList)(i => init(i % init.length))
-    // the Lloyd passes are order-independent: repartition wide + cache
+    // the Lloyd passes are order-independent: repartition wide + cache.
+    // Width follows the SAMPLE (≥1k rows per task, capped at the
+    // cluster's parallelism): a codebook-sized sample on a 32-core
+    // session would otherwise pay 32 near-empty tasks per stage per
+    // iteration, while the 8·nList sample at nList ~ 1e6 still fans out
+    // to every core. Partitioning never affects the result (decimal
+    // sums are order-independent).
+    val nPart = math.max(1, math.min(spark.sparkContext.defaultParallelism,
+      (nList.toLong * sampleFactor / 1000L).toInt))
     val wide = sample.select(col("__id"), col("__v"))
-      .repartition(col("__id"))
+      .repartition(nPart, col("__id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var it = 0

@@ -199,6 +199,24 @@ object EventStreams {
       }
     }
 
+  /** The distribution twin of [[topkSink]]: each micro-batch lands one
+    * ε-rank quantile summary ([[graft.ops.Sketches.landQuantileDrop]])
+    * keyed by the batch id, so [[graft.ops.Sketches.serveQuantile]]
+    * answers rank queries over everything streamed so far within the
+    * summed segment envelope. Replay of batch N replaces segment N
+    * (idempotent); `compactQuantile` periodically to bound segment
+    * count (one ε increment per fold, documented there).
+    */
+  def quantileSink(path: String, dims: Seq[String], valueCol: String, k: Int)(
+      rows: DataFrame): DataStreamWriter[org.apache.spark.sql.Row] =
+    upsertSink(rows) { (batch, id) =>
+      if (!batch.isEmpty) {
+        graft.ops.Sketches.landQuantileDrop(batch, dims,
+          org.apache.spark.sql.functions.col(valueCol), k, path, s"batch$id")
+        ()
+      }
+    }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(lastTs: Long, sessionId: Long, curStart: Long, curN: Long)

@@ -1,0 +1,31 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Keeps the ~sf1 scale-smoke runner honest: the spec drives the full
+  * phase list at sf0.001×2 (seconds, not minutes), so the runner — and
+  * its built-in churn-proportionality requires — cannot rot between the
+  * real sf0.1×10 runs recorded in BASELINE.md.
+  */
+class ScaleSmokeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("scale-smoke runner: all phases complete, churn asserts hold, metrics populated") {
+    val out = java.nio.file.Files.createTempDirectory("smoke").toString + "/s.json"
+    val phases = ScaleSmoke.run(spark, "/root/testdata/sf0.001", 2, out)
+    val names = phases.map(_._1)
+    assert(names == Seq("inflate-inputs", "ingest-bulk-90pct", "ingest-drop-10pct",
+      "dedup-index-build-90pct", "dedup-index-refresh-10pct", "dedup-candidate-pairs",
+      "sim-index-build-90pct", "sim-index-refresh-10pct", "sim-indexed-topk-500q",
+      "kmeans-trainer-nlist128"), s"phase list drifted: $names")
+    // 2x sf0.001 orders = 30k inflated rows, all ingested across the two drops
+    assert(phases.find(_._1 == "inflate-inputs").get._3 == 3000L)
+    assert(phases.find(_._1 == "ingest-drop-10pct").get._3 >= 2990L)
+    // the ingest phases genuinely shuffled (listener wiring is alive)
+    assert(phases.find(_._1 == "ingest-bulk-90pct").get._4 > 0L,
+      "shuffle-write metric not captured")
+    // result JSON parses shape-wise (driver-side consumers read this file)
+    val text = java.nio.file.Files.readString(java.nio.file.Paths.get(out))
+    assert(text.startsWith("""{"metric":"scale_smoke"""") && text.endsWith("}"))
+  }
+}

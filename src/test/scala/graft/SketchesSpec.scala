@@ -230,6 +230,44 @@ class SketchesSpec extends AnyFunSuite {
       .foreach(k => assert(served.contains(k), s"stream guarantee violated for $k"))
   }
 
+  test("streaming quantileSink: batched feed's merged summaries answer in bound; replay idempotent") {
+    val root = Files.createTempDirectory("qstream").toString
+    val feed = root + "/feed"
+    val path = root + "/qs"
+    val n = 900
+    val all = (1 to n).map(i => ("g", i.toLong * i)) // long-tailed squares
+    all.grouped(300).zipWithIndex.foreach { case (chunk, i) =>
+      chunk.toDF("grp", "x").coalesce(1).write.parquet(s"$feed/b$i")
+    }
+    def runFeed(): Unit = {
+      val stream = spark.readStream
+        .schema(all.toDF("grp", "x").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$feed/*")
+      val q = graft.streaming.EventStreams.quantileSink(path, Seq("grp"), "x", 32)(stream)
+        .option("checkpointLocation", root + "/ckpt")
+        .start()
+      q.awaitTermination()
+    }
+    runFeed()
+    val segs = new java.io.File(path).listFiles().map(_.getName)
+      .filter(_.startsWith("seg=")).sorted
+    assert(segs.length == 3 && segs.forall(_.startsWith("seg=batch")), segs.toSeq)
+    def medianEst(): Long = Sketches.serveQuantile(spark, path, Seq("grp"), 1, 2)
+      .collect().head.getLong(1)
+    val est = medianEst()
+    // true rank of the estimate within the summed envelope (3 segments)
+    val rank = all.count(_._2 <= est)
+    val target = (n + 1) / 2
+    assert(math.abs(rank - target) <= n / 64 + 6,
+      s"stream median est=$est rank=$rank target=$target")
+    // checkpoint replay: re-running the drained feed lands nothing new
+    // and serves the identical answer (segment-per-batch idempotence)
+    runFeed()
+    assert(new java.io.File(path).listFiles().count(_.getName.startsWith("seg=")) == 3)
+    assert(medianEst() == est)
+  }
+
   test("withinRelError handles the zero-exact edge") {
     val df = Seq((0L, 0L), (0L, 1L), (100L, 101L), (100L, 110L)).toDF("exact", "est")
     val got = df.select(Sketches.withinRelError(col("est"), col("exact"), 0.02))
