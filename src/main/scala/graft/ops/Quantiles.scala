@@ -43,15 +43,19 @@ object Quantiles {
     val bucket = when(span === 0, lit(0))
       .otherwise(least(floor((v - col("__lo")) / span * buckets), lit(buckets - 1)))
       .cast("int")
-    val bucketed = hist.join(broadcast(stats), groupCol)
-      .withColumn("__b", bucket)
+    // <=>: a NULL group value is a legitimate group (groupBy keeps it,
+    // SQL GROUP BY keeps it) — a plain name-join would silently drop
+    // its rows from the CDF by three-valued logic
+    val bucketed = hist.join(broadcast(stats.withColumnRenamed(groupCol, "__g2")),
+        g <=> col("__g2"))
+      .withColumn("__b", bucket).drop("__g2")
     val wInB = Window.partitionBy(g, col("__b")).orderBy(v)
     val inBucket = bucketed.withColumn("__cumb", sum(col("c")).over(wInB))
     val wB = Window.partitionBy(g).orderBy(col("__b"))
     val offsets = bucketed.groupBy(g, col("__b")).agg(sum(col("c")).as("__bc"))
       .withColumn("__off", sum(col("__bc")).over(wB) - col("__bc"))
-      .select(g, col("__b"), col("__off"))
-    inBucket.join(offsets, Seq(groupCol, "__b"))
+      .select(g.as("__g2"), col("__b").as("__b2"), col("__off"))
+    inBucket.join(offsets, g <=> col("__g2") && col("__b") === col("__b2"))
       .withColumn("cum", col("__cumb") + col("__off"))
       .withColumn("prev", col("cum") - col("c"))
       .select(g, v, col("c"), col("cum"), col("prev"))
@@ -61,7 +65,8 @@ object Quantiles {
   def medianByGroup(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val cdf = histogramCdf(df, groupCol, valueCol)
     val tot = cdf.groupBy(col(groupCol)).agg(sum(col("c")).as("__n"))
-    cdf.join(broadcast(tot), groupCol)
+      .withColumnRenamed(groupCol, "__g2")
+    cdf.join(broadcast(tot), col(groupCol) <=> col("__g2")) // null group kept
       .withColumn("__k", (col("__n") + 1).divide(2).cast("long"))
       .filter(col("prev") < col("__k") && col("__k") <= col("cum"))
       .select(col(groupCol), col(valueCol).as("median"))
@@ -88,7 +93,7 @@ object Quantiles {
     // a value intersects tile q iff its rank range (prev, cum] meets [lo, hi]
     val t = tiles.select(col(groupCol).as("__g"), col("q"), col("lo"), col("hi"), col("__size"))
     cdf.join(broadcast(t),
-        col(groupCol) === col("__g") && col("prev") < col("hi") && col("cum") >= col("lo"))
+        col(groupCol) <=> col("__g") && col("prev") < col("hi") && col("cum") >= col("lo"))
       .groupBy(col(groupCol), col("q"))
       .agg(first(col("__size")).as("n"), min(col(valueCol)).as("minv"), max(col(valueCol)).as("maxv"))
   }

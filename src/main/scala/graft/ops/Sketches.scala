@@ -226,6 +226,22 @@ object Sketches {
   private def groupStruct(dims: Seq[String]): Column =
     if (dims.isEmpty) struct(lit(0).as("__all")) else struct(dims.map(col): _*)
 
+  /** Null-SAFE equi-join on the dims columns (broadcast right side). A
+    * NULL dims value is a legitimate group in every tier (groupBy keeps
+    * it), but a plain column-name join drops it by three-valued logic —
+    * which silently lost null-group cutoffs/totals and violated the
+    * served bound invariants for exactly those groups. Same class as
+    * the curation <=> fix; centralized so no tier re-grows it.
+    */
+  private def joinDimsNullSafe(left: DataFrame, right: DataFrame,
+                               dims: Seq[String], how: String = "inner"): DataFrame = {
+    val r = right.select(right.columns.map(c =>
+      if (dims.contains(c)) col(c).as(s"__r_$c") else col(c)): _*)
+    left.join(broadcast(r),
+        dims.map(d => col(d) <=> col(s"__r_$d")).reduce(_ && _), how)
+      .drop(dims.map(d => s"__r_$d"): _*)
+  }
+
   /** k weighted points from a weighted CDF (__qg, v, w, cum, prev).
     * The rank axis [0, n] splits into k spans at boundaries
     * b_i = floor(i·n/k); point i = the exact value at the MIDPOINT rank
@@ -279,7 +295,7 @@ object Sketches {
     val tot = merged.groupBy(dims.map(col): _*).agg(sum(col("w")).as("__qn"))
     val joined =
       if (dims.isEmpty) cum.crossJoin(broadcast(tot))
-      else cum.join(broadcast(tot), dims)
+      else joinDimsNullSafe(cum, tot, dims)
     joined
       .withColumn("__t", expr(s"(__qn * $num + ${den - 1}) div $den"))
       .filter(col("__cw") - col("w") < col("__t") && col("__t") <= col("__cw"))
@@ -340,7 +356,7 @@ object Sketches {
       .groupBy(dims.map(col): _*).agg(max(col("cnt")).as("cutoff"))
     val joined =
       if (dims.isEmpty) kept.crossJoin(broadcast(cut)) // 0- or 1-row cutoff side
-      else kept.join(broadcast(cut), dims, "left_outer")
+      else joinDimsNullSafe(kept, cut, dims, "left_outer")
     // groups where nothing was dropped (or a global empty cut side):
     // retention was lossless, cutoff 0. A fresh segment's retained
     // counts are exact, so their per-key upper-bound slack is 0 (the
@@ -375,7 +391,7 @@ object Sketches {
         sum(col("slack")).as("__slack"))
     val joined =
       if (dims.isEmpty) est.crossJoin(broadcast(totCut))
-      else est.join(broadcast(totCut), dims)
+      else joinDimsNullSafe(est, totCut, dims)
     joined.select((dims :+ keyCol).map(col) :+ col("n_est") :+
       (col("n_est") + col("__slack") + col("__tot") - col("__present")).as("n_hi"): _*)
   }
@@ -421,8 +437,8 @@ object Sketches {
       .groupBy(dims.map(col): _*).agg(max(col("n_hi")).as("__dropped"))
     val withCut =
       if (dims.isEmpty) kept.crossJoin(broadcast(cut)).crossJoin(broadcast(preTot))
-      else kept.join(broadcast(cut), dims, "left_outer")
-        .join(broadcast(preTot), dims, "left_outer")
+      else joinDimsNullSafe(
+        joinDimsNullSafe(kept, cut, dims, "left_outer"), preTot, dims, "left_outer")
     Staged.swapRoot(spark, path,
       withCut.withColumn("cutoff",
           greatest(coalesce(col("__dropped"), lit(0L)),

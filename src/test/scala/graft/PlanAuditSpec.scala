@@ -58,6 +58,46 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  // corpus-tier queries whose construction is plan-only (no scratch dirs,
+  // no driver fixpoint loops, no stream starts) — the LLM-pipeline
+  // operators get the same no-cartesian audit as the classic tier
+  private val corpusPure = Seq(
+    "txt_token_stats", "txt_bpe_tokens", "txt_langid", "txt_quality",
+    "txt_repetition", "txt_redact_pii", "txt_nfc_dedup", "txt_compress_ratio",
+    "txt_top_tokens", "txt_chunk_overlap", "txt_lm_score",
+    "dedup_minhash_sig", "dedup_minhash_pairs", "dedup_jaccard_verify",
+    "dedup_simhash", "dedup_simhash_pairs", "dedup_exact_stats",
+    "dedup_exact_keep", "dedup_spans_global",
+    "url_extract", "url_sniff", "nif_validate", "sim_quantize_int8",
+    "sim_label_stats", "q_sample_stratified", "q_shard_assign",
+    "q_token_budget", "q_pack_sequences", "q_pack_nostraddle",
+    "q_median_order_value", "q_events_quartiles", "cpv_parse_codes")
+
+  test("corpus-tier queries never plan a CartesianProduct") {
+    corpusPure.foreach { n =>
+      assert(!plan(n).contains("CartesianProduct"), s"$n plans a cartesian product")
+    }
+  }
+
+  test("corpus scans prune to the columns the operator needs") {
+    // text kernels: documents scan reads the text (+key) columns only
+    val tok = plan("txt_token_stats")
+    val tokRs = tok.linesIterator.filter(l => l.contains("ReadSchema")).mkString
+    assert(!tokRs.contains("n_chars") && !tokRs.contains("source"),
+      s"txt_token_stats must not read unused documents columns: $tokRs")
+    // embedding kernels: embeddings scan reads (vec_id, embedding) only
+    val qz = plan("sim_quantize_int8")
+    val qzRs = qz.linesIterator.filter(l => l.contains("ReadSchema")).mkString
+    assert(!qzRs.contains("label"), s"sim_quantize_int8 must prune the label column: $qzRs")
+    // minhash candidates: the band self-join is an EQUI join on the band
+    // key (shuffle-partitioned), never a nested-loop pair scan
+    val mh = plan("dedup_minhash_pairs")
+    assert(mh.contains("SortMergeJoin") || mh.contains("ShuffledHashJoin") ||
+      mh.contains("BroadcastHashJoin"), "band candidate join must be an equi join")
+    assert(!mh.contains("BroadcastNestedLoopJoin") && !mh.contains("CartesianProduct"),
+      "band candidate join must never pair-scan")
+  }
+
   test("q05 star join broadcasts its dims") {
     val p = plan("q05_local_supplier_volume")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,

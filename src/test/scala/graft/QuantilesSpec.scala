@@ -62,6 +62,20 @@ class QuantilesSpec extends AnyFunSuite {
     }
   }
 
+  test("a NULL group value is a group like any other (median + ntile + CDF)") {
+    import spark.implicits._
+    // SQL GROUP BY keeps the null group; the CDF's internal joins must
+    // not drop it by three-valued logic
+    val df = Seq(("a", 1L), ("a", 3L), ("a", 5L),
+      (null.asInstanceOf[String], 10L), (null.asInstanceOf[String], 20L)).toDF("g", "x")
+    val med = Quantiles.medianByGroup(df, "g", "x")
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(med == Map(Some("a") -> 3L, None -> 10L), s"median lost the null group: $med")
+    val nt = Quantiles.ntileStats(df, "g", "x", 2)
+      .collect().map(r => (Option(r.getString(0)), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(nt.keySet.map(_._1).contains(None), s"ntile lost the null group: $nt")
+  }
+
   test("quantile-summary tier: exact at k>=n, merged rank error within the pinned bound on a long tail") {
     import graft.ops.Sketches
     val root = java.nio.file.Files.createTempDirectory("qsketch").toString

@@ -268,6 +268,42 @@ class SketchesSpec extends AnyFunSuite {
     assert(medianEst() == est)
   }
 
+  test("a NULL dims value is a served group with intact bounds in every tier") {
+    // null dims are legitimate groups (groupBy keeps them); plain
+    // column-name joins dropped them by three-valued logic — null
+    // groups lost their cutoffs/totals and vanished from serves
+    val root = Files.createTempDirectory("nulldim").toString
+    val rows = (Seq.fill(30)("x") ++ Seq.fill(20)("y") ++ Seq.fill(9)("z"))
+      .zipWithIndex.map { case (k, i) =>
+        (if (i % 2 == 0) "g" else null, k, (i % 7).toLong)
+      }
+    val df = rows.toDF("grp", "k", "x")
+    // top-k tier, k=2: 'z' is dropped in BOTH groups -> each group,
+    // including the NULL one, must carry a nonzero cutoff and bracket
+    Sketches.landTopKDrop(df, Seq("grp"), "k", 2, root + "/topk", "d0")
+    val served = Sketches.serveTopK(spark, root + "/topk", Seq("grp"), "k")
+      .collect().map(r => (Option(r.getString(0)), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val trueCnt = rows.groupBy(r => (Option(r._1), r._2)).view.mapValues(_.size.toLong).toMap
+    assert(served.keys.exists(_._1.isEmpty), s"null group must be served: ${served.keys}")
+    served.foreach { case (gk, (est, hi)) =>
+      val t = trueCnt(gk)
+      assert(est <= t && t <= hi, s"$gk: est=$est true=$t hi=$hi")
+    }
+    // the null group's retention cutoff survives (z was dropped there
+    // too) — the old name-join lost it, silently voiding the surfacing
+    // guarantee for exactly the null group
+    val cuts = Sketches.totalCutoff(spark, root + "/topk", Seq("grp"))
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(cuts.get(None).exists(_ > 0L), s"null group lost its retention cutoff: $cuts")
+    // quantile tier: the null group serves an estimate
+    Sketches.landQuantileDrop(df, Seq("grp"), col("x"), 8, root + "/qs", "d0")
+    val qs = Sketches.serveQuantile(spark, root + "/qs", Seq("grp"), 1, 2)
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(qs.contains(None) && qs.contains(Some("g")),
+      s"both groups incl. null must serve a quantile: $qs")
+  }
+
   test("withinRelError handles the zero-exact edge") {
     val df = Seq((0L, 0L), (0L, 1L), (100L, 101L), (100L, 110L)).toDF("exact", "est")
     val got = df.select(Sketches.withinRelError(col("est"), col("exact"), 0.02))
