@@ -578,6 +578,33 @@ object CorpusQueries {
       out
     }),
 
+    // Incremental CLUSTER LABELS over the persisted index: v1 indexes a
+    // PERTURBED corpus (docs %7==3 missing -> arrive later as inserts
+    // that can bridge clusters; docs %11==0 carry drifted text -> their
+    // refresh is an edge-removing change that can split clusters), then
+    // ONE churn-gated refresh lands the true corpus. The served labels
+    // must hash-match the from-scratch WITH RECURSIVE components oracle
+    // over the final corpus — merges, splits, and carries all exercised.
+    "dedup_cluster_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_clidx_q").toString
+      val idx = tmp + "/cl"
+      val v1 = docs.filter(col("doc_id") % 7 =!= 3)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" drifted placeholder"))).otherwise(col("text")))
+      graft.ops.ClusterIndex.build(v1, "doc_id", "text", idx)
+      graft.ops.ClusterIndex.refresh(docs, "doc_id", "text", idx)
+      val out = graft.ops.ClusterIndex.serve(s, idx)
+        .select(col("doc").as("doc_id"), col("label").as("component"),
+          (col("doc") === col("label")).as("keep"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true) // the scratch index is deleted next
+      new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      out
+    }),
+
     // n-gram Jaccard verification of the LSH candidates — the shingle
     // frame is computed ONCE, persisted, and shared by candidate
     // generation and both verification join sides (was the slowest bench
@@ -1461,6 +1488,22 @@ object CorpusQueries {
         |ORDER BY doc_id""".stripMargin,
 
     "dedup_clusters" -> (bandsCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+      s""",
+         |cand AS ($candSelect),
+         |sym AS (SELECT a AS u, b AS v FROM cand UNION SELECT b AS u, a AS v FROM cand),
+         |walk(u, v) AS (
+         |  SELECT u, v FROM sym
+         |  UNION
+         |  SELECT w.u, s.v FROM walk w JOIN sym s ON w.v = s.u),
+         |reach AS (SELECT u, min(v) AS mn FROM walk GROUP BY u)
+         |SELECT d.doc_id, least(coalesce(r.mn, d.doc_id), d.doc_id) AS component,
+         |       d.doc_id = least(coalesce(r.mn, d.doc_id), d.doc_id) AS keep
+         |FROM documents d LEFT JOIN reach r ON d.doc_id = r.u
+         |ORDER BY d.doc_id""".stripMargin),
+
+    // the incrementally-maintained labels must converge to exactly the
+    // from-scratch components over the final corpus
+    "dedup_cluster_incremental" -> (bandsCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
       s""",
          |cand AS ($candSelect),
          |sym AS (SELECT a AS u, b AS v FROM cand UNION SELECT b AS u, a AS v FROM cand),

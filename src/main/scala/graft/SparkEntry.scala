@@ -128,7 +128,7 @@ object SparkEntry {
     * (VerifyContractSpec pins the set against the query map).
     */
   val integrationQueries: Set[String] = Set(
-    "dedup_incremental", "ingest_orc_roundtrip", "ntp_repair_report",
+    "dedup_cluster_incremental", "dedup_incremental", "ingest_orc_roundtrip", "ntp_repair_report",
     "q_approx_distinct_bound", "q_cdc_consume", "q_distinct_incremental",
     "q_heavy_hitters", "q_hist_median_est", "q_lake_point_lookup",
     "q_lake_time_travel", "q_quantile_sketch_bound", "q_snapshot_changes",

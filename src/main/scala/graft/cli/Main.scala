@@ -365,11 +365,17 @@ object Main {
         lmPath = arg(args, "--lm-path"),
         postingsPath = arg(args, "--postings-path"),
         // ε-rank quantile summaries: --quantile-path + --quantile-value
-        // [--dims --quantile-k]; event-stream semantics (Config.quantile)
-        quantile = for {
-          p <- arg(args, "--quantile-path"); v <- arg(args, "--quantile-value")
-        } yield (arg(args, "--dims").map(_.split(",").toSeq).getOrElse(Nil),
-          v, arg(args, "--quantile-k").map(_.toInt).getOrElse(64), p))
+        // [--dims --quantile-k]; event-stream semantics (Config.quantile).
+        // Half the pair is a hard error (like --emb-in/--emb-index-path):
+        // silently skipping the tier would serve stale quantiles
+        quantile = {
+          if (arg(args, "--quantile-path").isDefined != arg(args, "--quantile-value").isDefined)
+            sys.error("drop needs BOTH --quantile-path and --quantile-value (or neither)")
+          for {
+            p <- arg(args, "--quantile-path"); v <- arg(args, "--quantile-value")
+          } yield (arg(args, "--dims").map(_.split(",").toSeq).getOrElse(Nil),
+            v, arg(args, "--quantile-k").map(_.toInt).getOrElse(64), p)
+        })
       val report = graft.pipeline.DropCycle.run(lake, dropDf, conf)
       // embeddings-side maintenance rides the same command when the drop
       // ships re-embedded vectors: --emb-in + --emb-index-path

@@ -136,4 +136,75 @@ class DedupIndexSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(inv == want.filter(p => p._1 == 6L || p._2 == 6L) && inv.nonEmpty)
   }
+
+  // ------------------------------------------------- cluster-label index
+
+  import graft.ops.ClusterIndex
+
+  private def labelsOf(path: String): Map[Long, Long] =
+    ClusterIndex.serve(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def scratchLabels(docs: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text", 4, 2)
+    val comp = Dedup.connectedComponents(pairs)
+    docs.select(col("doc_id"))
+      .join(comp, col("doc_id") === col("node"), "left_outer")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("cluster index: merges, splits, and re-deliveries all converge to the from-scratch labels at churn cost") {
+    val tmp = Files.createTempDirectory("graft_clusteridx").toString
+    val idx = tmp + "/cl"
+    // v1 corpus: {1,2,4} one near-dup cluster (label 1); {3} alone;
+    // {7,8} a second cluster; {10} a lone doc that will later bridge
+    val v1 = corpus(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy cat",
+      3L -> "a completely different document about spark engines",
+      4L -> "the quick brown fox jumps over the lazy dog",
+      7L -> "catalyst optimizer rules rewrite logical plans fast",
+      8L -> "catalyst optimizer rules rewrite logical plans slow",
+      10L -> "nothing like anything else in this corpus at all")
+    ClusterIndex.build(v1, "doc_id", "text", idx)
+    assert(labelsOf(idx) == scratchLabels(v1))
+
+    // drop 2 — every mutation class at once:
+    //  - doc 6 arrives as an exact dup of 1 (JOINS cluster 1)
+    //  - doc 9 arrives bridging clusters {1,..} and {7,8} (MERGE)
+    //  - doc 2 drifts to a spark-engines text (LEAVES cluster 1, JOINS 3)
+    //  - docs 1,3,4,7,8,10 re-deliver unchanged (must carry)
+    val v2 = corpus(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "a completely different document about spark engines",
+      3L -> "a completely different document about spark engines",
+      4L -> "the quick brown fox jumps over the lazy dog",
+      6L -> "the quick brown fox jumps over the lazy dog",
+      7L -> "catalyst optimizer rules rewrite logical plans fast",
+      8L -> "catalyst optimizer rules rewrite logical plans slow",
+      9L -> "the quick brown fox rules rewrite logical plans fast",
+      10L -> "nothing like anything else in this corpus at all")
+    val (carried, relabeled) = ClusterIndex.refresh(v2, "doc_id", "text", idx)
+    val got = labelsOf(idx)
+    assert(got == scratchLabels(v2), s"incremental labels diverged: $got")
+    // churn-proportional: doc 10 and doc 3's... — at minimum the lone
+    // untouched doc 10 must carry, and SOME docs carried
+    assert(carried >= 1L, s"carried=$carried")
+    assert(got.contains(10L) && carried + relabeled == got.size.toLong)
+
+    // drop 3: pure re-delivery — nothing relabels, everything carries
+    val (c3, r3) = ClusterIndex.refresh(v2, "doc_id", "text", idx)
+    assert(r3 == 0L && c3 == got.size.toLong,
+      s"re-delivery must be a carry-only pass: carried=$c3 relabeled=$r3")
+    assert(labelsOf(idx) == got)
+
+    // drop 4: doc 9 (the bridge) VANISHES — the merged component must
+    // split back; doc 6 vanishes too (member deletion)
+    val v4 = v2.filter(col("doc_id") =!= 9L && col("doc_id") =!= 6L)
+    val (c4, _) = ClusterIndex.refresh(v4, "doc_id", "text", idx)
+    assert(labelsOf(idx) == scratchLabels(v4), "deletion split diverged")
+    // the spark-engines cluster {2,3} was untouched by drop 4: carried
+    assert(c4 >= 2L, s"untouched components must carry through a split: carried=$c4")
+  }
 }
