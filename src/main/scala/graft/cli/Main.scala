@@ -364,6 +364,8 @@ object Main {
             arg(args, "--topk-k").map(_.toInt).getOrElse(64), p)),
         lmPath = arg(args, "--lm-path"),
         postingsPath = arg(args, "--postings-path"),
+        clusterIdxPath = arg(args, "--cluster-path"), // needs --text-col
+
         // ε-rank quantile summaries: --quantile-path + --quantile-value
         // [--dims --quantile-k]; event-stream semantics (Config.quantile).
         // Half the pair is a hard error (like --emb-in/--emb-index-path):

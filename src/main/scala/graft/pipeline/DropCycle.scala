@@ -56,7 +56,14 @@ object DropCycle {
     // interval's inserted/updated rows — deletes/pre-images don't
     // retract (a summary point is not a signed count); rebuild the path
     // for current-state quantiles after purges.
-    quantile: Option[(Seq[String], String, Int, String)] = None)
+    quantile: Option[(Seq[String], String, Int, String)] = None,
+    // step 3d: persisted near-dup cluster labels
+    // ([[graft.ops.ClusterIndex]]). Needs textCol. The lake's string
+    // keys map through the ntp-id codec (labels live in long id space);
+    // the refresh runs against the lake's CURRENT corpus but is
+    // internally fingerprint-gated — one digest-sized pass, label
+    // recompute only where components changed.
+    clusterIdxPath: Option[String] = None)
 
   /** Run one cycle; returns tier -> (carried, refreshed). */
   def run(lake: SnapshotLake, drop: DataFrame, conf: Config): Map[String, (Long, Long)] = {
@@ -76,6 +83,20 @@ object DropCycle {
       }
       conf.postingsPath.foreach { postPath =>
         report("postings") = graft.ops.PostingsIndex.upsert(drop, lake.keyCol, text, postPath)
+      }
+      conf.clusterIdxPath.foreach { clPath =>
+        import org.apache.spark.sql.functions.{coalesce, col, expr, when, xxhash64}
+        // integral surrogate for the components fixpoint: exact for ntp
+        // and numeric keys; other key shapes fall back to xxhash64
+        // (deterministic; keep ONE key shape per lake — mixed shapes
+        // could alias surrogate ids)
+        val k = col(lake.keyCol)
+        val docId = coalesce(
+          when(graft.core.NtpIds.checkNtpId(k), graft.core.NtpIds.parseNtpId(k)),
+          expr(s"try_cast(${lake.keyCol} AS BIGINT)"),
+          xxhash64(k))
+        val corpus = lake.read.select(docId.as("__doc_long"), col(text))
+        report("cluster") = graft.ops.ClusterIndex.refresh(corpus, "__doc_long", text, clPath)
       }
     }
     conf.summary.foreach { case (spec, path) =>

@@ -28,7 +28,8 @@ class DropCycleSpec extends AnyFunSuite {
       hll = Some((Seq("grp"), "_id", root + "/hll")),
       topk = Some((Nil, "grp", 8, root + "/topk")),
       lmPath = Some(root + "/lm"),
-      postingsPath = Some(root + "/bm25idx"))
+      postingsPath = Some(root + "/bm25idx"),
+      clusterIdxPath = Some(root + "/clidx"))
 
     val drop1 = docs(
       (1L, "the quick brown fox jumps over the lazy dog", 0L),
@@ -62,6 +63,18 @@ class DropCycleSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("n"), sum(length(col("text")).cast("long")).as("chars"))
       .orderBy("grp").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(served == oneShot)
+
+    // cluster labels == a from-scratch cluster index over the final
+    // corpus (numeric string keys ride the try_cast surrogate)
+    val servedCl = graft.ops.ClusterIndex.serve(spark, root + "/clidx")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.ops.ClusterIndex.build(
+      lake.read.selectExpr("try_cast(_id AS BIGINT) AS d", "text"),
+      "d", "text", root + "/clscratch")
+    val scratchCl = graft.ops.ClusterIndex.serve(spark, root + "/clscratch")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(servedCl == scratchCl && servedCl.nonEmpty,
+      s"cluster tier diverged: $servedCl vs $scratchCl")
 
     // band index == the from-scratch index over the final corpus
     val got = DedupIndex.candidatePairs(spark, root + "/bandidx")
@@ -122,6 +135,7 @@ class DropCycleSpec extends AnyFunSuite {
     val r3 = DropCycle.run(lake, drop2, conf)
     assert(r3("band") == ((3L, 0L)), s"rerun must re-sign nothing: ${r3("band")}")
     assert(r3("postings") == ((3L, 0L)), s"rerun must re-post nothing: ${r3("postings")}")
+    assert(r3("cluster")._2 == 0L, s"rerun must relabel nothing: ${r3("cluster")}")
     val servedAfter = MaterializedAgg.serve(spark, root + "/summary", spec)
       .orderBy("grp").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(servedAfter == served, "rerun CDC segment must net to zero")
