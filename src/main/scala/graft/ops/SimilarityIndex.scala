@@ -46,14 +46,21 @@ object SimilarityIndex {
     */
   private def vecFp(vec: org.apache.spark.sql.Column) = xxhash64(vec)
 
-  /** Build from scratch: seed codebook (deterministic, oracle-shared)
-    * over `corpus`, then the full inverted lists. Returns indexed rows.
+  /** Build from scratch: codebook over `corpus`, then the full inverted
+    * lists. Returns indexed rows. `trained = false` (default) pins the
+    * deterministic seed codebook (oracle-shared); `trained = true` pins
+    * the distributed sampled-k-means codebook
+    * ([[Similarity.ivfCentroidsKMeans]] — better recall per probed
+    * cell, bit-reproducible, no driver Lloyd). Either way the codebook
+    * is PINNED: refresh never retrains, rebuild to retrain.
     */
   def build(corpus: DataFrame, idCol: String, vecCol: String, path: String,
-            nList: Int): Long = {
+            nList: Int, trained: Boolean = false): Long = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cents = Similarity.ivfCentroids(corpus, idCol, vecCol, nList)
+    val cents =
+      if (trained) Similarity.ivfCentroidsKMeans(corpus, idCol, vecCol, nList)
+      else Similarity.ivfCentroids(corpus, idCol, vecCol, nList)
     land(spark, centsPath(path),
       cents.map { case (id, v) => (id, v) }.toDF("cell_id", "cv"))
     land(spark, listsPath(path),

@@ -123,4 +123,27 @@ class SimilarityIndexSpec extends AnyFunSuite {
     assert(SimilarityIndex.loadCentroids(spark, idx).map(_._1) ==
       Similarity.ivfCentroids(drop1, "vec_id", "embedding", 4).map(_._1))
   }
+
+  test("trained build pins the k-means codebook; probes match the recompute under it") {
+    val tmp = Files.createTempDirectory("graft_ivfidx3").toString
+    val idx = tmp + "/ivf"
+    val full = corpus(0L to 39L: _*)
+    SimilarityIndex.build(full, "vec_id", "embedding", idx, nList = 4, trained = true)
+    // the landed codebook IS the distributed trainer's output
+    val landed = SimilarityIndex.loadCentroids(spark, idx)
+    val trained = Similarity.ivfCentroidsKMeans(full, "vec_id", "embedding", 4)
+    assert(landed == trained, "trained build must pin the k-means codebook")
+    // probes under the pinned trained codebook equal the recompute form
+    val queries = full.filter(col("vec_id") % 10 === 0)
+    val got = SimilarityIndex.topKInt8(full, queries, "vec_id", "embedding", idx, 3, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Similarity.ivfTopKInt8With(trained, full, queries, "vec_id", "embedding", 3, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want && got.nonEmpty)
+    // refresh still never retrains (churn under the TRAINED codebook)
+    val drop2 = full.unionByName(Seq((40L, vec(40))).toDF("vec_id", "embedding"))
+    val (kept, signed) = SimilarityIndex.refresh(drop2, "vec_id", "embedding", idx)
+    assert(kept == 40L && signed == 1L)
+    assert(SimilarityIndex.loadCentroids(spark, idx) == trained)
+  }
 }
