@@ -180,7 +180,12 @@ object Bench {
       .filter { case (n, _) => only.forall(n.matches) }
     def timeSuite(): Seq[(String, Double)] = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // a failed query must be LOUD on stderr: the swallowed-throw timing
+      // (~2 ms of plan build) reads as a spectacular speedup in the JSON
+      // otherwise (this bit round 13: a whole family "ran" in 2 ms)
+      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // Session hygiene between queries — round-2 lesson: leftover cached
       // frames AND checkpoint/persisted RDDs (clearCache misses the

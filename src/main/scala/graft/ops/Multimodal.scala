@@ -320,7 +320,7 @@ object Multimodal {
           case None =>
             val (w, h, _) = decodeStub(payload)
             val k = math.max(1, math.ceil(
-              (w.toLong * h) / math.max(1.0, targetW.toLong * targetH)).toInt)
+              (w.toLong * h).toDouble / math.max(1.0, (targetW.toLong * targetH).toDouble)).toInt)
             val sampled = payload.indices.collect { case i if i % k == 0 => payload(i) }.toArray
             Row(id, sampled, r.getString(2), targetW, targetH)
         }

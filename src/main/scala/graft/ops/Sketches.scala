@@ -235,7 +235,7 @@ object Sketches {
     */
   private def joinDimsNullSafe(left: DataFrame, right: DataFrame,
                                dims: Seq[String], how: String = "inner"): DataFrame = {
-    val r = right.select(right.columns.map(c =>
+    val r = right.select(right.columns.toIndexedSeq.map(c =>
       if (dims.contains(c)) col(c).as(s"__r_$c") else col(c)): _*)
     left.join(broadcast(r),
         dims.map(d => col(d) <=> col(s"__r_$d")).reduce(_ && _), how)
