@@ -8,7 +8,7 @@ import graft.core.NtpIds
 import graft.enrich.Entities
 import graft.functions.UnidecodeEs
 import graft.ingest.Normalize
-import graft.ops.{Dedup, DedupIndex, Multimodal, Similarity, SimilarityIndex, TextAnalysis, TextIndex}
+import graft.ops.{Dedup, DedupIndex, Multimodal, Pca, Similarity, SimilarityIndex, TextAnalysis, TextIndex}
 import graft.versions.Versions
 
 /** Training-data-pipeline + enrichment queries (SURVEY §7.6/§7.8):
@@ -130,6 +130,27 @@ object CorpusQueries {
        |  WHERE qp.qid <> a.vec_id)
        |SELECT qid, cid, CAST(rank AS BIGINT) AS rank FROM scored
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  /** Full from-scratch recompute of the PCA first/second moment sums on
+    * the same scale-15 decimal grid as Pca.moments, floor-scaled to an
+    * exact integer — shared by pca_moments (one-pass) and
+    * pca_moments_incremental (merged per-drop segments + retraction):
+    * decimal addition is exact, so both must reproduce it bit-for-bit.
+    */
+  private val pcaMomentsOracleSql: String =
+    """WITH idx AS (SELECT CAST(unnest(range(0, 64)) AS INTEGER) AS i),
+      |pr AS (SELECT x.i AS i, y.i AS j FROM idx x JOIN idx y ON x.i <= y.i),
+      |sec AS (SELECT pr.i AS i, pr.j AS j,
+      |  CAST(floor(1000000 * sum(CAST(CAST(e.embedding[pr.i + 1] AS DOUBLE) * CAST(e.embedding[pr.j + 1] AS DOUBLE) AS DECIMAL(25,15)))) AS BIGINT) AS s2_scaled,
+      |  count(*) AS n
+      |  FROM embeddings e CROSS JOIN pr GROUP BY pr.i, pr.j),
+      |fst AS (SELECT idx.i AS i, CAST(-1 AS INTEGER) AS j,
+      |  CAST(floor(1000000 * sum(CAST(CAST(e.embedding[idx.i + 1] AS DOUBLE) AS DECIMAL(25,15)))) AS BIGINT) AS s2_scaled,
+      |  count(*) AS n
+      |  FROM embeddings e CROSS JOIN idx GROUP BY idx.i)
+      |SELECT i, j, s2_scaled, n FROM fst
+      |UNION ALL SELECT i, j, s2_scaled, n FROM sec
+      |ORDER BY i, j""".stripMargin
 
   /** Hyperplane bucket (matches Similarity.hyperplaneBucket(nBits=4, dim=64)). */
   private def bucketSql(vec: String): String =
@@ -872,6 +893,82 @@ object CorpusQueries {
         .select(col("vec_id"), col("q.lo").as("lo"), col("q.hi").as("hi"),
           aggregate(col("q.codes"), lit(0L), (a, c) => a + c).as("code_sum"))
         .orderBy(col("vec_id"))
+    }),
+
+    // SemDeDup: IVF-cell-partitioned semantic dedup — data-adaptive
+    // cells (vs the fixed hyperplane buckets of sim_neardup_clusters),
+    // exact-decimal pair decisions, component-min representative per
+    // near-dup group
+    "sim_semdedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 8)
+      Similarity.semanticDedup(emb, "vec_id", "embedding", cents, BigDecimal("0.35"))
+        .withColumnRenamed("id", "vec_id")
+        .orderBy(col("vec_id"))
+    }),
+
+    // distributed PCA moment pass: the order-independent decimal sums
+    // that feed the driver-side eigensolver, scaled to an exact integer
+    // grid — DuckDB recomputes every first/second moment independently
+    "pca_moments" -> ((s, dir) => {
+      Pca.moments(t(s, dir, "embeddings"), "embedding", 64)
+        .select(col("i"), col("j"),
+          floor(col("s") * lit(1000000)).cast("long").as("s2_scaled"), col("n"))
+        .orderBy(col("i"), col("j"))
+    }),
+
+    // incremental PCA: per-drop moment segments (3 drops + a doubled
+    // subset retracted via a sign=-1 segment, compaction mid-sequence)
+    // merged at serve must equal the from-scratch recompute bit-for-bit
+    "pca_moments_incremental" -> ((s, dir) => {
+      import graft.ops.PcaIndex
+      val emb = t(s, dir, "embeddings")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_pcaidx_q").toString
+      val path = tmp + "/pca"
+      PcaIndex.landDrop(emb.filter(pmod(col("vec_id"), lit(3)) === 0),
+        "embedding", 64, path, "drop0")
+      PcaIndex.landDrop(emb.filter(pmod(col("vec_id"), lit(3)) === 1),
+        "embedding", 64, path, "drop1")
+      PcaIndex.compact(s, path) // fold drops 0+1 under one root swap
+      // drop2 lands with a duplicated subset, then retracts it
+      val extra = emb.filter(pmod(col("vec_id"), lit(3)) === 2 &&
+        pmod(col("vec_id"), lit(5)) === 0)
+      PcaIndex.landDrop(emb.filter(pmod(col("vec_id"), lit(3)) === 2),
+        "embedding", 64, path, "drop2")
+      PcaIndex.landDrop(extra, "embedding", 64, path, "drop2-dup")
+      PcaIndex.landDrop(extra, "embedding", 64, path, "drop2-retract", sign = -1)
+      val out = PcaIndex.serveMoments(s, path)
+        .select(col("i"), col("j"),
+          floor(col("s") * lit(1000000)).cast("long").as("s2_scaled"), col("n"))
+        .orderBy(col("i"), col("j"))
+        .localCheckpoint(true) // the scratch index is deleted next
+      new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      out
+    }),
+
+    // PCA-gated ANN recall vs the exact decimal top-5. The synthetic
+    // corpus is ISOTROPIC (near-flat eigen-spectrum — measured: top-10
+    // eigenvalues within 20% of each other), the worst case for PCA, so
+    // the operating point is m=48 with a corpus-RELATIVE margin (20% of
+    // n — measured recall ≥ 0.995 at every test scale; a fixed margin
+    // was scale-fragile: fine at sf0.01, red at sf0.1). A real embedding
+    // corpus concentrates variance and runs far smaller m/margin. The
+    // flag goes red if the eigenbasis or the gate arithmetic drifts
+    "sim_pca_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % 50 === 0)
+      val model = Pca.fit(emb, "embedding", 64, 48)
+      val margin = math.max(25, math.ceil(emb.count() * 0.2).toInt)
+      val exact = Similarity.bruteTopKExact(emb, q, "vec_id", "embedding", 5)
+      val gated = Pca.pcaTopK(emb, q, "vec_id", "embedding", model, 5, margin)
+        .select(col("qid"), col("cid")).withColumn("__hit", lit(1))
+      exact.select(col("qid"), col("cid"))
+        .join(gated, Seq("qid", "cid"), "left_outer")
+        .agg(count_distinct(col("qid")).as("n_queries"),
+          (sum(coalesce(col("__hit"), lit(0))) >= count(lit(1)) * lit(0.95))
+            .as("recall_ge_095"))
     }),
 
     // P8/F9-F13: URL melt + host/filename/extension extraction
@@ -1708,6 +1805,38 @@ object CorpusQueries {
          |SELECT qid, cid, CAST(rank AS BIGINT) AS rank FROM scored
          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
     },
+
+    "sim_semdedup" ->
+      s"""WITH RECURSIVE cent AS (SELECT vec_id AS ccid, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 8),
+         |ass AS (SELECT vec_id, embedding, cell FROM (
+         |  SELECT e.vec_id, e.embedding, c.ccid AS cell,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${dotDecSql("e.embedding", "c.cv")} DESC, c.ccid ASC) AS rn
+         |  FROM embeddings e CROSS JOIN cent c) t WHERE rn = 1),
+         |cand AS (SELECT x.vec_id AS a, y.vec_id AS b
+         |         FROM ass x JOIN ass y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |         WHERE ${dotDecSql("x.embedding", "y.embedding")} >= CAST('0.35' AS DECIMAL(36,15))),
+         |sym AS (SELECT a AS u, b AS v FROM cand UNION SELECT b AS u, a AS v FROM cand),
+         |walk(u, v) AS (SELECT u, v FROM sym UNION SELECT w.u, s.v FROM walk w JOIN sym s ON w.v = s.u),
+         |reach AS (SELECT u, min(v) AS mn FROM walk GROUP BY u)
+         |SELECT a2.vec_id, a2.cell, least(coalesce(r.mn, a2.vec_id), a2.vec_id) AS component,
+         |       a2.vec_id = least(coalesce(r.mn, a2.vec_id), a2.vec_id) AS keep
+         |FROM ass a2 LEFT JOIN reach r ON a2.vec_id = r.u
+         |ORDER BY a2.vec_id""".stripMargin,
+
+    "pca_moments" -> pcaMomentsOracleSql,
+
+    // merged per-drop segments (incl. a retraction and a mid-sequence
+    // compaction) must reproduce the from-scratch moment recompute
+    // bit-for-bit — decimal addition is exact, so the oracle is the
+    // SAME full recompute as pca_moments
+    "pca_moments_incremental" -> pcaMomentsOracleSql,
+
+    // the exact side (query count) recomputes in SQL; the recall bound is
+    // the Spark-side pinned flag, like q_approx_distinct_bound
+    "sim_pca_recall" ->
+      """SELECT count(DISTINCT vec_id) AS n_queries, true AS recall_ge_095
+        |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
 
     "sim_quantize_int8" ->
       """WITH b AS (SELECT vec_id,

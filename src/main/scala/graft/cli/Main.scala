@@ -75,7 +75,7 @@ object Main {
       val gated = flag(args, "--audit-gate")
       val gatePath = new org.apache.hadoop.fs.Path(lakePath + ".dropschema.json")
       val gateFs = gatePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val mappedSchema = drop.select(drop.columns.map(c =>
+      val mappedSchema = drop.select(drop.columns.toIndexedSeq.map(c =>
         col(s"`$c`").as(codes.getOrElse(c, c))): _*).schema
       if (gated && gateFs.exists(gatePath)) {
         val in = gateFs.open(gatePath)
@@ -378,19 +378,33 @@ object Main {
           } yield (arg(args, "--dims").map(_.split(",").toSeq).getOrElse(Nil),
             v, arg(args, "--quantile-k").map(_.toInt).getOrElse(64), p)
         })
-      val report = graft.pipeline.DropCycle.run(lake, dropDf, conf)
       // embeddings-side maintenance rides the same command when the drop
       // ships re-embedded vectors: --emb-in + --emb-index-path
       // [--emb-id --emb-vec]. Half the pair is a hard error — silently
-      // skipping index maintenance would serve stale neighbors
+      // skipping index maintenance would serve stale neighbors. Pair
+      // guards run BEFORE the lake ingest so a malformed invocation
+      // fails fast instead of mutating the lake first
       val embIn = arg(args, "--emb-in")
       val embIdx = arg(args, "--emb-index-path")
       if (embIn.isDefined != embIdx.isDefined)
         sys.error("drop needs BOTH --emb-in and --emb-index-path (or neither)")
+      // PCA moments tier rides the embeddings drop: --pca-path +
+      // --pca-drop-id [--pca-dim --pca-retract-in]. Loud-pair rule as
+      // above; a retract input lands a sign=-1 segment of the OLD
+      // vectors so re-embedded docs don't double-count
+      if (arg(args, "--pca-path").isDefined != arg(args, "--pca-drop-id").isDefined)
+        sys.error("drop needs BOTH --pca-path and --pca-drop-id (or neither)")
+      if (arg(args, "--pca-path").isDefined && embIn.isEmpty)
+        sys.error("--pca-path requires an embeddings drop (--emb-in)")
+      val report = graft.pipeline.DropCycle.run(lake, dropDf, conf)
       val embReport = embIn.zip(embIdx).map {
         case (in, idx) => graft.pipeline.DropCycle.runEmbeddings(
           spark.read.parquet(in), arg(args, "--emb-id").getOrElse("vec_id"),
-          arg(args, "--emb-vec").getOrElse("embedding"), idx)
+          arg(args, "--emb-vec").getOrElse("embedding"), idx,
+          pca = arg(args, "--pca-path").zip(arg(args, "--pca-drop-id")).map {
+            case (p, d) => (p, arg(args, "--pca-dim").map(_.toInt).getOrElse(64), d)
+          },
+          pcaRetract = arg(args, "--pca-retract-in").map(spark.read.parquet(_)))
       }.getOrElse(Map.empty)
       (report ++ embReport).toSeq.sortBy(_._1).foreach { case (tier, (a, b)) =>
         println(s"[cli] drop $tier: $a/$b") }

@@ -1,0 +1,260 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed principal-component analysis over an embedding column
+  * (`array<float>`), sized for the 100 TB corpus: the DATA never leaves
+  * the executors — one declarative pass accumulates the first/second
+  * moment sums (order-independent exact decimals, so the result is
+  * bit-reproducible under any shuffle schedule), and only the
+  * dim·(dim+3)/2 moment rows (dim = 64 here → 2,144 rows) land on the
+  * driver, where a cyclic Jacobi sweep on the dim×dim covariance is
+  * microseconds of work. The eigenbasis then goes BACK into the plan as
+  * literals: projection is map-side column algebra (codegen'd
+  * [[graft.functions.DotFloat]] per component), no join, no UDF.
+  *
+  * Use cases wired here:
+  *  - dimensionality reduction for downstream curation (cheap cluster
+  *    features, compact kNN gates);
+  *  - [[pcaTopK]]: ANN with the m-dim projected dot as the coarse gate
+  *    (per-pair cost m instead of dim) and the shared exact-decimal
+  *    re-rank of margin survivors as the decider — same two-phase
+  *    shape as the IVF/int8 tiers, so rankings stay bit-reproducible
+  *    even though the gate is approximate.
+  *
+  * Determinism: the moment sums are exact decimals; Jacobi runs a fixed
+  * cyclic pivot order in pure IEEE double arithmetic from those exact
+  * sums — same moments in, same eigenbasis out, on every engine and
+  * schedule. Eigenvectors are sign-canonicalized (largest-|coordinate|
+  * entry positive, lowest index on ties) so the basis is unique even
+  * for repeated eigenvalues' generic case.
+  */
+object Pca {
+
+  /** The fitted model: `mean` and `components` in double precision
+    * (row-major, `components(k)` = k-th principal axis, unit norm),
+    * eigenvalues descending.
+    */
+  final case class PcaModel(mean: Seq[Double], eigenvalues: Seq[Double],
+                            components: Seq[Seq[Double]])
+
+  /** One distributed pass of moment accumulation: rows
+    * `(i, j, s, n)` where `j = -1` carries the first moment Σ v(i) and
+    * `j >= i` the second moment Σ v(i)·v(j) (upper triangle), both as
+    * exact decimal sums (element products are exact doubles — 24+24
+    * mantissa bits — snapped to the scale-15 grid of
+    * [[Similarity.dotExactDec]], so the snap is the only rounding and
+    * the sum is schedule-independent) with the contributing row count.
+    *
+    * Shape: two stacked `posexplode`s (codegen'd Generate operators —
+    * an earlier nested `transform`/`flatten` lambda form built a
+    * 2,080-struct array per row interpretively and ran ~6× slower),
+    * upper triangle kept by filter. Partial aggregation reduces the
+    * pair rows map-side, so the shuffle carries at most
+    * `partitions × dim·(dim+3)/2` rows regardless of corpus size.
+    */
+  def moments(corpus: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    val ex = corpus.select(col(vecCol).as("__v"),
+      posexplode(col(vecCol)).as(Seq("pi", "x")))
+    // inner explode over slice(v, i+1, ...) emits ONLY the upper
+    // triangle — half the pair rows of an explode-then-filter
+    val second = ex
+      .select(col("pi"), col("x"),
+        posexplode(slice(col("__v"), col("pi") + 1, lit(dim) - col("pi")))
+          .as(Seq("pj0", "y")))
+      .groupBy(col("pi").as("i"), (col("pi") + col("pj0")).as("j"))
+      .agg(sum((col("x").cast("double") * col("y").cast("double"))
+        .cast("decimal(25,15)")).as("s"), count(lit(1)).as("n"))
+    val first = ex
+      .groupBy(col("pi").as("i"))
+      .agg(sum(col("x").cast("double").cast("decimal(25,15)")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("i"), lit(-1).as("j"), col("s"), col("n"))
+    first.unionByName(second.select(col("i"), col("j"), col("s"), col("n")))
+  }
+
+  /** Fit the top-`m` principal components. Driver traffic is bounded by
+    * the moment-table size (enforced), never the corpus.
+    */
+  def fit(corpus: DataFrame, vecCol: String, dim: Int, m: Int): PcaModel =
+    fitFromMoments(moments(corpus, vecCol, dim), dim, m)
+
+  /** Fit from an already-computed moment table (the [[moments]] schema)
+    * — the serve path of the incremental tier ([[PcaIndex]]): merged
+    * per-drop segments are exactly a moment table, so the eigenbasis
+    * refreshes from O(dim²) summed rows without ever re-reading the
+    * corpus.
+    */
+  def fitFromMoments(momentRows: DataFrame, dim: Int, m: Int): PcaModel = {
+    require(m >= 1 && m <= dim, s"need 1 <= m <= dim, got m=$m dim=$dim")
+    val bound = dim * (dim + 3) / 2
+    // plain collect, bound checked AFTER: the row count is bounded BY
+    // CONSTRUCTION (a groupBy over (i, j) cannot exceed dim·(dim+3)/2
+    // rows), and a defensive `.limit()` made CollectLimit re-execute
+    // the whole aggregation up to 4× under its partition scale-up
+    // probing (measured: 6 s -> 0.5 s at sf0.1)
+    val rows = momentRows.collect()
+    require(rows.length <= bound,
+      s"PCA moment collect brought ${rows.length} rows to the driver (bound $bound)")
+    require(rows.nonEmpty, "PCA fit needs a non-empty corpus")
+    // every moment row must have seen the same row count — a ragged or
+    // null-element corpus would otherwise silently skew the covariance
+    val ns = rows.map(_.getLong(3)).distinct
+    require(ns.length == 1,
+      s"inconsistent moment row counts ${ns.sorted.mkString(",")} — " +
+        "vectors must be non-null with a uniform dimension")
+    var n = 0L
+    val s1 = Array.ofDim[Double](dim)
+    val s2 = Array.ofDim[Double](dim, dim)
+    rows.foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1)
+      val s = r.getDecimal(2).doubleValue()
+      n = r.getLong(3)
+      if (j < 0) s1(i) = s
+      else { s2(i)(j) = s; s2(j)(i) = s }
+    }
+    val mean = s1.map(_ / n)
+    val cov = Array.tabulate(dim, dim)((i, j) => s2(i)(j) / n - mean(i) * mean(j))
+    val (evals, evecs) = jacobiEigen(cov)
+    // order: eigenvalue desc, original index asc on exact ties
+    val order = evals.indices.sortBy(i => (-evals(i), i)).take(m)
+    val comps = order.map { k =>
+      val v = Array.tabulate(dim)(i => evecs(i)(k)) // column k
+      // sign canon: the largest-|coordinate| entry (lowest index on
+      // ties) is made positive — a unique representative per axis
+      var best = 0
+      var i = 1
+      while (i < dim) { if (math.abs(v(i)) > math.abs(v(best))) best = i; i += 1 }
+      if (v(best) < 0) v.map(x => -x).toSeq else v.toSeq
+    }
+    PcaModel(mean.toSeq, order.map(evals), comps)
+  }
+
+  /** Cyclic Jacobi eigensolver for a symmetric matrix: fixed (p, q)
+    * sweep order, rotations in pure double arithmetic — deterministic
+    * for a given input. Returns (eigenvalues, eigenvector matrix with
+    * eigenvectors as COLUMNS), unordered.
+    */
+  private[graft] def jacobiEigen(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    def offNorm(): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) { s += 2 * a(i)(j) * a(i)(j); j += 1 }
+        i += 1
+      }
+      math.sqrt(s)
+    }
+    var sweep = 0
+    while (offNorm() > 1e-14 && sweep < 64) {
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t =
+              if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              else 1.0 / (theta - math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            val app = a(p)(p); val aqq = a(q)(q)
+            a(p)(p) = app - t * apq
+            a(q)(q) = aqq + t * apq
+            a(p)(q) = 0.0; a(q)(p) = 0.0
+            var k = 0
+            while (k < n) {
+              if (k != p && k != q) {
+                val akp = a(k)(p); val akq = a(k)(q)
+                a(k)(p) = c * akp - s * akq; a(p)(k) = a(k)(p)
+                a(k)(q) = s * akp + c * akq; a(q)(k) = a(k)(q)
+              }
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(n)(i => a(i)(i)), v)
+  }
+
+  private def litF(xs: Seq[Double]): Column =
+    array(xs.map(x => lit(x.toFloat)): _*)
+
+  /** Map-side projection of a float-vector column onto the model's
+    * components: `array_k( dot(v, comp_k) - dot(mean, comp_k) )`. Each
+    * component is one codegen'd [[graft.functions.DotFloat]] against a
+    * plan-inlined float literal; the mean term is a precomputed
+    * constant. Float-snapped literals cost the gate < 1e-6 relative
+    * error — gate-only precision, the decider never sees them.
+    */
+  def projectExpr(v: Column, model: PcaModel): Column =
+    array(model.components.map { comp =>
+      val centerK = comp.zip(model.mean)
+        .map { case (c, mu) => c.toFloat.toDouble * mu.toFloat.toDouble }.sum
+      graft.functions.DotFloat.dot_float(v, litF(comp)) - lit(centerK)
+    }: _*)
+
+  /** ANN with the PCA gate: rank every (query, candidate) pair by the
+    * RECONSTRUCTED inner product
+    * `Σ_k proj_q(k)·proj_c(k) + <mean, c> + <q, mean> - <mean, mean>`
+    * (exact when m = dim; the m < dim truncation error is what the
+    * margin absorbs), keep the top `margin` per query, then decide via
+    * the SHARED exact tail ([[Similarity.exactTopKTail]]: codegen'd
+    * double re-rank of the survivors, exact-decimal dot only on its
+    * small fixed margin) — identical tie-break contract to every other
+    * similarity tier. The gate itself is fully codegen'd: projections
+    * are float-snapped arrays so the per-pair m-dim dot runs through
+    * [[graft.functions.DotFloat]] (the interpreted zip_with form made
+    * this the slowest pure query at 2.5× the cost); gate-side snapping
+    * (< 1e-6 relative) is margin-absorbed, the decider never sees it.
+    * Per-pair gate cost is m multiplies instead of dim; queries are
+    * broadcast.
+    */
+  def pcaTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              model: PcaModel, k: Int, margin: Int): DataFrame = {
+    val meanF = litF(model.mean)
+    val meanSq = model.mean.map(x => x.toFloat.toDouble * x.toFloat.toDouble).sum
+    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      projectExpr(col(vecCol), model).cast("array<float>").as("qp"),
+      graft.functions.DotFloat.dot_float(col(vecCol), meanF).as("qb")))
+    // the exchange after the projection is a MATERIALIZATION BARRIER,
+    // not a partitioning choice: fused into the broadcast join's
+    // codegen stage, the m-dot projection's variables are deferred into
+    // the inner pair loop and recomputed PER PAIR — measured 20 s
+    // instead of 0.7 s at 40×2000 pairs. The shuffle writes the
+    // projected rows once (n rows, +m floats each), so the join loop
+    // reads attributes instead of re-deriving them; it also spreads the
+    // pair loop across cores
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"),
+      projectExpr(col(vecCol), model).cast("array<float>").as("cp"),
+      graft.functions.DotFloat.dot_float(col(vecCol), meanF).as("cb"))
+      .repartition(col("cid"))
+    val gate = graft.functions.DotFloat.dot_float(col("qp"), col("cp")) +
+      col("qb") + col("cb") - lit(meanSq)
+    // the gate is MATERIALIZED as a column before the window: ordering
+    // by the expression would re-evaluate it (with the m-dot projection
+    // inlined by projection collapsing) inside the generated row
+    // comparator, per COMPARISON — measured 21 s instead of 0.7 s here
+    val wg = Window.partitionBy(col("qid")).orderBy(col("__gate").desc, col("cid").asc)
+    Similarity.exactTopKTail(
+      q.join(c, col("qid") =!= col("cid"))
+        .select(col("qid"), col("qv"), col("cid"), col("cv"), gate.as("__gate"))
+        .withColumn("grank", row_number().over(wg)).filter(col("grank") <= margin)
+        .select(col("qid"), col("qv"), col("cid"), col("cv")),
+      k)
+  }
+}

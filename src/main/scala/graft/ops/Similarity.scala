@@ -472,12 +472,16 @@ object Similarity {
     // component times sum|q_i|, plus fp slack for the double arithmetic
     val err = col("qabs") * (col("hi") - col("lo")) / 510.0 + lit(1e-9)
     val wq = Window.partitionBy(col("qid"))
-    val wlb = wq.orderBy((col("__ad") - col("__err")).desc, col("cid").asc)
+    // sort keys materialized as columns — a window ordered by a computed
+    // expression re-evaluates it per COMPARISON in the generated row
+    // comparator (see exactTopKTail)
+    val wlb = wq.orderBy(col("__lb").desc, col("cid").asc)
     val survivors = q
       .join(lists.select(col("cid"), col("cell"), col("lo"), col("hi"), col("codes")),
         Seq("cell"))
       .filter(col("qid") =!= col("cid"))
       .withColumn("__ad", approxDot).withColumn("__err", err)
+      .withColumn("__lb", col("__ad") - col("__err"))
       .withColumn("__lbrank", row_number().over(wlb))
       // L = the k-th best candidate's lower bound; anything whose upper
       // bound misses L cannot beat k provably-better candidates
@@ -491,8 +495,9 @@ object Similarity {
     // float vectors are never shuffled, only scanned in place.
     val full = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
     val w = Window.partitionBy(col("qid"))
-      .orderBy(dotExactDec(col("qv"), col("cv")).desc, col("cid").asc)
+      .orderBy(col("__ddot").desc, col("cid").asc)
     full.join(broadcast(survivors), Seq("cid"))
+      .withColumn("__ddot", dotExactDec(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("qid"), col("cid"), col("rank").cast("long").as("rank"))
   }
@@ -535,13 +540,21 @@ object Similarity {
     * brute, multi-probe and IVF all rank identically, so a tie-break or
     * margin change cannot drift between tiers.
     */
-  private def exactTopKTail(cands: DataFrame, k: Int): DataFrame = {
+  private[ops] def exactTopKTail(cands: DataFrame, k: Int): DataFrame = {
     val margin = math.max(5 * k, k + 20)
+    // sort keys are MATERIALIZED as columns before each window: a
+    // window ordered by a computed EXPRESSION re-evaluates it inside
+    // the generated row comparator — O(n log n) evaluations instead of
+    // n (and projection collapsing can inline an upstream computed
+    // column's whole tree into the comparator; the PCA gate hit 30×
+    // its expected cost this way before the same fix in pcaTopK)
     val wf = Window.partitionBy(col("qid"))
-      .orderBy(dotFast(col("qv"), col("cv")).desc, col("cid").asc)
+      .orderBy(col("__fdot").desc, col("cid").asc)
     val w = Window.partitionBy(col("qid"))
-      .orderBy(dotExactDec(col("qv"), col("cv")).desc, col("cid").asc)
-    cands.withColumn("frank", row_number().over(wf)).filter(col("frank") <= margin)
+      .orderBy(col("__ddot").desc, col("cid").asc)
+    cands.withColumn("__fdot", dotFast(col("qv"), col("cv")))
+      .withColumn("frank", row_number().over(wf)).filter(col("frank") <= margin)
+      .withColumn("__ddot", dotExactDec(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("qid"), col("cid"), col("rank").cast("long").as("rank"))
   }
@@ -594,5 +607,47 @@ object Similarity {
       .filter(dotFast(col("x.v"), col("y.v")) >= threshold.toDouble - 1e-6)
       .filter(dotExactDec(col("x.v"), col("y.v")) >= lit(threshold).cast("decimal(36,15)"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
+  }
+
+  /** SemDeDup — cluster-partitioned semantic deduplication (the pattern
+    * of Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540):
+    * partition the corpus into semantic cells with the IVF coarse
+    * quantizer, find high-similarity pairs ONLY within a cell, then
+    * component-label and keep one representative (min id) per
+    * near-duplicate group.
+    *
+    * Versus the hyperplane-bucket near-dup tier ([[dotNearDupExact]]):
+    * the cells here are DATA-ADAPTIVE (any codebook from
+    * [[ivfCentroids]] or the distributed [[ivfCentroidsKMeans]]),
+    * so dense semantic regions split across many cells instead of
+    * piling into one hyperplane bucket. Scale shape: cell assignment is
+    * map-side column algebra against the plan-inlined codebook (no
+    * join); the pair join is a cell equi-join whose cost follows
+    * Σ|cell|² — with nList ~ √n the expected per-cell population stays
+    * bounded, and a skewed cell is an AQE skew-join split, never an
+    * all-pairs blow-up. The double dot gates; the decimal dot decides
+    * (the served pair set is bit-reproducible for any schedule).
+    *
+    * Returns (id, cell, component, keep): `component` = min member id of
+    * the near-dup group (its own id when unpaired), `keep` = this row is
+    * the retained representative.
+    */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    cents: Seq[(Long, Seq[Float])],
+                    threshold: BigDecimal): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      ivfCell(col(vecCol), cents).as("cell"))
+    val pairs = c.as("x").join(c.as("y"),
+        col("x.cell") === col("y.cell") && col("x.id") < col("y.id"))
+      .filter(dotFast(col("x.v"), col("y.v")) >= threshold.toDouble - 1e-6)
+      .filter(dotExactDec(col("x.v"), col("y.v")) >= lit(threshold).cast("decimal(36,15)"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+    val comp = Dedup.connectedComponents(pairs)
+    c.select(col("id"), col("cell"))
+      .join(comp, col("id") === col("node"), "left_outer")
+      .select(col("id"), col("cell"),
+        coalesce(col("component"), col("id")).as("component"))
+      .withColumn("keep", col("id") === col("component"))
   }
 }

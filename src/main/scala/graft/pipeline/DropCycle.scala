@@ -173,6 +173,25 @@ object DropCycle {
     * across drops).
     */
   def runEmbeddings(embBatch: DataFrame, idCol: String, vecCol: String,
-                    indexPath: String): Map[String, (Long, Long)] =
-    Map("simidx" -> graft.ops.SimilarityIndex.upsert(embBatch, idCol, vecCol, indexPath))
+                    indexPath: String,
+                    // (path, dim, dropId): also land this drop's PCA moment
+                    // segment ([[graft.ops.PcaIndex]]) so the eigenbasis
+                    // refreshes at O(drop) cost. The moments tier sums VECTOR
+                    // contributions: for a RE-embedding drop, pass the old
+                    // vectors as `pcaRetract` (landed as a sign=-1 segment,
+                    // id `<dropId>-retract`) or the re-embedded docs double-
+                    // count; append-only drops need no retraction.
+                    pca: Option[(String, Int, String)] = None,
+                    pcaRetract: Option[DataFrame] = None): Map[String, (Long, Long)] = {
+    val report = scala.collection.mutable.Map[String, (Long, Long)]()
+    report("simidx") = graft.ops.SimilarityIndex.upsert(embBatch, idCol, vecCol, indexPath)
+    pca.foreach { case (path, dim, dropId) =>
+      val n = graft.ops.PcaIndex.landDrop(embBatch, vecCol, dim, path, dropId)
+      val r = pcaRetract.map(old =>
+        graft.ops.PcaIndex.landDrop(old, vecCol, dim, path, s"$dropId-retract", sign = -1))
+        .getOrElse(0L)
+      report("pca") = (r, n)
+    }
+    report.toMap
+  }
 }

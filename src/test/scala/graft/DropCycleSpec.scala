@@ -322,4 +322,42 @@ class DropCycleSpec extends AnyFunSuite {
     assert(viaIdx.nonEmpty && viaIdx.exists(_._2 == 2L),
       s"updated vector 2 must be servable from the refreshed index: $viaIdx")
   }
+
+  test("cli drop --pca-path lands the drop's moment segment with retraction") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("droppca").toString
+    def embs(rows: (Long, Seq[Float])*) = rows.toDF("vec_id", "embedding")
+    val base = embs((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)), (3L, Seq(-1f, 0f)))
+    graft.ops.SimilarityIndex.build(base, "vec_id", "embedding", root + "/ivf", nList = 2)
+    graft.ops.PcaIndex.landDrop(base, "embedding", 2, root + "/pca", "d0")
+    docs((10L, "alpha beta", 0L)).withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(root + "/in")
+    // vector 2 is RE-embedded: its old value rides --pca-retract-in
+    embs((2L, Seq(0.5f, 0.5f)), (4L, Seq(0f, -1f))).write.parquet(root + "/embin")
+    embs((2L, Seq(0f, 1f))).write.parquet(root + "/embold")
+    // half the pca pair is a loud error
+    val e = intercept[RuntimeException] {
+      graft.cli.Main.run(spark, "drop", Array(
+        "--lake", root + "/lake0", "--in", root + "/in",
+        "--emb-in", root + "/embin", "--emb-index-path", root + "/ivf",
+        "--pca-path", root + "/pca"))
+    }
+    assert(e.getMessage.contains("--pca-drop-id"))
+    graft.cli.Main.run(spark, "drop", Array(
+      "--lake", root + "/lake", "--in", root + "/in",
+      "--emb-in", root + "/embin", "--emb-index-path", root + "/ivf",
+      "--pca-path", root + "/pca", "--pca-dim", "2", "--pca-drop-id", "d1",
+      "--pca-retract-in", root + "/embold"))
+    // merged moments equal a one-pass recompute over the CURRENT vectors
+    val current = embs((1L, Seq(1f, 0f)), (2L, Seq(0.5f, 0.5f)),
+      (3L, Seq(-1f, 0f)), (4L, Seq(0f, -1f)))
+    val served = graft.ops.PcaIndex.serveMoments(spark, root + "/pca").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (BigDecimal(r.getDecimal(2)), r.getLong(3))).toMap
+    val direct = graft.ops.Pca.moments(current, "embedding", 2).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (BigDecimal(r.getDecimal(2)), r.getLong(3))).toMap
+    assert(served.keySet == direct.keySet)
+    served.foreach { case (k, (s, n)) =>
+      assert(s.compare(direct(k)._1) == 0 && n == direct(k)._2, s"moment $k drifted")
+    }
+  }
 }
