@@ -25,13 +25,17 @@ object Curation {
   def sampleStratified(df: DataFrame, strataCol: String, idCol: String,
                        contentCol: String, n: Int, seed: String = "s0"): DataFrame = {
     require(n > 0, "sample size must be positive")
+    // the seeded hash is MATERIALIZED before the window: ordering by the
+    // md5 expression would recompute it per comparison inside the
+    // generated row comparator (O(n log n) hashes instead of n)
     val w = Window.partitionBy(col(strataCol))
       // nulls LAST: null content hashes to null, and Spark's default
       // nulls-first ascending order would let null-content rows
       // deterministically crowd real documents out of every sample
-      .orderBy(md5(concat(lit(seed), col(contentCol))).asc_nulls_last, col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= n).drop("__rn")
+      .orderBy(col("__h").asc_nulls_last, col(idCol))
+    df.withColumn("__h", md5(concat(lit(seed), col(contentCol))))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n).drop("__rn", "__h")
   }
 
   /** Per-source token-budget curation — the data-mixing step: within
@@ -124,14 +128,17 @@ object Curation {
       .select(col(strataCol).as("__stratum"),
         (col("__fl") + when(col("__rk") <= col("__left"), lit(1).cast(dec))
           .otherwise(lit(0).cast(dec))).cast("long").as("alloc"))
+    // seeded hash materialized before the window (comparator re-eval,
+    // same as sampleStratified)
     val w = Window.partitionBy(col(strataCol))
-      .orderBy(md5(concat(lit(seed), col(contentCol))).asc_nulls_last, col(idCol))
+      .orderBy(col("__h").asc_nulls_last, col(idCol))
     // <=>: a null stratum is a legitimate group (it received seats in the
     // allocation); plain === would drop its rows and silently under-fill
-    df.withColumn("__rn", row_number().over(w))
+    df.withColumn("__h", md5(concat(lit(seed), col(contentCol))))
+      .withColumn("__rn", row_number().over(w))
       .join(broadcast(alloc), col(strataCol) <=> col("__stratum"))
       .filter(col("__rn") <= col("alloc"))
-      .drop("__rn", "__stratum")
+      .drop("__rn", "__stratum", "__h")
   }
 
   /** Deterministic output sharding for training-data landing: shard id =
