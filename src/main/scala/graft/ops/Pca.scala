@@ -105,6 +105,10 @@ object Pca {
     require(ns.length == 1,
       s"inconsistent moment row counts ${ns.sorted.mkString(",")} — " +
         "vectors must be non-null with a uniform dimension")
+    // n <= 0 happens when an index path holds only retractions (every
+    // insert segment cancelled): a fit would divide by zero into NaNs
+    require(ns.head > 0,
+      s"moment table covers ${ns.head} rows — nothing to fit (all segments retracted?)")
     var n = 0L
     val s1 = Array.ofDim[Double](dim)
     val s2 = Array.ofDim[Double](dim, dim)

@@ -71,7 +71,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "url_extract", "url_sniff", "nif_validate", "sim_quantize_int8",
     "sim_label_stats", "q_sample_stratified", "q_shard_assign",
     "q_token_budget", "q_pack_sequences", "q_pack_nostraddle",
-    "q_median_order_value", "q_events_quartiles", "cpv_parse_codes")
+    "q_median_order_value", "q_events_quartiles", "cpv_parse_codes",
+    "sim_semdedup", "pca_moments")
 
   test("corpus-tier queries never plan a CartesianProduct") {
     corpusPure.foreach { n =>
@@ -96,6 +97,18 @@ class PlanAuditSpec extends AnyFunSuite {
       mh.contains("BroadcastHashJoin"), "band candidate join must be an equi join")
     assert(!mh.contains("BroadcastNestedLoopJoin") && !mh.contains("CartesianProduct"),
       "band candidate join must never pair-scan")
+    // SemDeDup: the within-cell pair join is an EQUI join on the IVF
+    // cell (cost follows sum of squared cell sizes), never a pair scan
+    val sd = plan("sim_semdedup")
+    assert(sd.contains("SortMergeJoin") || sd.contains("ShuffledHashJoin") ||
+      sd.contains("BroadcastHashJoin"), "semdedup cell join must be an equi join")
+    assert(!sd.contains("BroadcastNestedLoopJoin") && !sd.contains("CartesianProduct"),
+      "semdedup cell join must never pair-scan")
+    // PCA moments: the embeddings scan reads the embedding column only
+    val pm = plan("pca_moments")
+    val pmRs = pm.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!pmRs.contains("vec_id") && !pmRs.contains("label"),
+      s"pca_moments must prune to the embedding column: $pmRs")
   }
 
   test("q05 star join broadcasts its dims") {
