@@ -181,6 +181,23 @@ object EventStreams {
       }
     }
 
+  /** The PCA twin of [[summarySink]]: each micro-batch of embedding
+    * rows lands ONE moment segment ([[graft.ops.PcaIndex.landDrop]])
+    * keyed by the batch id, so [[graft.ops.PcaIndex.serveModel]] fits
+    * the eigenbasis over everything streamed so far from O(dim²)
+    * merged rows — no corpus rescan, decimal-exact convergence to the
+    * one-shot fit. Replay of batch N replaces segment N (idempotent
+    * per drop id); compact periodically to bound segment count.
+    */
+  def pcaMomentsSink(path: String, vecCol: String, dim: Int)(
+      vectors: DataFrame): DataStreamWriter[org.apache.spark.sql.Row] =
+    upsertSink(vectors) { (batch, id) =>
+      if (!batch.isEmpty) {
+        graft.ops.PcaIndex.landDrop(batch, vecCol, dim, path, s"batch$id")
+        ()
+      }
+    }
+
   /** The frequent-items twin of [[summarySink]]: each micro-batch lands
     * ONE top-k count segment ([[graft.ops.Sketches.landTopKDrop]]) keyed
     * by the batch id, so [[graft.ops.Sketches.serveTopK]] always bounds

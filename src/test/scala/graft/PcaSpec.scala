@@ -146,6 +146,31 @@ class PcaSpec extends AnyFunSuite {
       .delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
 
+  test("streaming pcaMomentsSink: a batched feed converges to the one-shot fit") {
+    val root = java.nio.file.Files.createTempDirectory("pcastream").toString
+    val feed = root + "/feed"
+    val path = root + "/pca"
+    val chunks = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.grouped(70).toSeq
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      chunk.toDF("id", "v").coalesce(1).write.parquet(s"$feed/b$i")
+    }
+    val stream = spark.readStream
+      .schema(df.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$feed/*")
+    val q = graft.streaming.EventStreams.pcaMomentsSink(path, "v", dim)(stream)
+      .option("checkpointLocation", root + "/ckpt")
+      .start()
+    q.awaitTermination()
+    assert(graft.ops.PcaIndex.serveModel(spark, path, dim, 3) == Pca.fit(df, "v", dim, 3))
+    val segs = new java.io.File(path).listFiles().map(_.getName)
+      .filter(_.startsWith("seg=")).sorted
+    assert(segs.length == chunks.length && segs.forall(_.startsWith("seg=batch")))
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+  }
+
   test("semanticDedup: keep is the component-min and respects cell boundaries") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 8)
