@@ -131,6 +131,17 @@ object CorpusQueries {
        |SELECT qid, cid, CAST(rank AS BIGINT) AS rank FROM scored
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  /** Hashed-TF bucket rows (matches TextAnalysis.hashedTf: bucket =
+    * first 3 hex nibbles of md5(token), 0..4095).
+    */
+  private val hashedTfCte = tkCte +
+    """,
+      |tfb AS (SELECT doc_id,
+      |  (instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 256
+      |  + (instr('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 16
+      |  + (instr('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) AS bucket
+      |  FROM (SELECT doc_id, unnest(toks) AS tok FROM tk))""".stripMargin
+
   /** Full from-scratch recompute of the PCA first/second moment sums on
     * the same scale-15 decimal grid as Pca.moments, floor-scaled to an
     * exact integer — shared by pca_moments (one-pass) and
@@ -893,6 +904,27 @@ object CorpusQueries {
         .select(col("vec_id"), col("q.lo").as("lo"), col("q.hi").as("hi"),
           aggregate(col("q.codes"), lit(0L), (a, c) => a + c).as("code_sum"))
         .orderBy(col("vec_id"))
+    }),
+
+    // feature-hashed sparse TF vectors: the model-free text→vector
+    // bridge (md5 3-nibble bucket, term frequency) — posting rows, the
+    // sparse form the inverted-index similarity join consumes
+    "txt_hashed_tf" -> ((s, dir) => {
+      TextAnalysis.hashedTf(t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("bucket"))
+    }),
+
+    // inverted-index sparse cosine top-3 over the hashed-TF postings:
+    // buckets with document frequency above 5% of the corpus (min 16)
+    // are pruned — the sparse analogue of stopword removal; integer
+    // dot/norms make the double cosine engine-reproducible
+    "txt_sparse_sim_topk" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cap = math.max(16L, (docs.count() + 19) / 20)
+      Similarity.sparseCosineTopK(
+          TextAnalysis.hashedTf(docs, "doc_id", "text"), 3, cap)
+        .orderBy(col("qid"), col("rank"))
     }),
 
     // SemDeDup: IVF-cell-partitioned semantic dedup — data-adaptive
@@ -1805,6 +1837,28 @@ object CorpusQueries {
          |SELECT qid, cid, CAST(rank AS BIGINT) AS rank FROM scored
          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
     },
+
+    "txt_hashed_tf" -> (hashedTfCte +
+      """
+        |SELECT doc_id, bucket, count(*) AS cnt
+        |FROM tfb GROUP BY doc_id, bucket ORDER BY doc_id, bucket""".stripMargin),
+
+    "txt_sparse_sim_topk" -> (hashedTfCte +
+      """,
+        |cnts AS (SELECT doc_id, bucket, count(*) AS cnt FROM tfb GROUP BY doc_id, bucket),
+        |cap AS (SELECT greatest(16, (count(*) + 19) // 20) AS cap FROM documents),
+        |keep AS (SELECT bucket FROM cnts GROUP BY bucket HAVING count(*) <= (SELECT cap FROM cap)),
+        |p AS (SELECT cnts.* FROM cnts JOIN keep USING (bucket)),
+        |nrm AS (SELECT doc_id, sum(cnt * cnt) AS nrm FROM p GROUP BY doc_id),
+        |dots AS (SELECT x.doc_id AS qid, y.doc_id AS cid, sum(x.cnt * y.cnt) AS dot
+        |         FROM p x JOIN p y ON x.bucket = y.bucket AND x.doc_id <> y.doc_id
+        |         GROUP BY x.doc_id, y.doc_id),
+        |sc AS (SELECT qid, cid,
+        |         CAST(dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS cos
+        |       FROM dots JOIN nrm na ON dots.qid = na.doc_id JOIN nrm nb ON dots.cid = nb.doc_id)
+        |SELECT qid, cid, cos, CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT qid, cid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank FROM sc) t
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin),
 
     "sim_semdedup" ->
       s"""WITH RECURSIVE cent AS (SELECT vec_id AS ccid, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 8),

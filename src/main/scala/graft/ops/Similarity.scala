@@ -609,6 +609,44 @@ object Similarity {
       .select(col("x.id").as("a"), col("y.id").as("b"))
   }
 
+  /** Inverted-index cosine top-k over SPARSE non-negative integer
+    * vectors (`posts` rows: id, bucket, cnt — e.g.
+    * [[TextAnalysis.hashedTf]]): the classic posting-list similarity
+    * join. Buckets whose posting list exceeds `maxPosting` documents
+    * are PRUNED from the space first — the sparse analogue of stopword
+    * removal: a term shared by everything carries no similarity signal
+    * but quadratic join cost. Norms are computed over the pruned space
+    * (pruning then cosine, a self-consistent metric). Pair cost is
+    * Σ min(posting, maxPosting)² per bucket, never n².
+    *
+    * dot and norms are exact integers, so the double cosine
+    * `dot / sqrt(na·nb)` derives identically on any engine (integer
+    * inputs, one multiply/divide/sqrt — no decimal-conversion
+    * ambiguity); ranking ties go to the lower candidate id.
+    */
+  def sparseCosineTopK(posts: DataFrame, k: Int, maxPosting: Long): DataFrame = {
+    require(k >= 1 && maxPosting >= 1, "k and maxPosting must be positive")
+    val keep = posts.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("__df")).filter(col("__df") <= maxPosting)
+      .select(col("bucket"))
+    val p = posts.join(keep, Seq("bucket"))
+    val norms = p.groupBy(col("id")).agg(sum(col("cnt") * col("cnt")).as("nrm"))
+    val dots = p.select(col("id").as("qid"), col("bucket"), col("cnt").as("__ca"))
+      .join(p.select(col("id").as("cid"), col("bucket"), col("cnt").as("__cb")),
+        Seq("bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(sum(col("__ca") * col("__cb")).as("dot"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
+    dots
+      .join(norms.select(col("id").as("qid"), col("nrm").as("__na")), Seq("qid"))
+      .join(norms.select(col("id").as("cid"), col("nrm").as("__nb")), Seq("cid"))
+      .withColumn("cos", col("dot").cast("double") /
+        sqrt(col("__na").cast("double") * col("__nb").cast("double")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("cos"), col("rank").cast("long").as("rank"))
+  }
+
   /** SemDeDup — cluster-partitioned semantic deduplication (the pattern
     * of Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication", arXiv:2303.09540):

@@ -185,6 +185,22 @@ object TextAnalysis {
       .otherwise(((num - pmod(num, len)) / len).cast("long"))
   }
 
+  /** Feature-hashed sparse term-frequency vectors — the model-free
+    * text→vector bridge: bucket = first three hex nibbles of
+    * md5(token) (0..4095, engine-reproducible like every hash in this
+    * tier), count = term frequency. Returns (id, bucket, cnt) POSTING
+    * rows: the sparse representation feeds the inverted-index
+    * similarity join ([[Similarity.sparseCosineTopK]]) directly — at
+    * 100 TB a dense 4096-wide array per document is never
+    * materialized, and the explode/groupBy pair is one shuffle with
+    * map-side combine.
+    */
+  def hashedTf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+      .select(col("id"),
+        conv(substring(md5(col("tok")), 1, 3), 16, 10).cast("long").as("bucket"))
+      .groupBy(col("id"), col("bucket")).agg(count(lit(1)).as("cnt"))
+
   /** Polynomial rolling-hash fingerprint over the token stream
     * (order-sensitive, unlike the md5 canon form): h = fold(tokens,
     * h*31 + firstCodePoint) mod 1e9+7. Exact int64 arithmetic; native

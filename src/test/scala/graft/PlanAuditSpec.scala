@@ -72,7 +72,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_label_stats", "q_sample_stratified", "q_shard_assign",
     "q_token_budget", "q_pack_sequences", "q_pack_nostraddle",
     "q_median_order_value", "q_events_quartiles", "cpv_parse_codes",
-    "sim_semdedup", "pca_moments")
+    "sim_semdedup", "pca_moments", "txt_hashed_tf", "txt_sparse_sim_topk")
 
   test("corpus-tier queries never plan a CartesianProduct") {
     corpusPure.foreach { n =>
@@ -109,6 +109,11 @@ class PlanAuditSpec extends AnyFunSuite {
     val pmRs = pm.linesIterator.filter(_.contains("ReadSchema")).mkString
     assert(!pmRs.contains("vec_id") && !pmRs.contains("label"),
       s"pca_moments must prune to the embedding column: $pmRs")
+    // sparse similarity: the posting self-join is an EQUI join on the
+    // bucket (cost follows posting-list sizes), never a pair scan
+    val sp = plan("txt_sparse_sim_topk")
+    assert(!sp.contains("BroadcastNestedLoopJoin") && !sp.contains("CartesianProduct"),
+      "sparse posting join must never pair-scan")
   }
 
   test("q05 star join broadcasts its dims") {
