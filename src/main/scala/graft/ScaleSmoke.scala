@@ -182,6 +182,46 @@ object ScaleSmoke {
         nList = 128, iters = 3).size.toLong
     }
 
+    // ------------------------------------------------ PCA moment index
+    // per-drop decimal moment segments; the fit reads O(dim²) merged
+    // rows — the drop phase's cost following churn is the claim
+    phase("pca-moments-build-90pct") {
+      graft.ops.PcaIndex.landDrop(
+        embsAll.filter(pmod(col("vec_id"), lit(10)) =!= 9), "embedding", 64,
+        s"$work/pcaidx", "bulk")
+    }
+    phase("pca-moments-drop-10pct") {
+      graft.ops.PcaIndex.landDrop(
+        embsAll.filter(pmod(col("vec_id"), lit(10)) === 9), "embedding", 64,
+        s"$work/pcaidx", "drop")
+    }
+    phase("pca-fit-from-index") {
+      graft.ops.PcaIndex.serveModel(spark, s"$work/pcaidx", 64, 32).components.size.toLong
+    }
+
+    // ------------------------------------- sparse text similarity join
+    // posting-list cosine over the inflated docs, same 5%-of-corpus
+    // df-pruning rule as the oracle query (pair cost is
+    // Σ min(posting, cap)² per bucket — the knob a larger deployment
+    // tightens). The synthetic corpus has a ~31-token vocabulary, so
+    // only its rare tail survives pruning at any scale — exactly the
+    // Zipf-head behavior the pruning is for.
+    phase("sparse-sim-topk") {
+      val cap = math.max(16L, (docsAll.count() + 19) / 20)
+      graft.ops.Similarity.sparseCosineTopK(
+        graft.ops.TextAnalysis.hashedTf(docsAll, "doc_id", "text"), 10, cap).count()
+    }
+
+    // --------------------------------------------- semantic dedup labels
+    // IVF-cell-partitioned near-dup components over the inflated
+    // embeddings (every copy duplicates the base vectors — worst-case
+    // candidate pressure inside shared cells)
+    phase("semdedup-labels") {
+      val cents = graft.ops.Similarity.ivfCentroids(embsAll, "vec_id", "embedding", 128)
+      graft.ops.Similarity.semanticDedup(embsAll, "vec_id", "embedding", cents,
+        BigDecimal("0.35")).count()
+    }
+
     val json = phases.map { case (n, dt, rows, w, r, m, d) =>
       s"""{"phase":"$n","sec":$dt,"rows":$rows,"shuffle_write_b":$w,"shuffle_read_b":$r,"spill_mem_b":$m,"spill_disk_b":$d}"""
     }.mkString("[", ",", "]")

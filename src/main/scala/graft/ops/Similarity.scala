@@ -610,8 +610,9 @@ object Similarity {
   }
 
   /** Inverted-index cosine top-k over SPARSE non-negative integer
-    * vectors (`posts` rows: id, bucket, cnt — e.g.
-    * [[TextAnalysis.hashedTf]]): the classic posting-list similarity
+    * vectors (`posts` rows: id, bucket, cnt, ONE row per (id, bucket) —
+    * the [[TextAnalysis.hashedTf]] contract; duplicate coordinate rows
+    * would inflate the df-prune counts): the classic posting-list similarity
     * join. Buckets whose posting list exceeds `maxPosting` documents
     * are PRUNED from the space first — the sparse analogue of stopword
     * removal: a term shared by everything carries no similarity signal

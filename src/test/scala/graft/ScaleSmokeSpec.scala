@@ -17,7 +17,11 @@ class ScaleSmokeSpec extends AnyFunSuite {
     assert(names == Seq("inflate-inputs", "ingest-bulk-90pct", "ingest-drop-10pct",
       "dedup-index-build-90pct", "dedup-index-refresh-10pct", "dedup-candidate-pairs",
       "sim-index-build-90pct", "sim-index-refresh-10pct", "sim-indexed-topk-500q",
-      "kmeans-trainer-nlist128"), s"phase list drifted: $names")
+      "kmeans-trainer-nlist128", "pca-moments-build-90pct", "pca-moments-drop-10pct",
+      "pca-fit-from-index", "sparse-sim-topk", "semdedup-labels"),
+      s"phase list drifted: $names")
+    // the PCA drop phase lands an aggregate-sized segment (dim·(dim+3)/2)
+    assert(phases.find(_._1 == "pca-moments-drop-10pct").get._3 == 64L * 67 / 2)
     // 2x sf0.001 orders = 30k inflated rows, all ingested across the two drops
     assert(phases.find(_._1 == "inflate-inputs").get._3 == 3000L)
     assert(phases.find(_._1 == "ingest-drop-10pct").get._3 >= 2990L)
