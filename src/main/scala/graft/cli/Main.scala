@@ -212,7 +212,64 @@ object Main {
               arg(args, "--nlist").map(_.toInt).getOrElse(64))
             println(s"[cli] index build: $n vectors listed")
           }
-        case other => println(s"index --kind bloom|minhash|ivf (got '$other')")
+        case "pca" =>
+          // incremental PCA moment index over an embedding corpus:
+          // build/land a drop segment (--drop-id, --retract for the old
+          // vectors of a re-embedding), or fit/print the eigenbasis
+          val emb = spark.read.parquet(lakePath)
+          val idx = arg(args, "--path").getOrElse(lakePath + ".pcaidx")
+          val vec = arg(args, "--vec").getOrElse("embedding")
+          val dim = arg(args, "--dim").map(_.toInt).getOrElse(64)
+          arg(args, "--fit") match {
+            case Some(m) =>
+              // full spectrum for the variance-explained denominator
+              // (the Jacobi sweep is dim×dim driver work either way)
+              val full = graft.ops.PcaIndex.serveModel(spark, idx, dim, dim)
+              val kept = full.eigenvalues.take(m.toInt)
+              val tot = full.eigenvalues.sum
+              println(s"[cli] index pca fit: m=$m eigenvalues=${
+                kept.map(v => f"$v%.6f").mkString(",")} " +
+                f"variance_explained=${if (tot == 0) 0.0 else kept.sum / tot}%.3f")
+            case None =>
+              val dropId = arg(args, "--drop-id").getOrElse("bulk")
+              val sign = if (flag(args, "--retract")) -1 else 1
+              val n = graft.ops.PcaIndex.landDrop(emb, vec, dim, idx, dropId, sign)
+              println(s"[cli] index pca: landed $n moment rows as seg=$dropId (sign=$sign)")
+          }
+        case other => println(s"index --kind bloom|minhash|ivf|pca (got '$other')")
+      }
+    case "semdedup" =>
+      // cluster-partitioned semantic dedup over an embedding corpus:
+      // (id, cell, component, keep) labels — keep=false rows are the
+      // semantic near-duplicates a curation pass drops
+      val emb = spark.read.parquet(arg(args, "--in").get)
+      val id = arg(args, "--key").getOrElse("vec_id")
+      val vec = arg(args, "--vec").getOrElse("embedding")
+      val cents = graft.ops.Similarity.ivfCentroids(emb, id, vec,
+        arg(args, "--nlist").map(_.toInt).getOrElse(64))
+      val out = graft.ops.Similarity.semanticDedup(emb, id, vec, cents,
+        BigDecimal(arg(args, "--threshold").getOrElse("0.35")))
+      arg(args, "--out") match {
+        case Some(o) => out.write.mode("overwrite").parquet(o)
+          val dropped = spark.read.parquet(o).filter(!col("keep")).count()
+          println(s"[cli] semdedup: $dropped semantic near-dups flagged -> $o")
+        case None => out.orderBy(col("id")).show(100, truncate = false)
+      }
+    case "sparsesim" =>
+      // hashed-TF posting build + df-pruned inverted-index cosine top-k
+      // over a text corpus (the model-free similarity join)
+      val docs = spark.read.parquet(arg(args, "--in").get)
+      val id = arg(args, "--key").getOrElse("doc_id")
+      val text = arg(args, "--text").getOrElse("text")
+      val posts = graft.ops.TextAnalysis.hashedTf(docs, id, text)
+      val cap = arg(args, "--max-posting").map(_.toLong)
+        .getOrElse(math.max(16L, (docs.count() + 19) / 20))
+      val topk = graft.ops.Similarity.sparseCosineTopK(posts,
+        arg(args, "--k").map(_.toInt).getOrElse(10), cap)
+      arg(args, "--out") match {
+        case Some(o) => topk.write.mode("overwrite").parquet(o)
+          println(s"[cli] sparsesim: ${spark.read.parquet(o).count()} neighbor rows -> $o (cap=$cap)")
+        case None => topk.orderBy(col("qid"), col("rank")).show(100, truncate = false)
       }
     case "repair" =>
       // chain maintenance (ref checking/check_versions_completness.py):
@@ -562,6 +619,6 @@ object Main {
       graft.Explain.print(spark,
         arg(args, "--sf").getOrElse("/root/testdata/sf0.001"), Seq(name))
     case other =>
-      println(s"usage: ingest|summary|harvest|sync|compact|stats|cluster|index|repair|purge|curate|snap|audit|profile|matagg|sketch|lm|bm25|drop|explain (got '$other')")
+      println(s"usage: ingest|summary|harvest|sync|compact|stats|cluster|index|repair|purge|curate|snap|audit|profile|matagg|sketch|lm|bm25|drop|semdedup|sparsesim|explain (got '$other')")
   }
 }

@@ -57,6 +57,35 @@ class SparseSimSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("cli: sparsesim, semdedup and index --kind pca round-trip") {
+    val root = java.nio.file.Files.createTempDirectory("clivec").toString
+    docs.write.parquet(root + "/docs")
+    graft.cli.Main.run(spark, "sparsesim", Array(
+      "--in", root + "/docs", "--k", "2", "--max-posting", "100",
+      "--out", root + "/nn"))
+    val nn = spark.read.parquet(root + "/nn")
+    assert(nn.columns.toSet == Set("qid", "cid", "cos", "rank") && nn.count() > 0)
+    // embeddings side: semantic dedup labels + the PCA moment index
+    val emb = (0 until 40).map { i =>
+      (i.toLong, (0 until 4).map(j => (math.sin(i * 0.7 + j) * 0.5).toFloat))
+    }.toDF("vec_id", "embedding")
+    emb.write.parquet(root + "/emb")
+    graft.cli.Main.run(spark, "semdedup", Array(
+      "--in", root + "/emb", "--nlist", "4", "--threshold", "0.2",
+      "--out", root + "/labels"))
+    val labels = spark.read.parquet(root + "/labels")
+    assert(labels.count() == 40 &&
+      labels.columns.toSet == Set("id", "cell", "component", "keep"))
+    graft.cli.Main.run(spark, "index", Array(
+      "--kind", "pca", "--lake", root + "/emb", "--path", root + "/pca",
+      "--dim", "4", "--drop-id", "d0"))
+    graft.cli.Main.run(spark, "index", Array(
+      "--kind", "pca", "--lake", root + "/emb", "--path", root + "/pca",
+      "--dim", "4", "--fit", "2"))
+    assert(graft.ops.PcaIndex.serveModel(spark, root + "/pca", 4, 2) ==
+      graft.ops.Pca.fit(emb, "embedding", 4, 2))
+  }
+
   test("bucket pruning drops over-frequent coordinates from candidates AND norms") {
     // 'spark' appears in 4/5 docs; with maxPosting = 3 its bucket must
     // vanish: doc pairs related ONLY through pruned buckets disappear,
