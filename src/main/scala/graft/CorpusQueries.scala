@@ -906,6 +906,14 @@ object CorpusQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // Gopher-family duplicate-n-gram fraction: per doc, the share of
+    // sliding 3-gram occurrences whose 3-gram occurs in > 1 document —
+    // exact-ppm grid, digests-only shuffles
+    "txt_dup_ngrams" -> ((s, dir) => {
+      TextAnalysis.dupNgramStats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // feature-hashed sparse TF vectors: the model-free text→vector
     // bridge (md5 3-nibble bucket, term frequency) — posting rows, the
     // sparse form the inverted-index similarity join consumes
@@ -1837,6 +1845,24 @@ object CorpusQueries {
          |SELECT qid, cid, CAST(rank AS BIGINT) AS rank FROM scored
          |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
     },
+
+    "txt_dup_ngrams" -> (tkCte +
+      """,
+        |ng AS (SELECT doc_id, md5(g) AS h FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+        |  FROM tk WHERE len(toks) >= 3)),
+        |dfh AS (SELECT h, count(DISTINCT doc_id) AS nd FROM ng GROUP BY h),
+        |per AS (SELECT ng.doc_id, count(*) AS n_ngrams,
+        |        CAST(sum(CASE WHEN dfh.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        |        FROM ng JOIN dfh USING (h) GROUP BY ng.doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(per.n_ngrams, 0) AS n_ngrams,
+        |  coalesce(per.n_dup, 0) AS n_dup,
+        |  CAST(CASE WHEN coalesce(per.n_ngrams, 0) = 0 THEN 0
+        |       ELSE (1000000 * per.n_dup) // per.n_ngrams END AS BIGINT) AS dup_ppm
+        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        |ORDER BY d.doc_id""".stripMargin),
 
     "txt_hashed_tf" -> (hashedTfCte +
       """

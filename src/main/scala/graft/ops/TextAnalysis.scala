@@ -185,6 +185,47 @@ object TextAnalysis {
       .otherwise(((num - pmod(num, len)) / len).cast("long"))
   }
 
+  /** Duplicate-n-gram fraction — the Gopher-family curation signal
+    * "how much of this document is boilerplate shared with the rest of
+    * the corpus": per document, among its SLIDING n-gram occurrences
+    * (multiplicity kept — repeated within-doc n-grams of a
+    * corpus-shared string all count), the fraction whose n-gram occurs
+    * in MORE THAN ONE document. Returned as (id, n_ngrams, n_dup,
+    * dup_ppm) with dup_ppm on the exact integer grid (floor of
+    * 10⁶·n_dup/n_ngrams) so curation thresholds are engine-exact;
+    * documents shorter than n tokens report zeros.
+    *
+    * Scale shape: the shuffle carries md5 DIGESTS of n-grams, never
+    * the text; document frequency is one groupBy over digests and the
+    * per-doc fold is a digest equi-join back — both AQE-skew-splittable
+    * (a boilerplate n-gram shared by 10⁸ docs is a hot KEY, not a hot
+    * row group, after the map-side combine).
+    */
+  def dupNgramStats(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3): DataFrame = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
+    val toks = tokens(col(textCol))
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => md5(concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+    val ex = docs.select(col(idCol).as("__doc"), explode(grams).as("__h"))
+    val dfh = ex.groupBy(col("__h")).agg(count_distinct(col("__doc")).as("__nd"))
+    val per = ex.join(dfh, Seq("__h"))
+      .groupBy(col("__doc"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_dup"))
+    val joined = docs.select(col(idCol))
+      .join(per, docs(idCol) === per("__doc"), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+    // exact integer floor-div (see compressRatioPct)
+    val num = lit(1000000L) * col("n_dup")
+    joined.withColumn("dup_ppm", when(col("n_ngrams") === 0, lit(0L))
+      .otherwise(((num - pmod(num, col("n_ngrams"))) / col("n_ngrams")).cast("long")))
+  }
+
   /** Feature-hashed sparse term-frequency vectors — the model-free
     * text→vector bridge: bucket = first three hex nibbles of
     * md5(token) (0..4095, engine-reproducible like every hash in this

@@ -72,7 +72,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_label_stats", "q_sample_stratified", "q_shard_assign",
     "q_token_budget", "q_pack_sequences", "q_pack_nostraddle",
     "q_median_order_value", "q_events_quartiles", "cpv_parse_codes",
-    "sim_semdedup", "pca_moments", "txt_hashed_tf", "txt_sparse_sim_topk")
+    "sim_semdedup", "pca_moments", "txt_hashed_tf", "txt_sparse_sim_topk",
+    "txt_dup_ngrams")
 
   test("corpus-tier queries never plan a CartesianProduct") {
     corpusPure.foreach { n =>

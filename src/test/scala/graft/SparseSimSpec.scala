@@ -57,6 +57,25 @@ class SparseSimSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("dupNgramStats: occurrence-level duplicate fraction on the exact ppm grid") {
+    val d = Seq(
+      (1L, "a b c d e"),          // 3-grams: abc bcd cde
+      (2L, "a b c x y"),          // abc xxy...; shares abc with doc 1
+      (3L, "zz qq ww"),           // unique 3-gram
+      (4L, "a b c a b c a b"),    // sliding: abc bca cab abc bca cab — within-doc repeats of a shared gram all count
+      (5L, "t u")                 // shorter than n -> zeros
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.dupNgramStats(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == ((3L, 1L, 333333L))) // abc shared with docs 2/4
+    assert(got(2L) == ((3L, 1L, 333333L)))
+    assert(got(3L) == ((1L, 0L, 0L)))
+    // doc 4: 6 occurrences; 'a b c' occurs twice and is corpus-shared ->
+    // BOTH occurrences count; 'b c a'/'c a b' are doc-4-only (df=1)
+    assert(got(4L) == ((6L, 2L, 333333L)))
+    assert(got(5L) == ((0L, 0L, 0L)))
+  }
+
   test("cli: sparsesim, semdedup and index --kind pca round-trip") {
     val root = java.nio.file.Files.createTempDirectory("clivec").toString
     docs.write.parquet(root + "/docs")
