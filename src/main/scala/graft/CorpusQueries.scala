@@ -957,6 +957,35 @@ object CorpusQueries {
         .orderBy(col("i"), col("j"))
     }),
 
+    // persisted semantic-label index: built on a PERTURBED corpus state
+    // (10% of ids missing, some vectors negated), one refresh to the
+    // true corpus — the served labels must hash-match the from-scratch
+    // WITH RECURSIVE component recompute over the final corpus. The
+    // perturbation spares ids 0..7, so the pinned codebook equals the
+    // oracle's full-corpus seed codebook (the sim_ivf_persisted trick)
+    "sem_cluster_incremental" -> ((s, dir) => {
+      import graft.ops.SemDedupIndex
+      val emb = t(s, dir, "embeddings")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_semidx_q").toString
+      val idx = tmp + "/sem"
+      val v1 = emb.filter(col("vec_id") % 10 =!= 9)
+        .withColumn("embedding",
+          when(col("vec_id") % 13 === 0 && col("vec_id") > 8,
+            transform(col("embedding"), x => -x)).otherwise(col("embedding")))
+      SemDedupIndex.build(v1, "vec_id", "embedding", idx,
+        nList = 8, threshold = BigDecimal("0.35"))
+      SemDedupIndex.refresh(emb, "vec_id", "embedding", idx)
+      val out = SemDedupIndex.serve(s, idx)
+        .select(col("doc").as("vec_id"), col("label").as("component"),
+          (col("doc") === col("label")).as("keep"))
+        .orderBy(col("vec_id"))
+        .localCheckpoint(true) // the scratch index is deleted next
+      new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      out
+    }),
+
     // incremental PCA: per-drop moment segments (3 drops + a doubled
     // subset retracted via a sign=-1 segment, compaction mid-sequence)
     // merged at serve must equal the from-scratch recompute bit-for-bit
@@ -1900,6 +1929,27 @@ object CorpusQueries {
          |walk(u, v) AS (SELECT u, v FROM sym UNION SELECT w.u, s.v FROM walk w JOIN sym s ON w.v = s.u),
          |reach AS (SELECT u, min(v) AS mn FROM walk GROUP BY u)
          |SELECT a2.vec_id, a2.cell, least(coalesce(r.mn, a2.vec_id), a2.vec_id) AS component,
+         |       a2.vec_id = least(coalesce(r.mn, a2.vec_id), a2.vec_id) AS keep
+         |FROM ass a2 LEFT JOIN reach r ON a2.vec_id = r.u
+         |ORDER BY a2.vec_id""".stripMargin,
+
+    // same component recompute as sim_semdedup (the index converges to
+    // the from-scratch graph under the shared pinned codebook), minus
+    // the cell column
+    "sem_cluster_incremental" ->
+      s"""WITH RECURSIVE cent AS (SELECT vec_id AS ccid, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 8),
+         |ass AS (SELECT vec_id, embedding, cell FROM (
+         |  SELECT e.vec_id, e.embedding, c.ccid AS cell,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${dotDecSql("e.embedding", "c.cv")} DESC, c.ccid ASC) AS rn
+         |  FROM embeddings e CROSS JOIN cent c) t WHERE rn = 1),
+         |cand AS (SELECT x.vec_id AS a, y.vec_id AS b
+         |         FROM ass x JOIN ass y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |         WHERE ${dotDecSql("x.embedding", "y.embedding")} >= CAST('0.35' AS DECIMAL(36,15))),
+         |sym AS (SELECT a AS u, b AS v FROM cand UNION SELECT b AS u, a AS v FROM cand),
+         |walk(u, v) AS (SELECT u, v FROM sym UNION SELECT w.u, s.v FROM walk w JOIN sym s ON w.v = s.u),
+         |reach AS (SELECT u, min(v) AS mn FROM walk GROUP BY u)
+         |SELECT a2.vec_id, least(coalesce(r.mn, a2.vec_id), a2.vec_id) AS component,
          |       a2.vec_id = least(coalesce(r.mn, a2.vec_id), a2.vec_id) AS keep
          |FROM ass a2 LEFT JOIN reach r ON a2.vec_id = r.u
          |ORDER BY a2.vec_id""".stripMargin,

@@ -133,8 +133,8 @@ object SparkEntry {
     "q_heavy_hitters", "q_hist_median_est", "q_lake_point_lookup",
     "q_lake_time_travel", "q_quantile_sketch_bound", "q_snapshot_changes",
     "q_snapshot_point_lookup", "q_stream_topk", "q_summary_cdc", "q_summary_incremental",
-    "pca_moments_incremental", "sim_ivf_persisted_topk", "txt_bm25_indexed",
-    "txt_lm_incremental", "txt_stats_incremental")
+    "pca_moments_incremental", "sem_cluster_incremental", "sim_ivf_persisted_topk",
+    "txt_bm25_indexed", "txt_lm_incremental", "txt_stats_incremental")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map[String, (SparkSession, String) => DataFrame](
     // A2/A3-style wide aggregation (TPC-H Q1 shape)

@@ -239,21 +239,42 @@ object Main {
         case other => println(s"index --kind bloom|minhash|ivf|pca (got '$other')")
       }
     case "semdedup" =>
-      // cluster-partitioned semantic dedup over an embedding corpus:
-      // (id, cell, component, keep) labels — keep=false rows are the
-      // semantic near-duplicates a curation pass drops
-      val emb = spark.read.parquet(arg(args, "--in").get)
+      // cluster-partitioned semantic dedup over an embedding corpus.
+      // One-shot (default): (id, cell, component, keep) labels —
+      // keep=false rows are the near-duplicates a curation pass drops.
+      // With --index-path: the PERSISTED label index — --refresh
+      // maintains it at churn cost under the codebook/threshold pinned
+      // at build, --serve prints without any clustering work.
       val id = arg(args, "--key").getOrElse("vec_id")
       val vec = arg(args, "--vec").getOrElse("embedding")
-      val cents = graft.ops.Similarity.ivfCentroids(emb, id, vec,
-        arg(args, "--nlist").map(_.toInt).getOrElse(64))
-      val out = graft.ops.Similarity.semanticDedup(emb, id, vec, cents,
-        BigDecimal(arg(args, "--threshold").getOrElse("0.35")))
-      arg(args, "--out") match {
-        case Some(o) => out.write.mode("overwrite").parquet(o)
-          val dropped = spark.read.parquet(o).filter(!col("keep")).count()
-          println(s"[cli] semdedup: $dropped semantic near-dups flagged -> $o")
-        case None => out.orderBy(col("id")).show(100, truncate = false)
+      arg(args, "--index-path") match {
+        case Some(idx) if flag(args, "--serve") =>
+          graft.ops.SemDedupIndex.serve(spark, idx)
+            .orderBy(col("doc")).show(100, truncate = false)
+        case Some(idx) if flag(args, "--refresh") =>
+          val emb = spark.read.parquet(arg(args, "--in").get)
+          val (carried, relabeled) =
+            graft.ops.SemDedupIndex.refresh(emb, id, vec, idx)
+          println(s"[cli] semdedup refresh: carried $carried docs, relabeled $relabeled (churn)")
+        case Some(idx) =>
+          val emb = spark.read.parquet(arg(args, "--in").get)
+          val n = graft.ops.SemDedupIndex.build(emb, id, vec, idx,
+            arg(args, "--nlist").map(_.toInt).getOrElse(64),
+            BigDecimal(arg(args, "--threshold").getOrElse("0.35")),
+            trained = flag(args, "--trained"))
+          println(s"[cli] semdedup build: $n docs labeled -> $idx")
+        case None =>
+          val emb = spark.read.parquet(arg(args, "--in").get)
+          val cents = graft.ops.Similarity.ivfCentroids(emb, id, vec,
+            arg(args, "--nlist").map(_.toInt).getOrElse(64))
+          val out = graft.ops.Similarity.semanticDedup(emb, id, vec, cents,
+            BigDecimal(arg(args, "--threshold").getOrElse("0.35")))
+          arg(args, "--out") match {
+            case Some(o) => out.write.mode("overwrite").parquet(o)
+              val dropped = spark.read.parquet(o).filter(!col("keep")).count()
+              println(s"[cli] semdedup: $dropped semantic near-dups flagged -> $o")
+            case None => out.orderBy(col("id")).show(100, truncate = false)
+          }
       }
     case "sparsesim" =>
       // hashed-TF posting build + df-pruned inverted-index cosine top-k

@@ -1,0 +1,160 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted SEMANTIC near-dup cluster labels with churn-proportional
+  * maintenance — the embedding-space twin of [[ClusterIndex]]: that
+  * tier maintains component labels under the MinHash band graph; this
+  * one maintains them under the [[Similarity.semanticDedup]] graph
+  * (IVF-cell candidates, exact-decimal dot ≥ threshold). At 100 TB a
+  * monthly re-embedding drop touching 1% of vectors must not re-run
+  * connected components over every within-cell pair.
+  *
+  * Layout: `path/centroids` (the PINNED codebook — refresh never
+  * retrains, so an unchanged vector keeps its cell and the edge set
+  * can only change at changed/new/vanished vectors), `path/meta` (the
+  * pinned threshold), `path/labels` (doc, vfp, label) with label =
+  * component-min doc id.
+  *
+  * Refresh contract and algorithm are [[ClusterIndex.refresh]]'s,
+  * with one structural difference: there is no persisted posting
+  * sidecar to mine delta edges from — they are recomputed from the
+  * CURRENT corpus by cell-joining only the delta docs' side against
+  * the full assignment (map-side cells from the pinned codebook), so
+  * edge cost follows the churn's cell populations, never the corpus
+  * pair count. The same two facts carry the correctness argument:
+  * edges appear/disappear only at changed/new/vanished vectors
+  * (pinned codebook ⇒ unchanged vector ⇒ unchanged cell ⇒ unchanged
+  * dots), and a component can split only if it lost a member's edges —
+  * so intact components contract to their label node and label-node
+  * ids provably cannot collide with delta doc ids (label L means doc L
+  * is that component's min member; a changed/vanished L makes its
+  * component a split candidate, not intact).
+  */
+object SemDedupIndex {
+
+  private def centsPath(path: String) = s"$path/centroids"
+  private def metaPath(path: String) = s"$path/meta"
+  private def labelsPath(path: String) = s"$path/labels"
+  private def vecFp(vec: org.apache.spark.sql.Column) = xxhash64(vec)
+
+  /** Near-dup edges with the x side restricted (delta docs at refresh,
+    * the whole corpus at build): cell equi-join, double gate, decimal
+    * decider, normalized to a < b (the =!= join sees each unordered
+    * pair up to twice; distinct folds them).
+    */
+  private def edges(xSide: DataFrame, ySide: DataFrame,
+                    threshold: BigDecimal): DataFrame =
+    xSide.as("x").join(ySide.as("y"),
+        col("x.cell") === col("y.cell") && col("x.doc") =!= col("y.doc"))
+      .filter(graft.functions.DotFloat.dot_float(col("x.v"), col("y.v")) >=
+        threshold.toDouble - 1e-6)
+      .filter(Similarity.dotExactDec(col("x.v"), col("y.v")) >=
+        lit(threshold).cast("decimal(36,15)"))
+      .select(least(col("x.doc"), col("y.doc")).as("a"),
+        greatest(col("x.doc"), col("y.doc")).as("b"))
+      .distinct()
+
+  private def assigned(corpus: DataFrame, idCol: String, vecCol: String,
+                       cents: Seq[(Long, Seq[Float])]): DataFrame =
+    corpus.select(col(idCol).cast("long").as("doc"), col(vecCol).as("v"),
+      Similarity.ivfCell(col(vecCol), cents).as("cell"),
+      vecFp(col(vecCol)).as("vfp"))
+
+  /** Build from scratch: pin the codebook + threshold, land the labels.
+    * `trained = true` pins the distributed k-means codebook instead of
+    * the deterministic seed one. Returns labeled rows.
+    */
+  def build(corpus: DataFrame, idCol: String, vecCol: String, path: String,
+            nList: Int = 8, threshold: BigDecimal = BigDecimal("0.35"),
+            trained: Boolean = false): Long = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents =
+      if (trained) Similarity.ivfCentroidsKMeans(corpus, idCol, vecCol, nList)
+      else Similarity.ivfCentroids(corpus, idCol, vecCol, nList)
+    graft.lake.Staged.land(spark, centsPath(path),
+      cents.map { case (id, v) => (id, v) }.toDF("cell_id", "cv"))
+    graft.lake.Staged.land(spark, metaPath(path),
+      Seq(threshold.toString).toDF("threshold"))
+    val a = assigned(corpus, idCol, vecCol, cents)
+    val comp = Dedup.connectedComponents(edges(a, a, threshold))
+    val labels = a.select(col("doc"), col("vfp"))
+      .join(comp, col("doc") === col("node"), "left_outer")
+      .select(col("doc"), col("vfp"), coalesce(col("component"), col("doc")).as("label"))
+    graft.lake.Staged.land(spark, labelsPath(path), labels)
+    spark.read.parquet(labelsPath(path)).count()
+  }
+
+  private def loadCentroids(spark: SparkSession, path: String): Seq[(Long, Seq[Float])] =
+    spark.read.parquet(centsPath(path)).orderBy(col("cell_id"))
+      .collect().toIndexedSeq
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
+
+  private def loadThreshold(spark: SparkSession, path: String): BigDecimal =
+    BigDecimal(spark.read.parquet(metaPath(path)).collect().head.getString(0))
+
+  /** Churn-proportional refresh to the current corpus state (requires a
+    * built index — the codebook and threshold are pinned there).
+    * Returns (carriedDocs, relabeledDocs).
+    */
+  def refresh(corpus: DataFrame, idCol: String, vecCol: String, path: String)
+      : (Long, Long) = {
+    val spark = corpus.sparkSession
+    val cents = loadCentroids(spark, path)
+    val threshold = loadThreshold(spark, path)
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val old = spark.read.parquet(labelsPath(path)).persist(mem)
+    val cur = assigned(corpus, idCol, vecCol, cents).persist(mem)
+    // delta docs: new or vector-drifted (fingerprint gate)
+    val changedOrNew = cur.select(col("doc"), col("vfp"))
+      .join(old, Seq("doc", "vfp"), "left_anti").select("doc")
+    val vanished = old.join(cur, Seq("doc"), "left_anti").select("doc", "label")
+    // split candidates: components that LOST edges
+    val splitLabels = old.join(changedOrNew, Seq("doc"), "left_semi").select("label")
+      .union(vanished.select("label")).distinct()
+    val inS = old.join(splitLabels, Seq("label"), "left_semi").select("doc")
+    val docGran = inS.union(changedOrNew).distinct().persist(mem)
+    // delta edges: >= 1 endpoint in the delta, mined from the CURRENT
+    // corpus under the pinned cells (vanished members have no cur row,
+    // so they surface only as isolated nodes and drop at the cur join)
+    val delta = edges(cur.join(docGran, Seq("doc"), "left_semi"), cur, threshold)
+    // contract intact endpoints to their component's label node
+    val rep = old.select(col("doc"), col("label"))
+      .join(docGran.withColumn("__dg", lit(true)), Seq("doc"), "left_outer")
+      .select(col("doc"), when(col("__dg"), col("doc")).otherwise(col("label")).as("rep"))
+    val contracted = delta
+      .join(rep.select(col("doc").as("a"), col("rep").as("__ra")), Seq("a"), "left_outer")
+      .join(rep.select(col("doc").as("b"), col("rep").as("__rb")), Seq("b"), "left_outer")
+      .select(coalesce(col("__ra"), col("a")).as("u"), coalesce(col("__rb"), col("b")).as("v"))
+      .filter(col("u") =!= col("v"))
+    val comp = Dedup.connectedComponents(contracted, "u", "v").persist(mem)
+    comp.count() // pin: consumed by two branches below AND the land
+    val granLabels = docGran
+      .join(comp.withColumnRenamed("node", "doc"), Seq("doc"), "left_outer")
+      .join(cur.select(col("doc"), col("vfp")), Seq("doc")) // vanished members drop here
+      .select(col("doc"), col("vfp"), coalesce(col("component"), col("doc")).as("label"))
+      .persist(mem)
+    val intactRows = old
+      .join(docGran, Seq("doc"), "left_anti")
+      .join(cur, Seq("doc"), "left_semi") // vanished intact rows drop
+      .persist(mem)
+    val intactLabels = intactRows
+      .join(comp.withColumnRenamed("node", "label"), Seq("label"), "left_outer")
+      .select(col("doc"), col("vfp"), coalesce(col("component"), col("label")).as("label"))
+    val carried = intactRows.count()
+    val relabeled = granLabels.count()
+    graft.lake.Staged.land(spark, labelsPath(path),
+      granLabels.unionByName(intactLabels))
+    Seq(old, cur, docGran, comp, granLabels, intactRows).foreach(_.unpersist(blocking = false))
+    (carried, relabeled)
+  }
+
+  /** Current labels (doc, label): label = component-min doc id,
+    * identical to a from-scratch [[Similarity.semanticDedup]] over the
+    * corpus the index reflects. Zero clustering at serve time.
+    */
+  def serve(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(labelsPath(path)).select(col("doc"), col("label"))
+}
