@@ -222,6 +222,28 @@ object ScaleSmoke {
         BigDecimal("0.35")).count()
     }
 
+    // persisted label index: full clustering once at build, then the
+    // 10% drop relabels only split-candidate components — the
+    // churn-proportionality of LABEL maintenance is the claim
+    phase("semidx-build-90pct") {
+      graft.ops.SemDedupIndex.build(
+        embsAll.filter(pmod(col("vec_id"), lit(10)) =!= 9),
+        "vec_id", "embedding", s"$work/semidx", nList = 128)
+    }
+    phase("semidx-refresh-10pct") {
+      val (carried, relabeled) = graft.ops.SemDedupIndex.refresh(
+        embsAll, "vec_id", "embedding", s"$work/semidx")
+      val n = embsAll.count()
+      require(carried + relabeled == n,
+        s"label index must cover the corpus: carried=$carried relabeled=$relabeled")
+      // an ADD-only drop has no split candidates (no doc changed or
+      // vanished), so doc-granularity recompute is EXACTLY the churn —
+      // label maintenance provably followed the drop, not the corpus
+      require(relabeled * 10 == n,
+        s"add-only drop must relabel exactly the churn: relabeled=$relabeled of $n")
+      relabeled
+    }
+
     val json = phases.map { case (n, dt, rows, w, r, m, d) =>
       s"""{"phase":"$n","sec":$dt,"rows":$rows,"shuffle_write_b":$w,"shuffle_read_b":$r,"spill_mem_b":$m,"spill_disk_b":$d}"""
     }.mkString("[", ",", "]")

@@ -73,53 +73,12 @@ object ClusterIndex {
     if (!fs.exists(lp))
       return (0L, build(docs, idCol, textCol, path, bands, rowsPerBand))
     DedupIndex.refresh(docs, idCol, textCol, bandsPath(path), bands, rowsPerBand)
-    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val old = spark.read.parquet(labelsPath(path)).persist(mem)
-    val cur = docs.select(col(idCol).cast("long").as("doc"), md5(col(textCol)).as("fp"))
-      .persist(mem)
-    // delta docs: new or text-drifted (fingerprint gate, like the bands)
-    val changedOrNew = cur.join(old, Seq("doc", "fp"), "left_anti").select("doc")
-    val vanished = old.join(cur, Seq("doc"), "left_anti").select("doc", "label")
-    // split candidates: components that LOST edges
-    val splitLabels = old.join(changedOrNew, Seq("doc"), "left_semi").select("label")
-      .union(vanished.select("label")).distinct()
-    val inS = old.join(splitLabels, Seq("label"), "left_semi").select("doc")
-    // doc-granularity node set D (vanished members ride along but have
-    // no band rows left, so they surface as isolated nodes and are
-    // dropped by the cur join below)
-    val docGran = inS.union(changedOrNew).distinct().persist(mem)
-    // delta edges: >= 1 endpoint in D, from the refreshed band index
-    val delta = DedupIndex.candidatePairsInvolving(spark, bandsPath(path), docGran, "doc")
-    // contract intact endpoints to their component's label node
-    val rep = old.select(col("doc"), col("label"))
-      .join(docGran.withColumn("__dg", lit(true)), Seq("doc"), "left_outer")
-      .select(col("doc"), when(col("__dg"), col("doc")).otherwise(col("label")).as("rep"))
-    val contracted = delta
-      .join(rep.select(col("doc").as("a"), col("rep").as("__ra")), Seq("a"), "left_outer")
-      .join(rep.select(col("doc").as("b"), col("rep").as("__rb")), Seq("b"), "left_outer")
-      .select(coalesce(col("__ra"), col("a")).as("u"), coalesce(col("__rb"), col("b")).as("v"))
-      .filter(col("u") =!= col("v"))
-    val comp = Dedup.connectedComponents(contracted, "u", "v")
-      .persist(mem)
-    comp.count() // pin: consumed by two branches below AND the land
-    val granLabels = docGran
-      .join(comp.withColumnRenamed("node", "doc"), Seq("doc"), "left_outer")
-      .join(cur, Seq("doc")) // vanished members drop here
-      .select(col("doc"), col("fp"), coalesce(col("component"), col("doc")).as("label"))
-      .persist(mem)
-    val intactRows = old
-      .join(docGran, Seq("doc"), "left_anti")
-      .join(cur, Seq("doc"), "left_semi") // vanished intact rows drop
-      .persist(mem)
-    val intactLabels = intactRows
-      .join(comp.withColumnRenamed("node", "label"), Seq("label"), "left_outer")
-      .select(col("doc"), col("fp"), coalesce(col("component"), col("label")).as("label"))
-    val carried = intactRows.count()
-    val relabeled = granLabels.count()
-    graft.lake.Staged.land(spark, labelsPath(path),
-      granLabels.unionByName(intactLabels))
-    Seq(old, cur, docGran, comp, granLabels, intactRows).foreach(_.unpersist(blocking = false))
-    (carried, relabeled)
+    // delta edges: >= 1 endpoint in the delta, from the refreshed band
+    // index; label maintenance is the shared [[IncrementalLabels]] core
+    IncrementalLabels.refresh(spark, labelsPath(path),
+      docs.select(col(idCol).cast("long").as("doc"), md5(col(textCol)).as("fp")),
+      "fp",
+      docGran => DedupIndex.candidatePairsInvolving(spark, bandsPath(path), docGran, "doc"))
   }
 
   /** Current labels (doc, label): label = component-min doc id,

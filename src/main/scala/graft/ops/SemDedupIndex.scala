@@ -104,51 +104,16 @@ object SemDedupIndex {
     val spark = corpus.sparkSession
     val cents = loadCentroids(spark, path)
     val threshold = loadThreshold(spark, path)
-    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val old = spark.read.parquet(labelsPath(path)).persist(mem)
-    val cur = assigned(corpus, idCol, vecCol, cents).persist(mem)
-    // delta docs: new or vector-drifted (fingerprint gate)
-    val changedOrNew = cur.select(col("doc"), col("vfp"))
-      .join(old, Seq("doc", "vfp"), "left_anti").select("doc")
-    val vanished = old.join(cur, Seq("doc"), "left_anti").select("doc", "label")
-    // split candidates: components that LOST edges
-    val splitLabels = old.join(changedOrNew, Seq("doc"), "left_semi").select("label")
-      .union(vanished.select("label")).distinct()
-    val inS = old.join(splitLabels, Seq("label"), "left_semi").select("doc")
-    val docGran = inS.union(changedOrNew).distinct().persist(mem)
+    val cur = assigned(corpus, idCol, vecCol, cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // delta edges: >= 1 endpoint in the delta, mined from the CURRENT
-    // corpus under the pinned cells (vanished members have no cur row,
-    // so they surface only as isolated nodes and drop at the cur join)
-    val delta = edges(cur.join(docGran, Seq("doc"), "left_semi"), cur, threshold)
-    // contract intact endpoints to their component's label node
-    val rep = old.select(col("doc"), col("label"))
-      .join(docGran.withColumn("__dg", lit(true)), Seq("doc"), "left_outer")
-      .select(col("doc"), when(col("__dg"), col("doc")).otherwise(col("label")).as("rep"))
-    val contracted = delta
-      .join(rep.select(col("doc").as("a"), col("rep").as("__ra")), Seq("a"), "left_outer")
-      .join(rep.select(col("doc").as("b"), col("rep").as("__rb")), Seq("b"), "left_outer")
-      .select(coalesce(col("__ra"), col("a")).as("u"), coalesce(col("__rb"), col("b")).as("v"))
-      .filter(col("u") =!= col("v"))
-    val comp = Dedup.connectedComponents(contracted, "u", "v").persist(mem)
-    comp.count() // pin: consumed by two branches below AND the land
-    val granLabels = docGran
-      .join(comp.withColumnRenamed("node", "doc"), Seq("doc"), "left_outer")
-      .join(cur.select(col("doc"), col("vfp")), Seq("doc")) // vanished members drop here
-      .select(col("doc"), col("vfp"), coalesce(col("component"), col("doc")).as("label"))
-      .persist(mem)
-    val intactRows = old
-      .join(docGran, Seq("doc"), "left_anti")
-      .join(cur, Seq("doc"), "left_semi") // vanished intact rows drop
-      .persist(mem)
-    val intactLabels = intactRows
-      .join(comp.withColumnRenamed("node", "label"), Seq("label"), "left_outer")
-      .select(col("doc"), col("vfp"), coalesce(col("component"), col("label")).as("label"))
-    val carried = intactRows.count()
-    val relabeled = granLabels.count()
-    graft.lake.Staged.land(spark, labelsPath(path),
-      granLabels.unionByName(intactLabels))
-    Seq(old, cur, docGran, comp, granLabels, intactRows).foreach(_.unpersist(blocking = false))
-    (carried, relabeled)
+    // corpus under the pinned cells; label maintenance is the shared
+    // [[IncrementalLabels]] core
+    val out = IncrementalLabels.refresh(spark, labelsPath(path),
+      cur.select(col("doc"), col("vfp")), "vfp",
+      docGran => edges(cur.join(docGran, Seq("doc"), "left_semi"), cur, threshold))
+    cur.unpersist(blocking = false)
+    out
   }
 
   /** Current labels (doc, label): label = component-min doc id,

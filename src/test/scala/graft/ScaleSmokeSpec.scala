@@ -18,7 +18,8 @@ class ScaleSmokeSpec extends AnyFunSuite {
       "dedup-index-build-90pct", "dedup-index-refresh-10pct", "dedup-candidate-pairs",
       "sim-index-build-90pct", "sim-index-refresh-10pct", "sim-indexed-topk-500q",
       "kmeans-trainer-nlist128", "pca-moments-build-90pct", "pca-moments-drop-10pct",
-      "pca-fit-from-index", "sparse-sim-topk", "semdedup-labels"),
+      "pca-fit-from-index", "sparse-sim-topk", "semdedup-labels",
+      "semidx-build-90pct", "semidx-refresh-10pct"),
       s"phase list drifted: $names")
     // the PCA drop phase lands an aggregate-sized segment (dim·(dim+3)/2)
     assert(phases.find(_._1 == "pca-moments-drop-10pct").get._3 == 64L * 67 / 2)
