@@ -652,6 +652,19 @@ object CorpusQueries {
         .orderBy(col("a"), col("b"))
     }),
 
+    // asymmetric containment dedup: |sh(a) ∩ sh(b)| / |sh(a)| >= 0.75 —
+    // the short-doc-swallowed-by-long-doc case Jaccard LSH misses;
+    // candidates come from a PPJoin-style rarest-first prefix filter,
+    // never an all-pairs scan (the oracle brute-forces the same answer)
+    "dedup_containment" -> ((s, dir) => {
+      val shd = t(s, dir, "documents")
+        .select(col("doc_id").as("doc"), Dedup.shingles(col("text")).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Dedup.containmentPairs(shd, 0.75)
+        .select(col("a").as("doc_a"), col("b").as("doc_b"), col("containment"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // train/eval decontamination: train docs sharing ANY 3-shingle with
     // the eval slice (doc_id % 10 == 0) are flagged as benchmark leakage
     "dedup_decontaminate" -> ((s, dir) => {
@@ -1621,6 +1634,14 @@ object CorpusQueries {
          |       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS jac
          |FROM cand JOIN sh sa ON cand.a = sa.doc_id JOIN sh sb ON cand.b = sb.doc_id
          |ORDER BY a, b""".stripMargin),
+
+    "dedup_containment" -> (shCte +
+      """
+        |SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
+        |       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / CAST(len(sa.sh) AS DOUBLE) AS containment
+        |FROM sh sa JOIN sh sb ON sa.doc_id <> sb.doc_id
+        |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / CAST(len(sa.sh) AS DOUBLE) >= 0.75
+        |ORDER BY doc_a, doc_b""".stripMargin),
 
     "dedup_decontaminate" -> (shCte +
       """,

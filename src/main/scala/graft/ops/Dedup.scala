@@ -404,6 +404,67 @@ object Dedup {
     when(union > 0, inter / union).otherwise(lit(0.0))
   }
 
+  /** Asymmetric CONTAINMENT near-dup pairs over a precomputed (doc, sh)
+    * shingle frame: every (a, b, containment) with
+    * containment = |sh(a) ∩ sh(b)| / |sh(a)| >= threshold, a != b —
+    * i.e. "doc a is mostly contained in doc b". This is the case
+    * symmetric-Jaccard LSH structurally misses: a short doc swallowed
+    * by a much longer one has high containment but arbitrarily low
+    * Jaccard, so its MinHash signatures rarely collide. (Exact result;
+    * reference behaviour is field-equality only — this is the
+    * beyond-reference curation tier.)
+    *
+    * Scale design — never all-pairs, and shingle ARRAYS never shuffle:
+    *  1. explode to postings (doc, s); shingles are distinct within a
+    *     doc (array_distinct upstream), so posting-join MATCH COUNTS
+    *     are set intersections.
+    *  2. PPJoin-style prefix filter: order each doc's shingles
+    *     rarest-first by global document frequency. A pair with
+    *     overlap >= t := ceil(threshold * n_a) must share one of the
+    *     first n_a - t + 1 shingles of a in ANY fixed global order
+    *     (pigeonhole: only t - 1 < t shingles lie outside that
+    *     prefix), so only the prefix probes the posting index — and
+    *     rarest-first ordering pushes stop-shingles out of prefixes,
+    *     bounding candidate fan-out by the rare shingles' df, not the
+    *     hot ones'. The prefix length uses a 1e-9 slack so double
+    *     rounding of threshold * n_a can only LENGTHEN the prefix
+    *     (candidate superset — never misses).
+    *  3. exact verify by co-counting full postings per candidate pair
+    *     (one equi-join on (b, s) + groupBy) — carries (a, b, s) rows,
+    *     never arrays; the final division is the only float op, so the
+    *     decision matches any engine computing the same two integers.
+    */
+  def containmentPairs(shingled: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containmentPairs: threshold must be in (0, 1], got $threshold")
+    val post = shingled.filter(size(col("sh")) >= 1)
+      .select(col("doc"), explode(col("sh")).as("s"))
+    val docN = shingled.filter(size(col("sh")) >= 1)
+      .select(col("doc"), size(col("sh")).as("n"))
+    val dfreq = post.groupBy("s").agg(count(lit(1)).as("df"))
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc").orderBy(col("df"), col("s"))
+    val prefix = post.join(dfreq, "s")
+      .withColumn("__rk", row_number().over(byRarity))
+      .join(docN, "doc")
+      .filter(col("__rk") <=
+        col("n") - ceil(col("n") * threshold - 1e-9) + 1)
+      .select(col("doc").as("a"), col("s"))
+    val cand = prefix
+      .join(post.select(col("doc").as("b"), col("s")), "s")
+      .filter(col("a") =!= col("b"))
+      .select("a", "b").distinct()
+    val inter = cand
+      .join(post.select(col("doc").as("a"), col("s")), "a")
+      .join(post.select(col("doc").as("b"), col("s")), Seq("b", "s"))
+      .groupBy("a", "b").agg(count(lit(1)).as("__inter"))
+    inter.join(docN.select(col("doc").as("a"), col("n")), "a")
+      .select(col("a"), col("b"),
+        (col("__inter").cast("double") / col("n").cast("double"))
+          .as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** 64-bit SimHash over the token multiset, returned as a 64-char '0'/'1'
     * bit-string (MSB first). Bit b is 1 iff the b-th bit of md5(token)
     * (taken from the first 16 hex chars) is set in the weighted majority

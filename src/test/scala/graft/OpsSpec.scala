@@ -177,6 +177,36 @@ class OpsSpec extends AnyFunSuite {
     assert(df.collect().map(_.getDouble(0)).toSeq == Seq(1.0, 0.0))
   }
 
+  test("containmentPairs: asymmetric, catches low-Jaccard containment, matches brute force") {
+    // a (3 shingles) sits verbatim inside b (8 shingles): containment
+    // a->b = 1.0 but Jaccard = 3/8 — the case symmetric LSH misses.
+    // b->a = 3/8 < 0.75 must NOT appear (asymmetry).
+    val docs = Seq(
+      (1L, "t3 t4 t5 t6 t7"),
+      (2L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
+      (3L, "x1 x2 x3 x4"),
+      (4L, "t3 t4 t5 t6 t7"),            // exact dup of 1 -> both directions
+      (5L, "x1 x2 x3 x4 y1"),            // contains all of 3's shingles
+      (6L, "zz")                         // < 3 tokens -> no shingles, ignored
+    ).toDF("doc", "text")
+    val shd = docs.select(col("doc"), Dedup.shingles(col("text")).as("sh"))
+    val got = Dedup.containmentPairs(shd, 0.75)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got((1L, 2L)) == 1.0)
+    assert(!got.contains((2L, 1L)))
+    assert(got((1L, 4L)) == 1.0 && got((4L, 1L)) == 1.0)
+    // brute-force all-pairs ground truth over the same shingle frame
+    val brute = shd.filter(size(col("sh")) >= 1).as("x")
+      .crossJoin(shd.filter(size(col("sh")) >= 1).as("y"))
+      .filter(col("x.doc") =!= col("y.doc"))
+      .select(col("x.doc").as("a"), col("y.doc").as("b"),
+        (size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
+          size(col("x.sh")).cast("double")).as("c"))
+      .filter(col("c") >= 0.75)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got == brute)
+  }
+
   test("simhash: 64-bit signature, near-identical docs within small hamming") {
     val df = Seq(
       ("the quick brown fox jumps over the lazy dog every single day", "a"),

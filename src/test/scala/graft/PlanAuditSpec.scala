@@ -73,7 +73,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_token_budget", "q_pack_sequences", "q_pack_nostraddle",
     "q_median_order_value", "q_events_quartiles", "cpv_parse_codes",
     "sim_semdedup", "pca_moments", "txt_hashed_tf", "txt_sparse_sim_topk",
-    "txt_dup_ngrams")
+    "txt_dup_ngrams", "dedup_containment")
 
   test("corpus-tier queries never plan a CartesianProduct") {
     corpusPure.foreach { n =>
@@ -115,6 +115,11 @@ class PlanAuditSpec extends AnyFunSuite {
     val sp = plan("txt_sparse_sim_topk")
     assert(!sp.contains("BroadcastNestedLoopJoin") && !sp.contains("CartesianProduct"),
       "sparse posting join must never pair-scan")
+    // containment: prefix-probe and verify joins are EQUI joins on the
+    // shingle / (doc, shingle) keys, never a pair scan
+    val ct = plan("dedup_containment")
+    assert(!ct.contains("BroadcastNestedLoopJoin") && !ct.contains("CartesianProduct"),
+      "containment candidate/verify joins must never pair-scan")
   }
 
   test("q05 star join broadcasts its dims") {
