@@ -843,6 +843,15 @@ object CorpusQueries {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // graph-centrality curation signal: fixed-3-iteration PageRank on
+    // the integer micro-rank grid over the bucketed kNN graph — dense
+    // semantic regions surface as high-rank prototypes, isolated docs
+    // keep the teleport floor; 2 shuffles per iteration, no driver state
+    "sim_graph_pagerank" -> ((s, dir) => {
+      Similarity.knnPageRank(t(s, dir, "embeddings"), "vec_id", "embedding", 3, 4, 64)
+        .orderBy(col("vec_id"))
+    }),
+
     // IVF ANN: deterministic seed codebook, map-side cell assignment,
     // nProbe=2 inverted-list probe, exact-decimal re-rank
     "sim_ivf_topk" -> ((s, dir) => {
@@ -925,6 +934,16 @@ object CorpusQueries {
     "txt_dup_ngrams" -> ((s, dir) => {
       TextAnalysis.dupNgramStats(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    // DSIR-style importance weights (Xie et al. 2023): hashed-bigram
+    // target-vs-corpus distribution delta on the integer ppm grid — the
+    // model is nBuckets rows regardless of corpus size (broadcast to the
+    // scoring join); target slice = the English-labeled docs
+    "txt_dsir_weights" -> ((s, dir) => {
+      graft.ops.Curation.dsirWeights(t(s, dir, "documents"),
+          "doc_id", "text", col("lang") === "en")
+        .orderBy(col("doc"))
     }),
 
     // feature-hashed sparse TF vectors: the model-free text→vector
@@ -1850,6 +1869,33 @@ object CorpusQueries {
          |    ORDER BY ${dotDecSql("qv", "cv")} DESC, cid) AS rank FROM cand) t
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
+    // the same bucketed kNN edge list, then three unrolled power
+    // iterations on the integer micro-rank grid; operands of the inner
+    // division are positive, so DuckDB's flooring // and Spark's
+    // truncating div agree exactly
+    "sim_graph_pagerank" -> {
+      def iter(prev: String, out: String) =
+        s"""$out AS (SELECT n.vec_id AS vec_id,
+           |  CAST(150000 + coalesce(sum((p.pr * 85) // (d.outdeg * 100)), 0) AS BIGINT) AS pr
+           |  FROM embeddings n LEFT JOIN e ON e.cid = n.vec_id
+           |  LEFT JOIN $prev p ON e.qid = p.vec_id
+           |  LEFT JOIN deg d ON e.qid = d.qid
+           |  GROUP BY n.vec_id)""".stripMargin
+      s"""WITH bk AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+         |cand AS (SELECT x.vec_id AS qid, x.embedding AS qv, y.vec_id AS cid, y.embedding AS cv
+         |         FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+         |e AS (SELECT qid, cid FROM (
+         |  SELECT qid, cid, row_number() OVER (PARTITION BY qid
+         |    ORDER BY ${dotDecSql("qv", "cv")} DESC, cid) AS rank FROM cand) t
+         |  WHERE rank <= 3),
+         |deg AS (SELECT qid, count(*) AS outdeg FROM e GROUP BY qid),
+         |p0 AS (SELECT vec_id, CAST(1000000 AS BIGINT) AS pr FROM embeddings),
+         |${iter("p0", "p1")},
+         |${iter("p1", "p2")},
+         |${iter("p2", "p3")}
+         |SELECT vec_id, pr FROM p3 ORDER BY vec_id""".stripMargin
+    },
+
     "sim_ivf_topk" -> ivfOracleSql,
 
     // identical semantics by construction: the int8 tier's coarse error is
@@ -1913,6 +1959,33 @@ object CorpusQueries {
         |       ELSE (1000000 * per.n_dup) // per.n_ngrams END AS BIGINT) AS dup_ppm
         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
         |ORDER BY d.doc_id""".stripMargin),
+
+    // hashed-bigram buckets (first 4 md5 nibbles mod 4096), Laplace-
+    // smoothed ppm under the target (lang='en') and raw distributions,
+    // per-doc sum of the per-bucket delta; all division operands are
+    // positive so // and Spark's div agree
+    "txt_dsir_weights" -> (tkCte +
+      """,
+        |bgf AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
+        |  unnest(list_transform(range(2, len(toks) + 1),
+        |    i -> toks[i-1] || ' ' || toks[i])) AS bg
+        |  FROM tk WHERE len(toks) >= 2),
+        |bkt AS (SELECT doc_id, tgt,
+        |  ((instr('0123456789abcdef', substr(md5(bg), 1, 1)) - 1) * 4096
+        |  + (instr('0123456789abcdef', substr(md5(bg), 2, 1)) - 1) * 256
+        |  + (instr('0123456789abcdef', substr(md5(bg), 3, 1)) - 1) * 16
+        |  + (instr('0123456789abcdef', substr(md5(bg), 4, 1)) - 1)) % 4096 AS b
+        |  FROM bgf),
+        |cnt AS (SELECT b, count(*) AS cr, sum(tgt) AS ct FROM bkt GROUP BY b),
+        |tot AS (SELECT count(*) AS tr, sum(tgt) AS tt FROM bkt),
+        |model AS (SELECT b,
+        |    CAST((1000000 * (ct + 1)) // (tt + 4096) AS BIGINT)
+        |  - CAST((1000000 * (cr + 1)) // (tr + 4096) AS BIGINT) AS delta
+        |  FROM cnt CROSS JOIN tot)
+        |SELECT doc_id AS doc, count(*) AS n_bigrams,
+        |       CAST(sum(delta) AS BIGINT) AS dsir_w
+        |FROM bkt JOIN model USING (b)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
     "txt_hashed_tf" -> (hashedTfCte +
       """

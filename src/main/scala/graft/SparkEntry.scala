@@ -133,6 +133,7 @@ object SparkEntry {
     "q_heavy_hitters", "q_hist_median_est", "q_lake_point_lookup",
     "q_lake_time_travel", "q_quantile_sketch_bound", "q_snapshot_changes",
     "q_snapshot_point_lookup", "q_stream_topk", "q_summary_cdc", "q_summary_incremental",
+    "q_zonemap_range",
     "pca_moments_incremental", "sem_cluster_incremental", "sim_ivf_persisted_topk",
     "txt_bm25_indexed", "txt_lm_incremental", "txt_stats_incremental")
 
@@ -1227,6 +1228,36 @@ object SparkEntry {
         .select(col("doc_id").cast("long").as("doc_id"), col("source"),
           col("lang"), col("n_chars").cast("long").as("n_chars"))
         .orderBy(col("doc_id"))
+        .localCheckpoint(true) // the scratch lake is deleted next
+      new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      out
+    }),
+
+    // Zone-map (min/max stats) tier: the RANGE-scan sibling of the bloom
+    // point lookup, resolved from snapshot manifests — v1 scatters the
+    // keys, v2 sort-rewrites by price (SnapshotLake.cluster) so each file
+    // covers a narrow price interval, the sidecar lifts per-file min/max
+    // into one manifest-resolved table; a CoW upsert then moves every
+    // 97th key's price and the churn-only refresh must track it. The
+    // served range scan opens only interval-overlapping files and must
+    // hash-match the plain BETWEEN recompute.
+    "q_zonemap_range" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_zonemap_q").toString
+      val lake = new graft.lake.SnapshotLake(s, tmp + "/lake", "o_orderkey")
+      lake.overwrite(orders.repartition(8, col("o_orderkey")))             // v1 scattered
+      lake.cluster(Seq(col("o_totalprice")), 8)                            // v2 clustered
+      graft.lake.ZoneMapIndex.refreshSnapshot(lake, "o_totalprice")
+      lake.upsert(orders.filter(col("o_orderkey") % 97 === 0)              // v3 (CoW)
+        .withColumn("o_totalprice", col("o_totalprice") + 600000.0))
+      graft.lake.ZoneMapIndex.refreshSnapshot(lake, "o_totalprice")        // churn-only
+      val (rows, _) = graft.lake.ZoneMapIndex.rangeLookupSnapshot(
+        lake, "o_totalprice", lit(400000.0), lit(700000.0))
+      val out = rows
+        .orderBy(col("o_orderkey"))
         .localCheckpoint(true) // the scratch lake is deleted next
       new org.apache.hadoop.fs.Path(tmp)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -2381,6 +2412,19 @@ object SparkEntry {
         |       CAST(n_chars + CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_chars
         |FROM documents WHERE doc_id IN (3, 7, 97, 999983)
         |ORDER BY doc_id""".stripMargin,
+
+    // the zone-map range scan is just BETWEEN over the post-upsert state
+    // — the file pruning on the Spark side can't change the rows, only
+    // how many files produce them
+    "q_zonemap_range" ->
+      """WITH cur AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 600000.0
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM cur
+        |WHERE o_totalprice >= 400000.0 AND o_totalprice <= 700000.0
+        |ORDER BY o_orderkey""".stripMargin,
 
     // the snapshot-lake version diff, recomputed stateless: v1 is the
     // filtered base, "now" applies the upsert's +1000 and the delete's

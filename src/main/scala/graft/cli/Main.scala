@@ -236,7 +236,26 @@ object Main {
               val n = graft.ops.PcaIndex.landDrop(emb, vec, dim, idx, dropId, sign)
               println(s"[cli] index pca: landed $n moment rows as seg=$dropId (sign=$sign)")
           }
-        case other => println(s"index --kind bloom|minhash|ivf|pca (got '$other')")
+        case "zonemap" =>
+          // manifest-resolved per-file min/max sidecar for RANGE scans
+          // over a snapshot lake (the range sibling of --kind bloom):
+          // --refresh (re)builds at churn cost; --range lo,hi [--col c]
+          // serves a pruned range scan and reports the files opened
+          val lake = new graft.lake.SnapshotLake(spark, lakePath, key)
+          val vcol = arg(args, "--col").getOrElse(key)
+          arg(args, "--range") match {
+            case Some(r) =>
+              val Array(lo, hi) = r.split(",", 2)
+              val (rows, opened) = graft.lake.ZoneMapIndex.rangeLookupSnapshot(
+                lake, vcol, org.apache.spark.sql.functions.expr(lo),
+                org.apache.spark.sql.functions.expr(hi))
+              rows.show(100, truncate = false)
+              println(s"[cli] zonemap range scan: opened $opened files")
+            case None =>
+              val (kept, scanned) = graft.lake.ZoneMapIndex.refreshSnapshot(lake, vcol)
+              println(s"[cli] index refresh: carried $kept files, stats-scanned $scanned (churn)")
+          }
+        case other => println(s"index --kind bloom|minhash|ivf|pca|zonemap (got '$other')")
       }
     case "semdedup" =>
       // cluster-partitioned semantic dedup over an embedding corpus.

@@ -86,7 +86,7 @@ object BloomIndex {
     * lists as 'my%20lake' and a naive read resolves a literal 'my%20lake'
     * dir. Route through java.net.URI so the read sees the decoded path.
     */
-  private def readablePaths(uris: Seq[String]): Seq[String] =
+  private[lake] def readablePaths(uris: Seq[String]): Seq[String] =
     uris.map(u => new org.apache.hadoop.fs.Path(new java.net.URI(u)).toString)
 
   /** Build (or rebuild) the index sidecar: one row per data file with
@@ -251,7 +251,7 @@ object BloomIndex {
     * `input_file_name()` reports, so index rows join exactly. No fs
     * status calls: lengths come from the manifest.
     */
-  private def manifestFiles(lake: SnapshotLake, m: SnapshotLake.Manifest): Map[String, Long] = {
+  private[lake] def manifestFiles(lake: SnapshotLake, m: SnapshotLake.Manifest): Map[String, Long] = {
     val root = new org.apache.hadoop.fs.Path(lake.path)
     val fs = root.getFileSystem(lake.spark.sparkContext.hadoopConfiguration)
     m.files.map(f =>

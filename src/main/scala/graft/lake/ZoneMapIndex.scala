@@ -1,0 +1,157 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-file min/max (zone-map) sidecar for RANGE predicates over a
+  * [[SnapshotLake]] — the range-scan sibling of [[BloomIndex]]'s
+  * point-lookup tier (SURVEY §2.2; the reference answers bounded scans
+  * through MongoDB's ordered primary index, reference:
+  * nextplib/ntp_entry.py key-range `find()` — a parquet lake's
+  * substitute is column statistics).
+  *
+  * Parquet footers already carry min/max per row group, and Spark
+  * prunes row groups with them — but only AFTER opening every footer.
+  * At a million files that is a million metadata reads per query. This
+  * sidecar lifts one column's (min, max, counts) per FILE into a single
+  * small parquet table resolved from the snapshot MANIFEST, so planning
+  * a range scan is: read the sidecar, keep the files whose interval
+  * overlaps the predicate, open exactly those. Combined with
+  * [[SnapshotLake.cluster]] (sort-rewrite by the value column) or
+  * [[Zorder]] keys, a selective range opens O(matching files), not
+  * O(lake) — the data-skipping design Delta/Iceberg stats files use,
+  * and the piece that makes bounded scans hold at 100 TB.
+  *
+  * Maintenance contract (same as the bloom tier): snapshot data files
+  * are immutable, so a zone row never goes stale — refresh computes
+  * stats for the files added since the last refresh ONLY (anti-join,
+  * churn-sized), carries every other row verbatim, and drops rows no
+  * retained version references. A live file the sidecar doesn't cover
+  * yet is an UNCONDITIONAL candidate: a lagging index costs
+  * selectivity, never rows.
+  */
+object ZoneMapIndex {
+
+  /** One sidecar per (lake, column): the min/max columns keep the data
+    * column's native type, which only stays consistent within a single
+    * column's sidecar.
+    */
+  private def snapSidecar(lakePath: String, valCol: String) =
+    s"$lakePath/_zonemap_$valCol"
+
+  /** Zone rows (file, minv, maxv, nrows, nvals) for the files `df`
+    * scans — one map-side-combined aggregate keyed by file, shuffle
+    * carries per-file stats only. `nvals` counts non-null values, so
+    * `nrows == nvals` tells a reader the file has no nulls and an
+    * all-null file gets (null, null) bounds (pruned by every range —
+    * correct, since a range predicate never matches null).
+    */
+  private def zoneRows(df: DataFrame, valCol: String): DataFrame =
+    df.groupBy(input_file_name().as("file"))
+      .agg(min(col(valCol)).as("minv"), max(col(valCol)).as("maxv"),
+        count(lit(1)).as("nrows"), count(col(valCol)).as("nvals"))
+
+  /** Refresh the lake's zone-map sidecar for `valCol`: scan ONLY the
+    * data files added since the last refresh (or all, on first build),
+    * keep existing rows verbatim, retain a row while ANY complete
+    * version references its file so time-travel range scans stay
+    * selective. Cost is proportional to write churn, never lake size.
+    * Returns (keptRows, scannedRows).
+    */
+  def refreshSnapshot(lake: SnapshotLake, valCol: String): (Long, Long) = {
+    val spark = lake.spark
+    import spark.implicits._
+    val versions = lake.completeVersions
+    if (versions.isEmpty) return (0L, 0L)
+    val manifests = versions.flatMap(lake.readManifest)
+    val live: Map[String, Long] =
+      manifests.foldLeft(Map.empty[String, Long])((acc, m) =>
+        acc ++ BloomIndex.manifestFiles(lake, m))
+    val schema = manifests.last.schema
+    val idxPath = snapSidecar(lake.path, valCol)
+    val fs = new org.apache.hadoop.fs.Path(idxPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val idxExists = fs.exists(new org.apache.hadoop.fs.Path(idxPath))
+    val lens = live.toSeq.toDF("file", "len2")
+    // churn cluster-side, as in the bloom tier: anti-join the manifest-
+    // resolved live set against the sidecar; only churn-sized paths land
+    // on the driver
+    val freshFiles =
+      if (!idxExists) live.keys.toSeq.sorted
+      else lens.join(
+          spark.read.parquet(idxPath).select(col("file"), col("len").as("len2")),
+          Seq("file", "len2"), "left_anti")
+        .select(col("file")).as[String].collect().toSeq.sorted
+    val rebuilt =
+      zoneRows(
+          spark.read.schema(schema).parquet(BloomIndex.readablePaths(freshFiles): _*), valCol)
+        .join(lens.withColumnRenamed("len2", "len"), "file")
+        .select(col("file"), col("minv"), col("maxv"),
+          col("nrows"), col("nvals"), col("len"))
+    // kept rows carry verbatim; minv/maxv take their schema from the
+    // rebuilt frame when no sidecar exists yet (first build)
+    val kept =
+      if (!idxExists) rebuilt.limit(0)
+      else spark.read.parquet(idxPath).alias("old")
+        .join(lens, col("old.file") === lens("file") && col("old.len") === lens("len2"))
+        .select(col("old.file"), col("old.minv"), col("old.maxv"),
+          col("old.nrows"), col("old.nvals"), col("old.len"))
+    val rebuiltP = rebuilt.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keptN = kept.count()
+    val rebuiltN = rebuiltP.count()
+    Staged.land(spark, idxPath, kept.unionByName(rebuiltP))
+    rebuiltP.unpersist()
+    (keptN, rebuiltN)
+  }
+
+  /** Range scan against a committed snapshot version (default: the
+    * newest): resolve the manifest, keep the files whose [minv, maxv]
+    * interval overlaps [lo, hi] — plus any live file the sidecar does
+    * not cover yet — open only those, re-apply the predicate. Row-
+    * identical to `lake.readAt(v).filter(valCol between (lo, hi))`;
+    * returns (rows, filesOpened) so specs can observe the pruning.
+    *
+    * `lo`/`hi` are literal Columns (`lit(...)`) so the comparison runs
+    * in the value column's own type — no stringly-typed bound can
+    * mis-order numerics.
+    */
+  def rangeLookupSnapshot(lake: SnapshotLake, valCol: String,
+                          lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column,
+                          at: Option[Long] = None): (DataFrame, Int) = {
+    val spark = lake.spark
+    import spark.implicits._
+    val v = at.orElse(lake.latestVersion).getOrElse(
+      throw new IllegalArgumentException(s"no snapshots at ${lake.path}"))
+    val m = lake.readManifest(v).getOrElse(throw new IllegalArgumentException(
+      s"no complete snapshot v$v at ${lake.path}"))
+    val live = BloomIndex.manifestFiles(lake, m)
+    val idxPath = snapSidecar(lake.path, valCol)
+    val fs = new org.apache.hadoop.fs.Path(idxPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val candidates: Seq[String] =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(idxPath))) live.keys.toSeq
+      else {
+        // overlap evaluated CLUSTER-side next to the stats; only
+        // (file, len, hit) triples reach the driver — file-count-sized
+        // metadata, the scan plan itself
+        val idx = spark.read.parquet(idxPath)
+          .select(col("file"), col("len"),
+            (col("maxv") >= lo && col("minv") <= hi).as("hit"))
+          .as[(String, Long, Boolean)].collect()
+        val byFile = idx.map { case (f, len, hit) => f -> (len, hit) }.toMap
+        live.iterator.filter { case (f, len) =>
+          byFile.get(f) match {
+            case Some((l, hit)) if l == len => hit // covered: trust the stats
+            case _ => true // not indexed yet: scan it — never a wrong answer
+          }
+        }.map(_._1).toSeq
+      }
+    val df =
+      if (candidates.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+      else spark.read.schema(m.schema)
+        .parquet(BloomIndex.readablePaths(candidates): _*)
+        .filter(col(valCol) >= lo && col(valCol) <= hi)
+    (df, candidates.size)
+  }
+}

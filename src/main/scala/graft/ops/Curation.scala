@@ -154,4 +154,68 @@ object Curation {
     require(hexChars >= 1 && hexChars <= 8, "hexChars must be in [1, 8]")
     df.withColumn("shard", substring(md5(col(contentCol)), 1, hexChars))
   }
+
+  /** First 4 hex nibbles of md5(`s`) as an integer bucket in
+    * [0, nBuckets) — the hashed-feature trick both engines reproduce
+    * exactly (md5 string equality is already the backbone of the MinHash
+    * oracles; this just reads 16 bits of it as a number).
+    */
+  private[ops] def hashBucket(s: Column, nBuckets: Int): Column =
+    pmod(conv(substring(md5(s), 1, 4), 16, 10).cast("long"), lit(nBuckets.toLong))
+
+  /** DSIR-style importance weights (Data Selection via Importance
+    * Resampling, Xie et al. 2023): score every document by how much
+    * more likely its hashed-bigram features are under the TARGET
+    * distribution (the rows where `targetPred` holds — e.g. a trusted
+    * high-quality slice) than under the raw corpus distribution.
+    * Resampling the corpus by these weights shifts the mixture toward
+    * target-like text without hand-written rules.
+    *
+    * Engineered for the oracle gate and 100 TB alike:
+    *  - features are md5-hash buckets ([[hashBucket]]), so the model is
+    *    `nBuckets` rows REGARDLESS of corpus size — it broadcasts to the
+    *    scoring join, and the only shuffles are two bucket-keyed
+    *    aggregates (map-side combined) plus the per-doc sum;
+    *  - the paper's log-likelihood-ratio sum becomes an integer
+    *    probability-difference sum on the same ppm grid as the bigram
+    *    LM tier (libm-free: Σ ppm_target(b) − ppm_raw(b) over the doc's
+    *    bigram occurrences, Laplace-smoothed) — bit-reproducible in any
+    *    engine, monotone in the same "target-like vs raw" signal;
+    *  - the bigram stream is materialized ONCE and feeds both the
+    *    counts and the scoring join (the q15/q17 checkpoint discipline).
+    *
+    * Returns (doc, n_bigrams, dsir_w); docs with < 2 tokens carry no
+    * features and drop out (no evidence either way).
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  targetPred: Column, nBuckets: Int = 4096): DataFrame = {
+    require(nBuckets > 0 && nBuckets <= (1 << 16),
+      s"nBuckets must be in [1, 65536] (16 hash bits): $nBuckets")
+    val bg = docs
+      .select(col(idCol).as("__doc"), targetPred.as("__tgt"),
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= 2) // guard BEFORE sequence (Relevance.bigrams)
+      .select(col("__doc"), col("__tgt"), explode(expr(
+        "transform(sequence(1, size(__toks) - 1), i -> concat(__toks[i-1], ' ', __toks[i]))")).as("__bg"))
+      .select(col("__doc"), col("__tgt"), hashBucket(col("__bg"), nBuckets).as("__b"))
+      .localCheckpoint(true)
+    // raw and target counts in ONE bucket-keyed pass (a null predicate
+    // counts as non-target, mirroring the oracle's CASE ... ELSE 0)
+    val counts = bg.groupBy(col("__b")).agg(
+      count(lit(1)).as("__cr"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"))
+    val tot = bg.agg(
+      count(lit(1)).as("__tr"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("__tt"))
+    // per-bucket ppm delta; operands are all positive, so Spark's
+    // truncating `div` and DuckDB's flooring `//` agree exactly
+    val model = counts.crossJoin(broadcast(tot))
+      .select(col("__b"),
+        (expr(s"(1000000 * (__ct + 1)) div (__tt + $nBuckets)")
+          - expr(s"(1000000 * (__cr + 1)) div (__tr + $nBuckets)")).as("__delta"))
+    bg.join(broadcast(model), "__b")
+      .groupBy(col("__doc"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__delta")).as("dsir_w"))
+      .select(col("__doc").as("doc"), col("n_bigrams"), col("dsir_w"))
+  }
 }

@@ -597,6 +597,52 @@ object Similarity {
     exactTopKTail(cands, k)
   }
 
+  /** Fixed-iteration PageRank over the [[knnGraphBucketed]] kNN graph —
+    * a graph-centrality curation signal: a document many near neighbors
+    * point AT sits in a dense semantic region (prototypical, or
+    * over-represented); isolated documents keep the teleport floor.
+    * Training-data pipelines use exactly this shape to pick cluster
+    * representatives / downweight redundant regions at corpus scale.
+    *
+    * Determinism over convergence: a FIXED `iters` power iterations on
+    * an integer micro-rank grid (pr starts at 1 000 000 per node;
+    * damping 0.85 becomes `(pr * 85) div (outdeg * 100)`, all positive,
+    * so truncating and flooring division agree in any engine) — no
+    * float accumulation order to drift, and the result is a rank
+    * SIGNAL, not a probability (mass lost to truncation/dangling nodes
+    * is not redistributed; every engine loses it identically).
+    *
+    * Scale posture: the edge list is built once (bucketed, Σ bucket²
+    * cost) and checkpointed; each iteration is ONE node-keyed
+    * hash-shuffle join plus ONE map-side-combined aggregate over
+    * edge-count-sized frames — iters × 2 shuffles total, no driver
+    * state, no collect. At 100 TB the graph tier (k·n edges) is ~k
+    * longs per document, orders of magnitude under the text bytes.
+    */
+  def knnPageRank(corpus: DataFrame, idCol: String, vecCol: String,
+                  k: Int, nBits: Int, dim: Int, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1, 50]: $iters")
+    val edges = knnGraphBucketed(corpus, idCol, vecCol, k, nBits, dim)
+      .select(col("qid"), col("cid"))
+      .localCheckpoint(true) // every iteration reuses the edge list; lazy
+                             // lineage would re-run the bucketed join per iter
+    val deg = edges.groupBy(col("qid")).agg(count(lit(1)).as("__outdeg"))
+    val ewd = edges.join(deg, "qid")
+    val nodes = corpus.select(col(idCol).as("vec_id"))
+    var pr = nodes.select(col("vec_id"), lit(1000000L).as("pr"))
+    for (_ <- 1 to iters) {
+      val inflow = ewd.alias("e")
+        .join(pr.alias("p"), col("e.qid") === col("p.vec_id"))
+        .select(col("e.cid").as("vec_id"),
+          expr("(p.pr * 85) div (e.__outdeg * 100)").as("__c"))
+        .groupBy(col("vec_id")).agg(sum(col("__c")).as("__in"))
+      pr = nodes.join(inflow, Seq("vec_id"), "left_outer")
+        .select(col("vec_id"),
+          (lit(150000L) + coalesce(col("__in"), lit(0L))).as("pr"))
+    }
+    pr
+  }
+
   def dotNearDupExact(corpus: DataFrame, idCol: String, vecCol: String,
                       threshold: BigDecimal, nBits: Int, dim: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),

@@ -57,6 +57,10 @@ object DropCycle {
     // retract (a summary point is not a signed count); rebuild the path
     // for current-state quantiles after purges.
     quantile: Option[(Seq[String], String, Int, String)] = None,
+    // step 2b: zone-map (min/max) range-scan sidecar over this value
+    // column — [[graft.lake.ZoneMapIndex.refreshSnapshot]]; immutable
+    // files carry verbatim, only the drop's new files get stats-scanned
+    zonemap: Option[String] = None,
     // step 3d: persisted near-dup cluster labels
     // ([[graft.ops.ClusterIndex]]). Needs textCol. The lake's string
     // keys map through the ntp-id codec (labels live in long id space);
@@ -75,6 +79,9 @@ object DropCycle {
     report("lake") = (before.getOrElse(0L), after)
     if (conf.bloom)
       report("bloom") = BloomIndex.refreshSnapshot(lake, lake.keyCol)
+    conf.zonemap.foreach { vcol =>
+      report("zonemap") = graft.lake.ZoneMapIndex.refreshSnapshot(lake, vcol)
+    }
     conf.textCol.foreach { text =>
       val idx = conf.bandIdxPath.getOrElse(lake.path + ".bandidx")
       report("band") = DedupIndex.upsert(drop, lake.keyCol, text, idx)

@@ -29,7 +29,8 @@ class DropCycleSpec extends AnyFunSuite {
       topk = Some((Nil, "grp", 8, root + "/topk")),
       lmPath = Some(root + "/lm"),
       postingsPath = Some(root + "/bm25idx"),
-      clusterIdxPath = Some(root + "/clidx"))
+      clusterIdxPath = Some(root + "/clidx"),
+      zonemap = Some("grp"))
 
     val drop1 = docs(
       (1L, "the quick brown fox jumps over the lazy dog", 0L),
@@ -50,6 +51,14 @@ class DropCycleSpec extends AnyFunSuite {
     assert(r2("band") == ((1L, 2L)))
     // the posting-list index rode the same fingerprint-gated delta
     assert(r2("postings") == ((1L, 2L)))
+    // zone-map stats: cycle 2 carried cycle-1 files, scanned only the churn
+    assert(r2("zonemap")._1 >= 1L && r2("zonemap")._2 >= 1L,
+      s"zonemap refresh must carry + churn-scan: ${r2("zonemap")}")
+    // and the served range scan answers from the maintained sidecar
+    val (zrows, zopened) = graft.lake.ZoneMapIndex.rangeLookupSnapshot(
+      lake, "grp", lit(1L), lit(1L))
+    assert(zrows.select("_id").as[String].collect().sorted.toSeq == Seq("3"))
+    assert(zopened <= lake.readManifest(lake.latestVersion.get).get.files.size)
 
     // lake state == the batch-merged truth
     val state = lake.read.orderBy("_id").collect().map(r => r.getString(0) -> r.getString(1))

@@ -700,4 +700,73 @@ class OpsSpec extends AnyFunSuite {
     // consecutive chunks share window - step tokens
     assert(got(0)._3.split(' ').last == got(1)._3.split(' ').head)
   }
+
+  test("dsirWeights: target-like docs score above raw-like; repartition-stable; short docs drop") {
+    import graft.ops.Curation
+    // two disjoint idioms: target docs repeat 'alpha beta', raw docs
+    // repeat 'gamma delta'; a mixed doc sits between. Replicated 300x
+    // so the bigram totals dominate the +nBuckets Laplace denominator —
+    // the operating regime (a corpus SMALLER than the bucket count has
+    // no distribution to estimate)
+    val base = Seq(
+      (1L, "alpha beta alpha beta alpha beta", "en"),
+      (2L, "alpha beta alpha beta", "en"),
+      (3L, "gamma delta gamma delta gamma delta", "xx"),
+      (4L, "gamma delta gamma delta", "xx"),
+      (5L, "alpha beta gamma delta", "xx"),
+      (6L, "solo", "en") // 1 token -> no bigrams -> dropped
+    ).toDF("doc_id", "text", "lang")
+    val docs = base.crossJoin(spark.range(300).toDF("r"))
+      .select((col("doc_id") * 1000 + col("r")).as("doc_id"), col("text"), col("lang"))
+    val w = Curation.dsirWeights(docs, "doc_id", "text", col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(!w.contains(6000L), "a doc with no bigram features carries no weight row")
+    // every target-idiom doc outscores every raw-idiom doc, per bigram
+    // and in total; the mixed doc lands strictly between
+    def per(id: Long) = w(id)._2.toDouble / w(id)._1
+    assert(per(1000L) > per(5000L) && per(5000L) > per(3000L),
+      s"target > mixed > raw expected, got (${per(1000L)}, ${per(5000L)}, ${per(3000L)})")
+    assert(w(1000L)._2 > 0 && w(3000L)._2 < 0,
+      s"target-idiom weight positive, raw-idiom negative: ${w(1000L)}, ${w(3000L)}")
+    // replicas of one text all carry the identical weight
+    assert(w(1000L) == w(1299L) && w(3000L) == w(3299L))
+    // deterministic under repartitioning (hash features, integer grid)
+    val w2 = Curation.dsirWeights(docs.repartition(7), "doc_id", "text",
+      col("lang") === "en").collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(w == w2)
+  }
+
+  test("knnPageRank: hub node outranks leaves; isolated keeps the teleport floor; deterministic") {
+    import graft.ops.Similarity
+    // vectors engineered so one direction (the 'hub') is every other
+    // vector's nearest neighbor within the bucket: v0 is the centroid
+    // direction, v1..v3 are slight perturbations of it, v4 is isolated
+    // (opposite direction -> its own bucket, no candidates)
+    def vec(main: Int, eps: Int, sign: Float): Seq[Float] = {
+      val v = Array.fill(64)(0.0f)
+      v(main) = sign
+      if (eps >= 0) v(eps) = 0.3f
+      v.toSeq
+    }
+    val emb = Seq(
+      (0L, vec(0, -1, 1.0f)),
+      (1L, vec(0, 10, 1.0f)),
+      (2L, vec(0, 11, 1.0f)),
+      (3L, vec(0, 12, 1.0f)),
+      (4L, vec(5, -1, -1.0f))
+    ).toDF("vec_id", "embedding")
+    // k=1: v1..v3 each point at the hub v0 (cos ~0.958 beats the
+    // leaf-leaf ~0.917), the hub points at v1 (tie on cosine, lower id)
+    val pr = Similarity.knnPageRank(emb, "vec_id", "embedding", 1, 4, 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr.size == 5, "every node gets a rank row")
+    // the isolated node receives no inflow: exactly the teleport floor
+    // after the final iteration
+    assert(pr(4L) == 150000L, s"isolated node must keep the floor, got ${pr(4L)}")
+    assert(pr(0L) > pr(1L) && pr(1L) > pr(2L) && pr(2L) == pr(3L),
+      s"hub > its out-neighbor > unreferenced leaves expected: $pr")
+    val pr2 = Similarity.knnPageRank(emb.repartition(5), "vec_id", "embedding", 1, 4, 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr == pr2)
+  }
 }

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.lake.{SnapshotLake, ZoneMapIndex}
+
+class ZoneMapIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** A clustered snapshot lake: v1 scatters keys across files, v2
+    * sort-rewrites by `v` so each file covers a narrow value interval —
+    * the layout zone maps exist to exploit.
+    */
+  private def mkLake(dir: String): SnapshotLake = {
+    val data = spark.range(20000).select(
+      col("id").as("k"), (col("id") % 1000).cast("double").as("v"))
+    val lake = new SnapshotLake(spark, s"$dir/t", "k")
+    lake.overwrite(data.repartition(16, col("k")))
+    lake.cluster(Seq(col("v")), 16)
+    lake
+  }
+
+  test("range lookup: row-identical to a full scan, opens few files on a clustered lake") {
+    val dir = java.nio.file.Files.createTempDirectory("zm").toFile.getAbsolutePath
+    val lake = mkLake(dir)
+    val (kept0, built) = ZoneMapIndex.refreshSnapshot(lake, "v")
+    assert(kept0 == 0L && built >= 16L,
+      s"first build scans every live file across retained versions, got ($kept0, $built)")
+
+    val (rows, opened) = ZoneMapIndex.rangeLookupSnapshot(
+      lake, "v", lit(100.0), lit(149.0))
+    val expect = lake.read.filter(col("v") >= 100.0 && col("v") <= 149.0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(rows.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet == expect)
+    assert(expect.size == 20000 / 1000 * 50)
+    // 5% of the value domain over 16 clustered files -> 1-2 files
+    assert(opened <= 3, s"expected <=3 of 16+ files opened, got $opened")
+
+    // empty range below the domain: zero files opened, zero rows
+    val (miss, openedMiss) = ZoneMapIndex.rangeLookupSnapshot(
+      lake, "v", lit(-10.0), lit(-1.0))
+    assert(miss.count() == 0 && openedMiss == 0,
+      s"out-of-domain range should prune everything, opened $openedMiss")
+  }
+
+  test("lagging sidecar stays correct; refresh is churn-proportional") {
+    val dir = java.nio.file.Files.createTempDirectory("zm2").toFile.getAbsolutePath
+    val lake = mkLake(dir)
+    ZoneMapIndex.refreshSnapshot(lake, "v")
+
+    // CoW upsert moves one key's value INTO the probed range; the new
+    // files are sidecar-unknown -> unconditional candidates, so the
+    // lookup is correct BEFORE any refresh (just less selective)
+    lake.upsert(Seq((19999L, 125.0)).toDF("k", "v"))
+    val (rows, _) = ZoneMapIndex.rangeLookupSnapshot(
+      lake, "v", lit(100.0), lit(149.0))
+    assert(rows.filter(col("k") === 19999L).count() == 1,
+      "pre-refresh lookup must see rows in not-yet-indexed files")
+
+    // the refresh scans ONLY the churn (the rewritten + new files), and
+    // carries every untouched row verbatim
+    val (kept, rebuilt) = ZoneMapIndex.refreshSnapshot(lake, "v")
+    assert(kept >= 15L, s"untouched files must carry verbatim, kept $kept")
+    assert(rebuilt >= 1L && rebuilt <= 4L,
+      s"refresh must scan only the CoW churn, scanned $rebuilt")
+    val (rows2, opened2) = ZoneMapIndex.rangeLookupSnapshot(
+      lake, "v", lit(100.0), lit(149.0))
+    assert(rows2.filter(col("k") === 19999L).count() == 1)
+    assert(opened2 <= 5, s"post-refresh lookup should re-prune, opened $opened2")
+  }
+
+  test("time travel: a range scan at an old version sees the old values") {
+    val dir = java.nio.file.Files.createTempDirectory("zm3").toFile.getAbsolutePath
+    val lake = mkLake(dir)
+    val v2 = lake.latestVersion.get
+    lake.upsert(Seq((5L, 9999.0)).toDF("k", "v")) // v3 moves k=5 out of range
+    ZoneMapIndex.refreshSnapshot(lake, "v")
+    val (old, _) = ZoneMapIndex.rangeLookupSnapshot(
+      lake, "v", lit(5.0), lit(5.0), at = Some(v2))
+    assert(old.filter(col("k") === 5L).count() == 1,
+      "time-travel lookup must resolve the OLD manifest's files")
+    val (now, _) = ZoneMapIndex.rangeLookupSnapshot(lake, "v", lit(5.0), lit(5.0))
+    assert(now.filter(col("k") === 5L).count() == 0)
+  }
+}
