@@ -105,6 +105,14 @@ object CorpusQueries {
   private def dotDecSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1,65), i -> CAST(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) AS DECIMAL(25,15))))"
 
+  /** [[dotDecSql]] with a constant double weight folded into each term
+    * BEFORE the decimal cast (matches Similarity.dotExactDecScaled):
+    * weighting the summed dot instead would overflow decimal(38,15)'s
+    * precision cap and silently degrade the comparison to double.
+    */
+  private def dotDecScaledSql(a: String, b: String, w: String): String =
+    s"list_sum(list_transform(range(1,65), i -> CAST(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) * CAST($w AS DOUBLE) AS DECIMAL(25,15))))"
+
   /** Shared by sim_ivf_topk and sim_ivf_int8_topk: the int8 tier's coarse
     * gate is margin-absorbed and its exact-decimal decider sees the full
     * vectors, so both must produce exactly this ranking.
@@ -172,6 +180,33 @@ object CorpusQueries {
 
   private def swList(lang: String): String =
     TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString("[", ",", "]")
+
+  /** DSIR recompute (shared by txt_dsir_weights and its incremental
+    * twin — merged count segments must reproduce the one-shot model
+    * exactly).
+    */
+  private val dsirOracleSql = tkCte +
+    """,
+      |bgf AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
+      |  unnest(list_transform(range(2, len(toks) + 1),
+      |    i -> toks[i-1] || ' ' || toks[i])) AS bg
+      |  FROM tk WHERE len(toks) >= 2),
+      |bkt AS (SELECT doc_id, tgt,
+      |  ((instr('0123456789abcdef', substr(md5(bg), 1, 1)) - 1) * 4096
+      |  + (instr('0123456789abcdef', substr(md5(bg), 2, 1)) - 1) * 256
+      |  + (instr('0123456789abcdef', substr(md5(bg), 3, 1)) - 1) * 16
+      |  + (instr('0123456789abcdef', substr(md5(bg), 4, 1)) - 1)) % 4096 AS b
+      |  FROM bgf),
+      |cnt AS (SELECT b, count(*) AS cr, sum(tgt) AS ct FROM bkt GROUP BY b),
+      |tot AS (SELECT count(*) AS tr, sum(tgt) AS tt FROM bkt),
+      |model AS (SELECT b,
+      |    CAST((1000000 * (ct + 1)) // (tt + 4096) AS BIGINT)
+      |  - CAST((1000000 * (cr + 1)) // (tr + 4096) AS BIGINT) AS delta
+      |  FROM cnt CROSS JOIN tot)
+      |SELECT doc_id AS doc, count(*) AS n_bigrams,
+      |       CAST(sum(delta) AS BIGINT) AS dsir_w
+      |FROM bkt JOIN model USING (b)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Bigram-LM scoring recompute (shared by txt_lm_score and its
     * incremental twin — merged count segments must reproduce this
@@ -852,6 +887,17 @@ object CorpusQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // MMR diversified retrieval: greedy redundancy-penalized top-5 from
+    // a relevance pool of 10 (λ=0.7 on the exact-decimal grid) — plain
+    // top-k returns near-copies from dense regions; this is the
+    // de-duplicated ranking an eval/RAG pipeline serves
+    "sim_mmr_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.mmrTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", 10, 5)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // IVF ANN: deterministic seed codebook, map-side cell assignment,
     // nProbe=2 inverted-list probe, exact-decimal re-rank
     "sim_ivf_topk" -> ((s, dir) => {
@@ -944,6 +990,31 @@ object CorpusQueries {
       graft.ops.Curation.dsirWeights(t(s, dir, "documents"),
           "doc_id", "text", col("lang") === "en")
         .orderBy(col("doc"))
+    }),
+
+    // incremental form of the DSIR tier: the hashed-bigram count model
+    // is a SUMMABLE aggregate, so three "monthly drops" each land one
+    // nBuckets-bounded count segment and the merged model scores the
+    // corpus — bit-identical to the from-scratch recompute (same oracle
+    // SQL as txt_dsir_weights). Model maintenance is O(drop), not
+    // O(corpus)
+    "txt_dsir_incremental" -> ((s, dir) => {
+      import graft.ops.Curation
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dsirseg_q").toString
+      val path = tmp + "/dsir"
+      (0 to 2).foreach { d =>
+        Curation.landDsirDrop(docs.filter(pmod(col("doc_id"), lit(3)) === d),
+          "doc_id", "text", col("lang") === "en", path, s"drop$d")
+      }
+      val out = Curation.scoreAgainstDsirCounts(docs, "doc_id", "text",
+          Curation.serveDsirCounts(s, path))
+        .orderBy(col("doc"))
+        .localCheckpoint(true) // the scratch segments are deleted next
+      new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      out
     }),
 
     // feature-hashed sparse TF vectors: the model-free text→vector
@@ -1896,6 +1967,46 @@ object CorpusQueries {
          |SELECT vec_id, pr FROM p3 ORDER BY vec_id""".stripMargin
     },
 
+    // the greedy MMR recurrence, unrolled: pool = exact-dot top-10 per
+    // query; round 1 picks max rel; each later round max-joins the
+    // (1−λ)-weighted pair dots against the selected set and picks the
+    // best λ·rel − (1−λ)·maxsim survivor. All decisions are single
+    // exact-decimal comparisons, so the unrolled SQL must reproduce the
+    // Spark loop bit-for-bit
+    "sim_mmr_topk" -> {
+      def round(r: Int): String =
+        s"""s$r AS (SELECT qid, cid, CAST($r AS BIGINT) AS rank FROM (
+           |  SELECT p.qid, p.cid, row_number() OVER (PARTITION BY p.qid
+           |    ORDER BY (p.rel_w - m.ms) DESC, p.cid) AS rn
+           |  FROM pool p
+           |  JOIN (SELECT pd.qid, pd.cand, max(pd.sim_w) AS ms
+           |        FROM pd JOIN sel${r - 1} s ON pd.qid = s.qid AND pd.other = s.cid
+           |        GROUP BY pd.qid, pd.cand) m
+           |    ON p.qid = m.qid AND p.cid = m.cand
+           |  WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} s2
+           |                    WHERE s2.qid = p.qid AND s2.cid = p.cid)) t
+           |  WHERE rn = 1),
+           |sel$r AS (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM s$r)""".stripMargin
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+         |scored AS (SELECT q.qid, c.vec_id AS cid, c.embedding AS cv,
+         |    ${dotDecSql("q.qv", "c.embedding")} AS rel,
+         |    ${dotDecScaledSql("q.qv", "c.embedding", "0.7")} AS rel_w
+         |  FROM q JOIN embeddings c ON q.qid <> c.vec_id),
+         |pool AS (SELECT qid, cid, cv, rel, rel_w FROM (
+         |  SELECT qid, cid, cv, rel, rel_w,
+         |         row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rnk
+         |  FROM scored) t WHERE rnk <= 10),
+         |pd AS (SELECT a.qid, a.cid AS cand, b.cid AS other,
+         |    ${dotDecScaledSql("a.cv", "b.cv", "0.3")} AS sim_w
+         |  FROM pool a JOIN pool b ON a.qid = b.qid AND a.cid <> b.cid),
+         |s1 AS (SELECT qid, cid, CAST(1 AS BIGINT) AS rank FROM (
+         |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rn
+         |  FROM pool) t WHERE rn = 1),
+         |sel1 AS (SELECT * FROM s1),
+         |${(2 to 5).map(round).mkString(",\n")}
+         |SELECT qid, cid, rank FROM sel5 ORDER BY qid, rank""".stripMargin
+    },
+
     "sim_ivf_topk" -> ivfOracleSql,
 
     // identical semantics by construction: the int8 tier's coarse error is
@@ -1964,28 +2075,11 @@ object CorpusQueries {
     // smoothed ppm under the target (lang='en') and raw distributions,
     // per-doc sum of the per-bucket delta; all division operands are
     // positive so // and Spark's div agree
-    "txt_dsir_weights" -> (tkCte +
-      """,
-        |bgf AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
-        |  unnest(list_transform(range(2, len(toks) + 1),
-        |    i -> toks[i-1] || ' ' || toks[i])) AS bg
-        |  FROM tk WHERE len(toks) >= 2),
-        |bkt AS (SELECT doc_id, tgt,
-        |  ((instr('0123456789abcdef', substr(md5(bg), 1, 1)) - 1) * 4096
-        |  + (instr('0123456789abcdef', substr(md5(bg), 2, 1)) - 1) * 256
-        |  + (instr('0123456789abcdef', substr(md5(bg), 3, 1)) - 1) * 16
-        |  + (instr('0123456789abcdef', substr(md5(bg), 4, 1)) - 1)) % 4096 AS b
-        |  FROM bgf),
-        |cnt AS (SELECT b, count(*) AS cr, sum(tgt) AS ct FROM bkt GROUP BY b),
-        |tot AS (SELECT count(*) AS tr, sum(tgt) AS tt FROM bkt),
-        |model AS (SELECT b,
-        |    CAST((1000000 * (ct + 1)) // (tt + 4096) AS BIGINT)
-        |  - CAST((1000000 * (cr + 1)) // (tr + 4096) AS BIGINT) AS delta
-        |  FROM cnt CROSS JOIN tot)
-        |SELECT doc_id AS doc, count(*) AS n_bigrams,
-        |       CAST(sum(delta) AS BIGINT) AS dsir_w
-        |FROM bkt JOIN model USING (b)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    "txt_dsir_weights" -> dsirOracleSql,
+
+    // merged per-drop count segments must reproduce the one-shot model
+    // exactly (counts are summable), so one SQL recompute gates both
+    "txt_dsir_incremental" -> dsirOracleSql,
 
     "txt_hashed_tf" -> (hashedTfCte +
       """

@@ -138,6 +138,42 @@ object ScaleSmoke {
       lake.read.count()
     }
 
+    // ---------------------------------------- zone-map range-scan tier
+    // snapshot lake clustered by price: the manifest-resolved min/max
+    // sidecar must prune a ~2% price band to a handful of files, and
+    // sidecar maintenance must follow the churn of an append drop
+    val snap = new graft.lake.SnapshotLake(spark, s"$work/snaplake", "o_orderkey")
+    phase("zonemap-lake-cluster") {
+      val o = spark.read.parquet(s"$work/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      snap.overwrite(o.repartition(64, col("o_orderkey")))
+      snap.cluster(Seq(col("o_totalprice")), 64)
+      snap.read.count()
+    }
+    phase("zonemap-build") {
+      val (_, built) = graft.lake.ZoneMapIndex.refreshSnapshot(snap, "o_totalprice")
+      built
+    }
+    phase("zonemap-range-scan") {
+      val (rows, opened) = graft.lake.ZoneMapIndex.rangeLookupSnapshot(
+        snap, "o_totalprice", lit(100000.0), lit(110000.0))
+      val total = snap.readManifest(snap.latestVersion.get).get.files.size
+      require(opened <= math.max(4, total / 8),
+        s"zone maps must prune the clustered lake: opened=$opened of $total")
+      rows.count()
+    }
+    phase("zonemap-append-refresh") {
+      // an append-only drop (fresh key range): the CoW rewrites nothing,
+      // so the refresh stats-scans exactly the drop's new files
+      snap.upsert(spark.read.parquet(s"$baseDir/orders.parquet")
+        .select((col("o_orderkey") + lit(factor.toLong * keySpan)).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice")))
+      val (kept, scanned) = graft.lake.ZoneMapIndex.refreshSnapshot(snap, "o_totalprice")
+      require(scanned > 0 && scanned.toDouble / (kept + scanned) < 0.35,
+        s"zonemap refresh must be churn-proportional: kept=$kept scanned=$scanned")
+      scanned
+    }
+
     // ------------------------------------- persisted MinHash band index
     val docsAll = spark.read.parquet(s"$work/documents.parquet")
     phase("dedup-index-build-90pct") {
@@ -242,6 +278,23 @@ object ScaleSmoke {
       require(relabeled * 10 == n,
         s"add-only drop must relabel exactly the churn: relabeled=$relabeled of $n")
       relabeled
+    }
+
+    // ------------------------------- graph + data-selection curation ops
+    // whole-corpus kNN PageRank: bucket width chosen so Σ bucket² stays
+    // tractable at the inflated corpus (1024 hyperplane cells over 200k
+    // vectors ≈ 40M candidate pairs, double-gated); 3 integer-grid
+    // iterations = 6 node-keyed shuffles
+    phase("knn-pagerank") {
+      graft.ops.Similarity.knnPageRank(embsAll, "vec_id", "embedding",
+        k = 3, nBits = 10, dim = 64).count()
+    }
+    // DSIR weights over the whole inflated corpus: the model stays
+    // nBuckets rows regardless of corpus size — the phase's cost is the
+    // two bigram passes, not the model
+    phase("dsir-weights") {
+      graft.ops.Curation.dsirWeights(docsAll, "doc_id", "text",
+        col("lang") === "en").count()
     }
 
     val json = phases.map { case (n, dt, rows, w, r, m, d) =>

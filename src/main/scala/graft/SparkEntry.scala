@@ -135,7 +135,7 @@ object SparkEntry {
     "q_snapshot_point_lookup", "q_stream_topk", "q_summary_cdc", "q_summary_incremental",
     "q_zonemap_range",
     "pca_moments_incremental", "sem_cluster_incremental", "sim_ivf_persisted_topk",
-    "txt_bm25_indexed", "txt_lm_incremental", "txt_stats_incremental")
+    "txt_bm25_indexed", "txt_dsir_incremental", "txt_lm_incremental", "txt_stats_incremental")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map[String, (SparkSession, String) => DataFrame](
     // A2/A3-style wide aggregation (TPC-H Q1 shape)
@@ -1634,6 +1634,21 @@ object SparkEntry {
         .orderBy(col("col_name"))
     }),
 
+    // Beyond-reference data-quality tier: declarative EXPECTATIONS
+    // (the checking-script audits as a rule engine) — N rules cost one
+    // scan + one aggregate; uniqueness rides the same pass. The range
+    // and regex rules are chosen to have real violations in the data
+    "q_dq_expectations" -> ((s, dir) => {
+      import graft.ops.Expectations._
+      report(t(s, dir, "orders"), Seq(
+          notNull("o_custkey"),
+          inRange("o_totalprice", lit(0.0), lit(400000.0)),
+          accepted("o_orderstatus", Seq("F", "O", "P")),
+          matches("o_orderpriority", "^[1-5]-[A-Z]+$")),
+        uniqueCols = Seq("o_orderkey"))
+        .orderBy(col("rule"))
+    }),
+
     // skewed-fact equi-join via deterministic salting: dim replicated
     // per salt, fact salted from its own id — row-identical to the
     // plain join, hot keys spread over `salt` reducers
@@ -2091,6 +2106,29 @@ object SparkEntry {
         |       count(*) OVER (PARTITION BY o_orderpriority) AS cnt FROM c)
         |SELECT o_orderpriority, (v // 500000) * 500000 AS est FROM r
         |WHERE rn = (cnt + 1) // 2 ORDER BY o_orderpriority""".stripMargin,
+
+    // each rule recomputed as a conditional count over one scan; the
+    // anchored regex makes Spark's partial-match rlike and DuckDB's
+    // regexp_matches decide identically
+    "q_dq_expectations" ->
+      """WITH t AS (SELECT count(*) AS n,
+        |  sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v0,
+        |  sum(CASE WHEN o_totalprice IS NOT NULL
+        |           AND (o_totalprice < 0.0 OR o_totalprice > 400000.0) THEN 1 ELSE 0 END) AS v1,
+        |  sum(CASE WHEN o_orderstatus IS NOT NULL
+        |           AND o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS v2,
+        |  sum(CASE WHEN o_orderpriority IS NOT NULL
+        |           AND NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z]+$') THEN 1 ELSE 0 END) AS v3,
+        |  count(o_orderkey) - count(DISTINCT o_orderkey) AS u0
+        |  FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'not_null(o_custkey)' AS rule, CAST(v0 AS BIGINT) AS violations,
+        |         n AS n_rows, v0 = 0 AS pass FROM t
+        |  UNION ALL SELECT 'in_range(o_totalprice)', CAST(v1 AS BIGINT), n, v1 = 0 FROM t
+        |  UNION ALL SELECT 'accepted(o_orderstatus)', CAST(v2 AS BIGINT), n, v2 = 0 FROM t
+        |  UNION ALL SELECT 'matches(o_orderpriority)', CAST(v3 AS BIGINT), n, v3 = 0 FROM t
+        |  UNION ALL SELECT 'unique(o_orderkey)', CAST(u0 AS BIGINT), n, u0 = 0 FROM t)
+        |ORDER BY rule""".stripMargin,
 
     "q_profile_orders" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",

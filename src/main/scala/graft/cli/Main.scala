@@ -517,6 +517,37 @@ object Main {
         case Some(o) => prof.coalesce(1).write.mode("overwrite").parquet(o)
         case None => prof.show(1000, truncate = false)
       }
+    case "dq" =>
+      // declarative data-quality audit over any parquet input — N rules
+      // cost ONE scan; --gate throws listing every failed rule:
+      //   cli dq --in t.parquet --not-null a,b --unique k \
+      //     --range price:0:1000 --accepted status:F|O \
+      //     --matches 'prio:^[1-5]-' [--gate]
+      import graft.ops.Expectations
+      val df = spark.read.parquet(arg(args, "--in").get)
+      val rules = scala.collection.mutable.ArrayBuffer[Expectations.Rule]()
+      arg(args, "--not-null").foreach(_.split(",").foreach(c =>
+        rules += Expectations.notNull(c)))
+      arg(args, "--range").foreach(_.split(",").foreach { spec =>
+        val Array(c, lo, hi) = spec.split(":", 3)
+        rules += Expectations.inRange(c,
+          org.apache.spark.sql.functions.lit(lo.toDouble),
+          org.apache.spark.sql.functions.lit(hi.toDouble))
+      })
+      arg(args, "--accepted").foreach(_.split(",").foreach { spec =>
+        val Array(c, vs) = spec.split(":", 2)
+        rules += Expectations.accepted(c, vs.split("\\|").toSeq)
+      })
+      arg(args, "--matches").foreach { spec =>
+        val Array(c, re) = spec.split(":", 2)
+        rules += Expectations.matches(c, re)
+      }
+      val uniq = arg(args, "--unique").map(_.split(",").toSeq).getOrElse(Nil)
+      if (flag(args, "--gate")) {
+        Expectations.gate(df, rules.toSeq, uniq)
+        println("[cli] dq gate: all expectations hold")
+      } else Expectations.report(df, rules.toSeq, uniq)
+        .orderBy(col("rule")).show(100, truncate = false)
     case "matagg" =>
       // incremental materialized summary: land one partial-agg segment
       // per drop, serve the merge, compact history — calc_summary made
@@ -659,6 +690,6 @@ object Main {
       graft.Explain.print(spark,
         arg(args, "--sf").getOrElse("/root/testdata/sf0.001"), Seq(name))
     case other =>
-      println(s"usage: ingest|summary|harvest|sync|compact|stats|cluster|index|repair|purge|curate|snap|audit|profile|matagg|sketch|lm|bm25|drop|semdedup|sparsesim|explain (got '$other')")
+      println(s"usage: ingest|summary|harvest|sync|compact|stats|cluster|index|repair|purge|curate|snap|audit|profile|dq|matagg|sketch|lm|bm25|drop|semdedup|sparsesim|explain (got '$other')")
   }
 }

@@ -82,24 +82,32 @@ object ZoneMapIndex {
           spark.read.parquet(idxPath).select(col("file"), col("len").as("len2")),
           Seq("file", "len2"), "left_anti")
         .select(col("file")).as[String].collect().toSeq.sorted
+    // a truly empty lake (versions exist, zero live files) has nothing
+    // to index; a no-churn refresh on an existing sidecar lands kept
+    // rows only (a zero-path parquet read is never constructed)
+    if (freshFiles.isEmpty && !idxExists) return (0L, 0L)
+    val kept =
+      if (!idxExists) null
+      else spark.read.parquet(idxPath).alias("old")
+        .join(lens, col("old.file") === lens("file") && col("old.len") === lens("len2"))
+        .select(col("old.file"), col("old.minv"), col("old.maxv"),
+          col("old.nrows"), col("old.nvals"), col("old.len"))
+    if (freshFiles.isEmpty) {
+      val keptN = kept.count()
+      Staged.land(spark, idxPath, kept) // drop rows of vanished files
+      return (keptN, 0L)
+    }
     val rebuilt =
       zoneRows(
           spark.read.schema(schema).parquet(BloomIndex.readablePaths(freshFiles): _*), valCol)
         .join(lens.withColumnRenamed("len2", "len"), "file")
         .select(col("file"), col("minv"), col("maxv"),
           col("nrows"), col("nvals"), col("len"))
-    // kept rows carry verbatim; minv/maxv take their schema from the
-    // rebuilt frame when no sidecar exists yet (first build)
-    val kept =
-      if (!idxExists) rebuilt.limit(0)
-      else spark.read.parquet(idxPath).alias("old")
-        .join(lens, col("old.file") === lens("file") && col("old.len") === lens("len2"))
-        .select(col("old.file"), col("old.minv"), col("old.maxv"),
-          col("old.nrows"), col("old.nvals"), col("old.len"))
     val rebuiltP = rebuilt.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val keptN = kept.count()
+    val keptN = if (kept == null) 0L else kept.count()
     val rebuiltN = rebuiltP.count()
-    Staged.land(spark, idxPath, kept.unionByName(rebuiltP))
+    Staged.land(spark, idxPath,
+      if (kept == null) rebuiltP else kept.unionByName(rebuiltP))
     rebuiltP.unpersist()
     (keptN, rebuiltN)
   }

@@ -189,24 +189,42 @@ object Curation {
     */
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
                   targetPred: Column, nBuckets: Int = 4096): DataFrame = {
+    // one materialized stream feeds the counts AND the scoring join
+    val bg = dsirStream(docs, idCol, textCol, targetPred, nBuckets)
+      .localCheckpoint(true)
+    dsirScore(bg, dsirCounts(bg), nBuckets)
+  }
+
+  /** The hashed-bigram occurrence stream (__doc, __tgt, __b). A null
+    * predicate counts as non-target, mirroring the oracle's
+    * CASE ... ELSE 0.
+    */
+  private def dsirStream(docs: DataFrame, idCol: String, textCol: String,
+                         targetPred: Column, nBuckets: Int): DataFrame = {
     require(nBuckets > 0 && nBuckets <= (1 << 16),
       s"nBuckets must be in [1, 65536] (16 hash bits): $nBuckets")
-    val bg = docs
+    docs
       .select(col(idCol).as("__doc"), targetPred.as("__tgt"),
         TextAnalysis.tokens(col(textCol)).as("__toks"))
       .filter(size(col("__toks")) >= 2) // guard BEFORE sequence (Relevance.bigrams)
       .select(col("__doc"), col("__tgt"), explode(expr(
         "transform(sequence(1, size(__toks) - 1), i -> concat(__toks[i-1], ' ', __toks[i]))")).as("__bg"))
       .select(col("__doc"), col("__tgt"), hashBucket(col("__bg"), nBuckets).as("__b"))
-      .localCheckpoint(true)
-    // raw and target counts in ONE bucket-keyed pass (a null predicate
-    // counts as non-target, mirroring the oracle's CASE ... ELSE 0)
-    val counts = bg.groupBy(col("__b")).agg(
+  }
+
+  /** Raw and target counts in ONE bucket-keyed pass. */
+  private def dsirCounts(bg: DataFrame): DataFrame =
+    bg.groupBy(col("__b")).agg(
       count(lit(1)).as("__cr"),
       sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"))
-    val tot = bg.agg(
-      count(lit(1)).as("__tr"),
-      sum(when(col("__tgt"), 1L).otherwise(0L)).as("__tt"))
+
+  /** Model from counts + per-doc scoring join. Totals derive from the
+    * counts themselves (Σcr, Σct), so merged per-drop segments and a
+    * one-shot count table produce the identical model.
+    */
+  private def dsirScore(bg: DataFrame, counts: DataFrame, nBuckets: Int): DataFrame = {
+    val tot = counts.agg(
+      sum(col("__cr")).as("__tr"), sum(col("__ct")).as("__tt"))
     // per-bucket ppm delta; operands are all positive, so Spark's
     // truncating `div` and DuckDB's flooring `//` agree exactly
     val model = counts.crossJoin(broadcast(tot))
@@ -218,4 +236,84 @@ object Curation {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("__delta")).as("dsir_w"))
       .select(col("__doc").as("doc"), col("n_bigrams"), col("dsir_w"))
   }
+
+  // --------------------------------------------- incremental DSIR model tier
+
+  /** One drop's DSIR count segment (__b, __cr, __ct) — like the bigram-LM
+    * tier, the DSIR model IS a summable aggregate: land one
+    * nBuckets-bounded segment per drop, serve the sum. A 100 TB corpus
+    * maintains its data-selection model O(drop) per drop instead of
+    * O(corpus) per run.
+    */
+  def dsirCountSegment(docs: DataFrame, idCol: String, textCol: String,
+                       targetPred: Column, nBuckets: Int = 4096): DataFrame =
+    dsirCounts(dsirStream(docs, idCol, textCol, targetPred, nBuckets))
+
+  def landDsirDrop(docs: DataFrame, idCol: String, textCol: String,
+                   targetPred: Column, path: String, dropId: String,
+                   nBuckets: Int = 4096): Long = {
+    require(dropId.nonEmpty && dropId.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+      s"drop id must be [A-Za-z0-9_-]+: '$dropId'")
+    val spark = docs.sparkSession
+    graft.lake.Staged.land(spark, s"$path/seg=$dropId",
+      dsirCountSegment(docs, idCol, textCol, targetPred, nBuckets))
+    spark.read.parquet(s"$path/seg=$dropId").count()
+  }
+
+  /** RETRACTABLE form for upsert/delete feeds (the
+    * [[graft.ops.Relevance.landLmChangesDrop]] pattern applied to the
+    * DSIR counts): insert/update_post bigrams count +1, update_pre/
+    * delete −1, so a changed document's old features cancel exactly and
+    * the merged model equals a from-scratch retrain over the final
+    * corpus — at change-feed cost.
+    */
+  def landDsirChangesDrop(changes: DataFrame, idCol: String, textCol: String,
+                          targetPred: Column, path: String, dropId: String,
+                          nBuckets: Int = 4096): Long = {
+    require(dropId.nonEmpty && dropId.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+      s"drop id must be [A-Za-z0-9_-]+: '$dropId'")
+    val spark = changes.sparkSession
+    val pos = dsirCountSegment(
+      changes.filter(col("change_type").isin("insert", "update_post")),
+      idCol, textCol, targetPred, nBuckets)
+    val neg = dsirCountSegment(
+      changes.filter(col("change_type").isin("update_pre", "delete")),
+      idCol, textCol, targetPred, nBuckets)
+      .select(col("__b"), (-col("__cr")).as("__cr"), (-col("__ct")).as("__ct"))
+    graft.lake.Staged.land(spark, s"$path/seg=$dropId",
+      pos.unionByName(neg).groupBy(col("__b"))
+        .agg(sum(col("__cr")).as("__cr"), sum(col("__ct")).as("__ct")))
+    spark.read.parquet(s"$path/seg=$dropId").count()
+  }
+
+  /** Merged model counts over every landed segment; fully-retracted
+    * buckets (net 0) drop out.
+    */
+  def serveDsirCounts(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("__b"))
+      .agg(sum(col("__cr")).as("__cr"), sum(col("__ct")).as("__ct"))
+      .filter(col("__cr") =!= 0)
+
+  /** Fold every landed DSIR segment into one via the shared whole-root
+    * swap ([[graft.ops.Relevance.compactLm]] pattern) — counts are
+    * summable so the served model is unchanged, the segment count resets
+    * to 1, and fully-retracted (net-0) buckets drop out.
+    */
+  def compactDsir(spark: org.apache.spark.sql.SparkSession, path: String,
+                  dropId: String = "base"): Unit = {
+    require(dropId.nonEmpty && dropId.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+      s"drop id must be [A-Za-z0-9_-]+: '$dropId'")
+    graft.lake.Staged.swapRoot(spark, path,
+      serveDsirCounts(spark, path).localCheckpoint(true), s"seg=$dropId")
+  }
+
+  /** Score a corpus against a served (or otherwise precomputed) count
+    * table — one tokenize pass over `docs`, model broadcast. Must
+    * hash-match [[dsirWeights]] when the merged counts equal the
+    * one-shot counts.
+    */
+  def scoreAgainstDsirCounts(docs: DataFrame, idCol: String, textCol: String,
+                             counts: DataFrame, nBuckets: Int = 4096): DataFrame =
+    dsirScore(dsirStream(docs, idCol, textCol, lit(false), nBuckets), counts, nBuckets)
 }

@@ -643,6 +643,98 @@ object Similarity {
     pr
   }
 
+  /** Maximal-marginal-relevance diversified top-k: greedily pick `k`
+    * results per query from a `poolK`-sized relevance pool, each round
+    * taking the candidate maximizing
+    * `λ·rel(q,c) − (1−λ)·max_{s∈selected} sim(c,s)` — the classic
+    * redundancy-penalized retrieval ranking (Carbonell & Goldstein '98),
+    * the piece a RAG/eval pipeline needs when plain top-k returns five
+    * near-copies of one document.
+    *
+    * Determinism: rel and sim are the exact-decimal dot, λ is the
+    * integer percentage `lambdaPct` (score comparisons happen on
+    * `rel·λ − sim·(100−λ)`, still exact decimal), ties break on the
+    * lower candidate id — bit-reproducible in any engine.
+    *
+    * Scale posture: the greedy recurrence is inherently sequential in
+    * `k`, but each round is ONE window + two small joins over
+    * pool-sized frames (queries × poolK rows, checkpointed once), and
+    * ALL queries advance in parallel inside the round — cost is
+    * k rounds × O(|Q|·poolK), independent of corpus size past the pool
+    * build. The pool itself reuses the shared double-gated
+    * exact-decimal tail ([[exactTopKTail]]).
+    */
+  /** Exact-decimal dot with a constant double weight folded into each
+    * TERM before the decimal cast: `Σ dec25_15(aᵢ·bᵢ·w)`. Folding at the
+    * leaf keeps every intermediate inside decimal(25,15) — multiplying
+    * the summed dot by a λ weight instead would push DuckDB's
+    * decimal(38,15) over its 38-digit cap and silently degrade the
+    * oracle's comparison to double. The per-term product is pure IEEE
+    * double arithmetic, identical in any engine.
+    */
+  private def dotExactDecScaled(a: Column, b: Column, w: Double): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") * y.cast("double") * lit(w)).cast("decimal(25,15)")),
+      lit(BigDecimal(0)).cast("decimal(36,15)"),
+      (acc, p) => (acc + p).cast("decimal(36,15)"))
+
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              poolK: Int, k: Int, lambdaPct: Int = 70): DataFrame = {
+    require(k >= 1 && poolK >= k, s"need poolK >= k >= 1: poolK=$poolK k=$k")
+    require(lambdaPct >= 0 && lambdaPct <= 100, s"lambdaPct in [0,100]: $lambdaPct")
+    val wRel = lambdaPct / 100.0
+    val wSim = (100 - lambdaPct) / 100.0
+    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    // the pool ranking needs cv/rel downstream, so the exactTopKTail
+    // double-gate is inlined rather than reused (the shared tail
+    // projects down to (qid, cid, rank)); sort keys are materialized
+    // before each window per the shared discipline
+    val margin = math.max(5 * poolK, poolK + 20)
+    val wf = Window.partitionBy(col("qid")).orderBy(col("__fdot").desc, col("cid").asc)
+    val wd = Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("cid").asc)
+    val pool = q.join(c, col("qid") =!= col("cid"))
+      .withColumn("__fdot", dotFast(col("qv"), col("cv")))
+      .withColumn("__frank", row_number().over(wf)).filter(col("__frank") <= margin)
+      .withColumn("rel", dotExactDec(col("qv"), col("cv")))
+      .withColumn("__rnk", row_number().over(wd)).filter(col("__rnk") <= poolK)
+      .select(col("qid"), col("cid"), col("cv"), col("rel"),
+        dotExactDecScaled(col("qv"), col("cv"), wRel).as("rel_w"))
+      .localCheckpoint(true) // every greedy round + the pair dots reuse it
+    // all within-pool pair similarities per query (poolK² per query,
+    // exact decimal, already (1−λ)-weighted) — computed ONCE, each
+    // round only max-joins them
+    val pairs = pool.alias("a").join(pool.alias("b"),
+        col("a.qid") === col("b.qid") && col("a.cid") =!= col("b.cid"))
+      .select(col("a.qid").as("qid"), col("a.cid").as("cand"),
+        col("b.cid").as("other"),
+        dotExactDecScaled(col("a.cv"), col("b.cv"), wSim).as("sim_w"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy(col("qid")).orderBy(col("__score").desc, col("cid").asc)
+    // round 1 is pure relevance (nothing selected to be redundant with):
+    // ordered by the UNweighted exact dot, the same key the pool ranks by
+    var sel = pool.withColumn("__score", col("rel"))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("qid"), col("cid"), lit(1L).as("rank"))
+    for (r <- 2 to k) {
+      val remaining = pool.join(sel.select(col("qid"), col("cid")),
+        Seq("qid", "cid"), "left_anti")
+      val ms = pairs.join(sel.select(col("qid"), col("cid").as("other")),
+          Seq("qid", "other"))
+        .groupBy(col("qid"), col("cand")).agg(max(col("sim_w")).as("__ms"))
+        .withColumnRenamed("cand", "cid")
+      val pick = remaining.join(ms, Seq("qid", "cid"))
+        // score = λ·rel − (1−λ)·maxsim, both sides pre-weighted at the
+        // term level: one exact decimal subtraction decides
+        .withColumn("__score", col("rel_w") - col("__ms"))
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col("qid"), col("cid"), lit(r.toLong).as("rank"))
+      sel = sel.unionByName(pick).localCheckpoint(true)
+    }
+    sel
+  }
+
   def dotNearDupExact(corpus: DataFrame, idCol: String, vecCol: String,
                       threshold: BigDecimal, nBits: Int, dim: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),

@@ -51,6 +51,10 @@ object DropCycle {
     hll: Option[(Seq[String], String, String)] = None, // (dims, key, path)
     topk: Option[(Seq[String], String, Int, String)] = None, // (dims, key, k, path)
     lmPath: Option[String] = None,        // step 6: bigram-LM count segments
+    // step 6b: DSIR bucket-count segments (targetPred, path) — the
+    // data-selection model maintained at change-feed cost with signed
+    // retraction, like the LM tier
+    dsir: Option[(org.apache.spark.sql.Column, String)] = None,
     // step 7: ε-rank quantile summaries (dims, value col, k, path).
     // Event-stream semantics like the top-k tier: segments summarize the
     // interval's inserted/updated rows — deletes/pre-images don't
@@ -163,6 +167,20 @@ object DropCycle {
             lake.readAt(after), lake.keyCol, text, path, s"v0to$after")
         }
         report("lm") = (0L, n)
+      case _ => ()
+    }
+    // DSIR bucket counts ride the same pre-image feed (the data-selection
+    // model is a summable count table exactly like the LM's)
+    (conf.textCol, conf.dsir) match {
+      case (Some(text), Some((targetPred, path))) =>
+        val n = before match {
+          case Some(v0) => graft.ops.Curation.landDsirChangesDrop(
+            lake.changesBetween(v0, after, preImages = true),
+            lake.keyCol, text, targetPred, path, s"v${v0}to$after")
+          case None => graft.ops.Curation.landDsirDrop(
+            lake.readAt(after), lake.keyCol, text, targetPred, path, s"v0to$after")
+        }
+        report("dsir") = (0L, n)
       case _ => ()
     }
     report.toMap

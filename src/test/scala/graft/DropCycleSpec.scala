@@ -30,7 +30,8 @@ class DropCycleSpec extends AnyFunSuite {
       lmPath = Some(root + "/lm"),
       postingsPath = Some(root + "/bm25idx"),
       clusterIdxPath = Some(root + "/clidx"),
-      zonemap = Some("grp"))
+      zonemap = Some("grp"),
+      dsir = Some((col("grp") === 0L, root + "/dsir")))
 
     val drop1 = docs(
       (1L, "the quick brown fox jumps over the lazy dog", 0L),
@@ -130,6 +131,18 @@ class DropCycleSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
     assert(viaSegments == oneShotLm)
 
+    // DSIR counts ride the same pre-image feed: the merged model scores
+    // the corpus bit-identically to the one-shot path (doc 3's old
+    // features retracted by the v1->v2 change segment)
+    import graft.ops.Curation
+    val dsirTgt = col("grp") === 0L
+    val servedDsir = Curation.scoreAgainstDsirCounts(lake.read, "_id", "text",
+        Curation.serveDsirCounts(spark, root + "/dsir"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val oneShotDsir = Curation.dsirWeights(lake.read, "_id", "text", dsirTgt)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(servedDsir == oneShotDsir && servedDsir.nonEmpty)
+
     // bloom: point lookup after the cycles opens fewer files than exist
     // and serves the post-upsert value
     val (rows, opened) = graft.lake.BloomIndex.lookupSnapshot(lake, "_id", Seq("3"))
@@ -173,7 +186,8 @@ class DropCycleSpec extends AnyFunSuite {
       summary = Some((spec, root + "/summary")),
       hll = Some((Seq("grp"), "_id", root + "/hll")),
       topk = Some((Nil, "grp", 8, root + "/topk")),
-      lmPath = Some(root + "/lm"))
+      lmPath = Some(root + "/lm"),
+      dsir = Some((col("grp") === 0L, root + "/dsir")))
     def segCount(p: String): Int = {
       val d = new java.io.File(p)
       if (!d.exists) 0
@@ -204,6 +218,7 @@ class DropCycleSpec extends AnyFunSuite {
         Sketches.compactHll(spark, root + "/hll", Seq("grp"), s"fold$d")
         Sketches.compactTopK(spark, root + "/topk", Nil, "grp", 8, s"fold$d")
         graft.ops.Relevance.compactLm(spark, root + "/lm", s"fold$d")
+        graft.ops.Curation.compactDsir(spark, root + "/dsir", s"fold$d")
         lake.compact()
         lake.vacuum(retainVersions = 2)
       }
@@ -211,7 +226,7 @@ class DropCycleSpec extends AnyFunSuite {
       if (d == 25) serveEnd = serveAll()
     }
     // BOUNDED ARTIFACTS: at most the folded segment + one cadence window
-    for (tier <- Seq("/summary", "/hll", "/topk", "/lm"))
+    for (tier <- Seq("/summary", "/hll", "/topk", "/lm", "/dsir"))
       assert(segCount(root + tier) <= 6,
         s"$tier grew to ${segCount(root + tier)} segments despite the cadence")
     // lake: vacuum bounds retained versions, compact bounds file count
@@ -237,6 +252,13 @@ class DropCycleSpec extends AnyFunSuite {
     val scratchLm = graft.ops.Relevance.bigramCountSegment(lake.read, "_id", "text")
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(servedLm == scratchLm && servedLm.nonEmpty)
+    // the DSIR model survives 25 drops + 5 folds == from-scratch counts
+    val servedDsirSoak = graft.ops.Curation.serveDsirCounts(spark, root + "/dsir")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val scratchDsirSoak = graft.ops.Curation.dsirCountSegment(
+        lake.read, "_id", "text", col("grp") === 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(servedDsirSoak == scratchDsirSoak && servedDsirSoak.nonEmpty)
     val exactDistinct = lake.read.groupBy("grp").agg(countDistinct(col("_id")).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     Sketches.serveHllEstimate(spark, root + "/hll", Seq("grp")).collect().foreach { r =>

@@ -736,6 +736,95 @@ class OpsSpec extends AnyFunSuite {
     assert(w == w2)
   }
 
+  test("Expectations: one-pass report counts every rule class; gate lists ALL failures") {
+    import graft.ops.Expectations._
+    val df = Seq(
+      (1L, Option(10.0), Option("F"), "1-URGENT"),
+      (2L, Option(-5.0), Option("X"), "9-BAD"),     // range + accepted + regex
+      (2L, None: Option[Double], Option("O"), "2-HIGH"), // duplicate key, null price ok
+      (4L, Option(999.0), None: Option[String], "3-MEDIUM") // null status: accepted must NOT fire
+    ).toDF("k", "price", "status", "prio")
+    val rules = Seq(
+      notNull("status"),
+      inRange("price", lit(0.0), lit(100.0)),
+      accepted("status", Seq("F", "O")),
+      matches("prio", "^[1-5]-[A-Z]+$"))
+    val rep = report(df, rules, Seq("k")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(rep("not_null(status)") == ((1L, false)))
+    assert(rep("in_range(price)") == ((2L, false)), "both -5 and 999 violate; null does not")
+    assert(rep("accepted(status)") == ((1L, false)), "only X; null is not_null's business")
+    assert(rep("matches(prio)") == ((1L, false)))
+    assert(rep("unique(k)") == ((1L, false)), "k=2 appears twice")
+    val ex = intercept[IllegalStateException](gate(df, rules, Seq("k")))
+    assert(ex.getMessage.contains("not_null(status)") && ex.getMessage.contains("unique(k)"),
+      s"gate must list every failed rule: ${ex.getMessage}")
+    // a clean frame passes through untouched
+    assert(gate(df.filter(col("k") === 1L), rules, Seq("k")).count() == 1)
+  }
+
+  test("dsirWeights incremental tier: merged segments == one-shot; signed changes retract exactly") {
+    import graft.ops.Curation
+    val docs = Seq(
+      (1L, "alpha beta alpha beta alpha beta", "en"),
+      (2L, "alpha beta alpha beta", "en"),
+      (3L, "gamma delta gamma delta gamma delta", "xx"),
+      (4L, "gamma delta gamma delta", "xx"),
+      (5L, "alpha beta gamma delta", "xx")
+    ).toDF("doc_id", "text", "lang")
+    val root = java.nio.file.Files.createTempDirectory("dsirseg").toString
+    val tgt = col("lang") === "en"
+    Curation.landDsirDrop(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", tgt, root, "d0")
+    Curation.landDsirDrop(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", tgt, root, "d1")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(key(Curation.scoreAgainstDsirCounts(docs, "doc_id", "text",
+        Curation.serveDsirCounts(spark, root))) ==
+      key(Curation.dsirWeights(docs, "doc_id", "text", tgt)),
+      "merged drop segments must reproduce the one-shot model exactly")
+    // doc 3 is re-written: the signed change segment cancels its old
+    // features, and the merged model equals a from-scratch retrain
+    val newText = "alpha beta alpha beta epsilon"
+    val changes = Seq(
+      (3L, "gamma delta gamma delta gamma delta", "xx", "update_pre"),
+      (3L, newText, "xx", "update_post")
+    ).toDF("doc_id", "text", "lang", "change_type")
+    Curation.landDsirChangesDrop(changes, "doc_id", "text", tgt, root, "d2")
+    val updated = docs.filter(col("doc_id") =!= 3L)
+      .unionByName(Seq((3L, newText, "xx")).toDF("doc_id", "text", "lang"))
+    assert(key(Curation.scoreAgainstDsirCounts(updated, "doc_id", "text",
+        Curation.serveDsirCounts(spark, root))) ==
+      key(Curation.dsirWeights(updated, "doc_id", "text", tgt)),
+      "retraction must make the merged model equal a from-scratch retrain")
+  }
+
+  test("mmrTopK defers the near-duplicate of the top hit; plain top-k does not; deterministic") {
+    import graft.ops.Similarity
+    def v(pairs: (Int, Float)*): Seq[Float] = {
+      val a = Array.fill(64)(0.0f); pairs.foreach { case (i, x) => a(i) = x }; a.toSeq
+    }
+    val queries = Seq((100L, v(0 -> 1.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, v(0 -> 0.9f, 1 -> 0.1f)),  // top hit
+      (2L, v(0 -> 0.9f, 1 -> 0.1f)),  // its exact duplicate
+      (3L, v(0 -> 0.6f, 2 -> 0.8f))   // less relevant but diverse
+    ).toDF("vec_id", "embedding")
+    // plain relevance ranking puts the duplicate second...
+    val brute = Similarity.bruteTopKExact(corpus, queries, "vec_id", "embedding", 2)
+      .orderBy(col("rank")).collect().map(_.getAs[Long]("cid")).toSeq
+    assert(brute == Seq(1L, 2L))
+    // ...MMR (λ=0.3) defers it behind the diverse candidate
+    val mmr = Similarity.mmrTopK(corpus, queries, "vec_id", "embedding",
+        poolK = 3, k = 3, lambdaPct = 30)
+      .orderBy(col("rank")).collect().map(r => (r.getAs[Long]("cid"), r.getAs[Long]("rank")))
+    assert(mmr.toSeq == Seq((1L, 1L), (3L, 2L), (2L, 3L)),
+      s"expected the duplicate deferred to rank 3, got ${mmr.toSeq}")
+    val mmr2 = Similarity.mmrTopK(corpus.repartition(3), queries, "vec_id", "embedding",
+        poolK = 3, k = 3, lambdaPct = 30)
+      .orderBy(col("rank")).collect().map(r => (r.getAs[Long]("cid"), r.getAs[Long]("rank")))
+    assert(mmr.toSeq == mmr2.toSeq)
+  }
+
   test("knnPageRank: hub node outranks leaves; isolated keeps the teleport floor; deterministic") {
     import graft.ops.Similarity
     // vectors engineered so one direction (the 'hub') is every other

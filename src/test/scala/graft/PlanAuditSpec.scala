@@ -73,7 +73,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_token_budget", "q_pack_sequences", "q_pack_nostraddle",
     "q_median_order_value", "q_events_quartiles", "cpv_parse_codes",
     "sim_semdedup", "pca_moments", "txt_hashed_tf", "txt_sparse_sim_topk",
-    "txt_dup_ngrams", "dedup_containment")
+    "txt_dup_ngrams", "dedup_containment",
+    "txt_dsir_weights", "sim_graph_pagerank", "sim_mmr_topk")
 
   test("corpus-tier queries never plan a CartesianProduct") {
     corpusPure.foreach { n =>
@@ -120,6 +121,16 @@ class PlanAuditSpec extends AnyFunSuite {
     val ct = plan("dedup_containment")
     assert(!ct.contains("BroadcastNestedLoopJoin") && !ct.contains("CartesianProduct"),
       "containment candidate/verify joins must never pair-scan")
+    // DSIR: the bucket-count model is nBuckets rows — the scoring join
+    // against the (checkpointed) bigram stream must BROADCAST the model,
+    // never shuffle the stream a second time
+    val ds = plan("txt_dsir_weights")
+    assert(ds.contains("BroadcastHashJoin"),
+      "dsir scoring must broadcast the bucket model")
+    // (the 1-row totals attach is a broadcast nested loop by design —
+    // the build side is a single aggregate row; the no-cartesian audit
+    // above still applies)
+    assert(!ds.contains("CartesianProduct"), "dsir joins must never cartesian")
   }
 
   test("q05 star join broadcasts its dims") {

@@ -15,11 +15,13 @@ class ScaleSmokeSpec extends AnyFunSuite {
     val phases = ScaleSmoke.run(spark, "/root/testdata/sf0.001", 2, out)
     val names = phases.map(_._1)
     assert(names == Seq("inflate-inputs", "ingest-bulk-90pct", "ingest-drop-10pct",
+      "zonemap-lake-cluster", "zonemap-build", "zonemap-range-scan", "zonemap-append-refresh",
       "dedup-index-build-90pct", "dedup-index-refresh-10pct", "dedup-candidate-pairs",
       "sim-index-build-90pct", "sim-index-refresh-10pct", "sim-indexed-topk-500q",
       "kmeans-trainer-nlist128", "pca-moments-build-90pct", "pca-moments-drop-10pct",
       "pca-fit-from-index", "sparse-sim-topk", "semdedup-labels",
-      "semidx-build-90pct", "semidx-refresh-10pct"),
+      "semidx-build-90pct", "semidx-refresh-10pct",
+      "knn-pagerank", "dsir-weights"),
       s"phase list drifted: $names")
     // the PCA drop phase lands an aggregate-sized segment (dim·(dim+3)/2)
     assert(phases.find(_._1 == "pca-moments-drop-10pct").get._3 == 64L * 67 / 2)

@@ -69,6 +69,40 @@ class ZoneMapIndexSpec extends AnyFunSuite {
       lake, "v", lit(100.0), lit(149.0))
     assert(rows2.filter(col("k") === 19999L).count() == 1)
     assert(opened2 <= 5, s"post-refresh lookup should re-prune, opened $opened2")
+
+    // a no-churn refresh carries everything verbatim and scans nothing
+    val (kept3, scanned3) = ZoneMapIndex.refreshSnapshot(lake, "v")
+    assert(kept3 == kept + rebuilt && scanned3 == 0L,
+      s"no-churn refresh must be a carry-only pass: ($kept3, $scanned3)")
+  }
+
+  test("streaming zonemapSink: drops land + sidecar follows, range scans stay pruned") {
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("zmsink").toString
+    val lake = new SnapshotLake(spark, base + "/lake", "k")
+    val feed = base + "/feed"
+    val schema = StructType(Seq(StructField("k", LongType), StructField("v", DoubleType)))
+    def runFeed(): Unit = {
+      val q = graft.streaming.EventStreams.zonemapSink(lake, "v")(
+          spark.readStream.schema(schema).parquet(feed))
+        .option("checkpointLocation", base + "/ckpt").start()
+      q.awaitTermination()
+    }
+    spark.range(1000).select(col("id").as("k"), (col("id") % 100).cast("double").as("v"))
+      .coalesce(4).write.mode("append").parquet(feed)
+    runFeed()
+    spark.range(1000, 1500).select(col("id").as("k"), lit(500.0).as("v"))
+      .coalesce(1).write.mode("append").parquet(feed)
+    runFeed() // checkpoint resume: only the second file is a new batch
+
+    // both drops visible; the sidecar admits only interval-overlapping
+    // files for a band exclusive to the SECOND drop
+    val (rows, opened) = ZoneMapIndex.rangeLookupSnapshot(lake, "v", lit(500.0), lit(500.0))
+    assert(rows.count() == 500)
+    val total = lake.readManifest(lake.latestVersion.get).get.files.size
+    assert(opened < total, s"sidecar must prune drop-1 files: opened=$opened of $total")
+    val (miss, openedMiss) = ZoneMapIndex.rangeLookupSnapshot(lake, "v", lit(600.0), lit(700.0))
+    assert(miss.count() == 0 && openedMiss == 0)
   }
 
   test("time travel: a range scan at an old version sees the old values") {
