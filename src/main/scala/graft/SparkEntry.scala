@@ -133,7 +133,7 @@ object SparkEntry {
     "q_heavy_hitters", "q_hist_median_est", "q_lake_point_lookup",
     "q_lake_time_travel", "q_quantile_sketch_bound", "q_snapshot_changes",
     "q_snapshot_point_lookup", "q_stream_topk", "q_summary_cdc", "q_summary_incremental",
-    "q_zonemap_range",
+    "q_zonemap_agg", "q_zonemap_range",
     "pca_moments_incremental", "sem_cluster_incremental", "sim_ivf_persisted_topk",
     "txt_bm25_indexed", "txt_dsir_incremental", "txt_lm_incremental", "txt_stats_incremental")
 
@@ -1258,6 +1258,31 @@ object SparkEntry {
         lake, "o_totalprice", lit(400000.0), lit(700000.0))
       val out = rows
         .orderBy(col("o_orderkey"))
+        .localCheckpoint(true) // the scratch lake is deleted next
+      new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      out
+    }),
+
+    // Metadata-only aggregate from the zone-map sidecar: min/max/count
+    // of the price column answered with ZERO data files opened — the
+    // manifest-stats trick that makes `SELECT min(x), max(x), count(*)`
+    // a millisecond query at 100 TB. The CoW upsert between refreshes
+    // proves the coverage gate tracks rewrites (a stale sidecar THROWS
+    // rather than serve a wrong number; here it is refreshed, so the
+    // served row must hash-match the full-scan recompute).
+    "q_zonemap_agg" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_zmagg_q").toString
+      val lake = new graft.lake.SnapshotLake(s, tmp + "/lake", "o_orderkey")
+      lake.overwrite(orders.repartition(8, col("o_orderkey")))             // v1
+      graft.lake.ZoneMapIndex.refreshSnapshot(lake, "o_totalprice")
+      lake.upsert(orders.filter(col("o_orderkey") % 97 === 0)              // v2 (CoW)
+        .withColumn("o_totalprice", col("o_totalprice") + 600000.0))
+      graft.lake.ZoneMapIndex.refreshSnapshot(lake, "o_totalprice")        // churn-only
+      val out = graft.lake.ZoneMapIndex.aggregateFromStats(lake, "o_totalprice")
         .localCheckpoint(true) // the scratch lake is deleted next
       new org.apache.hadoop.fs.Path(tmp)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -2463,6 +2488,18 @@ object SparkEntry {
         |SELECT o_orderkey, o_custkey, o_totalprice FROM cur
         |WHERE o_totalprice >= 400000.0 AND o_totalprice <= 700000.0
         |ORDER BY o_orderkey""".stripMargin,
+
+    // the metadata-served aggregate is just min/max/count over the
+    // post-upsert state — per-file stats are exact, so their fold equals
+    // the full scan's
+    "q_zonemap_agg" ->
+      """WITH cur AS (
+        |  SELECT CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 600000.0
+        |              ELSE o_totalprice END AS p
+        |  FROM orders)
+        |SELECT min(p) AS min_v, max(p) AS max_v,
+        |       count(*) AS n_rows, count(p) AS n_vals
+        |FROM cur""".stripMargin,
 
     // the snapshot-lake version diff, recomputed stateless: v1 is the
     // filtered base, "now" applies the upsert's +1000 and the delete's

@@ -39,6 +39,19 @@ object ZoneMapIndex {
   private def snapSidecar(lakePath: String, valCol: String) =
     s"$lakePath/_zonemap_$valCol"
 
+  /** The sidecar's own schema claims these names, and `valCol` becomes a
+    * path segment — reject collisions/path-unsafe names loudly instead
+    * of producing a shadowed aggregate or a mangled sidecar dir (the
+    * TimeJoins reserved-`__graft_bin` lesson applied here).
+    */
+  private def requireIndexable(valCol: String): Unit = {
+    val reserved = Set("file", "len", "len2", "minv", "maxv", "nrows", "nvals")
+    require(!reserved.contains(valCol),
+      s"column '$valCol' collides with the zone-map sidecar schema ($reserved)")
+    require(valCol.nonEmpty && valCol.forall(c => c.isLetterOrDigit || c == '_'),
+      s"zone-map column name must be [A-Za-z0-9_]+ (it names the sidecar dir): '$valCol'")
+  }
+
   /** Zone rows (file, minv, maxv, nrows, nvals) for the files `df`
     * scans — one map-side-combined aggregate keyed by file, shuffle
     * carries per-file stats only. `nvals` counts non-null values, so
@@ -59,6 +72,7 @@ object ZoneMapIndex {
     * Returns (keptRows, scannedRows).
     */
   def refreshSnapshot(lake: SnapshotLake, valCol: String): (Long, Long) = {
+    requireIndexable(valCol)
     val spark = lake.spark
     import spark.implicits._
     val versions = lake.completeVersions
@@ -112,6 +126,46 @@ object ZoneMapIndex {
     (keptN, rebuiltN)
   }
 
+  /** Metadata-only aggregate: (min_v, max_v, n_rows, n_vals) of `valCol`
+    * over a committed version, answered ENTIRELY from the sidecar —
+    * zero data files opened, whatever the lake's size. Per-file min/max
+    * are exact, so their min/max IS the global extremum and the row
+    * counts sum exactly (the lakehouse manifest-stats answer to
+    * `SELECT min(x), max(x), count(*)`).
+    *
+    * Freshness contract differs from [[rangeLookupSnapshot]]: a range
+    * scan can fall back to opening an unindexed file, but an aggregate
+    * has no partial fallback short of the full scan the caller was
+    * avoiding — so a live file without an unchanged sidecar row makes
+    * this THROW (refresh first), never serve a silently-wrong number.
+    */
+  def aggregateFromStats(lake: SnapshotLake, valCol: String,
+                         at: Option[Long] = None): DataFrame = {
+    requireIndexable(valCol)
+    val spark = lake.spark
+    import spark.implicits._
+    val v = at.orElse(lake.latestVersion).getOrElse(
+      throw new IllegalArgumentException(s"no snapshots at ${lake.path}"))
+    val m = lake.readManifest(v).getOrElse(throw new IllegalArgumentException(
+      s"no complete snapshot v$v at ${lake.path}"))
+    val live = BloomIndex.manifestFiles(lake, m)
+    val idxPath = snapSidecar(lake.path, valCol)
+    val fs = new org.apache.hadoop.fs.Path(idxPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(idxPath)))
+      throw new IllegalStateException(
+        s"no zone-map sidecar for '$valCol' at ${lake.path} — build it first")
+    val lens = live.toSeq.toDF("file", "len")
+    val covered = spark.read.parquet(idxPath).join(lens, Seq("file", "len"))
+    val nCovered = covered.count()
+    if (nCovered != live.size)
+      throw new IllegalStateException(
+        s"zone-map sidecar covers $nCovered of ${live.size} live files of v$v — " +
+          "refresh before serving a metadata-only aggregate")
+    covered.agg(min(col("minv")).as("min_v"), max(col("maxv")).as("max_v"),
+      sum(col("nrows")).as("n_rows"), sum(col("nvals")).as("n_vals"))
+  }
+
   /** Range scan against a committed snapshot version (default: the
     * newest): resolve the manifest, keep the files whose [minv, maxv]
     * interval overlaps [lo, hi] — plus any live file the sidecar does
@@ -126,6 +180,7 @@ object ZoneMapIndex {
   def rangeLookupSnapshot(lake: SnapshotLake, valCol: String,
                           lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column,
                           at: Option[Long] = None): (DataFrame, Int) = {
+    requireIndexable(valCol)
     val spark = lake.spark
     import spark.implicits._
     val v = at.orElse(lake.latestVersion).getOrElse(

@@ -226,11 +226,15 @@ object Curation {
     val tot = counts.agg(
       sum(col("__cr")).as("__tr"), sum(col("__ct")).as("__tt"))
     // per-bucket ppm delta; operands are all positive, so Spark's
-    // truncating `div` and DuckDB's flooring `//` agree exactly
+    // truncating `div` and DuckDB's flooring `//` agree exactly. The
+    // 1e6 product rides decimal(38,0): an int64 product would cap the
+    // model at ~9e12 occurrences per bucket and WRAP silently past it
+    // (DuckDB's side is already 128-bit) — same value below the cap,
+    // no cap above it
     val model = counts.crossJoin(broadcast(tot))
       .select(col("__b"),
-        (expr(s"(1000000 * (__ct + 1)) div (__tt + $nBuckets)")
-          - expr(s"(1000000 * (__cr + 1)) div (__tr + $nBuckets)")).as("__delta"))
+        (expr(s"CAST((CAST(1000000 AS DECIMAL(38,0)) * (__ct + 1)) div (__tt + $nBuckets) AS BIGINT)")
+          - expr(s"CAST((CAST(1000000 AS DECIMAL(38,0)) * (__cr + 1)) div (__tr + $nBuckets) AS BIGINT)")).as("__delta"))
     bg.join(broadcast(model), "__b")
       .groupBy(col("__doc"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("__delta")).as("dsir_w"))

@@ -223,7 +223,10 @@ object Relevance {
                                   counts: DataFrame): DataFrame = {
     val c1 = counts.groupBy(col("prev")).agg(sum(col("c2")).as("c1"))
     val scored = counts.join(c1, "prev")
-      .withColumn("ppm", expr("CAST((1000000 * c2) div c1 AS BIGINT)"))
+      // decimal(38,0) product: int64 would wrap silently past ~9e12
+      // occurrences of one transition (the oracle's // is 128-bit);
+      // identical value below that, no ceiling above it
+      .withColumn("ppm", expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * c2) div c1 AS BIGINT)"))
     // LEFT join + ppm 0 for transitions the model never saw: an inner
     // join EXCLUDED them from both the count and the mean, so OOV
     // gibberish scored as fluent from its few common bigrams (and a

@@ -748,7 +748,8 @@ class OpsSpec extends AnyFunSuite {
       notNull("status"),
       inRange("price", lit(0.0), lit(100.0)),
       accepted("status", Seq("F", "O")),
-      matches("prio", "^[1-5]-[A-Z]+$"))
+      matches("prio", "^[1-5]-[A-Z]+$"),
+      satisfies("key_positive", col("k") > 0L))
     val rep = report(df, rules, Seq("k")).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(3))).toMap
     assert(rep("not_null(status)") == ((1L, false)))
@@ -756,6 +757,7 @@ class OpsSpec extends AnyFunSuite {
     assert(rep("accepted(status)") == ((1L, false)), "only X; null is not_null's business")
     assert(rep("matches(prio)") == ((1L, false)))
     assert(rep("unique(k)") == ((1L, false)), "k=2 appears twice")
+    assert(rep("check(key_positive)") == ((0L, true)))
     val ex = intercept[IllegalStateException](gate(df, rules, Seq("k")))
     assert(ex.getMessage.contains("not_null(status)") && ex.getMessage.contains("unique(k)"),
       s"gate must list every failed rule: ${ex.getMessage}")

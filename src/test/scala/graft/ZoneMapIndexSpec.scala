@@ -76,6 +76,31 @@ class ZoneMapIndexSpec extends AnyFunSuite {
       s"no-churn refresh must be a carry-only pass: ($kept3, $scanned3)")
   }
 
+  test("aggregateFromStats: metadata-only min/max/count == full scan; stale sidecar throws") {
+    val dir = java.nio.file.Files.createTempDirectory("zmagg").toFile.getAbsolutePath
+    val lake = mkLake(dir)
+    ZoneMapIndex.refreshSnapshot(lake, "v")
+    val got = ZoneMapIndex.aggregateFromStats(lake, "v").collect().head
+    val want = lake.read.agg(min(col("v")), max(col("v")),
+      count(lit(1)), count(col("v"))).collect().head
+    assert((got.getDouble(0), got.getDouble(1), got.getLong(2), got.getLong(3)) ==
+      (want.getDouble(0), want.getDouble(1), want.getLong(2), want.getLong(3)))
+    // a CoW upsert invalidates coverage: the aggregate must THROW, not
+    // serve a number missing the rewritten files
+    lake.upsert(Seq((19999L, 5000.0)).toDF("k", "v"))
+    val ex = intercept[IllegalStateException](
+      ZoneMapIndex.aggregateFromStats(lake, "v"))
+    assert(ex.getMessage.contains("refresh"), ex.getMessage)
+    // refresh restores service, and the new max is visible
+    ZoneMapIndex.refreshSnapshot(lake, "v")
+    val got2 = ZoneMapIndex.aggregateFromStats(lake, "v").collect().head
+    assert(got2.getDouble(1) == 5000.0 && got2.getLong(2) == 20000L)
+    // time travel: the pre-upsert version still aggregates (its files
+    // remain covered by carried sidecar rows)
+    val v0 = ZoneMapIndex.aggregateFromStats(lake, "v", at = Some(2L)).collect().head
+    assert(v0.getDouble(1) == 999.0 && v0.getLong(2) == 20000L)
+  }
+
   test("streaming zonemapSink: drops land + sidecar follows, range scans stay pruned") {
     import org.apache.spark.sql.types._
     val base = java.nio.file.Files.createTempDirectory("zmsink").toString
