@@ -982,6 +982,18 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // fuzzy entity resolution: all customer-name pairs within edit
+    // distance 1 via the PassJoin pigeonhole (chunk equi-join + exact
+    // levenshtein verify) — the synthetic single-template names are the
+    // documented worst case for chunk selectivity, so this also pins
+    // that the hot-chunk path stays correct
+    "enrich_fuzzy_join" -> ((s, dir) => {
+      graft.ops.FuzzyJoin.editDistanceSelfJoin(
+          t(s, dir, "customer").select(col("c_custkey"), col("c_name")),
+          "c_custkey", "c_name", maxDist = 1)
+        .orderBy(col("a"), col("b"))
+    }),
+
     // DSIR-style importance weights (Xie et al. 2023): hashed-bigram
     // target-vs-corpus distribution delta on the integer ppm grid — the
     // model is nBuckets rows regardless of corpus size (broadcast to the
@@ -2070,6 +2082,16 @@ object CorpusQueries {
         |       ELSE (1000000 * per.n_dup) // per.n_ngrams END AS BIGINT) AS dup_ppm
         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
         |ORDER BY d.doc_id""".stripMargin),
+
+    // the candidate filter is lossless, so the joined result is just the
+    // brute-force distance predicate — DuckDB's levenshtein is the same
+    // unit-cost Wagner-Fischer as Spark's
+    "enrich_fuzzy_join" ->
+      """SELECT a.c_custkey AS a, b.c_custkey AS b,
+        |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY a, b""".stripMargin,
 
     // hashed-bigram buckets (first 4 md5 nibbles mod 4096), Laplace-
     // smoothed ppm under the target (lang='en') and raw distributions,

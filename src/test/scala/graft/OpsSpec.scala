@@ -765,6 +765,39 @@ class OpsSpec extends AnyFunSuite {
     assert(gate(df.filter(col("k") === 1L), rules, Seq("k")).count() == 1)
   }
 
+  test("FuzzyJoin: PassJoin candidates are lossless vs brute force, incl. indels and short strings") {
+    import graft.ops.FuzzyJoin
+    // deterministic mutation zoo: bases plus appended / head-dropped /
+    // inserted / reversed variants — exercises substitutions AND indels
+    // across mixed lengths, the empty string, and the short bucket
+    val bases = Seq("abababa", "aabbaab", "bbaabba", "abba", "aaaa", "ba", "b", "")
+    val strs = bases.flatMap(s => Seq(
+        s, s + "a", s.drop(1), s.patch(math.min(2, s.length), "b", 0), s.reverse))
+      .distinct.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val df = strs.toDF("id", "s")
+    def brute(d: Int): Set[(Long, Long, Long)] =
+      (for {
+        (ia, sa) <- strs; (ib, sb) <- strs if ia < ib
+        dist = {
+          val m = Array.tabulate(sa.length + 1, sb.length + 1) { (i, j) =>
+            if (i == 0) j else if (j == 0) i else 0 }
+          for (i <- 1 to sa.length; j <- 1 to sb.length)
+            m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+              m(i - 1)(j - 1) + (if (sa(i - 1) == sb(j - 1)) 0 else 1))
+          m(sa.length)(sb.length)
+        } if dist <= d
+      } yield (ia, ib, dist.toLong)).toSet
+    for (d <- Seq(1, 2, 3)) {
+      val got = FuzzyJoin.editDistanceSelfJoin(df, "id", "s", d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == brute(d), s"maxDist=$d drift: missing=${brute(d) -- got} extra=${got -- brute(d)}")
+    }
+    // repartition-stable
+    val g2 = FuzzyJoin.editDistanceSelfJoin(df.repartition(7), "id", "s", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(g2 == brute(2))
+  }
+
   test("dsirWeights incremental tier: merged segments == one-shot; signed changes retract exactly") {
     import graft.ops.Curation
     val docs = Seq(
