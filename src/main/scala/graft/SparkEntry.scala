@@ -1674,6 +1674,22 @@ object SparkEntry {
         .orderBy(col("rule"))
     }),
 
+    // the dead-letter half of the expectations tier: per-row rule
+    // annotation (pure column algebra, no shuffle) and the dirty-row
+    // quarantine view a streaming ingest appends — rule names in
+    // declaration order
+    "q_dq_quarantine" -> ((s, dir) => {
+      import graft.ops.Expectations._
+      val (_, dirty) = split(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderpriority")),
+        Seq(inRange("o_totalprice", lit(0.0), lit(400000.0)),
+          matches("o_orderpriority", "^[1-5]-[A-Z]+$")))
+      dirty.select(col("o_orderkey"),
+          array_join(col("violated"), ",").as("violated"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // skewed-fact equi-join via deterministic salting: dim replicated
     // per salt, fact salted from its own id — row-identical to the
     // plain join, hot keys spread over `salt` reducers
@@ -2154,6 +2170,21 @@ object SparkEntry {
         |  UNION ALL SELECT 'matches(o_orderpriority)', CAST(v3 AS BIGINT), n, v3 = 0 FROM t
         |  UNION ALL SELECT 'unique(o_orderkey)', CAST(u0 AS BIGINT), n, u0 = 0 FROM t)
         |ORDER BY rule""".stripMargin,
+
+    // per-row recompute of the violated-rule list, same declaration order
+    "q_dq_quarantine" ->
+      """WITH ann AS (SELECT o_orderkey,
+        |  list_filter([
+        |    CASE WHEN o_totalprice IS NOT NULL
+        |         AND (o_totalprice < 0.0 OR o_totalprice > 400000.0)
+        |         THEN 'in_range(o_totalprice)' END,
+        |    CASE WHEN o_orderpriority IS NOT NULL
+        |         AND NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z]+$')
+        |         THEN 'matches(o_orderpriority)' END],
+        |    x -> x IS NOT NULL) AS v
+        |  FROM orders)
+        |SELECT o_orderkey, array_to_string(v, ',') AS violated
+        |FROM ann WHERE len(v) > 0 ORDER BY o_orderkey""".stripMargin,
 
     "q_profile_orders" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",

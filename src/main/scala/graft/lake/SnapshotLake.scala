@@ -102,11 +102,20 @@ class SnapshotLake(private[lake] val spark: SparkSession, val path: String,
 
   private[graft] def readManifest(v: Long): Option[Manifest] = {
     val p = manifestPath(v)
-    if (!fs.exists(p)) return None
-    val in = fs.open(p)
-    val text = try org.apache.commons.io.IOUtils.toString(in,
-      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-    parseManifest(text)
+    try {
+      val in = fs.open(p)
+      val text = try org.apache.commons.io.IOUtils.toString(in,
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      parseManifest(text)
+    } catch {
+      // a conflicting writer DELETES its empty claim on abort; a reader
+      // that listed the claim can race that delete between listing and
+      // this open (exists-then-open is the same TOCTOU as the claim
+      // itself was). A vanished claim is simply "no complete manifest"
+      // — crashing latestVersion/completeVersions over it turned writer
+      // conflicts into reader failures (caught by the claim-storm spec)
+      case _: java.io.FileNotFoundException => None
+    }
   }
 
   private def requireManifest(v: Long): Manifest =
@@ -170,8 +179,25 @@ class SnapshotLake(private[lake] val spark: SparkSession, val path: String,
       if (attempts > 20) throw new SnapshotConflict(
         s"could not claim a version at $path after $attempts attempts (writer storm)")
       v = claimedVersions.lastOption.getOrElse(0L) + 1
-      try claimed = fs.create(manifestPath(v), false)
-      catch { case _: java.io.IOException => () }
+      val p = manifestPath(v)
+      // THE claim must be create-EXCLUSIVE. fs.create(p, false) is atomic
+      // on HDFS, but Hadoop's local filesystem implements it as a
+      // non-atomic exists-then-create (TOCTOU): two racing writers can
+      // both "win" the same version number, after which the later
+      // manifest content silently REPLACES the earlier one — a lost
+      // update with both writers reporting success (caught once by the
+      // 4-writer race spec under full-suite load). On file: schemes the
+      // claim therefore goes through java.nio's O_CREAT|O_EXCL, which IS
+      // atomic on POSIX; having won it, reopening our own empty claim
+      // with overwrite is safe (competitors now see the file and lose).
+      try {
+        if (fs.makeQualified(p).toUri.getScheme == "file") {
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(fs.makeQualified(p).toUri.getPath))
+          claimed = fs.create(p, true)
+        } else claimed = fs.create(p, false)
+      }
+      catch { case _: java.io.IOException => () } // incl. FileAlreadyExists: recompute v
     }
     // the claim is held EMPTY through validation: an empty manifest is
     // torn ⇒ invisible to every reader, so aborting below cannot yank a

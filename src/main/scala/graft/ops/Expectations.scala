@@ -75,6 +75,28 @@ object Expectations {
       .withColumn("pass", col("violations") === 0L)
   }
 
+  /** Per-row annotation: adds `violated` — the array of rule names this
+    * row breaks, empty when clean, in rule-declaration order. Row-local
+    * rules only (uniqueness is a dataset property, not a row's). Pure
+    * per-row Column algebra — no shuffle, codegen'd end to end.
+    */
+  def annotate(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "at least one expectation required")
+    df.withColumn("violated", array_compact(array(rules.map(r =>
+      when(r.violated, lit(r.name)).otherwise(lit(null).cast("string"))): _*)))
+  }
+
+  /** Dead-letter split: (clean rows — original schema, dirty rows with
+    * the `violated` column). The ingest pattern for drops that should
+    * LAND what passes and QUARANTINE what doesn't, instead of the
+    * all-or-nothing [[gate]].
+    */
+  def split(df: DataFrame, rules: Seq[Rule]): (DataFrame, DataFrame) = {
+    val ann = annotate(df, rules)
+    (ann.filter(size(col("violated")) === 0).drop("violated"),
+      ann.filter(size(col("violated")) > 0))
+  }
+
   /** Pipeline gate: returns `df` untouched when every rule passes,
     * throws listing EVERY failed rule otherwise. The report collect is
     * rule-count-sized.

@@ -115,6 +115,28 @@ object EventStreams {
       if (!batch.isEmpty) lake.upsert(batch)
     }
 
+  /** Quarantining ingest: each micro-batch splits on row-local
+    * data-quality rules ([[graft.ops.Expectations.split]]) — clean rows
+    * upsert the snapshot lake, dirty rows append to a dead-letter
+    * parquet path with their violated-rule list and batch id, and the
+    * stream keeps running (vs the all-or-nothing gate, which would wedge
+    * ingestion on one bad drop). The quarantine append is AT-LEAST-ONCE
+    * under batch replay (dedupe downstream by (batch_id, key) if
+    * exactly-once dead-letters matter); the lake side stays idempotent
+    * per batch content like every upsert sink.
+    */
+  def quarantineSink(lake: graft.lake.SnapshotLake,
+                     rules: Seq[graft.ops.Expectations.Rule],
+                     quarantinePath: String)(
+      drops: DataFrame): DataStreamWriter[org.apache.spark.sql.Row] =
+    upsertSink(drops) { (batch, id) =>
+      val (clean, dirty) = graft.ops.Expectations.split(batch, rules)
+      if (!dirty.isEmpty)
+        dirty.withColumn("batch_id", org.apache.spark.sql.functions.lit(id))
+          .write.mode("append").parquet(quarantinePath)
+      if (!clean.isEmpty) lake.upsert(clean)
+    }
+
   /** The zone-map twin of [[snapshotSink]]: each micro-batch upserts the
     * snapshot lake, then churn-refreshes the min/max range-scan sidecar
     * ([[graft.lake.ZoneMapIndex.refreshSnapshot]]) for `valCol` — the

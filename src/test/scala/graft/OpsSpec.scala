@@ -763,6 +763,20 @@ class OpsSpec extends AnyFunSuite {
       s"gate must list every failed rule: ${ex.getMessage}")
     // a clean frame passes through untouched
     assert(gate(df.filter(col("k") === 1L), rules, Seq("k")).count() == 1)
+
+    // dead-letter split: clean keeps the original schema, dirty carries
+    // the violated-rule list in declaration order
+    val (clean, dirty) = split(df, rules)
+    assert(clean.columns.toSeq == df.columns.toSeq)
+    // the duplicate-key row is row-locally CLEAN — uniqueness is a
+    // dataset property, not a row's, so split must not quarantine it
+    assert(clean.select("k").as[Long].collect().toSet == Set(1L, 2L))
+    val dv = dirty.collect().map(r =>
+      r.getLong(0) -> r.getSeq[String](r.fieldIndex("violated")).toList).toMap
+    assert(dv(2L).head == "in_range(price)" &&
+      dv(2L).contains("accepted(status)") && dv(2L).contains("matches(prio)"))
+    assert(dv(4L) == List("not_null(status)", "in_range(price)"),
+      "declaration order: the null-status rule precedes the 999-out-of-range rule")
   }
 
   test("FuzzyJoin: PassJoin candidates are lossless vs brute force, incl. indels and short strings") {

@@ -125,6 +125,46 @@ class SnapshotLakeSpec extends AnyFunSuite {
     }
   }
 
+  test("claim storm: racing claimants never share a version number (O_EXCL claim)") {
+    // drives commitVersion directly (no Spark jobs): 20 rounds of 8
+    // barrier-synchronized SINGLE-attempt claimants racing for the same
+    // base — the reproducer for two local-fs hazards this spec caught:
+    // (1) fs.create(p, overwrite=false)'s exists-then-create TOCTOU let
+    // two writers win the SAME version number, one manifest silently
+    // replacing the other with both reporting success (now O_EXCL via
+    // java.nio on file: schemes); (2) a conflicting loser's claim
+    // delete raced readers' exists-then-open in readManifest, turning
+    // writer conflicts into reader FileNotFound crashes
+    val lake = new SnapshotLake(spark, tmp(), "_id")
+    lake.overwrite(Seq(("base", 0)).toDF("_id", "v"))
+    val schema = lake.readManifest(1L).get.schema
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    var successes = 0
+    (1 to 20).foreach { round =>
+      val base = lake.latestVersion.get
+      val files = lake.readManifest(base).get.files
+      val barrier = new java.util.concurrent.CyclicBarrier(8)
+      val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+      val ts = (1 to 8).map { _ =>
+        new Thread(() => {
+          try {
+            barrier.await()
+            try { lake.commitVersion(base, "append", schema, files); wins.incrementAndGet() }
+            catch { case _: SnapshotConflict => () } // losing IS the contract
+          } catch { case t: Throwable => errors.add(t) }
+        })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+      // exactly one winner: any claimant on a later number must conflict
+      // on the winner's claim; TWO winners == the shared-number bug
+      assert(wins.get == 1, s"round $round: ${wins.get} writers won one base")
+      successes += wins.get
+    }
+    assert(errors.isEmpty,
+      s"claim/read errors under the storm: ${errors.toArray.take(3).mkString("; ")}")
+    assert(lake.history().count() == (1 + successes).toLong)
+  }
+
   test("9-digit versions stay visible: claim naming pads to AT LEAST 8 digits") {
     val dir = tmp()
     val lake = new SnapshotLake(spark, dir, "_id")
@@ -355,6 +395,40 @@ class SnapshotLakeSpec extends AnyFunSuite {
     val ch = lake.changesBetween(1L, 2L).orderBy("_id").collect()
       .map(r => (r.getString(0), r.getString(2))).toSeq
     assert(ch == Seq(("a", "update_post"), ("c", "insert")))
+  }
+
+  test("streaming quarantineSink: clean rows land, dirty rows dead-letter with their rules") {
+    import org.apache.spark.sql.types._
+    val base = Files.createTempDirectory("quarsink").toString
+    val lake = new SnapshotLake(spark, base + "/lake", "_id")
+    val feed = base + "/feed"
+    val quar = base + "/deadletter"
+    val schema = StructType(Seq(StructField("_id", StringType), StructField("v", IntegerType)))
+    val rules = Seq(graft.ops.Expectations.inRange("v", lit(0), lit(100)))
+    def runFeed(): Unit = {
+      val q = graft.streaming.EventStreams.quarantineSink(lake, rules, quar)(
+          spark.readStream.schema(schema).parquet(feed))
+        .option("checkpointLocation", base + "/ckpt").start()
+      q.awaitTermination()
+    }
+    Seq(("a", 1), ("bad", 999), ("b", 2)).toDF("_id", "v")
+      .coalesce(1).write.mode("append").parquet(feed)
+    runFeed()
+    Seq(("c", 3), ("worse", -7)).toDF("_id", "v")
+      .coalesce(1).write.mode("append").parquet(feed)
+    runFeed() // checkpoint resume: only the second file is a new batch
+
+    // the lake got ONLY the clean rows; the stream never wedged on the
+    // bad ones
+    assert(lake.read.orderBy("_id").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq ==
+      Seq(("a", 1), ("b", 2), ("c", 3)))
+    // dead letters carry the violated rules and their batch id
+    val dead = spark.read.parquet(quar).orderBy("_id").collect()
+      .map(r => (r.getString(0), r.getInt(1),
+        r.getSeq[String](r.fieldIndex("violated")).toList))
+    assert(dead.toSeq ==
+      Seq(("bad", 999, List("in_range(v)")), ("worse", -7, List("in_range(v)"))))
   }
 
   test("a writer committed past as a stale corpse fails loudly instead of returning success") {
