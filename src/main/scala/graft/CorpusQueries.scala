@@ -994,6 +994,20 @@ object CorpusQueries {
         .orderBy(col("a"), col("b"))
     }),
 
+    // the two-table lookup form: mutated probe names (every '1'
+    // digit flipped to '7') resolved against the reference within edit
+    // distance 2 — the dirty-batch-vs-master entity-resolution shape
+    "enrich_fuzzy_lookup" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val probes = cust.filter(col("c_custkey") % 100 === 0)
+        .select((col("c_custkey") + 1000000L).as("p_id"),
+          expr("replace(c_name, '1', '7')").as("p_name"))
+      graft.ops.FuzzyJoin.editDistanceJoin(probes, "p_id", "p_name",
+          cust.select(col("c_custkey"), col("c_name")), "c_custkey", "c_name",
+          maxDist = 2)
+        .orderBy(col("probe_id"), col("ref_id"))
+    }),
+
     // DSIR-style importance weights (Xie et al. 2023): hashed-bigram
     // target-vs-corpus distribution delta on the integer ppm grid — the
     // model is nBuckets rows regardless of corpus size (broadcast to the
@@ -2092,6 +2106,15 @@ object CorpusQueries {
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY a, b""".stripMargin,
+
+    "enrich_fuzzy_lookup" ->
+      """WITH p AS (SELECT c_custkey + 1000000 AS probe_id,
+        |                  replace(c_name, '1', '7') AS p_name
+        |           FROM customer WHERE c_custkey % 100 = 0)
+        |SELECT p.probe_id, c.c_custkey AS ref_id,
+        |       CAST(levenshtein(p.p_name, c.c_name) AS BIGINT) AS dist
+        |FROM p JOIN customer c ON levenshtein(p.p_name, c.c_name) <= 2
+        |ORDER BY probe_id, ref_id""".stripMargin,
 
     // hashed-bigram buckets (first 4 md5 nibbles mod 4096), Laplace-
     // smoothed ppm under the target (lang='en') and raw distributions,

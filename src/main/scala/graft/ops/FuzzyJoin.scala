@@ -54,24 +54,25 @@ object FuzzyJoin {
     starts.zip(lens).zipWithIndex.map { case ((s, l), i) => (i, s, l) }
   }
 
-  /** All (a, b, dist) pairs with `levenshtein ≤ maxDist`, a < b by id.
-    * Null strings drop (no distance to measure); ids must be unique.
-    */
-  def editDistanceSelfJoin(df: DataFrame, idCol: String, strCol: String,
-                           maxDist: Int): DataFrame = {
-    require(maxDist >= 1 && maxDist <= 8, s"maxDist must be in [1, 8]: $maxDist")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val d = maxDist
-    val s = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
+  private def prep(df: DataFrame, idCol: String, strCol: String): DataFrame =
+    df.select(col(idCol).as("__id"), col(strCol).as("__s"))
       .filter(col("__s").isNotNull)
       .withColumn("__l", length(col("__s")))
-      .localCheckpoint(true) // feeds chunk keys, probe keys, the short
-                             // bucket and the verify join — 5 consumers
-    // chunk layouts for every length present on the chunkable side:
-    // aggregate-sized (bounded by the longest string), driver-built,
-    // broadcast to both key generators
-    val aLens = s.filter(col("__l") >= d + 1)
+      .localCheckpoint(true) // chunk keys / probe keys / short bucket /
+                             // verify join all reuse the prepared side
+
+  /** The pigeonhole candidate pass shared by the self- and two-table
+    * joins: `a` contributes chunks, `b` contributes window probes
+    * (coverage needs only ONE side chunked — the surviving chunk of an
+    * `a` string appears verbatim in its `b` partner). Returns candidate
+    * (__aid, __bid) pairs; the caller verifies with the exact
+    * levenshtein. Short `a` strings (too short to chunk) pair against
+    * the bounded short bucket of `b`.
+    */
+  private def candidates(a: DataFrame, b: DataFrame, d: Int): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    val aLens = a.filter(col("__l") >= d + 1)
       .select(col("__l")).distinct().as[Int].collect().sorted.toSeq
     val specA = aLens.flatMap(la =>
       chunkSpecs(la, d).map { case (i, st, cl) => (la, i, st, cl) })
@@ -81,30 +82,68 @@ object FuzzyJoin {
         (-d to d).map(off => (la, i, st + off, cl)) })
       .filter(_._3 >= 1)
       .toDF("__la", "__i", "__bst", "__cl")
-    val aKeys = s.filter(col("__l") >= d + 1)
+    val aKeys = a.filter(col("__l") >= d + 1)
       .join(broadcast(specA), col("__l") === col("__la"))
       .select(col("__id").as("__aid"), col("__la"), col("__i"),
         expr("substring(__s, __st, __cl)").as("__key"))
-    val bKeys = s
+    val bKeys = b
       .join(broadcast(specB),
         col("__la").between(col("__l") - d, col("__l") + d) &&
           col("__bst") + col("__cl") - 1 <= col("__l"))
       .select(col("__id").as("__bid"), col("__la"), col("__i"),
         expr("substring(__s, __bst, __cl)").as("__key"))
     val candLong = aKeys.join(bKeys, Seq("__la", "__i", "__key"))
+      .select(col("__aid"), col("__bid"))
+    // a too short to chunk (len ≤ d) forces its partner under 2d: pair
+    // inside the bounded short buckets (population-, not corpus-, sized)
+    val candShort = a.filter(col("__l") <= d)
+      .select(col("__id").as("__aid"), col("__l").as("__al"))
+      .join(b.filter(col("__l") <= 2 * d)
+          .select(col("__id").as("__bid"), col("__l").as("__bl")),
+        abs(col("__al") - col("__bl")) <= d)
+      .select(col("__aid"), col("__bid"))
+    candLong.unionByName(candShort)
+  }
+
+  /** All (a, b, dist) pairs with `levenshtein ≤ maxDist`, a < b by id.
+    * Null strings drop (no distance to measure); ids must be unique.
+    */
+  def editDistanceSelfJoin(df: DataFrame, idCol: String, strCol: String,
+                           maxDist: Int): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 8, s"maxDist must be in [1, 8]: $maxDist")
+    val s = prep(df, idCol, strCol)
+    candidates(s, s, maxDist)
       .filter(col("__aid") =!= col("__bid"))
       .select(least(col("__aid"), col("__bid")).as("a"),
         greatest(col("__aid"), col("__bid")).as("b"))
-    val shortBucket = s.filter(col("__l") <= 2 * d)
-    val candShort = shortBucket.alias("x").join(shortBucket.alias("y"),
-        col("x.__id") < col("y.__id") &&
-          abs(col("x.__l") - col("y.__l")) <= d)
-      .select(col("x.__id").as("a"), col("y.__id").as("b"))
-    candLong.unionByName(candShort).distinct()
+      .distinct()
       .join(s.select(col("__id").as("a"), col("__s").as("__sa")), "a")
       .join(s.select(col("__id").as("b"), col("__s").as("__sb")), "b")
       .withColumn("dist", levenshtein(col("__sa"), col("__sb")).cast("long"))
-      .filter(col("dist") <= d)
+      .filter(col("dist") <= maxDist)
       .select(col("a"), col("b"), col("dist"))
+  }
+
+  /** Two-table form — the entity-resolution LOOKUP: every probe row
+    * matched against the reference within `maxDist` (probe chunks,
+    * reference probes the windows; the pigeonhole needs only one side
+    * chunked, so a probe shorter than maxDist+1 falls back to the
+    * bounded short bucket of the reference). Returns
+    * (probe_id, ref_id, dist).
+    */
+  def editDistanceJoin(probes: DataFrame, probeId: String, probeStr: String,
+                       reference: DataFrame, refId: String, refStr: String,
+                       maxDist: Int): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 8, s"maxDist must be in [1, 8]: $maxDist")
+    val p = prep(probes, probeId, probeStr)
+    val r = prep(reference, refId, refStr)
+    candidates(p, r, maxDist)
+      .distinct()
+      .select(col("__aid").as("probe_id"), col("__bid").as("ref_id"))
+      .join(p.select(col("__id").as("probe_id"), col("__s").as("__sa")), "probe_id")
+      .join(r.select(col("__id").as("ref_id"), col("__s").as("__sb")), "ref_id")
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("probe_id"), col("ref_id"), col("dist"))
   }
 }

@@ -810,6 +810,28 @@ class OpsSpec extends AnyFunSuite {
     val g2 = FuzzyJoin.editDistanceSelfJoin(df.repartition(7), "id", "s", 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(g2 == brute(2))
+
+    // two-table lookup: mutated probes vs the full zoo as reference,
+    // brute parity (probe side chunks, reference side probes windows)
+    val probeRows = strs.filter(_._1 % 3 == 0)
+      .map { case (i, s) => (i + 1000L, s + "b") }
+    val probes = probeRows.toDF("id", "s")
+    def lev(sa: String, sb: String): Int = {
+      val m = Array.tabulate(sa.length + 1, sb.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to sa.length; j <- 1 to sb.length)
+        m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+          m(i - 1)(j - 1) + (if (sa(i - 1) == sb(j - 1)) 0 else 1))
+      m(sa.length)(sb.length)
+    }
+    val bruteX = (for {
+      (ip, sp) <- probeRows; (ir, sr) <- strs
+      d = lev(sp, sr) if d <= 2
+    } yield (ip, ir, d.toLong)).toSet
+    val gotX = FuzzyJoin.editDistanceJoin(probes, "id", "s", df, "id", "s", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotX == bruteX,
+      s"lookup drift: missing=${bruteX -- gotX} extra=${gotX -- bruteX}")
   }
 
   test("dsirWeights incremental tier: merged segments == one-shot; signed changes retract exactly") {
