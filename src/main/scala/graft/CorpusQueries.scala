@@ -982,15 +982,19 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // fuzzy entity resolution: all customer-name pairs within edit
+    // fuzzy entity resolution: all supplier-name pairs within edit
     // distance 1 via the PassJoin pigeonhole (chunk equi-join + exact
-    // levenshtein verify) — the synthetic single-template names are the
-    // documented worst case for chunk selectivity, so this also pins
-    // that the hot-chunk path stays correct
+    // levenshtein verify). The synthetic single-template names are the
+    // documented worst case for chunk selectivity (every row shares the
+    // 'Supplier#' prefix chunk → candidates degenerate toward all
+    // pairs), so the fixture pins hot-chunk correctness — on the
+    // smaller dimension table, where the degenerate pair count stays
+    // bench-sized (the customer-sized version of this worst case is
+    // exactly what the docstring warns about)
     "enrich_fuzzy_join" -> ((s, dir) => {
       graft.ops.FuzzyJoin.editDistanceSelfJoin(
-          t(s, dir, "customer").select(col("c_custkey"), col("c_name")),
-          "c_custkey", "c_name", maxDist = 1)
+          t(s, dir, "supplier").select(col("s_suppkey"), col("s_name")),
+          "s_suppkey", "s_name", maxDist = 1)
         .orderBy(col("a"), col("b"))
     }),
 
@@ -2101,10 +2105,10 @@ object CorpusQueries {
     // brute-force distance predicate — DuckDB's levenshtein is the same
     // unit-cost Wagner-Fischer as Spark's
     "enrich_fuzzy_join" ->
-      """SELECT a.c_custkey AS a, b.c_custkey AS b,
-        |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
-        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
-        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+      """SELECT a.s_suppkey AS a, b.s_suppkey AS b,
+        |       CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+        |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+        |WHERE levenshtein(a.s_name, b.s_name) <= 1
         |ORDER BY a, b""".stripMargin,
 
     "enrich_fuzzy_lookup" ->
