@@ -548,6 +548,28 @@ object Main {
         println("[cli] dq gate: all expectations hold")
       } else Expectations.report(df, rules.toSeq, uniq)
         .orderBy(col("rule")).show(100, truncate = false)
+    case "fuzzy" =>
+      // edit-distance join (entity resolution): self-join over --in, or
+      // probe-vs-reference with --ref:
+      //   cli fuzzy --in names.parquet --id _id --str name --max-dist 1
+      //     [--ref master.parquet --ref-id mid --ref-str mname] [--out p]
+      val df = spark.read.parquet(arg(args, "--in").get)
+      val id = arg(args, "--id").getOrElse("_id")
+      val str = arg(args, "--str").getOrElse("name")
+      val d = arg(args, "--max-dist").map(_.toInt).getOrElse(1)
+      val pairs = arg(args, "--ref") match {
+        case Some(ref) =>
+          graft.ops.FuzzyJoin.editDistanceJoin(df, id, str,
+            spark.read.parquet(ref), arg(args, "--ref-id").getOrElse(id),
+            arg(args, "--ref-str").getOrElse(str), d)
+        case None => graft.ops.FuzzyJoin.editDistanceSelfJoin(df, id, str, d)
+      }
+      arg(args, "--out") match {
+        case Some(o) =>
+          pairs.write.mode("overwrite").parquet(o)
+          println(s"[cli] fuzzy: ${spark.read.parquet(o).count()} pairs within distance $d -> $o")
+        case None => pairs.orderBy(pairs.columns.map(col): _*).show(100, truncate = false)
+      }
     case "matagg" =>
       // incremental materialized summary: land one partial-agg segment
       // per drop, serve the merge, compact history — calc_summary made
@@ -690,6 +712,6 @@ object Main {
       graft.Explain.print(spark,
         arg(args, "--sf").getOrElse("/root/testdata/sf0.001"), Seq(name))
     case other =>
-      println(s"usage: ingest|summary|harvest|sync|compact|stats|cluster|index|repair|purge|curate|snap|audit|profile|dq|matagg|sketch|lm|bm25|drop|semdedup|sparsesim|explain (got '$other')")
+      println(s"usage: ingest|summary|harvest|sync|compact|stats|cluster|index|repair|purge|curate|snap|audit|profile|dq|fuzzy|matagg|sketch|lm|bm25|drop|semdedup|sparsesim|explain (got '$other')")
   }
 }

@@ -42,6 +42,13 @@ import graft.ops.{DedupIndex, Sketches}
 object DropCycle {
 
   final case class Config(
+    // step 0: data-quality dead-letter split (rules, quarantinePath) —
+    // dirty rows of the DROP are appended to the quarantine path with
+    // their violated-rule list and never land anywhere downstream; the
+    // cycle proceeds on the clean rows instead of wedging (the
+    // quarantine append is at-least-once under a cycle re-run, like the
+    // streaming sink — dedupe downstream by key if that matters)
+    expect: Option[(Seq[graft.ops.Expectations.Rule], String)] = None,
     textCol: Option[String] = None,       // steps 3 + 3b + 6 run when set
     bandIdxPath: Option[String] = None,   // default: <lake>.bandidx
     textStatsPath: Option[String] = None, // step 3b: per-doc stats sidecar
@@ -74,12 +81,22 @@ object DropCycle {
     clusterIdxPath: Option[String] = None)
 
   /** Run one cycle; returns tier -> (carried, refreshed). */
-  def run(lake: SnapshotLake, drop: DataFrame, conf: Config): Map[String, (Long, Long)] = {
-    val spark = drop.sparkSession
+  def run(lake: SnapshotLake, dropIn: DataFrame, conf: Config): Map[String, (Long, Long)] = {
+    val spark = dropIn.sparkSession
+    val (drop, dqReport) = conf.expect match {
+      case Some((rules, qpath)) =>
+        val (clean, dirty) = graft.ops.Expectations.split(dropIn, rules)
+        val nDirty = dirty.count()
+        if (nDirty > 0) dirty.write.mode("append").parquet(qpath)
+        // the CLEAN slice feeds every downstream tier of this cycle
+        (clean.localCheckpoint(true), Some((clean.count(), nDirty)))
+      case None => (dropIn, None)
+    }
     val before = lake.latestVersion
     lake.upsert(drop)
     val after = lake.latestVersion.get
     val report = scala.collection.mutable.Map[String, (Long, Long)]()
+    dqReport.foreach(report("dq") = _)
     report("lake") = (before.getOrElse(0L), after)
     if (conf.bloom)
       report("bloom") = BloomIndex.refreshSnapshot(lake, lake.keyCol)

@@ -31,7 +31,8 @@ class DropCycleSpec extends AnyFunSuite {
       postingsPath = Some(root + "/bm25idx"),
       clusterIdxPath = Some(root + "/clidx"),
       zonemap = Some("grp"),
-      dsir = Some((col("grp") === 0L, root + "/dsir")))
+      dsir = Some((col("grp") === 0L, root + "/dsir")),
+      expect = Some((Seq(graft.ops.Expectations.notNull("text")), root + "/quarantine")))
 
     val drop1 = docs(
       (1L, "the quick brown fox jumps over the lazy dog", 0L),
@@ -41,12 +42,23 @@ class DropCycleSpec extends AnyFunSuite {
     assert(r1("lake") == ((0L, 1L)))
 
     // drop 2: updates doc 3, re-delivers doc 1 unchanged, inserts doc 4
+    // — plus one DIRTY row (null text) the expect step must dead-letter
+    // before anything downstream sees it
     val drop2 = docs(
       (1L, "the quick brown fox jumps over the lazy dog", 0L),
       (3L, "completely different text about flink engines", 1L),
       (4L, "the quick brown fox jumps over the lazy doge", 0L))
+      .unionByName(Seq(("9", null.asInstanceOf[String], 0L)).toDF("_id", "text", "grp"))
     val r2 = DropCycle.run(lake, drop2, conf)
     assert(r2("lake") == ((1L, 2L)))
+    // the dq step split 3 clean / 1 dirty; the dirty row is quarantined
+    // with its rule and never landed
+    assert(r2("dq") == ((3L, 1L)), s"dq split drifted: ${r2("dq")}")
+    val quarantined = spark.read.parquet(root + "/quarantine").collect()
+    assert(quarantined.map(_.getString(0)).toSeq == Seq("9"))
+    assert(quarantined.head.getSeq[String](
+      quarantined.head.fieldIndex("violated")) == Seq("not_null(text)"))
+    assert(lake.read.filter(col("_id") === "9").count() == 0)
 
     // band maintenance was churn-scoped: doc 1 carried, docs 3+4 signed
     assert(r2("band") == ((1L, 2L)))
