@@ -126,6 +126,90 @@ object ZoneMapIndex {
     (keptN, rebuiltN)
   }
 
+  /** Refresh SEVERAL columns' sidecars with ONE scan of the churn: at
+    * 100 TB the fresh-file read IS the cost (the sidecar writes are
+    * metadata-sized), so indexing k columns must not read the churn k
+    * times. One grouped pass computes every column's per-file stats;
+    * each column then lands its own sidecar (kept rows carried
+    * verbatim, per-column — one column's sidecar may be fresher than
+    * another's and each keeps its own diff). Returns per-column
+    * (kept, scanned); scanned counts the union-churn files each column
+    * took rows from.
+    */
+  def refreshSnapshotMulti(lake: SnapshotLake, valCols: Seq[String])
+      : Map[String, (Long, Long)] = {
+    require(valCols.nonEmpty && valCols.distinct == valCols,
+      s"need distinct columns: $valCols")
+    valCols.foreach(requireIndexable)
+    val spark = lake.spark
+    import spark.implicits._
+    val versions = lake.completeVersions
+    if (versions.isEmpty) return valCols.map(_ -> (0L, 0L)).toMap
+    val manifests = versions.flatMap(lake.readManifest)
+    val live: Map[String, Long] =
+      manifests.foldLeft(Map.empty[String, Long])((acc, m) =>
+        acc ++ BloomIndex.manifestFiles(lake, m))
+    val schema = manifests.last.schema
+    val lens = live.toSeq.toDF("file", "len2")
+    val fs = new org.apache.hadoop.fs.Path(lake.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // per-column churn (each sidecar carries its own freshness)
+    val perCol = valCols.map { c =>
+      val idxPath = snapSidecar(lake.path, c)
+      val idxExists = fs.exists(new org.apache.hadoop.fs.Path(idxPath))
+      val fresh: Seq[String] =
+        if (!idxExists) live.keys.toSeq.sorted
+        else lens.join(
+            spark.read.parquet(idxPath).select(col("file"), col("len").as("len2")),
+            Seq("file", "len2"), "left_anti")
+          .select(col("file")).as[String].collect().toSeq.sorted
+      (c, idxExists, fresh)
+    }
+    val unionFresh = perCol.flatMap(_._3).distinct.sorted
+    // ONE scan of the union churn computes EVERY column's stats
+    val statsAll =
+      if (unionFresh.isEmpty) null
+      else {
+        val src = spark.read.schema(schema)
+          .parquet(BloomIndex.readablePaths(unionFresh): _*)
+        src.groupBy(input_file_name().as("file"))
+          .agg(count(lit(1)).as("nrows"),
+            valCols.flatMap(c => Seq(
+              min(col(c)).as(s"minv_$c"), max(col(c)).as(s"maxv_$c"),
+              count(col(c)).as(s"nvals_$c"))): _*)
+          .join(lens.withColumnRenamed("len2", "len"), "file")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+    val out = perCol.map { case (c, idxExists, fresh) =>
+      val idxPath = snapSidecar(lake.path, c)
+      val rebuilt =
+        if (statsAll == null || fresh.isEmpty) null
+        // semi-join, not isin: a first build's fresh list is EVERY live
+        // file and an In over 10^6 literals is a plan, not a filter
+        else statsAll.join(fresh.toDF("file"), Seq("file"), "left_semi")
+          .select(col("file"), col(s"minv_$c").as("minv"), col(s"maxv_$c").as("maxv"),
+            col("nrows"), col(s"nvals_$c").as("nvals"), col("len"))
+      val kept =
+        if (!idxExists) null
+        else spark.read.parquet(idxPath).alias("old")
+          .join(lens, col("old.file") === lens("file") && col("old.len") === lens("len2"))
+          .select(col("old.file"), col("old.minv"), col("old.maxv"),
+            col("old.nrows"), col("old.nvals"), col("old.len"))
+      (kept, rebuilt) match {
+        case (null, null) => c -> (0L, 0L) // empty lake
+        case (k, null) =>
+          val keptN = k.count(); Staged.land(spark, idxPath, k); c -> (keptN, 0L)
+        case (k, r) =>
+          val keptN = if (k == null) 0L else k.count()
+          val rebuiltN = r.count()
+          Staged.land(spark, idxPath, if (k == null) r else k.unionByName(r))
+          c -> (keptN, rebuiltN)
+      }
+    }.toMap
+    if (statsAll != null) statsAll.unpersist()
+    out
+  }
+
   /** Metadata-only aggregate: (min_v, max_v, n_rows, n_vals) of `valCol`
     * over a committed version, answered ENTIRELY from the sidecar —
     * zero data files opened, whatever the lake's size. Per-file min/max

@@ -76,6 +76,31 @@ class ZoneMapIndexSpec extends AnyFunSuite {
       s"no-churn refresh must be a carry-only pass: ($kept3, $scanned3)")
   }
 
+  test("refreshSnapshotMulti: one churn scan, per-column sidecars identical to per-column refreshes") {
+    val dir = java.nio.file.Files.createTempDirectory("zmmulti").toFile.getAbsolutePath
+    val data = spark.range(5000).select(col("id").as("k"),
+      (col("id") % 100).cast("double").as("v"), (col("id") % 7).as("w"))
+    val lake = new SnapshotLake(spark, s"$dir/t", "k")
+    lake.overwrite(data.repartition(8, col("k")))
+    // v is indexed FIRST alone; w has no sidecar yet — the multi refresh
+    // must honor each column's own freshness diff
+    ZoneMapIndex.refreshSnapshot(lake, "v")
+    lake.upsert(Seq((5000L, 123.0, 3L)).toDF("k", "v", "w")) // churn
+    val rep = ZoneMapIndex.refreshSnapshotMulti(lake, Seq("v", "w"))
+    assert(rep("v")._1 >= 7L && rep("v")._2 >= 1L && rep("v")._2 <= 3L,
+      s"v must carry its old rows and scan only the churn: ${rep("v")}")
+    assert(rep("w")._1 == 0L && rep("w")._2 >= 9L,
+      s"w has no sidecar yet: every live file is its churn: ${rep("w")}")
+    // both sidecars now serve metadata aggregates matching full scans
+    val aggV = ZoneMapIndex.aggregateFromStats(lake, "v").collect().head
+    assert(aggV.getDouble(1) == 123.0 && aggV.getLong(2) == 5001L)
+    val aggW = ZoneMapIndex.aggregateFromStats(lake, "w").collect().head
+    assert(aggW.getLong(0) == 0L && aggW.getLong(1) == 6L && aggW.getLong(2) == 5001L)
+    // and a second multi refresh is a no-op carry for both
+    val rep2 = ZoneMapIndex.refreshSnapshotMulti(lake, Seq("v", "w"))
+    assert(rep2("v")._2 == 0L && rep2("w")._2 == 0L, s"no-churn must scan nothing: $rep2")
+  }
+
   test("aggregateFromStats: metadata-only min/max/count == full scan; stale sidecar throws") {
     val dir = java.nio.file.Files.createTempDirectory("zmagg").toFile.getAbsolutePath
     val lake = mkLake(dir)
