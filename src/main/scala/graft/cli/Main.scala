@@ -21,6 +21,32 @@ object Main {
     args.sliding(2).collectFirst { case Array(`name`, v) => v }
   private def flag(args: Array[String], name: String): Boolean = args.contains(name)
 
+  /** The declarative-rule flag surface shared by `dq` and `drop`:
+    * --not-null a,b | --range col:lo:hi[,..] | --accepted col:v1|v2[,..]
+    * | --matches col:regex.
+    */
+  private def parseDqRules(args: Array[String]): Seq[graft.ops.Expectations.Rule] = {
+    import graft.ops.Expectations
+    val rules = scala.collection.mutable.ArrayBuffer[Expectations.Rule]()
+    arg(args, "--not-null").foreach(_.split(",").foreach(c =>
+      rules += Expectations.notNull(c)))
+    arg(args, "--range").foreach(_.split(",").foreach { spec =>
+      val Array(c, lo, hi) = spec.split(":", 3)
+      rules += Expectations.inRange(c,
+        org.apache.spark.sql.functions.lit(lo.toDouble),
+        org.apache.spark.sql.functions.lit(hi.toDouble))
+    })
+    arg(args, "--accepted").foreach(_.split(",").foreach { spec =>
+      val Array(c, vs) = spec.split(":", 2)
+      rules += Expectations.accepted(c, vs.split("\\|").toSeq)
+    })
+    arg(args, "--matches").foreach { spec =>
+      val Array(c, re) = spec.split(":", 2)
+      rules += Expectations.matches(c, re)
+    }
+    rules.toSeq
+  }
+
   def main(args: Array[String]): Unit = {
     val cmd = args.headOption.getOrElse("help")
     val spark = SparkSession.builder()
@@ -447,7 +473,15 @@ object Main {
         sums = sums.split(",").toSeq.map { kv =>
           val Array(a, c) = kv.split("=", 2); a -> col(c)
         }), p)
+      // dead-letter quarantine rides the runbook: the shared dq rule
+      // flags + --quarantine-path. Loud-pair rule like the other tiers —
+      // rules without a path (or a path without rules) is a misuse that
+      // must not silently skip the split
+      val dropRules = parseDqRules(args)
+      if (dropRules.nonEmpty != arg(args, "--quarantine-path").isDefined)
+        sys.error("drop needs BOTH dq rule flags and --quarantine-path (or neither)")
       val conf = graft.pipeline.DropCycle.Config(
+        expect = arg(args, "--quarantine-path").map(p => (dropRules, p)),
         textCol = arg(args, "--text-col"),
         bandIdxPath = arg(args, "--band-path"),
         textStatsPath = arg(args, "--text-stats-path"),
@@ -525,28 +559,12 @@ object Main {
       //     --matches 'prio:^[1-5]-' [--gate]
       import graft.ops.Expectations
       val df = spark.read.parquet(arg(args, "--in").get)
-      val rules = scala.collection.mutable.ArrayBuffer[Expectations.Rule]()
-      arg(args, "--not-null").foreach(_.split(",").foreach(c =>
-        rules += Expectations.notNull(c)))
-      arg(args, "--range").foreach(_.split(",").foreach { spec =>
-        val Array(c, lo, hi) = spec.split(":", 3)
-        rules += Expectations.inRange(c,
-          org.apache.spark.sql.functions.lit(lo.toDouble),
-          org.apache.spark.sql.functions.lit(hi.toDouble))
-      })
-      arg(args, "--accepted").foreach(_.split(",").foreach { spec =>
-        val Array(c, vs) = spec.split(":", 2)
-        rules += Expectations.accepted(c, vs.split("\\|").toSeq)
-      })
-      arg(args, "--matches").foreach { spec =>
-        val Array(c, re) = spec.split(":", 2)
-        rules += Expectations.matches(c, re)
-      }
+      val rules = parseDqRules(args)
       val uniq = arg(args, "--unique").map(_.split(",").toSeq).getOrElse(Nil)
       if (flag(args, "--gate")) {
-        Expectations.gate(df, rules.toSeq, uniq)
+        Expectations.gate(df, rules, uniq)
         println("[cli] dq gate: all expectations hold")
-      } else Expectations.report(df, rules.toSeq, uniq)
+      } else Expectations.report(df, rules, uniq)
         .orderBy(col("rule")).show(100, truncate = false)
     case "fuzzy" =>
       // edit-distance join (entity resolution): self-join over --in, or

@@ -301,10 +301,20 @@ class DropCycleSpec extends AnyFunSuite {
         "--hll-path", root + "/hll",
         "--topk-path", root + "/topk", "--topk-key", "grp", "--topk-k", "8",
         "--lm-path", root + "/lm",
-        "--quantile-path", root + "/qs", "--quantile-value", "n_chars"))
+        "--quantile-path", root + "/qs", "--quantile-value", "n_chars",
+        // the shared dq flag surface rides the runbook command: a
+        // too-short range on n_chars quarantines nothing here (all rows
+        // clean) but exercises the flag parse + pair guard end-to-end
+        "--range", "n_chars:1:100", "--quarantine-path", root + "/quar"))
     }
     val lake = new SnapshotLake(spark, root + "/lake", "_id")
     assert(lake.latestVersion.contains(2L))
+    // rules without a path must fail LOUDLY, not silently skip the split
+    val loud = intercept[RuntimeException] {
+      graft.cli.Main.run(spark, "drop", Array(
+        "--lake", root + "/lake", "--in", root + "/in1", "--range", "n_chars:1:100"))
+    }
+    assert(loud.getMessage.contains("--quarantine-path"))
     // quantile tier landed one segment per drop; with k >= arrived rows
     // the summary is exact: the served median of the ARRIVED row stream
     // (grp-dim from --dims) equals a direct recompute over those rows
