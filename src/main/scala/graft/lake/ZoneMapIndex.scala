@@ -240,14 +240,18 @@ object ZoneMapIndex {
       throw new IllegalStateException(
         s"no zone-map sidecar for '$valCol' at ${lake.path} — build it first")
     val lens = live.toSeq.toDF("file", "len")
-    val covered = spark.read.parquet(idxPath).join(lens, Seq("file", "len"))
-    val nCovered = covered.count()
-    if (nCovered != live.size)
+    val idx = spark.read.parquet(idxPath)
+    // coverage as a count over an anti-join — the check stays cluster-side
+    // next to the sidecar rows instead of materializing a per-file driver
+    // map (live itself is manifest-resolved and driver-sized by contract)
+    val nMissing = lens.join(idx, Seq("file", "len"), "left_anti").count()
+    if (nMissing != 0)
       throw new IllegalStateException(
-        s"zone-map sidecar covers $nCovered of ${live.size} live files of v$v — " +
+        s"zone-map sidecar misses $nMissing of ${live.size} live files of v$v — " +
           "refresh before serving a metadata-only aggregate")
-    covered.agg(min(col("minv")).as("min_v"), max(col("maxv")).as("max_v"),
-      sum(col("nrows")).as("n_rows"), sum(col("nvals")).as("n_vals"))
+    idx.join(lens, Seq("file", "len"))
+      .agg(min(col("minv")).as("min_v"), max(col("maxv")).as("max_v"),
+        sum(col("nrows")).as("n_rows"), sum(col("nvals")).as("n_vals"))
   }
 
   /** Range scan against a committed snapshot version (default: the
@@ -276,22 +280,27 @@ object ZoneMapIndex {
     val fs = new org.apache.hadoop.fs.Path(idxPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val candidates: Seq[String] =
-      if (!fs.exists(new org.apache.hadoop.fs.Path(idxPath))) live.keys.toSeq
+      if (!fs.exists(new org.apache.hadoop.fs.Path(idxPath))) live.keys.toSeq.sorted
       else {
-        // overlap evaluated CLUSTER-side next to the stats; only
-        // (file, len, hit) triples reach the driver — file-count-sized
-        // metadata, the scan plan itself
-        val idx = spark.read.parquet(idxPath)
-          .select(col("file"), col("len"),
-            (col("maxv") >= lo && col("minv") <= hi).as("hit"))
-          .as[(String, Long, Boolean)].collect()
-        val byFile = idx.map { case (f, len, hit) => f -> (len, hit) }.toMap
-        live.iterator.filter { case (f, len) =>
-          byFile.get(f) match {
-            case Some((l, hit)) if l == len => hit // covered: trust the stats
-            case _ => true // not indexed yet: scan it — never a wrong answer
-          }
-        }.map(_._1).toSeq
+        // pruning decided CLUSTER-side next to the stats: join the
+        // manifest-resolved live set against the sidecar and collect only
+        // the CANDIDATE paths (selectivity-sized), never the full sidecar
+        // — the serve path has no per-live-file driver map, so a 10^6-file
+        // lake costs the driver only what the predicate keeps.
+        // An all-null file carries (null, null) bounds; the overlap
+        // predicate is then NULL and coalesce prunes it — a range never
+        // matches null values, and decoding a NULL hit would otherwise
+        // crash the whole scan (round-13 advice finding).
+        val lens = live.toSeq.toDF("file", "len")
+        lens.join(
+            spark.read.parquet(idxPath)
+              .select(col("file"), col("len"),
+                coalesce(col("maxv") >= lo && col("minv") <= hi, lit(false)).as("__hit")),
+            Seq("file", "len"), "left_outer")
+          // uncovered (no sidecar row at this len) => unconditional
+          // candidate: a lagging index costs selectivity, never rows
+          .filter(col("__hit").isNull || col("__hit"))
+          .select(col("file")).as[String].collect().toSeq.sorted
       }
     val df =
       if (candidates.isEmpty)

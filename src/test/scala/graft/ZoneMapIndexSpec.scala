@@ -153,6 +153,42 @@ class ZoneMapIndexSpec extends AnyFunSuite {
     assert(opened < total, s"sidecar must prune drop-1 files: opened=$opened of $total")
     val (miss, openedMiss) = ZoneMapIndex.rangeLookupSnapshot(lake, "v", lit(600.0), lit(700.0))
     assert(miss.count() == 0 && openedMiss == 0)
+
+    // REPLAY PARITY: the stream-maintained sidecar must equal a batch
+    // rebuild over the same lake — delete it, refresh from scratch, and
+    // compare row sets (file/len/bounds/counts all included)
+    def sidecarRows() = spark.read.parquet(base + "/lake/_zonemap_v").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    val streamed = sidecarRows()
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base + "/lake/_zonemap_v"), true)
+    ZoneMapIndex.refreshSnapshot(lake, "v")
+    assert(sidecarRows() == streamed,
+      "per-batch streamed sidecar must equal the from-scratch batch refresh")
+  }
+
+  test("all-null file: (null, null) bounds prune instead of crashing the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("zmnull").toFile.getAbsolutePath
+    // range-partition on v (nulls first) -> partition 0 is ALL null: its
+    // zone row carries (null, null) bounds, the round-13 advice crash site
+    val data = spark.range(100).select(col("id").as("k"),
+      when(col("id") < 50, lit(null).cast("double"))
+        .otherwise((col("id") % 10).cast("double")).as("v"))
+    val lake = new SnapshotLake(spark, s"$dir/t", "k")
+    lake.overwrite(data.repartitionByRange(2, col("v")))
+    ZoneMapIndex.refreshSnapshot(lake, "v")
+    val nFiles = lake.readManifest(lake.latestVersion.get).get.files.size
+    assert(nFiles >= 2)
+    // the scan must SURVIVE the null bounds and prune that file: a range
+    // predicate never matches null values
+    val (rows, opened) = ZoneMapIndex.rangeLookupSnapshot(lake, "v", lit(3.0), lit(4.0))
+    assert(rows.count() == 10, "range rows must match the full-scan filter")
+    assert(opened < nFiles, s"the all-null file must be pruned: opened=$opened of $nFiles")
+    // and the out-of-domain probe still prunes everything
+    val (miss, openedMiss) = ZoneMapIndex.rangeLookupSnapshot(lake, "v", lit(90.0), lit(99.0))
+    assert(miss.count() == 0 && openedMiss == 0)
   }
 
   test("time travel: a range scan at an old version sees the old values") {
