@@ -223,21 +223,34 @@ object Curation {
     * one-shot count table produce the identical model.
     */
   private def dsirScore(bg: DataFrame, counts: DataFrame, nBuckets: Int): DataFrame = {
+    // coalesce: an EMPTY count table (model with no observations yet) has
+    // null totals; pin them to 0 so the smoothed deltas still evaluate
     val tot = counts.agg(
-      sum(col("__cr")).as("__tr"), sum(col("__ct")).as("__tt"))
+      coalesce(sum(col("__cr")), lit(0L)).as("__tr"),
+      coalesce(sum(col("__ct")), lit(0L)).as("__tt"))
     // per-bucket ppm delta; operands are all positive, so Spark's
     // truncating `div` and DuckDB's flooring `//` agree exactly. The
     // 1e6 product rides decimal(38,0): an int64 product would cap the
     // model at ~9e12 occurrences per bucket and WRAP silently past it
     // (DuckDB's side is already 128-bit) — same value below the cap,
     // no cap above it
+    def ppmDelta(ct: String, cr: String): Column =
+      expr(s"CAST((CAST(1000000 AS DECIMAL(38,0)) * ($ct + 1)) div (__tt + $nBuckets) AS BIGINT)") -
+        expr(s"CAST((CAST(1000000 AS DECIMAL(38,0)) * ($cr + 1)) div (__tr + $nBuckets) AS BIGINT)")
     val model = counts.crossJoin(broadcast(tot))
-      .select(col("__b"),
-        (expr(s"CAST((CAST(1000000 AS DECIMAL(38,0)) * (__ct + 1)) div (__tt + $nBuckets) AS BIGINT)")
-          - expr(s"CAST((CAST(1000000 AS DECIMAL(38,0)) * (__cr + 1)) div (__tr + $nBuckets) AS BIGINT)")).as("__delta"))
-    bg.join(broadcast(model), "__b")
+      .select(col("__b"), ppmDelta("__ct", "__cr").as("__delta"))
+    // a bucket ABSENT from the served counts (new docs scored against an
+    // older model, or a net-0 retracted bucket) is a Laplace zero-count
+    // observation, not silence: LEFT-join the model and coalesce misses
+    // to the smoothed zero delta from the same totals — otherwise
+    // n_bigrams undercounts and an all-unseen doc vanishes entirely
+    // (the Relevance LM scorer's OOV lesson, round-13 advice)
+    val zero = tot.select(ppmDelta("0", "0").as("__zdelta"))
+    bg.crossJoin(broadcast(zero))
+      .join(broadcast(model), Seq("__b"), "left_outer")
       .groupBy(col("__doc"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("__delta")).as("dsir_w"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("__delta"), col("__zdelta"))).as("dsir_w"))
       .select(col("__doc").as("doc"), col("n_bigrams"), col("dsir_w"))
   }
 

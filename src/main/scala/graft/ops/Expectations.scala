@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 
 /** Declarative data-quality expectations, evaluated in ONE aggregate
   * pass — the reference's per-field checking scripts (reference:
-  * checking/clean_place.py's field audits, checking/check_nif.py's
-  * format validation) generalized to a rule engine, the dbt-test /
+  * checking/clean_place.py's field audits, OLD/get_entities.py:32-43's
+  * NIF format validation) generalized to a rule engine, the dbt-test /
   * Delta-constraint shape a lake ingest gates drops with.
   *
   * Every row-local rule is a Column predicate, so N rules cost one
@@ -40,9 +40,14 @@ object Expectations {
   def inRange(c: String, lo: Column, hi: Column): Rule =
     Rule(s"in_range($c)", col(c).isNotNull && (col(c) < lo || col(c) > hi))
 
-  /** Non-null values must match the (Java) regex in full. */
+  /** Non-null values must match the (Java) regex in FULL. `rlike` alone
+    * is substring search — an unanchored pattern like `[1-5]-` would
+    * silently validate only a prefix — so the pattern is anchored
+    * internally (`^(?:re)$`; explicit anchors in `regex` stay no-ops at
+    * the string boundaries, so already-anchored patterns are unchanged).
+    */
   def matches(c: String, regex: String): Rule =
-    Rule(s"matches($c)", col(c).isNotNull && !col(c).rlike(regex))
+    Rule(s"matches($c)", col(c).isNotNull && !col(c).rlike(s"^(?:$regex)$$"))
 
   /** Non-null values must be one of `values`. */
   def accepted(c: String, values: Seq[String]): Rule =

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Edit-distance self-join (entity resolution / fuzzy name matching):
@@ -11,16 +12,17 @@ import org.apache.spark.sql.functions._
   * columns need a tolerant join).
   *
   * Candidate generation is the PassJoin pigeonhole (Li et al.,
-  * VLDB'11 — public): split every string into `maxDist+1` contiguous
-  * chunks; `maxDist` edits can touch at most `maxDist` chunks, so some
-  * chunk of x survives VERBATIM in any y within distance, shifted by
-  * at most `maxDist` positions (the net indel drift before it). So x
-  * emits its chunks keyed by (len, chunkIdx, substring); y emits every
-  * substring that could BE such a chunk — for each target length
-  * within ±maxDist of its own, each chunk slot, each start offset in
-  * the ±maxDist window — and candidates are one equi-join on the
-  * substring key. The filter is LOSSLESS: no true pair can be missed,
-  * and survivors are verified with the exact (codegen'd) levenshtein.
+  * VLDB'11 — public): split every string into `n` contiguous chunks
+  * with n > maxDist; `maxDist` edits can touch at most `maxDist`
+  * chunks, so some chunk of x survives VERBATIM in any y within
+  * distance, shifted by at most `maxDist` positions (the net indel
+  * drift before it). So x emits its chunks keyed by (len, chunkIdx,
+  * substring); y emits every substring that could BE such a chunk —
+  * for each target length within ±maxDist of its own, each chunk slot,
+  * each start offset in the ±maxDist window — and candidates are one
+  * equi-join on the substring key. The filter is LOSSLESS: no true
+  * pair can be missed, and survivors are verified with the exact
+  * (codegen'd) levenshtein.
   *
   * Strings too short to chunk (len ≤ maxDist — a chunk would be empty
   * and match everything) pair inside the bounded `len ≤ 2·maxDist`
@@ -29,24 +31,37 @@ import org.apache.spark.sql.functions._
   * is complete and its pair count is bounded by the short-string
   * population, not the corpus.
   *
+  * HOT-CHUNK GUARD (the round-13 templated-corpus finding): chunk keys
+  * are only as selective as the data — a corpus where every value
+  * shares a template prefix (the synthetic `Customer#…` names) funnels
+  * |A|·|B| candidate pairs through that one shared chunk key. The
+  * guard exploits pigeonhole SLACK: chunk into `maxDist+1+extra`
+  * pieces instead of the minimum `maxDist+1`, and each string may then
+  * DROP up to `extra` of its chunk emissions — it still emits ≥
+  * maxDist+1 chunks, so at least one emitted chunk survives any
+  * `maxDist` edits verbatim and the filter stays lossless. Strings
+  * drop their most-populated chunk keys above `hotChunkCap`, so a
+  * shared-template key stops generating pairs entirely (the probe side
+  * still emits its windows; they just join against nothing). Per-key
+  * candidate pairs are thereby bounded by `hotChunkCap · |B_key|`
+  * wherever per-string hot chunks ≤ `extra`; a template whose shared
+  * prefix spans several chunk slots needs a larger `extra` (each step
+  * costs one more chunk per string and a (2d+1)-window probe arm).
+  *
   * Scale posture: chunk/probe keys are substring-valued equi-join keys
   * — shuffle cost follows per-key pair counts (Σ |A_k|·|B_k|), i.e.
-  * chunk SELECTIVITY. Templated corpora (every value sharing a prefix
-  * chunk, like the synthetic `Customer#…` names the oracle runs on)
-  * degrade toward the brute pair count through that hot chunk — the
-  * honest worst case; natural name data keeps chunks selective, and
-  * raising maxDist+1 (more, shorter chunks) trades probe fan-out for
-  * selectivity. The probe fan-out is (2d+1)²·(d+1) rows per string —
-  * constant in corpus size.
+  * chunk SELECTIVITY, with the guard capping the A-side population of
+  * any served key. The probe fan-out is (2d+1)²·(d+1+extra) rows per
+  * string — constant in corpus size; the guard adds one aggregate and
+  * one per-string window over the (strings × arity) chunk frame.
   */
 object FuzzyJoin {
 
-  /** Even chunking of a `len`-string into d+1 chunks (first `len mod
-    * (d+1)` chunks one longer): (chunkIdx, start, chunkLen), 1-based
-    * starts for SQL substring.
+  /** Even chunking of a `len`-string into `n` chunks (first `len mod n`
+    * chunks one longer): (chunkIdx, start, chunkLen), 1-based starts
+    * for SQL substring. Requires len ≥ n (no empty chunk).
     */
-  private[ops] def chunkSpecs(len: Int, d: Int): Seq[(Int, Int, Int)] = {
-    val n = d + 1
+  private[ops] def chunkSpecsN(len: Int, n: Int): Seq[(Int, Int, Int)] = {
     val base = len / n
     val extra = len % n
     val lens = Seq.tabulate(n)(i => base + (if (i < extra) 1 else 0))
@@ -54,12 +69,26 @@ object FuzzyJoin {
     starts.zip(lens).zipWithIndex.map { case ((s, l), i) => (i, s, l) }
   }
 
+  /** The minimum-arity chunking (maxDist+1 pieces) — kept for spec
+    * parity with the published PassJoin scheme.
+    */
+  private[ops] def chunkSpecs(len: Int, d: Int): Seq[(Int, Int, Int)] =
+    chunkSpecsN(len, d + 1)
+
   private def prep(df: DataFrame, idCol: String, strCol: String): DataFrame =
     df.select(col(idCol).as("__id"), col(strCol).as("__s"))
       .filter(col("__s").isNotNull)
       .withColumn("__l", length(col("__s")))
       .localCheckpoint(true) // chunk keys / probe keys / short bucket /
                              // verify join all reuse the prepared side
+
+  /** Per-length chunk arity: `d+1+extra` when the string is long enough
+    * for every chunk to be non-empty, else as many as fit (minimum
+    * d+1 — shorter strings ride the short bucket). The droppable
+    * budget per string is `arity - (d+1)`.
+    */
+  private def arity(la: Int, d: Int, extra: Int): Int =
+    math.max(d + 1, math.min(d + 1 + extra, la))
 
   /** The pigeonhole candidate pass shared by the self- and two-table
     * joins: `a` contributes chunks, `b` contributes window probes
@@ -69,23 +98,43 @@ object FuzzyJoin {
     * levenshtein. Short `a` strings (too short to chunk) pair against
     * the bounded short bucket of `b`.
     */
-  private def candidates(a: DataFrame, b: DataFrame, d: Int): DataFrame = {
+  private[graft] def candidates(a: DataFrame, b: DataFrame, d: Int,
+                                extra: Int, hotChunkCap: Long): DataFrame = {
     val spark = a.sparkSession
     import spark.implicits._
     val aLens = a.filter(col("__l") >= d + 1)
       .select(col("__l")).distinct().as[Int].collect().sorted.toSeq
     val specA = aLens.flatMap(la =>
-      chunkSpecs(la, d).map { case (i, st, cl) => (la, i, st, cl) })
+      chunkSpecsN(la, arity(la, d, extra)).map { case (i, st, cl) => (la, i, st, cl) })
       .toDF("__la", "__i", "__st", "__cl")
     val specB = aLens.flatMap(la =>
-      chunkSpecs(la, d).flatMap { case (i, st, cl) =>
+      chunkSpecsN(la, arity(la, d, extra)).flatMap { case (i, st, cl) =>
         (-d to d).map(off => (la, i, st + off, cl)) })
       .filter(_._3 >= 1)
       .toDF("__la", "__i", "__bst", "__cl")
-    val aKeys = a.filter(col("__l") >= d + 1)
+    val aKeysAll = a.filter(col("__l") >= d + 1)
       .join(broadcast(specA), col("__l") === col("__la"))
       .select(col("__id").as("__aid"), col("__la"), col("__i"),
         expr("substring(__s, __st, __cl)").as("__key"))
+    // hot-chunk drop: each string sheds its most-populated keys above
+    // the cap, at most (arity(la) - (d+1)) of them — ≥ d+1 chunks remain
+    // emitted, so the pigeonhole coverage argument is untouched. Hot
+    // keys (pop > cap) always outrank non-hot ones under the desc
+    // population order, so rank ≤ budget selects exactly the hottest.
+    // The budget derives from the ROW's length: a string too short for
+    // the full d+1+extra arity has less slack and may drop fewer.
+    val pops = aKeysAll.groupBy(col("__la"), col("__i"), col("__key"))
+      .agg(count(lit(1)).as("__pop"))
+    val wHot = Window.partitionBy(col("__aid"))
+      .orderBy(col("__pop").desc, col("__i").asc)
+    val droppable = greatest(lit(0),
+      least(lit(extra), col("__la") - lit(d + 1)))
+    val aKeys =
+      if (hotChunkCap <= 0L) aKeysAll // guard disabled
+      else aKeysAll.join(pops, Seq("__la", "__i", "__key"))
+        .withColumn("__hotrk", row_number().over(wHot))
+        .filter(!(col("__pop") > hotChunkCap && col("__hotrk") <= droppable))
+        .select(col("__aid"), col("__la"), col("__i"), col("__key"))
     val bKeys = b
       .join(broadcast(specB),
         col("__la").between(col("__l") - d, col("__l") + d) &&
@@ -107,12 +156,17 @@ object FuzzyJoin {
 
   /** All (a, b, dist) pairs with `levenshtein ≤ maxDist`, a < b by id.
     * Null strings drop (no distance to measure); ids must be unique.
+    * `extraChunks`/`hotChunkCap` tune the hot-chunk guard (see the
+    * object doc); `hotChunkCap = 0` disables it.
     */
   def editDistanceSelfJoin(df: DataFrame, idCol: String, strCol: String,
-                           maxDist: Int): DataFrame = {
+                           maxDist: Int, extraChunks: Int = 1,
+                           hotChunkCap: Long = 4096L): DataFrame = {
     require(maxDist >= 1 && maxDist <= 8, s"maxDist must be in [1, 8]: $maxDist")
+    require(extraChunks >= 0 && extraChunks <= 8,
+      s"extraChunks must be in [0, 8]: $extraChunks")
     val s = prep(df, idCol, strCol)
-    candidates(s, s, maxDist)
+    candidates(s, s, maxDist, extraChunks, hotChunkCap)
       .filter(col("__aid") =!= col("__bid"))
       .select(least(col("__aid"), col("__bid")).as("a"),
         greatest(col("__aid"), col("__bid")).as("b"))
@@ -133,11 +187,14 @@ object FuzzyJoin {
     */
   def editDistanceJoin(probes: DataFrame, probeId: String, probeStr: String,
                        reference: DataFrame, refId: String, refStr: String,
-                       maxDist: Int): DataFrame = {
+                       maxDist: Int, extraChunks: Int = 1,
+                       hotChunkCap: Long = 4096L): DataFrame = {
     require(maxDist >= 1 && maxDist <= 8, s"maxDist must be in [1, 8]: $maxDist")
+    require(extraChunks >= 0 && extraChunks <= 8,
+      s"extraChunks must be in [0, 8]: $extraChunks")
     val p = prep(probes, probeId, probeStr)
     val r = prep(reference, refId, refStr)
-    candidates(p, r, maxDist)
+    candidates(p, r, maxDist, extraChunks, hotChunkCap)
       .distinct()
       .select(col("__aid").as("probe_id"), col("__bid").as("ref_id"))
       .join(p.select(col("__id").as("probe_id"), col("__s").as("__sa")), "probe_id")

@@ -777,6 +777,13 @@ class OpsSpec extends AnyFunSuite {
       dv(2L).contains("accepted(status)") && dv(2L).contains("matches(prio)"))
     assert(dv(4L) == List("not_null(status)", "in_range(price)"),
       "declaration order: the null-status rule precedes the 999-out-of-range rule")
+
+    // full-match semantics: an UNANCHORED pattern must not validate a
+    // mere prefix/substring (rlike alone would — round-13 advice)
+    val un = Seq((1L, "1-URGENT TRAILING"), (2L, "x 2-HIGH"), (3L, "3-LOW")).toDF("k", "prio")
+    val unRep = report(un, Seq(matches("prio", "[1-5]-[A-Z]+"))).collect().head
+    assert(unRep.getLong(1) == 2L,
+      s"only '3-LOW' matches in full; prefix/infix hits must violate: $unRep")
   }
 
   test("FuzzyJoin: PassJoin candidates are lossless vs brute force, incl. indels and short strings") {
@@ -834,6 +841,54 @@ class OpsSpec extends AnyFunSuite {
       s"lookup drift: missing=${bruteX -- gotX} extra=${gotX -- bruteX}")
   }
 
+  test("FuzzyJoin hot-chunk guard: templated corpus stays lossless with a bounded pair budget") {
+    import graft.ops.FuzzyJoin
+    // single-template corpus — the synthetic Customer# degeneracy: a
+    // 5-char shared prefix spanning exactly chunk 0 at d=1/arity 3,
+    // varying digits (reversed, so no shared leading zeros) elsewhere
+    val n = 240
+    val base = (0 until n).map(i =>
+      (i.toLong, "TMPL#" + f"$i%05d".reverse + f"$i%05d".reverse))
+    val mutated = (0 until 5).map(i =>
+      (1000L + i, base(i)._2.dropRight(1) + "!")) // distance-1 partners
+    val strs = base ++ mutated
+    val df = strs.toDF("id", "s")
+    def lev(sa: String, sb: String): Int = {
+      val m = Array.tabulate(sa.length + 1, sb.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to sa.length; j <- 1 to sb.length)
+        m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+          m(i - 1)(j - 1) + (if (sa(i - 1) == sb(j - 1)) 0 else 1))
+      m(sa.length)(sb.length)
+    }
+    val brute = (for {
+      (ia, sa) <- strs; (ib, sb) <- strs if ia < ib
+      d = lev(sa, sb) if d <= 1
+    } yield (ia, ib, d.toLong)).toSet
+    assert(brute.size == 5, s"fixture: the 5 planted pairs: ${brute.size}")
+    val cap = 32L
+    val got = FuzzyJoin.editDistanceSelfJoin(df, "id", "s", 1,
+        extraChunks = 1, hotChunkCap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute,
+      s"guard must stay lossless: missing=${brute -- got} extra=${got -- brute}")
+    // the observable the guard exists for: candidate volume. Without it
+    // the shared prefix chunk funnels ~n² pairs; with it every served
+    // chunk key is population-capped and the budget collapses
+    val prepped = df.select(col("id").as("__id"), col("s").as("__s"))
+      .withColumn("__l", length(col("__s")))
+    val unguarded = FuzzyJoin.candidates(prepped, prepped, 1, 1, 0L).count()
+    val guarded = FuzzyJoin.candidates(prepped, prepped, 1, 1, cap).count()
+    assert(unguarded >= n.toLong * n,
+      s"fixture: the template must degenerate unguarded, got $unguarded")
+    assert(guarded <= unguarded / 20,
+      s"guard must collapse the pair budget: $guarded vs $unguarded")
+    // disabled guard (cap=0) is the pre-guard behavior and stays lossless
+    val off = FuzzyJoin.editDistanceSelfJoin(df, "id", "s", 1, hotChunkCap = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(off == brute)
+  }
+
   test("dsirWeights incremental tier: merged segments == one-shot; signed changes retract exactly") {
     import graft.ops.Curation
     val docs = Seq(
@@ -867,6 +922,36 @@ class OpsSpec extends AnyFunSuite {
         Curation.serveDsirCounts(spark, root))) ==
       key(Curation.dsirWeights(updated, "doc_id", "text", tgt)),
       "retraction must make the merged model equal a from-scratch retrain")
+  }
+
+  test("dsirScore OOV: unseen buckets score the smoothed zero-count delta, not silence") {
+    import graft.ops.Curation
+    val docs = Seq(
+      (1L, "alpha beta alpha beta alpha beta", "en"),
+      (2L, "gamma delta gamma delta", "xx")
+    ).toDF("doc_id", "text", "lang")
+    val root = java.nio.file.Files.createTempDirectory("dsiroov").toString
+    Curation.landDsirDrop(docs, "doc_id", "text", col("lang") === "en", root, "d0")
+    val counts = Curation.serveDsirCounts(spark, root).localCheckpoint(true)
+    val t = counts.agg(sum(col("__cr")), sum(col("__ct"))).collect().head
+    val (tr, tt) = (t.getLong(0), t.getLong(1))
+    val zd = 1000000L / (tt + 4096L) - 1000000L / (tr + 4096L)
+    // a doc of entirely NOVEL bigrams scored against the older model must
+    // NOT vanish: every bigram counts, each scoring the Laplace
+    // zero-count delta derived from the model totals
+    val novel = Seq((9L, "zeta eta theta iota")).toDF("doc_id", "text")
+    val got = Curation.scoreAgainstDsirCounts(novel, "doc_id", "text", counts).collect()
+    assert(got.length == 1, "an all-unseen doc must not vanish from the output")
+    assert(got.head.getLong(1) == 3L, s"all 3 bigrams must count: ${got.head}")
+    assert(got.head.getLong(2) == 3L * zd,
+      s"unseen buckets must score the smoothed zero delta: ${got.head.getLong(2)} vs ${3L * zd}")
+    // a MIXED doc keeps both: seen buckets via the model, unseen via zd
+    val mixed = Seq((10L, "alpha beta omega")).toDF("doc_id", "text")
+    val gm = Curation.scoreAgainstDsirCounts(mixed, "doc_id", "text", counts).collect().head
+    assert(gm.getLong(1) == 2L, s"both bigrams must count: $gm")
+    val seenDelta = 1000000L * 4L / (tt + 4096L) - 1000000L * 4L / (tr + 4096L)
+    assert(gm.getLong(2) == seenDelta + zd,
+      s"mixed doc = model delta + zero delta: ${gm.getLong(2)} vs ${seenDelta + zd}")
   }
 
   test("mmrTopK defers the near-duplicate of the top hit; plain top-k does not; deterministic") {
