@@ -23,11 +23,25 @@ object Main {
 
   /** The declarative-rule flag surface shared by `dq` and `drop`:
     * --not-null a,b | --range col:lo:hi[,..] | --accepted col:v1|v2[,..]
-    * | --matches col:regex.
+    * | --matches col:regex (full-match; anchored internally) | --rules
+    * file.json — a VERSIONABLE rules file so a 20-rule production
+    * contract doesn't live in a shell line. The file is a JSON array of
+    * rule objects:
+    *   [{"rule":"not_null","col":"nk"},
+    *    {"rule":"range","col":"v","lo":0,"hi":100},
+    *    {"rule":"accepted","col":"status","values":["F","O"]},
+    *    {"rule":"matches","col":"prio","regex":"^[1-5]-[A-Z]+$"},
+    *    {"rule":"satisfies","name":"key_positive","sql":"k > 0"},
+    *    {"rule":"unique","col":"k"}]
+    * Flags and file compose (both contribute rules). Returns (row-local
+    * rules, unique columns) — unique is a DATASET expectation, valid for
+    * the dq report/gate but rejected by the row-local quarantine split.
     */
-  private def parseDqRules(args: Array[String]): Seq[graft.ops.Expectations.Rule] = {
+  private def parseDqRules(args: Array[String])
+      : (Seq[graft.ops.Expectations.Rule], Seq[String]) = {
     import graft.ops.Expectations
     val rules = scala.collection.mutable.ArrayBuffer[Expectations.Rule]()
+    val uniques = scala.collection.mutable.ArrayBuffer[String]()
     arg(args, "--not-null").foreach(_.split(",").foreach(c =>
       rules += Expectations.notNull(c)))
     arg(args, "--range").foreach(_.split(",").foreach { spec =>
@@ -44,7 +58,38 @@ object Main {
       val Array(c, re) = spec.split(":", 2)
       rules += Expectations.matches(c, re)
     }
-    rules.toSeq
+    arg(args, "--rules").foreach { path =>
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new java.io.File(path))
+      require(root != null && root.isArray,
+        s"--rules file must be a JSON array of rule objects: $path")
+      root.forEach { n =>
+        def req(f: String): com.fasterxml.jackson.databind.JsonNode = {
+          val v = n.get(f)
+          // a malformed contract must fail LOUDLY, naming the rule object
+          if (v == null) sys.error(s"--rules: rule $n is missing field '$f'")
+          v
+        }
+        req("rule").asText() match {
+          case "not_null" => rules += Expectations.notNull(req("col").asText())
+          case "range" => rules += Expectations.inRange(req("col").asText(),
+            org.apache.spark.sql.functions.lit(req("lo").asDouble()),
+            org.apache.spark.sql.functions.lit(req("hi").asDouble()))
+          case "accepted" =>
+            val vs = scala.collection.mutable.ArrayBuffer[String]()
+            req("values").forEach(v => vs += v.asText())
+            rules += Expectations.accepted(req("col").asText(), vs.toSeq)
+          case "matches" =>
+            rules += Expectations.matches(req("col").asText(), req("regex").asText())
+          case "satisfies" => rules += Expectations.satisfies(req("name").asText(),
+            org.apache.spark.sql.functions.expr(req("sql").asText()))
+          case "unique" => uniques += req("col").asText()
+          case other => sys.error(s"--rules: unknown rule type '$other' " +
+            "(not_null|range|accepted|matches|satisfies|unique)")
+        }
+      }
+    }
+    (rules.toSeq, uniques.toSeq)
   }
 
   def main(args: Array[String]): Unit = {
@@ -477,11 +522,21 @@ object Main {
       // flags + --quarantine-path. Loud-pair rule like the other tiers —
       // rules without a path (or a path without rules) is a misuse that
       // must not silently skip the split
-      val dropRules = parseDqRules(args)
+      val (dropRules, dropUniques) = parseDqRules(args)
+      if (dropUniques.nonEmpty)
+        sys.error("drop quarantine is a ROW-LOCAL split: 'unique' rules " +
+          "cannot quarantine individual rows — audit them with `cli dq` instead")
       if (dropRules.nonEmpty != arg(args, "--quarantine-path").isDefined)
-        sys.error("drop needs BOTH dq rule flags and --quarantine-path (or neither)")
+        sys.error("drop needs BOTH dq rules (flags or --rules file) and --quarantine-path (or neither)")
+      // the quarantine seg id makes a crashed-cycle re-run REPLACE its
+      // dead letters instead of duplicating them — so it must be the
+      // operator's stable name for the drop, required explicitly
+      if (arg(args, "--quarantine-path").isDefined && arg(args, "--drop-id").isEmpty)
+        sys.error("drop with --quarantine-path needs --drop-id " +
+          "(the stable cycle name dead letters land under; re-runs replace it)")
       val conf = graft.pipeline.DropCycle.Config(
-        expect = arg(args, "--quarantine-path").map(p => (dropRules, p)),
+        expect = arg(args, "--quarantine-path").map(p =>
+          (dropRules, p, arg(args, "--drop-id").get)),
         textCol = arg(args, "--text-col"),
         bandIdxPath = arg(args, "--band-path"),
         textStatsPath = arg(args, "--text-stats-path"),
@@ -556,11 +611,12 @@ object Main {
       // cost ONE scan; --gate throws listing every failed rule:
       //   cli dq --in t.parquet --not-null a,b --unique k \
       //     --range price:0:1000 --accepted status:F|O \
-      //     --matches 'prio:^[1-5]-' [--gate]
+      //     --matches 'prio:^[1-5]-[A-Z]+$' [--rules contract.json] [--gate]
       import graft.ops.Expectations
       val df = spark.read.parquet(arg(args, "--in").get)
-      val rules = parseDqRules(args)
-      val uniq = arg(args, "--unique").map(_.split(",").toSeq).getOrElse(Nil)
+      val (rules, fileUniques) = parseDqRules(args)
+      val uniq = (arg(args, "--unique").map(_.split(",").toSeq).getOrElse(Nil) ++
+        fileUniques).distinct
       if (flag(args, "--gate")) {
         Expectations.gate(df, rules, uniq)
         println("[cli] dq gate: all expectations hold")

@@ -42,13 +42,14 @@ import graft.ops.{DedupIndex, Sketches}
 object DropCycle {
 
   final case class Config(
-    // step 0: data-quality dead-letter split (rules, quarantinePath) —
-    // dirty rows of the DROP are appended to the quarantine path with
-    // their violated-rule list and never land anywhere downstream; the
-    // cycle proceeds on the clean rows instead of wedging (the
-    // quarantine append is at-least-once under a cycle re-run, like the
-    // streaming sink — dedupe downstream by key if that matters)
-    expect: Option[(Seq[graft.ops.Expectations.Rule], String)] = None,
+    // step 0: data-quality dead-letter split (rules, quarantinePath,
+    // dropId) — dirty rows of the DROP land under
+    // `quarantinePath/seg=<dropId>` with their violated-rule list and
+    // never reach anything downstream; the cycle proceeds on the clean
+    // rows instead of wedging. The seg landing is a staged-swap REPLACE
+    // (the MaterializedAgg layout), so a crashed cycle re-run with the
+    // same dropId replaces its dead letters instead of duplicating them
+    expect: Option[(Seq[graft.ops.Expectations.Rule], String, String)] = None,
     textCol: Option[String] = None,       // steps 3 + 3b + 6 run when set
     bandIdxPath: Option[String] = None,   // default: <lake>.bandidx
     textStatsPath: Option[String] = None, // step 3b: per-doc stats sidecar
@@ -84,12 +85,24 @@ object DropCycle {
   def run(lake: SnapshotLake, dropIn: DataFrame, conf: Config): Map[String, (Long, Long)] = {
     val spark = dropIn.sparkSession
     val (drop, dqReport) = conf.expect match {
-      case Some((rules, qpath)) =>
-        val (clean, dirty) = graft.ops.Expectations.split(dropIn, rules)
+      case Some((rules, qpath, dropId)) =>
+        require(dropId.nonEmpty && dropId.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+          s"quarantine drop id must be [A-Za-z0-9_-]+: '$dropId'")
+        // ONE materialization of the annotated frame: clean, dirty, and
+        // both counts all derive from it, so a nondeterministic source
+        // (re-read table, sampled input) cannot quarantine a row AND
+        // land it — or neither — between independent actions
+        val ann = graft.ops.Expectations.annotate(dropIn, rules)
+          .localCheckpoint(true)
+        import org.apache.spark.sql.functions.{col, size}
+        val dirty = ann.filter(size(col("violated")) > 0)
+        val clean = ann.filter(size(col("violated")) === 0).drop("violated")
         val nDirty = dirty.count()
-        if (nDirty > 0) dirty.write.mode("append").parquet(qpath)
+        // idempotent per drop id: a cycle re-run REPLACES its seg
+        if (nDirty > 0)
+          graft.lake.Staged.land(spark, s"$qpath/seg=$dropId", dirty)
         // the CLEAN slice feeds every downstream tier of this cycle
-        (clean.localCheckpoint(true), Some((clean.count(), nDirty)))
+        (clean, Some((clean.count(), nDirty)))
       case None => (dropIn, None)
     }
     val before = lake.latestVersion

@@ -120,10 +120,13 @@ object EventStreams {
     * upsert the snapshot lake, dirty rows append to a dead-letter
     * parquet path with their violated-rule list and batch id, and the
     * stream keeps running (vs the all-or-nothing gate, which would wedge
-    * ingestion on one bad drop). The quarantine append is AT-LEAST-ONCE
-    * under batch replay (dedupe downstream by (batch_id, key) if
-    * exactly-once dead-letters matter); the lake side stays idempotent
-    * per batch content like every upsert sink.
+    * ingestion on one bad drop). Dead letters land under
+    * `quarantinePath/batch=<id>` via staged-swap REPLACE, so a replayed
+    * micro-batch (crash between the quarantine landing and the lake
+    * commit) rewrites its own segment instead of duplicating rows —
+    * exactly-once dead letters under the engine's batch-id replay
+    * contract; the lake side stays idempotent per batch content like
+    * every upsert sink.
     */
   def quarantineSink(lake: graft.lake.SnapshotLake,
                      rules: Seq[graft.ops.Expectations.Rule],
@@ -132,8 +135,7 @@ object EventStreams {
     upsertSink(drops) { (batch, id) =>
       val (clean, dirty) = graft.ops.Expectations.split(batch, rules)
       if (!dirty.isEmpty)
-        dirty.withColumn("batch_id", org.apache.spark.sql.functions.lit(id))
-          .write.mode("append").parquet(quarantinePath)
+        graft.lake.Staged.land(batch.sparkSession, s"$quarantinePath/batch=$id", dirty)
       if (!clean.isEmpty) lake.upsert(clean)
     }
 

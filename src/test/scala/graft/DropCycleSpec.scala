@@ -32,7 +32,8 @@ class DropCycleSpec extends AnyFunSuite {
       clusterIdxPath = Some(root + "/clidx"),
       zonemap = Some("grp"),
       dsir = Some((col("grp") === 0L, root + "/dsir")),
-      expect = Some((Seq(graft.ops.Expectations.notNull("text")), root + "/quarantine")))
+      expect = Some((Seq(graft.ops.Expectations.notNull("text")),
+        root + "/quarantine", "c1")))
 
     val drop1 = docs(
       (1L, "the quick brown fox jumps over the lazy dog", 0L),
@@ -49,7 +50,8 @@ class DropCycleSpec extends AnyFunSuite {
       (3L, "completely different text about flink engines", 1L),
       (4L, "the quick brown fox jumps over the lazy doge", 0L))
       .unionByName(Seq(("9", null.asInstanceOf[String], 0L)).toDF("_id", "text", "grp"))
-    val r2 = DropCycle.run(lake, drop2, conf)
+    val conf2 = conf.copy(expect = conf.expect.map { case (r, p, _) => (r, p, "c2") })
+    val r2 = DropCycle.run(lake, drop2, conf2)
     assert(r2("lake") == ((1L, 2L)))
     // the dq step split 3 clean / 1 dirty; the dirty row is quarantined
     // with its rule and never landed
@@ -166,7 +168,12 @@ class DropCycleSpec extends AnyFunSuite {
     // every served artifact: fingerprint gates carry all unchanged docs,
     // the rerun's CDC interval nets to zero (identical pre/post rows
     // cancel), HLL re-insertion is a union no-op
-    val r3 = DropCycle.run(lake, drop2, conf)
+    val r3 = DropCycle.run(lake, drop2, conf2)
+    // idempotent dead letters: the rerun REPLACES its seg=c2 quarantine
+    // segment instead of appending a duplicate of row 9
+    val quarAfterRerun = spark.read.parquet(root + "/quarantine").collect()
+    assert(quarAfterRerun.map(_.getString(0)).toSeq == Seq("9"),
+      s"rerun must not duplicate dead letters: ${quarAfterRerun.map(_.getString(0)).toSeq}")
     assert(r3("band") == ((3L, 0L)), s"rerun must re-sign nothing: ${r3("band")}")
     assert(r3("postings") == ((3L, 0L)), s"rerun must re-post nothing: ${r3("postings")}")
     assert(r3("cluster")._2 == 0L, s"rerun must relabel nothing: ${r3("cluster")}")
@@ -294,7 +301,7 @@ class DropCycleSpec extends AnyFunSuite {
     docs((2L, "delta epsilon eta", 1L), (3L, "theta iota kappa", 0L))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .write.parquet(root + "/in2")
-    Seq("/in1", "/in2").foreach { in =>
+    Seq("/in1", "/in2").zipWithIndex.foreach { case (in, i) =>
       graft.cli.Main.run(spark, "drop", Array(
         "--lake", root + "/lake", "--in", root + in, "--text-col", "text",
         "--dims", "grp", "--sums", "chars=n_chars", "--summary-path", root + "/sum",
@@ -305,7 +312,8 @@ class DropCycleSpec extends AnyFunSuite {
         // the shared dq flag surface rides the runbook command: a
         // too-short range on n_chars quarantines nothing here (all rows
         // clean) but exercises the flag parse + pair guard end-to-end
-        "--range", "n_chars:1:100", "--quarantine-path", root + "/quar"))
+        "--range", "n_chars:1:100", "--quarantine-path", root + "/quar",
+        "--drop-id", s"cli$i"))
     }
     val lake = new SnapshotLake(spark, root + "/lake", "_id")
     assert(lake.latestVersion.contains(2L))
@@ -345,6 +353,70 @@ class DropCycleSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
       .orderBy("grp").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(served == oneShot)
+  }
+
+  test("cli: a versionable --rules file drives dq and the drop quarantine; flags still compose") {
+    val root = Files.createTempDirectory("dqrules").toString
+    // the 20-rule production contract lives in a FILE, not a shell line
+    val rulesJson =
+      """[{"rule":"not_null","col":"text"},
+        |{"rule":"range","col":"n_chars","lo":1,"hi":100},
+        |{"rule":"matches","col":"text","regex":"[a-z ]+"},
+        |{"rule":"satisfies","name":"grp_nonneg","sql":"grp >= 0"},
+        |{"rule":"unique","col":"_id"}]""".stripMargin
+    val rulesPath = root + "/contract.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(rulesPath),
+      rulesJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    docs((1L, "alpha beta", 0L), (2L, "gamma delta", 1L))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(root + "/in")
+    // dq gate over a clean input passes with the file contract (incl. the
+    // unique dataset rule); a dirty input fails naming the file's rule
+    graft.cli.Main.run(spark, "dq", Array(
+      "--in", root + "/in", "--rules", rulesPath, "--gate"))
+    docs((3L, "UPPER", 0L), (3L, "lower", -1L))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(root + "/dirty")
+    val ex = intercept[IllegalStateException] {
+      graft.cli.Main.run(spark, "dq", Array(
+        "--in", root + "/dirty", "--rules", rulesPath, "--gate"))
+    }
+    assert(ex.getMessage.contains("matches(text)") &&
+      ex.getMessage.contains("check(grp_nonneg)") &&
+      ex.getMessage.contains("unique(_id)"), ex.getMessage)
+    // drop: row-local file rules quarantine; the dataset 'unique' rule is
+    // rejected loudly (a row-local split cannot enforce it)
+    val uq = intercept[RuntimeException] {
+      graft.cli.Main.run(spark, "drop", Array(
+        "--lake", root + "/lake", "--in", root + "/dirty",
+        "--rules", rulesPath, "--quarantine-path", root + "/quar",
+        "--drop-id", "d1"))
+    }
+    assert(uq.getMessage.contains("unique"), uq.getMessage)
+    val rowLocal = rulesPath + ".rowlocal"
+    java.nio.file.Files.write(java.nio.file.Paths.get(rowLocal),
+      """[{"rule":"not_null","col":"text"},
+        |{"rule":"range","col":"n_chars","lo":1,"hi":100},
+        |{"rule":"matches","col":"text","regex":"[a-z ]+"},
+        |{"rule":"satisfies","name":"grp_nonneg","sql":"grp >= 0"}]""".stripMargin
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    graft.cli.Main.run(spark, "drop", Array(
+      "--lake", root + "/lake", "--in", root + "/dirty",
+      "--rules", rowLocal, "--quarantine-path", root + "/quar",
+      "--drop-id", "d1"))
+    val quar = spark.read.parquet(root + "/quar").collect()
+    assert(quar.length == 2, s"both dirty rows quarantined: ${quar.length}")
+    val lake = new SnapshotLake(spark, root + "/lake", "_id")
+    assert(lake.read.count() == 0, "no clean rows in this drop")
+    // an unknown rule type in the contract fails loudly
+    val badPath = root + "/bad.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(badPath),
+      """[{"rule":"frobnicate","col":"x"}]""".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    val unk = intercept[RuntimeException] {
+      graft.cli.Main.run(spark, "dq", Array("--in", root + "/in", "--rules", badPath))
+    }
+    assert(unk.getMessage.contains("frobnicate"), unk.getMessage)
   }
 
   test("cli drop --emb-in maintains the embeddings-side IVF index at churn cost") {

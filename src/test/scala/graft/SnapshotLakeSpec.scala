@@ -429,6 +429,26 @@ class SnapshotLakeSpec extends AnyFunSuite {
         r.getSeq[String](r.fieldIndex("violated")).toList))
     assert(dead.toSeq ==
       Seq(("bad", 999, List("in_range(v)")), ("worse", -7, List("in_range(v)"))))
+
+    // CRASH REPLAY: simulate a crash between the quarantine landing and
+    // the engine's batch commit — delete the last batch's commit record
+    // so the restart re-runs the SAME batch id. The dead-letter seg is
+    // REPLACED, not appended: zero duplicates across the re-run.
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val commits = fs.listStatus(new org.apache.hadoop.fs.Path(base + "/ckpt/commits"))
+      .map(_.getPath).filter(_.getName.forall(_.isDigit))
+    val last = commits.maxBy(_.getName.toLong)
+    fs.delete(last, false)
+    runFeed() // replays the last batch under its original id
+    val deadAfter = spark.read.parquet(quar).orderBy("_id").collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    assert(deadAfter.toSeq == Seq(("bad", 999), ("worse", -7)),
+      s"batch replay must not duplicate dead letters: ${deadAfter.toSeq}")
+    // and the lake converged identically (upsert idempotent per content)
+    assert(lake.read.orderBy("_id").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq ==
+      Seq(("a", 1), ("b", 2), ("c", 3)))
   }
 
   test("a writer committed past as a stale corpse fails loudly instead of returning success") {
