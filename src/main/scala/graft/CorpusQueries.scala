@@ -139,6 +139,49 @@ object CorpusQueries {
        |SELECT qid, cid, CAST(rank AS BIGINT) AS rank FROM scored
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  /** The greedy MMR recurrence, unrolled: pool = exact-dot top-10 per
+    * query; round 1 picks max rel; each later round max-joins the
+    * (1−λ)-weighted pair dots against the selected set and picks the
+    * best λ·rel − (1−λ)·maxsim survivor. All decisions are single
+    * exact-decimal comparisons, so the unrolled SQL must reproduce the
+    * Spark loop bit-for-bit. Shared by sim_mmr_topk (brute pool) and
+    * sim_mmr_indexed (recall-complete IVF-SQ8 pool: identical pool
+    * membership by construction, so the identical ranking).
+    */
+  private lazy val mmrOracleSql: String = {
+    def round(r: Int): String =
+      s"""s$r AS (SELECT qid, cid, CAST($r AS BIGINT) AS rank FROM (
+         |  SELECT p.qid, p.cid, row_number() OVER (PARTITION BY p.qid
+         |    ORDER BY (p.rel_w - m.ms) DESC, p.cid) AS rn
+         |  FROM pool p
+         |  JOIN (SELECT pd.qid, pd.cand, max(pd.sim_w) AS ms
+         |        FROM pd JOIN sel${r - 1} s ON pd.qid = s.qid AND pd.other = s.cid
+         |        GROUP BY pd.qid, pd.cand) m
+         |    ON p.qid = m.qid AND p.cid = m.cand
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} s2
+         |                    WHERE s2.qid = p.qid AND s2.cid = p.cid)) t
+         |  WHERE rn = 1),
+         |sel$r AS (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM s$r)""".stripMargin
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+       |scored AS (SELECT q.qid, c.vec_id AS cid, c.embedding AS cv,
+       |    ${dotDecSql("q.qv", "c.embedding")} AS rel,
+       |    ${dotDecScaledSql("q.qv", "c.embedding", "0.7")} AS rel_w
+       |  FROM q JOIN embeddings c ON q.qid <> c.vec_id),
+       |pool AS (SELECT qid, cid, cv, rel, rel_w FROM (
+       |  SELECT qid, cid, cv, rel, rel_w,
+       |         row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rnk
+       |  FROM scored) t WHERE rnk <= 10),
+       |pd AS (SELECT a.qid, a.cid AS cand, b.cid AS other,
+       |    ${dotDecScaledSql("a.cv", "b.cv", "0.3")} AS sim_w
+       |  FROM pool a JOIN pool b ON a.qid = b.qid AND a.cid <> b.cid),
+       |s1 AS (SELECT qid, cid, CAST(1 AS BIGINT) AS rank FROM (
+       |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rn
+       |  FROM pool) t WHERE rn = 1),
+       |sel1 AS (SELECT * FROM s1),
+       |${(2 to 5).map(round).mkString(",\n")}
+       |SELECT qid, cid, rank FROM sel5 ORDER BY qid, rank""".stripMargin
+  }
+
   /** Hashed-TF bucket rows (matches TextAnalysis.hashedTf: bucket =
     * first 3 hex nibbles of md5(token), 0..4095).
     */
@@ -896,6 +939,71 @@ object CorpusQueries {
       Similarity.mmrTopK(emb, emb.filter(col("vec_id") % 50 === 0),
           "vec_id", "embedding", 10, 5)
         .orderBy(col("qid"), col("rank"))
+    }),
+
+    // MMR with its pool served FROM the persisted IVF-SQ8 index — the
+    // production retrieval ranking at 100 TB: the round-13 brute |Q|×n
+    // pool pass becomes an inverted-list probe (zero list-build per
+    // query, vectors fetched only for the poolK survivors). Probed
+    // recall-complete (nProbe = nList) the pool equals the brute pool,
+    // so the greedy ranking must hash-match the same unrolled oracle as
+    // sim_mmr_topk. Drop 1 keeps the 8 lowest vec_ids, pinning the seed
+    // codebook the oracle's candidate set is invariant to.
+    "sim_mmr_indexed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_mmridx_q").toString
+      val idx = tmp + "/ivf"
+      SimilarityIndex.build(emb.filter(col("vec_id") % 10 =!= 9),
+        "vec_id", "embedding", idx, nList = 8)
+      SimilarityIndex.refresh(emb, "vec_id", "embedding", idx)
+      val out = Similarity.mmrTopKIndexed(emb, emb.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", idx, poolK = 10, k = 5, nProbe = 8)
+        .orderBy(col("qid"), col("rank"))
+        .localCheckpoint(true) // the scratch index is deleted next
+      new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      out
+    }),
+
+    // ANN recall harness across tiers (round-13 stretch): ONE board of
+    // recall@5 vs the exact brute ranking for every approximate tier on
+    // the shared corpus/query set, each row gated by a pinned floor — a
+    // gate/margin tweak that silently trades recall flips a row to
+    // false and reds the driver hash gate instead of shipping as a
+    // green-but-worse board. ivf_sq8 shares ivf_seed's floor because
+    // its error-bound gate provably reproduces the full-precision IVF
+    // ranking; pca_gate reuses the sim_pca_recall margin contract.
+    // (The sparse-TF tier ranks a different metric space — hashed-token
+    // cosine, not embedding cosine — so "recall vs brute" is not
+    // defined for it; it stays under its own exact oracle.)
+    "sim_recall_board" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % 50 === 0)
+      val exact = Similarity.bruteTopKExact(emb, q, "vec_id", "embedding", 5)
+        .select(col("qid"), col("cid")).localCheckpoint(true)
+      def row(tier: String, approx: org.apache.spark.sql.DataFrame,
+              floorPct: Int): org.apache.spark.sql.DataFrame =
+        exact.join(approx.select(col("qid"), col("cid"), lit(1).as("__hit")),
+            Seq("qid", "cid"), "left_outer")
+          .agg(count(lit(1)).as("n_pairs"),
+            (sum(coalesce(col("__hit"), lit(0))) * 100 >=
+              count(lit(1)) * lit(floorPct)).as("recall_ok"))
+          .select(lit(tier).as("tier"), col("n_pairs"), col("recall_ok"))
+      val kmeansCents = Similarity.ivfCentroidsKMeans(emb, "vec_id", "embedding", 8)
+      val pcaModel = graft.ops.Pca.fit(emb, "embedding", 64, 48)
+      val pcaMargin = math.max(25, math.ceil(emb.count() * 0.2).toInt)
+      Seq(
+        row("brute", exact, 100),
+        row("ivf_kmeans", Similarity.ivfTopKWith(kmeansCents, emb, q,
+          "vec_id", "embedding", 5, 2), 36),
+        row("ivf_seed", Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5, 8, 2), 40),
+        row("ivf_sq8", Similarity.ivfTopKInt8(emb, q, "vec_id", "embedding", 5, 8, 2), 40),
+        row("lsh_multiprobe", Similarity.multiProbeTopKExact(emb, q,
+          "vec_id", "embedding", 5, 4, 64), 36),
+        row("pca_gate", graft.ops.Pca.pcaTopK(emb, q, "vec_id", "embedding",
+          pcaModel, 5, pcaMargin), 95)
+      ).reduce(_ unionByName _).orderBy(col("tier"))
     }),
 
     // IVF ANN: deterministic seed codebook, map-side cell assignment,
@@ -2003,39 +2111,12 @@ object CorpusQueries {
     // best λ·rel − (1−λ)·maxsim survivor. All decisions are single
     // exact-decimal comparisons, so the unrolled SQL must reproduce the
     // Spark loop bit-for-bit
-    "sim_mmr_topk" -> {
-      def round(r: Int): String =
-        s"""s$r AS (SELECT qid, cid, CAST($r AS BIGINT) AS rank FROM (
-           |  SELECT p.qid, p.cid, row_number() OVER (PARTITION BY p.qid
-           |    ORDER BY (p.rel_w - m.ms) DESC, p.cid) AS rn
-           |  FROM pool p
-           |  JOIN (SELECT pd.qid, pd.cand, max(pd.sim_w) AS ms
-           |        FROM pd JOIN sel${r - 1} s ON pd.qid = s.qid AND pd.other = s.cid
-           |        GROUP BY pd.qid, pd.cand) m
-           |    ON p.qid = m.qid AND p.cid = m.cand
-           |  WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} s2
-           |                    WHERE s2.qid = p.qid AND s2.cid = p.cid)) t
-           |  WHERE rn = 1),
-           |sel$r AS (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM s$r)""".stripMargin
-      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
-         |scored AS (SELECT q.qid, c.vec_id AS cid, c.embedding AS cv,
-         |    ${dotDecSql("q.qv", "c.embedding")} AS rel,
-         |    ${dotDecScaledSql("q.qv", "c.embedding", "0.7")} AS rel_w
-         |  FROM q JOIN embeddings c ON q.qid <> c.vec_id),
-         |pool AS (SELECT qid, cid, cv, rel, rel_w FROM (
-         |  SELECT qid, cid, cv, rel, rel_w,
-         |         row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rnk
-         |  FROM scored) t WHERE rnk <= 10),
-         |pd AS (SELECT a.qid, a.cid AS cand, b.cid AS other,
-         |    ${dotDecScaledSql("a.cv", "b.cv", "0.3")} AS sim_w
-         |  FROM pool a JOIN pool b ON a.qid = b.qid AND a.cid <> b.cid),
-         |s1 AS (SELECT qid, cid, CAST(1 AS BIGINT) AS rank FROM (
-         |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rn
-         |  FROM pool) t WHERE rn = 1),
-         |sel1 AS (SELECT * FROM s1),
-         |${(2 to 5).map(round).mkString(",\n")}
-         |SELECT qid, cid, rank FROM sel5 ORDER BY qid, rank""".stripMargin
-    },
+    "sim_mmr_topk" -> mmrOracleSql,
+
+    // the indexed pool is recall-complete (nProbe = nList), so its pool
+    // equals the brute pool and the greedy recurrence must reproduce the
+    // SAME unrolled MMR oracle bit-for-bit
+    "sim_mmr_indexed" -> mmrOracleSql,
 
     "sim_ivf_topk" -> ivfOracleSql,
 
@@ -2204,6 +2285,17 @@ object CorpusQueries {
     "sim_pca_recall" ->
       """SELECT count(DISTINCT vec_id) AS n_queries, true AS recall_ge_095
         |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
+
+    // the floors are the contract: the oracle states every tier's board
+    // row must come back (n_pairs = 5 per query) with its pinned floor
+    // met — a silent recall regression reds the hash gate
+    "sim_recall_board" ->
+      """WITH q AS (SELECT CAST(count(*) * 5 AS BIGINT) AS n_pairs
+        |           FROM embeddings WHERE vec_id % 50 = 0)
+        |SELECT t.tier, q.n_pairs, true AS recall_ok
+        |FROM (VALUES ('brute'), ('ivf_kmeans'), ('ivf_seed'), ('ivf_sq8'),
+        |             ('lsh_multiprobe'), ('pca_gate')) AS t(tier)
+        |CROSS JOIN q ORDER BY tier""".stripMargin,
 
     "sim_quantize_int8" ->
       """WITH b AS (SELECT vec_id,

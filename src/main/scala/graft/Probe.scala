@@ -40,6 +40,32 @@ object Probe {
     }
   }
 
+  /** Numeric recall@5 per ANN tier vs the exact brute ranking — the
+    * measurement behind sim_recall_board's pinned floors (the board
+    * serves oracle-gated booleans; floor re-tuning reads this).
+    */
+  def recall(spark: SparkSession, dir: String): Unit = {
+    import graft.ops.{Pca, Similarity}
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.filter(col("vec_id") % 50 === 0)
+    val exact = Similarity.bruteTopKExact(emb, q, "vec_id", "embedding", 5)
+      .select(col("qid"), col("cid")).localCheckpoint(true)
+    def rec(name: String, ap: org.apache.spark.sql.DataFrame): Unit = {
+      val j = exact.join(ap.select(col("qid"), col("cid"), lit(1).as("h")),
+          Seq("qid", "cid"), "left_outer")
+        .agg(count(lit(1)).as("n"), sum(coalesce(col("h"), lit(0))).as("hits"))
+        .collect().head
+      println(f"[probe] $dir $name%-16s recall=${100.0 * j.getLong(1) / j.getLong(0)}%5.1f%% of ${j.getLong(0)}")
+    }
+    val km = Similarity.ivfCentroidsKMeans(emb, "vec_id", "embedding", 8)
+    rec("ivf_kmeans", Similarity.ivfTopKWith(km, emb, q, "vec_id", "embedding", 5, 2))
+    rec("ivf_seed", Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5, 8, 2))
+    rec("lsh_multiprobe", Similarity.multiProbeTopKExact(emb, q, "vec_id", "embedding", 5, 4, 64))
+    val m = Pca.fit(emb, "embedding", 64, 48)
+    val margin = math.max(25, math.ceil(emb.count() * 0.2).toInt)
+    rec("pca_gate", Pca.pcaTopK(emb, q, "vec_id", "embedding", m, 5, margin))
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
@@ -47,6 +73,7 @@ object Probe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     if (args.lift(1).contains("curate")) { curate(spark, dir); spark.stop(); return }
+    if (args.lift(1).contains("recall")) { recall(spark, dir); spark.stop(); return }
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     time("docs count")(docs.count())
     val withSh = docs.withColumn("__sh", Dedup.shingles(col("text")))

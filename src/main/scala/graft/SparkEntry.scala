@@ -135,6 +135,7 @@ object SparkEntry {
     "q_snapshot_point_lookup", "q_stream_topk", "q_summary_cdc", "q_summary_incremental",
     "q_zonemap_agg", "q_zonemap_range",
     "pca_moments_incremental", "sem_cluster_incremental", "sim_ivf_persisted_topk",
+    "sim_mmr_indexed",
     "txt_bm25_indexed", "txt_dsir_incremental", "txt_lm_incremental", "txt_stats_incremental")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map[String, (SparkSession, String) => DataFrame](

@@ -684,7 +684,6 @@ object Similarity {
     require(k >= 1 && poolK >= k, s"need poolK >= k >= 1: poolK=$poolK k=$k")
     require(lambdaPct >= 0 && lambdaPct <= 100, s"lambdaPct in [0,100]: $lambdaPct")
     val wRel = lambdaPct / 100.0
-    val wSim = (100 - lambdaPct) / 100.0
     val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")))
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
     // the pool ranking needs cv/rel downstream, so the exactTopKTail
@@ -702,6 +701,79 @@ object Similarity {
       .select(col("qid"), col("cid"), col("cv"), col("rel"),
         dotExactDecScaled(col("qv"), col("cv"), wRel).as("rel_w"))
       .localCheckpoint(true) // every greedy round + the pair dots reuse it
+    mmrGreedy(pool, k, lambdaPct)
+  }
+
+  /** MMR over a CALLER-BUILT candidate pool — the seam that composes
+    * diversified retrieval with any ANN tier instead of the brute
+    * |Q|×n scoring pass (the round-13 scale finding). `pool` rows are
+    * (qid, qv, cid, cv): per query, the poolK relevance survivors with
+    * both vectors attached. rel / rel_w / pair sims are computed HERE
+    * with the same exact-decimal kernels as [[mmrTopK]], so two pools
+    * with identical membership rank bit-identically regardless of which
+    * tier produced them.
+    */
+  def mmrTopKFromPool(pool: DataFrame, k: Int, lambdaPct: Int = 70): DataFrame = {
+    require(k >= 1, s"need k >= 1: $k")
+    require(lambdaPct >= 0 && lambdaPct <= 100, s"lambdaPct in [0,100]: $lambdaPct")
+    val wRel = lambdaPct / 100.0
+    val p = pool
+      .select(col("qid"), col("cid"), col("cv"),
+        dotExactDec(col("qv"), col("cv")).as("rel"),
+        dotExactDecScaled(col("qv"), col("cv"), wRel).as("rel_w"))
+      .localCheckpoint(true) // every greedy round + the pair dots reuse it
+    mmrGreedy(p, k, lambdaPct)
+  }
+
+  /** MMR whose pool is served FROM the persisted IVF-SQ8 index
+    * ([[SimilarityIndex.topKInt8]]): the production shape of diversified
+    * retrieval at 100 TB. The index probe touches inverted lists, never
+    * the corpus (zero list-build per query); the corpus is read only for
+    * the poolK-survivor vector fetch — a broadcast EQUI-join against the
+    * corpus scan, so no nested-loop over the corpus appears anywhere in
+    * the plan (plan-asserted by PlanAuditSpec). Greedy rounds and the
+    * exact-decimal deciders are shared with [[mmrTopK]] verbatim: with
+    * a recall-complete probe (nProbe = nList) the result hash-matches
+    * the brute-pool MMR.
+    */
+  def mmrTopKIndexed(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, indexPath: String, poolK: Int, k: Int,
+                     nProbe: Int, lambdaPct: Int = 70): DataFrame = {
+    require(k >= 1 && poolK >= k, s"need poolK >= k >= 1: poolK=$poolK k=$k")
+    mmrTopKFromPool(
+      mmrIndexedPool(corpus, queries, idCol, vecCol, indexPath, poolK, nProbe),
+      k, lambdaPct)
+  }
+
+  /** The index-served pool rows (qid, qv, cid, cv) behind
+    * [[mmrTopKIndexed]], exposed pre-checkpoint so the plan audit can
+    * assert the contract that motivated the seam: every join is an
+    * EQUI join (probe lists on the cell, survivor fetch broadcast on the
+    * id) — no BroadcastNestedLoopJoin / CartesianProduct over the corpus
+    * anywhere, unlike the brute |Q|×n pool.
+    */
+  private[graft] def mmrIndexedPool(corpus: DataFrame, queries: DataFrame,
+                                    idCol: String, vecCol: String, indexPath: String,
+                                    poolK: Int, nProbe: Int): DataFrame = {
+    val pairs = SimilarityIndex.topKInt8(corpus, queries, idCol, vecCol,
+        indexPath, poolK, nProbe)
+      .select(col("qid"), col("cid"))
+    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")))
+    // survivor fetch mirrors ivfTopKInt8FromLists: the |Q|·poolK pair set
+    // broadcasts against the corpus scan — float vectors are scanned in
+    // place, never shuffled
+    corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+      .join(broadcast(pairs), Seq("cid"))
+      .join(q, Seq("qid"))
+  }
+
+  /** The shared greedy recurrence over a materialized pool
+    * (qid, cid, cv, rel, rel_w) — see [[mmrTopK]] for semantics and
+    * determinism; the pool must already be checkpointed (pairs and every
+    * round reuse it).
+    */
+  private def mmrGreedy(pool: DataFrame, k: Int, lambdaPct: Int): DataFrame = {
+    val wSim = (100 - lambdaPct) / 100.0
     // all within-pool pair similarities per query (poolK² per query,
     // exact decimal, already (1−λ)-weighted) — computed ONCE, each
     // round only max-joins them

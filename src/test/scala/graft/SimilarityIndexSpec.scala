@@ -124,6 +124,37 @@ class SimilarityIndexSpec extends AnyFunSuite {
       Similarity.ivfCentroids(drop1, "vec_id", "embedding", 4).map(_._1))
   }
 
+  test("mmrTopKIndexed: index-served pool reproduces brute-pool MMR at full probe; plan never pair-scans the corpus") {
+    val tmp = Files.createTempDirectory("graft_mmridx").toString
+    val idx = tmp + "/ivf"
+    val full = corpus(0L to 39L: _*)
+    SimilarityIndex.build(full, "vec_id", "embedding", idx, nList = 4)
+    val queries = full.filter(col("vec_id") % 10 === 0)
+    // nProbe = nList: every cell probed -> the pool is the exact decimal
+    // top-poolK = the brute pool, so the greedy ranking must hash-match
+    val got = Similarity.mmrTopKIndexed(full, queries, "vec_id", "embedding", idx,
+        poolK = 6, k = 3, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Similarity.mmrTopK(full, queries, "vec_id", "embedding", 6, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want && got.nonEmpty, s"missing=${want -- got} extra=${got -- want}")
+    // the contract that motivated the seam: the index-served pool plans
+    // EQUI joins only — no nested-loop/cartesian over the corpus (the
+    // brute pool's |Q|×n scoring join is exactly such a nested loop)
+    val p = Similarity.mmrIndexedPool(full, queries, "vec_id", "embedding", idx, 6, 4)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"indexed pool must never pair-scan the corpus:\n$p")
+    // a selective probe (nProbe < nList) still serves k rows per query —
+    // the ANN recall trade lives in pool membership, not output shape
+    val sel = Similarity.mmrTopKIndexed(full, queries, "vec_id", "embedding", idx,
+        poolK = 6, k = 3, nProbe = 2)
+      .groupBy(col("qid")).count().collect()
+    assert(sel.nonEmpty && sel.forall(_.getLong(1) == 3L),
+      "selective probe must still fill k ranks per query")
+  }
+
   test("trained build pins the k-means codebook; probes match the recompute under it") {
     val tmp = Files.createTempDirectory("graft_ivfidx3").toString
     val idx = tmp + "/ivf"
