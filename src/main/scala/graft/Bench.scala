@@ -173,6 +173,7 @@ object Bench {
     spark.sharedState.cacheManager.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     Verify.dropStreamSinks(spark) // warmup's stream sinks must not survive into timing
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     System.gc()
 
     val only = sys.env.get("SPARK_GRAFT_ONLY") // debug: regex filter on query names
@@ -199,6 +200,14 @@ object Bench {
       // temp view drops — without this the second pass (and every later
       // query of THIS pass) runs against a heap carrying every sink so far
       Verify.dropStreamSinks(spark)
+      // every streaming query leaves its state-store providers in the
+      // executor-side provider cache with a shared maintenance thread
+      // sweeping them; across 160+ queries × 2 passes the sweep and the
+      // cached stores grow with every stream run and bleed into later
+      // queries' wall time (round-13: run-2 streaming rows 2-4× run-1).
+      // stop() unloads all providers and parks the maintenance task; the
+      // next streaming query restarts both from empty.
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
       System.gc()
       name -> dt
     }
