@@ -182,6 +182,21 @@ object CorpusQueries {
        |SELECT qid, cid, rank FROM sel5 ORDER BY qid, rank""".stripMargin
   }
 
+  /** The brute edit-distance-2 probe-vs-master resolution, shared by the
+    * recompute lookup and the persisted-index probe (the candidate
+    * filter is lossless either way round and the verify exact, so both
+    * must reproduce this bit-for-bit; DuckDB's levenshtein is the same
+    * unit-cost Wagner-Fischer as Spark's).
+    */
+  private lazy val fuzzyLookupOracleSql: String =
+    """WITH p AS (SELECT c_custkey + 1000000 AS probe_id,
+      |                  replace(c_name, '1', '7') AS p_name
+      |           FROM customer WHERE c_custkey % 100 = 0)
+      |SELECT p.probe_id, c.c_custkey AS ref_id,
+      |       CAST(levenshtein(p.p_name, c.c_name) AS BIGINT) AS dist
+      |FROM p JOIN customer c ON levenshtein(p.p_name, c.c_name) <= 2
+      |ORDER BY probe_id, ref_id""".stripMargin
+
   /** Hashed-TF bucket rows (matches TextAnalysis.hashedTf: bucket =
     * first 3 hex nibbles of md5(token), 0..4095).
     */
@@ -1118,6 +1133,33 @@ object CorpusQueries {
           cust.select(col("c_custkey"), col("c_name")), "c_custkey", "c_name",
           maxDist = 2)
         .orderBy(col("probe_id"), col("ref_id"))
+    }),
+
+    // the PERSISTED form of the lookup: chunk index built over 90% of
+    // the master, refreshed to full (the monthly-drop cadence), then the
+    // same mutated probes resolved with zero master-side chunking at
+    // probe time. The pigeonhole is direction-symmetric and the verify
+    // exact, so the indexed result must hash-match the recompute
+    // lookup's own oracle bit-for-bit
+    "enrich_fuzzy_indexed" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_fuzzyidx_q").toString
+      val idx = tmp + "/idx"
+      graft.ops.FuzzyJoinIndex.build(
+        cust.filter(col("c_custkey") % 10 =!= 9).select(col("c_custkey"), col("c_name")),
+        "c_custkey", "c_name", idx, maxDist = 2)
+      graft.ops.FuzzyJoinIndex.refresh(
+        cust.select(col("c_custkey"), col("c_name")), "c_custkey", "c_name", idx)
+      val probes = cust.filter(col("c_custkey") % 100 === 0)
+        .select((col("c_custkey") + 1000000L).as("p_id"),
+          expr("replace(c_name, '1', '7')").as("p_name"))
+      val out = graft.ops.FuzzyJoinIndex.probe(probes, "p_id", "p_name", idx)
+        .orderBy(col("probe_id"), col("ref_id"))
+        .localCheckpoint(true) // the scratch index is deleted next
+      new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      out
     }),
 
     // DSIR-style importance weights (Xie et al. 2023): hashed-bigram
@@ -2192,14 +2234,11 @@ object CorpusQueries {
         |WHERE levenshtein(a.s_name, b.s_name) <= 1
         |ORDER BY a, b""".stripMargin,
 
-    "enrich_fuzzy_lookup" ->
-      """WITH p AS (SELECT c_custkey + 1000000 AS probe_id,
-        |                  replace(c_name, '1', '7') AS p_name
-        |           FROM customer WHERE c_custkey % 100 = 0)
-        |SELECT p.probe_id, c.c_custkey AS ref_id,
-        |       CAST(levenshtein(p.p_name, c.c_name) AS BIGINT) AS dist
-        |FROM p JOIN customer c ON levenshtein(p.p_name, c.c_name) <= 2
-        |ORDER BY probe_id, ref_id""".stripMargin,
+    "enrich_fuzzy_lookup" -> fuzzyLookupOracleSql,
+
+    // index-served probe == recompute lookup == the same brute oracle
+    // (lossless filter either way round; exact verify)
+    "enrich_fuzzy_indexed" -> fuzzyLookupOracleSql,
 
     // hashed-bigram buckets (first 4 md5 nibbles mod 4096), Laplace-
     // smoothed ppm under the target (lang='en') and raw distributions,

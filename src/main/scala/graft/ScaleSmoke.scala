@@ -191,6 +191,34 @@ object ScaleSmoke {
       graft.ops.DedupIndex.candidatePairs(spark, s"$work/bandidx").count()
     }
 
+    // ------------------------------- guarded edit-distance self-join
+    // the round-13 degeneracy measured at scale: a SINGLE-template name
+    // corpus (every string shares the "Name#" prefix chunk) that the
+    // unguarded pigeonhole would funnel into ~n² candidate pairs
+    // (10^10 at the real smoke — unrunnable); the hot-chunk guard drops
+    // the shared-prefix key per string and the join must complete on
+    // digit-chunk selectivity alone
+    phase("fuzzy-selfjoin-guarded") {
+      // pseudo-random digit tails (37·nk mod 10^8: 37 is invertible mod
+      // every 10^p, so two DISTINCT keys can never differ by one digit
+      // substitution) + 1% planted single-char mutations: the true pair
+      // set is exactly the planted ones, and the candidate budget rests
+      // entirely on digit-chunk selectivity once the guard drops the
+      // shared "Name#" prefix key
+      val base = spark.read.parquet(s"$work/orders.parquet")
+        .select(pmod(col("o_orderkey"), lit(10000L * factor)).as("nk")).distinct()
+        .select(col("nk").as("id"),
+          concat(lit("Name#"),
+            format_string("%08d", pmod(col("nk") * 37L, lit(100000000L)))).as("s"))
+      val planted = base.filter(pmod(col("id"), lit(100)) === 0)
+        .select((col("id") + lit(1000000000L)).as("id"),
+          concat(expr("substring(s, 1, 12)"), lit("X")).as("s"))
+      val n = graft.ops.FuzzyJoin.editDistanceSelfJoin(
+        base.unionByName(planted), "id", "s", 1).count()
+      require(n > 0, "planted mutations must pair with their bases")
+      n
+    }
+
     // --------------------------------------- persisted IVF-SQ8 index
     val embsAll = spark.read.parquet(s"$work/embeddings.parquet")
     phase("sim-index-build-90pct") {
@@ -210,6 +238,17 @@ object ScaleSmoke {
       graft.ops.SimilarityIndex.topKInt8(embsAll,
         embsAll.filter(pmod(col("vec_id"), lit(1000)) === 0),
         "vec_id", "embedding", s"$work/ivfidx", 10, 8).count()
+    }
+
+    // diversified retrieval with the pool served FROM the persisted
+    // index (round-14 seam): the probe touches inverted lists + a
+    // poolK-survivor vector fetch; the greedy rounds are pool-sized —
+    // nothing in the phase scales with the corpus except the index probe
+    phase("mmr-indexed-topk") {
+      graft.ops.Similarity.mmrTopKIndexed(embsAll,
+        embsAll.filter(pmod(col("vec_id"), lit(1000)) === 0),
+        "vec_id", "embedding", s"$work/ivfidx",
+        poolK = 50, k = 10, nProbe = 8).count()
     }
 
     // distributed k-means trainer at scale-proportional nList

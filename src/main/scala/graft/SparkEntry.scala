@@ -134,6 +134,7 @@ object SparkEntry {
     "q_lake_time_travel", "q_quantile_sketch_bound", "q_snapshot_changes",
     "q_snapshot_point_lookup", "q_stream_topk", "q_summary_cdc", "q_summary_incremental",
     "q_zonemap_agg", "q_zonemap_range",
+    "enrich_fuzzy_indexed",
     "pca_moments_incremental", "sem_cluster_incremental", "sim_ivf_persisted_topk",
     "sim_mmr_indexed",
     "txt_bm25_indexed", "txt_dsir_incremental", "txt_lm_incremental", "txt_stats_incremental")

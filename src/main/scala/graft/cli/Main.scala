@@ -624,25 +624,48 @@ object Main {
         .orderBy(col("rule")).show(100, truncate = false)
     case "fuzzy" =>
       // edit-distance join (entity resolution): self-join over --in, or
-      // probe-vs-reference with --ref:
+      // probe-vs-reference with --ref; with --index-path the master side
+      // rides the persisted chunk index (build if absent, churn-refresh
+      // if present; probes then resolve with zero master chunking):
       //   cli fuzzy --in names.parquet --id _id --str name --max-dist 1
       //     [--ref master.parquet --ref-id mid --ref-str mname] [--out p]
-      val df = spark.read.parquet(arg(args, "--in").get)
+      //   cli fuzzy --index-path idx --ref master.parquet --ref-id mid --ref-str mname --max-dist 2
+      //   cli fuzzy --index-path idx --in probes.parquet --id pid --str pname [--out p]
       val id = arg(args, "--id").getOrElse("_id")
       val str = arg(args, "--str").getOrElse("name")
       val d = arg(args, "--max-dist").map(_.toInt).getOrElse(1)
-      val pairs = arg(args, "--ref") match {
-        case Some(ref) =>
-          graft.ops.FuzzyJoin.editDistanceJoin(df, id, str,
-            spark.read.parquet(ref), arg(args, "--ref-id").getOrElse(id),
-            arg(args, "--ref-str").getOrElse(str), d)
-        case None => graft.ops.FuzzyJoin.editDistanceSelfJoin(df, id, str, d)
-      }
-      arg(args, "--out") match {
+      def emit(pairs: org.apache.spark.sql.DataFrame): Unit = arg(args, "--out") match {
         case Some(o) =>
           pairs.write.mode("overwrite").parquet(o)
-          println(s"[cli] fuzzy: ${spark.read.parquet(o).count()} pairs within distance $d -> $o")
+          println(s"[cli] fuzzy: ${spark.read.parquet(o).count()} pairs -> $o")
         case None => pairs.orderBy(pairs.columns.map(col): _*).show(100, truncate = false)
+      }
+      (arg(args, "--index-path"), arg(args, "--ref")) match {
+        case (Some(idx), Some(ref)) => // maintain the master index
+          val rid = arg(args, "--ref-id").getOrElse(id)
+          val rstr = arg(args, "--ref-str").getOrElse(str)
+          val refDf = spark.read.parquet(ref)
+          val metaP = new org.apache.hadoop.fs.Path(idx + "/meta")
+          val fs = metaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(metaP)) {
+            val (carried, chunked) = graft.ops.FuzzyJoinIndex.refresh(refDf, rid, rstr, idx)
+            println(s"[cli] fuzzy index refresh: carried $carried, re-chunked $chunked (churn)")
+          } else {
+            val n = graft.ops.FuzzyJoinIndex.build(refDf, rid, rstr, idx, d)
+            println(s"[cli] fuzzy index build: $n master strings -> $idx")
+          }
+        case (Some(idx), None) => // probe the persisted master
+          emit(graft.ops.FuzzyJoinIndex.probe(
+            spark.read.parquet(arg(args, "--in").get), id, str, idx))
+        case (None, _) =>
+          val df = spark.read.parquet(arg(args, "--in").get)
+          emit(arg(args, "--ref") match {
+            case Some(ref) =>
+              graft.ops.FuzzyJoin.editDistanceJoin(df, id, str,
+                spark.read.parquet(ref), arg(args, "--ref-id").getOrElse(id),
+                arg(args, "--ref-str").getOrElse(str), d)
+            case None => graft.ops.FuzzyJoin.editDistanceSelfJoin(df, id, str, d)
+          })
       }
     case "matagg" =>
       // incremental materialized summary: land one partial-agg segment

@@ -75,7 +75,7 @@ object FuzzyJoin {
   private[ops] def chunkSpecs(len: Int, d: Int): Seq[(Int, Int, Int)] =
     chunkSpecsN(len, d + 1)
 
-  private def prep(df: DataFrame, idCol: String, strCol: String): DataFrame =
+  private[ops] def prep(df: DataFrame, idCol: String, strCol: String): DataFrame =
     df.select(col(idCol).as("__id"), col(strCol).as("__s"))
       .filter(col("__s").isNotNull)
       .withColumn("__l", length(col("__s")))
@@ -90,6 +90,100 @@ object FuzzyJoin {
   private def arity(la: Int, d: Int, extra: Int): Int =
     math.max(d + 1, math.min(d + 1 + extra, la))
 
+  /** The distinct chunkable lengths of a prepared side — the driver-side
+    * seed for both chunk and window spec frames (one row per distinct
+    * string LENGTH: bounded by the longest string, not the corpus).
+    */
+  private[ops] def chunkLens(a: DataFrame, d: Int): Seq[Int] = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    a.filter(col("__l") >= d + 1)
+      .select(col("__l")).distinct().as[Int].collect().sorted.toSeq
+  }
+
+  /** Guarded chunk emissions of the chunked side: (__aid, __la, __i,
+    * __key) rows plus the HOT-KEY list the guard dropped against.
+    *
+    * Hot-chunk drop: each string sheds its keys that appear on the hot
+    * list, at most (arity(la) - (d+1)) of them — ≥ d+1 chunks remain
+    * emitted, so the pigeonhole coverage argument is untouched. The
+    * budget derives from the ROW's length: a string too short for the
+    * full d+1+extra arity has less slack and may drop fewer.
+    *
+    * `pinnedHot = None` computes the hot list from THIS corpus's key
+    * populations (pop > cap); a persisted index passes its build-time
+    * list instead so refresh emissions stay comparable across drops
+    * (the pinned-codebook posture — a key that turns hot only after
+    * build keeps serving pairs until a rebuild re-tunes the list, a
+    * performance drift, never a correctness one).
+    */
+  private[ops] def chunkKeysGuarded(a: DataFrame, aLens: Seq[Int], d: Int,
+                                    extra: Int, hotChunkCap: Long,
+                                    pinnedHot: Option[DataFrame]): (DataFrame, DataFrame) = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    val specA = aLens.flatMap(la =>
+      chunkSpecsN(la, arity(la, d, extra)).map { case (i, st, cl) => (la, i, st, cl) })
+      .toDF("__la", "__i", "__st", "__cl")
+    val aKeysAll = a.filter(col("__l") >= d + 1)
+      .join(broadcast(specA), col("__l") === col("__la"))
+      .select(col("__id").as("__aid"), col("__la"), col("__i"),
+        expr("substring(__s, __st, __cl)").as("__key"))
+    val emptyHot = Seq.empty[(Int, Int, String)].toDF("__la", "__i", "__key")
+    if (hotChunkCap <= 0L) return (aKeysAll, emptyHot) // guard disabled
+    val hot = pinnedHot.getOrElse(
+      aKeysAll.groupBy(col("__la"), col("__i"), col("__key"))
+        .agg(count(lit(1)).as("__pop"))
+        .filter(col("__pop") > hotChunkCap)
+        .select(col("__la"), col("__i"), col("__key")))
+    // hot keys outrank non-hot under the desc flag order, so rank ≤
+    // budget selects exactly the string's hot keys, up to the budget
+    val wHot = Window.partitionBy(col("__aid"))
+      .orderBy(col("__ishot").desc, col("__i").asc)
+    val droppable = greatest(lit(0),
+      least(lit(extra), col("__la") - lit(d + 1)))
+    val aKeys = aKeysAll
+      .join(hot.withColumn("__ishot", lit(true)), Seq("__la", "__i", "__key"), "left_outer")
+      .withColumn("__ishot", coalesce(col("__ishot"), lit(false)))
+      .withColumn("__hotrk", row_number().over(wHot))
+      .filter(!(col("__ishot") && col("__hotrk") <= droppable))
+      .select(col("__aid"), col("__la"), col("__i"), col("__key"))
+    (aKeys, hot)
+  }
+
+  /** Window emissions of the probing side: every substring of a `b`
+    * string that could BE a chunk of an `aLens`-length partner — per
+    * target length within ±d, per chunk slot, per ±d start offset.
+    * (2d+1)·Σ arity rows per string, constant in corpus size.
+    */
+  private[ops] def windowKeys(b: DataFrame, aLens: Seq[Int], d: Int,
+                              extra: Int): DataFrame = {
+    val spark = b.sparkSession
+    import spark.implicits._
+    val specB = aLens.flatMap(la =>
+      chunkSpecsN(la, arity(la, d, extra)).flatMap { case (i, st, cl) =>
+        (-d to d).map(off => (la, i, st + off, cl)) })
+      .filter(_._3 >= 1)
+      .toDF("__la", "__i", "__bst", "__cl")
+    b.join(broadcast(specB),
+        col("__la").between(col("__l") - d, col("__l") + d) &&
+          col("__bst") + col("__cl") - 1 <= col("__l"))
+      .select(col("__id").as("__bid"), col("__la"), col("__i"),
+        expr("substring(__s, __bst, __cl)").as("__key"))
+  }
+
+  /** Short-string pairs: an `a` too short to chunk (len ≤ d) forces its
+    * partner under 2d — pair inside the bounded short buckets
+    * (population-, not corpus-, sized).
+    */
+  private[ops] def shortPairs(a: DataFrame, b: DataFrame, d: Int): DataFrame =
+    a.filter(col("__l") <= d)
+      .select(col("__id").as("__aid"), col("__l").as("__al"))
+      .join(b.filter(col("__l") <= 2 * d)
+          .select(col("__id").as("__bid"), col("__l").as("__bl")),
+        abs(col("__al") - col("__bl")) <= d)
+      .select(col("__aid"), col("__bid"))
+
   /** The pigeonhole candidate pass shared by the self- and two-table
     * joins: `a` contributes chunks, `b` contributes window probes
     * (coverage needs only ONE side chunked — the surviving chunk of an
@@ -100,58 +194,12 @@ object FuzzyJoin {
     */
   private[graft] def candidates(a: DataFrame, b: DataFrame, d: Int,
                                 extra: Int, hotChunkCap: Long): DataFrame = {
-    val spark = a.sparkSession
-    import spark.implicits._
-    val aLens = a.filter(col("__l") >= d + 1)
-      .select(col("__l")).distinct().as[Int].collect().sorted.toSeq
-    val specA = aLens.flatMap(la =>
-      chunkSpecsN(la, arity(la, d, extra)).map { case (i, st, cl) => (la, i, st, cl) })
-      .toDF("__la", "__i", "__st", "__cl")
-    val specB = aLens.flatMap(la =>
-      chunkSpecsN(la, arity(la, d, extra)).flatMap { case (i, st, cl) =>
-        (-d to d).map(off => (la, i, st + off, cl)) })
-      .filter(_._3 >= 1)
-      .toDF("__la", "__i", "__bst", "__cl")
-    val aKeysAll = a.filter(col("__l") >= d + 1)
-      .join(broadcast(specA), col("__l") === col("__la"))
-      .select(col("__id").as("__aid"), col("__la"), col("__i"),
-        expr("substring(__s, __st, __cl)").as("__key"))
-    // hot-chunk drop: each string sheds its most-populated keys above
-    // the cap, at most (arity(la) - (d+1)) of them — ≥ d+1 chunks remain
-    // emitted, so the pigeonhole coverage argument is untouched. Hot
-    // keys (pop > cap) always outrank non-hot ones under the desc
-    // population order, so rank ≤ budget selects exactly the hottest.
-    // The budget derives from the ROW's length: a string too short for
-    // the full d+1+extra arity has less slack and may drop fewer.
-    val pops = aKeysAll.groupBy(col("__la"), col("__i"), col("__key"))
-      .agg(count(lit(1)).as("__pop"))
-    val wHot = Window.partitionBy(col("__aid"))
-      .orderBy(col("__pop").desc, col("__i").asc)
-    val droppable = greatest(lit(0),
-      least(lit(extra), col("__la") - lit(d + 1)))
-    val aKeys =
-      if (hotChunkCap <= 0L) aKeysAll // guard disabled
-      else aKeysAll.join(pops, Seq("__la", "__i", "__key"))
-        .withColumn("__hotrk", row_number().over(wHot))
-        .filter(!(col("__pop") > hotChunkCap && col("__hotrk") <= droppable))
-        .select(col("__aid"), col("__la"), col("__i"), col("__key"))
-    val bKeys = b
-      .join(broadcast(specB),
-        col("__la").between(col("__l") - d, col("__l") + d) &&
-          col("__bst") + col("__cl") - 1 <= col("__l"))
-      .select(col("__id").as("__bid"), col("__la"), col("__i"),
-        expr("substring(__s, __bst, __cl)").as("__key"))
+    val aLens = chunkLens(a, d)
+    val (aKeys, _) = chunkKeysGuarded(a, aLens, d, extra, hotChunkCap, None)
+    val bKeys = windowKeys(b, aLens, d, extra)
     val candLong = aKeys.join(bKeys, Seq("__la", "__i", "__key"))
       .select(col("__aid"), col("__bid"))
-    // a too short to chunk (len ≤ d) forces its partner under 2d: pair
-    // inside the bounded short buckets (population-, not corpus-, sized)
-    val candShort = a.filter(col("__l") <= d)
-      .select(col("__id").as("__aid"), col("__l").as("__al"))
-      .join(b.filter(col("__l") <= 2 * d)
-          .select(col("__id").as("__bid"), col("__l").as("__bl")),
-        abs(col("__al") - col("__bl")) <= d)
-      .select(col("__aid"), col("__bid"))
-    candLong.unionByName(candShort)
+    candLong.unionByName(shortPairs(a, b, d))
   }
 
   /** All (a, b, dist) pairs with `levenshtein ≤ maxDist`, a < b by id.

@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted PassJoin chunk index — fuzzy entity resolution against a
+  * MASTER table as a lake artifact instead of a per-batch rebuild.
+  *
+  * The recompute form ([[FuzzyJoin.editDistanceJoin]]) chunks one side
+  * and window-probes the other inside every call — the right shape for
+  * a one-shot join and the wrong one for the reference's actual cadence
+  * (monthly dirty drops resolved against a slowly-churning company
+  * master, reference: OLD/get_entities.py's id matching generalized to
+  * tolerant name matching): at 100 TB the master's chunk keys should be
+  * built once, refreshed on churn, and probed many times — the
+  * [[DedupIndex]] / [[SimilarityIndex]] posture. Layout at `path`
+  * (one [[graft.lake.Staged.landMany]] root — old index, new index, or
+  * none; never torn):
+  *
+  *  - `strings` — (id, s, l): the master rows (the verify join and the
+  *    short bucket read these; the string IS its own change
+  *    fingerprint);
+  *  - `keys` — (id, la, i, key): the guarded chunk emissions of every
+  *    master string long enough to chunk — `arity - droppedHot` rows
+  *    per string, linear in the master;
+  *  - `hot` — (la, i, key): the hot-key list PINNED at build (the
+  *    pinned-codebook posture): refresh drops new strings' chunks
+  *    against this same list, so emissions stay comparable across
+  *    drops. A key that turns hot only after build keeps serving pairs
+  *    until an explicit rebuild re-tunes the list — a performance
+  *    drift, never a correctness one (serving MORE candidates is
+  *    always lossless; the verify is exact);
+  *  - `meta` — (max_dist, extra_chunks, hot_chunk_cap): the build
+  *    parameters every probe/refresh must agree on.
+  *
+  * `refresh` re-chunks ONLY new/changed master strings (anti-join on
+  * (id, s)), carries every other string's key rows verbatim, drops
+  * vanished ids. `probe` window-probes a batch against the persisted
+  * keys — the master is touched only through index tables: zero master
+  * chunking at probe time, probe cost = (2d+1)·Σarity rows per probe
+  * string + per-key candidate pairs. Output matches
+  * [[FuzzyJoin.editDistanceJoin]] exactly (the pigeonhole filter is
+  * lossless in both directions and the levenshtein verify is exact, so
+  * WHICH side is chunked never changes the verified result).
+  */
+object FuzzyJoinIndex {
+
+  final case class Meta(maxDist: Int, extraChunks: Int, hotChunkCap: Long)
+
+  private def readMeta(spark: SparkSession, path: String): Meta = {
+    val p = new org.apache.hadoop.fs.Path(path + "/meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no fuzzy-join index at $path — build it first")
+    val r = spark.read.parquet(path + "/meta").collect().head
+    Meta(r.getAs[Int]("max_dist"), r.getAs[Int]("extra_chunks"),
+      r.getAs[Long]("hot_chunk_cap"))
+  }
+
+  private def tables(spark: SparkSession, path: String): (DataFrame, DataFrame) = (
+    spark.read.parquet(path + "/strings")
+      .select(col("id").as("__id"), col("s").as("__s"), col("l").as("__l")),
+    spark.read.parquet(path + "/keys")
+      .select(col("id").as("__aid"), col("la").as("__la"),
+        col("i").as("__i"), col("key").as("__key")))
+
+  /** Build from scratch over the master `reference`. Returns indexed
+    * string count. Parameters are pinned in `meta`; `hotChunkCap = 0`
+    * disables the guard (every chunk served).
+    */
+  def build(reference: DataFrame, refId: String, refStr: String, path: String,
+            maxDist: Int, extraChunks: Int = 1, hotChunkCap: Long = 4096L): Long = {
+    require(maxDist >= 1 && maxDist <= 8, s"maxDist must be in [1, 8]: $maxDist")
+    require(extraChunks >= 0 && extraChunks <= 8,
+      s"extraChunks must be in [0, 8]: $extraChunks")
+    val spark = reference.sparkSession
+    import spark.implicits._
+    val r = FuzzyJoin.prep(reference, refId, refStr)
+    val (keys, hot) = FuzzyJoin.chunkKeysGuarded(
+      r, FuzzyJoin.chunkLens(r, maxDist), maxDist, extraChunks, hotChunkCap, None)
+    graft.lake.Staged.landMany(spark, path, Seq(
+      "strings" -> r.select(col("__id").as("id"), col("__s").as("s"), col("__l").as("l")),
+      "keys" -> keys.select(col("__aid").as("id"), col("__la").as("la"),
+        col("__i").as("i"), col("__key").as("key")),
+      "hot" -> hot.select(col("__la").as("la"), col("__i").as("i"), col("__key").as("key")),
+      "meta" -> Seq((maxDist, extraChunks, hotChunkCap))
+        .toDF("max_dist", "extra_chunks", "hot_chunk_cap")))
+    spark.read.parquet(path + "/strings").count()
+  }
+
+  /** Churn-proportional refresh under the PINNED hot list: carry
+    * unchanged strings' key rows verbatim, chunk only new/changed ids,
+    * drop vanished ones. The passed `reference` is the full current
+    * master (deletions are the difference). Returns
+    * (carriedStrings, chunkedStrings).
+    */
+  def refresh(reference: DataFrame, refId: String, refStr: String,
+              path: String): (Long, Long) = {
+    val spark = reference.sparkSession
+    val meta = readMeta(spark, path)
+    val (oldStrings, oldKeys) = tables(spark, path)
+    val cur = FuzzyJoin.prep(reference, refId, refStr)
+    val pinnedHot = spark.read.parquet(path + "/hot")
+      .select(col("la").as("__la"), col("i").as("__i"), col("key").as("__key"))
+    // unchanged ids: the string is its own fingerprint
+    val carriedIds = oldStrings.join(cur, Seq("__id", "__s"), "left_semi")
+      .select(col("__id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fresh = cur.join(oldStrings, Seq("__id", "__s"), "left_anti")
+      .localCheckpoint(true)
+    val (freshKeys, _) = FuzzyJoin.chunkKeysGuarded(
+      fresh, FuzzyJoin.chunkLens(fresh, meta.maxDist),
+      meta.maxDist, meta.extraChunks, meta.hotChunkCap, Some(pinnedHot))
+    val carriedN = carriedIds.count()
+    val freshN = fresh.count()
+    graft.lake.Staged.landMany(spark, path, Seq(
+      "strings" -> cur.select(col("__id").as("id"), col("__s").as("s"), col("__l").as("l")),
+      "keys" -> oldKeys.join(carriedIds.select(col("__id").as("__aid")), Seq("__aid"), "left_semi")
+        .unionByName(freshKeys)
+        .select(col("__aid").as("id"), col("__la").as("la"),
+          col("__i").as("i"), col("__key").as("key")),
+      "hot" -> spark.read.parquet(path + "/hot"),
+      "meta" -> spark.read.parquet(path + "/meta")))
+    carriedIds.unpersist()
+    (carriedN, freshN)
+  }
+
+  /** Resolve a probe batch against the indexed master: every
+    * (probe_id, ref_id, dist) with `levenshtein ≤ maxDist` — identical
+    * output to [[FuzzyJoin.editDistanceJoin]] against the master the
+    * index currently reflects, with ZERO master-side chunking at probe
+    * time (probes window-probe the persisted keys; the pigeonhole is
+    * direction-symmetric, so chunking the master instead of the probes
+    * preserves losslessness).
+    */
+  def probe(probes: DataFrame, probeId: String, probeStr: String,
+            path: String): DataFrame = {
+    val spark = probes.sparkSession
+    import spark.implicits._
+    val meta = readMeta(spark, path)
+    val d = meta.maxDist
+    val (refStrings, refKeys) = tables(spark, path)
+    val p = FuzzyJoin.prep(probes, probeId, probeStr)
+    // the indexed chunkable lengths: one row per distinct LENGTH
+    val aLens = refStrings.filter(col("__l") >= d + 1)
+      .select(col("__l")).distinct().as[Int].collect().sorted.toSeq
+    val bKeys = FuzzyJoin.windowKeys(p, aLens, d, meta.extraChunks)
+    val candLong = refKeys.join(bKeys, Seq("__la", "__i", "__key"))
+      .select(col("__aid"), col("__bid"))
+    candLong.unionByName(FuzzyJoin.shortPairs(refStrings, p, d))
+      .distinct()
+      .select(col("__bid").as("probe_id"), col("__aid").as("ref_id"))
+      .join(p.select(col("__id").as("probe_id"), col("__s").as("__sa")), "probe_id")
+      .join(refStrings.select(col("__id").as("ref_id"), col("__s").as("__sb")), "ref_id")
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb")).cast("long"))
+      .filter(col("dist") <= d)
+      .select(col("probe_id"), col("ref_id"), col("dist"))
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{FuzzyJoin, FuzzyJoinIndex}
+
+class FuzzyJoinIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def master = Seq(
+    (1L, "acme corporation"),
+    (2L, "acme corpoation"), // deletion-1 of 1
+    (3L, "globex industries"),
+    (4L, "globex industrees"),
+    (5L, "ab"),              // short: len ≤ 2d at d=1? len 2 ≤ 2 — short-bucket b side
+    (6L, "a"),               // too short to chunk at d=1
+    (7L, "initech llc"),
+    (8L, "umbrella corp")
+  ).toDF("rid", "rname")
+
+  private def probes = Seq(
+    (101L, "acme corporation"),   // exact
+    (102L, "acme corporatio"),    // deletion
+    (103L, "globex industries!"), // insertion
+    (104L, "b"),                  // short probe
+    (105L, "completely unrelated name")
+  ).toDF("pid", "pname")
+
+  test("build + probe reproduces editDistanceJoin exactly, incl. short strings both sides") {
+    val root = Files.createTempDirectory("fuzzyidx").toString + "/idx"
+    val n = FuzzyJoinIndex.build(master, "rid", "rname", root, maxDist = 1)
+    assert(n == 8L)
+    val got = FuzzyJoinIndex.probe(probes, "pid", "pname", root)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = FuzzyJoin.editDistanceJoin(probes, "pid", "pname",
+        master, "rid", "rname", maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want && got.nonEmpty,
+      s"missing=${want -- got} extra=${got -- want}")
+    // the short buckets really fired: the 1-char probe resolved against
+    // the short master rows
+    assert(got.exists(_._1 == 104L), s"short probe must resolve: $got")
+  }
+
+  test("refresh re-chunks only the churn, drops vanished ids, pins the hot list") {
+    val root = Files.createTempDirectory("fuzzyidx2").toString + "/idx"
+    FuzzyJoinIndex.build(master, "rid", "rname", root, maxDist = 1)
+    val hotBefore = spark.read.parquet(root + "/hot").collect().toSet
+    // drop id 8, change id 7, add id 9
+    val next = master.filter(col("rid") =!= 8L && col("rid") =!= 7L)
+      .unionByName(Seq((7L, "initech limited"), (9L, "hooli inc")).toDF("rid", "rname"))
+    val (carried, chunked) = FuzzyJoinIndex.refresh(next, "rid", "rname", root)
+    assert(carried == 6L && chunked == 2L,
+      s"refresh must follow the churn: carried=$carried chunked=$chunked")
+    assert(spark.read.parquet(root + "/hot").collect().toSet == hotBefore,
+      "the hot list is pinned at build; refresh must not retune it")
+    // the refreshed index serves the NEW master exactly
+    val got = FuzzyJoinIndex.probe(probes, "pid", "pname", root)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = FuzzyJoin.editDistanceJoin(probes, "pid", "pname",
+        next, "rid", "rname", maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    // vanished id 8 serves nothing
+    assert(!got.exists(_._2 == 8L))
+  }
+
+  test("cli fuzzy --index-path: build, churn refresh, probe round-trip") {
+    val root = Files.createTempDirectory("fuzzycli").toString
+    master.write.parquet(root + "/master")
+    probes.write.parquet(root + "/probes")
+    graft.cli.Main.run(spark, "fuzzy", Array(
+      "--index-path", root + "/idx", "--ref", root + "/master",
+      "--ref-id", "rid", "--ref-str", "rname", "--max-dist", "1"))
+    // second maintain call with the same master = all-carried refresh
+    graft.cli.Main.run(spark, "fuzzy", Array(
+      "--index-path", root + "/idx", "--ref", root + "/master",
+      "--ref-id", "rid", "--ref-str", "rname"))
+    graft.cli.Main.run(spark, "fuzzy", Array(
+      "--index-path", root + "/idx", "--in", root + "/probes",
+      "--id", "pid", "--str", "pname", "--out", root + "/pairs"))
+    val got = spark.read.parquet(root + "/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = FuzzyJoin.editDistanceJoin(probes, "pid", "pname",
+        master, "rid", "rname", maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("probe against a guarded templated master stays lossless with the pinned hot list") {
+    val root = Files.createTempDirectory("fuzzyidx3").toString + "/idx"
+    // single-template master: the shared "TMPL#" prefix chunk is hot at
+    // build (cap 32) and dropped from the served keys
+    val n = 200
+    val ref = (0 until n).map(i =>
+      (i.toLong, "TMPL#" + f"$i%05d".reverse + f"$i%05d".reverse)).toDF("rid", "rname")
+    FuzzyJoinIndex.build(ref, "rid", "rname", root, maxDist = 1,
+      extraChunks = 1, hotChunkCap = 32L)
+    assert(spark.read.parquet(root + "/hot").count() >= 1L,
+      "the template prefix key must be hot at build")
+    // probes: distance-1 mutations of a sample of masters
+    val p = (0 until n by 7).map(i =>
+      (1000L + i, "TMPL#" + f"$i%05d".reverse + f"$i%05d".reverse.dropRight(1) + "!"))
+      .toDF("pid", "pname")
+    val got = FuzzyJoinIndex.probe(p, "pid", "pname", root)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = FuzzyJoin.editDistanceJoin(p, "pid", "pname",
+        ref, "rid", "rname", maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want && got.size >= n / 7,
+      s"guarded index must stay lossless: missing=${want -- got} extra=${got -- want}")
+  }
+}

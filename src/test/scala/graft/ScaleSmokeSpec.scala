@@ -17,7 +17,9 @@ class ScaleSmokeSpec extends AnyFunSuite {
     assert(names == Seq("inflate-inputs", "ingest-bulk-90pct", "ingest-drop-10pct",
       "zonemap-lake-cluster", "zonemap-build", "zonemap-range-scan", "zonemap-append-refresh",
       "dedup-index-build-90pct", "dedup-index-refresh-10pct", "dedup-candidate-pairs",
+      "fuzzy-selfjoin-guarded",
       "sim-index-build-90pct", "sim-index-refresh-10pct", "sim-indexed-topk-500q",
+      "mmr-indexed-topk",
       "kmeans-trainer-nlist128", "pca-moments-build-90pct", "pca-moments-drop-10pct",
       "pca-fit-from-index", "sparse-sim-topk", "semdedup-labels",
       "semidx-build-90pct", "semidx-refresh-10pct",
