@@ -124,6 +124,50 @@ object FuzzyJoinIndex {
     (carriedN, freshN)
   }
 
+  /** Delta UPSERT — the streaming / foreachBatch form of [[refresh]]:
+    * add or replace exactly the batch's master strings under the PINNED
+    * hot list, leaving every other string's rows untouched (no drop
+    * semantics — deletions are a master-level [[refresh]] decision, not
+    * a micro-batch one). A re-delivered unchanged string keeps its key
+    * rows verbatim, so replaying a feed never re-chunks the steady
+    * state. Returns (carriedBatchStrings, chunkedBatchStrings).
+    */
+  def upsert(batch: DataFrame, refId: String, refStr: String,
+             path: String): (Long, Long) = {
+    val spark = batch.sparkSession
+    val meta = readMeta(spark, path)
+    val (oldStrings, oldKeys) = tables(spark, path)
+    val cur = FuzzyJoin.prep(batch, refId, refStr)
+    val pinnedHot = spark.read.parquet(path + "/hot")
+      .select(col("la").as("__la"), col("i").as("__i"), col("key").as("__key"))
+    val batchIds = cur.select(col("__id"))
+    // batch strings re-delivered unchanged: rows verbatim
+    val carriedIds = oldStrings.join(cur, Seq("__id", "__s"), "left_semi")
+      .select(col("__id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fresh = cur.join(oldStrings, Seq("__id", "__s"), "left_anti")
+      .localCheckpoint(true)
+    val (freshKeys, _) = FuzzyJoin.chunkKeysGuarded(
+      fresh, FuzzyJoin.chunkLens(fresh, meta.maxDist),
+      meta.maxDist, meta.extraChunks, meta.hotChunkCap, Some(pinnedHot))
+    val carriedN = carriedIds.count()
+    val freshN = fresh.count()
+    // strings/keys outside this batch: untouched
+    val otherStrings = oldStrings.join(batchIds, Seq("__id"), "left_anti")
+    val otherOrCarriedKeys = oldKeys.join(
+      fresh.select(col("__id").as("__aid")), Seq("__aid"), "left_anti")
+    graft.lake.Staged.landMany(spark, path, Seq(
+      "strings" -> otherStrings.unionByName(cur)
+        .select(col("__id").as("id"), col("__s").as("s"), col("__l").as("l")),
+      "keys" -> otherOrCarriedKeys.unionByName(freshKeys)
+        .select(col("__aid").as("id"), col("__la").as("la"),
+          col("__i").as("i"), col("__key").as("key")),
+      "hot" -> spark.read.parquet(path + "/hot"),
+      "meta" -> spark.read.parquet(path + "/meta")))
+    carriedIds.unpersist()
+    (carriedN, freshN)
+  }
+
   /** Resolve a probe batch against the indexed master: every
     * (probe_id, ref_id, dist) with `levenshtein ≤ maxDist` — identical
     * output to [[FuzzyJoin.editDistanceJoin]] against the master the

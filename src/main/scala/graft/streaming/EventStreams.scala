@@ -172,6 +172,21 @@ object EventStreams {
       if (!batch.isEmpty) graft.ops.DedupIndex.upsert(batch, idCol, textCol, idxPath)
     }
 
+  /** The fuzzy-master twin of [[dedupIndexSink]]: each micro-batch of
+    * master rows delta-upserts the persisted PassJoin chunk index
+    * ([[graft.ops.FuzzyJoinIndex.upsert]]) under the hot-key list pinned
+    * at build — re-delivered unchanged strings carry verbatim, so
+    * replaying a master feed never re-chunks the steady state and a
+    * probe after any batch resolves against exactly the master seen so
+    * far. The index must be BUILT before the stream starts (the hot
+    * list needs a corpus to tune against, not a micro-batch).
+    */
+  def fuzzyIndexSink(idxPath: String, idCol: String, strCol: String)(
+      masterRows: DataFrame): DataStreamWriter[org.apache.spark.sql.Row] =
+    upsertSink(masterRows) { (batch, _) =>
+      if (!batch.isEmpty) graft.ops.FuzzyJoinIndex.upsert(batch, idCol, strCol, idxPath)
+    }
+
   /** The ANN twin of [[dedupIndexSink]]: each micro-batch of embedding
     * rows upserts the persisted IVF-SQ8 lists under the pinned codebook
     * ([[graft.ops.SimilarityIndex.upsert]]). The index must be BUILT

@@ -67,6 +67,57 @@ class FuzzyJoinIndexSpec extends AnyFunSuite {
     assert(!got.exists(_._2 == 8L))
   }
 
+  test("upsert: batch delta under the pinned hot list; streaming sink replay converges to the final master") {
+    val root = Files.createTempDirectory("fuzzyups").toString
+    val idx = root + "/idx"
+    FuzzyJoinIndex.build(master, "rid", "rname", idx, maxDist = 1)
+    // batch = {1 re-delivered unchanged, 7 changed, 9 new}: strings/keys
+    // outside the batch stay untouched (no drop semantics)
+    val batch = Seq(
+      (1L, "acme corporation"),  // unchanged
+      (7L, "initech limited"),   // changed
+      (9L, "hooli inc")          // new
+    ).toDF("rid", "rname")
+    val (carried, chunked) = FuzzyJoinIndex.upsert(batch, "rid", "rname", idx)
+    assert(carried == 1L && chunked == 2L, s"carried=$carried chunked=$chunked")
+    val after = spark.read.parquet(idx + "/strings")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(after.size == 9 && after(7L) == "initech limited" &&
+      after(8L) == "umbrella corp" && after(9L) == "hooli inc")
+    // probe equals the direct join against the upserted master
+    val cur = master.filter(col("rid") =!= 7L)
+      .unionByName(Seq((7L, "initech limited"), (9L, "hooli inc")).toDF("rid", "rname"))
+    val got = FuzzyJoinIndex.probe(probes, "pid", "pname", idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = FuzzyJoin.editDistanceJoin(probes, "pid", "pname",
+        cur, "rid", "rname", maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+
+    // streaming maintenance: a batched master feed through the sink
+    // converges to exactly the refresh-maintained index state
+    val feed = root + "/feed"
+    val idx2 = root + "/idx2"
+    FuzzyJoinIndex.build(master.limit(0), "rid", "rname", idx2, maxDist = 1)
+    val all = master.collect().map(r => (r.getLong(0), r.getString(1)))
+    all.grouped(3).zipWithIndex.foreach { case (rows, i) =>
+      rows.toSeq.toDF("rid", "rname").coalesce(1).write.parquet(s"$feed/b$i")
+    }
+    val stream = spark.readStream.schema(master.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$feed/*")
+    val q = graft.streaming.EventStreams.fuzzyIndexSink(idx2, "rid", "rname")(stream)
+      .option("checkpointLocation", root + "/ckpt")
+      .start()
+    q.awaitTermination()
+    val gotS = FuzzyJoinIndex.probe(probes, "pid", "pname", idx2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val wantS = FuzzyJoin.editDistanceJoin(probes, "pid", "pname",
+        master, "rid", "rname", maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotS == wantS && gotS.nonEmpty,
+      s"stream-maintained index must serve the final master: missing=${wantS -- gotS} extra=${gotS -- wantS}")
+  }
+
   test("cli fuzzy --index-path: build, churn refresh, probe round-trip") {
     val root = Files.createTempDirectory("fuzzycli").toString
     master.write.parquet(root + "/master")
