@@ -562,6 +562,26 @@ object CorpusQueries {
         .orderBy(col("source"), col("doc_id"))
     }),
 
+    // systematic PPS sampling with multiplicity: documents sampled
+    // proportionally to char mass on the exact-integer cumulative axis
+    // (a doc heavier than the step repeats — the "epochs ∝ weight"
+    // primitive); the global prefix sum is range-partitioned + driver-
+    // folded offsets, never a single-partition window
+    "q_sample_pps" -> ((s, dir) => {
+      graft.ops.Curation.samplePps(
+          t(s, dir, "documents").select(col("doc_id"), length(col("text")).as("w")),
+          "doc_id", "w", step = 997L)
+        .orderBy(col("doc_id"))
+    }),
+
+    // deterministic corpus shuffle for training order: hash-of-id
+    // positions 0..n-1 + round-robin shard striping, assigned by range
+    // partition + per-partition zip (the W1 posture, no global sort)
+    "q_shuffle_order" -> ((s, dir) => {
+      graft.ops.Curation.shuffleOrder(t(s, dir, "documents"), "doc_id", nShards = 16)
+        .orderBy(col("pos"))
+    }),
+
     // deterministic stratified sample: 10 docs per language by content-
     // hash order (uniform AND engine/run/partitioning-reproducible — no
     // rand() anywhere)
@@ -1802,6 +1822,30 @@ object CorpusQueries {
         |         row_number() OVER (PARTITION BY lang ORDER BY md5('s0' || text), doc_id) AS rn
         |  FROM documents) t
         |WHERE rn <= 10 ORDER BY lang, doc_id""".stripMargin,
+
+    // selection depends ONLY on the global cumulative sums in hash order
+    // — Spark's range-partitioned two-pass scan must agree bit-for-bit
+    // with the window prefix sum. Operands positive, so truncating div
+    // is floor in both engines; the window SUM is HUGEINT → cast
+    "q_sample_pps" ->
+      """WITH w AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS weight,
+        |                  md5('s0' || CAST(doc_id AS VARCHAR)) AS h
+        |           FROM documents WHERE length(text) > 0),
+        |c AS (SELECT doc_id, weight,
+        |             SUM(weight) OVER (ORDER BY h, doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM w)
+        |SELECT doc_id, weight, CAST(cum // 997 - (cum - weight) // 997 AS BIGINT) AS copies
+        |FROM c WHERE cum // 997 > (cum - weight) // 997
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_shuffle_order" ->
+      """WITH h AS (SELECT doc_id, md5('s0' || CAST(doc_id AS VARCHAR)) AS h
+        |           FROM documents),
+        |p AS (SELECT doc_id, row_number() OVER (ORDER BY h) - 1 AS pos FROM h)
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |       CAST(pos % 16 AS BIGINT) AS shard
+        |FROM p ORDER BY pos""".stripMargin,
 
     "txt_nfc_dedup" ->
       """SELECT doc_id,

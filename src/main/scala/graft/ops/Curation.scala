@@ -155,6 +155,81 @@ object Curation {
     df.withColumn("shard", substring(md5(col(contentCol)), 1, hexChars))
   }
 
+  /** Systematic probability-proportional-to-size sampling WITH
+    * MULTIPLICITY — the "epochs ∝ quality weight" curation primitive: a
+    * row whose integer weight w covers m multiples of `step` on the
+    * global cumulative-weight axis is emitted with `copies = m` (so a
+    * document heavier than `step` repeats, the standard PPS treatment
+    * of large units), and Σ copies = ⌊Σw / step⌋ EXACTLY. Rows are laid
+    * on the axis in seeded-hash-of-id order (randomized systematic
+    * sampling: deterministic, engine/run/partitioning-reproducible, no
+    * rand()), so the inclusion probability of a light row is w/step.
+    * Rows with null or non-positive weight carry no mass and are
+    * excluded.
+    *
+    * Scale posture: the global prefix sum is NOT a single-partition
+    * window — range-partition on the order key, one per-partition sum
+    * pass (numPartitions longs to the driver), then a per-partition
+    * streaming scan with folded offsets (the W1 IdAssign posture).
+    * Returns (idCol, weight, copies), copies ≥ 1.
+    */
+  def samplePps(df: DataFrame, idCol: String, weightCol: String, step: Long,
+                seed: String = "s0"): DataFrame = {
+    require(step >= 1L, s"step must be >= 1: $step")
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val sorted = df
+      .select(col(idCol), col(weightCol).cast("long").as("weight"))
+      .filter(col("weight").isNotNull && col("weight") > 0)
+      .withColumn("__h", md5(concat(lit(seed), col(idCol).cast("string"))))
+      .repartitionByRange(parts, col("__h"), col(idCol))
+      .sortWithinPartitions(col("__h"), col(idCol))
+      .localCheckpoint(true) // BOTH rdd passes must see one materialized
+                             // partitioning, or the offsets lie
+    val wIdx = sorted.schema.fieldIndex("weight")
+    val partSums = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L; it.foreach(r => s += r.getLong(wIdx)); Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = spark.sparkContext.broadcast(partSums.scanLeft(0L)(_ + _))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "copies", org.apache.spark.sql.types.LongType, nullable = false))
+    val rows = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var cum = offsets.value(i)
+      it.map { r =>
+        val w = r.getLong(wIdx)
+        val lo = cum
+        cum += w
+        // multiples of `step` inside (lo, cum]: positive operands, so
+        // truncating div IS floor and both engines agree exactly
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (cum / step - lo / step))
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+      .filter(col("copies") >= 1L)
+      .select(col(idCol), col("weight"), col("copies"))
+  }
+
+  /** Deterministic global training order: every row gets a contiguous
+    * position 0..n-1 in seeded-hash-of-id order (a reproducible corpus
+    * shuffle — no rand(), identical across engines, runs, and input
+    * partitioning) and a round-robin `shard = pos mod nShards`, the
+    * striping that gives every shard an even interleave of the shuffled
+    * order. Positions ride [[graft.versions.IdAssign.assignSequential]]
+    * (range partition + per-partition zip, no global sort); ids must be
+    * unique.
+    */
+  def shuffleOrder(df: DataFrame, idCol: String, nShards: Int,
+                   seed: String = "s0"): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1: $nShards")
+    graft.versions.IdAssign.assignSequential(
+        df.select(col(idCol))
+          .withColumn("__h", md5(concat(lit(seed), col(idCol).cast("string")))),
+        "__h", 0L)
+      .select(col(idCol), col("seq").as("pos"),
+        pmod(col("seq"), lit(nShards.toLong)).as("shard"))
+  }
+
   /** First 4 hex nibbles of md5(`s`) as an integer bucket in
     * [0, nBuckets) — the hashed-feature trick both engines reproduce
     * exactly (md5 string equality is already the backbone of the MinHash

@@ -889,6 +889,46 @@ class OpsSpec extends AnyFunSuite {
     assert(off == brute)
   }
 
+  test("samplePps: exact total multiplicity, heavy rows repeat, partitioning-independent") {
+    import graft.ops.Curation
+    val rows = (1L to 300L).map(i => (i, 10L + (i % 7) * 13L)) ++
+      Seq((1000L, 5000L)) // heavier than the step: must repeat
+    val df = rows.toDF("id", "w")
+    val step = 997L
+    val got = Curation.samplePps(df, "id", "w", step).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val totalW = rows.map(_._2).sum
+    assert(got.map(_._3).sum == totalW / step,
+      s"sum of copies must be floor(totalW/step) exactly: ${got.map(_._3).sum} vs ${totalW / step}")
+    assert(got.find(_._1 == 1000L).exists(_._3 >= 5000L / step),
+      s"a heavy row covers >= w/step selection points: ${got.find(_._1 == 1000L)}")
+    // the selection depends only on the global hash order, never the
+    // input partitioning
+    val re = Curation.samplePps(df.repartition(7, col("w")), "id", "w", step)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(re.toSet == got.toSet, "PPS selection must be partitioning-independent")
+    // zero/null weights carry no mass
+    val withZero = df.unionByName(Seq((2000L, 0L)).toDF("id", "w"))
+    assert(!Curation.samplePps(withZero, "id", "w", step).collect()
+      .exists(_.getLong(0) == 2000L))
+  }
+
+  test("shuffleOrder: a permutation with balanced round-robin shards, partitioning-independent") {
+    import graft.ops.Curation
+    val df = (1L to 333L).toDF("id")
+    val got = Curation.shuffleOrder(df, "id", nShards = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._2).sorted.toSeq == (0L until 333L).toSeq,
+      "positions must be a contiguous permutation")
+    assert(got.forall { case (_, pos, sh) => sh == pos % 16 })
+    val bySh = got.groupBy(_._3).view.mapValues(_.length)
+    assert(bySh.values.max - bySh.values.min <= 1,
+      s"round-robin striping must balance shards: $bySh")
+    val re = Curation.shuffleOrder(df.repartition(5), "id", nShards = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(re.toSet == got.toSet, "the shuffle order must be partitioning-independent")
+  }
+
   test("dsirWeights incremental tier: merged segments == one-shot; signed changes retract exactly") {
     import graft.ops.Curation
     val docs = Seq(
