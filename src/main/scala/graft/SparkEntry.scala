@@ -130,6 +130,7 @@ object SparkEntry {
   val integrationQueries: Set[String] = Set(
     "dedup_cluster_incremental", "dedup_incremental", "ingest_orc_roundtrip", "ntp_repair_report",
     "q_approx_distinct_bound", "q_cdc_consume", "q_distinct_incremental",
+    "q_hll_set_algebra",
     "q_heavy_hitters", "q_hist_median_est", "q_lake_point_lookup",
     "q_lake_time_travel", "q_quantile_sketch_bound", "q_snapshot_changes",
     "q_snapshot_point_lookup", "q_stream_topk", "q_summary_cdc", "q_summary_incremental",
@@ -1549,6 +1550,50 @@ object SparkEntry {
       out
     }),
 
+    // HLL SET ALGEBRA — the join-cardinality-estimation primitive: two
+    // independently-maintained sketch tiers (customers active before /
+    // since 1995, per priority, 2 drops each) serve |A|, |B|, |A∪B| and
+    // the inclusion-exclusion |A∩B| from KB-sized sketches, no raw scan
+    // of either side. The driver-checked contract: exact intersection +
+    // union from DuckDB, and the estimate must sit within 4% OF THE
+    // UNION (the honest bound — three ~0.8% estimates compound, and an
+    // intersection has no relative guarantee of its own size)
+    "q_hll_set_algebra" -> ((s, dir) => {
+      import graft.ops.Sketches
+      val orders = t(s, dir, "orders")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_hllset_q").toString
+      val cut = to_date(lit("1995-01-01"))
+      val early = orders.filter(col("o_orderdate") < cut)
+      val late = orders.filter(col("o_orderdate") >= cut)
+      Seq(("a", early), ("b", late)).foreach { case (side, df) =>
+        (0 to 1).foreach { d =>
+          Sketches.landHllDrop(df.filter(pmod(col("o_orderkey"), lit(2)) === d),
+            Seq("o_orderpriority"), "o_custkey", s"$tmp/$side", s"drop$d")
+        }
+      }
+      val est = Sketches.serveHllSetAlgebra(s, s"$tmp/a", s"$tmp/b",
+        Seq("o_orderpriority"))
+      val pairsA = early.select(col("o_orderpriority"), col("o_custkey")).distinct()
+      val pairsB = late.select(col("o_orderpriority"), col("o_custkey")).distinct()
+      val exactI = pairsA.join(pairsB, Seq("o_orderpriority", "o_custkey"), "left_semi")
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_inter_exact"))
+      val exactU = pairsA.unionByName(pairsB).distinct()
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_union_exact"))
+      val out = exactU
+        .join(exactI, Seq("o_orderpriority"), "left_outer")
+        .na.fill(0L, Seq("n_inter_exact"))
+        .join(est, Seq("o_orderpriority"))
+        .select(col("o_orderpriority"), col("n_inter_exact"), col("n_union_exact"),
+          (abs(col("n_intersect").cast("double") - col("n_inter_exact").cast("double"))
+            <= col("n_union_exact").cast("double") * 0.04).as("within_bound"))
+        .orderBy(col("o_orderpriority"))
+        .localCheckpoint(true) // the scratch sketches are deleted next
+      new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      out
+    }),
+
     // the LONG-TAIL distribution member of the incremental tier: per-drop
     // ε-rank quantile summaries (weighted exact order statistics) merged
     // across 3 drops; the estimate's TRUE rank must sit within the
@@ -2081,6 +2126,20 @@ object SparkEntry {
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_exact,
         |       true AS within_2pct
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_hll_set_algebra" ->
+      """WITH a AS (SELECT DISTINCT o_orderpriority, o_custkey FROM orders
+        |           WHERE o_orderdate < DATE '1995-01-01'),
+        |b AS (SELECT DISTINCT o_orderpriority, o_custkey FROM orders
+        |      WHERE o_orderdate >= DATE '1995-01-01'),
+        |i AS (SELECT o_orderpriority, count(*) AS n_inter_exact
+        |      FROM (SELECT * FROM a INTERSECT SELECT * FROM b) GROUP BY 1),
+        |u AS (SELECT o_orderpriority, count(*) AS n_union_exact
+        |      FROM (SELECT * FROM a UNION SELECT * FROM b) GROUP BY 1)
+        |SELECT u.o_orderpriority, COALESCE(i.n_inter_exact, 0) AS n_inter_exact,
+        |       u.n_union_exact, true AS within_bound
+        |FROM u LEFT JOIN i USING (o_orderpriority)
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q_quantile_sketch_bound" ->
       """SELECT o_orderpriority, count(*) AS n_exact, true AS within_rank_bound

@@ -109,6 +109,42 @@ object Sketches {
       .groupBy(dims.map(col): _*)
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(true))).as("n_estimate"))
 
+  /** Metadata-only SET ALGEBRA across TWO sketch paths — the
+    * join-cardinality-estimation primitive: per dims group, estimate
+    * |A|, |B|, |A∪B| (pairwise sketch union) and derive
+    * |A∩B| = max(0, |A|+|B|−|A∪B|) by inclusion–exclusion, reading
+    * KB-sized sketches from both tiers and touching NO raw data on
+    * either side. The intersection inherits the summed error of the
+    * three estimates (≈3× the per-sketch envelope, relative to the
+    * UNION size — the caller's audit bound should scale with |A∪B|,
+    * not |A∩B|). A group present on one side only estimates the other
+    * side as 0 and the union as the present side.
+    */
+  def serveHllSetAlgebra(spark: SparkSession, pathA: String, pathB: String,
+                         dims: Seq[String]): DataFrame = {
+    require(dims.nonEmpty, "set algebra needs at least one dims column")
+    def est(segs: DataFrame, name: String) = segs
+      .groupBy(dims.map(col): _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(true))).as(name))
+    val aSegs = spark.read.parquet(pathA)
+    val bSegs = spark.read.parquet(pathB)
+    // |A∪B| is ONE union_agg over both tiers' segments — the same
+    // lossless merge the single-tier serve uses, so the union estimate
+    // carries the identical error envelope as any serveHllEstimate call
+    // (no separate pairwise-union code path to audit)
+    val u = est(aSegs.unionByName(bSegs), "n_union")
+    // every group of A or B appears in the union, so null-safe LEFT
+    // joins from the union frame keep one-side-only AND null groups
+    joinDimsNullSafe(
+        joinDimsNullSafe(u, est(aSegs, "n_a"), dims, "left_outer"),
+        est(bSegs, "n_b"), dims, "left_outer")
+      .na.fill(0L, Seq("n_a", "n_b"))
+      .withColumn("n_intersect",
+        greatest(lit(0L), col("n_a") + col("n_b") - col("n_union")))
+      .select((dims.map(col) ++ Seq(col("n_a"), col("n_b"),
+        col("n_union"), col("n_intersect"))): _*)
+  }
+
   // -------------------------------------------------------- compaction
 
   /** Fold all of a tier's segments into one (`dropId`) via the shared

@@ -50,6 +50,40 @@ class SketchesSpec extends AnyFunSuite {
     assert(math.abs(merged - 1231L) <= 0.02 * 1231, s"estimate $merged outside 2% of 1231")
   }
 
+  test("hll set algebra: inclusion-exclusion intersect in bound; one-side and null groups served") {
+    val root = Files.createTempDirectory("hllset").toString
+    // A = keys 0..1999 in groups g0/null; B = keys 1000..2999 in g0 plus
+    // a B-only group g9 — true per-group overlap is exactly 1000 for g0,
+    // and the null group lives on side A only
+    val a = (0 until 2000).map(i => (if (i % 4 == 0) null else "g0", i.toLong))
+      .toDF("g", "k")
+    val b = ((1000 until 3000).map(i => ("g0", i.toLong)) ++
+      (0 until 500).map(i => ("g9", i.toLong))).toDF("g", "k")
+    Seq(("a", a), ("b", b)).foreach { case (side, df) =>
+      // two drops per side: the serve merges segments before estimating
+      Sketches.landHllDrop(df.filter(col("k") % 2 === 0), Seq("g"), "k",
+        s"$root/$side", "d0")
+      Sketches.landHllDrop(df.filter(col("k") % 2 === 1), Seq("g"), "k",
+        s"$root/$side", "d1")
+    }
+    val byG = Sketches.serveHllSetAlgebra(spark, s"$root/a", s"$root/b", Seq("g"))
+      .collect().map(r => Option(r.getString(0)) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (na, nb, nu, ni) = byG(Some("g0"))
+    // exact: |A_g0| = 1500 (keys 0..1999 minus multiples of 4),
+    // |B_g0| = 2000 (keys 1000..2999), |A∪B| = 2750, |A∩B| = 750;
+    // lgK=14 keeps these near-exact at this cardinality — allow the
+    // compounded envelope of 4% of the union
+    assert(math.abs(ni - 750L) <= (2750 * 0.04).toLong,
+      s"intersect estimate out of bound: $ni (na=$na nb=$nb nu=$nu)")
+    val (na9, nb9, nu9, ni9) = byG(Some("g9"))
+    assert(na9 == 0L && ni9 == 0L && nb9 > 0L && nu9 == nb9,
+      s"a B-only group estimates A as 0 and union as B: ($na9, $nb9, $nu9, $ni9)")
+    val (naN, nbN, nuN, niN) = byG(None)
+    assert(naN > 0L && nbN == 0L && nuN == naN && niN == 0L,
+      s"the NULL group (A-only) must be served, not dropped: ($naN, $nbN, $nuN, $niN)")
+  }
+
   test("re-landing a drop id replaces its segment (idempotent)") {
     val path = tmp()
     val drop = rows(100).toDF("g", "k")
