@@ -787,7 +787,39 @@ object Main {
             case _      => Sketches.compactDistinct(spark, path, dims, key)
           }
           println(s"[cli] sketch compact: $kind tier folded into seg=base")
-        case other => println(s"sketch --op land|serve|compact (got '$other')")
+        case "intersect" =>
+          // metadata-only set algebra between TWO hll tiers:
+          //   cli sketch --op intersect --path A --path-b B --dims g
+          val b = arg(args, "--path-b").getOrElse(
+            sys.error("sketch --op intersect requires --path-b <hllTier>"))
+          Sketches.serveHllSetAlgebra(spark, path, b, dims)
+            .orderBy(dims.map(col): _*).show(1000, truncate = false)
+        case other => println(s"sketch --op land|serve|compact|intersect (got '$other')")
+      }
+    case "sample" =>
+      // deterministic sampling / training order:
+      //   cli sample --in p --id doc_id --weight-col w --step 997 [--out p]
+      //     -> systematic PPS with multiplicity (copies = epochs ∝ weight)
+      //   cli sample --in p --id doc_id --shuffle-shards 16 [--out p]
+      //     -> hash-ordered positions 0..n-1 + round-robin shard striping
+      val df = spark.read.parquet(arg(args, "--in").get)
+      val id = arg(args, "--id").getOrElse("doc_id")
+      val out = (arg(args, "--weight-col"), arg(args, "--shuffle-shards")) match {
+        case (Some(w), None) =>
+          graft.ops.Curation.samplePps(df, id, w,
+            arg(args, "--step").map(_.toLong).getOrElse(
+              sys.error("sample with --weight-col requires --step <n>")),
+            arg(args, "--seed").getOrElse("s0"))
+        case (None, Some(sh)) =>
+          graft.ops.Curation.shuffleOrder(df, id, sh.toInt,
+            arg(args, "--seed").getOrElse("s0"))
+        case _ => sys.error("sample needs EXACTLY ONE of --weight-col (PPS) or --shuffle-shards (order)")
+      }
+      arg(args, "--out") match {
+        case Some(o) =>
+          out.write.mode("overwrite").parquet(o)
+          println(s"[cli] sample: ${spark.read.parquet(o).count()} rows -> $o")
+        case None => out.orderBy(col(id)).show(100, truncate = false)
       }
     case "audit" =>
       // schema drift between two parquet drops (footer-only): gate a
@@ -809,6 +841,6 @@ object Main {
       graft.Explain.print(spark,
         arg(args, "--sf").getOrElse("/root/testdata/sf0.001"), Seq(name))
     case other =>
-      println(s"usage: ingest|summary|harvest|sync|compact|stats|cluster|index|repair|purge|curate|snap|audit|profile|dq|fuzzy|matagg|sketch|lm|bm25|drop|semdedup|sparsesim|explain (got '$other')")
+      println(s"usage: ingest|summary|harvest|sync|compact|stats|cluster|index|repair|purge|curate|sample|snap|audit|profile|dq|fuzzy|matagg|sketch|lm|bm25|drop|semdedup|sparsesim|explain (got '$other')")
   }
 }

@@ -929,6 +929,29 @@ class OpsSpec extends AnyFunSuite {
     assert(re.toSet == got.toSet, "the shuffle order must be partitioning-independent")
   }
 
+  test("cli sample: PPS and shuffle-order modes round-trip; ambiguous flags rejected") {
+    import graft.ops.Curation
+    val root = java.nio.file.Files.createTempDirectory("clisample").toString
+    (1L to 100L).map(i => (i, 10L + i % 5)).toDF("doc_id", "w")
+      .write.parquet(root + "/in")
+    graft.cli.Main.run(spark, "sample", Array("--in", root + "/in",
+      "--id", "doc_id", "--weight-col", "w", "--step", "97", "--out", root + "/pps"))
+    val got = spark.read.parquet(root + "/pps").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Curation.samplePps(spark.read.parquet(root + "/in"), "doc_id", "w", 97L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want && got.nonEmpty)
+    graft.cli.Main.run(spark, "sample", Array("--in", root + "/in",
+      "--id", "doc_id", "--shuffle-shards", "4", "--out", root + "/ord"))
+    assert(spark.read.parquet(root + "/ord").collect()
+      .map(_.getLong(1)).sorted.toSeq == (0L until 100L).toSeq)
+    val both = intercept[RuntimeException] {
+      graft.cli.Main.run(spark, "sample", Array("--in", root + "/in",
+        "--id", "doc_id", "--weight-col", "w", "--step", "97", "--shuffle-shards", "4"))
+    }
+    assert(both.getMessage.contains("EXACTLY ONE"), both.getMessage)
+  }
+
   test("dsirWeights incremental tier: merged segments == one-shot; signed changes retract exactly") {
     import graft.ops.Curation
     val docs = Seq(
