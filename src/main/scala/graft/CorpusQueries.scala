@@ -1165,6 +1165,12 @@ object CorpusQueries {
       val cust = t(s, dir, "customer")
       val tmp = java.nio.file.Files.createTempDirectory("graft_fuzzyidx_q").toString
       val idx = tmp + "/idx"
+      // default guard tuning: the indexed side is the templated MASTER
+      // here, and measured at sf0.1 the default arity beats a higher
+      // extraChunks (shorter chunks lose digit selectivity faster than
+      // the extra droppable slot wins; the wall is staged-write-bound
+      // either way). The oracle is invariant to the tuning — lossless
+      // filter, exact verify; only the pair budget moves
       graft.ops.FuzzyJoinIndex.build(
         cust.filter(col("c_custkey") % 10 =!= 9).select(col("c_custkey"), col("c_name")),
         "c_custkey", "c_name", idx, maxDist = 2)

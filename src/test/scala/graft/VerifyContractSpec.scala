@@ -67,9 +67,13 @@ class VerifyContractSpec extends AnyFunSuite {
           if (i + 1 < entries.size) entries(i + 1)._1 else src.length)
           .contains("createTempDirectory") => name }
     }.toSet
-    assert(scratch == SparkEntry.integrationQueries,
-      s"tier drift — missing: ${scratch -- SparkEntry.integrationQueries}, " +
-        s"stale: ${SparkEntry.integrationQueries -- scratch}")
+    // model-TRAINER journeys carry the same many-small-jobs wall profile
+    // without a scratch dir (k-means rounds, PCA fit); they are allowed
+    // into the tier ONLY by this explicit pinned list
+    val trainerJourneys = Set("sim_recall_board")
+    assert((scratch ++ trainerJourneys) == SparkEntry.integrationQueries,
+      s"tier drift — missing: ${(scratch ++ trainerJourneys) -- SparkEntry.integrationQueries}, " +
+        s"stale: ${SparkEntry.integrationQueries -- scratch -- trainerJourneys}")
   }
 
   test("declared queries and oracle entries line up") {
