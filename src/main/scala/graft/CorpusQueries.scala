@@ -243,7 +243,10 @@ object CorpusQueries {
     * twin — merged count segments must reproduce the one-shot model
     * exactly).
     */
-  private val dsirOracleSql = tkCte +
+  /** The DSIR weight computation as a CTE (`dw`): shared by the weight
+    * queries and the resampling composition.
+    */
+  private val dsirCoreCte = tkCte +
     """,
       |bgf AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
       |  unnest(list_transform(range(2, len(toks) + 1),
@@ -260,11 +263,13 @@ object CorpusQueries {
       |model AS (SELECT b,
       |    CAST((1000000 * (ct + 1)) // (tt + 4096) AS BIGINT)
       |  - CAST((1000000 * (cr + 1)) // (tr + 4096) AS BIGINT) AS delta
-      |  FROM cnt CROSS JOIN tot)
-      |SELECT doc_id AS doc, count(*) AS n_bigrams,
+      |  FROM cnt CROSS JOIN tot),
+      |dw AS (SELECT doc_id AS doc, count(*) AS n_bigrams,
       |       CAST(sum(delta) AS BIGINT) AS dsir_w
-      |FROM bkt JOIN model USING (b)
-      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      |       FROM bkt JOIN model USING (b) GROUP BY doc_id)""".stripMargin
+
+  private val dsirOracleSql = dsirCoreCte +
+    "\nSELECT doc, n_bigrams, dsir_w FROM dw ORDER BY doc"
 
   /** Bigram-LM scoring recompute (shared by txt_lm_score and its
     * incremental twin — merged count segments must reproduce this
@@ -1195,6 +1200,22 @@ object CorpusQueries {
     "txt_dsir_weights" -> ((s, dir) => {
       graft.ops.Curation.dsirWeights(t(s, dir, "documents"),
           "doc_id", "text", col("lang") === "en")
+        .orderBy(col("doc"))
+    }),
+
+    // the full DSIR pipeline (the paper's R): importance weights feed
+    // systematic PPS resampling — copies = epochs ∝ the min-shifted
+    // weight (dsir_w − min + 1: monotone, strictly positive, no
+    // fixture-dependent clamp — raw deltas can be all-negative when the
+    // target distribution hugs the corpus), so target-like docs repeat
+    // most. The shift is one broadcast scalar; nothing here is
+    // corpus-sized except the two bigram passes and the resample scan
+    "txt_dsir_resample" -> ((s, dir) => {
+      val dw = graft.ops.Curation.dsirWeights(t(s, dir, "documents"),
+        "doc_id", "text", col("lang") === "en")
+      val w = dw.crossJoin(broadcast(dw.agg(min(col("dsir_w")).as("__mn"))))
+        .select(col("doc"), (col("dsir_w") - col("__mn") + lit(1L)).as("w"))
+      graft.ops.Curation.samplePps(w, "doc", "w", step = 997L)
         .orderBy(col("doc"))
     }),
 
@@ -2299,6 +2320,21 @@ object CorpusQueries {
     // merged per-drop count segments must reproduce the one-shot model
     // exactly (counts are summable), so one SQL recompute gates both
     "txt_dsir_incremental" -> dsirOracleSql,
+
+    // the composed pipeline: the dw CTE's min-shifted weights drive the
+    // same systematic-PPS recurrence as q_sample_pps
+    "txt_dsir_resample" -> (dsirCoreCte +
+      """,
+        |w AS (SELECT doc, dsir_w - (SELECT min(dsir_w) FROM dw) + 1 AS weight,
+        |             md5('s0' || CAST(doc AS VARCHAR)) AS h FROM dw),
+        |c AS (SELECT doc, weight,
+        |             SUM(weight) OVER (ORDER BY h, doc
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM w)
+        |SELECT doc, CAST(weight AS BIGINT) AS weight,
+        |       CAST(cum // 997 - (cum - weight) // 997 AS BIGINT) AS copies
+        |FROM c WHERE cum // 997 > (cum - weight) // 997
+        |ORDER BY doc""".stripMargin),
 
     "txt_hashed_tf" -> (hashedTfCte +
       """
