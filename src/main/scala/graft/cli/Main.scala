@@ -648,6 +648,15 @@ object Main {
           val metaP = new org.apache.hadoop.fs.Path(idx + "/meta")
           val fs = metaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
           if (fs.exists(metaP)) {
+            // the distance is PINNED at build: a refresh invoked with a
+            // different --max-dist must fail loudly, not silently keep
+            // probing at the old distance (rebuild to retune)
+            arg(args, "--max-dist").map(_.toInt).foreach { want =>
+              val pinned = graft.ops.FuzzyJoinIndex.readMeta(spark, idx).maxDist
+              if (want != pinned)
+                sys.error(s"fuzzy index at $idx is pinned at --max-dist $pinned; " +
+                  s"got $want — rebuild the index to change the distance")
+            }
             val (carried, chunked) = graft.ops.FuzzyJoinIndex.refresh(refDf, rid, rstr, idx)
             println(s"[cli] fuzzy index refresh: carried $carried, re-chunked $chunked (churn)")
           } else {

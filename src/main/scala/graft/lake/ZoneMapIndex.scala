@@ -241,17 +241,28 @@ object ZoneMapIndex {
         s"no zone-map sidecar for '$valCol' at ${lake.path} — build it first")
     val lens = live.toSeq.toDF("file", "len")
     val idx = spark.read.parquet(idxPath)
-    // coverage as a count over an anti-join — the check stays cluster-side
+    // coverage as ONE count over the join — the check stays cluster-side
     // next to the sidecar rows instead of materializing a per-file driver
-    // map (live itself is manifest-resolved and driver-sized by contract)
-    val nMissing = lens.join(idx, Seq("file", "len"), "left_anti").count()
-    if (nMissing != 0)
+    // map (live itself is manifest-resolved and driver-sized by contract).
+    // Exact equality catches BOTH a lagging sidecar (matched < live) and
+    // duplicate sidecar rows (matched > live): either would silently
+    // corrupt a metadata-only SUM, so both must throw
+    val matched = idx.join(lens, Seq("file", "len"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nMatched = matched.count()
+    if (nMatched != live.size) {
+      matched.unpersist()
       throw new IllegalStateException(
-        s"zone-map sidecar misses $nMissing of ${live.size} live files of v$v — " +
-          "refresh before serving a metadata-only aggregate")
-    idx.join(lens, Seq("file", "len"))
+        s"zone-map sidecar matches $nMatched of ${live.size} live files of v$v " +
+          "(fewer = stale, more = duplicate stats rows) — refresh/rebuild " +
+          "before serving a metadata-only aggregate")
+    }
+    val out = matched
       .agg(min(col("minv")).as("min_v"), max(col("maxv")).as("max_v"),
         sum(col("nrows")).as("n_rows"), sum(col("nvals")).as("n_vals"))
+      .localCheckpoint(true)
+    matched.unpersist()
+    out
   }
 
   /** Range scan against a committed snapshot version (default: the
@@ -298,9 +309,12 @@ object ZoneMapIndex {
                 coalesce(col("maxv") >= lo && col("minv") <= hi, lit(false)).as("__hit")),
             Seq("file", "len"), "left_outer")
           // uncovered (no sidecar row at this len) => unconditional
-          // candidate: a lagging index costs selectivity, never rows
+          // candidate: a lagging index costs selectivity, never rows.
+          // distinct: a duplicate sidecar row must not read its file
+          // twice (the pre-r14 per-file map was duplicate-immune; keep
+          // that invariant on the join path)
           .filter(col("__hit").isNull || col("__hit"))
-          .select(col("file")).as[String].collect().toSeq.sorted
+          .select(col("file")).distinct().as[String].collect().toSeq.sorted
       }
     val df =
       if (candidates.isEmpty)

@@ -176,6 +176,20 @@ object Curation {
   def samplePps(df: DataFrame, idCol: String, weightCol: String, step: Long,
                 seed: String = "s0"): DataFrame = {
     require(step >= 1L, s"step must be >= 1: $step")
+    // the axis is exact integer arithmetic: a fractional weight column
+    // would silently TRUNCATE under the long cast (a (0,1] quality score
+    // loses all its mass), so demand an integral type and tell the
+    // caller to pre-scale instead
+    val wType = df.schema(weightCol).dataType
+    val integral = wType match {
+      case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => true
+      case d: org.apache.spark.sql.types.DecimalType => d.scale == 0
+      case _ => false
+    }
+    require(integral,
+      s"samplePps weights must be an integral type, got $wType for '$weightCol' — " +
+        "pre-scale fractional scores onto an integer grid (e.g. (score * 1000).cast('long'))")
     val spark = df.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
     val sorted = df

@@ -47,7 +47,11 @@ object FuzzyJoinIndex {
 
   final case class Meta(maxDist: Int, extraChunks: Int, hotChunkCap: Long)
 
-  private def readMeta(spark: SparkSession, path: String): Meta = {
+  /** The pinned build parameters (throws if no index at `path`) —
+    * public so callers can assert their expectations against the index
+    * instead of silently probing at a different distance than intended.
+    */
+  def readMeta(spark: SparkSession, path: String): Meta = {
     val p = new org.apache.hadoop.fs.Path(path + "/meta")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p), s"no fuzzy-join index at $path — build it first")
@@ -78,13 +82,45 @@ object FuzzyJoinIndex {
     val (keys, hot) = FuzzyJoin.chunkKeysGuarded(
       r, FuzzyJoin.chunkLens(r, maxDist), maxDist, extraChunks, hotChunkCap, None)
     graft.lake.Staged.landMany(spark, path, Seq(
-      "strings" -> r.select(col("__id").as("id"), col("__s").as("s"), col("__l").as("l")),
-      "keys" -> keys.select(col("__aid").as("id"), col("__la").as("la"),
-        col("__i").as("i"), col("__key").as("key")),
+      "strings" -> stringsOut(r),
+      "keys" -> keysOut(keys),
       "hot" -> hot.select(col("__la").as("la"), col("__i").as("i"), col("__key").as("key")),
       "meta" -> Seq((maxDist, extraChunks, hotChunkCap))
         .toDF("max_dist", "extra_chunks", "hot_chunk_cap")))
-    spark.read.parquet(path + "/strings").count()
+    r.count() // prep checkpointed it: no re-read of the landed table
+  }
+
+  private def stringsOut(prepped: DataFrame): DataFrame =
+    prepped.select(col("__id").as("id"), col("__s").as("s"), col("__l").as("l"))
+
+  private def keysOut(keys: DataFrame): DataFrame =
+    keys.select(col("__aid").as("id"), col("__la").as("la"),
+      col("__i").as("i"), col("__key").as("key"))
+
+  /** The churn split shared by [[refresh]] and [[upsert]]: diff the
+    * incoming rows against the indexed strings by (id, s) — the string
+    * is its own fingerprint — and chunk ONLY the fresh side under the
+    * pinned hot list. `carriedIds` comes back persisted (the caller
+    * counts it and semi-joins the old keys against it, then unpersists).
+    */
+  private def churnSplit(incoming: DataFrame, refId: String, refStr: String,
+                         path: String): (DataFrame, DataFrame, DataFrame,
+                                         DataFrame, DataFrame, DataFrame) = {
+    val spark = incoming.sparkSession
+    val meta = readMeta(spark, path)
+    val (oldStrings, oldKeys) = tables(spark, path)
+    val cur = FuzzyJoin.prep(incoming, refId, refStr)
+    val pinnedHot = spark.read.parquet(path + "/hot")
+      .select(col("la").as("__la"), col("i").as("__i"), col("key").as("__key"))
+    val carriedIds = oldStrings.join(cur, Seq("__id", "__s"), "left_semi")
+      .select(col("__id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fresh = cur.join(oldStrings, Seq("__id", "__s"), "left_anti")
+      .localCheckpoint(true)
+    val (freshKeys, _) = FuzzyJoin.chunkKeysGuarded(
+      fresh, FuzzyJoin.chunkLens(fresh, meta.maxDist),
+      meta.maxDist, meta.extraChunks, meta.hotChunkCap, Some(pinnedHot))
+    (oldStrings, oldKeys, cur, carriedIds, fresh, freshKeys)
   }
 
   /** Churn-proportional refresh under the PINNED hot list: carry
@@ -96,28 +132,17 @@ object FuzzyJoinIndex {
   def refresh(reference: DataFrame, refId: String, refStr: String,
               path: String): (Long, Long) = {
     val spark = reference.sparkSession
-    val meta = readMeta(spark, path)
-    val (oldStrings, oldKeys) = tables(spark, path)
-    val cur = FuzzyJoin.prep(reference, refId, refStr)
-    val pinnedHot = spark.read.parquet(path + "/hot")
-      .select(col("la").as("__la"), col("i").as("__i"), col("key").as("__key"))
-    // unchanged ids: the string is its own fingerprint
-    val carriedIds = oldStrings.join(cur, Seq("__id", "__s"), "left_semi")
-      .select(col("__id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val fresh = cur.join(oldStrings, Seq("__id", "__s"), "left_anti")
-      .localCheckpoint(true)
-    val (freshKeys, _) = FuzzyJoin.chunkKeysGuarded(
-      fresh, FuzzyJoin.chunkLens(fresh, meta.maxDist),
-      meta.maxDist, meta.extraChunks, meta.hotChunkCap, Some(pinnedHot))
+    val (_, oldKeys, cur, carriedIds, fresh, freshKeys) =
+      churnSplit(reference, refId, refStr, path)
     val carriedN = carriedIds.count()
     val freshN = fresh.count()
+    // full-reference semantics: strings' = the passed reference; keys of
+    // ids outside it (deletions) drop out via the carried semi-join
     graft.lake.Staged.landMany(spark, path, Seq(
-      "strings" -> cur.select(col("__id").as("id"), col("__s").as("s"), col("__l").as("l")),
-      "keys" -> oldKeys.join(carriedIds.select(col("__id").as("__aid")), Seq("__aid"), "left_semi")
-        .unionByName(freshKeys)
-        .select(col("__aid").as("id"), col("__la").as("la"),
-          col("__i").as("i"), col("__key").as("key")),
+      "strings" -> stringsOut(cur),
+      "keys" -> keysOut(
+        oldKeys.join(carriedIds.select(col("__id").as("__aid")), Seq("__aid"), "left_semi")
+          .unionByName(freshKeys)),
       "hot" -> spark.read.parquet(path + "/hot"),
       "meta" -> spark.read.parquet(path + "/meta")))
     carriedIds.unpersist()
@@ -135,33 +160,18 @@ object FuzzyJoinIndex {
   def upsert(batch: DataFrame, refId: String, refStr: String,
              path: String): (Long, Long) = {
     val spark = batch.sparkSession
-    val meta = readMeta(spark, path)
-    val (oldStrings, oldKeys) = tables(spark, path)
-    val cur = FuzzyJoin.prep(batch, refId, refStr)
-    val pinnedHot = spark.read.parquet(path + "/hot")
-      .select(col("la").as("__la"), col("i").as("__i"), col("key").as("__key"))
-    val batchIds = cur.select(col("__id"))
-    // batch strings re-delivered unchanged: rows verbatim
-    val carriedIds = oldStrings.join(cur, Seq("__id", "__s"), "left_semi")
-      .select(col("__id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val fresh = cur.join(oldStrings, Seq("__id", "__s"), "left_anti")
-      .localCheckpoint(true)
-    val (freshKeys, _) = FuzzyJoin.chunkKeysGuarded(
-      fresh, FuzzyJoin.chunkLens(fresh, meta.maxDist),
-      meta.maxDist, meta.extraChunks, meta.hotChunkCap, Some(pinnedHot))
+    val (oldStrings, oldKeys, cur, carriedIds, fresh, freshKeys) =
+      churnSplit(batch, refId, refStr, path)
     val carriedN = carriedIds.count()
     val freshN = fresh.count()
-    // strings/keys outside this batch: untouched
-    val otherStrings = oldStrings.join(batchIds, Seq("__id"), "left_anti")
-    val otherOrCarriedKeys = oldKeys.join(
-      fresh.select(col("__id").as("__aid")), Seq("__aid"), "left_anti")
+    // delta semantics: strings/keys OUTSIDE this batch stay untouched;
+    // changed batch ids' old keys drop via the fresh anti-join
     graft.lake.Staged.landMany(spark, path, Seq(
-      "strings" -> otherStrings.unionByName(cur)
-        .select(col("__id").as("id"), col("__s").as("s"), col("__l").as("l")),
-      "keys" -> otherOrCarriedKeys.unionByName(freshKeys)
-        .select(col("__aid").as("id"), col("__la").as("la"),
-          col("__i").as("i"), col("__key").as("key")),
+      "strings" -> oldStrings.join(cur.select(col("__id")), Seq("__id"), "left_anti")
+        .unionByName(cur).transform(stringsOut),
+      "keys" -> keysOut(
+        oldKeys.join(fresh.select(col("__id").as("__aid")), Seq("__aid"), "left_anti")
+          .unionByName(freshKeys)),
       "hot" -> spark.read.parquet(path + "/hot"),
       "meta" -> spark.read.parquet(path + "/meta")))
     carriedIds.unpersist()

@@ -98,9 +98,15 @@ object DropCycle {
         val dirty = ann.filter(size(col("violated")) > 0)
         val clean = ann.filter(size(col("violated")) === 0).drop("violated")
         val nDirty = dirty.count()
-        // idempotent per drop id: a cycle re-run REPLACES its seg
+        // idempotent per drop id: a cycle re-run REPLACES its seg — and a
+        // re-run whose (fixed) input is now CLEAN must delete the stale
+        // seg, or the previous run's dead letters keep indicting a drop
+        // that no longer has any
+        val segPath = new org.apache.hadoop.fs.Path(s"$qpath/seg=$dropId")
         if (nDirty > 0)
-          graft.lake.Staged.land(spark, s"$qpath/seg=$dropId", dirty)
+          graft.lake.Staged.land(spark, segPath.toString, dirty)
+        else segPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(segPath, true)
         // the CLEAN slice feeds every downstream tier of this cycle
         (clean, Some((clean.count(), nDirty)))
       case None => (dropIn, None)

@@ -174,6 +174,13 @@ class DropCycleSpec extends AnyFunSuite {
     val quarAfterRerun = spark.read.parquet(root + "/quarantine").collect()
     assert(quarAfterRerun.map(_.getString(0)).toSeq == Seq("9"),
       s"rerun must not duplicate dead letters: ${quarAfterRerun.map(_.getString(0)).toSeq}")
+    // a re-run whose FIXED input is now clean must delete the stale seg:
+    // the previous run's dead letters must not keep indicting the drop
+    val drop2clean = drop2.filter(col("text").isNotNull)
+    DropCycle.run(lake, drop2clean, conf2)
+    val segC2 = new org.apache.hadoop.fs.Path(root + "/quarantine/seg=c2")
+    assert(!segC2.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(segC2),
+      "a clean re-run under the same drop id must remove its stale dead letters")
     assert(r3("band") == ((3L, 0L)), s"rerun must re-sign nothing: ${r3("band")}")
     assert(r3("postings") == ((3L, 0L)), s"rerun must re-post nothing: ${r3("postings")}")
     assert(r3("cluster")._2 == 0L, s"rerun must relabel nothing: ${r3("cluster")}")

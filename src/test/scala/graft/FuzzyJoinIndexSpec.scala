@@ -129,6 +129,14 @@ class FuzzyJoinIndexSpec extends AnyFunSuite {
     graft.cli.Main.run(spark, "fuzzy", Array(
       "--index-path", root + "/idx", "--ref", root + "/master",
       "--ref-id", "rid", "--ref-str", "rname"))
+    // the distance is pinned at build: a refresh asking for a different
+    // one must fail loudly, not silently keep the old distance
+    val dd = intercept[RuntimeException] {
+      graft.cli.Main.run(spark, "fuzzy", Array(
+        "--index-path", root + "/idx", "--ref", root + "/master",
+        "--ref-id", "rid", "--ref-str", "rname", "--max-dist", "2"))
+    }
+    assert(dd.getMessage.contains("pinned at --max-dist 1"), dd.getMessage)
     graft.cli.Main.run(spark, "fuzzy", Array(
       "--index-path", root + "/idx", "--in", root + "/probes",
       "--id", "pid", "--str", "pname", "--out", root + "/pairs"))

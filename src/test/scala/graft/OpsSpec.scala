@@ -911,6 +911,12 @@ class OpsSpec extends AnyFunSuite {
     val withZero = df.unionByName(Seq((2000L, 0L)).toDF("id", "w"))
     assert(!Curation.samplePps(withZero, "id", "w", step).collect()
       .exists(_.getLong(0) == 2000L))
+    // fractional weights would silently truncate on the integer axis
+    // (a (0,1] quality score loses ALL its mass) — demand pre-scaling
+    val frac = intercept[IllegalArgumentException] {
+      Curation.samplePps(Seq((1L, 0.9)).toDF("id", "w"), "id", "w", step)
+    }
+    assert(frac.getMessage.contains("integral"), frac.getMessage)
   }
 
   test("shuffleOrder: a permutation with balanced round-robin shards, partitioning-independent") {

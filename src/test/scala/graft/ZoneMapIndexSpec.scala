@@ -169,6 +169,33 @@ class ZoneMapIndexSpec extends AnyFunSuite {
       "per-batch streamed sidecar must equal the from-scratch batch refresh")
   }
 
+  test("duplicate sidecar rows: the scan never reads a file twice; the aggregate throws") {
+    val dir = java.nio.file.Files.createTempDirectory("zmdup").toFile.getAbsolutePath
+    val data = spark.range(100).select(col("id").as("k"), (col("id") % 10).cast("double").as("v"))
+    val lake = new SnapshotLake(spark, s"$dir/t", "k")
+    lake.overwrite(data.repartitionByRange(4, col("v")))
+    ZoneMapIndex.refreshSnapshot(lake, "v")
+    val side = s"$dir/t/_zonemap_v"
+    // corrupt the sidecar with a verbatim duplicate of every row (an
+    // externally-merged/hand-restored sidecar): no in-repo writer does
+    // this, but the serve paths must keep the pre-join duplicate
+    // immunity — one open per candidate file, and a metadata aggregate
+    // that THROWS instead of silently double-counting
+    val dup = spark.read.parquet(side)
+    val doubled = dup.unionByName(dup).localCheckpoint(true)
+    val fs = new org.apache.hadoop.fs.Path(side)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(side), true)
+    doubled.write.parquet(side)
+    val (rows, opened) = ZoneMapIndex.rangeLookupSnapshot(lake, "v", lit(3.0), lit(4.0))
+    assert(rows.count() == 20, "a duplicated stats row must not read its file twice")
+    assert(opened <= lake.readManifest(lake.latestVersion.get).get.files.size)
+    val ex = intercept[IllegalStateException] {
+      ZoneMapIndex.aggregateFromStats(lake, "v")
+    }
+    assert(ex.getMessage.contains("duplicate"), ex.getMessage)
+  }
+
   test("all-null file: (null, null) bounds prune instead of crashing the scan") {
     val dir = java.nio.file.Files.createTempDirectory("zmnull").toFile.getAbsolutePath
     // range-partition on v (nulls first) -> partition 0 is ALL null: its
