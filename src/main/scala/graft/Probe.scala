@@ -60,6 +60,7 @@ object Probe {
     val km = Similarity.ivfCentroidsKMeans(emb, "vec_id", "embedding", 8)
     rec("ivf_kmeans", Similarity.ivfTopKWith(km, emb, q, "vec_id", "embedding", 5, 2))
     rec("ivf_seed", Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5, 8, 2))
+    rec("ivf_sq8", Similarity.ivfTopKInt8(emb, q, "vec_id", "embedding", 5, 8, 2))
     rec("lsh_multiprobe", Similarity.multiProbeTopKExact(emb, q, "vec_id", "embedding", 5, 4, 64))
     val m = Pca.fit(emb, "embedding", 64, 48)
     val margin = math.max(25, math.ceil(emb.count() * 0.2).toInt)
