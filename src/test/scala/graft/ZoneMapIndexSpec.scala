@@ -196,6 +196,32 @@ class ZoneMapIndexSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("duplicate"), ex.getMessage)
   }
 
+  test("date and string columns: min/max bounds prune in the column's own type order") {
+    // the 100 TB pruning axis is usually a DATE — zone rows are generic
+    // Column min/max and range bounds are typed lits, so no numeric
+    // assumption may creep into the sidecar or the overlap predicate
+    val dir = java.nio.file.Files.createTempDirectory("zmdate").toFile.getAbsolutePath
+    val data = spark.range(2000).select(col("id").as("k"),
+      date_add(to_date(lit("1995-01-01")), (col("id") % 400).cast("int")).as("d"),
+      concat(lit("cat"), lpad((col("id") % 26).cast("string"), 2, "0")).as("s"))
+    val lake = new SnapshotLake(spark, s"$dir/t", "k")
+    lake.overwrite(data.repartition(8, col("k")))
+    lake.cluster(Seq(col("d")), 8)
+    ZoneMapIndex.refreshSnapshot(lake, "d")
+    val nFiles = lake.readManifest(lake.latestVersion.get).get.files.size
+    val (rows, opened) = ZoneMapIndex.rangeLookupSnapshot(lake, "d",
+      to_date(lit("1995-02-01")), to_date(lit("1995-02-10")))
+    assert(rows.count() == 50, "10 distinct dates x 5 rows each")
+    assert(opened < nFiles, s"date sidecar must prune the clustered lake: $opened of $nFiles")
+    val agg = ZoneMapIndex.aggregateFromStats(lake, "d").collect().head
+    assert(agg.getDate(0).toString == "1995-01-01" &&
+      agg.getDate(1).toString == "1996-02-04" && agg.getLong(2) == 2000L)
+    // string column: lexicographic bounds, same machinery
+    ZoneMapIndex.refreshSnapshot(lake, "s")
+    val (srows, _) = ZoneMapIndex.rangeLookupSnapshot(lake, "s", lit("cat03"), lit("cat05"))
+    assert(srows.count() == data.filter(col("s").between("cat03", "cat05")).count())
+  }
+
   test("all-null file: (null, null) bounds prune instead of crashing the scan") {
     val dir = java.nio.file.Files.createTempDirectory("zmnull").toFile.getAbsolutePath
     // range-partition on v (nulls first) -> partition 0 is ALL null: its
