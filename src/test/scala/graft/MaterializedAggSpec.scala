@@ -175,6 +175,18 @@ class MaterializedAggSpec extends AnyFunSuite {
     val nd = graft.ops.Sketches.serveDistinct(spark, root + "/sk", Seq("grp"), "k")
       .orderBy("grp").collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
     assert(nd == Seq("a" -> 2L, "b" -> 2L, "c" -> 1L))
+
+    // hll set algebra through the cli: land two tiers, intersect serves
+    // (library parity for the estimates; the cli path must parse + run)
+    Seq("h1", "h2").foreach(p => graft.cli.Main.run(spark, "sketch",
+      Array("--op", "land", "--in", root + "/all", "--path", s"$root/$p",
+        "--kind", "hll", "--dims", "grp", "--key", "k", "--drop-id", "d0")))
+    graft.cli.Main.run(spark, "sketch", Array("--op", "intersect",
+      "--path", root + "/h1", "--path-b", root + "/h2", "--dims", "grp"))
+    val ia = graft.ops.Sketches.serveHllSetAlgebra(spark, root + "/h1", root + "/h2", Seq("grp"))
+      .orderBy("grp").collect().map(r => (r.getString(0), r.getLong(3), r.getLong(4))).toSeq
+    // identical tiers: intersection == union == each side's estimate
+    assert(ia == Seq(("a", 2L, 2L), ("b", 2L, 2L), ("c", 1L, 1L)), ia.toString)
   }
 
   test("spec validation rejects colliding or reserved aliases") {
