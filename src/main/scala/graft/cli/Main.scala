@@ -664,6 +664,15 @@ object Main {
             println(s"[cli] fuzzy index build: $n master strings -> $idx")
           }
         case (Some(idx), None) => // probe the persisted master
+          // same pinned-distance guard as the refresh path: a probe
+          // invoked with a different --max-dist must fail loudly, not
+          // silently return pairs at the build-time distance
+          arg(args, "--max-dist").map(_.toInt).foreach { want =>
+            val pinned = graft.ops.FuzzyJoinIndex.readMeta(spark, idx).maxDist
+            if (want != pinned)
+              sys.error(s"fuzzy index at $idx is pinned at --max-dist $pinned; " +
+                s"got $want — rebuild the index to change the distance")
+          }
           emit(graft.ops.FuzzyJoinIndex.probe(
             spark.read.parquet(arg(args, "--in").get), id, str, idx))
         case (None, _) =>

@@ -244,17 +244,23 @@ object ZoneMapIndex {
     // coverage as ONE count over the join — the check stays cluster-side
     // next to the sidecar rows instead of materializing a per-file driver
     // map (live itself is manifest-resolved and driver-sized by contract).
-    // Exact equality catches BOTH a lagging sidecar (matched < live) and
-    // duplicate sidecar rows (matched > live): either would silently
-    // corrupt a metadata-only SUM, so both must throw
+    // Count AND countDistinct(file) must BOTH equal live.size: the raw
+    // count alone lets a duplicated sidecar row offset a missing file
+    // (1 dup + 1 stale → nMatched == live.size) and silently serve a
+    // double-counted SUM, so duplicates and staleness are asserted
+    // independently (still one metadata-sized aggregate)
     val matched = idx.join(lens, Seq("file", "len"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nMatched = matched.count()
-    if (nMatched != live.size) {
+    val cov = matched.agg(count(lit(1)).as("n"),
+      countDistinct(col("file")).as("nd")).head()
+    val nMatched = cov.getLong(0)
+    val nDistinct = cov.getLong(1)
+    if (nMatched != live.size || nDistinct != live.size) {
       matched.unpersist()
       throw new IllegalStateException(
-        s"zone-map sidecar matches $nMatched of ${live.size} live files of v$v " +
-          "(fewer = stale, more = duplicate stats rows) — refresh/rebuild " +
+        s"zone-map sidecar matches $nMatched rows / $nDistinct distinct files " +
+          s"of ${live.size} live files of v$v (fewer distinct = stale, " +
+          "rows > distinct = duplicate stats rows) — refresh/rebuild " +
           "before serving a metadata-only aggregate")
     }
     val out = matched

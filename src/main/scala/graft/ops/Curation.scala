@@ -201,10 +201,14 @@ object Curation {
       .localCheckpoint(true) // BOTH rdd passes must see one materialized
                              // partitioning, or the offsets lie
     val wIdx = sorted.schema.fieldIndex("weight")
+    // the global axis runs in Long while the DuckDB oracle's window SUM
+    // runs in HUGEINT: overflow must THROW (addExact), never wrap and
+    // silently diverge — reachable if a caller pre-scales weights large
     val partSums = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
-      var s = 0L; it.foreach(r => s += r.getLong(wIdx)); Iterator((i, s))
+      var s = 0L; it.foreach(r => s = Math.addExact(s, r.getLong(wIdx))); Iterator((i, s))
     }.collect().sortBy(_._1).map(_._2)
-    val offsets = spark.sparkContext.broadcast(partSums.scanLeft(0L)(_ + _))
+    val offsets = spark.sparkContext.broadcast(
+      partSums.scanLeft(0L)(Math.addExact(_, _)))
     val outSchema = org.apache.spark.sql.types.StructType(
       sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
         "copies", org.apache.spark.sql.types.LongType, nullable = false))
@@ -213,7 +217,7 @@ object Curation {
       it.map { r =>
         val w = r.getLong(wIdx)
         val lo = cum
-        cum += w
+        cum = Math.addExact(cum, w)
         // multiples of `step` inside (lo, cum]: positive operands, so
         // truncating div IS floor and both engines agree exactly
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (cum / step - lo / step))

@@ -129,22 +129,33 @@ object FuzzyJoin {
       .join(broadcast(specA), col("__l") === col("__la"))
       .select(col("__id").as("__aid"), col("__la"), col("__i"),
         expr("substring(__s, __st, __cl)").as("__key"))
-    val emptyHot = Seq.empty[(Int, Int, String)].toDF("__la", "__i", "__key")
+    val emptyHot = Seq.empty[(Int, Int, String, Long)]
+      .toDF("__la", "__i", "__key", "__pop")
     if (hotChunkCap <= 0L) return (aKeysAll, emptyHot) // guard disabled
-    val hot = pinnedHot.getOrElse(
+    // the hot list carries each key's POPULATION so a string whose hot
+    // chunks exceed its droppable budget sheds the hottest ones first
+    // (the per-key pair bound the guard exists for); a pinned list from
+    // an older index without populations falls back to index order
+    val hotRaw = pinnedHot.getOrElse(
       aKeysAll.groupBy(col("__la"), col("__i"), col("__key"))
         .agg(count(lit(1)).as("__pop"))
-        .filter(col("__pop") > hotChunkCap)
-        .select(col("__la"), col("__i"), col("__key")))
-    // hot keys outrank non-hot under the desc flag order, so rank ≤
-    // budget selects exactly the string's hot keys, up to the budget
+        .filter(col("__pop") > hotChunkCap))
+    val hot =
+      if (hotRaw.columns.contains("__pop")) hotRaw.select(
+        col("__la"), col("__i"), col("__key"), col("__pop").cast("long"))
+      else hotRaw.select(col("__la"), col("__i"), col("__key"),
+        lit(0L).as("__pop"))
+    // hot keys outrank non-hot under the desc flag order, then the most
+    // populated hot key ranks first, so rank ≤ budget drops exactly the
+    // string's HOTTEST keys, up to the budget
     val wHot = Window.partitionBy(col("__aid"))
-      .orderBy(col("__ishot").desc, col("__i").asc)
+      .orderBy(col("__ishot").desc, col("__pop").desc, col("__i").asc)
     val droppable = greatest(lit(0),
       least(lit(extra), col("__la") - lit(d + 1)))
     val aKeys = aKeysAll
       .join(hot.withColumn("__ishot", lit(true)), Seq("__la", "__i", "__key"), "left_outer")
       .withColumn("__ishot", coalesce(col("__ishot"), lit(false)))
+      .withColumn("__pop", coalesce(col("__pop"), lit(0L)))
       .withColumn("__hotrk", row_number().over(wHot))
       .filter(!(col("__ishot") && col("__hotrk") <= droppable))
       .select(col("__aid"), col("__la"), col("__i"), col("__key"))

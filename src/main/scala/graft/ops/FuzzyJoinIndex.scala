@@ -84,7 +84,8 @@ object FuzzyJoinIndex {
     graft.lake.Staged.landMany(spark, path, Seq(
       "strings" -> stringsOut(r),
       "keys" -> keysOut(keys),
-      "hot" -> hot.select(col("__la").as("la"), col("__i").as("i"), col("__key").as("key")),
+      "hot" -> hot.select(col("__la").as("la"), col("__i").as("i"),
+        col("__key").as("key"), col("__pop").as("pop")),
       "meta" -> Seq((maxDist, extraChunks, hotChunkCap))
         .toDF("max_dist", "extra_chunks", "hot_chunk_cap")))
     r.count() // prep checkpointed it: no re-read of the landed table
@@ -110,8 +111,15 @@ object FuzzyJoinIndex {
     val meta = readMeta(spark, path)
     val (oldStrings, oldKeys) = tables(spark, path)
     val cur = FuzzyJoin.prep(incoming, refId, refStr)
-    val pinnedHot = spark.read.parquet(path + "/hot")
-      .select(col("la").as("__la"), col("i").as("__i"), col("key").as("__key"))
+    val hotRaw = spark.read.parquet(path + "/hot")
+    // pre-pop indexes lack the `pop` column: fall back to index-order
+    // drops (chunkKeysGuarded substitutes a zero population)
+    val pinnedHot =
+      if (hotRaw.columns.contains("pop"))
+        hotRaw.select(col("la").as("__la"), col("i").as("__i"),
+          col("key").as("__key"), col("pop").as("__pop"))
+      else hotRaw.select(col("la").as("__la"), col("i").as("__i"),
+        col("key").as("__key"))
     val carriedIds = oldStrings.join(cur, Seq("__id", "__s"), "left_semi")
       .select(col("__id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
