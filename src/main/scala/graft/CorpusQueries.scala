@@ -8,7 +8,7 @@ import graft.core.NtpIds
 import graft.enrich.Entities
 import graft.functions.UnidecodeEs
 import graft.ingest.Normalize
-import graft.ops.{Dedup, DedupIndex, Multimodal, Pca, Similarity, SimilarityIndex, TextAnalysis, TextIndex}
+import graft.ops.{Bpe, BpeIndex, Dedup, DedupIndex, Multimodal, Pca, Similarity, SimilarityIndex, TextAnalysis, TextIndex}
 import graft.versions.Versions
 
 /** Training-data-pipeline + enrichment queries (SURVEY §7.6/§7.8):
@@ -80,6 +80,45 @@ object CorpusQueries {
       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
       |       coalesce(c0, 0.0::DOUBLE) + coalesce(c1, 0.0::DOUBLE) + coalesce(c2, 0.0::DOUBLE) + coalesce(c3, 0.0::DOUBLE) AS score
       |FROM piv ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
+
+  /** Rounds of the unrolled learned-BPE training oracle (matches
+    * [[graft.ops.Bpe]]: [a-z]+ pre-tokens, leading-space symbol
+    * sequences, greedy replace application, (count DESC, lhs, rhs)
+    * tie-break).
+    */
+  private val BpeMerges = 12
+
+  /** Training CTEs w0..wN / m1..mN over `documents` with an optional
+    * WHERE on the training slice. m/w CTEs are MATERIALIZED: every
+    * round references its predecessor twice and inlining would expand
+    * the chain exponentially.
+    */
+  private def bpeTrainCtes(trainWhere: String): String = {
+    val rounds = (1 to BpeMerges).map { i =>
+      val prev = s"w${i - 1}"
+      s"""p$i AS (SELECT x, y, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+         |  SELECT cnt, lst[gi] AS x, lst[gi+1] AS y FROM (
+         |    SELECT cnt, lst, unnest(generate_series(1, len(lst)-1)) AS gi
+         |    FROM (SELECT cnt, string_split(substr(seq, 2), ' ') AS lst FROM $prev))) t
+         |  GROUP BY x, y),
+         |m$i AS MATERIALIZED (SELECT x, y, c FROM p$i ORDER BY c DESC, x, y LIMIT 1),
+         |w$i AS MATERIALIZED (SELECT w.word, w.cnt,
+         |  replace(w.seq, ' '||m.x||' '||m.y, ' '||m.x||m.y) AS seq FROM $prev w, m$i m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH dw AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |            FROM documents$trainWhere),
+       |w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+       |       regexp_replace(word, '(.)', ' \\1', 'g') || ' </w>' AS seq
+       |       FROM dw GROUP BY word),
+       |$rounds""".stripMargin
+  }
+
+  /** The merge list applied to `v.seq` as nested replaces against the
+    * one-row m1..mN CTEs — identical fold order to [[graft.ops.Bpe.applySeq]].
+    */
+  private lazy val bpeApplyExpr: String =
+    (1 to BpeMerges).foldLeft("v.seq")((e, i) =>
+      s"replace($e, ' '||m$i.x||' '||m$i.y, ' '||m$i.x||m$i.y)")
 
   /** 64-bit SimHash expression over exploded token hashes (matches
     * Dedup.simhashBits bit-for-bit: MSB-first hex nibbles of md5[1..16]).
@@ -489,6 +528,39 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // LEARNED-BPE training (Sennrich et al. 2016): 12 distributed
+    // merge-pair rounds over the word-frequency table — the corpus is
+    // scanned ONCE (the word-count aggregate); every round is a
+    // vocab-sized pair count + a one-row driver argmax + a string
+    // rewrite. The oracle recomputes all 12 rounds as unrolled
+    // MATERIALIZED CTEs, so greedy selection, left-to-right merge
+    // application, and tie-breaking are all under the hash gate
+    "txt_bpe_train" -> ((s, dir) => {
+      Bpe.mergesDf(s, Bpe.train(t(s, dir, "documents"), "text", 12))
+        .orderBy(col("merge_rank"))
+    }),
+
+    // the learned tokenizer SERVED from its persisted artifact — the
+    // pinned-vocab journey: train on the first two "drops" (doc_id%3<>2)
+    // and pin the merges, refresh the word cache when the third drop
+    // lands (new words tokenize under the PINNED merges — no retrain),
+    // then serve learned token counts for the whole corpus. These are
+    // the counts packing/token-budget decisions should consume
+    "txt_bpe_apply" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bpe_q").toString
+      val path = tmp + "/bpe"
+      BpeIndex.build(docs.filter(pmod(col("doc_id"), lit(3)) =!= 2), "text", path, 12)
+      BpeIndex.refresh(docs, "text", path)
+      val out = BpeIndex.tokenCounts(docs, "doc_id", "text", path)
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true) // the scratch index is deleted next
+      new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      out
+    }),
+
     // token counting both ways: whitespace words vs BPE-ish regex
     // segments (contractions, digit runs and punctuation runs count
     // separately — the truer LLM-token-budget proxy)
@@ -555,6 +627,22 @@ object CorpusQueries {
     "q_pack_sequences" -> ((s, dir) => {
       TextAnalysis.packSequences(t(s, dir, "documents"),
           "source", "doc_id", "text", budget = 512)
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
+    // packing driven by LEARNED tokens: the same concat-and-chunk
+    // layout, but the budget axis is the trained-BPE token count, not
+    // the whitespace proxy — what a production loader actually packs
+    // on. Docs with no [a-z] pre-token pack as zero-length (coalesce),
+    // exactly like null text in the proxy tier
+    "q_pack_sequences_bpe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = Bpe.train(docs, "text", 12)
+      val counts = docs.select(col("source"), col("doc_id"))
+        .join(Bpe.docTokenCounts(docs, "doc_id", "text", merges),
+          Seq("doc_id"), "left_outer")
+      TextAnalysis.packSequencesOn(counts, "source", "doc_id",
+          "n_bpe_tokens", budget = 512)
         .orderBy(col("source"), col("doc_id"))
     }),
 
@@ -1765,6 +1853,35 @@ object CorpusQueries {
          |       CAST(len(regexp_extract_all(lower(text), '${TextAnalysis.BpeTokenRegex.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens
          |FROM tk ORDER BY doc_id""".stripMargin),
 
+    // 12 unrolled BPE merge rounds: per round a vocab-wide adjacent-pair
+    // count, the (count DESC, lhs, rhs) argmax, and the greedy merge as
+    // one left-to-right string replace on the space-delimited symbol
+    // sequence — replace's non-overlapping scan coincides with BPE's
+    // greedy merge in both engines because every symbol carries exactly
+    // one leading space. MATERIALIZED is load-bearing: each round
+    // references its predecessor twice, so inlined CTEs would expand
+    // the chain 2^12 times
+    "txt_bpe_train" -> (bpeTrainCtes("") + "\n" +
+      (1 to BpeMerges).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS merge_rank, x AS lhs, y AS rhs, x||y AS merged, c AS cnt FROM m$i")
+        .mkString("\nUNION ALL\n") + "\nORDER BY merge_rank"),
+
+    // the same 12 training rounds recomputed on the doc_id%3<>2 subset
+    // (the journey's pinned-vocab build), then the learned merges
+    // applied to the FULL corpus vocabulary and per-doc counts summed —
+    // gates build, pinned refresh, and the cache/inline serve seam
+    "txt_bpe_apply" -> (bpeTrainCtes(" WHERE doc_id % 3 <> 2") + s""",
+       |aw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents),
+       |dcount AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS n FROM aw GROUP BY doc_id, word),
+       |vseq AS (SELECT word, regexp_replace(word, '(.)', ' \\1', 'g') || ' </w>' AS seq
+       |         FROM (SELECT DISTINCT word FROM aw)),
+       |vfin AS (SELECT v.word, $bpeApplyExpr AS seq
+       |         FROM vseq v, ${(1 to BpeMerges).map("m" + _).mkString(", ")}),
+       |wt AS (SELECT word, CAST(len(string_split(substr(seq, 2), ' ')) AS BIGINT) AS t FROM vfin)
+       |SELECT d.doc_id, CAST(SUM(d.n * w.t) AS BIGINT) AS n_bpe_tokens
+       |FROM dcount d JOIN wt w USING (word)
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin),
+
     "txt_repetition" -> (tkCte +
       """,
         |gr AS (SELECT doc_id, toks,
@@ -1816,6 +1933,29 @@ object CorpusQueries {
         |SELECT source, doc_id, n_tokens,
         |       CAST(start // 512 AS BIGINT) AS bin, CAST(start % 512 AS BIGINT) AS offset
         |FROM s ORDER BY source, doc_id""".stripMargin),
+
+    // the learned-token packing axis: full 12-round training recompute,
+    // per-doc learned counts, left join (docs with no pre-token pack as
+    // zero), then the identical prefix-sum window
+    "q_pack_sequences_bpe" -> (bpeTrainCtes("") + s""",
+       |aw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents),
+       |dcount AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS n FROM aw GROUP BY doc_id, word),
+       |vseq AS (SELECT word, regexp_replace(word, '(.)', ' \\1', 'g') || ' </w>' AS seq
+       |         FROM (SELECT DISTINCT word FROM aw)),
+       |vfin AS (SELECT v.word, $bpeApplyExpr AS seq
+       |         FROM vseq v, ${(1 to BpeMerges).map("m" + _).mkString(", ")}),
+       |wt AS (SELECT word, CAST(len(string_split(substr(seq, 2), ' ')) AS BIGINT) AS t FROM vfin),
+       |dt AS (SELECT d.doc_id, CAST(SUM(d.n * w.t) AS BIGINT) AS nt
+       |       FROM dcount d JOIN wt w USING (word) GROUP BY d.doc_id),
+       |dd AS (SELECT doc_id, source, CAST(coalesce(dt.nt, 0) AS BIGINT) AS n_tokens
+       |       FROM documents LEFT JOIN dt USING (doc_id)),
+       |sx AS (SELECT source, doc_id, n_tokens,
+       |         COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+       |       FROM dd)
+       |SELECT source, doc_id, n_tokens,
+       |       CAST(start // 512 AS BIGINT) AS bin, CAST(start % 512 AS BIGINT) AS offset
+       |FROM sx ORDER BY source, doc_id""".stripMargin),
 
     // the fold recurrence as a recursive CTE: row i's (bin, offset)
     // derive from row i-1's fill — candidate offset cand = prev offset +

@@ -839,6 +839,41 @@ object Main {
           println(s"[cli] sample: ${spark.read.parquet(o).count()} rows -> $o")
         case None => out.orderBy(col(id)).show(100, truncate = false)
       }
+    case "bpe" =>
+      // learned-BPE tokenizer as a lake artifact (pinned merges):
+      //   cli bpe --op train --in docs.parquet --path idx [--n-merges 64]
+      //   cli bpe --op refresh --in docs.parquet --path idx
+      //     -> tokenize only words the cache has never seen (no retrain)
+      //   cli bpe --op count --in docs.parquet --path idx [--out p]
+      //     -> per-doc learned token counts served from the index
+      //   cli bpe --op merges --path idx   -> show the pinned merge list
+      import graft.ops.BpeIndex
+      val path = arg(args, "--path").getOrElse(sys.error("bpe requires --path <indexDir>"))
+      val id = arg(args, "--id").getOrElse("doc_id")
+      val text = arg(args, "--text-col").getOrElse("text")
+      arg(args, "--op").getOrElse("count") match {
+        case "train" =>
+          val (nM, nW) = BpeIndex.build(spark.read.parquet(arg(args, "--in").get),
+            text, path, arg(args, "--n-merges").map(_.toInt).getOrElse(64))
+          println(s"[cli] bpe train: $nM merges learned, $nW words cached -> $path")
+        case "refresh" =>
+          val (carried, fresh) = BpeIndex.refresh(
+            spark.read.parquet(arg(args, "--in").get), text, path)
+          println(s"[cli] bpe refresh: carried $carried cached words, tokenized $fresh new")
+        case "count" =>
+          val counts = BpeIndex.tokenCounts(
+            spark.read.parquet(arg(args, "--in").get), id, text, path)
+          arg(args, "--out") match {
+            case Some(o) =>
+              counts.write.mode("overwrite").parquet(o)
+              println(s"[cli] bpe count: ${spark.read.parquet(o).count()} docs -> $o")
+            case None => counts.orderBy(col(id)).show(100, truncate = false)
+          }
+        case "merges" =>
+          spark.read.parquet(path + "/merges")
+            .orderBy(col("merge_rank")).show(4096, truncate = false)
+        case other => println(s"bpe --op train|refresh|count|merges (got '$other')")
+      }
     case "audit" =>
       // schema drift between two parquet drops (footer-only): gate a
       // pipeline run on upstream dtype changes instead of crashing on them
@@ -859,6 +894,6 @@ object Main {
       graft.Explain.print(spark,
         arg(args, "--sf").getOrElse("/root/testdata/sf0.001"), Seq(name))
     case other =>
-      println(s"usage: ingest|summary|harvest|sync|compact|stats|cluster|index|repair|purge|curate|sample|snap|audit|profile|dq|fuzzy|matagg|sketch|lm|bm25|drop|semdedup|sparsesim|explain (got '$other')")
+      println(s"usage: ingest|summary|harvest|sync|compact|stats|cluster|index|repair|purge|curate|sample|snap|audit|profile|dq|fuzzy|matagg|sketch|lm|bm25|bpe|drop|semdedup|sparsesim|explain (got '$other')")
   }
 }

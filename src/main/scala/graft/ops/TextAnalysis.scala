@@ -296,14 +296,25 @@ object TextAnalysis {
   }
 
   def packSequences(docs: DataFrame, shardCol: String, orderCol: String,
-                    textCol: String, budget: Int): DataFrame = {
+                    textCol: String, budget: Int): DataFrame =
+    packSequencesOn(
+      docs.select(col(shardCol), col(orderCol),
+        tokenCount(col(textCol)).cast("long").as("__nt")),
+      shardCol, orderCol, "__nt", budget)
+
+  /** [[packSequences]] over a PRECOMPUTED token-count column — the seam
+    * that lets packing run on learned-BPE counts ([[Bpe.docTokenCounts]]
+    * / [[BpeIndex.tokenCounts]]) instead of the whitespace proxy.
+    */
+  def packSequencesOn(counts: DataFrame, shardCol: String, orderCol: String,
+                      nTokensCol: String, budget: Int): DataFrame = {
     require(budget > 0, "token budget must be positive")
     val w = Window.partitionBy(col(shardCol)).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    // null text = zero tokens: a null must not poison the prefix sum
+    // null count = zero tokens: a null must not poison the prefix sum
     // (every later document in the shard would get a null start)
-    docs.select(col(shardCol), col(orderCol),
-        coalesce(tokenCount(col(textCol)).cast("long"), lit(0L)).as("n_tokens"))
+    counts.select(col(shardCol), col(orderCol),
+        coalesce(col(nTokensCol).cast("long"), lit(0L)).as("n_tokens"))
       .withColumn("__start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col(shardCol), col(orderCol), col("n_tokens"),
         // integer div, not double `/`: a prefix sum past 2^53 would round

@@ -137,6 +137,14 @@ class FuzzyJoinIndexSpec extends AnyFunSuite {
         "--ref-id", "rid", "--ref-str", "rname", "--max-dist", "2"))
     }
     assert(dd.getMessage.contains("pinned at --max-dist 1"), dd.getMessage)
+    // same guard on the PROBE path: probing with a different --max-dist
+    // must fail loudly, not silently serve pairs at the pinned distance
+    val dp = intercept[RuntimeException] {
+      graft.cli.Main.run(spark, "fuzzy", Array(
+        "--index-path", root + "/idx", "--in", root + "/probes",
+        "--id", "pid", "--str", "pname", "--max-dist", "2"))
+    }
+    assert(dp.getMessage.contains("pinned at --max-dist 1"), dp.getMessage)
     graft.cli.Main.run(spark, "fuzzy", Array(
       "--index-path", root + "/idx", "--in", root + "/probes",
       "--id", "pid", "--str", "pname", "--out", root + "/pairs"))
