@@ -190,12 +190,29 @@ object Main {
         case None => out.show(100, truncate = false)
       }
     case "harvest" =>
+      // reference driver surface (get_documents.py): --scan_only stops
+      // at URL extraction; otherwise the fetch stage runs with the
+      // reference's politeness knobs — --delay ms (per-host rate limit,
+      // get_documents.py:53) and --skip-servers h1,h2 (the skip list,
+      // :177-183; skipped hosts land in the ledger as status=skipped,
+      // never silently dropped). The fetcher is the deterministic stub
+      // unless --real-http asks for the HttpURLConnection fetcher.
       val records = spark.read.parquet(arg(args, "--lake").get)
       val fields = arg(args, "--url-fields").map(_.split(",").toSeq).getOrElse(Seq.empty)
       val urls = HarvestJobs.harvest(records, arg(args, "--id-col").getOrElse("_id"), fields,
         idRange = (arg(args, "--ini"), arg(args, "--fin")),
-        scanOnly = flag(args, "--scan_only"))
-      println(s"[cli] harvest: ${urls.count()} urls")
+        skipServers = arg(args, "--skip-servers")
+          .map(_.split(",").toSet.filter(_.nonEmpty)).getOrElse(Set.empty),
+        delayMs = arg(args, "--delay").map(_.toLong).getOrElse(0L),
+        scanOnly = flag(args, "--scan_only"),
+        fetcher = if (flag(args, "--real-http")) graft.harvest.Fetch.httpFetcher()
+                  else graft.harvest.Fetch.stubFetcher)
+      arg(args, "--out") match {
+        case Some(o) =>
+          urls.write.mode("overwrite").parquet(o)
+          println(s"[cli] harvest: ${spark.read.parquet(o).count()} rows -> $o")
+        case None => println(s"[cli] harvest: ${urls.count()} urls")
+      }
     case "compact" =>
       // lake housekeeping after N incremental ingests: rewrite fragmented
       // partitions into target-size, key-sorted files (row-group pruning)

@@ -394,6 +394,68 @@ object Dedup {
         coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 
+  /** Any-alignment duplicate-span dedup (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better"
+    * ExactSubstr shape, re-expressed for Spark): every SLIDING
+    * `window`-token gram of every document is an occurrence; each
+    * distinct gram keeps exactly one CANONICAL occurrence (the
+    * lexicographically smallest (doc, position)), and every token
+    * covered by a non-canonical occurrence of a duplicated gram is
+    * removed. A duplicated span of length L ≥ window produces
+    * L−window+1 overlapping duplicated grams whose extents union to the
+    * WHOLE span — so a duplicate shifted by one token (which the
+    * fixed-block [[dedupSpansGlobal]] provably misses) is caught at any
+    * alignment, and within-document repetition dedups the same way.
+    * The suffix-array machinery of the paper is replaced by the sliding
+    * gram + extent union, which removes the same ≥window-token
+    * duplicated spans (canonical copies of overlapping distinct spans
+    * can shade into each other; the union rule over-removes those rare
+    * overlaps rather than under-removing).
+    *
+    * Scale shape: occurrences shuffle as (md5 digest, doc, pos) — one
+    * row per token position, never gram text; the canonical choice is a
+    * map-side-combined min(struct). Extent explosion costs window× on
+    * the NON-CANONICAL rows only (duplicated regions, not the corpus).
+    * Reassembly shuffles on the doc id like [[dedupSpansGlobal]].
+    *
+    * Returns (idCol, n_tokens, n_dup_tokens, text_clean) for every
+    * input document.
+    */
+  def dedupSpansAnyAlign(docs: DataFrame, idCol: String, textCol: String,
+                         window: Int = 8): DataFrame = {
+    require(window >= 2, s"span window must be >= 2, got $window")
+    val base = docs.select(col(idCol).as("__doc"), tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+    val occ = base.filter(col("__n") >= window)
+      .select(col("__doc"), posexplode(transform(
+        sequence(lit(0), col("__n") - window),
+        i => md5(concat_ws(" ", slice(col("__toks"), i + 1, lit(window))))))
+        .as(Seq("__i", "__h")))
+    val canon = occ.groupBy(col("__h"))
+      .agg(min(struct(col("__doc"), col("__i"))).as("__c"))
+    val dropped = occ.join(canon, Seq("__h"))
+      .filter(col("__c.__doc") =!= col("__doc") || col("__c.__i") =!= col("__i"))
+      .select(col("__doc"),
+        explode(sequence(col("__i"), col("__i") + (window - 1))).as("__p"))
+      .distinct()
+    val perDoc = base
+      .select(col("__doc"), col("__n"), posexplode(col("__toks")).as(Seq("__p", "__t")))
+      .join(dropped.withColumn("__dup", lit(true)), Seq("__doc", "__p"), "left_outer")
+      .groupBy(col("__doc"))
+      .agg(first(col("__n")).cast("long").as("n_tokens"),
+        sum(when(col("__dup"), 1L).otherwise(0L)).as("n_dup_tokens"),
+        array_join(transform(
+          array_sort(collect_list(when(!coalesce(col("__dup"), lit(false)),
+            struct(col("__p"), col("__t"))))),
+          s => s.getField("__t")), " ").as("text_clean"))
+    docs.select(col(idCol))
+      .join(perDoc, docs(idCol) === perDoc("__doc"), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** n-gram Jaccard similarity between two shingle-set columns. Exact
     * rational arithmetic (intersection/union sizes) until the final
     * division, so it's deterministic.

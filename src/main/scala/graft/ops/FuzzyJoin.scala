@@ -195,6 +195,114 @@ object FuzzyJoin {
         abs(col("__al") - col("__bl")) <= d)
       .select(col("__aid"), col("__bid"))
 
+  // ------------------------------------------------------------------
+  // COMPLEMENT-KEY ESCALATION (the round-14 "per-key quadratic
+  // residual" fix): when the served singleton chunk keys are measurably
+  // unselective (a templated corpus where every served key still
+  // carries thousands of strings), singleton keys are REPLACED by
+  // positional complement keys — the PartEnum-flavored refinement
+  // (Arasu et al., VLDB'06 — public): split each string into
+  // n1 = d+2+extra sub-chunks; the keys are the concatenations of every
+  // (n1−d)-subset that EXCLUDES some d sub-chunks. Pigeonhole: d edits
+  // damage at most d sub-chunks (a substitution damages the sub-chunk
+  // holding it; an indel damages one sub-chunk and only DRIFTS the
+  // later ones), so the key excluding a d-superset of the damaged set
+  // survives with every component verbatim, each component shifted by
+  // the net indels before it. The probe side therefore emits, per
+  // (target length, key id), every drift combo (o1..ok) realizable by
+  // ≤ d indels — |o1| + Σ|o_{j+1} − o_j| ≤ d — and candidates are one
+  // equi-join on (la, keyId, concatenated content). LOSSLESS for the
+  // same reason the singleton scheme is, and each key now carries
+  // (n1−d)/n1 of the string's content instead of ~1/(d+1+extra): a
+  // shared template spanning one sub-chunk stops dominating because
+  // every key also embeds the string's distinctive spans.
+  //
+  // The escalation is GATED ON MEASURED VOLUME, never assumed (the
+  // round-14 lesson that refinements can LOSE selectivity): the
+  // candidate pass first builds the guarded singleton keys, measures
+  // Σ pop² over the served keys (one vocab-sized aggregate on top of
+  // the hot-list pass), and only switches to complement keys when that
+  // exceeds candBudgetPerString · |A|. Healthy corpora never pay the
+  // (C(n1,d) · combos) probe fan-out; a templated corpus trades it for
+  // populations split by content the singletons never saw.
+  // ------------------------------------------------------------------
+
+  /** The excluded d-subsets of sub-chunk slots, in a fixed order (the
+    * key id is the subset's index).
+    */
+  private[ops] def excludedSubsets(n1: Int, d: Int): Seq[Seq[Int]] =
+    (0 until n1).combinations(d).map(_.toSeq).toSeq
+
+  /** Component drift combos realizable by ≤ d indels: the net drift
+    * before component 1 costs |o1| indels, each adjacent change costs
+    * |o_{j+1} − o_j| more, and the total indel budget is d.
+    */
+  private[ops] def driftCombos(k: Int, d: Int): Seq[Seq[Int]] = {
+    def rec(prev: Int, left: Int, budget: Int): Seq[List[Int]] =
+      if (left == 0) Seq(Nil)
+      else (-d to d).toSeq.flatMap { o =>
+        val cost = math.abs(o - prev)
+        if (cost <= budget) rec(o, left - 1, budget - cost).map(o :: _) else Nil
+      }
+    rec(0, k, d)
+  }
+
+  private def escSpecDf(spark: org.apache.spark.sql.SparkSession,
+                        rows: Seq[org.apache.spark.sql.Row], k: Int,
+                        withEnd: Boolean): DataFrame = {
+    import org.apache.spark.sql.types._
+    val fields = Seq(StructField("__la", IntegerType), StructField("__kid", IntegerType)) ++
+      (1 to k).flatMap(j => Seq(StructField(s"__st$j", IntegerType),
+        StructField(s"__cl$j", IntegerType))) ++
+      (if (withEnd) Seq(StructField("__maxend", IntegerType)) else Nil)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), StructType(fields))
+  }
+
+  /** Candidate pairs under complement keys for the lengths in
+    * `escLens` (each ≥ n1 so every sub-chunk is non-empty): `a` emits
+    * its C(n1,d) complement keys, `b` emits each key's drift combos for
+    * every target length within ±d. One equi-join on the concatenated
+    * content; spec frames are driver-built and broadcast
+    * (lengths × keys × combos rows — hundreds, never corpus-sized).
+    */
+  private[ops] def escalatedCandidates(a: DataFrame, b: DataFrame, d: Int,
+                                       n1: Int, escLens: Seq[Int]): DataFrame = {
+    val spark = a.sparkSession
+    val k = n1 - d
+    val excl = excludedSubsets(n1, d)
+    val combos = driftCombos(k, d)
+    val aRows = for {
+      la <- escLens
+      bounds = chunkSpecsN(la, n1)
+      (ex, kid) <- excl.zipWithIndex
+      comps = bounds.collect { case (i, st, cl) if !ex.contains(i) => (st, cl) }
+    } yield org.apache.spark.sql.Row.fromSeq(
+      la +: kid +: comps.flatMap { case (st, cl) => Seq(st, cl) })
+    val bRows = for {
+      la <- escLens
+      bounds = chunkSpecsN(la, n1)
+      (ex, kid) <- excl.zipWithIndex
+      comps = bounds.collect { case (i, st, cl) if !ex.contains(i) => (st, cl) }
+      off <- combos
+      drifted = comps.zip(off).map { case ((st, cl), o) => (st + o, cl) }
+      if drifted.forall(_._1 >= 1)
+    } yield org.apache.spark.sql.Row.fromSeq(
+      la +: kid +: drifted.flatMap { case (st, cl) => Seq(st, cl) } :+
+        drifted.map { case (st, cl) => st + cl - 1 }.max)
+    val keyExpr = expr("concat(" +
+      (1 to k).map(j => s"substring(__s, __st$j, __cl$j)").mkString(", ") + ")")
+    val aK = a.join(broadcast(escSpecDf(spark, aRows, k, withEnd = false)),
+        col("__l") === col("__la"))
+      .select(col("__id").as("__aid"), col("__la"), col("__kid"), keyExpr.as("__key"))
+    val bK = b.join(broadcast(escSpecDf(spark, bRows, k, withEnd = true)),
+        col("__la").between(col("__l") - d, col("__l") + d) &&
+          col("__maxend") <= col("__l"))
+      .select(col("__id").as("__bid"), col("__la"), col("__kid"), keyExpr.as("__key"))
+    aK.join(bK, Seq("__la", "__kid", "__key"))
+      .select(col("__aid"), col("__bid"))
+  }
+
   /** The pigeonhole candidate pass shared by the self- and two-table
     * joins: `a` contributes chunks, `b` contributes window probes
     * (coverage needs only ONE side chunked — the surviving chunk of an
@@ -202,30 +310,59 @@ object FuzzyJoin {
     * (__aid, __bid) pairs; the caller verifies with the exact
     * levenshtein. Short `a` strings (too short to chunk) pair against
     * the bounded short bucket of `b`.
+    *
+    * `candBudgetPerString > 0` arms the volume gate: if the guarded
+    * singleton keys' measured Σ pop² exceeds budget·|A|, lengths ≥
+    * d+2+extra switch to complement keys (see the escalation note);
+    * shorter lengths keep singletons (too short to sub-chunk), and the
+    * short bucket is untouched. 0 keeps the classic pass unconditionally.
     */
   private[graft] def candidates(a: DataFrame, b: DataFrame, d: Int,
-                                extra: Int, hotChunkCap: Long): DataFrame = {
+                                extra: Int, hotChunkCap: Long,
+                                candBudgetPerString: Long = 0L): DataFrame = {
     val aLens = chunkLens(a, d)
     val (aKeys, _) = chunkKeysGuarded(a, aLens, d, extra, hotChunkCap, None)
-    val bKeys = windowKeys(b, aLens, d, extra)
-    val candLong = aKeys.join(bKeys, Seq("__la", "__i", "__key"))
-      .select(col("__aid"), col("__bid"))
+    def classic(lens: Seq[Int], keys: DataFrame): DataFrame =
+      keys.join(windowKeys(b, lens, d, extra), Seq("__la", "__i", "__key"))
+        .select(col("__aid"), col("__bid"))
+    val escalate = candBudgetPerString > 0L && {
+      val r = aKeys.groupBy(col("__la"), col("__i"), col("__key"))
+        .agg(count(lit(1)).as("__pop"))
+        .agg(sum(col("__pop") * col("__pop"))).head()
+      val vol = if (r.isNullAt(0)) 0L else r.getLong(0)
+      vol > candBudgetPerString * math.max(1L, a.count())
+    }
+    val candLong =
+      if (!escalate) classic(aLens, aKeys)
+      else {
+        val n1 = d + 2 + math.max(1, extra)
+        val escLens = aLens.filter(_ >= n1)
+        val keepLens = aLens.filter(_ < n1)
+        val kept =
+          if (keepLens.isEmpty) None
+          else Some(classic(keepLens,
+            aKeys.filter(col("__la").isin(keepLens.map(Integer.valueOf): _*))))
+        val esc = escalatedCandidates(a, b, d, n1, escLens)
+        kept.fold(esc)(_ unionByName esc)
+      }
     candLong.unionByName(shortPairs(a, b, d))
   }
 
   /** All (a, b, dist) pairs with `levenshtein ≤ maxDist`, a < b by id.
     * Null strings drop (no distance to measure); ids must be unique.
     * `extraChunks`/`hotChunkCap` tune the hot-chunk guard (see the
-    * object doc); `hotChunkCap = 0` disables it.
+    * object doc); `hotChunkCap = 0` disables it. `candBudgetPerString`
+    * arms the measured-volume complement-key escalation (0 disables).
     */
   def editDistanceSelfJoin(df: DataFrame, idCol: String, strCol: String,
                            maxDist: Int, extraChunks: Int = 1,
-                           hotChunkCap: Long = 4096L): DataFrame = {
+                           hotChunkCap: Long = 4096L,
+                           candBudgetPerString: Long = 16L): DataFrame = {
     require(maxDist >= 1 && maxDist <= 8, s"maxDist must be in [1, 8]: $maxDist")
     require(extraChunks >= 0 && extraChunks <= 8,
       s"extraChunks must be in [0, 8]: $extraChunks")
     val s = prep(df, idCol, strCol)
-    candidates(s, s, maxDist, extraChunks, hotChunkCap)
+    candidates(s, s, maxDist, extraChunks, hotChunkCap, candBudgetPerString)
       .filter(col("__aid") =!= col("__bid"))
       .select(least(col("__aid"), col("__bid")).as("a"),
         greatest(col("__aid"), col("__bid")).as("b"))
@@ -247,13 +384,14 @@ object FuzzyJoin {
   def editDistanceJoin(probes: DataFrame, probeId: String, probeStr: String,
                        reference: DataFrame, refId: String, refStr: String,
                        maxDist: Int, extraChunks: Int = 1,
-                       hotChunkCap: Long = 4096L): DataFrame = {
+                       hotChunkCap: Long = 4096L,
+                       candBudgetPerString: Long = 16L): DataFrame = {
     require(maxDist >= 1 && maxDist <= 8, s"maxDist must be in [1, 8]: $maxDist")
     require(extraChunks >= 0 && extraChunks <= 8,
       s"extraChunks must be in [0, 8]: $extraChunks")
     val p = prep(probes, probeId, probeStr)
     val r = prep(reference, refId, refStr)
-    candidates(p, r, maxDist, extraChunks, hotChunkCap)
+    candidates(p, r, maxDist, extraChunks, hotChunkCap, candBudgetPerString)
       .distinct()
       .select(col("__aid").as("probe_id"), col("__bid").as("ref_id"))
       .join(p.select(col("__id").as("probe_id"), col("__s").as("__sa")), "probe_id")

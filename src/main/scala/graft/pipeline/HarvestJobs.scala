@@ -22,7 +22,8 @@ object HarvestJobs {
               skipFields: Set[String] = Set.empty,
               skipServers: Set[String] = Set.empty,
               delayMs: Long = 0L,
-              scanOnly: Boolean = false): DataFrame = {
+              scanOnly: Boolean = false,
+              fetcher: String => Fetch.FetchResult = Fetch.stubFetcher): DataFrame = {
     val fields = urlFields.filterNot(skipFields)
     val stackExpr = s"stack(${fields.length}, " +
       fields.map(f => s"'$f', `$f`").mkString(", ") + ") AS (field, url)"
@@ -31,7 +32,8 @@ object HarvestJobs {
       .selectExpr(idCol, stackExpr)
       .filter(col("url").isNotNull && col("url").startsWith("http"))
     if (scanOnly) urls
-    else Fetch.fetchAll(urls, "url", delayMs = delayMs, skipServers = skipServers)
+    else Fetch.fetchAll(urls, "url", delayMs = delayMs, skipServers = skipServers,
+      fetcher = fetcher)
   }
 
   /** sync_documents (§3.3): reconcile two listings within an id range and

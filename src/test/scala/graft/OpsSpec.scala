@@ -681,6 +681,37 @@ class OpsSpec extends AnyFunSuite {
     assert(got(4) == ((5L, 1L, 0L, "p q")))          // trailing partial block kept
   }
 
+  test("dedupSpansAnyAlign: catches the one-token-shifted duplicate block dedup misses") {
+    import graft.ops.Dedup
+    // doc 2 = doc 1's 6-token span shifted one token right: with w=3
+    // FIXED blocks its blocks are ("z a b", "c d e", "f") — none equal
+    // doc 1's ("a b c", "d e f") — so block dedup keeps everything;
+    // sliding grams collide at every inner alignment
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "z a b c d e f"),
+      (3L, "p q r p q r p q"), // within-doc repetition: 2nd occurrence dropped
+      (4L, "u v")              // shorter than the window: untouched
+    ).toDF("doc_id", "text")
+    val blocks = Dedup.dedupSpansGlobal(docs, "doc_id", "text", 3)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(blocks(1) == ((2L, 0L)), s"fixture: block dedup must MISS the shift: ${blocks.toSeq}")
+    val got = Dedup.dedupSpansAnyAlign(docs, "doc_id", "text", 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // doc 1 is canonical everywhere (min doc id)
+    assert(got(0) == ((1L, 6L, 0L, "a b c d e f")))
+    // doc 2: every position covered by a duplicated gram of doc 1 drops;
+    // the leading "z" is covered only by its own unique grams
+    assert(got(1) == ((2L, 7L, 6L, "z")))
+    // doc 3: grams "p q r" at positions 0 and 3 collide (and more) —
+    // the canonical prefix survives, the repeat is removed
+    val (_, n3, dup3, clean3) = got(2)
+    assert(n3 == 8L && dup3 > 0L && clean3.startsWith("p q r"),
+      s"within-doc repeat must dedup against its own prefix: ${got(2)}")
+    assert(got(3) == ((4L, 2L, 0L, "u v")))
+  }
+
   test("chunkTokens: overlap, short tail, exact-boundary and empty docs") {
     import graft.ops.TextAnalysis
     val df = Seq(

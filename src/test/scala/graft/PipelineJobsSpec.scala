@@ -78,6 +78,33 @@ class PipelineJobsSpec extends AnyFunSuite {
     assert(byUrl("https://h1.es/a.pdf") != graft.harvest.Fetch.Status.Skipped)
   }
 
+  test("cli harvest drives extract -> fetch(stub) -> ledger with a measured per-host delay") {
+    val root = java.nio.file.Files.createTempDirectory("cli-harvest").toString
+    // 6 URLs on ONE host + 1 skip-listed: with --delay 150 the stub
+    // fetch of the shared host must take >= 5 gaps = 750 ms (the
+    // reference's per-server politeness, get_documents.py:53)
+    val records = (1 to 6).map(i =>
+        (f"ntp0000000$i", s"https://one.es/d$i.pdf", null: String)) :+
+      (("ntp00000007", "https://bad.es/x.pdf", null: String))
+    records.toDF("_id", "u1", "u2").write.parquet(root + "/lake")
+    val t0 = System.nanoTime()
+    graft.cli.Main.run(spark, "harvest", Array(
+      "--lake", root + "/lake", "--url-fields", "u1,u2",
+      "--delay", "150", "--skip-servers", "bad.es",
+      "--out", root + "/ledger"))
+    val wallMs = (System.nanoTime() - t0) / 1000000L
+    val ledger = spark.read.parquet(root + "/ledger").collect()
+      .map(r => r.getAs[String]("url") -> r.getAs[String]("status")).toMap
+    assert(ledger.size == 7, s"every URL lands in the ledger: ${ledger.keySet}")
+    assert(ledger("https://bad.es/x.pdf") == graft.harvest.Fetch.Status.Skipped)
+    // the stub deterministically errors hash%50 URLs — fetched is what
+    // matters here (Ok or Error, never Skipped/missing)
+    assert(ledger.count { case (u, s) => u.startsWith("https://one.es/") &&
+      (s == graft.harvest.Fetch.Status.Ok || s == graft.harvest.Fetch.Status.Error) } == 6)
+    assert(wallMs >= 750L,
+      s"per-host politeness must pace 6 same-host fetches to >= 750 ms, took $wallMs")
+  }
+
   test("HarvestJobs.sync + purgeManifest: range-filtered reconciliation") {
     val origin = Seq("ntp00000001_a.pdf", "ntp00000002_b.pdf", "ntp00000009_z.pdf").toDF("name")
     val dest = Seq("ntp00000002_b.pdf").toDF("name")
