@@ -753,6 +753,31 @@ object CorpusQueries {
         .orderBy(col("source"), col("doc_id"))
     }),
 
+    // DOMAIN-level curation (the web-corpus shape): token caps at the
+    // REGISTRABLE-DOMAIN granularity, not the source label — a crawl
+    // where one domain spans many sources (mirrors, subdomains) must
+    // budget the domain, or it dominates the mixture. The per-doc URL
+    // is derived deterministically in BOTH engines (documents carry no
+    // URL), host comes from the shared regexp, and the registrable
+    // domain is the last two dot-labels (public-suffix-list
+    // approximation, documented): 7 domains each pooling docs from all
+    // 20 sources, so the cap provably binds at a different granularity
+    // than q_token_budget's
+    "q_domain_budget" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val withUrl = docs.select(col("doc_id"), col("text"),
+        concat(lit("https://"), col("source"), lit(".d"),
+          pmod(col("doc_id"), lit(7L)), lit(".org/doc/"), col("doc_id")).as("url"))
+      val host = regexp_extract(col("url"), "^https?://([^/]+)/", 1)
+      val withDom = withUrl.select(col("doc_id"),
+        regexp_extract(host, "([^.]+\\.[^.]+)$", 1).as("domain"),
+        TextAnalysis.tokens(col("text")).as("__toks"))
+      graft.ops.Curation.capTokenBudgetT(withDom, "domain", "__toks",
+          budget = 900, orderBy = Seq(col("doc_id")))
+        .select(col("domain"), col("doc_id"), col("n_tokens"), col("start"))
+        .orderBy(col("domain"), col("doc_id"))
+    }),
+
     // exact dedup: corpus-level duplicate stats
     "dedup_exact_stats" -> ((s, dir) => {
       t(s, dir, "documents").agg(
@@ -2087,6 +2112,25 @@ object CorpusQueries {
          |      FROM q JOIN documents d ON q.doc_id = d.doc_id)
          |SELECT source, doc_id, n_tokens, CAST(start AS BIGINT) AS start
          |FROM s WHERE start < 600 ORDER BY source, doc_id""".stripMargin),
+
+    // same synthetic URL, same host regexp, same last-two-labels
+    // registrable domain, same prefix-sum cap — in SQL
+    "q_domain_budget" -> (tkCte +
+      """,
+        |du AS (SELECT d.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |         'https://' || d.source || '.d' || CAST(d.doc_id % 7 AS VARCHAR) ||
+        |         '.org/doc/' || CAST(d.doc_id AS VARCHAR) AS url
+        |       FROM tk t JOIN documents d ON t.doc_id = d.doc_id),
+        |dm AS (SELECT doc_id, n_tokens,
+        |         regexp_extract(regexp_extract(url, '^https?://([^/]+)/', 1),
+        |                        '([^.]+\.[^.]+)$', 1) AS domain
+        |       FROM du),
+        |sx AS (SELECT domain, doc_id, n_tokens,
+        |         COALESCE(SUM(n_tokens) OVER (PARTITION BY domain ORDER BY doc_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+        |       FROM dm)
+        |SELECT domain, doc_id, n_tokens, CAST(start AS BIGINT) AS start
+        |FROM sx WHERE start < 900 ORDER BY domain, doc_id""".stripMargin),
 
     "dedup_exact_stats" ->
       """SELECT count(*) AS n_docs,

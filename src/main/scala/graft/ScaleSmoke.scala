@@ -21,9 +21,13 @@ import org.apache.spark.sql.functions._
   * verbatim under shifted ids (duplicate vectors are the realistic
   * dedup case and stress shared IVF cells).
   *
-  * Usage: `runMain graft.ScaleSmoke [baseSfDir] [factor] [outFile]`.
+  * Usage: `runMain graft.ScaleSmoke [baseSfDir] [factor] [outFile] [phaseRegex]`.
   * Prints one JSON line per phase and the aggregate; also lands the
-  * aggregate at `outFile` (default SCALE_SMOKE.json).
+  * aggregate at `outFile` (default SCALE_SMOKE.json). `phaseRegex`
+  * (full-match) selects a phase subset — the factor-100 runs target the
+  * flagship ingest/band/zonemap tiers without paying for the semantic
+  * tiers whose cell structures need corpus-scaled codebooks at that
+  * inflation (measured wall, documented in BASELINE.md round 15).
   */
 object ScaleSmoke {
 
@@ -49,6 +53,7 @@ object ScaleSmoke {
     val baseDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
     val outFile = args.lift(2).getOrElse("SCALE_SMOKE.json")
+    val phaseRe = args.lift(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.max(4, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder()
@@ -60,29 +65,42 @@ object ScaleSmoke {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, baseDir, factor, outFile)
+    run(spark, baseDir, factor, outFile, phaseRe)
     spark.stop()
   }
 
   /** The smoke body, callable under an existing session (spec-driven at
     * sf0.001 so the runner and its churn-proportionality asserts cannot
     * rot). Returns the per-phase (name, sec, rows, shufW, shufR,
-    * spillMem, spillDisk) tuples.
+    * spillMem, spillDisk) tuples. `only` full-matches phase names; a
+    * selected subset must be dependency-closed (inflate before
+    * everything, builds before refreshes/probes).
     */
   def run(spark: SparkSession, baseDir: String, factor: Int,
-          outFile: String): Seq[(String, Double, Long, Long, Long, Long, Long)] = {
+          outFile: String,
+          only: Option[String] = None): Seq[(String, Double, Long, Long, Long, Long, Long)] = {
     val listener = new MetricsListener
     spark.sparkContext.addSparkListener(listener)
 
     val work = java.nio.file.Files.createTempDirectory("graft_scale").toString
     val phases = scala.collection.mutable.ArrayBuffer[(String, Double, Long, Long, Long, Long, Long)]()
-    def phase(name: String)(body: => Long): Unit = {
+    def phase(name: String)(body: => Long): Unit = if (only.forall(name.matches)) {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       System.gc()
       val (w0, r0, m0, d0) = listener.snapshot
       val t0 = System.nanoTime()
-      val rows = body
+      // a phase that hits a wall (OOM'd stage, exhausted id space) must
+      // RECORD the wall and keep measuring the remaining phases — the
+      // smoke exists to find walls, and one crash losing every later
+      // phase's numbers is the round-15 factor-100 lesson. rows = -1
+      // marks the failure in the JSON; the message goes to stdout.
+      val rows =
+        try body
+        catch { case t: Throwable =>
+          println(s"[scale-smoke] $name FAILED: ${t.getClass.getSimpleName}: ${t.getMessage}")
+          -1L
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       val (w1, r1, m1, d1) = listener.snapshot
       phases += ((name, dt, rows, w1 - w0, r1 - r0, m1 - m0, d1 - d0))
@@ -116,25 +134,38 @@ object ScaleSmoke {
 
     // --------------------------------------------- flagship ingest (K1)
     // versions-shaped drop from the inflated orders; bulk load, then a
-    // 10%-churn second drop — the per-drop cost is the 100 TB question
+    // 10%-churn second drop — the per-drop cost is the 100 TB question.
+    // The id codec owns 10M ids per GROUP (the ~sf10 wall this smoke
+    // surfaced in round 15): above factor 10 the bulk load exceeds one
+    // group's window, so copies shard across id groups exactly like the
+    // reference's own group layout — one IngestJob run per group, each
+    // group's natural-id space disjoint (the reference ingests per
+    // --group too; a 13.5M-row single-group drop is outside its codec).
+    val nGroups = math.max(1, math.min(10, factor / 10))
+    val copiesPerGroup = math.max(1, factor / nGroups)
+    val copyIdx = (col("o_orderkey") / lit(keySpan)).cast("long")
+    val grpOfCopy = (copyIdx / lit(copiesPerGroup)).cast("long")
     val codes = Map("id" -> "id", "updated" -> "updated",
       "status" -> "status", "totalprice" -> "totalprice")
-    def versionsDrop(filter: org.apache.spark.sql.Column): DataFrame =
-      spark.read.parquet(s"$work/orders.parquet").filter(filter)
-        .select(concat(lit("url/"), col("o_custkey")).as("id"),
+    def versionsDrop(g: Int, filter: org.apache.spark.sql.Column): DataFrame =
+      spark.read.parquet(s"$work/orders.parquet")
+        .filter(filter && grpOfCopy === g)
+        .select(concat(lit(s"url/g$g/"), col("o_custkey")).as("id"),
           date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("updated"),
           col("o_orderstatus").as("status"),
           col("o_totalprice").cast("string").as("totalprice"))
     val lake = new graft.lake.LakeTable(spark, s"$work/lake", "_id",
       graft.pipeline.IngestJob.LakePartitionCols, nBuckets = 64)
     phase("ingest-bulk-90pct") {
-      graft.pipeline.IngestJob.run(spark, lake,
-        versionsDrop(pmod(col("o_orderkey"), lit(10)) =!= 9), codes, "id", "updated", 0)
+      (0 until nGroups).foreach(g => graft.pipeline.IngestJob.run(spark, lake,
+        versionsDrop(g, pmod(col("o_orderkey"), lit(10)) =!= 9),
+        codes, "id", "updated", g))
       lake.read.count()
     }
     phase("ingest-drop-10pct") {
-      graft.pipeline.IngestJob.run(spark, lake,
-        versionsDrop(pmod(col("o_orderkey"), lit(10)) === 9), codes, "id", "updated", 0)
+      (0 until nGroups).foreach(g => graft.pipeline.IngestJob.run(spark, lake,
+        versionsDrop(g, pmod(col("o_orderkey"), lit(10)) === 9),
+        codes, "id", "updated", g))
       lake.read.count()
     }
 
@@ -282,7 +313,14 @@ object ScaleSmoke {
     // only its rare tail survives pruning at any scale — exactly the
     // Zipf-head behavior the pruning is for.
     phase("sparse-sim-topk") {
-      val cap = math.max(16L, (docsAll.count() + 19) / 20)
+      // df cap: 5% of the corpus at small scale, but ABSOLUTE above 4096
+      // — the round-15 factor-100 wall: candidate mass is Σ min(df,cap)²,
+      // and on this synthetic 40-word vocab EVERY term saturates its
+      // cap, so a corpus-fractional cap grows the mass quadratically
+      // (OOM at 500k docs). The production posture is an absolute
+      // stop-term ceiling: mass ≤ nTerms·cap² regardless of corpus size
+      // (hotter terms are stop-terms for candidate generation).
+      val cap = math.min(4096L, math.max(16L, (docsAll.count() + 19) / 20))
       graft.ops.Similarity.sparseCosineTopK(
         graft.ops.TextAnalysis.hashedTf(docsAll, "doc_id", "text"), 10, cap).count()
     }

@@ -138,7 +138,8 @@ object SparkEntry {
     "enrich_fuzzy_indexed",
     "pca_moments_incremental", "sem_cluster_incremental", "sim_ivf_persisted_topk",
     "sim_mmr_indexed", "sim_recall_board",
-    "txt_bm25_indexed", "txt_dsir_incremental", "txt_lm_incremental", "txt_stats_incremental")
+    "txt_bm25_indexed", "txt_bpe_apply", "txt_dsir_incremental",
+    "txt_lm_incremental", "txt_stats_incremental")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map[String, (SparkSession, String) => DataFrame](
     // A2/A3-style wide aggregation (TPC-H Q1 shape)

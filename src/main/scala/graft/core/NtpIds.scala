@@ -30,9 +30,16 @@ object NtpIds {
   /** `^ntp[0-9]{8}` validity (reference: ntp_utils.py:21-26). */
   def checkNtpId(id: Column): Column = id.rlike("^ntp[0-9]{8}$")
 
-  /** Group from prefix: ntp1… -> 1 (minors) else 0 (reference: ntp_utils.py:28-32). */
-  def group(id: Column): Column =
-    when(id.startsWith("ntp1"), lit(1)).otherwise(lit(0))
+  /** Id group = the leading digit of the 8-digit minor: group g owns
+    * [g·10M, (g+1)·10M). The reference populates groups 0 and 1
+    * (ntp0…/ntp1…, ntp_utils.py:28-32, read_parquet.py --group) and
+    * this generalizes the
+    * same prefix rule to the codec's full 10-group capacity — the
+    * round-15 ~sf10 smoke showed a single group's 10M-id window is a
+    * REAL wall for a 13.5M-row bulk load, and the reference's own
+    * answer is more groups, not wider ids.
+    */
+  def group(id: Column): Column = substring(id, 4, 1).cast("int")
 
   /** Half-open / closed range membership with null-safe open ends
     * (reference: ntp_storage.py:12-23 `is_in_range`).

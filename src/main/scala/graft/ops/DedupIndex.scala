@@ -78,16 +78,13 @@ object DedupIndex {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return (0L, build(docs, idCol, textCol, path, bands, rowsPerBand))
     val old = spark.read.parquet(path)
-    // current fingerprints: digest-sized, no tokenization
-    val curFp = docs.select(col(idCol).as("doc"), md5(col(textCol)).as("fp"))
-    // unchanged docs: band rows carried verbatim (semi-join on doc+fp)
-    val kept = old.join(curFp, Seq("doc", "fp"), "left_semi")
+    // the shared churn seam: unchanged docs' band rows carried verbatim,
+    // only fingerprint-drifted/new docs re-signed (ChurnSplit contract)
+    val s = graft.lake.ChurnSplit.split(old, "doc", "fp",
+      docs, idCol, md5(docs(textCol)))
+    val kept = s.kept
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // churn: docs with no verbatim row set (new, or fp drifted)
-    val oldFp = old.select(col("doc").as("__odoc"), col("fp").as("__ofp")).distinct()
-    val fresh = docs.join(oldFp,
-      docs(idCol) === col("__odoc") && md5(docs(textCol)) === col("__ofp"), "left_anti")
-    val freshRows = bandRows(fresh, idCol, textCol, bands, rowsPerBand)
+    val freshRows = bandRows(s.fresh, idCol, textCol, bands, rowsPerBand)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keptDocs = kept.select("doc").distinct().count()
     val signedDocs = freshRows.select("doc").distinct().count()
@@ -112,22 +109,20 @@ object DedupIndex {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return (0L, build(batch, idCol, textCol, path, bands, rowsPerBand))
     val old = spark.read.parquet(path)
-    val curFp = batch.select(col(idCol).as("doc"), md5(col(textCol)).as("fp"))
+    // delta semantics over the shared seam: rows of documents OUTSIDE
+    // the batch carry untouched (`others`); re-delivered unchanged
+    // batch docs carry verbatim (`kept`); only drifted/new batch docs
+    // re-sign
+    val s = graft.lake.ChurnSplit.split(old, "doc", "fp",
+      batch, idCol, md5(batch(textCol)))
+    val keptBatch = s.kept
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // rows of documents outside this batch: untouched
-    val others = old.join(curFp.select(col("doc")), Seq("doc"), "left_anti")
-    // batch docs re-delivered unchanged: rows verbatim
-    val keptBatch = old.join(curFp, Seq("doc", "fp"), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val oldFp = old.select(col("doc").as("__odoc"), col("fp").as("__ofp")).distinct()
-    val fresh = batch.join(oldFp,
-      batch(idCol) === col("__odoc") && md5(batch(textCol)) === col("__ofp"), "left_anti")
-    val freshRows = bandRows(fresh, idCol, textCol, bands, rowsPerBand)
+    val freshRows = bandRows(s.fresh, idCol, textCol, bands, rowsPerBand)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keptDocs = keptBatch.select("doc").distinct().count()
     val signedDocs = freshRows.select("doc").distinct().count()
-    land(spark, path, others.unionByName(keptBatch).unionByName(freshRows))
-    curFp.unpersist(); keptBatch.unpersist(); freshRows.unpersist()
+    land(spark, path, s.others.unionByName(keptBatch).unionByName(freshRows))
+    keptBatch.unpersist(); freshRows.unpersist()
     (keptDocs, signedDocs)
   }
 

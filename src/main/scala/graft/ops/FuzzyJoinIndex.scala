@@ -98,11 +98,12 @@ object FuzzyJoinIndex {
     keys.select(col("__aid").as("id"), col("__la").as("la"),
       col("__i").as("i"), col("__key").as("key"))
 
-  /** The churn split shared by [[refresh]] and [[upsert]]: diff the
-    * incoming rows against the indexed strings by (id, s) — the string
-    * is its own fingerprint — and chunk ONLY the fresh side under the
-    * pinned hot list. `carriedIds` comes back persisted (the caller
-    * counts it and semi-joins the old keys against it, then unpersists).
+  /** The churn split shared by [[refresh]] and [[upsert]] — the shared
+    * [[graft.lake.ChurnSplit]] seam with the STRING as its own
+    * fingerprint: diff the incoming rows against the indexed strings by
+    * (id, s) and chunk ONLY the fresh side under the pinned hot list.
+    * `carriedIds` comes back persisted (the caller counts it and
+    * semi-joins the old keys against it, then unpersists).
     */
   private def churnSplit(incoming: DataFrame, refId: String, refStr: String,
                          path: String): (DataFrame, DataFrame, DataFrame,
@@ -120,11 +121,11 @@ object FuzzyJoinIndex {
           col("key").as("__key"), col("pop").as("__pop"))
       else hotRaw.select(col("la").as("__la"), col("i").as("__i"),
         col("key").as("__key"))
-    val carriedIds = oldStrings.join(cur, Seq("__id", "__s"), "left_semi")
-      .select(col("__id"))
+    val s = graft.lake.ChurnSplit.split(oldStrings, "__id", "__s",
+      cur, "__id", cur("__s"))
+    val carriedIds = s.kept.select(col("__id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val fresh = cur.join(oldStrings, Seq("__id", "__s"), "left_anti")
-      .localCheckpoint(true)
+    val fresh = s.fresh.localCheckpoint(true)
     val (freshKeys, _) = FuzzyJoin.chunkKeysGuarded(
       fresh, FuzzyJoin.chunkLens(fresh, meta.maxDist),
       meta.maxDist, meta.extraChunks, meta.hotChunkCap, Some(pinnedHot))

@@ -80,22 +80,18 @@ object PostingsIndex {
     if (!fs.exists(root)) return (0L, build(docs, idCol, textCol, path))
     val oldLen = spark.read.parquet(s"$path/doclen")
     val oldPost = spark.read.parquet(s"$path/postings")
-    // md5(text) appears in both the kept semi-join (here) and the fresh
-    // anti-join below — two expressions but also two separate SCANS of
-    // `docs`, and the scan dominates the hash. Collapsing them needs a
-    // corpus-sized persist of (doc, fp), which costs more than it saves;
-    // the churn-sized indexRows pass re-hashing fresh docs is noise.
-    val curFp = docs.select(col(idCol).as("doc"), md5(col(textCol)).as("fp"))
-    // unchanged docs: length rows carried verbatim (semi-join on doc+fp)
-    val keptLen = oldLen.join(curFp, Seq("doc", "fp"), "left_semi")
+    // shared churn seam on the doclen table (the fingerprint carrier);
+    // postings follow their doc's length row with one semi-join. md5 is
+    // evaluated once per seam join — two scans of `docs`, and the scan
+    // dominates the hash; collapsing them needs a corpus-sized persist
+    // that costs more than it saves
+    val s = graft.lake.ChurnSplit.split(oldLen, "doc", "fp",
+      docs, idCol, md5(docs(textCol)))
+    val keptLen = s.kept
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keptPost = oldPost.join(keptLen.select(col("doc")), Seq("doc"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // churn: docs with no verbatim fingerprint match (new, or fp drifted)
-    val oldFp = oldLen.select(col("doc").as("__odoc"), col("fp").as("__ofp"))
-    val fresh = docs.join(oldFp,
-      docs(idCol) === col("__odoc") && md5(docs(textCol)) === col("__ofp"), "left_anti")
-    val (freshPost, freshLen, freshBase) = indexRows(fresh, idCol, textCol)
+    val (freshPost, freshLen, freshBase) = indexRows(s.fresh, idCol, textCol)
     val freshLenP = freshLen.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keptN = keptLen.count()
     val signedN = freshLenP.count()
@@ -118,27 +114,24 @@ object PostingsIndex {
     if (!fs.exists(root)) return (0L, build(batch, idCol, textCol, path))
     val oldLen = spark.read.parquet(s"$path/doclen")
     val oldPost = spark.read.parquet(s"$path/postings")
-    val curFp = batch.select(col(idCol).as("doc"), md5(col(textCol)).as("fp"))
+    // delta semantics over the shared seam on doclen; postings keep
+    // every doc whose length row survives (out-of-batch or carried):
+    // one semi-join against the union of the two kept sets
+    val s = graft.lake.ChurnSplit.split(oldLen, "doc", "fp",
+      batch, idCol, md5(batch(textCol)))
+    val keptLen = s.kept
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val othersLen = oldLen.join(curFp.select(col("doc")), Seq("doc"), "left_anti")
-    val keptLen = oldLen.join(curFp, Seq("doc", "fp"), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // postings keep every doc whose length row survives (out-of-batch or
-    // carried): one semi-join against the union of the two kept sets
-    val keepDocs = othersLen.select(col("doc")).unionByName(keptLen.select(col("doc")))
+    val keepDocs = s.others.select(col("doc")).unionByName(keptLen.select(col("doc")))
     val keptPost = oldPost.join(keepDocs, Seq("doc"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val oldFp = oldLen.select(col("doc").as("__odoc"), col("fp").as("__ofp"))
-    val fresh = batch.join(oldFp,
-      batch(idCol) === col("__odoc") && md5(batch(textCol)) === col("__ofp"), "left_anti")
-    val (freshPost, freshLen, freshBase) = indexRows(fresh, idCol, textCol)
+    val (freshPost, freshLen, freshBase) = indexRows(s.fresh, idCol, textCol)
     val freshLenP = freshLen.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keptN = keptLen.count()
     val signedN = freshLenP.count()
     Staged.landMany(spark, path, Seq(
       "postings" -> keptPost.unionByName(freshPost),
-      "doclen" -> othersLen.unionByName(keptLen).unionByName(freshLenP)))
-    curFp.unpersist(); keptLen.unpersist(); keptPost.unpersist()
+      "doclen" -> s.others.unionByName(keptLen).unionByName(freshLenP)))
+    keptLen.unpersist(); keptPost.unpersist()
     freshBase.unpersist(); freshLenP.unpersist()
     (keptN, signedN)
   }

@@ -86,13 +86,13 @@ object SimilarityIndex {
     val spark = corpus.sparkSession
     val cents = loadCentroids(spark, path)
     val old = spark.read.parquet(listsPath(path))
-    val curFp = corpus.select(col(idCol).as("cid"), vecFp(col(vecCol)).as("vfp"))
-    val kept = old.join(curFp, Seq("cid", "vfp"), "left_semi")
+    // shared churn seam: unchanged vectors' list rows carry verbatim,
+    // only drifted/new ids quantize under the pinned codebook
+    val s = graft.lake.ChurnSplit.split(old, "cid", "vfp",
+      corpus, idCol, vecFp(corpus(vecCol)))
+    val kept = s.kept
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val oldFp = old.select(col("cid").as("__ocid"), col("vfp").as("__ofp")).distinct()
-    val fresh = corpus.join(oldFp,
-      corpus(idCol) === col("__ocid") && vecFp(corpus(vecCol)) === col("__ofp"), "left_anti")
-    val freshRows = Similarity.int8Lists(fresh, idCol, vecCol, cents,
+    val freshRows = Similarity.int8Lists(s.fresh, idCol, vecCol, cents,
         extraCols = Seq(vecFp(col(vecCol)).as("vfp")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keptN = kept.count()
@@ -115,21 +115,19 @@ object SimilarityIndex {
     val spark = batch.sparkSession
     val cents = loadCentroids(spark, path)
     val old = spark.read.parquet(listsPath(path))
-    val curFp = batch.select(col(idCol).as("cid"), vecFp(col(vecCol)).as("vfp"))
+    // delta semantics over the shared seam: out-of-batch rows untouched,
+    // re-delivered unchanged vectors verbatim, drifted/new re-quantized
+    val s = graft.lake.ChurnSplit.split(old, "cid", "vfp",
+      batch, idCol, vecFp(batch(vecCol)))
+    val keptBatch = s.kept
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val others = old.join(curFp.select(col("cid")), Seq("cid"), "left_anti")
-    val keptBatch = old.join(curFp, Seq("cid", "vfp"), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val oldFp = old.select(col("cid").as("__ocid"), col("vfp").as("__ofp")).distinct()
-    val fresh = batch.join(oldFp,
-      batch(idCol) === col("__ocid") && vecFp(batch(vecCol)) === col("__ofp"), "left_anti")
-    val freshRows = Similarity.int8Lists(fresh, idCol, vecCol, cents,
+    val freshRows = Similarity.int8Lists(s.fresh, idCol, vecCol, cents,
         extraCols = Seq(vecFp(col(vecCol)).as("vfp")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keptN = keptBatch.count()
     val signedN = freshRows.count()
-    land(spark, listsPath(path), others.unionByName(keptBatch).unionByName(freshRows))
-    curFp.unpersist(); keptBatch.unpersist(); freshRows.unpersist()
+    land(spark, listsPath(path), s.others.unionByName(keptBatch).unionByName(freshRows))
+    keptBatch.unpersist(); freshRows.unpersist()
     (keptN, signedN)
   }
 

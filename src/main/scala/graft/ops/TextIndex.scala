@@ -52,13 +52,13 @@ object TextIndex {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return (0L, build(docs, idCol, textCol, path))
     val old = spark.read.parquet(path)
-    val curFp = docs.select(col(idCol).as("doc"), md5(col(textCol)).as("fp"))
-    val kept = old.join(curFp, Seq("doc", "fp"), "left_semi")
+    // shared churn seam: unchanged stats rows carry verbatim, only
+    // fingerprint-drifted/new docs re-tokenize
+    val s = graft.lake.ChurnSplit.split(old, "doc", "fp",
+      docs, idCol, md5(docs(textCol)))
+    val kept = s.kept
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val oldFp = old.select(col("doc").as("__odoc"), col("fp").as("__ofp"))
-    val fresh = docs.join(oldFp,
-      docs(idCol) === col("__odoc") && md5(docs(textCol)) === col("__ofp"), "left_anti")
-    val freshRows = statsRows(fresh, idCol, textCol)
+    val freshRows = statsRows(s.fresh, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keptN = kept.count()
     val signedN = freshRows.count()
@@ -80,20 +80,18 @@ object TextIndex {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return (0L, build(batch, idCol, textCol, path))
     val old = spark.read.parquet(path)
-    val curFp = batch.select(col(idCol).as("doc"), md5(col(textCol)).as("fp"))
+    // delta semantics over the shared seam (out-of-batch untouched,
+    // re-delivered unchanged verbatim, drifted/new re-tokenized)
+    val s = graft.lake.ChurnSplit.split(old, "doc", "fp",
+      batch, idCol, md5(batch(textCol)))
+    val keptBatch = s.kept
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val others = old.join(curFp.select(col("doc")), Seq("doc"), "left_anti")
-    val keptBatch = old.join(curFp, Seq("doc", "fp"), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val oldFp = old.select(col("doc").as("__odoc"), col("fp").as("__ofp"))
-    val fresh = batch.join(oldFp,
-      batch(idCol) === col("__odoc") && md5(batch(textCol)) === col("__ofp"), "left_anti")
-    val freshRows = statsRows(fresh, idCol, textCol)
+    val freshRows = statsRows(s.fresh, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keptN = keptBatch.count()
     val signedN = freshRows.count()
-    Staged.land(spark, path, others.unionByName(keptBatch).unionByName(freshRows))
-    curFp.unpersist(); keptBatch.unpersist(); freshRows.unpersist()
+    Staged.land(spark, path, s.others.unionByName(keptBatch).unionByName(freshRows))
+    keptBatch.unpersist(); freshRows.unpersist()
     (keptN, signedN)
   }
 

@@ -178,7 +178,9 @@ object IngestJob {
     //    partitioned layout the group filter hits the `grp` partition
     //    column — partition pruning reads only that sub-space's files
     //    (and parquet column pruning reads only `_id`).
-    val base = if (group == 1) NtpIds.MinOrderMinors else 0L
+    require(group >= 0 && group <= 9,
+      s"group must be a single leading digit of the 8-digit id space: $group")
+    val base = group.toLong * NtpIds.MinOrderMinors
     val groupPred =
       if (partitioned) col("grp") === group else NtpIds.group(col("_id")) === group
     // sidecar first (a few bytes), group-pruned column scan as fallback
