@@ -651,6 +651,9 @@ object Main {
       val id = arg(args, "--id").getOrElse("_id")
       val str = arg(args, "--str").getOrElse("name")
       val d = arg(args, "--max-dist").map(_.toInt).getOrElse(1)
+      // --cand-budget <perString>: the measured-volume complement-key
+      // escalation gate (0 disables; default 16 — see FuzzyJoin)
+      val candBudget = arg(args, "--cand-budget").map(_.toLong).getOrElse(16L)
       def emit(pairs: org.apache.spark.sql.DataFrame): Unit = arg(args, "--out") match {
         case Some(o) =>
           pairs.write.mode("overwrite").parquet(o)
@@ -698,8 +701,10 @@ object Main {
             case Some(ref) =>
               graft.ops.FuzzyJoin.editDistanceJoin(df, id, str,
                 spark.read.parquet(ref), arg(args, "--ref-id").getOrElse(id),
-                arg(args, "--ref-str").getOrElse(str), d)
-            case None => graft.ops.FuzzyJoin.editDistanceSelfJoin(df, id, str, d)
+                arg(args, "--ref-str").getOrElse(str), d,
+                candBudgetPerString = candBudget)
+            case None => graft.ops.FuzzyJoin.editDistanceSelfJoin(df, id, str, d,
+              candBudgetPerString = candBudget)
           })
       }
     case "matagg" =>

@@ -142,6 +142,33 @@ object Bpe {
     vocab.select(col("word"),
       seqTokenCount(applySeq(seqInit(col("word")), merges)).as("n_tokens"))
 
+  /** The learned TOKENS of a word column (array<string>, `</w>`-marked
+    * final symbols included) — the encode surface trainers consume.
+    * Same fold as [[applySeq]]; the split drops the leading empty from
+    * the sentinel space.
+    */
+  def encodeWord(word: Column, merges: Seq[Merge]): Column =
+    split(call_function("substring", applySeq(seqInit(word), merges), lit(2)), " ")
+
+  /** Per-document learned token STREAMS: pre-tokens in order, each
+    * encoded under the merge list via a vocab-sized dictionary join
+    * (the fold never runs per occurrence), re-assembled in document
+    * order. Returns (idCol, tokens array<string>).
+    */
+  def encodeDocs(df: DataFrame, idCol: String, textCol: String,
+                 merges: Seq[Merge]): DataFrame = {
+    val words = df.select(col(idCol),
+      posexplode(regexp_extract_all(lower(col(textCol)),
+        lit(PreTokenRegex), lit(0))).as(Seq("__p", "word")))
+    val wt = words.select(col("word")).distinct()
+      .select(col("word"), encodeWord(col("word"), merges).as("__wtoks"))
+    words.join(wt, Seq("word"))
+      .groupBy(col(idCol))
+      .agg(flatten(transform(array_sort(collect_list(
+        struct(col("__p"), col("__wtoks")))),
+        s => s.getField("__wtoks"))).as("tokens"))
+  }
+
   /** Per-document learned-token counts: explode pre-tokens, count per
     * (doc, word), tokenize the DISTINCT vocab under the merge list,
     * join back and sum — the replace fold cost scales with vocab, the

@@ -48,6 +48,20 @@ class BpeSpec extends AnyFunSuite {
     assert(wt.head.getLong(1) == 1L, "the saturated word is one token")
   }
 
+  test("encodeDocs: ordered learned-token streams, counts agree with docTokenCounts") {
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "ab aaab")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", 3)
+    val enc = Bpe.encodeDocs(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    // aaab -> [aa, ab</w>], ab -> [ab</w>]; streams keep document order
+    assert(enc(1L) == List("aa", "ab</w>", "aa", "ab</w>", "ab</w>"), s"got ${enc(1L)}")
+    assert(enc(2L) == List("ab</w>", "aa", "ab</w>"), s"got ${enc(2L)}")
+    val counts = Bpe.docTokenCounts(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(enc.map { case (k, v) => k -> v.size.toLong } == counts,
+      "encode streams and count surface must agree")
+  }
+
   test("cli bpe: train -> refresh -> count round trip matches the library serve") {
     val root = java.nio.file.Files.createTempDirectory("bpe-cli").toString
     val d1 = Seq((1L, "low lower lowest"), (2L, "low low new")).toDF("doc_id", "text")
