@@ -99,16 +99,16 @@ object CorpusQueries {
       s"""p$i AS (SELECT x, y, CAST(SUM(cnt) AS BIGINT) AS c FROM (
          |  SELECT cnt, lst[gi] AS x, lst[gi+1] AS y FROM (
          |    SELECT cnt, lst, unnest(generate_series(1, len(lst)-1)) AS gi
-         |    FROM (SELECT cnt, string_split(substr(seq, 2), ' ') AS lst FROM $prev))) t
+         |    FROM (SELECT cnt, string_split(substr(replace(seq, '|', ''), 2), ' ') AS lst FROM $prev))) t
          |  GROUP BY x, y),
          |m$i AS MATERIALIZED (SELECT x, y, c FROM p$i ORDER BY c DESC, x, y LIMIT 1),
          |w$i AS MATERIALIZED (SELECT w.word, w.cnt,
-         |  replace(w.seq, ' '||m.x||' '||m.y, ' '||m.x||m.y) AS seq FROM $prev w, m$i m)""".stripMargin
+         |  replace(w.seq, ' '||m.x||'| '||m.y||'|', ' '||m.x||m.y||'|') AS seq FROM $prev w, m$i m)""".stripMargin
     }.mkString(",\n")
     s"""WITH dw AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
        |            FROM documents$trainWhere),
        |w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt,
-       |       regexp_replace(word, '(.)', ' \\1', 'g') || ' </w>' AS seq
+       |       regexp_replace(word, '(.)', ' \\1|', 'g') || ' </w>|' AS seq
        |       FROM dw GROUP BY word),
        |$rounds""".stripMargin
   }
@@ -118,7 +118,7 @@ object CorpusQueries {
     */
   private lazy val bpeApplyExpr: String =
     (1 to BpeMerges).foldLeft("v.seq")((e, i) =>
-      s"replace($e, ' '||m$i.x||' '||m$i.y, ' '||m$i.x||m$i.y)")
+      s"replace($e, ' '||m$i.x||'| '||m$i.y||'|', ' '||m$i.x||m$i.y||'|')")
 
   /** 64-bit SimHash expression over exploded token hashes (matches
     * Dedup.simhashBits bit-for-bit: MSB-first hex nibbles of md5[1..16]).
@@ -1904,12 +1904,14 @@ object CorpusQueries {
 
     // 12 unrolled BPE merge rounds: per round a vocab-wide adjacent-pair
     // count, the (count DESC, lhs, rhs) argmax, and the greedy merge as
-    // one left-to-right string replace on the space-delimited symbol
-    // sequence — replace's non-overlapping scan coincides with BPE's
-    // greedy merge in both engines because every symbol carries exactly
-    // one leading space. MATERIALIZED is load-bearing: each round
-    // references its predecessor twice, so inlined CTEs would expand
-    // the chain 2^12 times
+    // one left-to-right string replace on the symbol sequence — every
+    // symbol carries a leading space AND a trailing '|' terminator, so
+    // the ' x| y|' pattern is bounded on both sides (a merge whose rhs
+    // is a PREFIX of the next symbol cannot fire — the round-15 advisor
+    // bug) and replace's non-overlapping scan coincides with BPE's
+    // greedy merge in both engines. MATERIALIZED is load-bearing: each
+    // round references its predecessor twice, so inlined CTEs would
+    // expand the chain 2^12 times
     "txt_bpe_train" -> (bpeTrainCtes("") + "\n" +
       (1 to BpeMerges).map(i =>
         s"SELECT CAST($i AS BIGINT) AS merge_rank, x AS lhs, y AS rhs, x||y AS merged, c AS cnt FROM m$i")
@@ -1922,7 +1924,7 @@ object CorpusQueries {
     "txt_bpe_apply" -> (bpeTrainCtes(" WHERE doc_id % 3 <> 2") + s""",
        |aw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents),
        |dcount AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS n FROM aw GROUP BY doc_id, word),
-       |vseq AS (SELECT word, regexp_replace(word, '(.)', ' \\1', 'g') || ' </w>' AS seq
+       |vseq AS (SELECT word, regexp_replace(word, '(.)', ' \\1|', 'g') || ' </w>|' AS seq
        |         FROM (SELECT DISTINCT word FROM aw)),
        |vfin AS (SELECT v.word, $bpeApplyExpr AS seq
        |         FROM vseq v, ${(1 to BpeMerges).map("m" + _).mkString(", ")}),
@@ -1989,7 +1991,7 @@ object CorpusQueries {
     "q_pack_sequences_bpe" -> (bpeTrainCtes("") + s""",
        |aw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents),
        |dcount AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS n FROM aw GROUP BY doc_id, word),
-       |vseq AS (SELECT word, regexp_replace(word, '(.)', ' \\1', 'g') || ' </w>' AS seq
+       |vseq AS (SELECT word, regexp_replace(word, '(.)', ' \\1|', 'g') || ' </w>|' AS seq
        |         FROM (SELECT DISTINCT word FROM aw)),
        |vfin AS (SELECT v.word, $bpeApplyExpr AS seq
        |         FROM vseq v, ${(1 to BpeMerges).map("m" + _).mkString(", ")}),

@@ -19,15 +19,21 @@ import org.apache.spark.sql.functions._
   * are vocab-sized jobs regardless of corpus bytes.
   *
   * Symbol-sequence representation — shared with the DuckDB oracle: a
-  * word's symbols are space-joined with a LEADING space per symbol
-  * (" l o w </w>"). Every symbol is preceded by exactly one space, so
-  * applying merge (x, y) is the plain string replace of " x y" with
-  * " xy": left-to-right non-overlapping replace semantics coincide with
-  * BPE's greedy left-to-right merge scan in BOTH engines, and a pattern
-  * can never match across a symbol boundary (symbols contain no
-  * spaces; pre-tokens are [a-z]+ so the space/"</w>" alphabet is
-  * reserved). Pair argmax ties break (count DESC, left ASC, right ASC)
-  * — binary string order, identical across engines.
+  * word's symbols are space-joined with a LEADING space and a TRAILING
+  * '|' terminator per symbol (" l| o| w| </w>|"). Applying merge (x, y)
+  * is the plain string replace of " x| y|" with " xy|": the pattern is
+  * left-bounded by x's leading space and right-bounded by y's
+  * terminator, so a merge can never fire where y is a proper PREFIX of
+  * the next symbol (the round-15 advisor finding: under leading-space-
+  * only symbols, merges (t,h) then (a,t) turned 'bath' into [b, ath]
+  * because ' a t' matched inside ' a th'). The match consumes through
+  * y's terminator but NOT the next symbol's leading space, so
+  * left-to-right non-overlapping replace still coincides with BPE's
+  * greedy merge scan in BOTH engines (consecutive occurrences like
+  * ' a| a| a| a|' collapse pairwise left-to-right). '|' and ' ' are
+  * reserved: pre-tokens are [a-z]+ and the only non-letter symbol is
+  * "</w>". Pair argmax ties break (count DESC, left ASC, right ASC) —
+  * binary string order, identical across engines.
   */
 object Bpe {
 
@@ -63,18 +69,21 @@ object Bpe {
     preTokens(df, textCol)
       .groupBy(col("word")).agg(count(lit(1)).cast("long").as("cnt"))
 
-  /** Initial symbol sequence of a word: one space before every
-    * character, then the end-of-word marker (" l o w </w>").
+  /** Initial symbol sequence of a word: every character becomes
+    * " <char>|", then the terminated end-of-word marker
+    * (" l| o| w| </w>|").
     */
   def seqInit(word: Column): Column =
-    concat(regexp_replace(word, "(.)", " $1"), lit(" " + Eow))
+    concat(regexp_replace(word, "(.)", " $1|"), lit(" " + Eow + "|"))
 
   /** Apply a merge list (in rank order) to a symbol sequence column —
-    * a fold of codegen'd string replaces, no UDF.
+    * a fold of codegen'd string replaces, no UDF. The " x| y|" pattern
+    * is bounded on both sides (see the object doc), so a replace is
+    * exactly one greedy left-to-right merge pass.
     */
   def applySeq(seq: Column, merges: Seq[Merge]): Column =
     merges.sortBy(_.rank).foldLeft(seq)((c, m) =>
-      sqlReplace(c, lit(" " + m.lhs + " " + m.rhs), lit(" " + m.merged)))
+      sqlReplace(c, lit(" " + m.lhs + "| " + m.rhs + "|"), lit(" " + m.merged + "|")))
 
   /** Symbol count of a sequence = its space count (every symbol is
     * preceded by exactly one space) — O(len), no split/array.
@@ -99,7 +108,9 @@ object Bpe {
     var done = false
     while (r <= nMerges && !done) {
       val top = w
-        .select(col("cnt"), split(expr("substring(seq, 2)"), " ").as("sy"))
+        // strip the '|' terminators before splitting: pair (x, y) rows
+        // carry the bare symbols the merge list publishes
+        .select(col("cnt"), split(expr("substring(replace(seq, '|', ''), 2)"), " ").as("sy"))
         .select(col("cnt"), explode(expr(
           "transform(slice(sy, 1, size(sy) - 1), " +
             "(s, i) -> named_struct('x', s, 'y', element_at(sy, i + 2)))")).as("p"))
@@ -148,7 +159,8 @@ object Bpe {
     * the sentinel space.
     */
   def encodeWord(word: Column, merges: Seq[Merge]): Column =
-    split(call_function("substring", applySeq(seqInit(word), merges), lit(2)), " ")
+    split(call_function("substring",
+      translate(applySeq(seqInit(word), merges), "|", ""), lit(2)), " ")
 
   /** Per-document learned token STREAMS: pre-tokens in order, each
     * encoded under the merge list via a vocab-sized dictionary join

@@ -30,6 +30,28 @@ class BpeSpec extends AnyFunSuite {
     assert(dt == Map(1L -> 5L), s"2+2+1 learned tokens: $dt")
   }
 
+  test("merge rhs must not fire on a PREFIX of the next symbol (round-15 advisor bug)") {
+    // merges (t,h) then (a,t) on 'bath': after (t,h) the sequence is
+    // ' b| a| th| </w>|'. The (a,t) pattern ' a| t|' must NOT match
+    // inside ' a| th|' — under the old unterminated scheme ' a t'
+    // matched the prefix of ' a th' and produced [b, ath, </w>].
+    val merges = Seq(Bpe.Merge(1, "t", "h", 9L), Bpe.Merge(2, "a", "t", 8L))
+    val toks = Seq("bath").toDF("word")
+      .select(Bpe.encodeWord(col("word"), merges)).collect().head.getSeq[String](0)
+    assert(toks == Seq("b", "a", "th", "</w>"), s"got $toks")
+    // ...and where rhs IS the full next symbol the merge still fires
+    val toks2 = Seq("bat").toDF("word")
+      .select(Bpe.encodeWord(col("word"), merges)).collect().head.getSeq[String](0)
+    assert(toks2 == Seq("b", "at", "</w>"), s"got $toks2")
+    // consecutive occurrences still collapse pairwise left-to-right
+    // (the replace match consumes rhs's terminator, not the next
+    // symbol's leading space)
+    val aa = Seq(Bpe.Merge(1, "a", "a", 9L))
+    val toks3 = Seq("aaaa").toDF("word")
+      .select(Bpe.encodeWord(col("word"), aa)).collect().head.getSeq[String](0)
+    assert(toks3 == Seq("aa", "aa", "</w>"), s"got $toks3")
+  }
+
   test("training is deterministic under repartitioning") {
     val docs = (0 until 120).map(i =>
       (i.toLong, s"stream merge table ${"abcdefgh".substring(0, 1 + i % 7)} sort")).toDF("doc_id", "text")
