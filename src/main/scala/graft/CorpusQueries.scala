@@ -561,6 +561,24 @@ object CorpusQueries {
       out
     }),
 
+    // pinned-vocab token-ID streams (round-15 verdict stretch): the
+    // shape a trainer actually consumes. Encoding rides the NATIVE
+    // BpeEncode expression (id emission has no oracle-shared fold
+    // form), so this query puts the compiled encoder itself under the
+    // DuckDB hash gate: ids are '</w>'=0, 'a'..'z'=1..26, merged =
+    // 26 + min rank producing the string — recomputed in SQL via the
+    // same CASE + min-rank vocab join
+    "txt_bpe_ids" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = Bpe.train(docs, "text", 12)
+      Bpe.encodeDocsIds(docs, "doc_id", "text", merges)
+        .select(col("doc_id"),
+          posexplode(col("token_ids")).as(Seq("pos", "token_id")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("token_id").cast("long").as("token_id"))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // token counting both ways: whitespace words vs BPE-ish regex
     // segments (contractions, digit runs and punctuation runs count
     // separately — the truer LLM-token-budget proxy)
@@ -1916,6 +1934,39 @@ object CorpusQueries {
       (1 to BpeMerges).map(i =>
         s"SELECT CAST($i AS BIGINT) AS merge_rank, x AS lhs, y AS rhs, x||y AS merged, c AS cnt FROM m$i")
         .mkString("\nUNION ALL\n") + "\nORDER BY merge_rank"),
+
+    // pinned-vocab token-id streams: the 12 training rounds, per-word
+    // token lists under the learned merges, ids via the shared scheme
+    // ('</w>'=0, letters 1..26, merged = 26 + min producing rank), and
+    // global per-doc positions from a word-length prefix sum — gating
+    // the NATIVE BpeEncode expression end to end
+    "txt_bpe_ids" -> (bpeTrainCtes("") + s""",
+       |vocab AS (SELECT sym, CAST(26 + min(r) AS BIGINT) AS vid FROM (
+       |  ${(1 to BpeMerges).map(i => s"SELECT x||y AS sym, $i AS r FROM m$i").mkString("\n  UNION ALL\n  ")}
+       |) GROUP BY sym),
+       |aw AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+       |awp AS (SELECT doc_id, gi AS wpos, ws[gi] AS word FROM (
+       |  SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS gi FROM aw)),
+       |vseq AS (SELECT word, regexp_replace(word, '(.)', ' \\1|', 'g') || ' </w>|' AS seq
+       |         FROM (SELECT DISTINCT word FROM awp)),
+       |vfin AS (SELECT v.word, $bpeApplyExpr AS seq
+       |         FROM vseq v, ${(1 to BpeMerges).map("m" + _).mkString(", ")}),
+       |wtoks AS (SELECT word, string_split(substr(replace(seq, '|', ''), 2), ' ') AS toks FROM vfin),
+       |wtok AS (SELECT word, gi AS tp, toks[gi] AS tok FROM (
+       |  SELECT word, toks, unnest(generate_series(1, len(toks))) AS gi FROM wtoks)),
+       |wtid AS (SELECT word, tp,
+       |  CASE WHEN tok = '</w>' THEN 0
+       |       WHEN len(tok) = 1 THEN ascii(tok) - 96
+       |       ELSE v.vid END AS tid
+       |  FROM wtok LEFT JOIN vocab v ON wtok.tok = v.sym),
+       |wlen AS (SELECT word, CAST(len(toks) AS BIGINT) AS wl FROM wtoks),
+       |offs AS (SELECT a.doc_id, a.wpos, a.word,
+       |  COALESCE(SUM(w.wl) OVER (PARTITION BY a.doc_id ORDER BY a.wpos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+       |  FROM awp a JOIN wlen w USING (word))
+       |SELECT f.doc_id, CAST(f.o + t.tp - 1 AS BIGINT) AS pos, CAST(t.tid AS BIGINT) AS token_id
+       |FROM offs f JOIN wtid t USING (word)
+       |ORDER BY doc_id, pos""".stripMargin),
 
     // the same 12 training rounds recomputed on the doc_id%3<>2 subset
     // (the journey's pinned-vocab build), then the learned merges

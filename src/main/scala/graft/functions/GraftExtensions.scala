@@ -23,6 +23,8 @@ import org.apache.spark.sql.types.{IntegerType, StringType}
   *   stopword_count(tokens, array(...)) tokens contained in a word list
   *   deflate_len(str)                   deflate-compressed byte length
   *   nfc_normalize(str)                 Unicode NFC canonicalization
+  *   bpe_encode(word, 'x y;a b')        learned-BPE tokens of a word
+  *   bpe_encode_ids(word, 'x y;a b')    ...as pinned-vocab integer ids
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -75,5 +77,17 @@ object GraftExtensions {
     "stopword_count" -> (c => { val a = arity("stopword_count", 2)(c)
       StopwordCount(a(0), stringArrayLit(a(1), "stopword_count(tokens, words)")) }),
     "deflate_len" -> (c => DeflateLen(arity("deflate_len", 1)(c).head)),
-    "nfc_normalize" -> (c => NfcNormalize(arity("nfc_normalize", 1)(c).head)))
+    "nfc_normalize" -> (c => NfcNormalize(arity("nfc_normalize", 1)(c).head)),
+    "bpe_encode" -> (c => { val a = arity("bpe_encode", 2)(c)
+      BpeEncode(a(0), BpeEncode.parseMerges(
+        stringLit(a(1), "bpe_encode(word, merges)")), emitIds = false) }),
+    "bpe_encode_ids" -> (c => { val a = arity("bpe_encode_ids", 2)(c)
+      BpeEncode(a(0), BpeEncode.parseMerges(
+        stringLit(a(1), "bpe_encode_ids(word, merges)")), emitIds = true) }))
+
+  private def stringLit(e: Expression, usage: String): String = e match {
+    case Literal(v, StringType) if v != null => v.toString
+    case _ => throw new IllegalArgumentException(
+      s"$usage: expected a string literal merge list, got $e")
+  }
 }

@@ -98,7 +98,11 @@ object Bpe {
     * remains (fully merged vocab). Returns merges in rank order.
     */
   def trainOnCounts(words: DataFrame, nMerges: Int): Seq[Merge] = {
-    require(nMerges >= 1 && nMerges <= 4096, s"nMerges must be in [1, 4096]: $nMerges")
+    // each round applies ONE merge (fold depth 1 + checkpoint), so the
+    // ceiling is about sequential round count, not expression depth —
+    // production vocabs whose word-count table fits the driver should
+    // use [[trainLocalOnCounts]] (identical output, no per-round job)
+    require(nMerges >= 1 && nMerges <= 65536, s"nMerges must be in [1, 65536]: $nMerges")
     var w = words
       .select(col("word"), col("cnt").cast("long").as("cnt"),
         seqInit(col("word")).as("seq"))
@@ -138,6 +142,71 @@ object Bpe {
   def train(df: DataFrame, textCol: String, nMerges: Int): Seq[Merge] =
     trainOnCounts(wordCounts(df, textCol), nMerges)
 
+  /** Driver-local trainer over a collected word-frequency table —
+    * IDENTICAL output to [[trainOnCounts]] (same greedy pass, same
+    * (count DESC, lhs, rhs) tie-break; spec-pinned), without the
+    * per-round Spark job. The vocab is Heaps'-law-sized, so at
+    * production vocab targets (8k-64k merges) this is the practical
+    * path: ONE distributed corpus pass builds the counts
+    * ([[wordCounts]]), the merge rounds run in-memory. HF-style
+    * tokenizer trainers make exactly this trade.
+    */
+  def trainLocalOnCounts(words: Seq[(String, Long)], nMerges: Int): Seq[Merge] = {
+    require(nMerges >= 1 && nMerges <= 65536, s"nMerges must be in [1, 65536]: $nMerges")
+    val seqs = words.map { case (w, c) =>
+      (scala.collection.mutable.ArrayBuffer(
+        (w.map(String.valueOf(_)) :+ Eow): _*), c)
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var r = 1
+    var done = false
+    while (r <= nMerges && !done) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      seqs.foreach { case (sy, c) =>
+        var i = 0
+        while (i + 1 < sy.length) {
+          counts.merge((sy(i), sy(i + 1)), c, (a, b) => a + b); i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        var best: ((String, String), Long) = null
+        counts.forEach { (p, c) =>
+          if (best == null || c > best._2 ||
+            (c == best._2 && (p._1 < best._1._1 ||
+              (p._1 == best._1._1 && p._2 < best._1._2)))) best = (p, c)
+        }
+        val (x, y) = best._1
+        out += Merge(r, x, y, best._2)
+        seqs.foreach { case (sy, _) =>
+          var i = 0
+          while (i + 1 < sy.length) {
+            if (sy(i) == x && sy(i + 1) == y) { sy(i) = x + y; sy.remove(i + 1) }
+            i += 1
+          }
+        }
+        r += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** Largest word-count table [[trainLocal]] may collect. */
+  val LocalTrainVocabCap = 4000000
+
+  /** End-to-end driver-local training: one distributed word-count pass,
+    * then in-memory merge rounds. Fails loudly if the vocab exceeds
+    * [[LocalTrainVocabCap]] rows (beyond that, the distributed
+    * [[train]] path is the honest choice).
+    */
+  def trainLocal(df: DataFrame, textCol: String, nMerges: Int): Seq[Merge] = {
+    val rows = wordCounts(df, textCol).limit(LocalTrainVocabCap + 1).collect()
+    require(rows.length <= LocalTrainVocabCap,
+      s"vocab exceeds the local-train cap ($LocalTrainVocabCap rows) — use train()")
+    trainLocalOnCounts(
+      rows.map(r => (r.getString(0), r.getLong(1))).toSeq, nMerges)
+  }
+
   /** Merge list as a DataFrame (the oracle-facing shape). */
   def mergesDf(spark: SparkSession, merges: Seq[Merge]): DataFrame = {
     import spark.implicits._
@@ -145,22 +214,53 @@ object Bpe {
       .toDF("merge_rank", "lhs", "rhs", "merged", "cnt")
   }
 
+  /** Above this merge count the encode surfaces switch from the
+    * replace fold (one expression node per merge — the oracle-shared
+    * shape) to the native [[graft.functions.BpeEncode]] expression
+    * (one compiled node regardless of vocab size). The two are
+    * spec-pinned equivalent; 64 keeps every oracle query (12 merges)
+    * on the provably-oracle-identical fold while production vocabs
+    * never build a 32k-deep expression tree.
+    */
+  val FoldMergeLimit = 64
+
+  private def rankPairs(merges: Seq[Merge]): Seq[(String, String)] =
+    merges.sortBy(_.rank).map(m => (m.lhs, m.rhs))
+
   /** Per-word learned-token counts of a vocab DataFrame (col `word`):
     * the merge fold runs once per DISTINCT word — vocab-sized, never
     * corpus-sized.
     */
   def wordTokenCounts(vocab: DataFrame, merges: Seq[Merge]): DataFrame =
-    vocab.select(col("word"),
-      seqTokenCount(applySeq(seqInit(col("word")), merges)).as("n_tokens"))
+    if (merges.size <= FoldMergeLimit)
+      vocab.select(col("word"),
+        seqTokenCount(applySeq(seqInit(col("word")), merges)).as("n_tokens"))
+    else
+      vocab.select(col("word"),
+        size(encodeWord(col("word"), merges)).cast("long").as("n_tokens"))
 
   /** The learned TOKENS of a word column (array<string>, `</w>`-marked
     * final symbols included) — the encode surface trainers consume.
-    * Same fold as [[applySeq]]; the split drops the leading empty from
-    * the sentinel space.
+    * Fold path for small merge lists (the oracle shape); the native
+    * expression above [[FoldMergeLimit]].
     */
   def encodeWord(word: Column, merges: Seq[Merge]): Column =
-    split(call_function("substring",
-      translate(applySeq(seqInit(word), merges), "|", ""), lit(2)), " ")
+    if (merges.size <= FoldMergeLimit)
+      split(call_function("substring",
+        translate(applySeq(seqInit(word), merges), "|", ""), lit(2)), " ")
+    else
+      graft.functions.BpeEncode.bpe_encode(word, rankPairs(merges))
+
+  /** Pinned-vocab token IDS of a word column — the shape sequence
+    * packing / trainers consume: '</w>' = 0, 'a'..'z' = 1..26, merged
+    * symbol = 26 + rank of the FIRST merge producing that string (two
+    * merges can build the same string; min rank wins — deterministic
+    * in any engine). Always the native expression: id emission has no
+    * oracle-shared fold form; the SQL oracle maps token strings through
+    * the same CASE + min-rank vocab join.
+    */
+  def encodeWordIds(word: Column, merges: Seq[Merge]): Column =
+    graft.functions.BpeEncode.bpe_encode_ids(word, rankPairs(merges))
 
   /** Per-document learned token STREAMS: pre-tokens in order, each
     * encoded under the merge list via a vocab-sized dictionary join
@@ -168,17 +268,29 @@ object Bpe {
     * order. Returns (idCol, tokens array<string>).
     */
   def encodeDocs(df: DataFrame, idCol: String, textCol: String,
-                 merges: Seq[Merge]): DataFrame = {
+                 merges: Seq[Merge]): DataFrame =
+    encodeDocsWith(df, idCol, textCol, encodeWord(col("word"), merges), "tokens")
+
+  /** [[encodeDocs]] emitting pinned-vocab integer id streams
+    * ([[encodeWordIds]] scheme) — what a sequence-packing stage feeds a
+    * trainer. Returns (idCol, token_ids array<int>).
+    */
+  def encodeDocsIds(df: DataFrame, idCol: String, textCol: String,
+                    merges: Seq[Merge]): DataFrame =
+    encodeDocsWith(df, idCol, textCol, encodeWordIds(col("word"), merges), "token_ids")
+
+  private def encodeDocsWith(df: DataFrame, idCol: String, textCol: String,
+                             wordEnc: Column, outCol: String): DataFrame = {
     val words = df.select(col(idCol),
       posexplode(regexp_extract_all(lower(col(textCol)),
         lit(PreTokenRegex), lit(0))).as(Seq("__p", "word")))
     val wt = words.select(col("word")).distinct()
-      .select(col("word"), encodeWord(col("word"), merges).as("__wtoks"))
+      .select(col("word"), wordEnc.as("__wtoks"))
     words.join(wt, Seq("word"))
       .groupBy(col(idCol))
       .agg(flatten(transform(array_sort(collect_list(
         struct(col("__p"), col("__wtoks")))),
-        s => s.getField("__wtoks"))).as("tokens"))
+        s => s.getField("__wtoks"))).as(outCol))
   }
 
   /** Per-document learned-token counts: explode pre-tokens, count per

@@ -84,6 +84,87 @@ class BpeSpec extends AnyFunSuite {
       "encode streams and count surface must agree")
   }
 
+  test("native BpeEncode expression == replace fold on trained and adversarial merge lists") {
+    val docs = (0 until 200).map(i =>
+      (i.toLong, s"lower newest widest low wide new ${"abcdefgh".substring(0, 1 + i % 7)}ath"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", 24)
+    val words = Bpe.wordCounts(docs, "text").select(col("word"))
+    def foldToks(ms: Seq[Bpe.Merge]) =
+      words.select(col("word"), split(substring(
+          translate(Bpe.applySeq(Bpe.seqInit(col("word")), ms), "|", ""), 2, 1 << 20), " ")
+          .as("t")).collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    def exprToks(ms: Seq[Bpe.Merge]) =
+      words.select(col("word"),
+          graft.functions.BpeEncode.bpe_encode(col("word"),
+            ms.sortBy(_.rank).map(m => (m.lhs, m.rhs))).as("t"))
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(exprToks(merges) == foldToks(merges), "trained list must agree")
+    // adversarial: a later rule re-creating an EARLIER rule's pair (the
+    // fold is already past it and must not re-apply), plus prefix traps
+    val adv = Seq(Bpe.Merge(1, "ab", "cd", 9), Bpe.Merge(2, "a", "b", 8),
+      Bpe.Merge(3, "c", "d", 7), Bpe.Merge(4, "t", "h", 6), Bpe.Merge(5, "a", "t", 5))
+    assert(exprToks(adv) == foldToks(adv), "rank-order semantics must agree")
+    // SQL registration surface
+    graft.functions.GraftExtensions.registerAll(spark)
+    val viaSql = Seq("bath").toDF("w")
+      .selectExpr("bpe_encode(w, 't h;a t')").collect().head.getSeq[String](0)
+    assert(viaSql == Seq("b", "a", "th", "</w>"), s"got $viaSql")
+    val viaSqlIds = Seq("bath").toDF("w")
+      .selectExpr("bpe_encode_ids(w, 't h;a t')").collect().head.getSeq[Int](0)
+    assert(viaSqlIds == Seq(2, 1, 27, 0), s"b=2 a=1 th=26+rank1 </w>=0: $viaSqlIds")
+  }
+
+  test("trainLocalOnCounts == trainOnCounts (same greedy rounds, same tie-breaks)") {
+    val docs = (0 until 150).map(i =>
+      (i.toLong, s"stream merge table ${"abcdefgh".substring(0, 1 + i % 7)} sort low lower"))
+      .toDF("doc_id", "text")
+    val wc = Bpe.wordCounts(docs, "text")
+    val dist = Bpe.trainOnCounts(wc, 16)
+    val local = Bpe.trainLocalOnCounts(
+      wc.collect().map(r => (r.getString(0), r.getLong(1))).toSeq, 16)
+    assert(local == dist, s"local trainer must reproduce the distributed rounds:\n$local\n$dist")
+  }
+
+  test("production vocab: 8k+ merges train locally and encode via the native expression") {
+    // synthetic 3k-word vocab over a-z (the fixture corpus's ~40-word
+    // vocab saturates after ~200 merges; a production-vocab test needs
+    // Heaps'-law room): deterministic 14-char words, no RNG
+    val words = (0 until 3000).map { i =>
+      val s = new StringBuilder
+      var x = i * 2654435761L & 0x7fffffffL
+      (0 until 14).foreach { _ => s.append(('a' + (x % 26)).toChar); x = (x * 6364136223846793005L + 1442695040888963407L) >>> 3 }
+      (s.toString, 1L + i % 7)
+    }
+    val merges = Bpe.trainLocalOnCounts(words, 8192)
+    assert(merges.size == 8192, s"vocab must sustain 8k merges: ${merges.size}")
+    // encode the whole vocab through the expression path (fold would be
+    // an 8192-deep expression tree — the ceiling this lifts) and check
+    // round-trip: concatenated tokens minus the marker rebuild the word
+    val enc = Bpe.encodeWord(col("word"), merges)
+    val got = words.map(_._1).toDF("word").select(col("word"), enc.as("t"))
+      .collect()
+    got.foreach { r =>
+      val w = r.getString(0)
+      val rebuilt = r.getSeq[String](1).mkString("").stripSuffix(Bpe.Eow)
+      assert(rebuilt == w, s"token concat must rebuild '$w', got '$rebuilt'")
+    }
+    // ids stay consistent with the string tokens under the vocab map
+    val ids = words.take(50).map(_._1).toDF("word")
+      .select(col("word"), Bpe.encodeWordIds(col("word"), merges).as("i"),
+        Bpe.encodeWord(col("word"), merges).as("t")).collect()
+    val firstIdOf = scala.collection.mutable.HashMap.empty[String, Int]
+    merges.foreach(m => if (!firstIdOf.contains(m.merged)) firstIdOf(m.merged) = 26 + m.rank)
+    ids.foreach { r =>
+      val want = r.getSeq[String](2).map {
+        case Bpe.Eow => 0
+        case s if s.length == 1 => s.charAt(0) - 'a' + 1
+        case s => firstIdOf(s)
+      }
+      assert(r.getSeq[Int](1) == want, s"ids must follow the pinned scheme for ${r.getString(0)}")
+    }
+  }
+
   test("cli bpe: train -> refresh -> count round trip matches the library serve") {
     val root = java.nio.file.Files.createTempDirectory("bpe-cli").toString
     val d1 = Seq((1L, "low lower lowest"), (2L, "low low new")).toDF("doc_id", "text")
