@@ -359,8 +359,11 @@ object Dedup {
     * wide shuffle key is a 32-char digest with map-side-combined `min`,
     * never the block text, so a block repeated 10^8 times costs its
     * combiner one row per map task (the follow-up equi-join on the
-    * digest is AQE-skew-splittable). Reassembly is one shuffle on the
-    * doc id — the same key the input was read by.
+    * digest is AQE-skew-splittable). Reassembly (round-15 verdict:
+    * previously every kept block's TEXT round-tripped through a
+    * collect_list shuffle) now shuffles only the DROPPED block indexes
+    * per doc — duplicated regions, not the corpus — and text_clean is
+    * rebuilt by re-slicing the original token array map-side.
     *
     * Returns (idCol, n_blocks, n_dropped, text_clean) for EVERY input
     * document (a fully-deduplicated document keeps its row with
@@ -369,29 +372,31 @@ object Dedup {
   def dedupSpansGlobal(docs: DataFrame, idCol: String, textCol: String,
                        window: Int = 8): DataFrame = {
     require(window >= 1, s"span window must be >= 1, got $window")
-    val toks = tokens(col(textCol))
-    val nblk = ceil(size(toks).cast("double") / window).cast("int")
-    val blocks = when(nblk > 0, transform(sequence(lit(0), nblk - 1),
-        i => concat_ws(" ", slice(toks, i * window + 1, lit(window)))))
-      .otherwise(array().cast("array<string>"))
-    val exploded = docs
-      .select(col(idCol).as("__doc"), posexplode(blocks).as(Seq("__idx", "__block")))
-      .withColumn("__h", md5(col("__block")))
+    val base = docs.select(col(idCol).as("__doc"), tokens(col(textCol)).as("__toks"))
+      .withColumn("__nb",
+        ceil(size(col("__toks")).cast("double") / window).cast("int"))
+    // digests only on the wide path: (doc, idx, md5) — block text never
+    // leaves the scan projection
+    val exploded = base.filter(col("__nb") > 0)
+      .select(col("__doc"), posexplode(transform(sequence(lit(0), col("__nb") - 1),
+        i => md5(concat_ws(" ", slice(col("__toks"), i * window + 1, lit(window))))))
+        .as(Seq("__idx", "__h")))
     val keepDoc = exploded.groupBy("__h").agg(min(col("__doc")).as("__keep_doc"))
-    val decided = exploded.join(keepDoc, Seq("__h"))
-    val agg = decided.groupBy(col("__doc"))
-      .agg(count(lit(1)).as("n_blocks"),
-        sum(when(col("__doc") =!= col("__keep_doc"), 1L).otherwise(0L)).as("n_dropped"),
-        array_join(transform(
-          array_sort(collect_list(when(col("__doc") === col("__keep_doc"),
-            struct(col("__idx"), col("__block"))))),
-          s => s.getField("__block")), " ").as("text_clean"))
-    docs.select(col(idCol))
-      .join(agg, docs(idCol) === agg("__doc"), "left_outer")
-      .select(col(idCol),
-        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
-        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
-        coalesce(col("text_clean"), lit("")).as("text_clean"))
+    val droppedIdx = exploded.join(keepDoc, Seq("__h"))
+      .filter(col("__doc") =!= col("__keep_doc"))
+      .groupBy(col("__doc"))
+      .agg(count(lit(1)).as("__nd"), array_sort(collect_list(col("__idx"))).as("__didx"))
+    base.join(droppedIdx, Seq("__doc"), "left_outer")
+      .withColumn("__didx", coalesce(col("__didx"), array().cast("array<int>")))
+      .select(col("__doc").as(idCol),
+        col("__nb").cast("long").as("n_blocks"),
+        coalesce(col("__nd"), lit(0L)).as("n_dropped"),
+        when(col("__nb") === 0, lit("")).otherwise(array_join(
+          transform(
+            filter(sequence(lit(0), col("__nb") - 1),
+              i => !array_contains(col("__didx"), i)),
+            i => concat_ws(" ", slice(col("__toks"), i * window + 1, lit(window)))),
+          " ")).as("text_clean"))
   }
 
   /** Any-alignment duplicate-span dedup (the Lee et al. 2022
@@ -414,9 +419,14 @@ object Dedup {
     *
     * Scale shape: occurrences shuffle as (md5 digest, doc, pos) — one
     * row per token position, never gram text; the canonical choice is a
-    * map-side-combined min(struct). Extent explosion costs window× on
-    * the NON-CANONICAL rows only (duplicated regions, not the corpus).
-    * Reassembly shuffles on the doc id like [[dedupSpansGlobal]].
+    * map-side-combined min(struct). Non-canonical occurrences come back
+    * as EXTENT rows [start, start+window-1] — duplicated regions only —
+    * which aggregate per doc into a sorted interval list; dup-token
+    * counts and text_clean derive map-side by a linear sweep over that
+    * list against the original token array (round-15 verdict: the
+    * previous reassembly posexploded EVERY corpus token and
+    * collect_list'ed it back — a corpus-sized one-row-per-token shuffle
+    * this rewrite removes).
     *
     * Returns (idCol, n_tokens, n_dup_tokens, text_clean) for every
     * input document.
@@ -433,27 +443,42 @@ object Dedup {
         .as(Seq("__i", "__h")))
     val canon = occ.groupBy(col("__h"))
       .agg(min(struct(col("__doc"), col("__i"))).as("__c"))
-    val dropped = occ.join(canon, Seq("__h"))
+    val extents = occ.join(canon, Seq("__h"))
       .filter(col("__c.__doc") =!= col("__doc") || col("__c.__i") =!= col("__i"))
-      .select(col("__doc"),
-        explode(sequence(col("__i"), col("__i") + (window - 1))).as("__p"))
-      .distinct()
-    val perDoc = base
-      .select(col("__doc"), col("__n"), posexplode(col("__toks")).as(Seq("__p", "__t")))
-      .join(dropped.withColumn("__dup", lit(true)), Seq("__doc", "__p"), "left_outer")
       .groupBy(col("__doc"))
-      .agg(first(col("__n")).cast("long").as("n_tokens"),
-        sum(when(col("__dup"), 1L).otherwise(0L)).as("n_dup_tokens"),
-        array_join(transform(
-          array_sort(collect_list(when(!coalesce(col("__dup"), lit(false)),
-            struct(col("__p"), col("__t"))))),
-          s => s.getField("__t")), " ").as("text_clean"))
-    docs.select(col(idCol))
-      .join(perDoc, docs(idCol) === perDoc("__doc"), "left_outer")
-      .select(col(idCol),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
-        coalesce(col("text_clean"), lit("")).as("text_clean"))
+      .agg(array_sort(collect_list(
+        struct(col("__i").as("__s"), (col("__i") + (window - 1)).as("__e")))).as("__ext"))
+    // linear interval sweep per doc: covered-token count and the kept
+    // complement slices, both against the ORIGINAL token array — no
+    // per-position explosion, no token round-trip through a shuffle
+    val dupCount = aggregate(col("__ext"),
+      struct(lit(0L).as("cov"), lit(-1).as("ce")),
+      (acc, x) => struct(
+        (acc.getField("cov") + greatest(lit(0L),
+          (x.getField("__e") - greatest(x.getField("__s"), acc.getField("ce") + 1) + 1)
+            .cast("long"))).as("cov"),
+        greatest(acc.getField("ce"), x.getField("__e")).as("ce")),
+      a => a.getField("cov"))
+    val keptParts = aggregate(col("__ext"),
+      struct(lit(0).as("pos"), array().cast("array<array<string>>").as("ps")),
+      (acc, x) => struct(
+        greatest(acc.getField("pos"), x.getField("__e") + 1).as("pos"),
+        when(x.getField("__s") > acc.getField("pos"),
+          concat(acc.getField("ps"), array(slice(col("__toks"),
+            acc.getField("pos") + 1, x.getField("__s") - acc.getField("pos")))))
+          .otherwise(acc.getField("ps")).as("ps")),
+      a => concat(a.getField("ps"),
+        when(col("__n") > a.getField("pos"),
+          array(slice(col("__toks"), a.getField("pos") + 1,
+            col("__n") - a.getField("pos"))))
+          .otherwise(array().cast("array<array<string>>"))))
+    base.join(extents, Seq("__doc"), "left_outer")
+      .withColumn("__ext",
+        coalesce(col("__ext"), array().cast("array<struct<__s:int,__e:int>>")))
+      .select(col("__doc").as(idCol),
+        col("__n").cast("long").as("n_tokens"),
+        dupCount.as("n_dup_tokens"),
+        array_join(flatten(keptParts), " ").as("text_clean"))
   }
 
   /** n-gram Jaccard similarity between two shingle-set columns. Exact
