@@ -680,8 +680,13 @@ object Main {
             val (carried, chunked) = graft.ops.FuzzyJoinIndex.refresh(refDf, rid, rstr, idx)
             println(s"[cli] fuzzy index refresh: carried $carried, re-chunked $chunked (churn)")
           } else {
-            val n = graft.ops.FuzzyJoinIndex.build(refDf, rid, rstr, idx, d)
-            println(s"[cli] fuzzy index build: $n master strings -> $idx")
+            // --cand-budget reaches the BUILD: the key scheme (classic
+            // vs complement) is measured and pinned here — the round-15
+            // gap where the budget knob only drove the recompute path
+            val n = graft.ops.FuzzyJoinIndex.build(refDf, rid, rstr, idx, d,
+              candBudgetPerString = candBudget)
+            val scheme = graft.ops.FuzzyJoinIndex.readMeta(spark, idx).keyScheme
+            println(s"[cli] fuzzy index build: $n master strings ($scheme keys) -> $idx")
           }
         case (Some(idx), None) => // probe the persisted master
           // same pinned-distance guard as the refresh path: a probe

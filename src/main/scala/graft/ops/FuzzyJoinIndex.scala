@@ -45,7 +45,17 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyJoinIndex {
 
-  final case class Meta(maxDist: Int, extraChunks: Int, hotChunkCap: Long)
+  /** `keyScheme` is the round-16 escalation pin (the round-15 verdict
+    * weak item): "classic" = guarded singleton chunk keys everywhere;
+    * "complement" = lengths ≥ `n1` emit PartEnum-style complement keys
+    * ([[FuzzyJoin.escAKeys]]) instead — chosen at BUILD from the
+    * measured Σ pop² of the served singleton keys, exactly like the
+    * recompute pass's volume gate, and pinned so refresh emissions and
+    * probe windows always agree with the stored keys. Old indexes
+    * without the columns read back as classic.
+    */
+  final case class Meta(maxDist: Int, extraChunks: Int, hotChunkCap: Long,
+                        keyScheme: String, n1: Int)
 
   /** The pinned build parameters (throws if no index at `path`) —
     * public so callers can assert their expectations against the index
@@ -55,9 +65,14 @@ object FuzzyJoinIndex {
     val p = new org.apache.hadoop.fs.Path(path + "/meta")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p), s"no fuzzy-join index at $path — build it first")
-    val r = spark.read.parquet(path + "/meta").collect().head
+    val df = spark.read.parquet(path + "/meta")
+    val r = df.collect().head
+    val (scheme, n1) =
+      if (df.columns.contains("key_scheme"))
+        (r.getAs[String]("key_scheme"), r.getAs[Int]("n1"))
+      else ("classic", 0)
     Meta(r.getAs[Int]("max_dist"), r.getAs[Int]("extra_chunks"),
-      r.getAs[Long]("hot_chunk_cap"))
+      r.getAs[Long]("hot_chunk_cap"), scheme, n1)
   }
 
   private def tables(spark: SparkSession, path: String): (DataFrame, DataFrame) = (
@@ -67,27 +82,67 @@ object FuzzyJoinIndex {
       .select(col("id").as("__aid"), col("la").as("__la"),
         col("i").as("__i"), col("key").as("__key")))
 
+  /** The scheme-aware key emissions of a prepped side: classic guarded
+    * singletons for every chunkable length under the classic scheme;
+    * under complement, lengths < n1 keep singletons (too short to
+    * sub-chunk) and lengths ≥ n1 emit complement keys with the key id
+    * stored in the `i` slot (the length partitions the two key spaces,
+    * so probe joins can never cross schemes).
+    */
+  private def schemeKeys(prepped: DataFrame, aLens: Seq[Int], meta: Meta,
+                         pinnedHot: Option[DataFrame]): DataFrame = {
+    val (classic, _) = FuzzyJoin.chunkKeysGuarded(prepped,
+      if (meta.keyScheme == "complement") aLens.filter(_ < meta.n1) else aLens,
+      meta.maxDist, meta.extraChunks, meta.hotChunkCap, pinnedHot)
+    if (meta.keyScheme != "complement") classic
+    else classic.unionByName(
+      FuzzyJoin.escAKeys(prepped, meta.maxDist, meta.n1, aLens.filter(_ >= meta.n1))
+        .select(col("__aid"), col("__la"), col("__kid").as("__i"), col("__key")))
+  }
+
   /** Build from scratch over the master `reference`. Returns indexed
     * string count. Parameters are pinned in `meta`; `hotChunkCap = 0`
-    * disables the guard (every chunk served).
+    * disables the guard (every chunk served). `candBudgetPerString > 0`
+    * arms the volume gate: when the guarded singleton keys' measured
+    * Σ pop² exceeds budget·|master| (and the escalation fan-out cap
+    * allows), the index is BUILT under complement keys — the pinned
+    * sibling of [[FuzzyJoin.candidates]]'s recompute-time gate.
     */
   def build(reference: DataFrame, refId: String, refStr: String, path: String,
-            maxDist: Int, extraChunks: Int = 1, hotChunkCap: Long = 4096L): Long = {
+            maxDist: Int, extraChunks: Int = 1, hotChunkCap: Long = 4096L,
+            candBudgetPerString: Long = 0L): Long = {
     require(maxDist >= 1 && maxDist <= 8, s"maxDist must be in [1, 8]: $maxDist")
     require(extraChunks >= 0 && extraChunks <= 8,
       s"extraChunks must be in [0, 8]: $extraChunks")
     val spark = reference.sparkSession
     import spark.implicits._
     val r = FuzzyJoin.prep(reference, refId, refStr)
-    val (keys, hot) = FuzzyJoin.chunkKeysGuarded(
-      r, FuzzyJoin.chunkLens(r, maxDist), maxDist, extraChunks, hotChunkCap, None)
+    val aLens = FuzzyJoin.chunkLens(r, maxDist)
+    val (classicKeys, hot) = FuzzyJoin.chunkKeysGuarded(
+      r, aLens, maxDist, extraChunks, hotChunkCap, None)
+    val n1 = maxDist + 2 + math.max(1, extraChunks)
+    val escalate = candBudgetPerString > 0L &&
+      FuzzyJoin.escFanoutOk(n1, maxDist) && {
+        val v = classicKeys.groupBy(col("__la"), col("__i"), col("__key"))
+          .agg(count(lit(1)).as("__pop"))
+          .agg(sum(col("__pop") * col("__pop"))).head()
+        val vol = if (v.isNullAt(0)) 0L else v.getLong(0)
+        vol > candBudgetPerString * math.max(1L, r.count())
+      }
+    val meta = Meta(maxDist, extraChunks, hotChunkCap,
+      if (escalate) "complement" else "classic", if (escalate) n1 else 0)
+    val keys =
+      if (!escalate) classicKeys
+      else classicKeys.filter(col("__la") < n1).unionByName(
+        FuzzyJoin.escAKeys(r, maxDist, n1, aLens.filter(_ >= n1))
+          .select(col("__aid"), col("__la"), col("__kid").as("__i"), col("__key")))
     graft.lake.Staged.landMany(spark, path, Seq(
       "strings" -> stringsOut(r),
       "keys" -> keysOut(keys),
       "hot" -> hot.select(col("__la").as("la"), col("__i").as("i"),
         col("__key").as("key"), col("__pop").as("pop")),
-      "meta" -> Seq((maxDist, extraChunks, hotChunkCap))
-        .toDF("max_dist", "extra_chunks", "hot_chunk_cap")))
+      "meta" -> Seq((maxDist, extraChunks, hotChunkCap, meta.keyScheme, meta.n1))
+        .toDF("max_dist", "extra_chunks", "hot_chunk_cap", "key_scheme", "n1")))
     r.count() // prep checkpointed it: no re-read of the landed table
   }
 
@@ -126,9 +181,10 @@ object FuzzyJoinIndex {
     val carriedIds = s.kept.select(col("__id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val fresh = s.fresh.localCheckpoint(true)
-    val (freshKeys, _) = FuzzyJoin.chunkKeysGuarded(
-      fresh, FuzzyJoin.chunkLens(fresh, meta.maxDist),
-      meta.maxDist, meta.extraChunks, meta.hotChunkCap, Some(pinnedHot))
+    // fresh emissions follow the PINNED key scheme — a complement-built
+    // index never mixes singleton rows into its escalated lengths
+    val freshKeys = schemeKeys(fresh, FuzzyJoin.chunkLens(fresh, meta.maxDist),
+      meta, Some(pinnedHot))
     (oldStrings, oldKeys, cur, carriedIds, fresh, freshKeys)
   }
 
@@ -206,7 +262,18 @@ object FuzzyJoinIndex {
     // the indexed chunkable lengths: one row per distinct LENGTH
     val aLens = refStrings.filter(col("__l") >= d + 1)
       .select(col("__l")).distinct().as[Int].collect().sorted.toSeq
-    val bKeys = FuzzyJoin.windowKeys(p, aLens, d, meta.extraChunks)
+    // probe emissions mirror the pinned key scheme: singleton windows
+    // for classic lengths, drift-combo complement windows for escalated
+    // ones (the length partitions the key spaces, so one union + one
+    // equi-join serves both)
+    val bKeys =
+      if (meta.keyScheme != "complement")
+        FuzzyJoin.windowKeys(p, aLens, d, meta.extraChunks)
+      else
+        FuzzyJoin.windowKeys(p, aLens.filter(_ < meta.n1), d, meta.extraChunks)
+          .unionByName(
+            FuzzyJoin.escBKeys(p, d, meta.n1, aLens.filter(_ >= meta.n1))
+              .select(col("__bid"), col("__la"), col("__kid").as("__i"), col("__key")))
     val candLong = refKeys.join(bKeys, Seq("__la", "__i", "__key"))
       .select(col("__aid"), col("__bid"))
     candLong.unionByName(FuzzyJoin.shortPairs(refStrings, p, d))

@@ -156,6 +156,66 @@ class FuzzyJoinIndexSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("volume-gated escalation: templated master pins complement keys; probe + refresh stay brute-exact") {
+    val root = Files.createTempDirectory("fuzzyesc").toString + "/idx"
+    // single-template master: every classic singleton key carries the
+    // shared "Customer#" content, so measured Σ pop² trips the budget
+    // and the BUILD pins the complement scheme (round-15 weak #2: the
+    // escalation previously lived only in the recompute path)
+    val n = 300
+    val ref = (0 until n).map(i =>
+      (i.toLong, "Customer#" + f"${(i * 37) % 100000}%05d")).toDF("rid", "rname")
+    FuzzyJoinIndex.build(ref, "rid", "rname", root, maxDist = 1,
+      extraChunks = 1, hotChunkCap = 4096L, candBudgetPerString = 4L)
+    val meta = FuzzyJoinIndex.readMeta(spark, root)
+    assert(meta.keyScheme == "complement" && meta.n1 == 4,
+      s"the measured volume must pin complement keys: $meta")
+    // probes: distance-1 mutations (substitution, deletion, insertion)
+    // of sampled masters + an unrelated name
+    val p = (0 until n by 7).flatMap { i =>
+      val s = "Customer#" + f"${(i * 37) % 100000}%05d"
+      Seq((3000L + i, s.dropRight(1) + "!"), (6000L + i, s.drop(1)),
+        (9000L + i, "X" + s))
+    }.toDF("pid", "pname")
+    val got = FuzzyJoinIndex.probe(p, "pid", "pname", root)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = FuzzyJoin.editDistanceJoin(p, "pid", "pname",
+        ref, "rid", "rname", maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want && got.size >= 3 * (n / 7),
+      s"escalated probe must stay lossless: missing=${want -- got} extra=${got -- want}")
+    // refresh under the PINNED scheme: fresh strings must emit
+    // complement keys too (never singleton rows into escalated lengths)
+    val next = ref.filter(col("rid") =!= 0L)
+      .unionByName(Seq((0L, "Customer#99999"), (900L, "Customer#12321"))
+        .toDF("rid", "rname"))
+    val (carried, chunked) = FuzzyJoinIndex.refresh(next, "rid", "rname", root)
+    assert(carried == n - 1L && chunked == 2L, s"carried=$carried chunked=$chunked")
+    assert(FuzzyJoinIndex.readMeta(spark, root).keyScheme == "complement")
+    val got2 = FuzzyJoinIndex.probe(p, "pid", "pname", root)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want2 = FuzzyJoin.editDistanceJoin(p, "pid", "pname",
+        next, "rid", "rname", maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got2 == want2,
+      s"refreshed escalated index: missing=${want2 -- got2} extra=${got2 -- want2}")
+  }
+
+  test("escalation fan-out cap: extreme (d, extra) stays classic (advisor finding)") {
+    // C(18,8) * drift combos would blow the driver spec frames — the
+    // cap must refuse before materializing anything
+    assert(!FuzzyJoin.escFanoutOk(18, 8))
+    assert(FuzzyJoin.escFanoutOk(4, 1))
+    val root = Files.createTempDirectory("fuzzycap").toString + "/idx"
+    val ref = (0 until 60).map(i =>
+      (i.toLong, "TemplateSharedPrefix#" + f"${(i * 37) % 1000}%03d" * 3))
+      .toDF("rid", "rname")
+    FuzzyJoinIndex.build(ref, "rid", "rname", root, maxDist = 8,
+      extraChunks = 8, hotChunkCap = 4096L, candBudgetPerString = 1L)
+    assert(FuzzyJoinIndex.readMeta(spark, root).keyScheme == "classic",
+      "over-cap escalation must fall back to the classic guarded pass")
+  }
+
   test("probe against a guarded templated master stays lossless with the pinned hot list") {
     val root = Files.createTempDirectory("fuzzyidx3").toString + "/idx"
     // single-template master: the shared "TMPL#" prefix chunk is hot at
