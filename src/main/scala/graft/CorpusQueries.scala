@@ -1180,19 +1180,23 @@ object CorpusQueries {
               count(lit(1)) * lit(floorPct)).as("recall_ok"))
           .select(lit(tier).as("tier"), col("n_pairs"), col("recall_ok"))
       val kmeansCents = Similarity.ivfCentroidsKMeans(emb, "vec_id", "embedding", 8)
+      val hier = graft.ops.IvfHier.train(emb, "vec_id", "embedding", 8, m = 2)
       val pcaModel = graft.ops.Pca.fit(emb, "embedding", 64, 48)
       val pcaMargin = math.max(25, math.ceil(emb.count() * 0.2).toInt)
-      // floors pinned at measured-minus-noise (round-15 tightening):
-      // `runMain graft.Probe <dir> recall` measured minima across
-      // sf0.001/0.01/0.1 — kmeans 40, seed 44, sq8 44, lsh 40, pca 100;
-      // floors sit 2 points under (5 under for pca: its margin contract
-      // is the sim_pca_recall ≥0.95 bound, restated here), so a change
-      // shedding more than ~1 recall point at k=5 reds the driver gate
+      // floors pinned at measured-minus-noise (round-15 tightening;
+      // ivf_hier added round 16): `runMain graft.Probe <dir> recall`
+      // measured minima across sf0.001/0.01/0.1 — kmeans 40, seed 44,
+      // sq8 44, lsh 40, hier 39, pca 100; floors sit 2 points under
+      // (5 under for pca: its margin contract is the sim_pca_recall
+      // ≥0.95 bound, restated here), so a change shedding more than ~1
+      // recall point at k=5 reds the driver gate
       Seq(
         row("brute", exact, 100),
         row("ivf_kmeans", Similarity.ivfTopKWith(kmeansCents, emb, q,
           "vec_id", "embedding", 5, 2), 38),
         row("ivf_seed", Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5, 8, 2), 42),
+        row("ivf_hier", Similarity.ivfTopKHier(emb, q,
+          "vec_id", "embedding", hier, 5, 2), 37),
         row("ivf_sq8", Similarity.ivfTopKInt8(emb, q, "vec_id", "embedding", 5, 8, 2), 42),
         row("lsh_multiprobe", Similarity.multiProbeTopKExact(emb, q,
           "vec_id", "embedding", 5, 4, 64), 38),
@@ -2713,8 +2717,8 @@ object CorpusQueries {
       """WITH q AS (SELECT CAST(count(*) * 5 AS BIGINT) AS n_pairs
         |           FROM embeddings WHERE vec_id % 50 = 0)
         |SELECT t.tier, q.n_pairs, true AS recall_ok
-        |FROM (VALUES ('brute'), ('ivf_kmeans'), ('ivf_seed'), ('ivf_sq8'),
-        |             ('lsh_multiprobe'), ('pca_gate')) AS t(tier)
+        |FROM (VALUES ('brute'), ('ivf_kmeans'), ('ivf_seed'), ('ivf_hier'),
+        |             ('ivf_sq8'), ('lsh_multiprobe'), ('pca_gate')) AS t(tier)
         |CROSS JOIN q ORDER BY tier""".stripMargin,
 
     "sim_quantize_int8" ->

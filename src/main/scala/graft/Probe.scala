@@ -60,6 +60,8 @@ object Probe {
     val km = Similarity.ivfCentroidsKMeans(emb, "vec_id", "embedding", 8)
     rec("ivf_kmeans", Similarity.ivfTopKWith(km, emb, q, "vec_id", "embedding", 5, 2))
     rec("ivf_seed", Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5, 8, 2))
+    val hier = graft.ops.IvfHier.train(emb, "vec_id", "embedding", 8, m = 2)
+    rec("ivf_hier", Similarity.ivfTopKHier(emb, q, "vec_id", "embedding", hier, 5, 2))
     rec("ivf_sq8", Similarity.ivfTopKInt8(emb, q, "vec_id", "embedding", 5, 8, 2))
     rec("lsh_multiprobe", Similarity.multiProbeTopKExact(emb, q, "vec_id", "embedding", 5, 4, 64))
     val m = Pca.fit(emb, "embedding", 64, 48)

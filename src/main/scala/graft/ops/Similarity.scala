@@ -884,9 +884,25 @@ object Similarity {
     */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
                     cents: Seq[(Long, Seq[Float])],
-                    threshold: BigDecimal): DataFrame = {
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-      ivfCell(col(vecCol), cents).as("cell"))
+                    threshold: BigDecimal): DataFrame =
+    semanticDedupCells(corpus, idCol, vecCol,
+      ivfCell(col(vecCol), cents), threshold)
+
+  /** [[semanticDedup]] under a caller-supplied cell-assignment column —
+    * the seam the corpus-scaled hierarchical codebook plugs into. The
+    * pair join, dot gates, component labeling and keep rule are
+    * IDENTICAL; only the partition of the corpus into cells changes.
+    */
+  def semanticDedupCells(corpus: DataFrame, idCol: String, vecCol: String,
+                         cellOf: Column, threshold: BigDecimal,
+                         materializeAssign: Boolean = false): DataFrame = {
+    // the assigned frame feeds both self-join sides AND the final
+    // select — at corpus-scaled nList the assignment is the expensive
+    // pass, so the hier tier materializes it once instead of 3×
+    // (the flat oracle-checked path keeps its pure plan)
+    val c0 = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      cellOf.as("cell"))
+    val c = if (materializeAssign) c0.localCheckpoint(true) else c0
     val pairs = c.as("x").join(c.as("y"),
         col("x.cell") === col("y.cell") && col("x.id") < col("y.id"))
       .filter(dotFast(col("x.v"), col("y.v")) >= threshold.toDouble - 1e-6)
@@ -898,5 +914,68 @@ object Similarity {
       .select(col("id"), col("cell"),
         coalesce(col("component"), col("id")).as("component"))
       .withColumn("keep", col("id") === col("component"))
+  }
+
+  // ------------------------------------------------------------------
+  // CORPUS-SCALED (two-level) tiers — the round-15 verdict's top ask.
+  // The flat decimal assignment above inlines the codebook as literal
+  // columns (n·nList dots, plan size ∝ nList); these run the compiled
+  // [[graft.functions.HierCells]] probe under an [[IvfHier]] codebook,
+  // so nList can follow corpus size (≈constant cells, Σ|cell|² ≈
+  // n·cellSize) while assignment stays nCoarse + m·nList/nCoarse dots.
+  // ------------------------------------------------------------------
+
+  /** The hierarchical cell ASSIGNMENT of a vector column (best fine
+    * cell among the top-m coarse cells' members).
+    */
+  def hierCell(vec: Column, hier: IvfHier): Column =
+    element_at(graft.functions.HierCells.hier_cells(vec, hier, 1), 1)
+
+  /** The query-side probe: the `nProbe` best fine cells, best-first. */
+  def hierProbeCells(vec: Column, hier: IvfHier, nProbe: Int): Column =
+    graft.functions.HierCells.hier_cells(vec, hier, nProbe)
+
+  /** IVF top-k under the hierarchical codebook — assignment and probe
+    * via the compiled two-level expression, ranking via the same shared
+    * exact-decimal tail as every other ANN tier (a tie-break change
+    * cannot drift between tiers). Approximate like the flat IVF: recall
+    * follows (m, nProbe); the recall board pins this tier's floor.
+    */
+  def ivfTopKHier(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, hier: IvfHier, k: Int, nProbe: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"),
+      hierCell(col(vecCol), hier).as("cell"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      explode(hierProbeCells(col(vecCol), hier, nProbe)).as("cell"))
+    exactTopKTail(q.join(c, Seq("cell")).filter(col("qid") =!= col("cid")), k)
+  }
+
+  /** SemDeDup at corpus-scaled nList: [[semanticDedupCells]] under the
+    * hierarchical assignment — cells stay ≈targetCellSize as the corpus
+    * grows, so the pair join's Σ|cell|² is linear in n instead of
+    * n²/nList.
+    */
+  def semanticDedupHier(corpus: DataFrame, idCol: String, vecCol: String,
+                        hier: IvfHier, threshold: BigDecimal): DataFrame =
+    semanticDedupCells(corpus, idCol, vecCol,
+      hierCell(col(vecCol), hier), threshold, materializeAssign = true)
+
+  /** Blocked kNN graph over hierarchical cells — the corpus-scaled
+    * sibling of [[knnGraphBucketed]]: data-adaptive cells with bounded
+    * population replace the fixed 2^nBits hyperplane buckets, so the
+    * per-cell pair mass stays constant as the corpus grows. Ranking is
+    * the shared exact-decimal tail.
+    */
+  def knnGraphCells(corpus: DataFrame, idCol: String, vecCol: String,
+                    k: Int, hier: IvfHier): DataFrame = {
+    // both self-join sides reuse the assignment — materialize it once
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      hierCell(col(vecCol), hier).as("cell"))
+      .localCheckpoint(true)
+    val cands = c.as("x").join(c.as("y"),
+        col("x.cell") === col("y.cell") && col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("qid"), col("x.v").as("qv"),
+        col("y.id").as("cid"), col("y.v").as("cv"))
+    exactTopKTail(cands, k)
   }
 }

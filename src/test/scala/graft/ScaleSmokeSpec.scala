@@ -17,12 +17,14 @@ class ScaleSmokeSpec extends AnyFunSuite {
     assert(names == Seq("inflate-inputs", "ingest-bulk-90pct", "ingest-drop-10pct",
       "zonemap-lake-cluster", "zonemap-build", "zonemap-range-scan", "zonemap-append-refresh",
       "dedup-index-build-90pct", "dedup-index-refresh-10pct", "dedup-candidate-pairs",
-      "fuzzy-selfjoin-guarded",
+      "fuzzy-selfjoin-guarded", "fuzzy-indexed-probe",
       "sim-index-build-90pct", "sim-index-refresh-10pct", "sim-indexed-topk-500q",
       "mmr-indexed-topk",
       "kmeans-trainer-nlist128", "pca-moments-build-90pct", "pca-moments-drop-10pct",
-      "pca-fit-from-index", "sparse-sim-topk", "semdedup-labels",
-      "semidx-build-90pct", "semidx-refresh-10pct",
+      "pca-fit-from-index", "sparse-sim-topk", "span-dedup-anyalign", "bpe-encode-8k",
+      "semdedup-labels", "semidx-build-90pct", "semidx-refresh-10pct",
+      "semdedup-hier-labels", "knn-graph-cells",
+      "semidx-hier-build-90pct", "semidx-hier-refresh-10pct",
       "knn-pagerank", "dsir-weights"),
       s"phase list drifted: $names")
     // the PCA drop phase lands an aggregate-sized segment (dim·(dim+3)/2)

@@ -88,6 +88,44 @@ class SemDedupIndexSpec extends AnyFunSuite {
     assert(got4(10L) == 10L && !got4.contains(9L) && !got4.contains(3L))
   }
 
+  test("hier mode: build + churn refresh converge to the from-scratch recompute under the pinned two-level codebook") {
+    val tmp = Files.createTempDirectory("graft_semhier").toString
+    val idx = tmp + "/sem"
+    // a denser corpus on the real fixture: build on 90%, add-only drop
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val v1 = emb.filter(pmod(col("vec_id"), lit(10)) =!= 9)
+    SemDedupIndex.buildHier(v1, "vec_id", "embedding", idx,
+      nList = 16, m = 2, threshold = BigDecimal("0.35"))
+    // reconstruct the PINNED hier codebook from the landed tables and
+    // assert the index labels equal the from-scratch recompute under it
+    def pinnedHier(): graft.ops.IvfHier = {
+      val fine = spark.read.parquet(idx + "/centroids").orderBy(col("cell_id"))
+        .collect().toIndexedSeq.map(_.getSeq[Float](1).toArray)
+      val cr = spark.read.parquet(idx + "/coarse").orderBy(col("coarse_id"))
+        .collect().toIndexedSeq
+      val m = spark.read.parquet(idx + "/meta").collect().head.getAs[Int]("m")
+      graft.ops.IvfHier(fine, cr.map(_.getSeq[Float](1).toArray),
+        cr.map(_.getSeq[Int](2).toArray), m)
+    }
+    def scratchHier(docs: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Similarity.semanticDedupHier(docs, "vec_id", "embedding", pinnedHier(),
+          BigDecimal("0.35"))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(labelsOf(idx) == scratchHier(v1), "hier build must label like the recompute")
+    val hierBefore = pinnedHier()
+    val (carried, relabeled) = SemDedupIndex.refresh(emb, "vec_id", "embedding", idx)
+    val n = emb.count()
+    assert(carried + relabeled == n, s"carried=$carried relabeled=$relabeled n=$n")
+    // add-only drop: doc-granularity recompute is EXACTLY the churn
+    assert(relabeled * 10 == n, s"add-only churn: relabeled=$relabeled of $n")
+    // the codebook is PINNED: refresh must not retrain it
+    val hierAfter = pinnedHier()
+    assert(hierBefore.fine.map(_.toSeq) == hierAfter.fine.map(_.toSeq) &&
+      hierBefore.coarse.map(_.toSeq) == hierAfter.coarse.map(_.toSeq))
+    assert(labelsOf(idx) == scratchHier(emb),
+      "hier refresh must converge to the from-scratch labels")
+  }
+
   test("cli semdedup --index-path build/refresh round-trip") {
     val tmp = Files.createTempDirectory("graft_semcli").toString
     val v1 = corpus(1L -> a(0.0), 2L -> c(0.0), 4L -> a(0.05), 7L -> a(1.0))
