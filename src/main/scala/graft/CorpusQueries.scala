@@ -777,18 +777,23 @@ object CorpusQueries {
     // budget the domain, or it dominates the mixture. The per-doc URL
     // is derived deterministically in BOTH engines (documents carry no
     // URL), host comes from the shared regexp, and the registrable
-    // domain is the last two dot-labels (public-suffix-list
-    // approximation, documented): 7 domains each pooling docs from all
-    // 20 sources, so the cap provably binds at a different granularity
-    // than q_token_budget's
+    // domain is [[Curation.registrableDomain]]'s PSL-subset rule
+    // (round-16: hosts under multi-label suffixes like co.uk keep
+    // their third label — the d0/d1 slices here land on .co.uk hosts,
+    // so a naive last-two rule would pool them into ONE 'co.uk'
+    // pseudo-domain and the oracle would red): 7 domains each pooling
+    // docs from all 20 sources, so the cap provably binds at a
+    // different granularity than q_token_budget's
     "q_domain_budget" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val withUrl = docs.select(col("doc_id"), col("text"),
         concat(lit("https://"), col("source"), lit(".d"),
-          pmod(col("doc_id"), lit(7L)), lit(".org/doc/"), col("doc_id")).as("url"))
+          pmod(col("doc_id"), lit(7L)),
+          when(pmod(col("doc_id"), lit(7L)) < 2, lit(".co.uk")).otherwise(lit(".org")),
+          lit("/doc/"), col("doc_id")).as("url"))
       val host = regexp_extract(col("url"), "^https?://([^/]+)/", 1)
       val withDom = withUrl.select(col("doc_id"),
-        regexp_extract(host, "([^.]+\\.[^.]+)$", 1).as("domain"),
+        graft.ops.Curation.registrableDomain(host).as("domain"),
         TextAnalysis.tokens(col("text")).as("__toks"))
       graft.ops.Curation.capTokenBudgetT(withDom, "domain", "__toks",
           budget = 900, orderBy = Seq(col("doc_id")))
@@ -2173,14 +2178,15 @@ object CorpusQueries {
     // same synthetic URL, same host regexp, same last-two-labels
     // registrable domain, same prefix-sum cap — in SQL
     "q_domain_budget" -> (tkCte +
-      """,
+      s""",
         |du AS (SELECT d.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
         |         'https://' || d.source || '.d' || CAST(d.doc_id % 7 AS VARCHAR) ||
-        |         '.org/doc/' || CAST(d.doc_id AS VARCHAR) AS url
+        |         CASE WHEN d.doc_id % 7 < 2 THEN '.co.uk' ELSE '.org' END ||
+        |         '/doc/' || CAST(d.doc_id AS VARCHAR) AS url
         |       FROM tk t JOIN documents d ON t.doc_id = d.doc_id),
         |dm AS (SELECT doc_id, n_tokens,
-        |         regexp_extract(regexp_extract(url, '^https?://([^/]+)/', 1),
-        |                        '([^.]+\.[^.]+)$', 1) AS domain
+        |         ${graft.ops.Curation.registrableDomainSql(
+                     "regexp_extract(url, '^https?://([^/]+)/', 1)")} AS domain
         |       FROM du),
         |sx AS (SELECT domain, doc_id, n_tokens,
         |         COALESCE(SUM(n_tokens) OVER (PARTITION BY domain ORDER BY doc_id

@@ -79,7 +79,17 @@ object DropCycle {
     // the refresh runs against the lake's CURRENT corpus but is
     // internally fingerprint-gated — one digest-sized pass, label
     // recompute only where components changed.
-    clusterIdxPath: Option[String] = None)
+    clusterIdxPath: Option[String] = None,
+    // step 3e: learned-BPE word cache ([[graft.ops.BpeIndex]]). Needs
+    // textCol and an EXISTING index (merges pinned at build — a cache
+    // refresh never retrains). Only the drop's previously-unseen words
+    // tokenize; the cache only grows, a lagging cache costs compute,
+    // never a wrong count.
+    bpePath: Option[String] = None,
+    // step 6c: per-registrable-domain token totals (urlCol, path) — the
+    // domain-budget curation axis as a signed summable segment table
+    // riding the same pre-image change feed as the LM/DSIR tiers
+    domainTokens: Option[(String, String)] = None)
 
   /** Run one cycle; returns tier -> (carried, refreshed). */
   def run(lake: SnapshotLake, dropIn: DataFrame, conf: Config): Map[String, (Long, Long)] = {
@@ -130,6 +140,9 @@ object DropCycle {
       }
       conf.postingsPath.foreach { postPath =>
         report("postings") = graft.ops.PostingsIndex.upsert(drop, lake.keyCol, text, postPath)
+      }
+      conf.bpePath.foreach { bpePath =>
+        report("bpe") = graft.ops.BpeIndex.refresh(drop, text, bpePath)
       }
       conf.clusterIdxPath.foreach { clPath =>
         import org.apache.spark.sql.functions.{coalesce, col, expr, when, xxhash64}
@@ -203,6 +216,21 @@ object DropCycle {
             lake.readAt(after), lake.keyCol, text, path, s"v0to$after")
         }
         report("lm") = (0L, n)
+      case _ => ()
+    }
+    // per-domain token totals ride the same pre-image feed (a signed
+    // summable table like the LM's) — the domain-budget cut list is
+    // then a serve-time read of the merged totals
+    (conf.textCol, conf.domainTokens) match {
+      case (Some(text), Some((urlCol, path))) =>
+        val n = before match {
+          case Some(v0) => graft.ops.Curation.landDomainTokenChangesDrop(
+            lake.changesBetween(v0, after, preImages = true),
+            text, urlCol, path, s"v${v0}to$after")
+          case None => graft.ops.Curation.landDomainTokenDrop(
+            lake.readAt(after), text, urlCol, path, s"v0to$after")
+        }
+        report("domains") = (0L, n)
       case _ => ()
     }
     // DSIR bucket counts ride the same pre-image feed (the data-selection

@@ -17,6 +17,12 @@ class DropCycleSpec extends AnyFunSuite {
     rows.toDF("_id", "text", "grp").select(col("_id").cast("string").as("_id"),
       col("text"), col("grp"))
 
+  // deterministic per-row URL: grp-keyed hosts under a multi-label
+  // public suffix, so the domain tier exercises the PSL rule
+  private def withUrl(df: org.apache.spark.sql.DataFrame) =
+    df.withColumn("url",
+      concat(lit("https://a"), col("grp"), lit(".co.uk/d/"), col("_id")))
+
   test("two monthly cycles: every artifact converges and maintenance follows churn") {
     val root = Files.createTempDirectory("dropcycle").toString
     val lake = new SnapshotLake(spark, root + "/lake", "_id")
@@ -32,24 +38,29 @@ class DropCycleSpec extends AnyFunSuite {
       clusterIdxPath = Some(root + "/clidx"),
       zonemap = Some("grp"),
       dsir = Some((col("grp") === 0L, root + "/dsir")),
+      bpePath = Some(root + "/bpe"),
+      domainTokens = Some(("url", root + "/domains")),
       expect = Some((Seq(graft.ops.Expectations.notNull("text")),
         root + "/quarantine", "c1")))
 
-    val drop1 = docs(
+    val drop1 = withUrl(docs(
       (1L, "the quick brown fox jumps over the lazy dog", 0L),
       (2L, "the quick brown fox jumps over the lazy dogs", 0L),
-      (3L, "completely different text about spark engines", 1L))
+      (3L, "completely different text about spark engines", 1L)))
+    // the BPE vocab is PINNED before the cycles (an explicit build
+    // decision, like the IVF codebook); cycles only grow the word cache
+    graft.ops.BpeIndex.build(drop1, "text", root + "/bpe", nMerges = 8)
     val r1 = DropCycle.run(lake, drop1, conf)
     assert(r1("lake") == ((0L, 1L)))
 
     // drop 2: updates doc 3, re-delivers doc 1 unchanged, inserts doc 4
     // — plus one DIRTY row (null text) the expect step must dead-letter
     // before anything downstream sees it
-    val drop2 = docs(
+    val drop2 = withUrl(docs(
       (1L, "the quick brown fox jumps over the lazy dog", 0L),
       (3L, "completely different text about flink engines", 1L),
       (4L, "the quick brown fox jumps over the lazy doge", 0L))
-      .unionByName(Seq(("9", null.asInstanceOf[String], 0L)).toDF("_id", "text", "grp"))
+      .unionByName(Seq(("9", null.asInstanceOf[String], 0L)).toDF("_id", "text", "grp")))
     val conf2 = conf.copy(expect = conf.expect.map { case (r, p, _) => (r, p, "c2") })
     val r2 = DropCycle.run(lake, drop2, conf2)
     assert(r2("lake") == ((1L, 2L)))
@@ -66,6 +77,12 @@ class DropCycleSpec extends AnyFunSuite {
     assert(r2("band") == ((1L, 2L)))
     // the posting-list index rode the same fingerprint-gated delta
     assert(r2("postings") == ((1L, 2L)))
+    // BPE cache: drop 2 brings exactly two previously-unseen words
+    // ('flink', 'doge') — the pinned merges never retrain, the cache
+    // grows by the churn's new vocabulary only
+    assert(r2("bpe")._2 == 2L, s"bpe cache refresh drifted: ${r2("bpe")}")
+    val mergesAfter = spark.read.parquet(root + "/bpe/merges").count()
+    assert(mergesAfter == 8L, "cycles must not retrain the pinned merges")
     // zone-map stats: cycle 2 carried cycle-1 files, scanned only the churn
     assert(r2("zonemap")._1 >= 1L && r2("zonemap")._2 >= 1L,
       s"zonemap refresh must carry + churn-scan: ${r2("zonemap")}")
@@ -157,6 +174,30 @@ class DropCycleSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(servedDsir == oneShotDsir && servedDsir.nonEmpty)
 
+    // BPE serve parity: the maintained cache serves the lake's token
+    // counts exactly as a direct apply under the pinned merges
+    val pinnedMerges = graft.ops.BpeIndex.readMerges(spark, root + "/bpe")
+    val servedBpe = graft.ops.BpeIndex.tokenCounts(lake.read, "_id", "text", root + "/bpe")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val directBpe = graft.ops.Bpe.docTokenCounts(lake.read, "_id", "text", pinnedMerges)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(servedBpe == directBpe && servedBpe.nonEmpty)
+
+    // domain-token totals: the merged segments equal a from-scratch
+    // recompute over the lake, under the PSL-honest registrable domain
+    // (a0.co.uk / a1.co.uk — a naive last-two rule would pool them)
+    import graft.ops.Curation
+    def scratchDomains = lake.read.select(
+        Curation.registrableDomain(
+          regexp_extract(col("url"), "^https?://([^/]+)", 1)).as("domain"),
+        size(graft.ops.TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      .groupBy("domain").agg(sum(col("n")).as("n_tokens"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val servedDom = Curation.serveDomainTokens(spark, root + "/domains")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(servedDom == scratchDomains && servedDom.exists(_._1 == "a0.co.uk"),
+      s"domain totals diverged: $servedDom vs $scratchDomains")
+
     // bloom: point lookup after the cycles opens fewer files than exist
     // and serves the post-upsert value
     val (rows, opened) = graft.lake.BloomIndex.lookupSnapshot(lake, "_id", Seq("3"))
@@ -196,6 +237,13 @@ class DropCycleSpec extends AnyFunSuite {
     val lmAfter = Relevance.serveLmCounts(spark, root + "/lm")
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(lmAfter == servedLm, "rerun LM change segment must net to zero")
+    // rerun O(churn) observables for the round-16 tiers: the BPE cache
+    // tokenizes NOTHING (every word already cached) and the domain
+    // segment nets to zero
+    assert(r3("bpe")._2 == 0L, s"rerun must tokenize nothing: ${r3("bpe")}")
+    val domAfter = Curation.serveDomainTokens(spark, root + "/domains")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(domAfter == servedDom, "rerun domain segment must net to zero")
     val stateAfter = lake.read.orderBy("_id").collect()
       .map(r => r.getString(0) -> r.getString(1)).toSeq
     assert(stateAfter == state.toSeq, "lake rows unchanged by the rerun")
@@ -213,7 +261,9 @@ class DropCycleSpec extends AnyFunSuite {
       hll = Some((Seq("grp"), "_id", root + "/hll")),
       topk = Some((Nil, "grp", 8, root + "/topk")),
       lmPath = Some(root + "/lm"),
-      dsir = Some((col("grp") === 0L, root + "/dsir")))
+      dsir = Some((col("grp") === 0L, root + "/dsir")),
+      bpePath = Some(root + "/bpe"),
+      domainTokens = Some(("url", root + "/domains")))
     def segCount(p: String): Int = {
       val d = new java.io.File(p)
       if (!d.exists) 0
@@ -230,21 +280,28 @@ class DropCycleSpec extends AnyFunSuite {
       Sketches.serveTopK(spark, root + "/topk", Nil, "grp").count()
       (System.nanoTime() - t0) / 1e9
     }
+    // the BPE vocab pins once, before the soak (build decision)
+    graft.ops.BpeIndex.build(
+      Seq((999L, words.mkString(" "))).toDF("_id", "text"), "text",
+      root + "/bpe", nMerges = 8)
     var serveMid = 0.0
     var serveEnd = 0.0
+    var bpeFreshTotal = 0L
     (1 to 25).foreach { d =>
       // each drop: 3 rotating updates + 1 new doc — sustained churn
       val rows = (0 until 3).map { j =>
         val id = (d + j * 5) % 20
         (id.toLong, text(id, d), (id % 3).toLong)
       } :+ (((100 + d).toLong, text(100 + d, 0), (d % 3).toLong))
-      DropCycle.run(lake, docs(rows: _*), conf)
+      val r = DropCycle.run(lake, withUrl(docs(rows: _*)), conf)
+      bpeFreshTotal += r("bpe")._2
       if (d % 5 == 0) { // the compaction cadence: every 5th drop
         MaterializedAgg.compact(spark, root + "/summary", spec, s"fold$d")
         Sketches.compactHll(spark, root + "/hll", Seq("grp"), s"fold$d")
         Sketches.compactTopK(spark, root + "/topk", Nil, "grp", 8, s"fold$d")
         graft.ops.Relevance.compactLm(spark, root + "/lm", s"fold$d")
         graft.ops.Curation.compactDsir(spark, root + "/dsir", s"fold$d")
+        graft.ops.Curation.compactDomainTokens(spark, root + "/domains", s"fold$d")
         lake.compact()
         lake.vacuum(retainVersions = 2)
       }
@@ -252,9 +309,25 @@ class DropCycleSpec extends AnyFunSuite {
       if (d == 25) serveEnd = serveAll()
     }
     // BOUNDED ARTIFACTS: at most the folded segment + one cadence window
-    for (tier <- Seq("/summary", "/hll", "/topk", "/lm", "/dsir"))
+    for (tier <- Seq("/summary", "/hll", "/topk", "/lm", "/dsir", "/domains"))
       assert(segCount(root + tier) <= 6,
         s"$tier grew to ${segCount(root + tier)} segments despite the cadence")
+    // BPE cache: the soak's whole vocabulary is the 8 seed words — 25
+    // drops of churn tokenized NOTHING new, and the cache stays
+    // vocabulary-sized (O(new words), never O(drops) or O(corpus))
+    assert(bpeFreshTotal == 0L, s"soak must never re-tokenize: $bpeFreshTotal")
+    assert(spark.read.parquet(root + "/bpe/word_tokens").count() == 8L)
+    // domain totals survive 25 drops + 5 folds == from-scratch recompute
+    val servedDomSoak = graft.ops.Curation.serveDomainTokens(spark, root + "/domains")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val scratchDomSoak = lake.read.select(
+        graft.ops.Curation.registrableDomain(
+          regexp_extract(col("url"), "^https?://([^/]+)", 1)).as("domain"),
+        size(graft.ops.TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      .groupBy("domain").agg(sum(col("n")).as("n_tokens"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(servedDomSoak == scratchDomSoak && servedDomSoak.nonEmpty,
+      s"domain totals diverged after the soak: $servedDomSoak vs $scratchDomSoak")
     // lake: vacuum bounds retained versions, compact bounds file count
     assert(lake.history().count() <= 4L,
       s"versions unbounded: ${lake.history().collect().map(_.getLong(0)).toSeq}")
