@@ -38,8 +38,18 @@ object NtpIds {
     * round-15 ~sf10 smoke showed a single group's 10M-id window is a
     * REAL wall for a 13.5M-row bulk load, and the reference's own
     * answer is more groups, not wider ids.
+    *
+    * Malformed ids classify as group 0 (the reference's get_group
+    * returns 0 for anything that is not a well-formed group-1 id) —
+    * never NULL, so a `group === 0` predicate cannot silently drop
+    * them (advisor finding). Deliberate, parity-relevant divergence:
+    * valid ntp2…-ntp9… ids classify as groups 2-9 here where the
+    * reference would say 0 — the reference never MINTS such ids, but a
+    * lake partitioned under the old everything-is-0 rule must be
+    * rewritten before serving group-pruned reads at groups ≥ 2.
     */
-  def group(id: Column): Column = substring(id, 4, 1).cast("int")
+  def group(id: Column): Column =
+    when(checkNtpId(id), substring(id, 4, 1).cast("int")).otherwise(lit(0))
 
   /** Half-open / closed range membership with null-safe open ends
     * (reference: ntp_storage.py:12-23 `is_in_range`).

@@ -39,6 +39,15 @@ class PropertySpec extends AnyFunSuite {
       assert(r.getAs[Long]("back") == r.getAs[Long]("o"))
       assert(r.getAs[Int]("grp") == (if (r.getAs[Long]("o") >= NtpIds.MinOrderMinors) 1 else 0))
     }
+    // malformed ids classify as group 0 (the reference's everything-else
+    // bucket), NEVER null — a group === 0 predicate must not drop them
+    // (round-16 advisor fix); well-formed high groups generalize 2-9
+    val weird = Seq("x", "", "ntp1234", "ntp123456789", "NTP00000001", "ntp2zzzzzzz")
+      .toDF("id").select(NtpIds.group(col("id")).as("g")).collect()
+    weird.foreach(r => assert(!r.isNullAt(0) && r.getInt(0) == 0, s"got $r"))
+    val high = Seq("ntp93334444").toDF("id")
+      .select(NtpIds.group(col("id")).as("g")).collect()
+    assert(high.head.getInt(0) == 9)
   }
 
   test("merge_updates is commutative, canonical, idempotent (A9)") {
