@@ -1189,9 +1189,9 @@ object CorpusQueries {
       val pcaModel = graft.ops.Pca.fit(emb, "embedding", 64, 48)
       val pcaMargin = math.max(25, math.ceil(emb.count() * 0.2).toInt)
       // floors pinned at measured-minus-noise (round-15 tightening;
-      // ivf_hier added round 16): `runMain graft.Probe <dir> recall`
-      // measured minima across sf0.001/0.01/0.1 — kmeans 40, seed 44,
-      // sq8 44, lsh 40, hier 39, pca 100; floors sit 2 points under
+      // ivf_hier + ivf_pq added round 16): `runMain graft.Probe <dir>
+      // recall` measured minima across sf0.001/0.01/0.1 — kmeans 40,
+      // seed 44, sq8 44, pq 44, lsh 40, hier 39, pca 100; floors sit 2 points under
       // (5 under for pca: its margin contract is the sim_pca_recall
       // ≥0.95 bound, restated here), so a change shedding more than ~1
       // recall point at k=5 reds the driver gate
@@ -1203,6 +1203,8 @@ object CorpusQueries {
         row("ivf_hier", Similarity.ivfTopKHier(emb, q,
           "vec_id", "embedding", hier, 5, 2), 37),
         row("ivf_sq8", Similarity.ivfTopKInt8(emb, q, "vec_id", "embedding", 5, 8, 2), 42),
+        row("ivf_pq", graft.ops.Pq.ivfTopKPq(emb, q, "vec_id", "embedding", 5, 8, 2,
+          math.max(32, math.ceil(emb.count() * 0.02).toInt)), 42),
         row("lsh_multiprobe", Similarity.multiProbeTopKExact(emb, q,
           "vec_id", "embedding", 5, 4, 64), 38),
         row("pca_gate", graft.ops.Pca.pcaTopK(emb, q, "vec_id", "embedding",
@@ -1532,6 +1534,29 @@ object CorpusQueries {
         .agg(count_distinct(col("qid")).as("n_queries"),
           (sum(coalesce(col("__hit"), lit(0))) >= count(lit(1)) * lit(0.95))
             .as("recall_ge_095"))
+    }),
+
+    // IVF-PQ (Jégou et al. TPAMI'11): 8-byte PQ8x256 codes + compiled
+    // ADC scoring, exact-decimal re-rank of a (k + margin) pool — the
+    // recall contract is the Spark-side pinned flag, same shape as
+    // sim_pca_recall. nProbe = nList makes the cell gate complete, so
+    // the flag pins the ADC + pool quality itself (the gated variant is
+    // the board's ivf_pq row). Floor is measured-minus-noise:
+    // `runMain graft.Probe <dir> recall` minima 87.5/98/100 across
+    // sf0.1/0.01/0.001 at k=5, margin 2% of corpus — pinned at 0.80.
+    "sim_pq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % 50 === 0)
+      val margin = math.max(32, math.ceil(emb.count() * 0.02).toInt)
+      val exact = Similarity.bruteTopKExact(emb, q, "vec_id", "embedding", 5)
+      val pq = graft.ops.Pq.ivfTopKPq(emb, q, "vec_id", "embedding", 5, 8, 8,
+          margin)
+        .select(col("qid"), col("cid")).withColumn("__hit", lit(1))
+      exact.select(col("qid").cast("long").as("qid"), col("cid").cast("long").as("cid"))
+        .join(pq, Seq("qid", "cid"), "left_outer")
+        .agg(count_distinct(col("qid")).as("n_queries"),
+          (sum(coalesce(col("__hit"), lit(0))) >= count(lit(1)) * lit(0.80))
+            .as("recall_ge_080"))
     }),
 
     // P8/F9-F13: URL melt + host/filename/extension extraction
@@ -2716,6 +2741,12 @@ object CorpusQueries {
       """SELECT count(DISTINCT vec_id) AS n_queries, true AS recall_ge_095
         |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
 
+    // the exact side (query count) recomputes in SQL; the ADC-pool
+    // recall bound is the Spark-side pinned flag, like sim_pca_recall
+    "sim_pq_recall" ->
+      """SELECT count(DISTINCT vec_id) AS n_queries, true AS recall_ge_080
+        |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
+
     // the floors are the contract: the oracle states every tier's board
     // row must come back (n_pairs = 5 per query) with its pinned floor
     // met — a silent recall regression reds the hash gate
@@ -2724,7 +2755,7 @@ object CorpusQueries {
         |           FROM embeddings WHERE vec_id % 50 = 0)
         |SELECT t.tier, q.n_pairs, true AS recall_ok
         |FROM (VALUES ('brute'), ('ivf_kmeans'), ('ivf_seed'), ('ivf_hier'),
-        |             ('ivf_sq8'), ('lsh_multiprobe'), ('pca_gate')) AS t(tier)
+        |             ('ivf_sq8'), ('ivf_pq'), ('lsh_multiprobe'), ('pca_gate')) AS t(tier)
         |CROSS JOIN q ORDER BY tier""".stripMargin,
 
     "sim_quantize_int8" ->

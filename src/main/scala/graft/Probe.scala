@@ -63,6 +63,11 @@ object Probe {
     val hier = graft.ops.IvfHier.train(emb, "vec_id", "embedding", 8, m = 2)
     rec("ivf_hier", Similarity.ivfTopKHier(emb, q, "vec_id", "embedding", hier, 5, 2))
     rec("ivf_sq8", Similarity.ivfTopKInt8(emb, q, "vec_id", "embedding", 5, 8, 2))
+    val pqMargin = math.max(32, math.ceil(emb.count() * 0.02).toInt)
+    rec("ivf_pq", graft.ops.Pq.ivfTopKPq(emb, q, "vec_id", "embedding", 5, 8, 2,
+      pqMargin))
+    rec("pq_adc_full", graft.ops.Pq.ivfTopKPq(emb, q, "vec_id", "embedding", 5, 8, 8,
+      pqMargin))
     rec("lsh_multiprobe", Similarity.multiProbeTopKExact(emb, q, "vec_id", "embedding", 5, 4, 64))
     val m = Pca.fit(emb, "embedding", 64, 48)
     val margin = math.max(25, math.ceil(emb.count() * 0.2).toInt)

@@ -300,6 +300,19 @@ object ScaleSmoke {
         "vec_id", "embedding", s"$work/ivfidx", 10, 8).count()
     }
 
+    // IVF-PQ serve (round-16): PQ8x256 codes are 8 BYTES per vector —
+    // at 10^11 vectors the candidate payload drops from SQ8's 6.4 TB to
+    // 0.8 TB, the RAM-resident-serving lever. The phase pays train
+    // (driver Lloyd on an 8k seeded sample) + compiled encode of the
+    // whole corpus + the 128-cell/8-probe ADC probe with a FIXED 64-row
+    // re-rank pool per query (the pool must not scale with the corpus)
+    phase("pq-adc-topk") {
+      graft.ops.Pq.ivfTopKPq(embsAll,
+        embsAll.filter(pmod(col("vec_id"), lit(1000)) === 0),
+        "vec_id", "embedding", k = 10, nList = 128, nProbe = 8,
+        margin = 64).count()
+    }
+
     // diversified retrieval with the pool served FROM the persisted
     // index (round-14 seam): the probe touches inverted lists + a
     // poolK-survivor vector fetch; the greedy rounds are pool-sized —

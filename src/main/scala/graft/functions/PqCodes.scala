@@ -1,0 +1,166 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType}
+
+import graft.ops.PqModel
+
+/** Product-quantization encode as ONE compiled expression: each vector
+  * splits into `mSub` contiguous `dsub`-dim subvectors and every
+  * subvector maps to the index of its L2-NEAREST centroid in that
+  * subspace's codebook (ties to the lower code) — the PQ code layout of
+  * Jégou, Douze & Schmid, "Product quantization for nearest neighbor
+  * search" (TPAMI 2011, public). A 64-float embedding becomes `mSub`
+  * BYTES (stored offset by -128 like the SQ8 tier's codes): the
+  * 100 TB memory lever one step past SQ8 — 8 bytes/vector instead of
+  * 64, so a 10^11-vector corpus's candidate codes fit a serving tier's
+  * RAM.
+  *
+  * The codebook rides the plan as a task reference object (same shape
+  * as [[HierCells]]); cost is mSub·ks·dsub multiplies per row inside
+  * one monomorphic loop in whole-stage codegen.
+  */
+case class PqCodes(child: Expression, model: PqModel) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  /** Public for the codegen callback. */
+  def encode(v: ArrayData): GenericArrayData = {
+    val mSub = model.codebooks.length
+    val dsub = model.dsub
+    val out = new Array[Byte](mSub)
+    var m = 0
+    while (m < mSub) {
+      val cb = model.codebooks(m)
+      val off = m * dsub
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        val cent = cb(c)
+        var d = 0.0
+        var j = 0
+        while (j < dsub) {
+          val x = v.getFloat(off + j).toDouble - cent(j).toDouble
+          d += x * x
+          j += 1
+        }
+        if (d < bestD) { best = c; bestD = d }
+        c += 1
+      }
+      out(m) = (best - 128).toByte
+      m += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    encode(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCodes", this, classOf[PqCodes].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.encode($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqCodes =
+    copy(child = newChild)
+  override def prettyName: String = "pq_codes"
+}
+
+/** Asymmetric-distance (ADC) scoring as ONE compiled expression: the
+  * approximate inner product of a full-precision QUERY against a
+  * PQ-coded candidate, Σ_m dot(q_m, codebook_m[code_m]) — the query
+  * side stays exact, only the candidate is reconstructed (the ADC of
+  * the PQ paper, inner-product form).
+  *
+  * The per-query lookup table (mSub × ks dots — the thing that makes
+  * ADC cheap: ks·dim multiplies ONCE per query, then mSub ADDS per
+  * candidate) is memoized per qid in a thread-local cache, so the
+  * candidate stream after the cell join pays table lookups, not dot
+  * products, whatever order the rows arrive in. The cache is bounded
+  * (cleared past 4096 queries) — query sets in this engine are the
+  * small/broadcast side by contract.
+  */
+case class PqAdc(first: Expression, second: Expression, third: Expression,
+                 model: PqModel) extends TernaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val luts =
+    new ThreadLocal[java.util.HashMap[Long, Array[Array[Double]]]] {
+      override def initialValue() = new java.util.HashMap[Long, Array[Array[Double]]]()
+    }
+
+  private def lutFor(qid: Long, qv: ArrayData): Array[Array[Double]] = {
+    val cache = luts.get()
+    val hit = cache.get(qid)
+    if (hit != null) return hit
+    if (cache.size() > 4096) cache.clear()
+    val mSub = model.codebooks.length
+    val dsub = model.dsub
+    val lut = new Array[Array[Double]](mSub)
+    var m = 0
+    while (m < mSub) {
+      val cb = model.codebooks(m)
+      val off = m * dsub
+      val row = new Array[Double](cb.length)
+      var c = 0
+      while (c < cb.length) {
+        val cent = cb(c)
+        var s = 0.0
+        var j = 0
+        while (j < dsub) { s += qv.getFloat(off + j).toDouble * cent(j).toDouble; j += 1 }
+        row(c) = s
+        c += 1
+      }
+      lut(m) = row
+      m += 1
+    }
+    cache.put(qid, lut)
+    lut
+  }
+
+  /** Public for the codegen callback. */
+  def adc(qid: Long, qv: ArrayData, codes: ArrayData): Double = {
+    val lut = lutFor(qid, qv)
+    var s = 0.0
+    var m = 0
+    while (m < lut.length) { s += lut(m)(codes.getByte(m) + 128); m += 1 }
+    s
+  }
+
+  override protected def nullSafeEval(q: Any, v: Any, c: Any): Any =
+    adc(q.asInstanceOf[Long], v.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqAdc", this, classOf[PqAdc].getName)
+    nullSafeCodeGen(ctx, ev, (q, v, c) => s"${ev.value} = $ref.adc($q, $v, $c);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): PqAdc =
+    copy(first = newFirst, second = newSecond, third = newThird)
+  override def prettyName: String = "pq_adc"
+}
+
+object PqCodes {
+  private def bridge(c: Column): Expression =
+    org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)
+  private def col(e: Expression): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(e)
+
+  /** PQ codes (array<tinyint>, one byte per subspace) of a float-vector
+    * column under a trained [[PqModel]].
+    */
+  def pq_codes(vec: Column, model: PqModel): Column =
+    col(PqCodes(bridge(vec), model))
+
+  /** ADC approximate inner product of (qid, query vector) against a
+    * candidate's PQ codes.
+    */
+  def pq_adc(qid: Column, qv: Column, codes: Column, model: PqModel): Column =
+    col(PqAdc(bridge(qid), bridge(qv), bridge(codes), model))
+}

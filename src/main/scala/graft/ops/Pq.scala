@@ -1,0 +1,170 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Trained product-quantization codebooks: `codebooks(m)(c)` is the
+  * `dsub`-dim centroid for code `c` of subspace `m` (subspaces are
+  * contiguous slices of the vector). Codebooks may be ragged — a
+  * subspace with fewer than `ks` distinct training subvectors trains a
+  * smaller codebook; codes always index within their own subspace.
+  */
+final case class PqModel(dsub: Int,
+                         codebooks: IndexedSeq[IndexedSeq[Array[Float]]])
+    extends Serializable {
+  def mSub: Int = codebooks.length
+  def bytesPerVector: Int = codebooks.length
+}
+
+/** Product-quantization ANN (Jégou, Douze & Schmid, "Product
+  * quantization for nearest neighbor search", TPAMI 2011 — public):
+  * the memory lever one step past the SQ8 tier. SQ8 stores 1 byte per
+  * COMPONENT (64 B at dim 64); PQ stores 1 byte per SUBSPACE (8 B at
+  * mSub = 8) — at 10^11 vectors the candidate codes drop from 6.4 TB
+  * to 0.8 TB, the difference between a disk-bound and a RAM-resident
+  * serving tier.
+  *
+  * Scale shape mirrors [[Similarity.ivfTopKInt8FromLists]]: IVF cells
+  * bound the candidate set (corpus·nProbe/nList rows through ONE
+  * equi-join shuffle, never corpus·queries), candidates are scored by
+  * compiled ADC ([[graft.functions.PqAdc]] — a per-query lookup table
+  * built once, mSub table ADDS per candidate), and only a
+  * (k + margin)-row pool per query fetches full-precision vectors for
+  * the exact-decimal decider. Unlike SQ8's affine bound, PQ
+  * reconstruction error has no tight per-candidate envelope, so the
+  * pool is a fixed re-rank margin (the standard IVFADC posture;
+  * recall is pinned by the board floor like every approximate tier).
+  *
+  * Determinism: training samples by seeded hash order, initializes
+  * each subspace from its first `ks` DISTINCT subvectors, and runs a
+  * fixed number of sequential-fold Lloyd iterations — bit-reproducible
+  * for a given corpus, no RNG, no schedule dependence (the same
+  * contract as [[IvfHier.train]]).
+  */
+object Pq {
+
+  /** Train PQ codebooks on a seeded-hash sample of the corpus.
+    * `mSub` must divide the dimension; `ks` ≤ 256 (codes are bytes).
+    */
+  def train(corpus: DataFrame, idCol: String, vecCol: String,
+            mSub: Int = 8, ks: Int = 256, seed: Int = 42,
+            iters: Int = 8, trainN0: Int = 0): PqModel = {
+    require(mSub >= 1, s"mSub must be >= 1: $mSub")
+    require(ks >= 1 && ks <= 256, s"ks must be in [1, 256]: $ks")
+    val trainN = if (trainN0 > 0) trainN0 else math.max(4096, ks * 32)
+    val rows = corpus
+      .select(col(vecCol).as("__v"),
+        hash(col(idCol).cast("long"), lit(seed)).as("__h"),
+        col(idCol).cast("long").as("__id"))
+      .orderBy(col("__h"), col("__id"))
+      .limit(trainN)
+      .select(col("__v")).collect()
+    require(rows.nonEmpty, "pq training needs a non-empty corpus")
+    val sample = rows.map(_.getSeq[Float](0).toArray)
+    val dim = sample.head.length
+    require(dim % mSub == 0, s"mSub=$mSub must divide dim=$dim")
+    val dsub = dim / mSub
+    val codebooks = IndexedSeq.tabulate(mSub) { m =>
+      val off = m * dsub
+      val subs = sample.map(v => java.util.Arrays.copyOfRange(v, off, off + dsub))
+      // init: first ks DISTINCT subvectors in sampled order (duplicate
+      // centroids would tie every assignment they touch)
+      val seen = scala.collection.mutable.LinkedHashSet.empty[Seq[Float]]
+      subs.iterator.takeWhile(_ => seen.size < ks).foreach(s => seen += s.toSeq)
+      var cents: IndexedSeq[Array[Double]] =
+        seen.iterator.map(_.toArray.map(_.toDouble)).toIndexedSeq
+      val kEff = cents.length
+      var it = 0
+      while (it < iters && kEff > 1) {
+        val sums = Array.fill(kEff)(new Array[Double](dsub))
+        val cnts = new Array[Long](kEff)
+        subs.foreach { s =>
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < kEff) {
+            var d = 0.0
+            var j = 0
+            while (j < dsub) {
+              val x = s(j).toDouble - cents(c)(j); d += x * x; j += 1
+            }
+            if (d < bestD) { best = c; bestD = d }
+            c += 1
+          }
+          var j = 0
+          while (j < dsub) { sums(best)(j) += s(j); j += 1 }
+          cnts(best) += 1
+        }
+        cents = IndexedSeq.tabulate(kEff) { c =>
+          if (cnts(c) == 0L) cents(c)
+          else Array.tabulate(dsub)(j => sums(c)(j) / cnts(c))
+        }
+        it += 1
+      }
+      cents.map(_.map(_.toFloat))
+    }
+    PqModel(dsub, codebooks)
+  }
+
+  /** The IVF-PQ inverted lists in their landable form: one row per
+    * corpus vector, (cid, cell, codes) — mSub BYTES of payload per
+    * vector plus the cell id; the float vector never rides the lists.
+    */
+  def pqLists(corpus: DataFrame, idCol: String, vecCol: String,
+              cents: Seq[(Long, Seq[Float])], model: PqModel): DataFrame =
+    corpus.select(col(idCol).as("cid"),
+      Similarity.ivfCell(col(vecCol), cents).as("cell"),
+      graft.functions.PqCodes.pq_codes(col(vecCol), model).as("codes"))
+
+  /** IVF-PQ top-k with tier-default codebooks: seeded IVF cells for the
+    * candidate gate, PQ trained on the corpus sample.
+    */
+  def ivfTopKPq(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, nList: Int, nProbe: Int,
+                margin: Int, mSub: Int = 8, ks: Int = 256): DataFrame = {
+    val cents = Similarity.ivfCentroids(corpus, idCol, vecCol, nList)
+    val model = train(corpus, idCol, vecCol, mSub, ks)
+    ivfTopKPqFromLists(cents, model,
+      pqLists(corpus, idCol, vecCol, cents, model),
+      corpus, queries, idCol, vecCol, k, nProbe, margin)
+  }
+
+  /** IVF-PQ probe against caller-supplied inverted lists (freshly
+    * computed or read back from a persisted layout): ADC scores the
+    * probed cells' candidates, a (k + margin) pool per query survives,
+    * and the exact-decimal decider ranks the pool's full-precision
+    * vectors — approximate gate, exact order, like every serving tier.
+    */
+  def ivfTopKPqFromLists(cents: Seq[(Long, Seq[Float])], model: PqModel,
+                         lists: DataFrame, corpus: DataFrame, queries: DataFrame,
+                         idCol: String, vecCol: String, k: Int, nProbe: Int,
+                         margin: Int): DataFrame = {
+    require(k >= 1 && margin >= 0, s"need k >= 1, margin >= 0: $k, $margin")
+    val q = queries.select(col(idCol).cast("long").as("qid"), col(vecCol).as("qv"),
+      explode(Similarity.ivfProbeCells(col(vecCol), cents, nProbe)).as("cell"))
+    // sort keys materialized as columns — a window ordered by a computed
+    // expression re-evaluates it per COMPARISON (see exactTopKTail)
+    val wadc = Window.partitionBy(col("qid"))
+      .orderBy(col("__adc").desc, col("cid").asc)
+    val survivors = q
+      .join(lists.select(col("cid"), col("cell"), col("codes")), Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("__adc", graft.functions.PqCodes.pq_adc(
+        col("qid"), col("qv"), col("codes"), model))
+      .withColumn("__rank", row_number().over(wadc))
+      .filter(col("__rank") <= k + margin)
+      .select(col("qid"), col("qv"), col("cid"))
+    // full-precision fetch for the pool only; exact decimal decides.
+    // Survivors are (k + margin) rows per query — broadcast against the
+    // corpus scan so float vectors are never shuffled (the same
+    // small-queries contract as bruteTopK).
+    val full = corpus.select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("__ddot").desc, col("cid").asc)
+    full.join(broadcast(survivors), Seq("cid"))
+      .withColumn("__ddot", Similarity.dotExactDec(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("rank").cast("long").as("rank"))
+  }
+}
