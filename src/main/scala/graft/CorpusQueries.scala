@@ -8,7 +8,7 @@ import graft.core.NtpIds
 import graft.enrich.Entities
 import graft.functions.UnidecodeEs
 import graft.ingest.Normalize
-import graft.ops.{Bpe, BpeIndex, Dedup, DedupIndex, Multimodal, Pca, Similarity, SimilarityIndex, TextAnalysis, TextIndex}
+import graft.ops.{Bpe, BpeIndex, Dedup, DedupIndex, Multimodal, Pca, PqIndex, Similarity, SimilarityIndex, TextAnalysis, TextIndex}
 import graft.versions.Versions
 
 /** Training-data-pipeline + enrichment queries (SURVEY §7.6/§7.8):
@@ -1252,6 +1252,49 @@ object CorpusQueries {
         .getFileSystem(s.sparkContext.hadoopConfiguration)
         .delete(new org.apache.hadoop.fs.Path(tmp), true)
       out
+    }),
+
+    // persisted IVF-PQ: build on 90%, churn-refresh to full, then serve
+    // — the served ranking must EQUAL the recompute form's (both
+    // codebooks are deterministic, so persisted-vs-recompute parity is
+    // exact), and the gate-complete pool must clear the sim_pq_recall
+    // floor; both pinned as Spark-side flags with a constants oracle
+    // (the PQ Lloyd trainer is not SQL-reproducible, unlike SQ8's
+    // affine quantizer)
+    "sim_pq_persisted_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % 50 === 0)
+      val margin = math.max(32, math.ceil(emb.count() * 0.02).toInt)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_pqidx_q").toString
+      val idx = tmp + "/pq"
+      // NOTE the codebooks pin at BUILD (90% corpus): the recompute twin
+      // must train on the same 90% slice for bit-identical models
+      val b90 = emb.filter(col("vec_id") % 10 =!= 9)
+      PqIndex.build(b90, "vec_id", "embedding", idx, nList = 8)
+      PqIndex.refresh(emb, "vec_id", "embedding", idx) // churn = % 10 == 9
+      val served = PqIndex.topK(emb, q, "vec_id", "embedding", idx, 5, 8, margin)
+        .localCheckpoint(true) // the scratch index is deleted below
+      val cents = Similarity.ivfCentroids(b90, "vec_id", "embedding", 8)
+      val model = graft.ops.Pq.train(b90, "vec_id", "embedding")
+      val recomputed = graft.ops.Pq.ivfTopKPqFromLists(cents, model,
+        graft.ops.Pq.pqLists(emb, "vec_id", "embedding", cents, model),
+        emb, q, "vec_id", "embedding", 5, 8, margin)
+      val mismatches = served.unionByName(recomputed)
+        .groupBy(col("qid"), col("cid"), col("rank"))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") =!= 2).count()
+      val exact = Similarity.bruteTopKExact(emb, q, "vec_id", "embedding", 5)
+      val rec = exact
+        .select(col("qid").cast("long").as("qid"), col("cid").cast("long").as("cid"))
+        .join(served.select(col("qid"), col("cid"), lit(1).as("__hit")),
+          Seq("qid", "cid"), "left_outer")
+        .agg(count_distinct(col("qid")).as("n_queries"),
+          (sum(coalesce(col("__hit"), lit(0))) >= count(lit(1)) * lit(0.80))
+            .as("recall_ge_080"))
+        .withColumn("served_eq_recompute", lit(mismatches) === 0)
+      new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      rec
     }),
 
     // IVF under the sampled-k-means codebook, probed recall-complete
@@ -2745,6 +2788,14 @@ object CorpusQueries {
     // recall bound is the Spark-side pinned flag, like sim_pca_recall
     "sim_pq_recall" ->
       """SELECT count(DISTINCT vec_id) AS n_queries, true AS recall_ge_080
+        |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
+
+    // persisted-vs-recompute parity and the recall floor are Spark-side
+    // pinned flags (deterministic codebooks make parity exact); the
+    // oracle recomputes the query count
+    "sim_pq_persisted_topk" ->
+      """SELECT count(DISTINCT vec_id) AS n_queries, true AS recall_ge_080,
+        |       true AS served_eq_recompute
         |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
 
     // the floors are the contract: the oracle states every tier's board

@@ -112,10 +112,11 @@ object Pq {
     * vector plus the cell id; the float vector never rides the lists.
     */
   def pqLists(corpus: DataFrame, idCol: String, vecCol: String,
-              cents: Seq[(Long, Seq[Float])], model: PqModel): DataFrame =
-    corpus.select(col(idCol).as("cid"),
+              cents: Seq[(Long, Seq[Float])], model: PqModel,
+              extraCols: Seq[Column] = Nil): DataFrame =
+    corpus.select(Seq(col(idCol).as("cid"),
       Similarity.ivfCell(col(vecCol), cents).as("cell"),
-      graft.functions.PqCodes.pq_codes(col(vecCol), model).as("codes"))
+      graft.functions.PqCodes.pq_codes(col(vecCol), model).as("codes")) ++ extraCols: _*)
 
   /** IVF-PQ top-k with tier-default codebooks: seeded IVF cells for the
     * candidate gate, PQ trained on the corpus sample.

@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF-PQ index — the 8-bytes-per-vector serving tier as a
+  * lake artifact (the [[SimilarityIndex]] posture applied to
+  * [[Pq]]): built once, churn-refreshed, probed many times. At 100 TB
+  * this is the index whose LISTS fit serving RAM — mSub bytes + a cell
+  * id per vector (0.8 TB at 10^11 vectors for PQ8x256) against SQ8's
+  * 6.4 TB, at the cost of the re-rank pool's recall contract instead
+  * of SQ8's per-candidate error bound.
+  *
+  * Layout at `path` (all staged-swap, never torn):
+  *  - `path/centroids` — the IVF codebook (cell_id, cv), PINNED at
+  *    build (refresh never retrains — assignments stay comparable
+  *    across drops; retraining is an explicit rebuild);
+  *  - `path/codebooks` — the PQ codebooks, one row per (sub, code)
+  *    with its dsub-dim centroid, PINNED at build for the same reason:
+  *    codes written under one codebook must stay decodable by it;
+  *  - `path/lists` — one row per corpus vector: (cid, cell, codes,
+  *    vfp) where codes is the mSub-byte PQ word and vfp the xxhash64
+  *    churn fingerprint (the [[SimilarityIndex]] trade: a changed
+  *    vector escaping re-encoding needs an exact 64-bit collision).
+  *
+  * refresh/upsert ride the shared churn seam
+  * ([[graft.lake.ChurnSplit]]): unchanged vectors' list rows carry
+  * verbatim, only drifted/new ids re-encode under the pinned
+  * codebooks, vanished ids drop (refresh) or persist (upsert). The
+  * probe serves [[Pq.ivfTopKPqFromLists]] straight off the landed
+  * lists — zero training, encoding or assignment at probe time.
+  */
+object PqIndex {
+
+  private def centsPath(path: String) = path + "/centroids"
+  private def cbPath(path: String) = path + "/codebooks"
+  private def listsPath(path: String) = path + "/lists"
+
+  private def vecFp(vec: org.apache.spark.sql.Column) = xxhash64(vec)
+
+  private def listRows(corpus: DataFrame, idCol: String, vecCol: String,
+                       cents: Seq[(Long, Seq[Float])], model: PqModel): DataFrame =
+    Pq.pqLists(corpus, idCol, vecCol, cents, model,
+      extraCols = Seq(vecFp(col(vecCol)).as("vfp")))
+
+  /** Build from scratch: seeded IVF codebook + PQ codebooks over
+    * `corpus`, then the full coded lists. Returns indexed rows.
+    */
+  def build(corpus: DataFrame, idCol: String, vecCol: String, path: String,
+            nList: Int, mSub: Int = 8, ks: Int = 256): Long = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = Similarity.ivfCentroids(corpus, idCol, vecCol, nList)
+    val model = Pq.train(corpus, idCol, vecCol, mSub, ks)
+    graft.lake.Staged.landMany(spark, path, Seq(
+      "centroids" -> cents.map { case (id, v) => (id, v) }.toDF("cell_id", "cv"),
+      "codebooks" -> model.codebooks.zipWithIndex.flatMap { case (cb, m) =>
+        cb.zipWithIndex.map { case (cent, c) => (m, c, cent.toSeq) }
+      }.toDF("sub", "code", "cent"),
+      "lists" -> listRows(corpus, idCol, vecCol, cents, model)))
+    spark.read.parquet(listsPath(path)).count()
+  }
+
+  /** The pinned IVF codebook, collected back codebook-sized. */
+  def loadCentroids(spark: SparkSession, path: String): Seq[(Long, Seq[Float])] =
+    spark.read.parquet(centsPath(path))
+      .orderBy(col("cell_id")).collect().toIndexedSeq
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
+
+  /** The pinned PQ codebooks, collected back codebook-sized. */
+  def loadModel(spark: SparkSession, path: String): PqModel = {
+    val rows = spark.read.parquet(cbPath(path))
+      .orderBy(col("sub"), col("code")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](2).toArray))
+    val books = rows.groupBy(_._1).toIndexedSeq.sortBy(_._1)
+      .map { case (_, rs) => rs.map(_._2).toIndexedSeq }
+    PqModel(books.head.head.length, books)
+  }
+
+  /** Churn-proportional refresh under the PINNED codebooks: carry
+    * unchanged vectors' list rows verbatim, encode only new/changed
+    * ids, drop vanished ones. Returns (keptRows, signedRows).
+    */
+  def refresh(corpus: DataFrame, idCol: String, vecCol: String, path: String)
+      : (Long, Long) = {
+    val spark = corpus.sparkSession
+    val cents = loadCentroids(spark, path)
+    val model = loadModel(spark, path)
+    val old = spark.read.parquet(listsPath(path))
+    val s = graft.lake.ChurnSplit.split(old, "cid", "vfp",
+      corpus, idCol, vecFp(corpus(vecCol)))
+    val kept = s.kept
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freshRows = listRows(s.fresh, idCol, vecCol, cents, model)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keptN = kept.count()
+    val signedN = freshRows.count()
+    graft.lake.Staged.land(spark, listsPath(path), kept.unionByName(freshRows))
+    kept.unpersist(); freshRows.unpersist()
+    (keptN, signedN)
+  }
+
+  /** Delta upsert — add or replace exactly the batch's vectors under
+    * the pinned codebooks; out-of-batch rows untouched, re-delivered
+    * unchanged vectors carry verbatim. Returns (carried, signed).
+    */
+  def upsert(batch: DataFrame, idCol: String, vecCol: String, path: String)
+      : (Long, Long) = {
+    val spark = batch.sparkSession
+    val cents = loadCentroids(spark, path)
+    val model = loadModel(spark, path)
+    val old = spark.read.parquet(listsPath(path))
+    val s = graft.lake.ChurnSplit.split(old, "cid", "vfp",
+      batch, idCol, vecFp(batch(vecCol)))
+    val keptBatch = s.kept
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freshRows = listRows(s.fresh, idCol, vecCol, cents, model)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keptN = keptBatch.count()
+    val signedN = freshRows.count()
+    graft.lake.Staged.land(spark, listsPath(path),
+      s.others.unionByName(keptBatch).unionByName(freshRows))
+    keptBatch.unpersist(); freshRows.unpersist()
+    (keptN, signedN)
+  }
+
+  /** IVF-PQ top-k served FROM the persisted index: identical result to
+    * the recompute form under the same (deterministic) codebooks; zero
+    * training, encoding or cell assignment at probe time.
+    */
+  def topK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+           path: String, k: Int, nProbe: Int, margin: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    Pq.ivfTopKPqFromLists(loadCentroids(spark, path), loadModel(spark, path),
+      spark.read.parquet(listsPath(path)).select(col("cid"), col("cell"), col("codes")),
+      corpus, queries, idCol, vecCol, k, nProbe, margin)
+  }
+}

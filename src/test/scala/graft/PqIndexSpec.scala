@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Pq, PqIndex, Similarity}
+
+/** The persisted IVF-PQ index: codebook round-trip, probe parity with
+  * the recompute form, churn-proportional refresh, and delta-upsert
+  * carry semantics — the [[SimilarityIndexSpec]] contract applied to
+  * the PQ tier.
+  */
+class PqIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+  private def scratch() =
+    java.nio.file.Files.createTempDirectory("graft_pqidx").toString + "/pq"
+
+  test("codebooks round-trip the lake bit-for-bit") {
+    val idx = scratch()
+    PqIndex.build(emb, "vec_id", "embedding", idx, nList = 4, mSub = 8, ks = 32)
+    val want = Pq.train(emb, "vec_id", "embedding", mSub = 8, ks = 32)
+    val got = PqIndex.loadModel(spark, idx)
+    assert(got.dsub == want.dsub)
+    assert(got.codebooks.map(_.map(_.toSeq)) == want.codebooks.map(_.map(_.toSeq)),
+      "persisted codebooks must equal the trainer's output exactly")
+    assert(PqIndex.loadCentroids(spark, idx) ==
+      Similarity.ivfCentroids(emb, "vec_id", "embedding", 4))
+  }
+
+  test("served top-k == recompute top-k under the same pinned codebooks") {
+    val idx = scratch()
+    PqIndex.build(emb, "vec_id", "embedding", idx, nList = 4, mSub = 8, ks = 32)
+    val q = emb.filter(col("vec_id") % 25 === 0)
+    val served = PqIndex.topK(emb, q, "vec_id", "embedding", idx, 3, 2, margin = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 4)
+    val model = Pq.train(emb, "vec_id", "embedding", mSub = 8, ks = 32)
+    val want = Pq.ivfTopKPqFromLists(cents, model,
+        Pq.pqLists(emb, "vec_id", "embedding", cents, model),
+        emb, q, "vec_id", "embedding", 3, 2, margin = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(served == want && served.nonEmpty,
+      s"missing=${want -- served} extra=${served -- want}")
+  }
+
+  test("refresh re-encodes exactly the churn under the pinned codebooks") {
+    val idx = scratch()
+    val b90 = emb.filter(col("vec_id") % 10 =!= 9)
+    PqIndex.build(b90, "vec_id", "embedding", idx, nList = 4, mSub = 8, ks = 32)
+    val (kept, signed) = PqIndex.refresh(emb, "vec_id", "embedding", idx)
+    assert(kept == b90.count() && signed == emb.count() - b90.count(),
+      s"churn seam drifted: kept=$kept signed=$signed")
+    // the refreshed lists must equal a from-scratch encode under the
+    // SAME (build-pinned) codebooks — carry-verbatim cannot drift
+    val cents = Similarity.ivfCentroids(b90, "vec_id", "embedding", 4)
+    val model = Pq.train(b90, "vec_id", "embedding", mSub = 8, ks = 32)
+    val got = spark.read.parquet(idx + "/lists")
+      .select(col("cid"), col("cell"), col("codes")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Byte](2).toSeq)).toSet
+    val want = Pq.pqLists(emb, "vec_id", "embedding", cents, model).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Byte](2).toSeq)).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
+
+  test("upsert: re-delivered unchanged rows carry, out-of-batch rows untouched") {
+    val idx = scratch()
+    PqIndex.build(emb, "vec_id", "embedding", idx, nList = 4, mSub = 8, ks = 32)
+    val before = spark.read.parquet(idx + "/lists").count()
+    // re-deliver an unchanged slice: everything carries, nothing signs
+    val (kept1, signed1) = PqIndex.upsert(emb.filter(col("vec_id") % 7 === 0),
+      "vec_id", "embedding", idx)
+    assert(signed1 == 0L && kept1 > 0L, s"re-delivery must carry: $kept1/$signed1")
+    // deliver changed vectors: exactly those sign, corpus size constant
+    val changed = emb.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id"), transform(col("embedding"), x => x + 1.0f).as("embedding"))
+    val (kept2, signed2) = PqIndex.upsert(changed, "vec_id", "embedding", idx)
+    assert(kept2 == 0L && signed2 == changed.count(),
+      s"changed batch must re-encode: $kept2/$signed2")
+    assert(spark.read.parquet(idx + "/lists").count() == before,
+      "upsert must not grow or shrink the out-of-batch corpus")
+  }
+}
