@@ -1189,9 +1189,10 @@ object CorpusQueries {
       val pcaModel = graft.ops.Pca.fit(emb, "embedding", 64, 48)
       val pcaMargin = math.max(25, math.ceil(emb.count() * 0.2).toInt)
       // floors pinned at measured-minus-noise (round-15 tightening;
-      // ivf_hier + ivf_pq added round 16): `runMain graft.Probe <dir>
-      // recall` measured minima across sf0.001/0.01/0.1 — kmeans 40,
-      // seed 44, sq8 44, pq 44, lsh 40, hier 39, pca 100; floors sit 2 points under
+      // ivf_hier + ivf_pq + ivf_hier_pq added round 16): `runMain
+      // graft.Probe <dir> recall` measured minima across
+      // sf0.001/0.01/0.1 — kmeans 40, seed 44, sq8 44, pq 44, lsh 40,
+      // hier 39, hier_pq 37.5, pca 100; floors sit 2 points under
       // (5 under for pca: its margin contract is the sim_pca_recall
       // ≥0.95 bound, restated here), so a change shedding more than ~1
       // recall point at k=5 reds the driver gate
@@ -1205,6 +1206,9 @@ object CorpusQueries {
         row("ivf_sq8", Similarity.ivfTopKInt8(emb, q, "vec_id", "embedding", 5, 8, 2), 42),
         row("ivf_pq", graft.ops.Pq.ivfTopKPq(emb, q, "vec_id", "embedding", 5, 8, 2,
           math.max(32, math.ceil(emb.count() * 0.02).toInt)), 42),
+        row("ivf_hier_pq", graft.ops.Pq.ivfTopKPqHier(emb, q, "vec_id", "embedding",
+          hier, graft.ops.Pq.train(emb, "vec_id", "embedding"), 5, 2,
+          math.max(32, math.ceil(emb.count() * 0.02).toInt)), 35),
         row("lsh_multiprobe", Similarity.multiProbeTopKExact(emb, q,
           "vec_id", "embedding", 5, 4, 64), 38),
         row("pca_gate", graft.ops.Pca.pcaTopK(emb, q, "vec_id", "embedding",
@@ -2806,6 +2810,7 @@ object CorpusQueries {
         |           FROM embeddings WHERE vec_id % 50 = 0)
         |SELECT t.tier, q.n_pairs, true AS recall_ok
         |FROM (VALUES ('brute'), ('ivf_kmeans'), ('ivf_seed'), ('ivf_hier'),
+        |             ('ivf_hier_pq'),
         |             ('ivf_sq8'), ('ivf_pq'), ('lsh_multiprobe'), ('pca_gate')) AS t(tier)
         |CROSS JOIN q ORDER BY tier""".stripMargin,
 

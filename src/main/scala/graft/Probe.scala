@@ -68,6 +68,9 @@ object Probe {
       pqMargin))
     rec("pq_adc_full", graft.ops.Pq.ivfTopKPq(emb, q, "vec_id", "embedding", 5, 8, 8,
       pqMargin))
+    val pqModel = graft.ops.Pq.train(emb, "vec_id", "embedding")
+    rec("ivf_hier_pq", graft.ops.Pq.ivfTopKPqHier(emb, q, "vec_id", "embedding",
+      hier, pqModel, 5, 2, pqMargin))
     rec("lsh_multiprobe", Similarity.multiProbeTopKExact(emb, q, "vec_id", "embedding", 5, 4, 64))
     val m = Pca.fit(emb, "embedding", 64, 48)
     val margin = math.max(25, math.ceil(emb.count() * 0.2).toInt)

@@ -131,6 +131,37 @@ object Pq {
       corpus, queries, idCol, vecCol, k, nProbe, margin)
   }
 
+  /** The PQ lists under the HIERARCHICAL cell assignment — the
+    * corpus-scaled sibling of [[pqLists]]: cells stay ≈targetCellSize
+    * as the corpus grows (nList follows n) while each list row still
+    * carries only mSub bytes of payload.
+    */
+  def pqListsHier(corpus: DataFrame, idCol: String, vecCol: String,
+                  hier: IvfHier, model: PqModel,
+                  extraCols: Seq[Column] = Nil): DataFrame =
+    corpus.select(Seq(col(idCol).as("cid"),
+      Similarity.hierCell(col(vecCol), hier).as("cell"),
+      graft.functions.PqCodes.pq_codes(col(vecCol), model).as("codes")) ++ extraCols: _*)
+
+  /** IVF-PQ top-k under the corpus-scaled two-level codebook — the
+    * full 100 TB serving configuration: hier cells bound the candidate
+    * set at ≈nProbe·targetCellSize rows per query REGARDLESS of corpus
+    * size (the flat gate's candidate count grows as corpus/nList), and
+    * each candidate costs mSub table ADDS behind the per-query ADC
+    * lookup table. The exact-decimal re-rank pool is fixed (k + margin)
+    * like every PQ serve. Recall follows (m, nProbe, margin); the
+    * recall board pins this tier's floor beside its siblings.
+    */
+  def ivfTopKPqHier(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, hier: IvfHier, model: PqModel, k: Int,
+                    nProbe: Int, margin: Int): DataFrame = {
+    require(k >= 1 && margin >= 0, s"need k >= 1, margin >= 0: $k, $margin")
+    val q = queries.select(col(idCol).cast("long").as("qid"), col(vecCol).as("qv"),
+      explode(Similarity.hierProbeCells(col(vecCol), hier, nProbe)).as("cell"))
+    adcPoolRerank(q, pqListsHier(corpus, idCol, vecCol, hier, model),
+      corpus, idCol, vecCol, model, k, margin)
+  }
+
   /** IVF-PQ probe against caller-supplied inverted lists (freshly
     * computed or read back from a persisted layout): ADC scores the
     * probed cells' candidates, a (k + margin) pool per query survives,
@@ -144,6 +175,17 @@ object Pq {
     require(k >= 1 && margin >= 0, s"need k >= 1, margin >= 0: $k, $margin")
     val q = queries.select(col(idCol).cast("long").as("qid"), col(vecCol).as("qv"),
       explode(Similarity.ivfProbeCells(col(vecCol), cents, nProbe)).as("cell"))
+    adcPoolRerank(q, lists, corpus, idCol, vecCol, model, k, margin)
+  }
+
+  /** The shared ADC-pool + exact-re-rank tail: probed queries
+    * (qid, qv, cell) equi-join the coded lists, ADC scores the
+    * candidates, a (k + margin) pool per query survives, and the
+    * exact-decimal decider ranks the pool's full-precision vectors.
+    */
+  private def adcPoolRerank(q: DataFrame, lists: DataFrame, corpus: DataFrame,
+                            idCol: String, vecCol: String, model: PqModel,
+                            k: Int, margin: Int): DataFrame = {
     // sort keys materialized as columns — a window ordered by a computed
     // expression re-evaluates it per COMPARISON (see exactTopKTail)
     val wadc = Window.partitionBy(col("qid"))

@@ -91,6 +91,25 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("hier composition: single-cell hier gate reproduces the exactness island") {
+    val some = emb.filter(col("vec_id") < 120).localCheckpoint(true)
+    val q = some.filter(col("vec_id") % 10 === 0)
+    val n = some.count().toInt
+    val model = Pq.train(some, "vec_id", "embedding", mSub = 8, ks = 256,
+      trainN0 = n)
+    // one fine cell in one coarse cell: the hier gate admits everything,
+    // so with the exact-reconstruction codebook the composed tier must
+    // equal brute — pinning the hier-cells + ADC-pool plumbing
+    val one = graft.ops.IvfHier(IndexedSeq(new Array[Float](64)),
+      IndexedSeq(new Array[Float](64)), IndexedSeq(Array(0)), 1)
+    val got = Pq.ivfTopKPqHier(some, q, "vec_id", "embedding", one, model,
+        3, 1, margin = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Similarity.bruteTopKExact(some, q, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want && got.nonEmpty, s"missing=${want -- got} extra=${got -- want}")
+  }
+
   test("ivfTopKPq: PQ8x256 ADC with a complete gate keeps >= 80% recall on the fixture") {
     val q = emb.filter(col("vec_id") % 50 === 0)
     val margin = math.max(32, math.ceil(emb.count() * 0.02).toInt)
