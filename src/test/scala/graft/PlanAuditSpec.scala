@@ -131,6 +131,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // the build side is a single aggregate row; the no-cartesian audit
     // above still applies)
     assert(!ds.contains("CartesianProduct"), "dsir joins must never cartesian")
+    // IVF-PQ: the candidate gate is an EQUI join on the cell id, and
+    // the full-precision fetch BROADCASTS the (k+margin)-row survivor
+    // pool against the corpus scan — float vectors never shuffle
+    val pq = plan("sim_pq_recall")
+    assert(pq.contains("BroadcastHashJoin"),
+      "pq survivor fetch must broadcast the pool")
+    assert(!pq.contains("CartesianProduct"), "pq joins must never cartesian")
   }
 
   test("q05 star join broadcasts its dims") {
