@@ -300,6 +300,23 @@ object Main {
               arg(args, "--nlist").map(_.toInt).getOrElse(64))
             println(s"[cli] index build: $n vectors listed")
           }
+        case "pq" =>
+          // churn-refreshed IVF-PQ coded lists (mSub bytes per vector —
+          // the RAM-resident serving tier; codebooks pin at build)
+          val emb = spark.read.parquet(lakePath)
+          val idx = arg(args, "--path").getOrElse(lakePath + ".pqidx")
+          val id = arg(args, "--key").getOrElse("vec_id")
+          val vec = arg(args, "--vec").getOrElse("embedding")
+          if (flag(args, "--refresh")) {
+            val (kept, signed) = graft.ops.PqIndex.refresh(emb, id, vec, idx)
+            println(s"[cli] index pq refresh: carried $kept rows, encoded $signed (churn)")
+          } else {
+            val n = graft.ops.PqIndex.build(emb, id, vec, idx,
+              arg(args, "--nlist").map(_.toInt).getOrElse(64),
+              arg(args, "--msub").map(_.toInt).getOrElse(8),
+              arg(args, "--ks").map(_.toInt).getOrElse(256))
+            println(s"[cli] index pq build: $n vectors coded")
+          }
         case "pca" =>
           // incremental PCA moment index over an embedding corpus:
           // build/land a drop segment (--drop-id, --retract for the old

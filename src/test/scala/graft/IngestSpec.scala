@@ -187,6 +187,12 @@ class IngestSpec extends AnyFunSuite {
     assert(spark.read.parquet(tmp + "/emb.ivfidx/lists").count() == 3)
     graft.cli.Main.run(spark, "index",
       Array("--kind", "ivf", "--lake", tmp + "/emb", "--refresh"))
+    graft.cli.Main.run(spark, "index",
+      Array("--kind", "pq", "--lake", tmp + "/emb", "--nlist", "2",
+        "--msub", "2", "--ks", "4"))
+    assert(spark.read.parquet(tmp + "/emb.pqidx/lists").count() == 3)
+    graft.cli.Main.run(spark, "index",
+      Array("--kind", "pq", "--lake", tmp + "/emb", "--refresh"))
   }
 
   test("cli.Main: curate lands a deduped, decontaminated, packed, shard-partitioned corpus") {
