@@ -1268,6 +1268,10 @@ object CorpusQueries {
     "sim_pq_persisted_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") % 50 === 0)
+      // corpus-proportional margin is FIXTURE-LOCAL (it makes the pool
+      // provably gate-complete at pinned tiny scale); production serves
+      // pass a FIXED margin — the pool is broadcast and Pq.MaxRerankMargin
+      // enforces the absolute cap
       val margin = math.max(32, math.ceil(emb.count() * 0.02).toInt)
       val tmp = java.nio.file.Files.createTempDirectory("graft_pqidx_q").toString
       val idx = tmp + "/pq"

@@ -360,7 +360,7 @@ object Main {
               val (kept, scanned) = graft.lake.ZoneMapIndex.refreshSnapshot(lake, vcol)
               println(s"[cli] index refresh: carried $kept files, stats-scanned $scanned (churn)")
           }
-        case other => println(s"index --kind bloom|minhash|ivf|pca|zonemap (got '$other')")
+        case other => println(s"index --kind bloom|minhash|ivf|pq|pca|zonemap (got '$other')")
       }
     case "semdedup" =>
       // cluster-partitioned semantic dedup over an embedding corpus.

@@ -90,14 +90,28 @@ case class PqAdc(first: Expression, second: Expression, third: Expression,
   override def nullIntolerant: Boolean = true
 
   @transient private lazy val luts =
-    new ThreadLocal[java.util.HashMap[Long, Array[Array[Double]]]] {
-      override def initialValue() = new java.util.HashMap[Long, Array[Array[Double]]]()
+    new ThreadLocal[java.util.HashMap[Long, (Long, Array[Array[Double]])]] {
+      override def initialValue() = new java.util.HashMap[Long, (Long, Array[Array[Double]])]()
     }
+
+  // cheap vector digest guarding the qid-keyed cache: two rows sharing a
+  // qid (duplicate ids, or distinct ids colliding after cast("long"))
+  // with DIFFERENT vectors must never score against each other's table.
+  // First/last element bits + length catch any realistic divergence; a
+  // mismatch recomputes (degrades to per-row cost, never a wrong score).
+  private def qvDigest(qv: ArrayData): Long = {
+    val n = qv.numElements()
+    if (n == 0) 0L
+    else (java.lang.Float.floatToRawIntBits(qv.getFloat(0)).toLong << 32) ^
+      (java.lang.Float.floatToRawIntBits(qv.getFloat(n - 1)).toLong & 0xffffffffL) ^
+      (n.toLong << 17)
+  }
 
   private def lutFor(qid: Long, qv: ArrayData): Array[Array[Double]] = {
     val cache = luts.get()
+    val dig = qvDigest(qv)
     val hit = cache.get(qid)
-    if (hit != null) return hit
+    if (hit != null && hit._1 == dig) return hit._2
     if (cache.size() > 4096) cache.clear()
     val mSub = model.codebooks.length
     val dsub = model.dsub
@@ -119,7 +133,7 @@ case class PqAdc(first: Expression, second: Expression, third: Expression,
       lut(m) = row
       m += 1
     }
-    cache.put(qid, lut)
+    cache.put(qid, (dig, lut))
     lut
   }
 

@@ -53,13 +53,18 @@ object Pq {
     require(mSub >= 1, s"mSub must be >= 1: $mSub")
     require(ks >= 1 && ks <= 256, s"ks must be in [1, 256]: $ks")
     val trainN = if (trainN0 > 0) trainN0 else math.max(4096, ks * 32)
-    val rows = corpus
+    // `seed` is a SALT COLUMN under murmur hash (the second hash input),
+    // not the murmur seed itself — the same sampling shape as
+    // ivfCentroidsKMeans; changing it still reshuffles the sample order
+    // deterministically. The collect rides the repo-wide bounded-driver-
+    // traffic contract (collectBounded fails loudly past trainN).
+    val rows = Similarity.collectBounded(corpus
       .select(col(vecCol).as("__v"),
         hash(col(idCol).cast("long"), lit(seed)).as("__h"),
         col(idCol).cast("long").as("__id"))
       .orderBy(col("__h"), col("__id"))
       .limit(trainN)
-      .select(col("__v")).collect()
+      .select(col("__v")), trainN, "pq codebook sample")
     require(rows.nonEmpty, "pq training needs a non-empty corpus")
     val sample = rows.map(_.getSeq[Float](0).toArray)
     val dim = sample.head.length
@@ -183,9 +188,22 @@ object Pq {
     * candidates, a (k + margin) pool per query survives, and the
     * exact-decimal decider ranks the pool's full-precision vectors.
     */
+  /** Largest re-rank margin any PQ serve accepts: the survivor pool is
+    * queries × (k + margin) rows and BROADCAST against the corpus scan,
+    * so margin must be an absolute knob, never corpus-proportional (a
+    * margin that grows with the corpus grows the broadcast O(n) — the
+    * recall FIXTURES do this deliberately at pinned tiny scale; a
+    * production serve picks a fixed margin like ScaleSmoke's 64).
+    */
+  val MaxRerankMargin = 8192
+
   private def adcPoolRerank(q: DataFrame, lists: DataFrame, corpus: DataFrame,
                             idCol: String, vecCol: String, model: PqModel,
                             k: Int, margin: Int): DataFrame = {
+    require(margin <= MaxRerankMargin,
+      s"re-rank margin $margin exceeds MaxRerankMargin=$MaxRerankMargin — " +
+        "the (k + margin) pool per query is broadcast; margin is an absolute " +
+        "knob, not a corpus fraction")
     // sort keys materialized as columns — a window ordered by a computed
     // expression re-evaluates it per COMPARISON (see exactTopKTail)
     val wadc = Window.partitionBy(col("qid"))

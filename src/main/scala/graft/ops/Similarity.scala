@@ -237,7 +237,7 @@ object Similarity {
     */
   private[graft] val trainerCollectMax = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  private def collectBounded(df: DataFrame, bound: Int, what: String): Array[org.apache.spark.sql.Row] = {
+  private[graft] def collectBounded(df: DataFrame, bound: Int, what: String): Array[org.apache.spark.sql.Row] = {
     val rows = df.limit(bound + 1).collect()
     require(rows.length <= bound,
       s"$what collected ${rows.length} rows to the driver (bound $bound)")
