@@ -82,16 +82,49 @@ object CorpusQueries {
       |FROM piv ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
 
   /** Rounds of the unrolled learned-BPE training oracle (matches
-    * [[graft.ops.Bpe]]: [a-z]+ pre-tokens, leading-space symbol
+    * [[graft.ops.Bpe]]: byte-mapped pre-tokens, leading-space symbol
     * sequences, greedy replace application, (count DESC, lhs, rhs)
     * tie-break).
     */
   private val BpeMerges = 12
 
-  /** Training CTEs w0..wN / m1..mN over `documents` with an optional
-    * WHERE on the training slice. m/w CTEs are MATERIALIZED: every
-    * round references its predecessor twice and inlining would expand
-    * the chain exponentially.
+  /** Deterministic decoration the BPE queries append to the fixture
+    * text so digits, ASCII punctuation, UPPERCASE and multi-byte UTF-8
+    * (« ó » º € §) flow through the byte-level alphabet under the hash
+    * gate — the fixture corpus itself is pure lowercase a-z + spaces,
+    * which would leave the 230 non-[a-z] base bytes un-exercised. The
+    * SAME concat runs in both engines (doc_id renders identically).
+    */
+  private val BpeAugB = "! «Canción» nº"
+  // the accented/digit words repeat enough to push multibyte and digit
+  // PAIRS into the 12 trained merges — the byte-level trainer itself is
+  // then under the hash gate, not just the encode path
+  private val BpeAugC = ", 3.14€ §" + " Canción 2024" * 5
+  private def bpeAugText: org.apache.spark.sql.Column =
+    concat(col("text"), lit(" Doc-"), col("doc_id").cast("string"),
+      lit(BpeAugB), (col("doc_id") % 7).cast("string"), lit(BpeAugC))
+  private def bpeAugTextSql: String =
+    s"text || ' Doc-' || CAST(doc_id AS VARCHAR) || '$BpeAugB' || " +
+      s"CAST(doc_id % 7 AS VARCHAR) || '$BpeAugC'"
+
+  /** Training CTEs w0..wN / m1..mN over the augmented `documents` text
+    * with an optional WHERE on the training slice, PLUS the byte-level
+    * alphabet plumbing every BPE oracle shares:
+    *
+    *  - `bm` — the 256-row byte → mapped-char relation
+    *    ([[graft.ops.ByteAlphabet.duckdbMapRelation]], chr()-built so
+    *    the SQL carries no quoting hazards);
+    *  - `rwall` — (doc_id, wpos, rword): every RAW pre-token of every
+    *    document in order (the regex constant is shared with Spark —
+    *    \p{L}/\p{N} + an explicit whitespace class keep Java and RE2
+    *    identical);
+    *  - `wmap` — rword → byte-mapped word: the word's UTF-8 bytes via
+    *    hex(encode(..)) pairs joined against bm, reassembled in byte
+    *    order — DuckDB's spelling of [[graft.functions.ByteMap]];
+    *  - `dw` — the (possibly sliced) mapped training word stream.
+    *
+    * m/w CTEs are MATERIALIZED: every round references its predecessor
+    * twice and inlining would expand the chain exponentially.
     */
   private def bpeTrainCtes(trainWhere: String): String = {
     val rounds = (1 to BpeMerges).map { i =>
@@ -105,8 +138,18 @@ object CorpusQueries {
          |w$i AS MATERIALIZED (SELECT w.word, w.cnt,
          |  replace(w.seq, ' '||m.x||'| '||m.y||'|', ' '||m.x||m.y||'|') AS seq FROM $prev w, m$i m)""".stripMargin
     }.mkString(",\n")
-    s"""WITH dw AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
-       |            FROM documents$trainWhere),
+    s"""WITH bm AS (SELECT * FROM ${graft.ops.ByteAlphabet.duckdbMapRelation}),
+       |rwall AS (SELECT doc_id, gi AS wpos, ws[gi] AS rword FROM (
+       |  SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS gi FROM (
+       |    SELECT doc_id, regexp_extract_all($bpeAugTextSql, '${graft.ops.Bpe.PreTokenRegex}') AS ws
+       |    FROM documents))),
+       |rwb AS (SELECT rword, gi, substr(hx, CAST(2*gi-1 AS INT), 2) AS h2 FROM (
+       |  SELECT rword, hex(encode(rword)) AS hx,
+       |         unnest(generate_series(1, CAST(octet_length(encode(rword)) AS BIGINT))) AS gi
+       |  FROM (SELECT DISTINCT rword FROM rwall))),
+       |wmap AS MATERIALIZED (SELECT rword, string_agg(bm.mc, '' ORDER BY rwb.gi) AS word
+       |  FROM rwb JOIN bm ON rwb.h2 = bm.hx GROUP BY rword),
+       |dw AS (SELECT w.word FROM rwall r JOIN wmap w ON r.rword = w.rword$trainWhere),
        |w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt,
        |       regexp_replace(word, '(.)', ' \\1|', 'g') || ' </w>|' AS seq
        |       FROM dw GROUP BY word),
@@ -536,7 +579,8 @@ object CorpusQueries {
     // MATERIALIZED CTEs, so greedy selection, left-to-right merge
     // application, and tie-breaking are all under the hash gate
     "txt_bpe_train" -> ((s, dir) => {
-      Bpe.mergesDf(s, Bpe.train(t(s, dir, "documents"), "text", 12))
+      Bpe.mergesDf(s, Bpe.train(
+          t(s, dir, "documents").withColumn("text", bpeAugText), "text", 12))
         .orderBy(col("merge_rank"))
     }),
 
@@ -547,7 +591,7 @@ object CorpusQueries {
     // then serve learned token counts for the whole corpus. These are
     // the counts packing/token-budget decisions should consume
     "txt_bpe_apply" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = t(s, dir, "documents").withColumn("text", bpeAugText)
       val tmp = java.nio.file.Files.createTempDirectory("graft_bpe_q").toString
       val path = tmp + "/bpe"
       BpeIndex.build(docs.filter(pmod(col("doc_id"), lit(3)) =!= 2), "text", path, 12)
@@ -569,7 +613,7 @@ object CorpusQueries {
     // 26 + min rank producing the string — recomputed in SQL via the
     // same CASE + min-rank vocab join
     "txt_bpe_ids" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = t(s, dir, "documents").withColumn("text", bpeAugText)
       val merges = Bpe.train(docs, "text", 12)
       Bpe.encodeDocsIds(docs, "doc_id", "text", merges)
         .select(col("doc_id"),
@@ -654,7 +698,7 @@ object CorpusQueries {
     // on. Docs with no [a-z] pre-token pack as zero-length (coalesce),
     // exactly like null text in the proxy tier
     "q_pack_sequences_bpe" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = t(s, dir, "documents").withColumn("text", bpeAugText)
       val merges = Bpe.train(docs, "text", 12)
       val counts = docs.select(col("source"), col("doc_id"))
         .join(Bpe.docTokenCounts(docs, "doc_id", "text", merges),
@@ -1189,13 +1233,17 @@ object CorpusQueries {
       val pcaModel = graft.ops.Pca.fit(emb, "embedding", 64, 48)
       val pcaMargin = math.max(25, math.ceil(emb.count() * 0.2).toInt)
       // floors pinned at measured-minus-noise (round-15 tightening;
-      // ivf_hier + ivf_pq + ivf_hier_pq added round 16): `runMain
+      // ivf_hier + ivf_pq + ivf_hier_pq added round 16, both PQ tiers
+      // switched to MEAN-REFERENCED RESIDUAL coding round 17): `runMain
       // graft.Probe <dir> recall` measured minima across
-      // sf0.001/0.01/0.1 — kmeans 40, seed 44, sq8 44, pq 44, lsh 40,
-      // hier 39, hier_pq 37.5, pca 100; floors sit 2 points under
-      // (5 under for pca: its margin contract is the sim_pca_recall
-      // ≥0.95 bound, restated here), so a change shedding more than ~1
-      // recall point at k=5 reds the driver gate
+      // sf0.001/0.01/0.1 — kmeans 40, seed 44, sq8 44, pq 44 (residual
+      // == raw when the seeded gate binds; the residual win shows on
+      // clustered data — PqSpec's anisotropic A/B — and in the
+      // gate-complete sim_pq_recall), lsh 40, hier 39, hier_pq 38,
+      // pca 100; floors sit 2 points under (5 under for pca: its margin
+      // contract is the sim_pca_recall ≥0.95 bound, restated here), so
+      // a change shedding more than ~1 recall point at k=5 reds the
+      // driver gate
       Seq(
         row("brute", exact, 100),
         row("ivf_kmeans", Similarity.ivfTopKWith(kmeansCents, emb, q,
@@ -1207,7 +1255,7 @@ object CorpusQueries {
         row("ivf_pq", graft.ops.Pq.ivfTopKPq(emb, q, "vec_id", "embedding", 5, 8, 2,
           math.max(32, math.ceil(emb.count() * 0.02).toInt)), 42),
         row("ivf_hier_pq", graft.ops.Pq.ivfTopKPqHier(emb, q, "vec_id", "embedding",
-          hier, graft.ops.Pq.train(emb, "vec_id", "embedding"), 5, 2,
+          hier, graft.ops.Pq.trainResidualHier(emb, "vec_id", "embedding", hier), 5, 2,
           math.max(32, math.ceil(emb.count() * 0.02).toInt)), 35),
         row("lsh_multiprobe", Similarity.multiProbeTopKExact(emb, q,
           "vec_id", "embedding", 5, 4, 64), 38),
@@ -1283,7 +1331,7 @@ object CorpusQueries {
       val served = PqIndex.topK(emb, q, "vec_id", "embedding", idx, 5, 8, margin)
         .localCheckpoint(true) // the scratch index is deleted below
       val cents = Similarity.ivfCentroids(b90, "vec_id", "embedding", 8)
-      val model = graft.ops.Pq.train(b90, "vec_id", "embedding")
+      val model = graft.ops.Pq.trainResidualFlat(b90, "vec_id", "embedding", cents)
       val recomputed = graft.ops.Pq.ivfTopKPqFromLists(cents, model,
         graft.ops.Pq.pqLists(emb, "vec_id", "embedding", cents, model),
         emb, q, "vec_id", "embedding", 5, 8, margin)
@@ -1593,8 +1641,12 @@ object CorpusQueries {
     // sim_pca_recall. nProbe = nList makes the cell gate complete, so
     // the flag pins the ADC + pool quality itself (the gated variant is
     // the board's ivf_pq row). Floor is measured-minus-noise:
-    // `runMain graft.Probe <dir> recall` minima 87.5/98/100 across
-    // sf0.1/0.01/0.001 at k=5, margin 2% of corpus — pinned at 0.80.
+    // `runMain graft.Probe <dir> recall` (pq_adc_full row) minima
+    // 86.5/94/100 across sf0.1/0.01/0.001 at k=5, margin 2% of corpus
+    // under round-17 mean-referenced residual coding (raw measured
+    // 87.5/98/100 — a wash on this isotropic fixture; the residual win
+    // is on clustered corpora, pinned by PqSpec's anisotropic A/B) —
+    // pinned at 0.80.
     "sim_pq_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") % 50 === 0)
@@ -2022,16 +2074,15 @@ object CorpusQueries {
 
     // pinned-vocab token-id streams: the 12 training rounds, per-word
     // token lists under the learned merges, ids via the shared scheme
-    // ('</w>'=0, letters 1..26, merged = 26 + min producing rank), and
-    // global per-doc positions from a word-length prefix sum — gating
-    // the NATIVE BpeEncode expression end to end
+    // ('</w>'=0, base byte b = b+1 via the bm relation, merged = 256 +
+    // min producing rank), and global per-doc positions from a
+    // word-length prefix sum — gating the NATIVE BpeEncode expression
+    // (and the byte_map boundary) end to end
     "txt_bpe_ids" -> (bpeTrainCtes("") + s""",
-       |vocab AS (SELECT sym, CAST(26 + min(r) AS BIGINT) AS vid FROM (
+       |vocab AS (SELECT sym, CAST(256 + min(r) AS BIGINT) AS vid FROM (
        |  ${(1 to BpeMerges).map(i => s"SELECT x||y AS sym, $i AS r FROM m$i").mkString("\n  UNION ALL\n  ")}
        |) GROUP BY sym),
-       |aw AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
-       |awp AS (SELECT doc_id, gi AS wpos, ws[gi] AS word FROM (
-       |  SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS gi FROM aw)),
+       |awp AS (SELECT r.doc_id, r.wpos, w.word FROM rwall r JOIN wmap w ON r.rword = w.rword),
        |vseq AS (SELECT word, regexp_replace(word, '(.)', ' \\1|', 'g') || ' </w>|' AS seq
        |         FROM (SELECT DISTINCT word FROM awp)),
        |vfin AS (SELECT v.word, $bpeApplyExpr AS seq
@@ -2041,9 +2092,10 @@ object CorpusQueries {
        |  SELECT word, toks, unnest(generate_series(1, len(toks))) AS gi FROM wtoks)),
        |wtid AS (SELECT word, tp,
        |  CASE WHEN tok = '</w>' THEN 0
-       |       WHEN len(tok) = 1 THEN ascii(tok) - 96
+       |       WHEN len(tok) = 1 THEN bmr.bv + 1
        |       ELSE v.vid END AS tid
-       |  FROM wtok LEFT JOIN vocab v ON wtok.tok = v.sym),
+       |  FROM wtok LEFT JOIN vocab v ON wtok.tok = v.sym
+       |            LEFT JOIN bm bmr ON wtok.tok = bmr.mc),
        |wlen AS (SELECT word, CAST(len(toks) AS BIGINT) AS wl FROM wtoks),
        |offs AS (SELECT a.doc_id, a.wpos, a.word,
        |  COALESCE(SUM(w.wl) OVER (PARTITION BY a.doc_id ORDER BY a.wpos
@@ -2058,7 +2110,7 @@ object CorpusQueries {
     // applied to the FULL corpus vocabulary and per-doc counts summed —
     // gates build, pinned refresh, and the cache/inline serve seam
     "txt_bpe_apply" -> (bpeTrainCtes(" WHERE doc_id % 3 <> 2") + s""",
-       |aw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents),
+       |aw AS (SELECT r.doc_id, w.word FROM rwall r JOIN wmap w ON r.rword = w.rword),
        |dcount AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS n FROM aw GROUP BY doc_id, word),
        |vseq AS (SELECT word, regexp_replace(word, '(.)', ' \\1|', 'g') || ' </w>|' AS seq
        |         FROM (SELECT DISTINCT word FROM aw)),
@@ -2125,7 +2177,7 @@ object CorpusQueries {
     // per-doc learned counts, left join (docs with no pre-token pack as
     // zero), then the identical prefix-sum window
     "q_pack_sequences_bpe" -> (bpeTrainCtes("") + s""",
-       |aw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents),
+       |aw AS (SELECT r.doc_id, w.word FROM rwall r JOIN wmap w ON r.rword = w.rword),
        |dcount AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS n FROM aw GROUP BY doc_id, word),
        |vseq AS (SELECT word, regexp_replace(word, '(.)', ' \\1|', 'g') || ' </w>|' AS seq
        |         FROM (SELECT DISTINCT word FROM aw)),

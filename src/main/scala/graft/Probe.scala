@@ -66,9 +66,11 @@ object Probe {
     val pqMargin = math.max(32, math.ceil(emb.count() * 0.02).toInt)
     rec("ivf_pq", graft.ops.Pq.ivfTopKPq(emb, q, "vec_id", "embedding", 5, 8, 2,
       pqMargin))
+    rec("ivf_pq_raw", graft.ops.Pq.ivfTopKPq(emb, q, "vec_id", "embedding", 5, 8, 2,
+      pqMargin, residual = false))
     rec("pq_adc_full", graft.ops.Pq.ivfTopKPq(emb, q, "vec_id", "embedding", 5, 8, 8,
       pqMargin))
-    val pqModel = graft.ops.Pq.train(emb, "vec_id", "embedding")
+    val pqModel = graft.ops.Pq.trainResidualHier(emb, "vec_id", "embedding", hier)
     rec("ivf_hier_pq", graft.ops.Pq.ivfTopKPqHier(emb, q, "vec_id", "embedding",
       hier, pqModel, 5, 2, pqMargin))
     rec("lsh_multiprobe", Similarity.multiProbeTopKExact(emb, q, "vec_id", "embedding", 5, 4, 64))

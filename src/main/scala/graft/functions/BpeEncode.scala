@@ -29,10 +29,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * Output mode: `emitIds = false` returns the token strings (the
   * [[graft.ops.Bpe.encodeWord]] shape, `</w>`-marked final symbol
   * included); `emitIds = true` returns the pinned-vocab integer ids the
-  * sequence-packing tier consumes — '</w>' = 0, 'a'..'z' = 1..26,
-  * merged symbol = 26 + rank of the FIRST merge producing that string
-  * (two merges can build the same string; the min rank is the vocab
-  * row, deterministic in any engine).
+  * sequence-packing tier consumes — '</w>' = 0, base byte b = b + 1
+  * (1..256: the input word is in [[graft.ops.ByteAlphabet]] mapped
+  * space, so a single-char symbol IS a byte), merged symbol = 256 +
+  * rank of the FIRST merge producing that string (two merges can build
+  * the same string; the min rank is the vocab row, deterministic in
+  * any engine). Ids mode fails loudly on a single char outside the
+  * byte alphabet — the caller forgot to map the word.
   *
   * Codegen calls back into [[encode]] via a plan reference object — the
   * loop is one monomorphic JVM method, and the expression stays inside
@@ -53,11 +56,11 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)],
     }
     m
   }
-  // merged-string id: 26 + min rank producing it (ids mode)
+  // merged-string id: 256 + min rank producing it (ids mode)
   @transient private lazy val mergedId: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer](merges.size * 2)
     merges.zipWithIndex.foreach { case ((x, y), i) =>
-      m.putIfAbsent(x + y, Integer.valueOf(26 + i + 1))
+      m.putIfAbsent(x + y, Integer.valueOf(graft.ops.ByteAlphabet.BaseIds + i + 1))
     }
     m
   }
@@ -111,8 +114,12 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)],
         val s = syms.get(i)
         out(i) =
           if (s == graft.ops.Bpe.Eow) 0
-          else if (s.length == 1) s.charAt(0) - 'a' + 1
-          else mergedId.get(s).intValue()
+          else if (s.length == 1) {
+            val b = graft.ops.ByteAlphabet.byteValue(s.charAt(0))
+            require(b >= 0, s"bpe_encode_ids: char U+${s.charAt(0).toInt.toHexString} " +
+              "is not in the byte alphabet — pass byte_map()'d words")
+            b + 1
+          } else mergedId.get(s).intValue()
         i += 1
       }
       new GenericArrayData(out)

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType}
@@ -160,6 +160,135 @@ case class PqAdc(first: Expression, second: Expression, third: Expression,
   override def prettyName: String = "pq_adc"
 }
 
+/** RESIDUAL product-quantization encode (the standard IVFADC posture,
+  * Jégou et al. TPAMI 2011 §IV): the codes quantize x − μ_cell instead
+  * of x, concentrating the codebook's 256 entries per subspace on
+  * WITHIN-CELL variation — at the same 8 bytes/vector the
+  * reconstruction error drops by roughly the between-cell variance,
+  * which is most of the energy once cells are tight. Implemented as
+  * one compiled binary expression (vector, cell id): the subtraction
+  * folds into the distance loop (x_j − μ_j − cent_j), no intermediate
+  * residual array is materialized. Fails loudly on a cell id outside
+  * the codebook — a residual code is meaningless under the wrong μ.
+  */
+case class PqCodesRes(left: Expression, right: Expression, model: PqModel,
+                      mu: Map[Long, Array[Float]]) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  /** Public for the codegen callback. */
+  def encode(v: ArrayData, cell: Long): GenericArrayData = {
+    val m0 = mu.getOrElse(cell,
+      throw new IllegalArgumentException(s"pq_codes_res: unknown cell id $cell"))
+    val mSub = model.codebooks.length
+    val dsub = model.dsub
+    val out = new Array[Byte](mSub)
+    var m = 0
+    while (m < mSub) {
+      val cb = model.codebooks(m)
+      val off = m * dsub
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        val cent = cb(c)
+        var d = 0.0
+        var j = 0
+        while (j < dsub) {
+          val x = v.getFloat(off + j).toDouble - m0(off + j).toDouble - cent(j).toDouble
+          d += x * x
+          j += 1
+        }
+        if (d < bestD) { best = c; bestD = d }
+        c += 1
+      }
+      out(m) = (best - 128).toByte
+      m += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(v: Any, cell: Any): Any =
+    encode(v.asInstanceOf[ArrayData], cell.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCodesRes", this, classOf[PqCodesRes].getName)
+    nullSafeCodeGen(ctx, ev, (v, c) => s"${ev.value} = $ref.encode($v, $c);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqCodesRes =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "pq_codes_res"
+}
+
+/** Residual-mode ADC scoring: the approximate inner product of a
+  * full-precision query against a candidate whose codes quantize
+  * x − mu(cell) is q·mu(cell) + Σ_m lut_m[code_m] — the same per-query
+  * lookup table as [[PqAdc]] (built over the RESIDUAL codebooks) plus
+  * a per-(query, cell) centroid-dot offset, memoized separately so the
+  * candidate stream still pays mSub adds + two map hits per row, never
+  * a dim-length dot. Both caches carry the query-vector digest guard.
+  */
+case class PqAdcRes(first: Expression, second: Expression, third: Expression,
+                    fourth: Expression, model: PqModel,
+                    mu: Map[Long, Array[Float]]) extends QuaternaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val inner = PqAdc(first, second, third, model)
+
+  @transient private lazy val cellDots =
+    new ThreadLocal[java.util.HashMap[(Long, Long), (Long, Double)]] {
+      override def initialValue() = new java.util.HashMap[(Long, Long), (Long, Double)]()
+    }
+
+  private def cellDot(qid: Long, qv: ArrayData, cell: Long): Double = {
+    val cache = cellDots.get()
+    val dig = PqAdcRes.digest(qv)
+    val key = (qid, cell)
+    val hit = cache.get(key)
+    if (hit != null && hit._1 == dig) return hit._2
+    if (cache.size() > 65536) cache.clear()
+    val m0 = mu.getOrElse(cell,
+      throw new IllegalArgumentException(s"pq_adc_res: unknown cell id $cell"))
+    var s = 0.0
+    var j = 0
+    val n = math.min(m0.length, qv.numElements())
+    while (j < n) { s += qv.getFloat(j).toDouble * m0(j).toDouble; j += 1 }
+    cache.put(key, (dig, s))
+    s
+  }
+
+  /** Public for the codegen callback. */
+  def adc(qid: Long, qv: ArrayData, codes: ArrayData, cell: Long): Double =
+    inner.adc(qid, qv, codes) + cellDot(qid, qv, cell)
+
+  override protected def nullSafeEval(q: Any, v: Any, c: Any, cl: Any): Any =
+    adc(q.asInstanceOf[Long], v.asInstanceOf[ArrayData],
+      c.asInstanceOf[ArrayData], cl.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqAdcRes", this, classOf[PqAdcRes].getName)
+    nullSafeCodeGen(ctx, ev, (q, v, c, cl) => s"${ev.value} = $ref.adc($q, $v, $c, $cl);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression,
+      newFourth: Expression): PqAdcRes =
+    copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
+  override def prettyName: String = "pq_adc_res"
+}
+
+object PqAdcRes {
+  private[functions] def digest(qv: ArrayData): Long = {
+    val n = qv.numElements()
+    if (n == 0) 0L
+    else (java.lang.Float.floatToRawIntBits(qv.getFloat(0)).toLong << 32) ^
+      (java.lang.Float.floatToRawIntBits(qv.getFloat(n - 1)).toLong & 0xffffffffL) ^
+      (n.toLong << 17)
+  }
+}
+
 object PqCodes {
   private def bridge(c: Column): Expression =
     org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)
@@ -177,4 +306,16 @@ object PqCodes {
     */
   def pq_adc(qid: Column, qv: Column, codes: Column, model: PqModel): Column =
     col(PqAdc(bridge(qid), bridge(qv), bridge(codes), model))
+
+  /** Residual PQ codes of (vector, cell id) under a residual-trained
+    * model and the per-cell subtraction reference (mu).
+    */
+  def pq_codes_res(vec: Column, cell: Column, model: PqModel,
+                   mu: Map[Long, Array[Float]]): Column =
+    col(PqCodesRes(bridge(vec), bridge(cell), model, mu))
+
+  /** Residual-mode ADC: q·μ_cell + the residual lookup-table sum. */
+  def pq_adc_res(qid: Column, qv: Column, codes: Column, cell: Column,
+                 model: PqModel, mu: Map[Long, Array[Float]]): Column =
+    col(PqAdcRes(bridge(qid), bridge(qv), bridge(codes), bridge(cell), model, mu))
 }

@@ -30,10 +30,17 @@ import org.apache.spark.sql.functions._
   * y's terminator but NOT the next symbol's leading space, so
   * left-to-right non-overlapping replace still coincides with BPE's
   * greedy merge scan in BOTH engines (consecutive occurrences like
-  * ' a| a| a| a|' collapse pairwise left-to-right). '|' and ' ' are
-  * reserved: pre-tokens are [a-z]+ and the only non-letter symbol is
-  * "</w>". Pair argmax ties break (count DESC, left ASC, right ASC) —
-  * binary string order, identical across engines.
+  * ' a| a| a| a|' collapse pairwise left-to-right). '|', ' ' and '<'
+  * are reserved — which is safe because symbols are never raw text:
+  * every pre-token passes through the BYTE-LEVEL alphabet
+  * ([[ByteAlphabet]], the GPT-2 `bytes_to_unicode` posture) first, so
+  * base symbols are the 256 mapped byte chars (none of which is a
+  * reserved char) and the only multi-char primitive is "</w>", which
+  * no merged symbol can spell ('<' never maps). Digits, punctuation,
+  * uppercase, accents and non-Latin scripts are all first-class: there
+  * is no out-of-alphabet text. Pair argmax ties break (count DESC,
+  * left ASC, right ASC) — binary string order, identical across
+  * engines.
   */
 object Bpe {
 
@@ -42,12 +49,22 @@ object Bpe {
     def merged: String = lhs + rhs
   }
 
-  /** Pre-token regex — [a-z]+ over lowercased text: the trainer's
-    * alphabet must exclude the space delimiter and not collide with the
-    * "</w>" end-of-word marker, so the learned-tokenizer tier trains on
-    * letter runs (digits/punctuation ride the regex pre-token counter).
+  /** Pre-token regex — letter runs, digit runs, and non-space
+    * symbol/punctuation runs (the GPT-2 pre-tokenizer shape, minus the
+    * lookahead RE2 lacks): EVERY non-whitespace character lands in
+    * exactly one pre-token, case preserved. The whitespace class is
+    * spelled explicitly because Java's \s and RE2's \s disagree on
+    * \x0B; \p{L}/\p{N} are Unicode categories in both dialects, so the
+    * Spark side and the DuckDB oracle split text identically.
     */
-  val PreTokenRegex = "[a-z]+"
+  val PreTokenRegex = "\\p{L}+|\\p{N}+|[^ \\t\\n\\x0B\\f\\r\\p{L}\\p{N}]+"
+
+  /** A raw pre-token column mapped through the byte alphabet — the form
+    * every downstream surface stores/joins/encodes as `word`. Merge-list
+    * symbols, persisted word caches and token strings all live in
+    * mapped-alphabet space (exactly like GPT-2 vocab files).
+    */
+  def mapWord(w: Column): Column = graft.functions.ByteMap.byte_map(w)
 
   /** End-of-word marker symbol (the standard BPE word terminator: it
     * lets merges learn suffixes without crossing word boundaries).
@@ -57,10 +74,13 @@ object Bpe {
   private def sqlReplace(c: Column, find: Column, repl: Column): Column =
     call_function("replace", c, find, repl)
 
-  /** Exploded [a-z]+ pre-tokens of a text column (docs with none drop). */
+  /** Exploded byte-mapped pre-tokens of a text column (docs with no
+    * non-whitespace character drop).
+    */
   def preTokens(df: DataFrame, textCol: String, as: String = "word"): DataFrame =
-    df.select(explode(regexp_extract_all(lower(col(textCol)),
-      lit(PreTokenRegex), lit(0))).as(as))
+    df.select(explode(regexp_extract_all(col(textCol),
+        lit(PreTokenRegex), lit(0))).as("__rw"))
+      .select(mapWord(col("__rw")).as(as))
 
   /** The corpus word-frequency table — the ONLY corpus-wide pass of
     * training.
@@ -69,9 +89,10 @@ object Bpe {
     preTokens(df, textCol)
       .groupBy(col("word")).agg(count(lit(1)).cast("long").as("cnt"))
 
-  /** Initial symbol sequence of a word: every character becomes
-    * " <char>|", then the terminated end-of-word marker
-    * (" l| o| w| </w>|").
+  /** Initial symbol sequence of a (byte-mapped) word: every mapped char
+    * becomes " <char>|", then the terminated end-of-word marker
+    * (" l| o| w| </w>|"). Valid because mapped chars are never ' ',
+    * '|', '<' or a line terminator ('(.)' matches each one).
     */
   def seqInit(word: Column): Column =
     concat(regexp_replace(word, "(.)", " $1|"), lit(" " + Eow + "|"))
@@ -252,12 +273,13 @@ object Bpe {
       graft.functions.BpeEncode.bpe_encode(word, rankPairs(merges))
 
   /** Pinned-vocab token IDS of a word column — the shape sequence
-    * packing / trainers consume: '</w>' = 0, 'a'..'z' = 1..26, merged
-    * symbol = 26 + rank of the FIRST merge producing that string (two
-    * merges can build the same string; min rank wins — deterministic
-    * in any engine). Always the native expression: id emission has no
-    * oracle-shared fold form; the SQL oracle maps token strings through
-    * the same CASE + min-rank vocab join.
+    * packing / trainers consume: '</w>' = 0, base byte b = b + 1
+    * (1..256, via [[ByteAlphabet.byteValue]] on the mapped char),
+    * merged symbol = 256 + rank of the FIRST merge producing that
+    * string (two merges can build the same string; min rank wins —
+    * deterministic in any engine). Always the native expression: id
+    * emission has no oracle-shared fold form; the SQL oracle maps token
+    * strings through the same CASE + min-rank vocab join.
     */
   def encodeWordIds(word: Column, merges: Seq[Merge]): Column =
     graft.functions.BpeEncode.bpe_encode_ids(word, rankPairs(merges))
@@ -282,8 +304,9 @@ object Bpe {
   private def encodeDocsWith(df: DataFrame, idCol: String, textCol: String,
                              wordEnc: Column, outCol: String): DataFrame = {
     val words = df.select(col(idCol),
-      posexplode(regexp_extract_all(lower(col(textCol)),
-        lit(PreTokenRegex), lit(0))).as(Seq("__p", "word")))
+        posexplode(regexp_extract_all(col(textCol),
+          lit(PreTokenRegex), lit(0))).as(Seq("__p", "__rw")))
+      .select(col(idCol), col("__p"), mapWord(col("__rw")).as("word"))
     val wt = words.select(col("word")).distinct()
       .select(col("word"), wordEnc.as("__wtoks"))
     words.join(wt, Seq("word"))
@@ -296,14 +319,15 @@ object Bpe {
   /** Per-document learned-token counts: explode pre-tokens, count per
     * (doc, word), tokenize the DISTINCT vocab under the merge list,
     * join back and sum — the replace fold cost scales with vocab, the
-    * rest is one aggregate + one equi-join. Documents with no [a-z]
-    * pre-token drop (no tokens to count).
+    * rest is one aggregate + one equi-join. Documents with no
+    * pre-token (all-whitespace/empty text) drop — no tokens to count.
     */
   def docTokenCounts(df: DataFrame, idCol: String, textCol: String,
                      merges: Seq[Merge]): DataFrame = {
     val perDocWord = df
-      .select(col(idCol), explode(regexp_extract_all(lower(col(textCol)),
-        lit(PreTokenRegex), lit(0))).as("word"))
+      .select(col(idCol), explode(regexp_extract_all(col(textCol),
+        lit(PreTokenRegex), lit(0))).as("__rw"))
+      .select(col(idCol), mapWord(col("__rw")).as("word"))
       .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("__n"))
     val wt = wordTokenCounts(perDocWord.select(col("word")).distinct(), merges)
     perDocWord.join(wt, Seq("word"))

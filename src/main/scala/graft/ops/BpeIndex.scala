@@ -90,8 +90,9 @@ object BpeIndex {
     val merges = readMerges(spark, path)
     val cached = spark.read.parquet(path + "/word_tokens")
     val perDocWord = df
-      .select(col(idCol), explode(regexp_extract_all(lower(col(textCol)),
-        lit(Bpe.PreTokenRegex), lit(0))).as("word"))
+      .select(col(idCol), explode(regexp_extract_all(col(textCol),
+        lit(Bpe.PreTokenRegex), lit(0))).as("__rw"))
+      .select(col(idCol), Bpe.mapWord(col("__rw")).as("word"))
       .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("__n"))
     val uncovered = perDocWord.select(col("word")).distinct()
       .join(cached, Seq("word"), "left_anti")

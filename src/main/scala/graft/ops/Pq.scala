@@ -9,9 +9,22 @@ import org.apache.spark.sql.functions._
   * contiguous slices of the vector). Codebooks may be ragged — a
   * subspace with fewer than `ks` distinct training subvectors trains a
   * smaller codebook; codes always index within their own subspace.
+  *
+  * `residual = true` marks an IVFADC-style model: codes quantize
+  * x − μ_cell where μ is `mu(cell)` — the cell's TRUE decimal-exact
+  * mean under the pinned gate (falling back to the gate centroid for
+  * cells empty at training). The mean matters: subtracting a seeded
+  * SAMPLE centroid (an arbitrary corpus vector) ADDS variance on
+  * isotropic data (Var(x − v) ≈ 2σ²) and measurably hurt recall when
+  * first tried; the mean minimizes within-cell energy by construction,
+  * so residual coding can only shrink what the 256 codes must span.
+  * `mu` rides the model so lists encoded under one reference are never
+  * scored under another.
   */
 final case class PqModel(dsub: Int,
-                         codebooks: IndexedSeq[IndexedSeq[Array[Float]]])
+                         codebooks: IndexedSeq[IndexedSeq[Array[Float]]],
+                         residual: Boolean = false,
+                         mu: Map[Long, Array[Float]] = Map.empty)
     extends Serializable {
   def mSub: Int = codebooks.length
   def bytesPerVector: Int = codebooks.length
@@ -67,10 +80,112 @@ object Pq {
       .select(col("__v")), trainN, "pq codebook sample")
     require(rows.nonEmpty, "pq training needs a non-empty corpus")
     val sample = rows.map(_.getSeq[Float](0).toArray)
+    PqModel(sample.head.length / mSub,
+      fitCodebooks(sample, mSub, ks, iters), residual = false)
+  }
+
+  /** Train RESIDUAL codebooks (the IVFADC posture): the sample carries
+    * each vector's cell under the SAME compiled assignment the encode
+    * path uses, and the codebooks fit x − mu(cell). `cellOf` is the
+    * cell expression ([[Similarity.ivfCell]] / [[Similarity.hierCell]]);
+    * `mu` the per-cell subtraction reference ([[residualRefFlat]] /
+    * [[residualRefHier]] — true cell means with centroid fallback).
+    * Flat/hier wrappers below.
+    */
+  def trainResidualWith(corpus: DataFrame, idCol: String, vecCol: String,
+                        cellOf: Column => Column, mu: Map[Long, Array[Float]],
+                        mSub: Int = 8, ks: Int = 256, seed: Int = 42,
+                        iters: Int = 8, trainN0: Int = 0): PqModel = {
+    require(mSub >= 1, s"mSub must be >= 1: $mSub")
+    require(ks >= 1 && ks <= 256, s"ks must be in [1, 256]: $ks")
+    val trainN = if (trainN0 > 0) trainN0 else math.max(4096, ks * 32)
+    val rows = Similarity.collectBounded(corpus
+      .select(col(vecCol).as("__v"),
+        cellOf(col(vecCol)).cast("long").as("__c"),
+        hash(col(idCol).cast("long"), lit(seed)).as("__h"),
+        col(idCol).cast("long").as("__id"))
+      .orderBy(col("__h"), col("__id"))
+      .limit(trainN)
+      .select(col("__v"), col("__c")), trainN, "residual pq codebook sample")
+    require(rows.nonEmpty, "pq training needs a non-empty corpus")
+    val sample = rows.map { r =>
+      val v = r.getSeq[Float](0).toArray
+      val m = mu.getOrElse(r.getLong(1),
+        throw new IllegalArgumentException(s"residual pq train: unknown cell ${r.getLong(1)}"))
+      Array.tabulate(v.length)(j => (v(j).toDouble - m(j).toDouble).toFloat)
+    }
+    PqModel(sample.head.length / mSub,
+      fitCodebooks(sample, mSub, ks, iters), residual = true, mu = mu)
+  }
+
+  /** Flat-IVF residual trainer (reference = pinned-gate cell means). */
+  def trainResidualFlat(corpus: DataFrame, idCol: String, vecCol: String,
+                        cents: Seq[(Long, Seq[Float])], mSub: Int = 8,
+                        ks: Int = 256, seed: Int = 42, iters: Int = 8,
+                        trainN0: Int = 0): PqModel =
+    trainResidualWith(corpus, idCol, vecCol,
+      v => Similarity.ivfCell(v, cents),
+      residualRefFlat(corpus, idCol, vecCol, cents), mSub, ks, seed, iters, trainN0)
+
+  /** Hier-cell residual trainer (cells are fine-codebook indexes). */
+  def trainResidualHier(corpus: DataFrame, idCol: String, vecCol: String,
+                        hier: IvfHier, mSub: Int = 8, ks: Int = 256,
+                        seed: Int = 42, iters: Int = 8, trainN0: Int = 0): PqModel =
+    trainResidualWith(corpus, idCol, vecCol,
+      v => Similarity.hierCell(v, hier),
+      residualRefHier(corpus, idCol, vecCol, hier), mSub, ks, seed, iters, trainN0)
+
+  /** Cell-centroid lookup maps. */
+  def centsMap(cents: Seq[(Long, Seq[Float])]): Map[Long, Array[Float]] =
+    cents.map { case (id, v) => id -> v.toArray }.toMap
+  def hierCentsMap(hier: IvfHier): Map[Long, Array[Float]] =
+    hier.fine.zipWithIndex.map { case (v, i) => i.toLong -> v }.toMap
+
+  /** The residual subtraction reference: per-cell TRUE means under the
+    * pinned flat gate, overlaid on the gate centroids (fallback for
+    * cells with no member at reference time — any pinned vector works
+    * as an offset; the mean is just the variance-minimizing one).
+    */
+  def residualRefFlat(corpus: DataFrame, idCol: String, vecCol: String,
+                      cents: Seq[(Long, Seq[Float])]): Map[Long, Array[Float]] =
+    centsMap(cents) ++ cellMeans(corpus, vecCol,
+      Similarity.ivfCell(col(vecCol), cents), cents.size)
+
+  /** [[residualRefFlat]] under the hierarchical gate. */
+  def residualRefHier(corpus: DataFrame, idCol: String, vecCol: String,
+                      hier: IvfHier): Map[Long, Array[Float]] =
+    hierCentsMap(hier) ++ cellMeans(corpus, vecCol,
+      Similarity.hierCell(col(vecCol), hier), hier.nList)
+
+  /** Deterministic per-cell component means: DECIMAL(25,15) sums (order
+    * independent — the same exactness trick as the PCA moments), one
+    * posexplode + two map-side-combined aggregates, codebook-sized
+    * result collected under the bounded-driver contract.
+    */
+  private def cellMeans(corpus: DataFrame, vecCol: String, cellExpr: Column,
+                        nCells: Int): Map[Long, Array[Float]] = {
+    val rows = Similarity.collectBounded(corpus
+      .select(cellExpr.cast("long").as("__cell"),
+        posexplode(col(vecCol)).as(Seq("__i", "__x")))
+      .groupBy(col("__cell"), col("__i"))
+      .agg((sum(col("__x").cast("decimal(25,15)")) / count(lit(1)))
+        .cast("double").as("__m"))
+      .groupBy(col("__cell"))
+      .agg(transform(array_sort(collect_list(struct(col("__i"), col("__m")))),
+        s => s.getField("__m")).as("__mv")),
+      nCells, "pq residual cell means")
+    rows.map(r => r.getLong(0) -> r.getSeq[Double](1).map(_.toFloat).toArray).toMap
+  }
+
+  /** The shared subspace-Lloyd fit over a driver-resident sample (raw
+    * vectors or residuals — the loop is identical).
+    */
+  private def fitCodebooks(sample: Array[Array[Float]], mSub: Int, ks: Int,
+                           iters: Int): IndexedSeq[IndexedSeq[Array[Float]]] = {
     val dim = sample.head.length
     require(dim % mSub == 0, s"mSub=$mSub must divide dim=$dim")
     val dsub = dim / mSub
-    val codebooks = IndexedSeq.tabulate(mSub) { m =>
+    IndexedSeq.tabulate(mSub) { m =>
       val off = m * dsub
       val subs = sample.map(v => java.util.Arrays.copyOfRange(v, off, off + dsub))
       // init: first ks DISTINCT subvectors in sampled order (duplicate
@@ -109,28 +224,43 @@ object Pq {
       }
       cents.map(_.map(_.toFloat))
     }
-    PqModel(dsub, codebooks)
   }
 
   /** The IVF-PQ inverted lists in their landable form: one row per
     * corpus vector, (cid, cell, codes) — mSub BYTES of payload per
     * vector plus the cell id; the float vector never rides the lists.
+    * A residual model encodes x − μ_cell (the cell is computed first
+    * and feeds the compiled residual encoder).
     */
   def pqLists(corpus: DataFrame, idCol: String, vecCol: String,
               cents: Seq[(Long, Seq[Float])], model: PqModel,
               extraCols: Seq[Column] = Nil): DataFrame =
-    corpus.select(Seq(col(idCol).as("cid"),
-      Similarity.ivfCell(col(vecCol), cents).as("cell"),
-      graft.functions.PqCodes.pq_codes(col(vecCol), model).as("codes")) ++ extraCols: _*)
+    if (!model.residual)
+      corpus.select(Seq(col(idCol).as("cid"),
+        Similarity.ivfCell(col(vecCol), cents).as("cell"),
+        graft.functions.PqCodes.pq_codes(col(vecCol), model).as("codes")) ++ extraCols: _*)
+    else
+      corpus.select(Seq(col(idCol).as("cid"),
+          Similarity.ivfCell(col(vecCol), cents).as("cell"),
+          col(vecCol).as("__v")) ++ extraCols: _*)
+        .withColumn("codes", graft.functions.PqCodes.pq_codes_res(
+          col("__v"), col("cell"), model, model.mu))
+        .drop("__v")
 
   /** IVF-PQ top-k with tier-default codebooks: seeded IVF cells for the
-    * candidate gate, PQ trained on the corpus sample.
+    * candidate gate, PQ trained on the corpus sample. `residual = true`
+    * (the default) trains/encodes/serves the IVFADC residual form —
+    * better recall at the same 8 bytes; `false` keeps the raw-vector
+    * codes (the A/B baseline the spec pins).
     */
   def ivfTopKPq(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, k: Int, nList: Int, nProbe: Int,
-                margin: Int, mSub: Int = 8, ks: Int = 256): DataFrame = {
+                margin: Int, mSub: Int = 8, ks: Int = 256,
+                residual: Boolean = true): DataFrame = {
     val cents = Similarity.ivfCentroids(corpus, idCol, vecCol, nList)
-    val model = train(corpus, idCol, vecCol, mSub, ks)
+    val model =
+      if (residual) trainResidualFlat(corpus, idCol, vecCol, cents, mSub, ks)
+      else train(corpus, idCol, vecCol, mSub, ks)
     ivfTopKPqFromLists(cents, model,
       pqLists(corpus, idCol, vecCol, cents, model),
       corpus, queries, idCol, vecCol, k, nProbe, margin)
@@ -144,9 +274,17 @@ object Pq {
   def pqListsHier(corpus: DataFrame, idCol: String, vecCol: String,
                   hier: IvfHier, model: PqModel,
                   extraCols: Seq[Column] = Nil): DataFrame =
-    corpus.select(Seq(col(idCol).as("cid"),
-      Similarity.hierCell(col(vecCol), hier).as("cell"),
-      graft.functions.PqCodes.pq_codes(col(vecCol), model).as("codes")) ++ extraCols: _*)
+    if (!model.residual)
+      corpus.select(Seq(col(idCol).as("cid"),
+        Similarity.hierCell(col(vecCol), hier).as("cell"),
+        graft.functions.PqCodes.pq_codes(col(vecCol), model).as("codes")) ++ extraCols: _*)
+    else
+      corpus.select(Seq(col(idCol).as("cid"),
+          Similarity.hierCell(col(vecCol), hier).as("cell"),
+          col(vecCol).as("__v")) ++ extraCols: _*)
+        .withColumn("codes", graft.functions.PqCodes.pq_codes_res(
+          col("__v"), col("cell"), model, model.mu))
+        .drop("__v")
 
   /** IVF-PQ top-k under the corpus-scaled two-level codebook — the
     * full 100 TB serving configuration: hier cells bound the candidate
@@ -211,8 +349,15 @@ object Pq {
     val survivors = q
       .join(lists.select(col("cid"), col("cell"), col("codes")), Seq("cell"))
       .filter(col("qid") =!= col("cid"))
-      .withColumn("__adc", graft.functions.PqCodes.pq_adc(
-        col("qid"), col("qv"), col("codes"), model))
+      // residual mode scores q·μ_cell + LUT(residual codes) — the
+      // centroid-dot offset is per (query, cell), memoized like the LUT
+      .withColumn("__adc",
+        if (model.residual)
+          graft.functions.PqCodes.pq_adc_res(
+            col("qid"), col("qv"), col("codes"), col("cell"), model, model.mu)
+        else
+          graft.functions.PqCodes.pq_adc(
+            col("qid"), col("qv"), col("codes"), model))
       .withColumn("__rank", row_number().over(wadc))
       .filter(col("__rank") <= k + margin)
       .select(col("qid"), col("qv"), col("cid"))

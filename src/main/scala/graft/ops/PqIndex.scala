@@ -45,18 +45,31 @@ object PqIndex {
 
   /** Build from scratch: seeded IVF codebook + PQ codebooks over
     * `corpus`, then the full coded lists. Returns indexed rows.
+    * `residual = true` (default — the production IVFADC posture) trains
+    * the codebooks on x − μ_cell and pins the convention in `meta`:
+    * codes written under one convention are never scored under the
+    * other, across every later refresh/upsert/probe.
     */
   def build(corpus: DataFrame, idCol: String, vecCol: String, path: String,
-            nList: Int, mSub: Int = 8, ks: Int = 256): Long = {
+            nList: Int, mSub: Int = 8, ks: Int = 256,
+            residual: Boolean = true): Long = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val cents = Similarity.ivfCentroids(corpus, idCol, vecCol, nList)
-    val model = Pq.train(corpus, idCol, vecCol, mSub, ks)
+    val model =
+      if (residual) Pq.trainResidualFlat(corpus, idCol, vecCol, cents, mSub, ks)
+      else Pq.train(corpus, idCol, vecCol, mSub, ks)
     graft.lake.Staged.landMany(spark, path, Seq(
       "centroids" -> cents.map { case (id, v) => (id, v) }.toDF("cell_id", "cv"),
       "codebooks" -> model.codebooks.zipWithIndex.flatMap { case (cb, m) =>
         cb.zipWithIndex.map { case (cent, c) => (m, c, cent.toSeq) }
       }.toDF("sub", "code", "cent"),
+      "meta" -> Seq(residual).toDF("residual"),
+      // the residual subtraction reference (per-cell means with
+      // centroid fallback), PINNED at build exactly like the
+      // codebooks: refreshed corpora must keep decoding old codes
+      "cellmeans" -> model.mu.toSeq.map { case (id, v) => (id, v.toSeq) }
+        .toDF("cell_id", "mv"),
       "lists" -> listRows(corpus, idCol, vecCol, cents, model)))
     spark.read.parquet(listsPath(path)).count()
   }
@@ -67,14 +80,25 @@ object PqIndex {
       .orderBy(col("cell_id")).collect().toIndexedSeq
       .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
 
-  /** The pinned PQ codebooks, collected back codebook-sized. */
+  /** The pinned PQ codebooks, collected back codebook-sized. The
+    * residual flag comes from `meta` (an index written before the meta
+    * table existed is raw by construction).
+    */
   def loadModel(spark: SparkSession, path: String): PqModel = {
     val rows = spark.read.parquet(cbPath(path))
       .orderBy(col("sub"), col("code")).collect()
       .map(r => (r.getInt(0), r.getSeq[Float](2).toArray))
     val books = rows.groupBy(_._1).toIndexedSeq.sortBy(_._1)
       .map { case (_, rs) => rs.map(_._2).toIndexedSeq }
-    PqModel(books.head.head.length, books)
+    val metaP = new org.apache.hadoop.fs.Path(path + "/meta")
+    val residual =
+      metaP.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(metaP) &&
+        spark.read.parquet(path + "/meta").collect().head.getBoolean(0)
+    val mu =
+      if (!residual) Map.empty[Long, Array[Float]]
+      else spark.read.parquet(path + "/cellmeans").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    PqModel(books.head.head.length, books, residual, mu)
   }
 
   /** Churn-proportional refresh under the PINNED codebooks: carry

@@ -112,7 +112,8 @@ class BpeSpec extends AnyFunSuite {
     assert(viaSql == Seq("b", "a", "th", "</w>"), s"got $viaSql")
     val viaSqlIds = Seq("bath").toDF("w")
       .selectExpr("bpe_encode_ids(w, 't h;a t')").collect().head.getSeq[Int](0)
-    assert(viaSqlIds == Seq(2, 1, 27, 0), s"b=2 a=1 th=26+rank1 </w>=0: $viaSqlIds")
+    assert(viaSqlIds == Seq('b' + 1, 'a' + 1, 257, 0),
+      s"b=byte+1 a=byte+1 th=256+rank1 </w>=0: $viaSqlIds")
   }
 
   test("trainLocalOnCounts == trainOnCounts (same greedy rounds, same tie-breaks)") {
@@ -154,14 +155,76 @@ class BpeSpec extends AnyFunSuite {
       .select(col("word"), Bpe.encodeWordIds(col("word"), merges).as("i"),
         Bpe.encodeWord(col("word"), merges).as("t")).collect()
     val firstIdOf = scala.collection.mutable.HashMap.empty[String, Int]
-    merges.foreach(m => if (!firstIdOf.contains(m.merged)) firstIdOf(m.merged) = 26 + m.rank)
+    merges.foreach(m => if (!firstIdOf.contains(m.merged)) firstIdOf(m.merged) = 256 + m.rank)
     ids.foreach { r =>
       val want = r.getSeq[String](2).map {
         case Bpe.Eow => 0
-        case s if s.length == 1 => s.charAt(0) - 'a' + 1
+        case s if s.length == 1 => graft.ops.ByteAlphabet.byteValue(s.charAt(0)) + 1
         case s => firstIdOf(s)
       }
       assert(r.getSeq[Int](1) == want, s"ids must follow the pinned scheme for ${r.getString(0)}")
+    }
+  }
+
+  test("byte alphabet: bijection, reserved chars absent, ASCII letters self-map") {
+    import graft.ops.ByteAlphabet
+    val chars = ByteAlphabet.charOf.toSeq
+    assert(chars.distinct.size == 256, "byte -> char must be injective")
+    assert(!chars.contains(' ') && !chars.contains('|') && !chars.contains('<'),
+      "reserved seq-representation chars must never be mapped chars")
+    assert(chars.forall(c => c > ' ' && c != 127.toChar), "mapped chars are printable non-space")
+    ('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9') foreach { c =>
+      assert(ByteAlphabet.charOf(c.toInt) == c, s"$c must self-map")
+      assert(ByteAlphabet.byteValue(c) == c.toInt)
+    }
+    // round trip through multibyte UTF-8, digits, punctuation, controls
+    val s = "Canción nº3, 3.14€ §\t|<>"
+    assert(ByteAlphabet.unmap(ByteAlphabet.map(s)) == s, "map/unmap must round-trip")
+    assert(ByteAlphabet.map("€").length == 3, "3-byte UTF-8 char = 3 mapped chars")
+  }
+
+  test("byte-level trainer: digits, punctuation, case and accents are first-class") {
+    import graft.ops.ByteAlphabet
+    val docs = Seq(
+      (1L, "Año 2024! Año 2024! price: 3.14€"),
+      (2L, "Año 2024? price... 3.14€ 3.14€")).toDF("doc_id", "text")
+    // pre-tokens split letters/digits/punct runs, preserve case, keep accents
+    val words = Bpe.wordCounts(docs, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(words(ByteAlphabet.map("Año")) == 3L, s"accented word must count: $words")
+    assert(words(ByteAlphabet.map("2024")) == 3L, "digit runs are pre-tokens")
+    assert(words(ByteAlphabet.map("...")) == 1L && words(ByteAlphabet.map("!")) == 2L,
+      "punctuation runs are pre-tokens")
+    assert(words(ByteAlphabet.map("€")) == 3L, "multibyte symbols are pre-tokens")
+    assert(!words.contains(ByteAlphabet.map("año")), "case is preserved (no lowercasing)")
+    // trained merges operate on mapped symbols; token concat + unmap
+    // rebuilds the ORIGINAL bytes of every word
+    val merges = Bpe.train(docs, "text", 8)
+    assert(merges.size == 8)
+    val got = Bpe.wordCounts(docs, "text").select(col("word"),
+        Bpe.encodeWord(col("word"), merges).as("t")).collect()
+    got.foreach { r =>
+      val rebuilt = r.getSeq[String](1).mkString("").stripSuffix(Bpe.Eow)
+      assert(rebuilt == r.getString(0), "token concat must rebuild the mapped word")
+      ByteAlphabet.unmap(rebuilt) // must not throw: all chars in-alphabet
+    }
+    // ids mode: an out-of-training word is pure base bytes + eow; a
+    // trained word's ids mirror its token strings under the scheme
+    val unseen = Seq(ByteAlphabet.map("XYZ9")).toDF("word")
+      .select(Bpe.encodeWordIds(col("word"), merges)).collect().head.getSeq[Int](0)
+    assert(unseen == Seq('X' + 1, 'Y' + 1, 'Z' + 1, '9' + 1, 0), s"got $unseen")
+    val firstIdOf = scala.collection.mutable.HashMap.empty[String, Int]
+    merges.foreach(m => if (!firstIdOf.contains(m.merged)) firstIdOf(m.merged) = 256 + m.rank)
+    val both = Seq(ByteAlphabet.map("2024"), ByteAlphabet.map("Año")).toDF("word")
+      .select(col("word"), Bpe.encodeWordIds(col("word"), merges).as("i"),
+        Bpe.encodeWord(col("word"), merges).as("t")).collect()
+    both.foreach { r =>
+      val want = r.getSeq[String](2).map {
+        case Bpe.Eow => 0
+        case s if s.length == 1 => ByteAlphabet.byteValue(s.charAt(0)) + 1
+        case s => firstIdOf(s)
+      }
+      assert(r.getSeq[Int](1) == want, s"ids/tokens must agree for ${r.getString(0)}")
     }
   }
 

@@ -18,16 +18,22 @@ class PqIndexSpec extends AnyFunSuite {
   private def scratch() =
     java.nio.file.Files.createTempDirectory("graft_pqidx").toString + "/pq"
 
-  test("codebooks round-trip the lake bit-for-bit") {
+  test("codebooks round-trip the lake bit-for-bit (incl. the residual flag)") {
     val idx = scratch()
     PqIndex.build(emb, "vec_id", "embedding", idx, nList = 4, mSub = 8, ks = 32)
-    val want = Pq.train(emb, "vec_id", "embedding", mSub = 8, ks = 32)
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 4)
+    val want = Pq.trainResidualFlat(emb, "vec_id", "embedding", cents, mSub = 8, ks = 32)
     val got = PqIndex.loadModel(spark, idx)
     assert(got.dsub == want.dsub)
+    assert(got.residual, "the default build is the residual IVFADC posture")
     assert(got.codebooks.map(_.map(_.toSeq)) == want.codebooks.map(_.map(_.toSeq)),
       "persisted codebooks must equal the trainer's output exactly")
-    assert(PqIndex.loadCentroids(spark, idx) ==
-      Similarity.ivfCentroids(emb, "vec_id", "embedding", 4))
+    assert(PqIndex.loadCentroids(spark, idx) == cents)
+    // a raw build pins residual = false the same way
+    val idxRaw = scratch()
+    PqIndex.build(emb, "vec_id", "embedding", idxRaw, nList = 4, mSub = 8, ks = 32,
+      residual = false)
+    assert(!PqIndex.loadModel(spark, idxRaw).residual)
   }
 
   test("served top-k == recompute top-k under the same pinned codebooks") {
@@ -37,7 +43,7 @@ class PqIndexSpec extends AnyFunSuite {
     val served = PqIndex.topK(emb, q, "vec_id", "embedding", idx, 3, 2, margin = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 4)
-    val model = Pq.train(emb, "vec_id", "embedding", mSub = 8, ks = 32)
+    val model = Pq.trainResidualFlat(emb, "vec_id", "embedding", cents, mSub = 8, ks = 32)
     val want = Pq.ivfTopKPqFromLists(cents, model,
         Pq.pqLists(emb, "vec_id", "embedding", cents, model),
         emb, q, "vec_id", "embedding", 3, 2, margin = 16)
@@ -56,7 +62,7 @@ class PqIndexSpec extends AnyFunSuite {
     // the refreshed lists must equal a from-scratch encode under the
     // SAME (build-pinned) codebooks — carry-verbatim cannot drift
     val cents = Similarity.ivfCentroids(b90, "vec_id", "embedding", 4)
-    val model = Pq.train(b90, "vec_id", "embedding", mSub = 8, ks = 32)
+    val model = Pq.trainResidualFlat(b90, "vec_id", "embedding", cents, mSub = 8, ks = 32)
     val got = spark.read.parquet(idx + "/lists")
       .select(col("cid"), col("cell"), col("codes")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Byte](2).toSeq)).toSet
