@@ -12,6 +12,129 @@ import org.apache.spark.sql.functions._
   * local core count rather than the 200 default.
   */
 object Bench {
+
+  /** The persisted-index journeys whose build/refresh/serve walls the
+    * bench splits out (VerifyContractSpec pins this membership against
+    * the query map + integration tier). Each entry mirrors its query
+    * body's exact build→refresh→serve calls — the QUERY stays the
+    * oracle-gated artifact; this block only re-times its stages.
+    */
+  val stageJourneyNames: Set[String] = Set(
+    "sim_ivf_persisted_topk", "sim_pq_persisted_topk",
+    "sim_mmr_indexed", "sim_mmr_pq",
+    "enrich_fuzzy_indexed", "txt_bm25_indexed", "txt_bpe_apply",
+    "dedup_cluster_incremental", "sem_cluster_incremental")
+
+  /** (name, jsonObject) per journey: {"build_sec":…,"refresh_sec":…,
+    * "serve_sec":…,"serve_rows":…}. Scratch dirs are cleaned per
+    * journey; failures yield an "err" object instead of killing the
+    * bench line.
+    */
+  private[graft] def stageJourneys(spark: SparkSession, sfDir: String): Seq[(String, String)] = {
+    import graft.ops._
+    def t(name: String) = spark.read.parquet(s"$sfDir/$name.parquet")
+    def run(name: String)(build: String => Unit, refresh: String => Unit,
+                          serve: String => Long): (String, String) = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bench_stage").toString
+      val idx = tmp + "/idx"
+      def time(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val json = try {
+        val b = time(build(idx))
+        val r = time(refresh(idx))
+        var n = 0L
+        val sv = time { n = serve(idx) }
+        s"""{"build_sec":$b,"refresh_sec":$r,"serve_sec":$sv,"serve_rows":$n}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] stage journey $name FAILED: ${e.getMessage}")
+        s"""{"err":"${e.getClass.getName}"}"""
+      } finally {
+        new org.apache.hadoop.fs.Path(tmp)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(tmp), true)
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      }
+      name -> json
+    }
+    val emb = t("embeddings")
+    val embN = emb.count()
+    val q50 = emb.filter(col("vec_id") % 50 === 0)
+    val docs = t("documents")
+    val cust = t("customer")
+    val pqMargin = math.max(32, math.ceil(embN * 0.02).toInt)
+    val out = Seq(
+      run("sim_ivf_persisted_topk")(
+        idx => { SimilarityIndex.build(emb.filter(col("vec_id") % 10 =!= 9),
+          "vec_id", "embedding", idx, nList = 8); () },
+        idx => { SimilarityIndex.refresh(emb, "vec_id", "embedding", idx); () },
+        idx => SimilarityIndex.topKInt8(emb, q50, "vec_id", "embedding", idx, 5, 2).count()),
+      run("sim_pq_persisted_topk")(
+        idx => { PqIndex.build(emb.filter(col("vec_id") % 10 =!= 9),
+          "vec_id", "embedding", idx, nList = 8); () },
+        idx => { PqIndex.refresh(emb, "vec_id", "embedding", idx); () },
+        idx => PqIndex.topK(emb, q50, "vec_id", "embedding", idx, 5, 8, pqMargin).count()),
+      run("sim_mmr_indexed")(
+        idx => { SimilarityIndex.build(emb.filter(col("vec_id") % 10 =!= 9),
+          "vec_id", "embedding", idx, nList = 8); () },
+        idx => { SimilarityIndex.refresh(emb, "vec_id", "embedding", idx); () },
+        idx => Similarity.mmrTopKIndexed(emb, q50, "vec_id", "embedding", idx,
+          poolK = 10, k = 5, nProbe = 8).count()),
+      run("sim_mmr_pq")(
+        idx => { PqIndex.build(emb.filter(col("vec_id") % 10 =!= 9),
+          "vec_id", "embedding", idx, nList = 8); () },
+        idx => { PqIndex.refresh(emb, "vec_id", "embedding", idx); () },
+        idx => Similarity.mmrTopKPq(emb, q50, "vec_id", "embedding", idx,
+          poolK = 10, k = 5, nProbe = 8,
+          margin = math.min(embN, Pq.MaxRerankMargin.toLong).toInt).count()),
+      run("enrich_fuzzy_indexed")(
+        idx => { FuzzyJoinIndex.build(
+          cust.filter(col("c_custkey") % 10 =!= 9).select(col("c_custkey"), col("c_name")),
+          "c_custkey", "c_name", idx, maxDist = 2); () },
+        idx => { FuzzyJoinIndex.refresh(
+          cust.select(col("c_custkey"), col("c_name")), "c_custkey", "c_name", idx); () },
+        idx => FuzzyJoinIndex.probe(
+          cust.filter(col("c_custkey") % 100 === 0)
+            .select((col("c_custkey") + 1000000L).as("p_id"),
+              expr("replace(c_name, '1', '7')").as("p_name")),
+          "p_id", "p_name", idx).count()),
+      run("txt_bm25_indexed")(
+        idx => { PostingsIndex.build(docs.filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", idx); () },
+        idx => { PostingsIndex.refresh(docs, "doc_id", "text", idx); () },
+        idx => PostingsIndex.bm25(spark, idx, Seq("spark", "vector", "merge", "stream"))
+          .orderBy(col("score").desc, col("doc")).limit(50).count()),
+      run("txt_bpe_apply")(
+        idx => { BpeIndex.build(
+          docs.withColumn("text", CorpusQueries.bpeAugText)
+            .filter(pmod(col("doc_id"), lit(3)) =!= 2), "text", idx, 12); () },
+        idx => { BpeIndex.refresh(
+          docs.withColumn("text", CorpusQueries.bpeAugText), "text", idx); () },
+        idx => BpeIndex.tokenCounts(
+          docs.withColumn("text", CorpusQueries.bpeAugText), "doc_id", "text", idx).count()),
+      run("dedup_cluster_incremental")(
+        idx => { ClusterIndex.build(
+          docs.filter(col("doc_id") % 7 =!= 3)
+            .withColumn("text", when(col("doc_id") % 11 === 0,
+              concat(col("text"), lit(" drifted placeholder"))).otherwise(col("text"))),
+          "doc_id", "text", idx); () },
+        idx => { ClusterIndex.refresh(docs, "doc_id", "text", idx); () },
+        idx => ClusterIndex.serve(spark, idx).count()),
+      run("sem_cluster_incremental")(
+        idx => { SemDedupIndex.build(
+          emb.filter(col("vec_id") % 10 =!= 9)
+            .withColumn("embedding",
+              when(col("vec_id") % 13 === 0 && col("vec_id") > 8,
+                transform(col("embedding"), x => -x)).otherwise(col("embedding"))),
+          "vec_id", "embedding", idx, nList = 8, threshold = BigDecimal("0.35")); () },
+        idx => { SemDedupIndex.refresh(emb, "vec_id", "embedding", idx); () },
+        idx => SemDedupIndex.serve(spark, idx).count()))
+    require(out.map(_._1).toSet == stageJourneyNames,
+      s"stage journey list drifted from the pinned names: ${out.map(_._1)}")
+    out
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -242,7 +365,18 @@ object Bench {
     // consumer; the JSON just separates the subtotals.
     val (integ, pure) = results.partition(r => SparkEntry.integrationQueries(r._1))
     val runsJson = runs.map(fmt).mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","pure_sec":${pure.map(_._2).sum},"integration_sec":${integ.map(_._2).sum},"pure_n":${pure.size},"integration_n":${integ.size},"queries":$qs,"runs":$runsJson,"sf":"$sfDir"}"""
+    // per-STAGE walls for the persisted-index journeys (round-17): the
+    // journey totals above conflate scratch-index build, churn refresh
+    // and the probe; the number a 100 TB operator actually cares about
+    // is SERVE latency, so it gets its own tracked key per journey.
+    // Runs once, after the min-of-two suite (journeys carry fs noise
+    // either way; the suite rows above remain the regression anchor).
+    val stagesJson =
+      if (only.isEmpty)
+        "\"stages\":" + stageJourneys(spark, sfDir).map { case (n, j) =>
+          "\"" + n + "\":" + j }.mkString("{", ",", "}") + ","
+      else ""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","pure_sec":${pure.map(_._2).sum},"integration_sec":${integ.map(_._2).sum},"pure_n":${pure.size},"integration_n":${integ.size},$stagesJson"queries":$qs,"runs":$runsJson,"sf":"$sfDir"}"""
     println(line)
     // also land the line in a file: stdout is shared with Spark/Ivy log
     // noise and the driver's scrape has come back "parsed": null before

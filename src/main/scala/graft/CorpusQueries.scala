@@ -95,12 +95,12 @@ object CorpusQueries {
     * which would leave the 230 non-[a-z] base bytes un-exercised. The
     * SAME concat runs in both engines (doc_id renders identically).
     */
-  private val BpeAugB = "! «Canción» nº"
+  private[graft] val BpeAugB = "! «Canción» nº"
   // the accented/digit words repeat enough to push multibyte and digit
   // PAIRS into the 12 trained merges — the byte-level trainer itself is
   // then under the hash gate, not just the encode path
   private val BpeAugC = ", 3.14€ §" + " Canción 2024" * 5
-  private def bpeAugText: org.apache.spark.sql.Column =
+  private[graft] def bpeAugText: org.apache.spark.sql.Column =
     concat(col("text"), lit(" Doc-"), col("doc_id").cast("string"),
       lit(BpeAugB), (col("doc_id") % 7).cast("string"), lit(BpeAugC))
   private def bpeAugTextSql: String =
@@ -1204,6 +1204,32 @@ object CorpusQueries {
       out
     }),
 
+    // MMR with its pool served FROM the persisted IVF-PQ index — the
+    // 8-byte tier backing diversified retrieval. Probed gate-complete
+    // (nProbe = nList, margin = corpus: every candidate survives the
+    // ADC pool into the exact-decimal re-rank — margin is
+    // FIXTURE-SIZED here precisely to make completeness provable; the
+    // production serve uses a fixed margin and accepts the recall
+    // contract), the pool equals the brute pool and the greedy rounds
+    // hash-match the same unrolled oracle as sim_mmr_topk.
+    "sim_mmr_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_mmrpq_q").toString
+      val idx = tmp + "/pq"
+      PqIndex.build(emb.filter(col("vec_id") % 10 =!= 9),
+        "vec_id", "embedding", idx, nList = 8)
+      PqIndex.refresh(emb, "vec_id", "embedding", idx)
+      val out = Similarity.mmrTopKPq(emb, emb.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", idx, poolK = 10, k = 5, nProbe = 8,
+          margin = emb.count().toInt)
+        .orderBy(col("qid"), col("rank"))
+        .localCheckpoint(true) // the scratch index is deleted next
+      new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      out
+    }),
+
     // ANN recall harness across tiers (round-13 stretch): ONE board of
     // recall@5 vs the exact brute ranking for every approximate tier on
     // the shared corpus/query set, each row gated by a pinned floor — a
@@ -1230,6 +1256,7 @@ object CorpusQueries {
           .select(lit(tier).as("tier"), col("n_pairs"), col("recall_ok"))
       val kmeansCents = Similarity.ivfCentroidsKMeans(emb, "vec_id", "embedding", 8)
       val hier = graft.ops.IvfHier.train(emb, "vec_id", "embedding", 8, m = 2)
+      val imiBook = graft.ops.IvfImi.train(emb, "vec_id", "embedding", 8)
       val pcaModel = graft.ops.Pca.fit(emb, "embedding", 64, 48)
       val pcaMargin = math.max(25, math.ceil(emb.count() * 0.2).toInt)
       // floors pinned at measured-minus-noise (round-15 tightening;
@@ -1257,6 +1284,16 @@ object CorpusQueries {
         row("ivf_hier_pq", graft.ops.Pq.ivfTopKPqHier(emb, q, "vec_id", "embedding",
           hier, graft.ops.Pq.trainResidualHier(emb, "vec_id", "embedding", hier), 5, 2,
           math.max(32, math.ceil(emb.count() * 0.02).toInt)), 35),
+        // product-coarse (IMI) tiers (round-17, closes the codebook
+        // task-state seam): measured minima 36/36 across the three SFs,
+        // floors 2 under — the axis-aligned product cells trade ~6
+        // recall points vs the data-shaped hier cells for O(√nList·dim)
+        // task state
+        row("ivf_imi", Similarity.ivfTopKImi(emb, q, "vec_id", "embedding",
+          imiBook, 5, 2), 34),
+        row("ivf_imi_pq", graft.ops.Pq.ivfTopKPqImi(emb, q, "vec_id", "embedding",
+          imiBook, graft.ops.Pq.trainResidualImi(emb, "vec_id", "embedding", imiBook), 5, 2,
+          math.max(32, math.ceil(emb.count() * 0.02).toInt)), 34),
         row("lsh_multiprobe", Similarity.multiProbeTopKExact(emb, q,
           "vec_id", "embedding", 5, 4, 64), 38),
         row("pca_gate", graft.ops.Pca.pcaTopK(emb, q, "vec_id", "embedding",
@@ -2664,6 +2701,10 @@ object CorpusQueries {
     // SAME unrolled MMR oracle bit-for-bit
     "sim_mmr_indexed" -> mmrOracleSql,
 
+    // identical unrolled-greedy oracle: the PQ-pool serve is probed
+    // gate-complete, so pool membership equals the brute pool's
+    "sim_mmr_pq" -> mmrOracleSql,
+
     "sim_ivf_topk" -> ivfOracleSql,
 
     // identical semantics by construction: the int8 tier's coarse error is
@@ -2866,7 +2907,7 @@ object CorpusQueries {
         |           FROM embeddings WHERE vec_id % 50 = 0)
         |SELECT t.tier, q.n_pairs, true AS recall_ok
         |FROM (VALUES ('brute'), ('ivf_kmeans'), ('ivf_seed'), ('ivf_hier'),
-        |             ('ivf_hier_pq'),
+        |             ('ivf_hier_pq'), ('ivf_imi'), ('ivf_imi_pq'),
         |             ('ivf_sq8'), ('ivf_pq'), ('lsh_multiprobe'), ('pca_gate')) AS t(tier)
         |CROSS JOIN q ORDER BY tier""".stripMargin,
 

@@ -73,6 +73,11 @@ object Probe {
     val pqModel = graft.ops.Pq.trainResidualHier(emb, "vec_id", "embedding", hier)
     rec("ivf_hier_pq", graft.ops.Pq.ivfTopKPqHier(emb, q, "vec_id", "embedding",
       hier, pqModel, 5, 2, pqMargin))
+    val imi = graft.ops.IvfImi.train(emb, "vec_id", "embedding", 8)
+    rec("ivf_imi", Similarity.ivfTopKImi(emb, q, "vec_id", "embedding", imi, 5, 2))
+    val imiPq = graft.ops.Pq.trainResidualImi(emb, "vec_id", "embedding", imi)
+    rec("ivf_imi_pq", graft.ops.Pq.ivfTopKPqImi(emb, q, "vec_id", "embedding",
+      imi, imiPq, 5, 2, pqMargin))
     rec("lsh_multiprobe", Similarity.multiProbeTopKExact(emb, q, "vec_id", "embedding", 5, 4, 64))
     val m = Pca.fit(emb, "embedding", 64, 48)
     val margin = math.max(25, math.ceil(emb.count() * 0.2).toInt)

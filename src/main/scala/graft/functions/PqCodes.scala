@@ -289,6 +289,147 @@ object PqAdcRes {
   }
 }
 
+/** Residual PQ encode under PRODUCT (IMI) cells: the subtraction
+  * reference μ_cell = [sub1_i ++ sub2_j] is DERIVED from the two
+  * O(√nCells) sub-codebooks instead of looked up in a per-cell map —
+  * the piece that lets residual coding survive nCells = 10^6+ where a
+  * materialized mu map would be GB-scale task state (the Multi-D-ADC
+  * layout of Babenko & Lempitsky, CVPR 2012).
+  */
+case class PqCodesImiRes(left: Expression, right: Expression, model: PqModel,
+                         imi: graft.ops.IvfImi) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  /** Public for the codegen callback. */
+  def encode(v: ArrayData, cell: Long): GenericArrayData = {
+    val k2 = imi.k2
+    val ci = (cell / k2).toInt
+    val cj = (cell % k2).toInt
+    require(ci < imi.k1 && cj < k2 && cell >= 0,
+      s"pq_codes_imi_res: cell $cell outside the ${imi.k1}x$k2 product")
+    val a = imi.sub1(ci)
+    val b = imi.sub2(cj)
+    val d1 = imi.dSplit
+    val mSub = model.codebooks.length
+    val dsub = model.dsub
+    val out = new Array[Byte](mSub)
+    var m = 0
+    while (m < mSub) {
+      val cb = model.codebooks(m)
+      val off = m * dsub
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        val cent = cb(c)
+        var d = 0.0
+        var j = 0
+        while (j < dsub) {
+          val p = off + j
+          val mu = if (p < d1) a(p).toDouble else b(p - d1).toDouble
+          val x = v.getFloat(p).toDouble - mu - cent(j).toDouble
+          d += x * x
+          j += 1
+        }
+        if (d < bestD) { best = c; bestD = d }
+        c += 1
+      }
+      out(m) = (best - 128).toByte
+      m += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(v: Any, cell: Any): Any =
+    encode(v.asInstanceOf[ArrayData], cell.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCodesImiRes", this, classOf[PqCodesImiRes].getName)
+    nullSafeCodeGen(ctx, ev, (v, c) => s"${ev.value} = $ref.encode($v, $c);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqCodesImiRes =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "pq_codes_imi_res"
+}
+
+/** Residual ADC under product cells: q·μ_cell factorizes into
+  * lut1(i) + lut2(j) — two per-query side tables of k dots each (built
+  * once per query, the same arithmetic the IMI probe already pays), so
+  * the candidate stream costs mSub adds + two array reads per row with
+  * ZERO per-cell state. This is what makes the 8-byte residual tier
+  * serveable at 10^6+ cells.
+  */
+case class PqAdcImiRes(first: Expression, second: Expression, third: Expression,
+                       fourth: Expression, model: PqModel,
+                       imi: graft.ops.IvfImi) extends QuaternaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val inner = PqAdc(first, second, third, model)
+
+  @transient private lazy val sideLuts =
+    new ThreadLocal[java.util.HashMap[Long, (Long, Array[Double], Array[Double])]] {
+      override def initialValue() =
+        new java.util.HashMap[Long, (Long, Array[Double], Array[Double])]()
+    }
+
+  private def lutsFor(qid: Long, qv: ArrayData): (Array[Double], Array[Double]) = {
+    val cache = sideLuts.get()
+    val dig = PqAdcRes.digest(qv)
+    val hit = cache.get(qid)
+    if (hit != null && hit._1 == dig) return (hit._2, hit._3)
+    if (cache.size() > 4096) cache.clear()
+    val d1 = imi.dSplit
+    val l1 = new Array[Double](imi.k1)
+    var i = 0
+    while (i < imi.k1) {
+      val c = imi.sub1(i)
+      var s = 0.0
+      var x = 0
+      val n = math.min(d1, qv.numElements())
+      while (x < n) { s += qv.getFloat(x).toDouble * c(x).toDouble; x += 1 }
+      l1(i) = s
+      i += 1
+    }
+    val l2 = new Array[Double](imi.k2)
+    var j = 0
+    while (j < imi.k2) {
+      val c = imi.sub2(j)
+      var s = 0.0
+      var x = 0
+      val n = math.min(c.length, math.max(0, qv.numElements() - d1))
+      while (x < n) { s += qv.getFloat(d1 + x).toDouble * c(x).toDouble; x += 1 }
+      l2(j) = s
+      j += 1
+    }
+    cache.put(qid, (dig, l1, l2))
+    (l1, l2)
+  }
+
+  /** Public for the codegen callback. */
+  def adc(qid: Long, qv: ArrayData, codes: ArrayData, cell: Long): Double = {
+    val (l1, l2) = lutsFor(qid, qv)
+    inner.adc(qid, qv, codes) + l1((cell / imi.k2).toInt) + l2((cell % imi.k2).toInt)
+  }
+
+  override protected def nullSafeEval(q: Any, v: Any, c: Any, cl: Any): Any =
+    adc(q.asInstanceOf[Long], v.asInstanceOf[ArrayData],
+      c.asInstanceOf[ArrayData], cl.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqAdcImiRes", this, classOf[PqAdcImiRes].getName)
+    nullSafeCodeGen(ctx, ev, (q, v, c, cl) => s"${ev.value} = $ref.adc($q, $v, $c, $cl);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression,
+      newFourth: Expression): PqAdcImiRes =
+    copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
+  override def prettyName: String = "pq_adc_imi_res"
+}
+
 object PqCodes {
   private def bridge(c: Column): Expression =
     org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)
@@ -318,4 +459,16 @@ object PqCodes {
   def pq_adc_res(qid: Column, qv: Column, codes: Column, cell: Column,
                  model: PqModel, mu: Map[Long, Array[Float]]): Column =
     col(PqAdcRes(bridge(qid), bridge(qv), bridge(codes), bridge(cell), model, mu))
+
+  /** Residual PQ codes under PRODUCT (IMI) cells — μ derived from the
+    * sub-codebooks, no per-cell map.
+    */
+  def pq_codes_imi_res(vec: Column, cell: Column, model: PqModel,
+                       imi: graft.ops.IvfImi): Column =
+    col(PqCodesImiRes(bridge(vec), bridge(cell), model, imi))
+
+  /** Residual ADC under product cells: side-factorized centroid dots. */
+  def pq_adc_imi_res(qid: Column, qv: Column, codes: Column, cell: Column,
+                     model: PqModel, imi: graft.ops.IvfImi): Column =
+    col(PqAdcImiRes(bridge(qid), bridge(qv), bridge(codes), bridge(cell), model, imi))
 }

@@ -135,6 +135,36 @@ object Pq {
       v => Similarity.hierCell(v, hier),
       residualRefHier(corpus, idCol, vecCol, hier), mSub, ks, seed, iters, trainN0)
 
+  /** Product-cell (IMI) residual trainer: μ is the IMPLICIT product
+    * centroid [sub1_i ++ sub2_j] — derived per sample on the driver,
+    * never materialized as a per-cell map (nCells can be 10^6+; the
+    * model's `mu` stays EMPTY and the Imi serve surfaces derive it from
+    * the sub-codebooks).
+    */
+  def trainResidualImi(corpus: DataFrame, idCol: String, vecCol: String,
+                       imi: IvfImi, mSub: Int = 8, ks: Int = 256,
+                       seed: Int = 42, iters: Int = 8, trainN0: Int = 0): PqModel = {
+    require(mSub >= 1, s"mSub must be >= 1: $mSub")
+    require(ks >= 1 && ks <= 256, s"ks must be in [1, 256]: $ks")
+    val trainN = if (trainN0 > 0) trainN0 else math.max(4096, ks * 32)
+    val rows = Similarity.collectBounded(corpus
+      .select(col(vecCol).as("__v"),
+        Similarity.imiCell(col(vecCol), imi).cast("long").as("__c"),
+        hash(col(idCol).cast("long"), lit(seed)).as("__h"),
+        col(idCol).cast("long").as("__id"))
+      .orderBy(col("__h"), col("__id"))
+      .limit(trainN)
+      .select(col("__v"), col("__c")), trainN, "imi residual pq codebook sample")
+    require(rows.nonEmpty, "pq training needs a non-empty corpus")
+    val sample = rows.map { r =>
+      val v = r.getSeq[Float](0).toArray
+      val m = imi.mu(r.getLong(1))
+      Array.tabulate(v.length)(j => (v(j).toDouble - m(j).toDouble).toFloat)
+    }
+    PqModel(sample.head.length / mSub,
+      fitCodebooks(sample, mSub, ks, iters), residual = true, mu = Map.empty)
+  }
+
   /** Cell-centroid lookup maps. */
   def centsMap(cents: Seq[(Long, Seq[Float])]): Map[Long, Array[Float]] =
     cents.map { case (id, v) => id -> v.toArray }.toMap
@@ -239,13 +269,17 @@ object Pq {
       corpus.select(Seq(col(idCol).as("cid"),
         Similarity.ivfCell(col(vecCol), cents).as("cell"),
         graft.functions.PqCodes.pq_codes(col(vecCol), model).as("codes")) ++ extraCols: _*)
-    else
+    else {
+      require(model.mu.nonEmpty,
+        "residual model with an empty mu map — an IMI-residual model serves " +
+          "through pqListsImi/ivfTopKPqImi, not the flat-cell surfaces")
       corpus.select(Seq(col(idCol).as("cid"),
           Similarity.ivfCell(col(vecCol), cents).as("cell"),
           col(vecCol).as("__v")) ++ extraCols: _*)
         .withColumn("codes", graft.functions.PqCodes.pq_codes_res(
           col("__v"), col("cell"), model, model.mu))
         .drop("__v")
+    }
 
   /** IVF-PQ top-k with tier-default codebooks: seeded IVF cells for the
     * candidate gate, PQ trained on the corpus sample. `residual = true`
@@ -278,13 +312,85 @@ object Pq {
       corpus.select(Seq(col(idCol).as("cid"),
         Similarity.hierCell(col(vecCol), hier).as("cell"),
         graft.functions.PqCodes.pq_codes(col(vecCol), model).as("codes")) ++ extraCols: _*)
-    else
+    else {
+      require(model.mu.nonEmpty,
+        "residual model with an empty mu map — an IMI-residual model serves " +
+          "through pqListsImi/ivfTopKPqImi, not the hier-cell surfaces")
       corpus.select(Seq(col(idCol).as("cid"),
           Similarity.hierCell(col(vecCol), hier).as("cell"),
           col(vecCol).as("__v")) ++ extraCols: _*)
         .withColumn("codes", graft.functions.PqCodes.pq_codes_res(
           col("__v"), col("cell"), model, model.mu))
         .drop("__v")
+    }
+
+  /** The PQ lists under PRODUCT (IMI) cells — the 10^10+-vector
+    * configuration: nCells follows the corpus at O(√nCells·dim) task
+    * state, each list row carries mSub bytes. A residual model encodes
+    * x − [sub1_i ++ sub2_j] with the reference DERIVED per row (no
+    * per-cell map anywhere).
+    */
+  def pqListsImi(corpus: DataFrame, idCol: String, vecCol: String,
+                 imi: IvfImi, model: PqModel,
+                 extraCols: Seq[Column] = Nil): DataFrame =
+    if (!model.residual)
+      corpus.select(Seq(col(idCol).as("cid"),
+        Similarity.imiCell(col(vecCol), imi).as("cell"),
+        graft.functions.PqCodes.pq_codes(col(vecCol), model).as("codes")) ++ extraCols: _*)
+    else
+      corpus.select(Seq(col(idCol).as("cid"),
+          Similarity.imiCell(col(vecCol), imi).as("cell"),
+          col(vecCol).as("__v")) ++ extraCols: _*)
+        .withColumn("codes", graft.functions.PqCodes.pq_codes_imi_res(
+          col("__v"), col("cell"), model, imi))
+        .drop("__v")
+
+  /** IVF-PQ top-k under the product codebook — the fully factorized
+    * 100 TB serve: O(√nCells·dim) assignment state, 8-byte candidate
+    * rows, side-factorized residual ADC (q·μ = lut1[i] + lut2[j]), and
+    * the shared (k + margin)-pool exact re-rank.
+    */
+  def ivfTopKPqImi(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, imi: IvfImi, model: PqModel, k: Int,
+                   nProbe: Int, margin: Int): DataFrame =
+    ivfTopKPqImiFromLists(imi, model, pqListsImi(corpus, idCol, vecCol, imi, model),
+      corpus, queries, idCol, vecCol, k, nProbe, margin)
+
+  /** [[ivfTopKPqImi]] against caller-supplied (e.g. landed) lists —
+    * the serve path that never re-encodes the corpus.
+    */
+  def ivfTopKPqImiFromLists(imi: IvfImi, model: PqModel, lists: DataFrame,
+                            corpus: DataFrame, queries: DataFrame, idCol: String,
+                            vecCol: String, k: Int, nProbe: Int,
+                            margin: Int): DataFrame = {
+    require(k >= 1 && margin >= 0, s"need k >= 1, margin >= 0: $k, $margin")
+    require(margin <= MaxRerankMargin,
+      s"re-rank margin $margin exceeds MaxRerankMargin=$MaxRerankMargin")
+    val q = queries.select(col(idCol).cast("long").as("qid"), col(vecCol).as("qv"),
+      explode(Similarity.imiProbeCells(col(vecCol), imi, nProbe)).as("cell"))
+    val wadc = Window.partitionBy(col("qid"))
+      .orderBy(col("__adc").desc, col("cid").asc)
+    val survivors = q
+      .join(lists.select(col("cid"), col("cell"), col("codes")), Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("__adc",
+        if (model.residual)
+          graft.functions.PqCodes.pq_adc_imi_res(
+            col("qid"), col("qv"), col("codes"), col("cell"), model, imi)
+        else
+          graft.functions.PqCodes.pq_adc(
+            col("qid"), col("qv"), col("codes"), model))
+      .withColumn("__rank", row_number().over(wadc))
+      .filter(col("__rank") <= k + margin)
+      .select(col("qid"), col("qv"), col("cid"))
+    val full = corpus.select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("__ddot").desc, col("cid").asc)
+    full.join(broadcast(survivors), Seq("cid"))
+      .withColumn("__ddot", Similarity.dotExactDec(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("rank").cast("long").as("rank"))
+  }
 
   /** IVF-PQ top-k under the corpus-scaled two-level codebook — the
     * full 100 TB serving configuration: hier cells bound the candidate

