@@ -1221,7 +1221,10 @@ object CorpusQueries {
       PqIndex.refresh(emb, "vec_id", "embedding", idx)
       val out = Similarity.mmrTopKPq(emb, emb.filter(col("vec_id") % 50 === 0),
           "vec_id", "embedding", idx, poolK = 10, k = 5, nProbe = 8,
-          margin = emb.count().toInt)
+          // margin = corpus at the GATED scale (completeness provable);
+          // capped so a larger bench fixture degrades to approximate
+          // instead of tripping the absolute margin guard
+          margin = math.min(emb.count(), graft.ops.Pq.MaxRerankMargin.toLong).toInt)
         .orderBy(col("qid"), col("rank"))
         .localCheckpoint(true) // the scratch index is deleted next
       new org.apache.hadoop.fs.Path(tmp)
@@ -1301,6 +1304,36 @@ object CorpusQueries {
       ).reduce(_ unionByName _).orderBy(col("tier"))
     }),
 
+    // the hier-cell coarse-beam knob documented as a board (round-17
+    // stretch): recall@5 vs exact across m ∈ {1,2,4} at FIXED
+    // (nList=16, nProbe=2). What the sweep actually shows — measured
+    // 26/30/22, 22/24/32, 28/28/27 across the three SFs — is that m
+    // buys ASSIGNMENT fidelity (m = nCoarse reproduces the exact
+    // argmax assignment), not monotone recall at fixed nProbe: a truer
+    // assignment reshuffles cell contents under the same probe budget.
+    // Floors pin each row at min-across-SFs minus noise, so a
+    // regression in the two-level assign path reds the gate while the
+    // non-monotone shape stays documented instead of assumed away.
+    "sim_hier_m_board" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % 50 === 0)
+      val exact = Similarity.bruteTopKExact(emb, q, "vec_id", "embedding", 5)
+        .select(col("qid"), col("cid")).localCheckpoint(true)
+      def row(m: Int, floorPct: Int): org.apache.spark.sql.DataFrame = {
+        val h = graft.ops.IvfHier.train(emb, "vec_id", "embedding", 16, m = m)
+        exact.join(Similarity.ivfTopKHier(emb, q, "vec_id", "embedding", h, 5, 2)
+            .select(col("qid"), col("cid"), lit(1).as("__hit")),
+            Seq("qid", "cid"), "left_outer")
+          .agg(count(lit(1)).as("n_pairs"),
+            (sum(coalesce(col("__hit"), lit(0))) * 100 >=
+              count(lit(1)) * lit(floorPct)).as("recall_ok"))
+          .select(lit(m.toLong).as("m"), col("n_pairs"), col("recall_ok"))
+      }
+      // measured minima across sf0.001/0.01/0.1: m1 22, m2 24, m4 22
+      Seq(row(1, 20), row(2, 22), row(4, 20))
+        .reduce(_ unionByName _).orderBy(col("m"))
+    }),
+
     // IVF ANN: deterministic seed codebook, map-side cell assignment,
     // nProbe=2 inverted-list probe, exact-decimal re-rank
     "sim_ivf_topk" -> ((s, dir) => {
@@ -1370,8 +1403,49 @@ object CorpusQueries {
       val cents = Similarity.ivfCentroids(b90, "vec_id", "embedding", 8)
       val model = graft.ops.Pq.trainResidualFlat(b90, "vec_id", "embedding", cents)
       val recomputed = graft.ops.Pq.ivfTopKPqFromLists(cents, model,
-        graft.ops.Pq.pqLists(emb, "vec_id", "embedding", cents, model),
+        graft.ops.Pq.pqLists(emb, "vec_id", "embedding", cents, model)
+          .localCheckpoint(true), // serve re-evaluates lazy lists ~5x
         emb, q, "vec_id", "embedding", 5, 8, margin)
+      val mismatches = served.unionByName(recomputed)
+        .groupBy(col("qid"), col("cid"), col("rank"))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") =!= 2).count()
+      val exact = Similarity.bruteTopKExact(emb, q, "vec_id", "embedding", 5)
+      val rec = exact
+        .select(col("qid").cast("long").as("qid"), col("cid").cast("long").as("cid"))
+        .join(served.select(col("qid"), col("cid"), lit(1).as("__hit")),
+          Seq("qid", "cid"), "left_outer")
+        .agg(count_distinct(col("qid")).as("n_queries"),
+          (sum(coalesce(col("__hit"), lit(0))) >= count(lit(1)) * lit(0.80))
+            .as("recall_ge_080"))
+        .withColumn("served_eq_recompute", lit(mismatches) === 0)
+      new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      rec
+    }),
+
+    // persisted IMI-PQ: the fully FACTORIZED 10^10+-vector serving
+    // configuration as a lake artifact — product cells from two
+    // sub-codebooks (no materialized fine codebook anywhere), 8-byte
+    // residual codes under the derived μ, churn-refresh to full, then
+    // a zero-train serve that must EQUAL the recompute twin exactly
+    // (deterministic books) and clear the gate-complete recall floor
+    "sim_imi_persisted_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % 50 === 0)
+      val margin = math.max(32, math.ceil(emb.count() * 0.02).toInt)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_imipq_q").toString
+      val idx = tmp + "/imipq"
+      val b90 = emb.filter(col("vec_id") % 10 =!= 9)
+      graft.ops.ImiPqIndex.build(b90, "vec_id", "embedding", idx, nCells = 16)
+      graft.ops.ImiPqIndex.refresh(emb, "vec_id", "embedding", idx)
+      val served = graft.ops.ImiPqIndex.topK(emb, q, "vec_id", "embedding",
+          idx, 5, 16, margin)
+        .localCheckpoint(true) // the scratch index is deleted below
+      val imi = graft.ops.IvfImi.train(b90, "vec_id", "embedding", 16)
+      val model = graft.ops.Pq.trainResidualImi(b90, "vec_id", "embedding", imi)
+      val recomputed = graft.ops.Pq.ivfTopKPqImi(emb, q, "vec_id", "embedding",
+        imi, model, 5, 16, margin)
       val mismatches = served.unionByName(recomputed)
         .groupBy(col("qid"), col("cid"), col("rank"))
         .agg(count(lit(1)).as("__n")).filter(col("__n") =!= 2).count()
@@ -2899,6 +2973,13 @@ object CorpusQueries {
         |       true AS served_eq_recompute
         |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
 
+    // same constants-oracle shape: parity + gate-complete recall are
+    // Spark-side flags, the oracle recomputes the query count
+    "sim_imi_persisted_topk" ->
+      """SELECT count(DISTINCT vec_id) AS n_queries, true AS recall_ge_080,
+        |       true AS served_eq_recompute
+        |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
+
     // the floors are the contract: the oracle states every tier's board
     // row must come back (n_pairs = 5 per query) with its pinned floor
     // met — a silent recall regression reds the hash gate
@@ -2910,6 +2991,15 @@ object CorpusQueries {
         |             ('ivf_hier_pq'), ('ivf_imi'), ('ivf_imi_pq'),
         |             ('ivf_sq8'), ('ivf_pq'), ('lsh_multiprobe'), ('pca_gate')) AS t(tier)
         |CROSS JOIN q ORDER BY tier""".stripMargin,
+
+    // like the recall board: the floors are the Spark-side contract;
+    // the oracle pins shape + the expected truth of every gate
+    "sim_hier_m_board" ->
+      """WITH q AS (SELECT CAST(count(*) * 5 AS BIGINT) AS n_pairs
+        |           FROM embeddings WHERE vec_id % 50 = 0)
+        |SELECT CAST(t.m AS BIGINT) AS m, q.n_pairs, true AS recall_ok
+        |FROM (VALUES (1), (2), (4)) AS t(m)
+        |CROSS JOIN q ORDER BY m""".stripMargin,
 
     "sim_quantize_int8" ->
       """WITH b AS (SELECT vec_id,

@@ -62,6 +62,13 @@ object Probe {
     rec("ivf_seed", Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5, 8, 2))
     val hier = graft.ops.IvfHier.train(emb, "vec_id", "embedding", 8, m = 2)
     rec("ivf_hier", Similarity.ivfTopKHier(emb, q, "vec_id", "embedding", hier, 5, 2))
+    // the m sweep needs nCoarse > m headroom: nList 16 -> nCoarse 4,
+    // so m in {1, 2, 4} are genuinely distinct beams (at nList 8 the
+    // coarse level has 3 cells and m >= 3 all clamp to the same config)
+    Seq(1, 2, 4).foreach { m =>
+      val h = graft.ops.IvfHier.train(emb, "vec_id", "embedding", 16, m = m)
+      rec(s"ivf_hier16_m$m", Similarity.ivfTopKHier(emb, q, "vec_id", "embedding", h, 5, 2))
+    }
     rec("ivf_sq8", Similarity.ivfTopKInt8(emb, q, "vec_id", "embedding", 5, 8, 2))
     val pqMargin = math.max(32, math.ceil(emb.count() * 0.02).toInt)
     rec("ivf_pq", graft.ops.Pq.ivfTopKPq(emb, q, "vec_id", "embedding", 5, 8, 2,

@@ -137,8 +137,9 @@ object SparkEntry {
     "q_zonemap_agg", "q_zonemap_range",
     "enrich_fuzzy_indexed",
     "pca_moments_incremental", "sem_cluster_incremental", "sim_ivf_persisted_topk",
+    "sim_imi_persisted_topk",
     "sim_pq_persisted_topk",
-    "sim_mmr_indexed", "sim_mmr_pq", "sim_recall_board",
+    "sim_mmr_indexed", "sim_mmr_pq", "sim_recall_board", "sim_hier_m_board",
     "txt_bm25_indexed", "txt_bpe_apply", "txt_dsir_incremental",
     "txt_lm_incremental", "txt_stats_incremental")
 

@@ -317,6 +317,24 @@ object Main {
               arg(args, "--ks").map(_.toInt).getOrElse(256))
             println(s"[cli] index pq build: $n vectors coded")
           }
+        case "imipq" =>
+          // churn-refreshed IMI-PQ coded lists: product cells from two
+          // sub-codebooks (O(sqrt(nCells)·dim) state — the 10^10+-vector
+          // factorization), 8-byte residual codes under the derived mu
+          val emb = spark.read.parquet(lakePath)
+          val idx = arg(args, "--path").getOrElse(lakePath + ".imipqidx")
+          val id = arg(args, "--key").getOrElse("vec_id")
+          val vec = arg(args, "--vec").getOrElse("embedding")
+          if (flag(args, "--refresh")) {
+            val (kept, signed) = graft.ops.ImiPqIndex.refresh(emb, id, vec, idx)
+            println(s"[cli] index imipq refresh: carried $kept rows, encoded $signed (churn)")
+          } else {
+            val n = graft.ops.ImiPqIndex.build(emb, id, vec, idx,
+              arg(args, "--ncells").map(_.toLong).getOrElse(4096L),
+              arg(args, "--msub").map(_.toInt).getOrElse(8),
+              arg(args, "--ks").map(_.toInt).getOrElse(256))
+            println(s"[cli] index imipq build: $n vectors coded")
+          }
         case "pca" =>
           // incremental PCA moment index over an embedding corpus:
           // build/land a drop segment (--drop-id, --retract for the old
@@ -360,7 +378,7 @@ object Main {
               val (kept, scanned) = graft.lake.ZoneMapIndex.refreshSnapshot(lake, vcol)
               println(s"[cli] index refresh: carried $kept files, stats-scanned $scanned (churn)")
           }
-        case other => println(s"index --kind bloom|minhash|ivf|pq|pca|zonemap (got '$other')")
+        case other => println(s"index --kind bloom|minhash|ivf|pq|imipq|pca|zonemap (got '$other')")
       }
     case "semdedup" =>
       // cluster-partitioned semantic dedup over an embedding corpus.

@@ -188,23 +188,28 @@ object Pq {
       Similarity.hierCell(col(vecCol), hier), hier.nList)
 
   /** Deterministic per-cell component means: DECIMAL(25,15) sums (order
-    * independent — the same exactness trick as the PCA moments), one
-    * posexplode + two map-side-combined aggregates, codebook-sized
-    * result collected under the bounded-driver contract.
+    * independent — the same exactness trick as the PCA moments) as dim
+    * parallel aggregate columns over ONE map-side-combined pass,
+    * codebook-sized result collected under the bounded-driver contract.
+    * Deliberately NOT a posexplode: with a Generate in the plan the
+    * optimizer collapses the assignment projection into the exploded
+    * stream and re-evaluates the decimal ivfCell per ELEMENT — a
+    * measured 30× blowup (17 s vs 0.6 s on the sf0.1 fixture); the
+    * column-wise aggregate keeps the cell expression once per ROW.
     */
   private def cellMeans(corpus: DataFrame, vecCol: String, cellExpr: Column,
                         nCells: Int): Map[Long, Array[Float]] = {
+    val dim = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
+    val aggs = (0 until dim).map(i =>
+      (sum(element_at(col("__v"), i + 1).cast("decimal(25,15)")) / count(lit(1)))
+        .cast("double").as(s"__m$i"))
     val rows = Similarity.collectBounded(corpus
-      .select(cellExpr.cast("long").as("__cell"),
-        posexplode(col(vecCol)).as(Seq("__i", "__x")))
-      .groupBy(col("__cell"), col("__i"))
-      .agg((sum(col("__x").cast("decimal(25,15)")) / count(lit(1)))
-        .cast("double").as("__m"))
+      .select(cellExpr.cast("long").as("__cell"), col(vecCol).as("__v"))
       .groupBy(col("__cell"))
-      .agg(transform(array_sort(collect_list(struct(col("__i"), col("__m")))),
-        s => s.getField("__m")).as("__mv")),
+      .agg(aggs.head, aggs.tail: _*),
       nCells, "pq residual cell means")
-    rows.map(r => r.getLong(0) -> r.getSeq[Double](1).map(_.toFloat).toArray).toMap
+    rows.map(r => r.getLong(0) ->
+      Array.tabulate(dim)(i => r.getDouble(i + 1).toFloat)).toMap
   }
 
   /** The shared subspace-Lloyd fit over a driver-resident sample (raw
@@ -295,8 +300,12 @@ object Pq {
     val model =
       if (residual) trainResidualFlat(corpus, idCol, vecCol, cents, mSub, ks)
       else train(corpus, idCol, vecCol, mSub, ks)
+    // one-shot form: materialize the freshly-encoded lists before the
+    // serve tail — the serve's join/window stages otherwise re-evaluate
+    // the assignment+encode subplan (measured ~5× on the fixture); the
+    // landed-lists production path (PqIndex.topK) never builds them here
     ivfTopKPqFromLists(cents, model,
-      pqLists(corpus, idCol, vecCol, cents, model),
+      pqLists(corpus, idCol, vecCol, cents, model).localCheckpoint(true),
       corpus, queries, idCol, vecCol, k, nProbe, margin)
   }
 
@@ -353,7 +362,9 @@ object Pq {
   def ivfTopKPqImi(corpus: DataFrame, queries: DataFrame, idCol: String,
                    vecCol: String, imi: IvfImi, model: PqModel, k: Int,
                    nProbe: Int, margin: Int): DataFrame =
-    ivfTopKPqImiFromLists(imi, model, pqListsImi(corpus, idCol, vecCol, imi, model),
+    // one-shot form: materialize the fresh lists (see ivfTopKPq)
+    ivfTopKPqImiFromLists(imi, model,
+      pqListsImi(corpus, idCol, vecCol, imi, model).localCheckpoint(true),
       corpus, queries, idCol, vecCol, k, nProbe, margin)
 
   /** [[ivfTopKPqImi]] against caller-supplied (e.g. landed) lists —
@@ -383,13 +394,9 @@ object Pq {
       .withColumn("__rank", row_number().over(wadc))
       .filter(col("__rank") <= k + margin)
       .select(col("qid"), col("qv"), col("cid"))
+    // shared double-gate rerank over the broadcast pool (see adcPoolRerank)
     val full = corpus.select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("__ddot").desc, col("cid").asc)
-    full.join(broadcast(survivors), Seq("cid"))
-      .withColumn("__ddot", Similarity.dotExactDec(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("qid"), col("cid"), col("rank").cast("long").as("rank"))
+    Similarity.exactTopKTail(full.join(broadcast(survivors), Seq("cid")), k)
   }
 
   /** IVF-PQ top-k under the corpus-scaled two-level codebook — the
@@ -407,7 +414,8 @@ object Pq {
     require(k >= 1 && margin >= 0, s"need k >= 1, margin >= 0: $k, $margin")
     val q = queries.select(col(idCol).cast("long").as("qid"), col(vecCol).as("qv"),
       explode(Similarity.hierProbeCells(col(vecCol), hier, nProbe)).as("cell"))
-    adcPoolRerank(q, pqListsHier(corpus, idCol, vecCol, hier, model),
+    // one-shot form: materialize the fresh lists (see ivfTopKPq)
+    adcPoolRerank(q, pqListsHier(corpus, idCol, vecCol, hier, model).localCheckpoint(true),
       corpus, idCol, vecCol, model, k, margin)
   }
 
@@ -470,13 +478,11 @@ object Pq {
     // full-precision fetch for the pool only; exact decimal decides.
     // Survivors are (k + margin) rows per query — broadcast against the
     // corpus scan so float vectors are never shuffled (the same
-    // small-queries contract as bruteTopK).
+    // small-queries contract as bruteTopK). The rerank itself is the
+    // SHARED double-gate tail: compiled-dot coarse margin, decimal
+    // decides — a straight decimal pass over a large margin pool was
+    // the measured wall when fixtures probe gate-complete.
     val full = corpus.select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("__ddot").desc, col("cid").asc)
-    full.join(broadcast(survivors), Seq("cid"))
-      .withColumn("__ddot", Similarity.dotExactDec(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("qid"), col("cid"), col("rank").cast("long").as("rank"))
+    Similarity.exactTopKTail(full.join(broadcast(survivors), Seq("cid")), k)
   }
 }

@@ -277,11 +277,18 @@ object DropCycle {
                     // under their build-pinned codebooks + residual
                     // reference — same fingerprint gating as the SQ8 index,
                     // so both serving tiers stay on one drop cadence
-                    pqIndexPath: Option[String] = None): Map[String, (Long, Long)] = {
+                    pqIndexPath: Option[String] = None,
+                    // ...and the factorized IMI-PQ lists
+                    // ([[graft.ops.ImiPqIndex.upsert]]) — all three
+                    // serving tiers stay on one drop cadence
+                    imiPqIndexPath: Option[String] = None): Map[String, (Long, Long)] = {
     val report = scala.collection.mutable.Map[String, (Long, Long)]()
     report("simidx") = graft.ops.SimilarityIndex.upsert(embBatch, idCol, vecCol, indexPath)
     pqIndexPath.foreach { pqPath =>
       report("pqidx") = graft.ops.PqIndex.upsert(embBatch, idCol, vecCol, pqPath)
+    }
+    imiPqIndexPath.foreach { imiPath =>
+      report("imipqidx") = graft.ops.ImiPqIndex.upsert(embBatch, idCol, vecCol, imiPath)
     }
     pca.foreach { case (path, dim, dropId) =>
       val n = graft.ops.PcaIndex.landDrop(embBatch, vecCol, dim, path, dropId)

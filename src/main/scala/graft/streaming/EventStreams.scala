@@ -213,6 +213,16 @@ object EventStreams {
       if (!batch.isEmpty) graft.ops.PqIndex.upsert(batch, idCol, vecCol, idxPath)
     }
 
+  /** The factorized tier's twin: micro-batches delta-upsert the
+    * persisted IMI-PQ lists under the build-pinned sub-codebooks +
+    * residual books ([[graft.ops.ImiPqIndex.upsert]]).
+    */
+  def imiPqIndexSink(idxPath: String, idCol: String, vecCol: String)(
+      vectors: DataFrame): DataStreamWriter[org.apache.spark.sql.Row] =
+    upsertSink(vectors) { (batch, _) =>
+      if (!batch.isEmpty) graft.ops.ImiPqIndex.upsert(batch, idCol, vecCol, idxPath)
+    }
+
   /** The text-stats twin of the index sinks: each micro-batch of
     * documents delta-upserts the per-doc stats sidecar
     * ([[graft.ops.TextIndex.upsert]]) — only changed docs re-tokenize.

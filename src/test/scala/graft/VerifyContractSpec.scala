@@ -78,7 +78,7 @@ class VerifyContractSpec extends AnyFunSuite {
     // model-TRAINER journeys carry the same many-small-jobs wall profile
     // without a scratch dir (k-means rounds, PCA fit); they are allowed
     // into the tier ONLY by this explicit pinned list
-    val trainerJourneys = Set("sim_recall_board")
+    val trainerJourneys = Set("sim_recall_board", "sim_hier_m_board")
     assert((scratch ++ trainerJourneys) == SparkEntry.integrationQueries,
       s"tier drift — missing: ${(scratch ++ trainerJourneys) -- SparkEntry.integrationQueries}, " +
         s"stale: ${SparkEntry.integrationQueries -- scratch -- trainerJourneys}")
