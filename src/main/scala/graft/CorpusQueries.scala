@@ -623,6 +623,23 @@ object CorpusQueries {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // the tokenizer ROUND TRIP under the hash gate: train 12 merges,
+    // encode every augmented document to pinned-vocab ids via the
+    // native expressions, decode the ids back — the result must equal
+    // the raw pre-token stream joined with spaces, which the oracle
+    // states WITHOUT replaying any merge (regexp_extract_all + join):
+    // one equality pinning byte_map, the encoder, the id scheme and
+    // the decoder as mutually-inverse ends of one pipeline
+    "txt_bpe_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("text", bpeAugText)
+      val merges = Bpe.train(docs, "text", 12)
+      Bpe.encodeDocsIds(docs, "doc_id", "text", merges)
+        .select(col("doc_id"),
+          Bpe.decodeIds(col("token_ids"), merges).as("detok"),
+          size(col("token_ids")).cast("long").as("n_ids"))
+        .orderBy(col("doc_id"))
+    }),
+
     // token counting both ways: whitespace words vs BPE-ish regex
     // segments (contractions, digit runs and punctuation runs count
     // separately — the truer LLM-token-budget proxy)
@@ -2158,6 +2175,25 @@ object CorpusQueries {
          |      '(?i)${TextAnalysis.Ipv4Regex}', '[ip]', 'g'),
          |      '(?i)${TextAnalysis.PhoneRegex}', '[phone]', 'g')) AS redacted_fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // detok is a merge-free statement (pre-tokens joined by spaces) —
+    // the id count still replays the 12 training rounds so BOTH ends
+    // of the round trip are pinned
+    "txt_bpe_roundtrip" -> (bpeTrainCtes("") + s""",
+       |aw AS (SELECT r.doc_id, w.word FROM rwall r JOIN wmap w ON r.rword = w.rword),
+       |dcount AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS n FROM aw GROUP BY doc_id, word),
+       |vseq AS (SELECT word, regexp_replace(word, '(.)', ' \\1|', 'g') || ' </w>|' AS seq
+       |         FROM (SELECT DISTINCT word FROM aw)),
+       |vfin AS (SELECT v.word, $bpeApplyExpr AS seq
+       |         FROM vseq v, ${(1 to BpeMerges).map("m" + _).mkString(", ")}),
+       |wt AS (SELECT word, CAST(len(string_split(substr(seq, 2), ' ')) AS BIGINT) AS t FROM vfin),
+       |det AS (SELECT doc_id,
+       |          array_to_string(regexp_extract_all($bpeAugTextSql, '${graft.ops.Bpe.PreTokenRegex}'), ' ') AS detok
+       |        FROM documents),
+       |cnt AS (SELECT d.doc_id, CAST(SUM(d.n * w.t) AS BIGINT) AS n_ids
+       |        FROM dcount d JOIN wt w USING (word) GROUP BY d.doc_id)
+       |SELECT det.doc_id, det.detok, cnt.n_ids
+       |FROM det JOIN cnt USING (doc_id) ORDER BY doc_id""".stripMargin),
 
     // the regex constant is shared with the Spark side; ASCII classes +
     // no lookaheads keep Java and RE2 dialects identical

@@ -26,6 +26,7 @@ import org.apache.spark.sql.types.{IntegerType, StringType}
   *   byte_map(str)                      byte-level BPE alphabet map
   *   bpe_encode(word, 'x y;a b')        learned-BPE tokens of a word
   *   bpe_encode_ids(word, 'x y;a b')    ...as pinned-vocab integer ids
+  *   bpe_decode_ids(ids, 'x y;a b')     ...and back to pre-token text
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -85,7 +86,10 @@ object GraftExtensions {
         stringLit(a(1), "bpe_encode(word, merges)")), emitIds = false) }),
     "bpe_encode_ids" -> (c => { val a = arity("bpe_encode_ids", 2)(c)
       BpeEncode(a(0), BpeEncode.parseMerges(
-        stringLit(a(1), "bpe_encode_ids(word, merges)")), emitIds = true) }))
+        stringLit(a(1), "bpe_encode_ids(word, merges)")), emitIds = true) }),
+    "bpe_decode_ids" -> (c => { val a = arity("bpe_decode_ids", 2)(c)
+      BpeDecode(a(0), BpeEncode.parseMerges(
+        stringLit(a(1), "bpe_decode_ids(ids, merges)"))) }))
 
   private def stringLit(e: Expression, usage: String): String = e match {
     case Literal(v, StringType) if v != null => v.toString

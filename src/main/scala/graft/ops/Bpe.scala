@@ -301,6 +301,13 @@ object Bpe {
                     merges: Seq[Merge]): DataFrame =
     encodeDocsWith(df, idCol, textCol, encodeWordIds(col("word"), merges), "token_ids")
 
+  /** DETOKENIZE a pinned-vocab id stream back to pre-token text (words
+    * joined with single spaces — lossless at pre-token granularity,
+    * see [[graft.functions.BpeDecode]]).
+    */
+  def decodeIds(ids: Column, merges: Seq[Merge]): Column =
+    graft.functions.BpeDecode.bpe_decode_ids(ids, rankPairs(merges))
+
   private def encodeDocsWith(df: DataFrame, idCol: String, textCol: String,
                              wordEnc: Column, outCol: String): DataFrame = {
     val words = df.select(col(idCol),

@@ -228,6 +228,39 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("decode inverts encode at pre-token granularity, embedded </w> merges included") {
+    import graft.ops.ByteAlphabet
+    val docs = Seq(
+      (1L, "Año 2024!  price:   3.14€"), // multi-space runs collapse
+      (2L, "ab ab ab ab low lower")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", 10)
+    // at 10 merges on this corpus some merged symbol absorbs '</w>'
+    assert(merges.exists(_.merged.endsWith(Bpe.Eow)),
+      s"fixture must exercise eow-absorbing merges: $merges")
+    val got = Bpe.encodeDocsIds(docs, "doc_id", "text", merges)
+      .select(col("doc_id"), Bpe.decodeIds(col("token_ids"), merges).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "Año 2024 ! price : 3.14 €".split(' ').mkString(" ")
+      || got(1L) == "Año 2024 ! price : 3 . 14 €",
+      s"decode must rebuild the pre-token stream: '${got(1L)}'")
+    // the exact contract: decode == raw pre-tokens joined by one space
+    val want = docs.select(col("doc_id"),
+        array_join(regexp_extract_all(col("text"), lit(Bpe.PreTokenRegex), lit(0)), " ").as("w"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == want, s"got=$got want=$want")
+    // SQL surface
+    graft.functions.GraftExtensions.registerAll(spark)
+    val viaSql = Seq(Seq('b' + 1, 'a' + 1, 257, 0)).toDF("ids")
+      .selectExpr("bpe_decode_ids(ids, 't h;a t')").collect().head.getString(0)
+    assert(viaSql == "bath", s"got '$viaSql'")
+    // out-of-vocab ids fail loudly
+    val ex = intercept[Throwable] {
+      Seq(Seq(9999)).toDF("ids")
+        .selectExpr("bpe_decode_ids(ids, 't h')").collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("cli bpe: train -> refresh -> count round trip matches the library serve") {
     val root = java.nio.file.Files.createTempDirectory("bpe-cli").toString
     val d1 = Seq((1L, "low lower lowest"), (2L, "low low new")).toDF("doc_id", "text")
