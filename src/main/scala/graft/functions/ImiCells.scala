@@ -32,6 +32,12 @@ case class ImiCells(child: Expression, imi: IvfImi, nOut: Int)
     val d1 = imi.dSplit
     val k1 = imi.k1
     val k2 = imi.k2
+    val dim = d1 + imi.sub2(0).length
+    // fail loudly on a dim mismatch (e.g. a corpus column mixing vector
+    // widths) instead of silently assigning with a truncated dot
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"imi_cells: vector has ${v.numElements()} dims, codebook expects $dim")
     // side scores: sequential double folds, fixed order
     val s1 = new Array[Double](k1)
     var i = 0
@@ -39,8 +45,7 @@ case class ImiCells(child: Expression, imi: IvfImi, nOut: Int)
       val c = imi.sub1(i)
       var s = 0.0
       var x = 0
-      val n = math.min(d1, v.numElements())
-      while (x < n) { s += v.getFloat(x).toDouble * c(x).toDouble; x += 1 }
+      while (x < d1) { s += v.getFloat(x).toDouble * c(x).toDouble; x += 1 }
       s1(i) = s
       i += 1
     }
@@ -50,8 +55,7 @@ case class ImiCells(child: Expression, imi: IvfImi, nOut: Int)
       val c = imi.sub2(j)
       var s = 0.0
       var x = 0
-      val n = math.min(c.length, math.max(0, v.numElements() - d1))
-      while (x < n) { s += v.getFloat(d1 + x).toDouble * c(x).toDouble; x += 1 }
+      while (x < c.length) { s += v.getFloat(d1 + x).toDouble * c(x).toDouble; x += 1 }
       s2(j) = s
       j += 1
     }
@@ -69,6 +73,12 @@ case class ImiCells(child: Expression, imi: IvfImi, nOut: Int)
           if (!taken(c) && sc(c) > bestD) { best = c; bestD = sc(c) }
           c += 1
         }
+        // every score NaN (a non-finite input vector) leaves best at -1:
+        // name the cause instead of an opaque index-out-of-bounds
+        if (best < 0)
+          throw new IllegalArgumentException(
+            "imi_cells: all side scores are NaN — the input vector contains " +
+              "a non-finite value")
         taken(best) = true
         out(o) = best
         o += 1
@@ -109,6 +119,10 @@ case class ImiCells(child: Expression, imi: IvfImi, nOut: Int)
         }
         p += 1
       }
+      if (best < 0)
+        throw new IllegalArgumentException(
+          "imi_cells: all pair scores are NaN — the input vector contains " +
+            "a non-finite value")
       used(best) = true
       out(o) = pairId(best)
       o += 1

@@ -94,18 +94,13 @@ case class PqAdc(first: Expression, second: Expression, third: Expression,
       override def initialValue() = new java.util.HashMap[Long, (Long, Array[Array[Double]])]()
     }
 
-  // cheap vector digest guarding the qid-keyed cache: two rows sharing a
-  // qid (duplicate ids, or distinct ids colliding after cast("long"))
-  // with DIFFERENT vectors must never score against each other's table.
-  // First/last element bits + length catch any realistic divergence; a
-  // mismatch recomputes (degrades to per-row cost, never a wrong score).
-  private def qvDigest(qv: ArrayData): Long = {
-    val n = qv.numElements()
-    if (n == 0) 0L
-    else (java.lang.Float.floatToRawIntBits(qv.getFloat(0)).toLong << 32) ^
-      (java.lang.Float.floatToRawIntBits(qv.getFloat(n - 1)).toLong & 0xffffffffL) ^
-      (n.toLong << 17)
-  }
+  // vector digest guarding the qid-keyed cache: two rows sharing a qid
+  // (duplicate ids, or distinct ids colliding after cast("long")) with
+  // DIFFERENT vectors must never score against each other's table. The
+  // digest folds EVERY element's raw bits (FNV-1a over the float words),
+  // so any bit-level divergence recomputes — computed once per cache
+  // probe, not per candidate, so the full fold costs nothing material.
+  private def qvDigest(qv: ArrayData): Long = PqAdcRes.digest(qv)
 
   private def lutFor(qid: Long, qv: ArrayData): Array[Array[Double]] = {
     val cache = luts.get()
@@ -280,12 +275,20 @@ case class PqAdcRes(first: Expression, second: Expression, third: Expression,
 }
 
 object PqAdcRes {
+  /** FNV-1a fold over every element's raw float bits plus the length —
+    * the cache guard must see ANY divergence between two vectors that
+    * collide on a qid, not just first/last-element drift.
+    */
   private[functions] def digest(qv: ArrayData): Long = {
     val n = qv.numElements()
-    if (n == 0) 0L
-    else (java.lang.Float.floatToRawIntBits(qv.getFloat(0)).toLong << 32) ^
-      (java.lang.Float.floatToRawIntBits(qv.getFloat(n - 1)).toLong & 0xffffffffL) ^
-      (n.toLong << 17)
+    var h = 0xcbf29ce484222325L ^ (n.toLong << 17)
+    var i = 0
+    while (i < n) {
+      h = (h ^ (java.lang.Float.floatToRawIntBits(qv.getFloat(i)).toLong & 0xffffffffL)) *
+        0x100000001b3L
+      i += 1
+    }
+    h
   }
 }
 
@@ -313,6 +316,12 @@ case class PqCodesImiRes(left: Expression, right: Expression, model: PqModel,
     val d1 = imi.dSplit
     val mSub = model.codebooks.length
     val dsub = model.dsub
+    // fail loudly before reading past numElements (ArrayData reads past
+    // the end are undefined, not an exception)
+    if (v.numElements() != d1 + b.length || v.numElements() != mSub * dsub)
+      throw new IllegalArgumentException(
+        s"pq_codes_imi_res: vector has ${v.numElements()} dims, expected " +
+          s"${d1 + b.length} (IMI) = ${mSub * dsub} (PQ)")
     val out = new Array[Byte](mSub)
     var m = 0
     while (m < mSub) {
@@ -382,14 +391,18 @@ case class PqAdcImiRes(first: Expression, second: Expression, third: Expression,
     if (hit != null && hit._1 == dig) return (hit._2, hit._3)
     if (cache.size() > 4096) cache.clear()
     val d1 = imi.dSplit
+    val dim = d1 + imi.sub2(0).length
+    if (qv.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"pq_adc_imi_res: query vector has ${qv.numElements()} dims, " +
+          s"codebook expects $dim")
     val l1 = new Array[Double](imi.k1)
     var i = 0
     while (i < imi.k1) {
       val c = imi.sub1(i)
       var s = 0.0
       var x = 0
-      val n = math.min(d1, qv.numElements())
-      while (x < n) { s += qv.getFloat(x).toDouble * c(x).toDouble; x += 1 }
+      while (x < d1) { s += qv.getFloat(x).toDouble * c(x).toDouble; x += 1 }
       l1(i) = s
       i += 1
     }
@@ -399,8 +412,7 @@ case class PqAdcImiRes(first: Expression, second: Expression, third: Expression,
       val c = imi.sub2(j)
       var s = 0.0
       var x = 0
-      val n = math.min(c.length, math.max(0, qv.numElements() - d1))
-      while (x < n) { s += qv.getFloat(d1 + x).toDouble * c(x).toDouble; x += 1 }
+      while (x < c.length) { s += qv.getFloat(d1 + x).toDouble * c(x).toDouble; x += 1 }
       l2(j) = s
       j += 1
     }

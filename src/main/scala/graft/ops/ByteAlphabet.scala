@@ -13,7 +13,7 @@ package graft.ops
   * two characters the sequence representation reserves — '|' (0x7C,
   * the symbol terminator) and '<' (0x3C, so no merged symbol can ever
   * spell the '</w>' end-of-word marker) — plus the Latin-1 printables
-  * [161..172] and [174..255] (GPT-2's choice). The remaining 72 bytes
+  * [161..172] and [174..255] (GPT-2's choice). The remaining 70 bytes
   * (controls, space, DEL, 0x7F..0xA0, 0xAD, and our two reserved
   * chars) map in ascending byte order to consecutive codepoints from
   * U+0100. Consequences the rest of the tier relies on:
