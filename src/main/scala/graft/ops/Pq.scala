@@ -199,6 +199,7 @@ object Pq {
     */
   private def cellMeans(corpus: DataFrame, vecCol: String, cellExpr: Column,
                         nCells: Int): Map[Long, Array[Float]] = {
+    requireFlatBudget(nCells, "pq residual cell means")
     val dim = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
     val aggs = (0 until dim).map(i =>
       (sum(element_at(col("__v"), i + 1).cast("decimal(25,15)")) / count(lit(1)))
@@ -269,7 +270,8 @@ object Pq {
     */
   def pqLists(corpus: DataFrame, idCol: String, vecCol: String,
               cents: Seq[(Long, Seq[Float])], model: PqModel,
-              extraCols: Seq[Column] = Nil): DataFrame =
+              extraCols: Seq[Column] = Nil): DataFrame = {
+    requireFlatBudget(cents.size, "pqLists")
     if (!model.residual)
       corpus.select(Seq(col(idCol).as("cid"),
         Similarity.ivfCell(col(vecCol), cents).as("cell"),
@@ -285,6 +287,7 @@ object Pq {
           col("__v"), col("cell"), model, model.mu))
         .drop("__v")
     }
+  }
 
   /** IVF-PQ top-k with tier-default codebooks: seeded IVF cells for the
     * candidate gate, PQ trained on the corpus sample. `residual = true`
@@ -296,6 +299,7 @@ object Pq {
                 vecCol: String, k: Int, nList: Int, nProbe: Int,
                 margin: Int, mSub: Int = 8, ks: Int = 256,
                 residual: Boolean = true): DataFrame = {
+    requireFlatBudget(nList, "ivfTopKPq")
     val cents = Similarity.ivfCentroids(corpus, idCol, vecCol, nList)
     val model =
       if (residual) trainResidualFlat(corpus, idCol, vecCol, cents, mSub, ks)
@@ -316,7 +320,8 @@ object Pq {
     */
   def pqListsHier(corpus: DataFrame, idCol: String, vecCol: String,
                   hier: IvfHier, model: PqModel,
-                  extraCols: Seq[Column] = Nil): DataFrame =
+                  extraCols: Seq[Column] = Nil): DataFrame = {
+    requireFlatBudget(hier.nList, "pqListsHier")
     if (!model.residual)
       corpus.select(Seq(col(idCol).as("cid"),
         Similarity.hierCell(col(vecCol), hier).as("cell"),
@@ -332,6 +337,7 @@ object Pq {
           col("__v"), col("cell"), model, model.mu))
         .drop("__v")
     }
+  }
 
   /** The PQ lists under PRODUCT (IMI) cells — the 10^10+-vector
     * configuration: nCells follows the corpus at O(√nCells·dim) task
@@ -412,6 +418,7 @@ object Pq {
                     vecCol: String, hier: IvfHier, model: PqModel, k: Int,
                     nProbe: Int, margin: Int): DataFrame = {
     require(k >= 1 && margin >= 0, s"need k >= 1, margin >= 0: $k, $margin")
+    requireFlatBudget(hier.nList, "ivfTopKPqHier")
     val q = queries.select(col(idCol).cast("long").as("qid"), col(vecCol).as("qv"),
       explode(Similarity.hierProbeCells(col(vecCol), hier, nProbe)).as("cell"))
     // one-shot form: materialize the fresh lists (see ivfTopKPq)
@@ -430,6 +437,7 @@ object Pq {
                          idCol: String, vecCol: String, k: Int, nProbe: Int,
                          margin: Int): DataFrame = {
     require(k >= 1 && margin >= 0, s"need k >= 1, margin >= 0: $k, $margin")
+    requireFlatBudget(cents.size, "ivfTopKPqFromLists")
     val q = queries.select(col(idCol).cast("long").as("qid"), col(vecCol).as("qv"),
       explode(Similarity.ivfProbeCells(col(vecCol), cents, nProbe)).as("cell"))
     adcPoolRerank(q, lists, corpus, idCol, vecCol, model, k, margin)
@@ -448,6 +456,27 @@ object Pq {
     * production serve picks a fixed margin like ScaleSmoke's 64).
     */
   val MaxRerankMargin = 8192
+
+  /** Largest cell count the FLAT/HIER routes accept: their codebook and
+    * residual cell-mean reference ride the driver and every task as
+    * O(nList·dim) state (at dim 64 the cap is ~32 MB of raw floats —
+    * comfortable; 10^6 cells would be GB-scale, the round-16/17 seam).
+    * Past this budget the factorized product-coarse route is mandatory
+    * ([[IvfImi]] / [[ImiPqIndex]]: two √nList sub-codebooks, O(√nList·
+    * dim) task state, exact product-cell assignment/probe) — the guard
+    * REFUSES rather than auto-routing because flat kmeans cells and
+    * axis-split product cells are different gates with different recall
+    * contracts; switching tiers is a caller decision, not a silent one.
+    */
+  val MaxFlatNList = 65536
+
+  private[ops] def requireFlatBudget(nCells: Long, where: String): Unit =
+    require(nCells <= MaxFlatNList,
+      s"$where: $nCells cells exceed MaxFlatNList=$MaxFlatNList — the flat " +
+        "codebook + cell means are O(nList·dim) driver/task state; past " +
+        "this budget build the factorized product-coarse index instead " +
+        "(graft.ops.IvfImi / graft.ops.ImiPqIndex, O(√nList·dim) " +
+        "task state) or rebuild with fewer cells")
 
   private def adcPoolRerank(q: DataFrame, lists: DataFrame, corpus: DataFrame,
                             idCol: String, vecCol: String, model: PqModel,

@@ -53,6 +53,9 @@ object PqIndex {
   def build(corpus: DataFrame, idCol: String, vecCol: String, path: String,
             nList: Int, mSub: Int = 8, ks: Int = 256,
             residual: Boolean = true): Long = {
+    // refuse the flat layout past the task-state budget BEFORE any
+    // training work — the factorized ImiPqIndex is the route there
+    Pq.requireFlatBudget(nList, "PqIndex.build")
     val spark = corpus.sparkSession
     import spark.implicits._
     val cents = Similarity.ivfCentroids(corpus, idCol, vecCol, nList)
@@ -74,11 +77,18 @@ object PqIndex {
     spark.read.parquet(listsPath(path)).count()
   }
 
-  /** The pinned IVF codebook, collected back codebook-sized. */
-  def loadCentroids(spark: SparkSession, path: String): Seq[(Long, Seq[Float])] =
-    spark.read.parquet(centsPath(path))
-      .orderBy(col("cell_id")).collect().toIndexedSeq
+  /** The pinned IVF codebook, collected back codebook-sized. The
+    * task-state budget is checked BEFORE the collect (count first — a
+    * metadata-cheap job), so an index written by some other writer past
+    * [[Pq.MaxFlatNList]] refuses with the routing message instead of
+    * dragging GBs to the driver.
+    */
+  def loadCentroids(spark: SparkSession, path: String): Seq[(Long, Seq[Float])] = {
+    val df = spark.read.parquet(centsPath(path))
+    Pq.requireFlatBudget(df.count(), "PqIndex.loadCentroids")
+    df.orderBy(col("cell_id")).collect().toIndexedSeq
       .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
+  }
 
   /** The pinned PQ codebooks, collected back codebook-sized. The
     * residual flag comes from `meta` (an index written before the meta
@@ -96,8 +106,12 @@ object PqIndex {
         spark.read.parquet(path + "/meta").collect().head.getBoolean(0)
     val mu =
       if (!residual) Map.empty[Long, Array[Float]]
-      else spark.read.parquet(path + "/cellmeans").collect()
-        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      else {
+        val mdf = spark.read.parquet(path + "/cellmeans")
+        Pq.requireFlatBudget(mdf.count(), "PqIndex.loadModel cellmeans")
+        mdf.collect()
+          .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      }
     PqModel(books.head.head.length, books, residual, mu)
   }
 
