@@ -353,6 +353,51 @@ object CorpusQueries {
   private val dsirOracleSql = dsirCoreCte +
     "\nSELECT doc, n_bigrams, dsir_w FROM dw ORDER BY doc"
 
+  /** One signSGD training round of the quality classifier as SQL, given
+    * the previous round's weight CTE `prev` (b, w): per-doc mean-weight
+    * logit (flooring //), hard-sigmoid error on the 10^6 grid, per-doc
+    * gradient contribution c = err // n, bucket gradient sum, sign step.
+    * g covers every bucket in st (each joins some doc), so the JOIN to
+    * prev loses nothing — the CTE chain replays QualityClassifier.train
+    * round by round, the way the BPE oracle replays merge rounds.
+    */
+  private def clfRoundCte(r: Int, prev: String, step: Long): String =
+    s""",
+       |s$r AS (SELECT st.doc, sum(COALESCE($prev.w, 0)) AS sw
+       |        FROM st LEFT JOIN $prev USING (b) GROUP BY st.doc),
+       |d$r AS (SELECT dn.doc,
+       |          (greatest(0, least(1000000, ((sw // n) // 4) + 500000)) - y * 1000000) // n AS c
+       |        FROM dn JOIN s$r USING (doc)),
+       |g$r AS (SELECT b, sum(c) AS g FROM st JOIN d$r USING (doc) GROUP BY b),
+       |w$r AS (SELECT b, $prev.w + (CASE WHEN g > 0 THEN -$step WHEN g < 0 THEN $step ELSE 0 END) AS w
+       |        FROM g$r JOIN $prev USING (b))""".stripMargin
+
+  /** The classifier feature stream + the unrolled 3-round replay up to
+    * the final weights `w3`, SANS the leading token CTE (so it can ride
+    * behind either tkCte or bandsCte). Round 1 inlines w0 = 0 (z = 0,
+    * p = 1/2). `where` narrows the training slice (e.g. the pipeline's
+    * 90% train split).
+    */
+  private def clfChain(where: String): String =
+    s""",
+      |bgc AS (SELECT doc_id AS doc, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+      |  unnest(list_transform(range(2, len(toks) + 1),
+      |    i -> toks[i-1] || ' ' || toks[i])) AS bg
+      |  FROM tk WHERE len(toks) >= 2$where),
+      |st AS (SELECT DISTINCT doc, y,
+      |  ((instr('0123456789abcdef', substr(md5(bg), 1, 1)) - 1) * 4096
+      |  + (instr('0123456789abcdef', substr(md5(bg), 2, 1)) - 1) * 256
+      |  + (instr('0123456789abcdef', substr(md5(bg), 3, 1)) - 1) * 16
+      |  + (instr('0123456789abcdef', substr(md5(bg), 4, 1)) - 1)) % 4096 AS b
+      |  FROM bgc),
+      |dn AS (SELECT doc, y, count(*) AS n FROM st GROUP BY doc, y),
+      |d1 AS (SELECT doc, (500000 - y * 1000000) // n AS c FROM dn),
+      |g1 AS (SELECT b, sum(c) AS g FROM st JOIN d1 USING (doc) GROUP BY b),
+      |w1 AS (SELECT b, CAST(CASE WHEN g > 0 THEN -250000 WHEN g < 0 THEN 250000 ELSE 0 END AS BIGINT) AS w FROM g1)""".stripMargin +
+    clfRoundCte(2, "w1", 125000L) + clfRoundCte(3, "w2", 62500L)
+
+  private val clfCoreCte = tkCte + clfChain("")
+
   /** Bigram-LM scoring recompute (shared by txt_lm_score and its
     * incremental twin — merged count segments must reproduce this
     * exactly).
@@ -1103,6 +1148,39 @@ object CorpusQueries {
         .orderBy(col("source"), col("doc_id"))
     }),
 
+    // the corpus pipeline with its quality gate swapped for the TRAINED
+    // classifier (verdict r17 ask: the CCNet-style alternative scorer
+    // integrated into the capstone): same shingle frame, LSH canonical
+    // keep and decontamination semi-join, but kept docs must score
+    // clf_prob >= 1/2 under a model trained ON THE TRAIN SLICE — the
+    // gate is an inner join to the score frame, so evidence-free docs
+    // (< 2 tokens) drop rather than free-ride the gate
+    "corpus_pipeline_clf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      val trainSh = train
+        .select(col("doc_id").as("doc"), Dedup.shingles(col("text")).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = Dedup.minhashCandidatesFromShingles(trainSh)
+      val comp = Dedup.connectedComponents(pairs)
+      val contam = Dedup.contaminatedFromShingles(trainSh,
+          docs.filter(col("doc_id") % 10 === 0)
+            .select(Dedup.shingles(col("text")).as("sh")), minShared = 8)
+        .select(col("doc").as("doc_id"))
+      val m = graft.ops.QualityClassifier.train(train, "doc_id", "text",
+        col("lang") === "en")
+      val scores = graft.ops.QualityClassifier.score(train, "doc_id", "text", m)
+        .select(col("doc").as("doc_id"), col("clf_prob"))
+      val kept = train.select(col("doc_id"), col("text"), col("source"))
+        .join(comp, col("doc_id") === col("node"), "left_outer")
+        .filter(coalesce(col("component"), col("doc_id")) === col("doc_id"))
+        .join(contam, Seq("doc_id"), "left_anti")
+        .join(scores, Seq("doc_id"))
+        .filter(col("clf_prob") >= lit(500000L))
+      TextAnalysis.packSequences(kept, "source", "doc_id", "text", budget = 512)
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
     // capstone composition: the curated-corpus selection — near-dup
     // canonical keep x quality threshold x language agreement, one plan
     "corpus_curate" -> ((s, dir) => {
@@ -1236,12 +1314,19 @@ object CorpusQueries {
       PqIndex.build(emb.filter(col("vec_id") % 10 =!= 9),
         "vec_id", "embedding", idx, nList = 8)
       PqIndex.refresh(emb, "vec_id", "embedding", idx)
+      // margin = corpus at the GATED scale (completeness provable). The
+      // oracle pins EXACT equality with brute MMR, so a fixture past
+      // MaxRerankMargin cannot silently degrade to approximate — it must
+      // fail loudly here (re-gate on a bounded fixture, or accept a
+      // recall-floor contract like the board rows, if this ever trips).
+      val nEmb = emb.count()
+      require(nEmb <= graft.ops.Pq.MaxRerankMargin,
+        s"sim_mmr_pq: fixture has $nEmb embeddings > MaxRerankMargin " +
+          s"${graft.ops.Pq.MaxRerankMargin}; the gate-complete pool would be " +
+          "silently truncated under an exact-equality oracle")
       val out = Similarity.mmrTopKPq(emb, emb.filter(col("vec_id") % 50 === 0),
           "vec_id", "embedding", idx, poolK = 10, k = 5, nProbe = 8,
-          // margin = corpus at the GATED scale (completeness provable);
-          // capped so a larger bench fixture degrades to approximate
-          // instead of tripping the absolute margin guard
-          margin = math.min(emb.count(), graft.ops.Pq.MaxRerankMargin.toLong).toInt)
+          margin = nEmb.toInt)
         .orderBy(col("qid"), col("rank"))
         .localCheckpoint(true) // the scratch index is deleted next
       new org.apache.hadoop.fs.Path(tmp)
@@ -1290,7 +1375,9 @@ object CorpusQueries {
       // pca 100; floors sit 2 points under (5 under for pca: its margin
       // contract is the sim_pca_recall ≥0.95 bound, restated here), so
       // a change shedding more than ~1 recall point at k=5 reds the
-      // driver gate
+      // driver gate. The 2%-of-corpus margins below cross
+      // Pq.MaxRerankMargin at ~409k fixture rows, where the PQ serves
+      // throw the absolute-cap guard — re-pin on a bounded fixture then.
       Seq(
         row("brute", exact, 100),
         row("ivf_kmeans", Similarity.ivfTopKWith(kmeansCents, emb, q,
@@ -1406,7 +1493,10 @@ object CorpusQueries {
       // corpus-proportional margin is FIXTURE-LOCAL (it makes the pool
       // provably gate-complete at pinned tiny scale); production serves
       // pass a FIXED margin — the pool is broadcast and Pq.MaxRerankMargin
-      // enforces the absolute cap
+      // enforces the absolute cap. Ceiling: 2% of corpus crosses that cap
+      // at ~409k fixture rows, where the serve would FAIL LOUDLY (the
+      // margin guard throws) — the intended signal to re-pin this query
+      // on a bounded fixture rather than let recall drift silently.
       val margin = math.max(32, math.ceil(emb.count() * 0.02).toInt)
       val tmp = java.nio.file.Files.createTempDirectory("graft_pqidx_q").toString
       val idx = tmp + "/pq"
@@ -1637,6 +1727,29 @@ object CorpusQueries {
       out
     }),
 
+    // TRAINED quality classifier (the CCNet/RefinedWeb fastText-style
+    // gate): hard-sigmoid logistic regression over hashed-bigram
+    // presence features, trained by 3 signSGD rounds ENTIRELY on the
+    // 10^6 integer grid — the oracle replays every round in SQL (w0=0
+    // → g1 → w1 → g2 → w2 → g3 → w3) the way the BPE oracle replays
+    // merge rounds. Output: the final model rows
+    "txt_clf_train" -> ((s, dir) => {
+      val m = graft.ops.QualityClassifier.train(t(s, dir, "documents"),
+        "doc_id", "text", col("lang") === "en")
+      graft.ops.QualityClassifier.modelDf(s, m).orderBy(col("b"))
+    }),
+
+    // ...and the corpus scored under that trained model: mean-bucket-
+    // weight logit + hard-sigmoid probability per doc, one broadcast
+    // join + one doc-keyed aggregate (no per-doc model state anywhere)
+    "txt_clf_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m = graft.ops.QualityClassifier.train(docs,
+        "doc_id", "text", col("lang") === "en")
+      graft.ops.QualityClassifier.score(docs, "doc_id", "text", m)
+        .orderBy(col("doc"))
+    }),
+
     // feature-hashed sparse TF vectors: the model-free text→vector
     // bridge (md5 3-nibble bucket, term frequency) — posting rows, the
     // sparse form the inverted-index similarity join consumes
@@ -1829,6 +1942,39 @@ object CorpusQueries {
           graft.harvest.UrlSniff.fileTypeFromHeaders(col("ct"), col("cd")).as("file_type"),
           graft.harvest.UrlSniff.metaRefreshUrl(col("url"), col("html")).as("redirect"))
         .orderBy(col("ok"))
+    }),
+
+    // URL canonicalization + URL-level dedup (the web-corpus front
+    // gate): five dirt variants per logical resource — mixed-case
+    // scheme/host, default :443 port, trailing host dot, fragment,
+    // trailing slashes, lowercase %-escapes, utm_*/gclid tracking
+    // params (mixed case), unsorted params, surrounding whitespace —
+    // must collapse to ONE canonical key per o_orderkey-div-5 group.
+    // The oracle re-implements every canonicalization step generically
+    // in SQL (not the generator's answer key), so the expression and
+    // its DuckDB twin must agree on the ALGORITHM
+    "dedup_url_canonical" -> ((s, dir) => {
+      val g = expr("o_orderkey div 5").cast("long")
+      val h = pmod(g, lit(20)).cast("string")
+      val gs = g.cast("string")
+      val ok5 = pmod(col("o_orderkey"), lit(5))
+      val url = when(ok5 === 0,
+          concat(lit("HTTPS://Host"), h, lit(".Example.ES/Docs/"), gs,
+            lit("?q=1&x=%2fa#frag")))
+        .when(ok5 === 1,
+          concat(lit("https://host"), h, lit(".example.es:443/Docs/"), gs,
+            lit("?x=%2Fa&q=1")))
+        .when(ok5 === 2,
+          concat(lit("https://host"), h, lit(".example.es./Docs/"), gs,
+            lit("/?q=1&x=%2fa&utm_source=news")))
+        .when(ok5 === 3,
+          concat(lit("  https://host"), h, lit(".example.es/Docs/"), gs,
+            lit("?gclid=g"), col("o_orderkey").cast("string"), lit("&q=1&x=%2Fa  ")))
+        .otherwise(
+          concat(lit("https://host"), h, lit(".example.es/Docs/"), gs,
+            lit("//?UTM_Source=x&q=1&x=%2Fa")))
+      val f = t(s, dir, "orders").select(col("o_orderkey").as("ok"), url.as("url"))
+      Dedup.urlCanonicalKeep(f, "ok", "url").orderBy(col("canon_url"))
     }),
 
     // F14: NIF/DNI/CIF/NIE normalization + validation
@@ -2687,6 +2833,44 @@ object CorpusQueries {
          |       CAST(start // 512 AS BIGINT) AS bin, CAST(start % 512 AS BIGINT) AS offset
          |FROM pk ORDER BY source, doc_id""".stripMargin),
 
+    "corpus_pipeline_clf" -> (bandsCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+      s""",
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |         FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+         |           AND x.doc_id < y.doc_id
+         |         WHERE x.doc_id % 10 <> 0 AND y.doc_id % 10 <> 0),
+         |sym AS (SELECT a AS u, b AS v FROM cand UNION SELECT b AS u, a AS v FROM cand),
+         |walk(u, v) AS (SELECT u, v FROM sym UNION SELECT w.u, s.v FROM walk w JOIN sym s ON w.v = s.u),
+         |reach AS (SELECT u, min(v) AS mn FROM walk GROUP BY u),
+         |contam AS (SELECT tr.doc_id AS doc_id
+         |           FROM (SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id % 10 <> 0) tr
+         |           JOIN (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 10 = 0) ev USING (s)
+         |           GROUP BY tr.doc_id HAVING count(*) >= 8)""".stripMargin +
+      clfChain(" AND doc_id % 10 <> 0") +
+      s""",
+         |sf AS (SELECT st.doc, count(*) AS nfb, sum(COALESCE(w3.w, 0)) AS sw
+         |       FROM st LEFT JOIN w3 USING (b) GROUP BY st.doc),
+         |pv AS (SELECT doc AS doc_id,
+         |         greatest(0, least(1000000, ((sw // nfb) // 4) + 500000)) AS prob
+         |       FROM sf),
+         |kept AS (SELECT d.doc_id, d.source,
+         |           CAST(len(t.toks) AS BIGINT) AS n_tokens
+         |         FROM documents d
+         |         JOIN tk t ON d.doc_id = t.doc_id
+         |         JOIN pv q ON d.doc_id = q.doc_id
+         |         LEFT JOIN reach r ON d.doc_id = r.u
+         |         WHERE d.doc_id % 10 <> 0
+         |           AND least(coalesce(r.mn, d.doc_id), d.doc_id) = d.doc_id
+         |           AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+         |           AND q.prob >= 500000),
+         |pk AS (SELECT source, doc_id, n_tokens,
+         |         COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+         |       FROM kept)
+         |SELECT source, doc_id, n_tokens,
+         |       CAST(start // 512 AS BIGINT) AS bin, CAST(start % 512 AS BIGINT) AS offset
+         |FROM pk ORDER BY source, doc_id""".stripMargin),
+
     "corpus_curate" -> (bandsCte.replaceFirst("^WITH ", "WITH RECURSIVE ") +
       s""",
          |cand AS ($candSelect),
@@ -2899,6 +3083,18 @@ object CorpusQueries {
     // smoothed ppm under the target (lang='en') and raw distributions,
     // per-doc sum of the per-bucket delta; all division operands are
     // positive so // and Spark's div agree
+    "txt_clf_train" -> (clfCoreCte +
+      "\nSELECT CAST(b AS BIGINT) AS b, CAST(w AS BIGINT) AS w FROM w3 ORDER BY b"),
+
+    "txt_clf_score" -> (clfCoreCte +
+      """,
+        |sf AS (SELECT st.doc, count(*) AS n_fbuckets, sum(COALESCE(w3.w, 0)) AS sw
+        |       FROM st LEFT JOIN w3 USING (b) GROUP BY st.doc)
+        |SELECT doc, CAST(n_fbuckets AS BIGINT) AS n_fbuckets,
+        |  CAST(sw // n_fbuckets AS BIGINT) AS clf_logit,
+        |  CAST(greatest(0, least(1000000, ((sw // n_fbuckets) // 4) + 500000)) AS BIGINT) AS clf_prob
+        |FROM sf ORDER BY doc""".stripMargin),
+
     "txt_dsir_weights" -> dsirOracleSql,
 
     // merged per-drop count segments must reproduce the one-shot model
@@ -3097,6 +3293,67 @@ object CorpusQueries {
           |       WHEN redir LIKE '/%' THEN regexp_extract(url, '^([a-z]+)://', 1) || '://' || regexp_extract(url, '^[a-z]+://([^/]+)', 1) || redir
           |       ELSE redir END AS redirect
           |FROM r2 ORDER BY ok""".stripMargin),
+
+    // generic re-implementation of every CanonicalUrl step (fragment
+    // strip, scheme/host lowercase, host trailing-dot strip, default-
+    // port drop, per-escape hex uppercase via the split-on-% list
+    // trick, trailing-slash strip with empty->'/', tracking-param drop
+    // + lexicographic param sort) — NOT the fixture generator's answer
+    // key, so Spark and DuckDB must agree on the algorithm itself
+    "dedup_url_canonical" ->
+      """WITH u AS (SELECT o_orderkey AS ok, o_orderkey // 5 AS g,
+        |                  (o_orderkey // 5) % 20 AS h FROM orders),
+        |d AS (SELECT ok,
+        |  CASE WHEN ok % 5 = 0 THEN 'HTTPS://Host' || CAST(h AS VARCHAR) || '.Example.ES/Docs/' || CAST(g AS VARCHAR) || '?q=1&x=%2fa#frag'
+        |       WHEN ok % 5 = 1 THEN 'https://host' || CAST(h AS VARCHAR) || '.example.es:443/Docs/' || CAST(g AS VARCHAR) || '?x=%2Fa&q=1'
+        |       WHEN ok % 5 = 2 THEN 'https://host' || CAST(h AS VARCHAR) || '.example.es./Docs/' || CAST(g AS VARCHAR) || '/?q=1&x=%2fa&utm_source=news'
+        |       WHEN ok % 5 = 3 THEN '  https://host' || CAST(h AS VARCHAR) || '.example.es/Docs/' || CAST(g AS VARCHAR) || '?gclid=g' || CAST(ok AS VARCHAR) || '&q=1&x=%2Fa  '
+        |       ELSE 'https://host' || CAST(h AS VARCHAR) || '.example.es/Docs/' || CAST(g AS VARCHAR) || '//?UTM_Source=x&q=1&x=%2Fa' END AS url
+        |  FROM u),
+        |s1 AS (SELECT ok, split_part(trim(url), '#', 1) AS nf FROM d),
+        |p AS (SELECT ok,
+        |  lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |  regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
+        |  regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+        |  CASE WHEN contains(nf, '?') THEN regexp_extract(nf, '\?(.*)$', 1) END AS qry
+        |  FROM s1),
+        |h2 AS (SELECT *,
+        |  CASE WHEN regexp_matches(auth, ':[0-9]+$') THEN regexp_extract(auth, '^(.*):[0-9]+$', 1) ELSE auth END AS hostraw,
+        |  CASE WHEN regexp_matches(auth, ':[0-9]+$') THEN regexp_extract(auth, ':([0-9]+)$', 1) ELSE '' END AS port
+        |  FROM p),
+        |h3 AS (SELECT *, rtrim(lower(hostraw), '.') AS host,
+        |  CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+        |         OR (scheme = 'https' AND port = '443') THEN ''
+        |       ELSE ':' || port END AS portkeep
+        |  FROM h2),
+        |pc AS (SELECT *,
+        |  CASE WHEN strpos(path0, '%') = 0 THEN path0 ELSE
+        |    string_split(path0, '%')[1] ||
+        |    list_aggregate(list_transform(string_split(path0, '%')[2:], s ->
+        |      '%' || CASE WHEN regexp_matches(s, '^[0-9a-fA-F]{2}')
+        |                  THEN upper(substr(s, 1, 2)) || substr(s, 3) ELSE s END),
+        |      'string_agg', '') END AS pathu,
+        |  CASE WHEN qry IS NULL THEN NULL
+        |       WHEN strpos(qry, '%') = 0 THEN qry ELSE
+        |    string_split(qry, '%')[1] ||
+        |    list_aggregate(list_transform(string_split(qry, '%')[2:], s ->
+        |      '%' || CASE WHEN regexp_matches(s, '^[0-9a-fA-F]{2}')
+        |                  THEN upper(substr(s, 1, 2)) || substr(s, 3) ELSE s END),
+        |      'string_agg', '') END AS qryu
+        |  FROM h3),
+        |fin AS (SELECT ok,
+        |  scheme || '://' || host || portkeep ||
+        |  (CASE WHEN rtrim(pathu, '/') = '' THEN '/' ELSE rtrim(pathu, '/') END) ||
+        |  (CASE WHEN qryu IS NULL THEN '' ELSE
+        |     CASE WHEN array_to_string(list_sort(list_filter(string_split(qryu, '&'), s ->
+        |            s <> '' AND NOT (starts_with(lower(split_part(s, '=', 1)), 'utm_')
+        |              OR lower(split_part(s, '=', 1)) IN ('gclid','fbclid','msclkid','yclid','igshid','spm','ref','referrer','mc_cid','mc_eid')))), '&') = '' THEN ''
+        |          ELSE '?' || array_to_string(list_sort(list_filter(string_split(qryu, '&'), s ->
+        |            s <> '' AND NOT (starts_with(lower(split_part(s, '=', 1)), 'utm_')
+        |              OR lower(split_part(s, '=', 1)) IN ('gclid','fbclid','msclkid','yclid','igshid','spm','ref','referrer','mc_cid','mc_eid')))), '&') END END) AS canon_url
+        |  FROM pc)
+        |SELECT canon_url, min(ok) AS keep_id, count(*) AS n_variants
+        |FROM fin GROUP BY canon_url ORDER BY canon_url""".stripMargin,
 
     "nif_validate" ->
       """WITH ids AS (SELECT c_custkey,

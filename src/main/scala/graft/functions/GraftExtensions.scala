@@ -23,6 +23,7 @@ import org.apache.spark.sql.types.{IntegerType, StringType}
   *   stopword_count(tokens, array(...)) tokens contained in a word list
   *   deflate_len(str)                   deflate-compressed byte length
   *   nfc_normalize(str)                 Unicode NFC canonicalization
+  *   canonical_url(str)                 RFC 3986-style URL canonical key
   *   byte_map(str)                      byte-level BPE alphabet map
   *   bpe_encode(word, 'x y;a b')        learned-BPE tokens of a word
   *   bpe_encode_ids(word, 'x y;a b')    ...as pinned-vocab integer ids
@@ -80,6 +81,7 @@ object GraftExtensions {
       StopwordCount(a(0), stringArrayLit(a(1), "stopword_count(tokens, words)")) }),
     "deflate_len" -> (c => DeflateLen(arity("deflate_len", 1)(c).head)),
     "nfc_normalize" -> (c => NfcNormalize(arity("nfc_normalize", 1)(c).head)),
+    "canonical_url" -> (c => CanonicalUrl(arity("canonical_url", 1)(c).head)),
     "byte_map" -> (c => ByteMap(arity("byte_map", 1)(c).head)),
     "bpe_encode" -> (c => { val a = arity("bpe_encode", 2)(c)
       BpeEncode(a(0), BpeEncode.parseMerges(

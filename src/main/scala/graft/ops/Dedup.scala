@@ -620,4 +620,22 @@ object Dedup {
       .select(col("a"), col("b"), hamming.cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** URL-level dedup: one row per CANONICAL url
+    * ([[graft.functions.CanonicalUrl]] — case/port/escape/tracking-param/
+    * trailing-slash normalization), keeping the min-id variant. The
+    * web-corpus front gate: crawl frontiers and link graphs reference
+    * the same resource under per-click dirt, and URL identity is decided
+    * BEFORE any fetch or content hash exists. Output: (canon_url,
+    * keep_id, n_variants).
+    *
+    * Scale shape: the canonical key is per-row codegen'd string algebra,
+    * the keep decision ONE hash-groupBy shuffle carrying (canon_url, id)
+    * — same posture as exact content dedup, no pairs anywhere.
+    */
+  def urlCanonicalKeep(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    df.select(col(idCol),
+        graft.functions.CanonicalUrl.canonical_url(col(urlCol)).as("canon_url"))
+      .groupBy(col("canon_url"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_variants"))
 }

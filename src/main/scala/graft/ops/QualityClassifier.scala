@@ -1,0 +1,148 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** TRAINED document-quality classifier — the fastText-style gate real
+  * pretraining pipelines run in front of heuristics (CCNet, Wenzek et
+  * al. 2020; RefinedWeb, Penedo et al. 2023): a linear model over
+  * hashed n-gram features, trained against a labeled slice (here: a
+  * trusted target predicate, e.g. `lang = 'en'`, the same supervision
+  * DSIR uses), then scored corpus-wide.
+  *
+  * Everything runs on an INTEGER grid so DuckDB can replay training
+  * round by round the way the BPE oracle replays merge rounds:
+  *
+  *  - features: presence of the doc's word-bigram md5 hash buckets
+  *    ([[Curation.hashBucket]] — the DSIR feature space, model size
+  *    nBuckets REGARDLESS of corpus size);
+  *  - logit: z = floor(Σ_{b∈doc} w_b / n_doc) — the MEAN bucket weight,
+  *    scaled 10^6, so |z| is bounded by max|w| whatever the doc length;
+  *  - probability: the HARD sigmoid p = clamp(z/4 + 1/2, 0, 1) on the
+  *    same 10^6 grid (piecewise-linear σ of BinaryConnect, Courbariaux
+  *    et al. 2015 — exact in fixed point, unlike exp);
+  *  - training: logistic-loss gradient g_b = Σ_{d∋b} floor((p_d −
+  *    y_d)/n_d), stepped by SIGN with a halving schedule (signSGD,
+  *    Bernstein et al. 2018) — w stays on a coarse lattice, every
+  *    round is bit-reproducible and order-independent (integer sums).
+  *
+  * Scale shape per round: one broadcast of the nBuckets-row model, one
+  * doc-keyed aggregate (map-side combined), one bucket-keyed aggregate
+  * back to nBuckets rows — the DSIR job shape, looped `steps.length`
+  * times over ONE materialized feature stream. The driver holds only
+  * the nBuckets-bounded model ([[Similarity.collectBounded]]). Docs
+  * with < 2 tokens carry no features and drop out (no evidence either
+  * way — the DSIR posture).
+  */
+object QualityClassifier {
+
+  /** Fixed-point scale: probabilities/weights ride 10^6 = 1.0. */
+  val Scale = 1000000L
+
+  /** The halving signSGD step schedule — 3 rounds is enough to order a
+    * separable fixture (each round moves every informative bucket by
+    * ±step, and the mean-logit of a class-pure doc tracks its buckets).
+    */
+  val Steps: Seq[Long] = Seq(250000L, 125000L, 62500L)
+
+  /** TRUNCATING integer division (toward zero) for b > 0 — the exact
+    * semantics of DuckDB's integer `//` (measured: -7 // 2 = -3), which
+    * the oracle replays verbatim. Subtracting the remainder (Spark's
+    * `%` follows the dividend's sign, same as DuckDB's) makes the
+    * division exact, so the double quotient IS the integer — operands
+    * stay far below 2^53 on this grid. A pmod-based FLOOR here
+    * mismatches the oracle by one on every negative logit (found by
+    * the round-18 hash gate).
+    */
+  private def fdiv(a: Column, b: Column): Column =
+    ((a - a % b) / b).cast("long")
+
+  private def hardSigmoid(z: Column): Column =
+    greatest(lit(0L), least(lit(Scale), fdiv(z, lit(4L)) + lit(Scale / 2)))
+
+  /** The DISTINCT (doc, label, bucket) presence stream + per-doc
+    * feature counts. `labelPred` null counts as non-target (the DSIR
+    * convention).
+    */
+  private def featureStream(docs: DataFrame, idCol: String, textCol: String,
+                            labelPred: Option[Column], nBuckets: Int): DataFrame = {
+    require(nBuckets > 0 && nBuckets <= (1 << 16),
+      s"nBuckets must be in [1, 65536] (16 hash bits): $nBuckets")
+    val y = labelPred.map(p => when(coalesce(p, lit(false)), 1L).otherwise(0L))
+      .getOrElse(lit(0L))
+    docs
+      .select(col(idCol).as("__doc"), y.as("__y"),
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+      .select(col("__doc"), col("__y"), explode(expr(
+        "transform(sequence(1, size(__toks) - 1), i -> concat(__toks[i-1], ' ', __toks[i]))")).as("__bg"))
+      .select(col("__doc"), col("__y"), Curation.hashBucket(col("__bg"), nBuckets).as("__b"))
+      .distinct()
+  }
+
+  /** Train the classifier: bucket → weight (10^6 grid), nBuckets-bounded. */
+  def train(docs: DataFrame, idCol: String, textCol: String, labelPred: Column,
+            nBuckets: Int = 4096, steps: Seq[Long] = Steps): Map[Long, Long] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val st = featureStream(docs, idCol, textCol, Some(labelPred), nBuckets)
+      .localCheckpoint(true)
+    val dn = st.groupBy(col("__doc")).agg(
+        max(col("__y")).as("__y"), count(lit(1)).as("__n"))
+      .localCheckpoint(true)
+    var w = Map.empty[Long, Long]
+    steps.foreach { step =>
+      val wdf =
+        if (w.isEmpty) Seq.empty[(Long, Long)].toDF("__b", "__w")
+        else w.toSeq.toDF("__b", "__w")
+      val sw = st.join(broadcast(wdf), Seq("__b"), "left_outer")
+        .groupBy(col("__doc"))
+        .agg(sum(coalesce(col("__w"), lit(0L))).as("__sw"))
+      val per = dn.join(sw, Seq("__doc"))
+        .withColumn("__err",
+          hardSigmoid(fdiv(col("__sw"), col("__n"))) - col("__y") * Scale)
+        .select(col("__doc"), fdiv(col("__err"), col("__n")).as("__c"))
+      val g = st.select(col("__doc"), col("__b"))
+        .join(per, Seq("__doc"))
+        .groupBy(col("__b")).agg(sum(col("__c")).as("__g"))
+      val rows = Similarity.collectBounded(g, nBuckets, "clf gradient")
+      w = rows.map { r =>
+        val b = r.getLong(0); val gs = r.getLong(1)
+        val cur = w.getOrElse(b, 0L)
+        b -> (if (gs > 0) cur - step else if (gs < 0) cur + step else cur)
+      }.toMap
+    }
+    w
+  }
+
+  /** The trained model as a DataFrame (b, w) — for oracle dumps and
+    * lake persistence.
+    */
+  def modelDf(spark: SparkSession, w: Map[Long, Long]): DataFrame = {
+    import spark.implicits._
+    w.toSeq.sortBy(_._1).toDF("b", "w")
+  }
+
+  /** Score documents under a trained model: (doc, n_fbuckets,
+    * clf_logit, clf_prob) on the 10^6 grid. Buckets the model never
+    * saw score 0 (no evidence). Shuffle shape: one broadcast join +
+    * one doc-keyed aggregate.
+    */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+            model: Map[Long, Long], nBuckets: Int = 4096): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wdf =
+      if (model.isEmpty) Seq.empty[(Long, Long)].toDF("__b", "__w")
+      else model.toSeq.toDF("__b", "__w")
+    featureStream(docs, idCol, textCol, None, nBuckets)
+      .join(broadcast(wdf), Seq("__b"), "left_outer")
+      .groupBy(col("__doc"))
+      .agg(count(lit(1)).as("n_fbuckets"),
+        sum(coalesce(col("__w"), lit(0L))).as("__sw"))
+      .withColumn("clf_logit", fdiv(col("__sw"), col("n_fbuckets")))
+      .withColumn("clf_prob", hardSigmoid(col("clf_logit")))
+      .select(col("__doc").as("doc"), col("n_fbuckets"),
+        col("clf_logit"), col("clf_prob"))
+  }
+}
