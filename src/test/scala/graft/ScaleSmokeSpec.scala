@@ -19,7 +19,8 @@ class ScaleSmokeSpec extends AnyFunSuite {
       "dedup-index-build-90pct", "dedup-index-refresh-10pct", "dedup-candidate-pairs",
       "fuzzy-selfjoin-guarded", "fuzzy-indexed-probe",
       "sim-index-build-90pct", "sim-index-refresh-10pct", "sim-indexed-topk-500q",
-      "pq-adc-topk", "imi-train-encode-1m-cells", "imi-pq-serve-2000q",
+      "pq-adc-topk", "imi-train-encode-1m-cells", "imipq-refresh-10pct",
+      "imipq-upsert-1pct-changed", "imi-pq-serve-2000q",
       "mmr-indexed-topk",
       "kmeans-trainer-nlist128", "pca-moments-build-90pct", "pca-moments-drop-10pct",
       "pca-fit-from-index", "sparse-sim-topk", "span-dedup-anyalign", "bpe-encode-8k",
