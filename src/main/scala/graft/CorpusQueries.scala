@@ -1362,8 +1362,25 @@ object CorpusQueries {
       val kmeansCents = Similarity.ivfCentroidsKMeans(emb, "vec_id", "embedding", 8)
       val hier = graft.ops.IvfHier.train(emb, "vec_id", "embedding", 8, m = 2)
       val imiBook = graft.ops.IvfImi.train(emb, "vec_id", "embedding", 8)
-      val pcaModel = graft.ops.Pca.fit(emb, "embedding", 64, 48)
+      // ONE full-basis fit feeds both the 48-component gate model (the
+      // fit eig-sorts then truncates, so take(48) == fit(..., 48)) and
+      // the round-18 OPQ rotation
+      val pcaFull = graft.ops.Pca.fit(emb, "embedding", 64, 64)
+      val pcaModel = graft.ops.Pca.PcaModel(pcaFull.mean,
+        pcaFull.eigenvalues.take(48), pcaFull.components.take(48))
       val pcaMargin = math.max(25, math.ceil(emb.count() * 0.2).toInt)
+      // parametric-OPQ tiers (Ge et al. 2013): the SAME serves over the
+      // eigen-rotated, variance-balanced corpus — orthonormal, so the
+      // scored inner products are preserved up to float rounding. On
+      // this deliberately ISOTROPIC fixture OPQ ≈ PQ by construction
+      // (measured 44/52/48 vs 44/52/46.5 across the SFs — the +1.5 at
+      // sf0.1 is the balance effect); the anisotropic win is pinned by
+      // PqSpec's A/B. Rotation materialized once for both tiers.
+      val opqBasis = graft.ops.Pq.opqBasis(pcaFull, 8)
+      val embR = emb.withColumn("embedding",
+        graft.ops.Pq.opqRotateExpr(col("embedding"), opqBasis)).localCheckpoint(true)
+      val qR = embR.filter(col("vec_id") % 50 === 0)
+      val imiBookR = graft.ops.IvfImi.train(embR, "vec_id", "embedding", 8)
       // floors pinned at measured-minus-noise (round-15 tightening;
       // ivf_hier + ivf_pq + ivf_hier_pq added round 16, both PQ tiers
       // switched to MEAN-REFERENCED RESIDUAL coding round 17): `runMain
@@ -1400,6 +1417,13 @@ object CorpusQueries {
           imiBook, 5, 2), 34),
         row("ivf_imi_pq", graft.ops.Pq.ivfTopKPqImi(emb, q, "vec_id", "embedding",
           imiBook, graft.ops.Pq.trainResidualImi(emb, "vec_id", "embedding", imiBook), 5, 2,
+          math.max(32, math.ceil(emb.count() * 0.02).toInt)), 34),
+        // OPQ tiers: measured minima 44 (ivf_opq) / 36 (ivf_imi_opq)
+        // across the three SFs, floors 2 under
+        row("ivf_opq", graft.ops.Pq.ivfTopKPq(embR, qR, "vec_id", "embedding", 5, 8, 2,
+          math.max(32, math.ceil(emb.count() * 0.02).toInt)), 42),
+        row("ivf_imi_opq", graft.ops.Pq.ivfTopKPqImi(embR, qR, "vec_id", "embedding",
+          imiBookR, graft.ops.Pq.trainResidualImi(embR, "vec_id", "embedding", imiBookR), 5, 2,
           math.max(32, math.ceil(emb.count() * 0.02).toInt)), 34),
         row("lsh_multiprobe", Similarity.multiProbeTopKExact(emb, q,
           "vec_id", "embedding", 5, 4, 64), 38),
@@ -3221,6 +3245,7 @@ object CorpusQueries {
         |SELECT t.tier, q.n_pairs, true AS recall_ok
         |FROM (VALUES ('brute'), ('ivf_kmeans'), ('ivf_seed'), ('ivf_hier'),
         |             ('ivf_hier_pq'), ('ivf_imi'), ('ivf_imi_pq'),
+        |             ('ivf_imi_opq'), ('ivf_opq'),
         |             ('ivf_sq8'), ('ivf_pq'), ('lsh_multiprobe'), ('pca_gate')) AS t(tier)
         |CROSS JOIN q ORDER BY tier""".stripMargin,
 

@@ -85,6 +85,18 @@ object Probe {
     val imiPq = graft.ops.Pq.trainResidualImi(emb, "vec_id", "embedding", imi)
     rec("ivf_imi_pq", graft.ops.Pq.ivfTopKPqImi(emb, q, "vec_id", "embedding",
       imi, imiPq, 5, 2, pqMargin))
+    // parametric-OPQ tiers: the same serves over the rotated corpus
+    val pcaFull = Pca.fit(emb, "embedding", 64, 64)
+    val opq = graft.ops.Pq.opqBasis(pcaFull, 8)
+    val embR = emb.withColumn("embedding",
+      graft.ops.Pq.opqRotateExpr(col("embedding"), opq)).localCheckpoint(true)
+    val qR = embR.filter(col("vec_id") % 50 === 0)
+    rec("ivf_opq", graft.ops.Pq.ivfTopKPq(embR, qR, "vec_id", "embedding", 5, 8, 2,
+      pqMargin))
+    val imiR = graft.ops.IvfImi.train(embR, "vec_id", "embedding", 8)
+    rec("ivf_imi_opq", graft.ops.Pq.ivfTopKPqImi(embR, qR, "vec_id", "embedding",
+      imiR, graft.ops.Pq.trainResidualImi(embR, "vec_id", "embedding", imiR), 5, 2,
+      pqMargin))
     rec("lsh_multiprobe", Similarity.multiProbeTopKExact(emb, q, "vec_id", "embedding", 5, 4, 64))
     val m = Pca.fit(emb, "embedding", 64, 48)
     val margin = math.max(25, math.ceil(emb.count() * 0.2).toInt)

@@ -74,7 +74,7 @@ object SparkEntry {
     * doubles to wide decimals (Spark uses the shortest-repr string, DuckDB
     * the exact binary expansion — they disagree at the 10th decimal).
     */
-  private def cents(c: Column): Column = round(c * 100).cast("long")
+  private[graft] def cents(c: Column): Column = round(c * 100).cast("long")
 
   /** sum of a 2-decimal money column -> exact double. */
   private def moneySum(c: Column): Column = sum(cents(c)).cast("double") / 100.0

@@ -165,6 +165,55 @@ object Pq {
       fitCodebooks(sample, mSub, ks, iters), residual = true, mu = Map.empty)
   }
 
+  // ------------------------------------------------ parametric OPQ
+
+  /** Eigenvalue allocation of parametric OPQ (Ge, Ke & Sun, "Optimized
+    * Product Quantization", CVPR 2013 §4 — public): assign the PCA
+    * dimensions, in DESCENDING eigenvalue order, to the non-full
+    * subspace with the smallest running log-product of eigenvalues
+    * (ties to the lowest subspace index). Balancing the variance
+    * PRODUCT across subspaces is the paper's closed-form optimum for
+    * Gaussian data — each codebook then spans a comparable share of
+    * the corpus energy, where naive dimension-order splitting can hand
+    * one subspace all the variance and another none. Deterministic:
+    * pure arithmetic on the fit's canonical eigen order.
+    */
+  def opqAllocate(eigenvalues: Seq[Double], mSub: Int): Seq[Seq[Int]] = {
+    val dim = eigenvalues.length
+    require(mSub >= 1 && dim % mSub == 0,
+      s"opqAllocate: mSub=$mSub must divide dim=$dim")
+    val dsub = dim / mSub
+    val buckets = Array.fill(mSub)(List.empty[Int])
+    val logSum = new Array[Double](mSub)
+    eigenvalues.indices.foreach { k =>
+      val best = (0 until mSub).filter(b => buckets(b).length < dsub)
+        .minBy(b => (logSum(b), b))
+      buckets(best) = k :: buckets(best)
+      logSum(best) += math.log(math.max(eigenvalues(k), 1e-12))
+    }
+    buckets.map(_.reverse).toSeq
+  }
+
+  /** The OPQ rotation rows (subspace-major): the PCA components
+    * reordered by [[opqAllocate]]. Orthonormal, so the serve's inner
+    * products are preserved exactly up to float rounding — the exact
+    * re-rank still decides, the rotation only improves what the 8-byte
+    * codes can span.
+    */
+  def opqBasis(model: Pca.PcaModel, mSub: Int): IndexedSeq[Array[Float]] =
+    opqAllocate(model.eigenvalues, mSub)
+      .flatten.map(k => model.components(k).map(_.toFloat).toArray).toIndexedSeq
+
+  /** Rotate a float-vector column into an OPQ basis: one codegen'd
+    * [[graft.functions.DotFloat]] per output dimension against a
+    * plan-inlined float row (dim² multiplies per row, fused into
+    * whole-stage codegen — the same shape as [[Pca.projectExpr]]).
+    */
+  def opqRotateExpr(v: Column, basis: IndexedSeq[Array[Float]]): Column =
+    array(basis.map { row =>
+      graft.functions.DotFloat.dot_float(v, array(row.map(x => lit(x)): _*))
+    }: _*).cast("array<float>")
+
   /** Cell-centroid lookup maps. */
   def centsMap(cents: Seq[(Long, Seq[Float])]): Map[Long, Array[Float]] =
     cents.map { case (id, v) => id -> v.toArray }.toMap

@@ -205,4 +205,73 @@ class PqSpec extends AnyFunSuite {
     val recall = 100.0 * r.getLong(1) / r.getLong(0)
     assert(recall >= 80.0, f"pq recall@5 collapsed: $recall%.1f%% of ${r.getLong(0)}")
   }
+
+  test("OPQ rotation beats raw dimension order on a variance-imbalanced corpus") {
+    // the textbook parametric-OPQ case (Ge et al. 2013): ALL the
+    // discriminative variance lives in dims 0 and 1 (four ±10 sign
+    // clusters), the other six dims are jitter. RAW order puts both
+    // strong dims in subspace 0 — four patterns, ks = 2 codes, half the
+    // discrimination is unencodable — while subspace 1 quantizes noise.
+    // The eigenvalue allocation puts ONE strong direction per subspace,
+    // where 2 codes span its 2 values exactly. Single zero cell +
+    // margin 0 isolates pure code quality (no gate, no exact-re-rank
+    // rescue). Deterministic fixture, no RNG.
+    val n = 160
+    val rows = (0 until n).map { i =>
+      val c = i % 4
+      // DISTINCT strong variances (10 vs 6): equal ones would make the
+      // top two eigenvalues degenerate and the eigenbasis an arbitrary
+      // in-plane rotation, re-entangling the sign bits OPQ must split
+      val v = Array.tabulate(8) { j =>
+        val strong =
+          if (j == 0) { if ((c & 1) == 0) 10.0f else -10.0f }
+          else if (j == 1) { if ((c & 2) == 0) 6.0f else -6.0f }
+          else 0.0f
+        strong + 0.01f * (((i * 31 + j * 17) % 97) - 48)
+      }
+      (i.toLong, v.toSeq)
+    }
+    val corpus = rows.toDF("vec_id", "embedding").localCheckpoint(true)
+    val oneCell: Seq[(Long, Seq[Float])] = Seq((0L, Seq.fill(8)(0f)))
+    // cluster PURITY of the ADC top-5 (the codes either can or cannot
+    // tell the four clusters apart — plain recall@5 would only measure
+    // jitter-ranking among code-tied members)
+    def purity(df: org.apache.spark.sql.DataFrame): Double = {
+      val m0 = Pq.train(df, "vec_id", "embedding", mSub = 2, ks = 2, trainN0 = n)
+      val ap = Pq.ivfTopKPqFromLists(oneCell, m0,
+          Pq.pqLists(df, "vec_id", "embedding", oneCell, m0),
+          df, df.filter(col("vec_id") % 10 === 0), "vec_id", "embedding", 5, 1, 0)
+      val r = ap.agg(count(lit(1)),
+          sum(when(col("qid") % 4 === col("cid") % 4, 1L).otherwise(0L)))
+        .collect().head
+      100.0 * r.getLong(1) / r.getLong(0)
+    }
+    val raw = purity(corpus)
+    val pcaFull = graft.ops.Pca.fit(corpus, "embedding", 8, 8)
+    val basis = Pq.opqBasis(pcaFull, 2)
+    // orthonormal basis sanity: unit row norms
+    basis.foreach { r =>
+      val nrm = r.map(x => x.toDouble * x).sum
+      assert(math.abs(nrm - 1.0) < 1e-3, s"basis row norm $nrm")
+    }
+    val rotated = corpus.withColumn("embedding",
+      Pq.opqRotateExpr(col("embedding"), basis)).localCheckpoint(true)
+    val opq = purity(rotated)
+    info(f"opq purity=$opq%.1f raw purity=$raw%.1f")
+    assert(opq > raw,
+      f"OPQ must beat raw order on imbalanced variance: opq=$opq%.1f raw=$raw%.1f")
+    assert(opq >= 99.0,
+      f"one strong direction per subspace is exactly codable at ks=2: $opq%.1f")
+  }
+
+  test("opqAllocate balances the eigenvalue product across subspaces") {
+    // eigenvalues 16,8,4,2,1,1,1,1 into 4 buckets of 2: greedy assigns
+    // the four strong values one per bucket, then backfills — no bucket
+    // gets two of the top four
+    val alloc = Pq.opqAllocate(Seq(16.0, 8.0, 4.0, 2.0, 1.0, 1.0, 1.0, 1.0), 4)
+    assert(alloc.flatten.sorted == (0 until 8).toList)
+    assert(alloc.forall(_.size == 2))
+    assert(alloc.forall(b => b.count(_ < 4) == 1),
+      s"each bucket must hold exactly one of the four strong dims: $alloc")
+  }
 }
