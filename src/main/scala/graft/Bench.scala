@@ -178,6 +178,11 @@ object Bench {
           "vec_id", "embedding", idx, nCells = 16); () },
         idx => { ImiPqIndex.refresh(emb, "vec_id", "embedding", idx); () },
         idx => ImiPqIndex.topK(emb, q50, "vec_id", "embedding", idx, 5, 16, pqMargin).count()),
+      run("sim_opq_persisted_topk")(
+        idx => { PqIndex.build(emb.filter(col("vec_id") % 10 =!= 9),
+          "vec_id", "embedding", idx, nList = 8, opq = true); () },
+        idx => { PqIndex.refresh(emb, "vec_id", "embedding", idx); () },
+        idx => PqIndex.topK(emb, q50, "vec_id", "embedding", idx, 5, 8, pqMargin).count()),
       run("dedup_incremental")(
         idx => { DedupIndex.build(docs.filter(col("doc_id") % 5 =!= 0),
           "doc_id", "text", idx); () },

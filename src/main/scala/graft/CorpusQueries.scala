@@ -1561,6 +1561,53 @@ object CorpusQueries {
     // residual codes under the derived μ, churn-refresh to full, then
     // a zero-train serve that must EQUAL the recompute twin exactly
     // (deterministic books) and clear the gate-complete recall floor
+    // the OPQ-rotated persisted IVF-PQ index (round-18): build pins the
+    // eigen-balanced rotation beside the codebooks, refresh re-encodes
+    // only the churn IN THE ROTATED SPACE (fingerprints are signed over
+    // rotated vectors, so unchanged rows carry verbatim), and the
+    // zero-train serve must equal the from-scratch recompute under the
+    // same deterministic basis bit-for-bit, with the brute recall floor
+    // of its unrotated sibling (rotation is orthonormal — it cannot
+    // lose recall, only re-balance what the codes can span)
+    "sim_opq_persisted_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % 50 === 0)
+      val margin = math.max(32, math.ceil(emb.count() * 0.02).toInt)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_opqidx_q").toString
+      val idx = tmp + "/opq"
+      val b90 = emb.filter(col("vec_id") % 10 =!= 9)
+      PqIndex.build(b90, "vec_id", "embedding", idx, nList = 8, opq = true)
+      PqIndex.refresh(emb, "vec_id", "embedding", idx)
+      val served = PqIndex.topK(emb, q, "vec_id", "embedding", idx, 5, 8, margin)
+        .localCheckpoint(true) // the scratch index is deleted below
+      // recompute twin: the same pinned-at-build artifacts from scratch
+      val basis = graft.ops.Pq.opqBasis(Pca.fit(b90, "embedding", 64, 64), 8)
+      def rot(df: org.apache.spark.sql.DataFrame) = df.withColumn("embedding",
+        graft.ops.Pq.opqRotateExpr(col("embedding"), basis))
+      val rb90 = rot(b90)
+      val cents = Similarity.ivfCentroids(rb90, "vec_id", "embedding", 8)
+      val model = graft.ops.Pq.trainResidualFlat(rb90, "vec_id", "embedding", cents)
+      val recomputed = graft.ops.Pq.ivfTopKPqFromLists(cents, model,
+        graft.ops.Pq.pqLists(rot(emb), "vec_id", "embedding", cents, model),
+        rot(emb), rot(q), "vec_id", "embedding", 5, 8, margin)
+      val mismatches = served.unionByName(recomputed)
+        .groupBy(col("qid"), col("cid"), col("rank"))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") =!= 2).count()
+      val exact = Similarity.bruteTopKExact(emb, q, "vec_id", "embedding", 5)
+      val rec = exact
+        .select(col("qid").cast("long").as("qid"), col("cid").cast("long").as("cid"))
+        .join(served.select(col("qid"), col("cid"), lit(1).as("__hit")),
+          Seq("qid", "cid"), "left_outer")
+        .agg(count_distinct(col("qid")).as("n_queries"),
+          (sum(coalesce(col("__hit"), lit(0))) >= count(lit(1)) * lit(0.80))
+            .as("recall_ge_080"))
+        .withColumn("served_eq_recompute", lit(mismatches) === 0)
+      new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      rec
+    }),
+
     "sim_imi_persisted_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") % 50 === 0)
@@ -3232,6 +3279,11 @@ object CorpusQueries {
     // same constants-oracle shape: parity + gate-complete recall are
     // Spark-side flags, the oracle recomputes the query count
     "sim_imi_persisted_topk" ->
+      """SELECT count(DISTINCT vec_id) AS n_queries, true AS recall_ge_080,
+        |       true AS served_eq_recompute
+        |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
+
+    "sim_opq_persisted_topk" ->
       """SELECT count(DISTINCT vec_id) AS n_queries, true AS recall_ge_080,
         |       true AS served_eq_recompute
         |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,

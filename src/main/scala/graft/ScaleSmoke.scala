@@ -557,6 +557,29 @@ object ScaleSmoke {
         col("lang") === "en").count()
     }
 
+    // trained quality classifier at scale (round-18): 3 signSGD rounds,
+    // each ONE broadcast of the nBuckets-row model + a doc-keyed and a
+    // bucket-keyed aggregate over the materialized feature stream, then
+    // the corpus-wide scoring join — the DSIR job shape looped 3 times,
+    // nothing driver-resident beyond the 4096-row model
+    phase("clf-train-score") {
+      val m = graft.ops.QualityClassifier.train(docsAll, "doc_id", "text",
+        col("lang") === "en")
+      graft.ops.QualityClassifier.score(docsAll, "doc_id", "text", m).count()
+    }
+
+    // canonical-URL dedup at scale: per-row codegen'd canonicalization
+    // + ONE hash-groupBy shuffle carrying (canon_url, id) — synthesized
+    // dirt variants over the inflated orders table
+    phase("url-canonical-keep") {
+      val ords = spark.read.parquet(s"$work/orders.parquet")
+      val g = expr("o_orderkey div 5").cast("string")
+      val url = concat(lit("HTTPS://Host"), pmod(col("o_orderkey"), lit(20)).cast("string"),
+        lit(".Example.ES:443/Docs/"), g, lit("/?utm_source=x&q=1#f"))
+      graft.ops.Dedup.urlCanonicalKeep(
+        ords.select(col("o_orderkey").as("id"), url.as("url")), "id", "url").count()
+    }
+
     val json = phases.zip(taints).map { case ((n, dt, rows, w, r, m, d), tn) =>
       val taintField = if (tn.isEmpty) "" else s""","tainted_after":"$tn""""
       s"""{"phase":"$n","sec":$dt,"rows":$rows,"shuffle_write_b":$w,"shuffle_read_b":$r,"spill_mem_b":$m,"spill_disk_b":$d$taintField}"""

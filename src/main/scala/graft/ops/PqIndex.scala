@@ -21,7 +21,11 @@ import org.apache.spark.sql.functions._
   *  - `path/lists` — one row per corpus vector: (cid, cell, codes,
   *    vfp) where codes is the mSub-byte PQ word and vfp the xxhash64
   *    churn fingerprint (the [[SimilarityIndex]] trade: a changed
-  *    vector escaping re-encoding needs an exact 64-bit collision).
+  *    vector escaping re-encoding needs an exact 64-bit collision);
+  *  - `path/opqbasis` (optional, `build(opq = true)`) — the pinned
+  *    parametric-OPQ rotation rows: every later encode and probe
+  *    rotates into this basis first, so codes, fingerprints and scores
+  *    stay in one consistent space across the index's whole life.
   *
   * refresh/upsert ride the shared churn seam
   * ([[graft.lake.ChurnSplit]]): unchanged vectors' list rows carry
@@ -35,8 +39,32 @@ object PqIndex {
   private def centsPath(path: String) = path + "/centroids"
   private def cbPath(path: String) = path + "/codebooks"
   private def listsPath(path: String) = path + "/lists"
+  private def basisPath(path: String) = path + "/opqbasis"
 
   private def vecFp(vec: org.apache.spark.sql.Column) = xxhash64(vec)
+
+  /** The pinned OPQ rotation, if this index was built with one —
+    * subspace-major rows, collected back dim-sized. Pinned at build
+    * like the codebooks: codes written under one rotation are never
+    * scored under another, across every later refresh/upsert/probe.
+    */
+  def loadBasis(spark: SparkSession, path: String): Option[IndexedSeq[Array[Float]]] = {
+    val p = new org.apache.hadoop.fs.Path(basisPath(path))
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) None
+    else Some(spark.read.parquet(basisPath(path))
+      .orderBy(col("pos")).collect()
+      .map(_.getSeq[Float](1).toArray).toIndexedSeq)
+  }
+
+  /** Rotate `vecCol` into the index's basis (identity when none) —
+    * applied to the corpus at encode time and to corpus+queries at
+    * probe time, so fingerprints, codes and scores all live in ONE
+    * consistent space.
+    */
+  private def rotated(df: DataFrame, vecCol: String,
+                      basis: Option[IndexedSeq[Array[Float]]]): DataFrame =
+    basis.fold(df)(b =>
+      df.withColumn(vecCol, Pq.opqRotateExpr(col(vecCol), b)))
 
   private def listRows(corpus: DataFrame, idCol: String, vecCol: String,
                        cents: Seq[(Long, Seq[Float])], model: PqModel): DataFrame =
@@ -52,16 +80,29 @@ object PqIndex {
     */
   def build(corpus: DataFrame, idCol: String, vecCol: String, path: String,
             nList: Int, mSub: Int = 8, ks: Int = 256,
-            residual: Boolean = true): Long = {
+            residual: Boolean = true, opq: Boolean = false): Long = {
     // refuse the flat layout past the task-state budget BEFORE any
     // training work — the factorized ImiPqIndex is the route there
     Pq.requireFlatBudget(nList, "PqIndex.build")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cents = Similarity.ivfCentroids(corpus, idCol, vecCol, nList)
+    // `opq = true` pins a parametric-OPQ rotation (Ge et al. 2013) at
+    // build: everything downstream — centroids, residual means, codes,
+    // fingerprints, probes — lives in the rotated space, where each
+    // subspace holds a balanced share of the corpus variance.
+    // Orthonormal, so the scored inner products are unchanged up to
+    // float rounding.
+    val basis: Option[IndexedSeq[Array[Float]]] =
+      if (!opq) None
+      else {
+        val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+        Some(Pq.opqBasis(Pca.fit(corpus, vecCol, dim, dim), mSub))
+      }
+    val rc = rotated(corpus, vecCol, basis)
+    val cents = Similarity.ivfCentroids(rc, idCol, vecCol, nList)
     val model =
-      if (residual) Pq.trainResidualFlat(corpus, idCol, vecCol, cents, mSub, ks)
-      else Pq.train(corpus, idCol, vecCol, mSub, ks)
+      if (residual) Pq.trainResidualFlat(rc, idCol, vecCol, cents, mSub, ks)
+      else Pq.train(rc, idCol, vecCol, mSub, ks)
     graft.lake.Staged.landMany(spark, path, Seq(
       "centroids" -> cents.map { case (id, v) => (id, v) }.toDF("cell_id", "cv"),
       "codebooks" -> model.codebooks.zipWithIndex.flatMap { case (cb, m) =>
@@ -73,7 +114,9 @@ object PqIndex {
       // codebooks: refreshed corpora must keep decoding old codes
       "cellmeans" -> model.mu.toSeq.map { case (id, v) => (id, v.toSeq) }
         .toDF("cell_id", "mv"),
-      "lists" -> listRows(corpus, idCol, vecCol, cents, model)))
+      "lists" -> listRows(rc, idCol, vecCol, cents, model)) ++
+      basis.map(b => "opqbasis" ->
+        b.zipWithIndex.map { case (r, i) => (i, r.toSeq) }.toDF("pos", "r")).toSeq)
     spark.read.parquet(listsPath(path)).count()
   }
 
@@ -124,9 +167,12 @@ object PqIndex {
     val spark = corpus.sparkSession
     val cents = loadCentroids(spark, path)
     val model = loadModel(spark, path)
+    // rotate BEFORE the churn split: fingerprints were signed over the
+    // rotated vectors at build, so unchanged rows must re-hash equal
+    val rc = rotated(corpus, vecCol, loadBasis(spark, path))
     val old = spark.read.parquet(listsPath(path))
     val s = graft.lake.ChurnSplit.split(old, "cid", "vfp",
-      corpus, idCol, vecFp(corpus(vecCol)))
+      rc, idCol, vecFp(rc(vecCol)))
     val kept = s.kept
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val freshRows = listRows(s.fresh, idCol, vecCol, cents, model)
@@ -147,9 +193,10 @@ object PqIndex {
     val spark = batch.sparkSession
     val cents = loadCentroids(spark, path)
     val model = loadModel(spark, path)
+    val rb = rotated(batch, vecCol, loadBasis(spark, path))
     val old = spark.read.parquet(listsPath(path))
     val s = graft.lake.ChurnSplit.split(old, "cid", "vfp",
-      batch, idCol, vecFp(batch(vecCol)))
+      rb, idCol, vecFp(rb(vecCol)))
     val keptBatch = s.kept
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val freshRows = listRows(s.fresh, idCol, vecCol, cents, model)
@@ -169,8 +216,13 @@ object PqIndex {
   def topK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
            path: String, k: Int, nProbe: Int, margin: Int): DataFrame = {
     val spark = corpus.sparkSession
+    // an OPQ index probes in its pinned rotated space — corpus AND
+    // queries rotate, so ADC tables, codes and the exact re-rank all
+    // score the same (orthonormally preserved) inner products
+    val basis = loadBasis(spark, path)
     Pq.ivfTopKPqFromLists(loadCentroids(spark, path), loadModel(spark, path),
       spark.read.parquet(listsPath(path)).select(col("cid"), col("cell"), col("codes")),
-      corpus, queries, idCol, vecCol, k, nProbe, margin)
+      rotated(corpus, vecCol, basis), rotated(queries, vecCol, basis),
+      idCol, vecCol, k, nProbe, margin)
   }
 }

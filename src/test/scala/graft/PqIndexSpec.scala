@@ -174,4 +174,37 @@ class PqIndexSpec extends AnyFunSuite {
     assert(spark.read.parquet(idx + "/lists").count() == before,
       "upsert must not grow or shrink the out-of-batch corpus")
   }
+
+  test("OPQ index: pinned rotation — served == rotated recompute, churn in rotated space") {
+    val idx = scratch()
+    val b90 = emb.filter(col("vec_id") % 10 =!= 9)
+    PqIndex.build(b90, "vec_id", "embedding", idx, nList = 4, mSub = 8, ks = 32,
+      opq = true)
+    // the basis landed beside the codebooks; a plain build has none
+    val basis = PqIndex.loadBasis(spark, idx)
+    assert(basis.nonEmpty && basis.get.size == 64 && basis.get.head.length == 64)
+    val plain = scratch()
+    PqIndex.build(b90, "vec_id", "embedding", plain, nList = 4, mSub = 8, ks = 32)
+    assert(PqIndex.loadBasis(spark, plain).isEmpty)
+    // refresh carries the unchanged 90% verbatim (fingerprints are over
+    // ROTATED vectors, so the re-rotation must hash identically)
+    val (kept, signed) = PqIndex.refresh(emb, "vec_id", "embedding", idx)
+    assert(kept == b90.count() && signed == emb.count() - b90.count(),
+      s"opq churn seam drifted: kept=$kept signed=$signed")
+    // served == the from-scratch recompute under the same pinned basis
+    val q = emb.filter(col("vec_id") % 25 === 0)
+    val served = PqIndex.topK(emb, q, "vec_id", "embedding", idx, 3, 4, margin = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def rot(df: org.apache.spark.sql.DataFrame) = df.withColumn("embedding",
+      Pq.opqRotateExpr(col("embedding"), basis.get))
+    val rb90 = rot(b90)
+    val cents = Similarity.ivfCentroids(rb90, "vec_id", "embedding", 4)
+    val model = Pq.trainResidualFlat(rb90, "vec_id", "embedding", cents, mSub = 8, ks = 32)
+    val want = Pq.ivfTopKPqFromLists(cents, model,
+        Pq.pqLists(rot(emb), "vec_id", "embedding", cents, model),
+        rot(emb), rot(q), "vec_id", "embedding", 3, 4, margin = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(served == want && served.nonEmpty,
+      s"missing=${want -- served} extra=${served -- want}")
+  }
 }
