@@ -311,11 +311,14 @@ object Main {
             val (kept, signed) = graft.ops.PqIndex.refresh(emb, id, vec, idx)
             println(s"[cli] index pq refresh: carried $kept rows, encoded $signed (churn)")
           } else {
+            // --opq pins a parametric-OPQ rotation beside the codebooks
             val n = graft.ops.PqIndex.build(emb, id, vec, idx,
               arg(args, "--nlist").map(_.toInt).getOrElse(64),
               arg(args, "--msub").map(_.toInt).getOrElse(8),
-              arg(args, "--ks").map(_.toInt).getOrElse(256))
-            println(s"[cli] index pq build: $n vectors coded")
+              arg(args, "--ks").map(_.toInt).getOrElse(256),
+              opq = flag(args, "--opq"))
+            println(s"[cli] index pq build: $n vectors coded" +
+              (if (flag(args, "--opq")) " (opq-rotated)" else ""))
           }
         case "imipq" =>
           // churn-refreshed IMI-PQ coded lists: product cells from two
@@ -955,7 +958,43 @@ object Main {
         sys.error("explain requires --query <name> [--sf <dir>]"))
       graft.Explain.print(spark,
         arg(args, "--sf").getOrElse("/root/testdata/sf0.001"), Seq(name))
+    case "clf" =>
+      // trained quality classifier as an operational job: 3 signSGD
+      // rounds against the --target-lang slice, then corpus-wide
+      // scoring landed as parquet (doc, n_fbuckets, clf_logit,
+      // clf_prob on the 10^6 grid)
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(arg(args, "--in").get)
+      val idCol = arg(args, "--id-col").getOrElse("doc_id")
+      val textCol = arg(args, "--text-col").getOrElse("text")
+      val target = arg(args, "--target-lang").getOrElse("en")
+      val m = graft.ops.QualityClassifier.train(docs, idCol, textCol,
+        col(arg(args, "--label-col").getOrElse("lang")) === target)
+      val scored = graft.ops.QualityClassifier.score(docs, idCol, textCol, m)
+      arg(args, "--out") match {
+        case Some(out) =>
+          scored.write.mode("overwrite").parquet(out)
+          println(s"[cli] clf: model ${m.size} buckets, " +
+            s"${spark.read.parquet(out).count()} docs scored -> $out")
+        case None =>
+          println(s"[cli] clf: model ${m.size} buckets, ${scored.count()} docs scored")
+      }
+    case "urldedup" =>
+      // canonical-URL dedup: one row per canonical key, min-id keep
+      import org.apache.spark.sql.functions._
+      val df = spark.read.parquet(arg(args, "--in").get)
+      val idCol = arg(args, "--id-col").getOrElse("id")
+      val urlCol = arg(args, "--url-col").getOrElse("url")
+      val out = graft.ops.Dedup.urlCanonicalKeep(df, idCol, urlCol)
+      arg(args, "--out") match {
+        case Some(p) =>
+          out.write.mode("overwrite").parquet(p)
+          println(s"[cli] urldedup: ${spark.read.parquet(p).count()} canonical urls -> $p")
+        case None =>
+          val (n, total) = (out.count(), df.count())
+          println(s"[cli] urldedup: $total urls -> $n canonical")
+      }
     case other =>
-      println(s"usage: ingest|summary|harvest|sync|compact|stats|cluster|index|repair|purge|curate|sample|snap|audit|profile|dq|fuzzy|matagg|sketch|lm|bm25|bpe|drop|semdedup|sparsesim|explain (got '$other')")
+      println(s"usage: ingest|summary|harvest|sync|compact|stats|cluster|index|repair|purge|curate|clf|urldedup|sample|snap|audit|profile|dq|fuzzy|matagg|sketch|lm|bm25|bpe|drop|semdedup|sparsesim|explain (got '$other')")
   }
 }

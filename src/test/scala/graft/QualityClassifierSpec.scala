@@ -62,6 +62,17 @@ class QualityClassifierSpec extends AnyFunSuite {
     }
   }
 
+  test("cli clf: train + score lands the scored parquet") {
+    val root = java.nio.file.Files.createTempDirectory("graft_clf_cli").toString
+    fixture.withColumn("lang", when(col("label") === 1, "en").otherwise("xx"))
+      .write.parquet(root + "/docs")
+    graft.cli.Main.run(spark, "clf", Array(
+      "--in", root + "/docs", "--out", root + "/scores"))
+    val scored = spark.read.parquet(root + "/scores")
+    assert(scored.count() == fixture.count())
+    assert(scored.columns.toSet == Set("doc", "n_fbuckets", "clf_logit", "clf_prob"))
+  }
+
   test("docs with < 2 tokens carry no features and drop out") {
     val df = Seq((1L, 1, "single"), (2L, 0, ""), (3L, 1, "two tokens here")).toDF("doc_id", "label", "text")
     val m = QualityClassifier.train(df, "doc_id", "text", col("label") === 1)

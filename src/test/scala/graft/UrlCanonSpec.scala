@@ -84,6 +84,18 @@ class UrlCanonSpec extends AnyFunSuite {
     assert(viaCol.head == "https://host.es/Docs?a=%2Fv&b=2")
   }
 
+  test("cli urldedup: collapses to canonical keys and lands parquet") {
+    val root = java.nio.file.Files.createTempDirectory("graft_url_cli").toString
+    Seq((1L, "HTTPS://H.ES/a?b=2&a=1#x"), (2L, "https://h.es:443/a/?a=1&b=2"),
+      (3L, "https://other.es/z")).toDF("id", "url").write.parquet(root + "/urls")
+    graft.cli.Main.run(spark, "urldedup", Array(
+      "--in", root + "/urls", "--out", root + "/canon"))
+    val got = spark.read.parquet(root + "/canon")
+    assert(got.count() == 2)
+    assert(got.filter(col("canon_url") === "https://h.es/a?a=1&b=2")
+      .head().getAs[Long]("keep_id") == 1L)
+  }
+
   test("urlCanonicalKeep collapses dirt variants to one min-id row per canonical key") {
     val df = Seq(
       (10L, "HTTPS://H.ES/a?b=2&a=1#x"),
