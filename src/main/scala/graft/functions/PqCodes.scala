@@ -98,8 +98,14 @@ case class PqAdc(first: Expression, second: Expression, third: Expression,
   // (duplicate ids, or distinct ids colliding after cast("long")) with
   // DIFFERENT vectors must never score against each other's table. The
   // digest folds EVERY element's raw bits (FNV-1a over the float words),
-  // so any bit-level divergence recomputes — computed once per cache
-  // probe, not per candidate, so the full fold costs nothing material.
+  // so any bit-level divergence recomputes. Honest cost accounting: the
+  // fold runs on every EVALUATED row — a cache HIT still pays O(dim)
+  // xor-multiplies, because each row deserializes a fresh ArrayData (no
+  // stable reference to memoize against). That per-candidate guard is
+  // ~dim integer ops vs the dim float-multiply dot it replaces and the
+  // mSub·ks·dsub LUT rebuild it prevents — the cheap part of the row,
+  // but NOT free; dropping the guard would trade it for silent
+  // wrong-table scoring on qid collisions, which is never worth it.
   private def qvDigest(qv: ArrayData): Long = PqAdcRes.digest(qv)
 
   private def lutFor(qid: Long, qv: ArrayData): Array[Array[Double]] = {

@@ -633,9 +633,10 @@ object Dedup {
     * the keep decision ONE hash-groupBy shuffle carrying (canon_url, id)
     * — same posture as exact content dedup, no pairs anywhere.
     */
-  def urlCanonicalKeep(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+  def urlCanonicalKeep(df: DataFrame, idCol: String, urlCol: String,
+                       extraDrop: Set[String] = Set.empty): DataFrame =
     df.select(col(idCol),
-        graft.functions.CanonicalUrl.canonical_url(col(urlCol)).as("canon_url"))
+        graft.functions.CanonicalUrl.canonical_url(col(urlCol), extraDrop).as("canon_url"))
       .groupBy(col("canon_url"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_variants"))
 }

@@ -40,6 +40,29 @@ object Pca {
   final case class PcaModel(mean: Seq[Double], eigenvalues: Seq[Double],
                             components: Seq[Seq[Double]])
 
+  /** Largest vector dimension the fit accepts — the [[Pq.MaxFlatNList]]
+    * posture applied to the PCA tier: the moment grid is O(dim²) DRIVER
+    * state (dim·(dim+3)/2 collected rows) and the Jacobi eigensolve
+    * O(dim³) driver compute, so past ~2048 dims (≈2.1M moment rows,
+    * ~10^10 flops) the full-dim fit stops being a sub-second driver
+    * step and starts being the job. The guard REFUSES rather than
+    * silently degrading; the route past it is to shrink the input —
+    * `slice(vec, 1, d)` or a fixed sparse random projection — before
+    * fitting, which preserves the top of the spectrum (Johnson-
+    * Lindenstrauss) at O(dim) per row.
+    */
+  val MaxFitDim = 2048
+
+  private[ops] def requireDimBudget(dim: Int, where: String): Unit = {
+    require(dim >= 1, s"$where: dim must be positive, got $dim")
+    require(dim <= MaxFitDim,
+      s"$where: dim=$dim exceeds MaxFitDim=$MaxFitDim — the moment grid is " +
+        "O(dim²) driver state and the eigensolve O(dim³) driver " +
+        "compute; slice or project the vectors to <= " + MaxFitDim +
+        " dims (e.g. slice(vec, 1, d) or a fixed random projection) " +
+        "before fitting")
+  }
+
   /** One distributed pass of moment accumulation: rows
     * `(i, j, s, n)` where `j = -1` carries the first moment Σ v(i) and
     * `j >= i` the second moment Σ v(i)·v(j) (upper triangle), both as
@@ -56,6 +79,7 @@ object Pca {
     * `partitions × dim·(dim+3)/2` rows regardless of corpus size.
     */
   def moments(corpus: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    requireDimBudget(dim, "Pca.moments")
     val ex = corpus.select(col(vecCol).as("__v"),
       posexplode(col(vecCol)).as(Seq("pi", "x")))
     // inner explode over slice(v, i+1, ...) emits ONLY the upper
@@ -88,6 +112,7 @@ object Pca {
     * corpus.
     */
   def fitFromMoments(momentRows: DataFrame, dim: Int, m: Int): PcaModel = {
+    requireDimBudget(dim, "Pca.fitFromMoments")
     require(m >= 1 && m <= dim, s"need 1 <= m <= dim, got m=$m dim=$dim")
     val bound = dim * (dim + 3) / 2
     // plain collect, bound checked AFTER: the row count is bounded BY

@@ -121,16 +121,19 @@ object PqIndex {
   }
 
   /** The pinned IVF codebook, collected back codebook-sized. The
-    * task-state budget is checked BEFORE the collect (count first — a
-    * metadata-cheap job), so an index written by some other writer past
-    * [[Pq.MaxFlatNList]] refuses with the routing message instead of
-    * dragging GBs to the driver.
+    * task-state budget rides the SAME pass as the load (the
+    * [[graft.ops.Similarity.collectBounded]] trick: collect at most
+    * bound+1 rows, then refuse on overflow), so an index written by
+    * some other writer past [[Pq.MaxFlatNList]] refuses with the
+    * routing message without dragging GBs to the driver — and a
+    * legitimate load doesn't pay a second parquet scan just to prove
+    * it's in budget.
     */
   def loadCentroids(spark: SparkSession, path: String): Seq[(Long, Seq[Float])] = {
-    val df = spark.read.parquet(centsPath(path))
-    Pq.requireFlatBudget(df.count(), "PqIndex.loadCentroids")
-    df.orderBy(col("cell_id")).collect().toIndexedSeq
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
+    val rows = spark.read.parquet(centsPath(path)).orderBy(col("cell_id"))
+      .limit(Pq.MaxFlatNList + 1).collect()
+    Pq.requireFlatBudget(rows.length, "PqIndex.loadCentroids")
+    rows.toIndexedSeq.map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
   }
 
   /** The pinned PQ codebooks, collected back codebook-sized. The
@@ -150,10 +153,11 @@ object PqIndex {
     val mu =
       if (!residual) Map.empty[Long, Array[Float]]
       else {
-        val mdf = spark.read.parquet(path + "/cellmeans")
-        Pq.requireFlatBudget(mdf.count(), "PqIndex.loadModel cellmeans")
-        mdf.collect()
-          .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+        // bound enforced in the SAME pass as the load (see loadCentroids)
+        val mrows = spark.read.parquet(path + "/cellmeans")
+          .orderBy(col("cell_id")).limit(Pq.MaxFlatNList + 1).collect()
+        Pq.requireFlatBudget(mrows.length, "PqIndex.loadModel cellmeans")
+        mrows.map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
       }
     PqModel(books.head.head.length, books, residual, mu)
   }

@@ -81,6 +81,18 @@ class PcaSpec extends AnyFunSuite {
     assert(m1 == m2)
   }
 
+  test("the dim budget guard refuses past MaxFitDim and names the route") {
+    val e = intercept[IllegalArgumentException] {
+      Pca.fit(df, "v", Pca.MaxFitDim + 1, 3)
+    }
+    assert(e.getMessage.contains("MaxFitDim") && e.getMessage.contains("project"),
+      e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Pca.fitFromMoments(df.limit(0), Pca.MaxFitDim + 1, 3)
+    }
+    assert(e2.getMessage.contains("Pca.fitFromMoments"), e2.getMessage)
+  }
+
   test("pcaTopK at m = dim with a full margin equals brute-force exact top-k") {
     val q = df.filter(col("id") % 40 === 0)
     val m = Pca.fit(df, "v", dim, dim)

@@ -36,15 +36,27 @@ class UrlCanonSpec extends AnyFunSuite {
     assert(c("https://h.es#frag") == "https://h.es/")
   }
 
-  test("percent-escape hex uppercases; malformed escapes are left alone, never decoded") {
+  test("reserved escapes uppercase their hex; malformed escapes are left alone") {
     assert(c("https://h.es/a%2fb%3Dc") == "https://h.es/a%2Fb%3Dc")
     assert(c("https://h.es/a?x=%2fa") == "https://h.es/a?x=%2Fa")
     // '%g1' is not hex, trailing '%' and '%a' are incomplete: untouched
     assert(c("https://h.es/a%g1b") == "https://h.es/a%g1b")
     assert(c("https://h.es/a%") == "https://h.es/a%")
     assert(c("https://h.es/a%a") == "https://h.es/a%a")
-    // %41 ('A', unreserved) is case-normalized but NOT decoded
-    assert(c("https://h.es/%41") == "https://h.es/%41")
+  }
+
+  test("unreserved escapes DECODE (RFC 3986 §6.2.2.2); reserved never do") {
+    // %7E '~', %41 'A', %61 'a', %30 '0', %2D '-', %2E '.', %5F '_'
+    assert(c("http://h.es/%7Euser") == c("http://h.es/~user"))
+    assert(c("https://h.es/%41%61%30%2d%2e%5f%7e") == "https://h.es/Aa0-._~")
+    assert(c("https://h.es/p?t=%7eu") == "https://h.es/p?t=~u")
+    // the boundary cases around the unreserved ranges stay encoded:
+    // %2F '/' (below '0'-'9' is %2D..%2E then %2F), %40 '@', %5B '[',
+    // %60 '`', %7B '{' — all reserved or sub-delim territory
+    assert(c("https://h.es/%2F%40%5B%60%7B") == "https://h.es/%2F%40%5B%60%7B")
+    // a decoded unreserved char inside a param VALUE must not disturb
+    // the later split/sort (decoded bytes are never separators)
+    assert(c("https://h.es/p?b=%7Ex&a=1") == "https://h.es/p?a=1&b=~x")
   }
 
   test("trailing slashes strip; the root path survives; empty path becomes '/'") {
@@ -63,6 +75,34 @@ class UrlCanonSpec extends AnyFunSuite {
     assert(c("https://h.es/p?a=1&&b=2") == "https://h.es/p?a=1&b=2")
     // a bare-name param (no '=') is kept and sorted by its name
     assert(c("https://h.es/p?flag&a=1") == "https://h.es/p?a=1&flag")
+    // the mc_ analytics prefix drops like utm_
+    assert(c("https://h.es/p?mc_cid=1&mc_eid=2&a=1") == "https://h.es/p?a=1")
+  }
+
+  test("ambiguous names (ref/referrer/spm) are KEPT by default, droppable via the extra set") {
+    // many sites use ?ref= meaningfully (branch pages, referral codes) —
+    // dropping it unconditionally would collapse distinct resources
+    assert(c("https://h.es/p?ref=main&a=1") == "https://h.es/p?a=1&ref=main")
+    assert(c("https://h.es/p?spm=x") == "https://h.es/p?spm=x")
+    val viaExtra = spark.range(1)
+      .select(CanonicalUrl.canonical_url(
+        lit("https://h.es/p?ref=main&SPM=x&a=1"), Set("ref", "spm")))
+      .as[String].head()
+    assert(viaExtra == "https://h.es/p?a=1")
+    // extra names are validated (they ride generated code as a literal)
+    intercept[IllegalArgumentException] {
+      spark.range(1).select(CanonicalUrl.canonical_url(lit("x"), Set("bad\"name")))
+        .collect()
+    }
+  }
+
+  test("ports accept ASCII digits only; a Unicode-digit 'port' is just part of the host") {
+    // U+0660 ARABIC-INDIC DIGIT ZERO passes Char.isDigit but is not a port
+    val u = "https://h.es:٠٠/a"
+    assert(c(u) == u)
+    // only the six explicit ASCII whitespace chars trim — U+00A0 stays
+    assert(c("\t\r\n https://h.es/a \f") == "https://h.es/a")
+    assert(c("\u00A0https://h.es/a") == "\u00A0https://h.es/a")
   }
 
   test("whitespace trims; userinfo is preserved; non-http(s) and opaque ids pass through") {
