@@ -193,6 +193,13 @@ object Bench {
           "doc_id", "text", idx); () },
         idx => { TextIndex.refresh(docs, "doc_id", "text", idx); () },
         idx => TextIndex.serve(spark, idx).count()),
+      run("txt_clf_persisted")(
+        idx => { ClfIndex.build(docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+          col("lang") === "en", idx); () },
+        idx => { ClfIndex.refresh(docs.filter(col("doc_id") % 10 =!= 0), docs,
+          "doc_id", "text", col("lang") === "en", idx); () },
+        idx => ClfIndex.serve(spark, idx).count()),
       run("txt_lm_incremental")(
         idx => (0 to 1).foreach { d => Relevance.landLmDrop(
           docs.filter(pmod(col("doc_id"), lit(3)) === d), "doc_id", "text", idx, s"drop$d") },

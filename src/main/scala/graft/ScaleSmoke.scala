@@ -568,6 +568,43 @@ object ScaleSmoke {
       graft.ops.QualityClassifier.score(docsAll, "doc_id", "text", m).count()
     }
 
+    // the classifier as a PERSISTED lake artifact (round-19): build on
+    // 80% of the corpus under the full-corpus labeled slice, then
+    // churn-refresh to full — the labeled-slice fingerprint compare
+    // must PIN the model (no retrain), so the refresh re-scores
+    // EXACTLY the 20% churn; runner-ASSERTED like the other index
+    // tiers. The feature stream rides the per-doc array_distinct form
+    // (round-19): zero shuffle, so this phase also watches the old
+    // distinct-shuffle spill stay gone.
+    phase("clf-index-build-80pct") {
+      graft.ops.ClfIndex.build(docsAll,
+        docsAll.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+        "doc_id", "text", col("lang") === "en", s"$work/clfidx")
+    }
+    phase("clf-index-refresh-20pct") {
+      val (kept, signed) = graft.ops.ClfIndex.refresh(docsAll, docsAll,
+        "doc_id", "text", col("lang") === "en", s"$work/clfidx")
+      val n = docsAll.count()
+      val churn = docsAll.filter(pmod(col("doc_id"), lit(5)) === 0).count()
+      require(kept == n - churn && signed == churn,
+        s"clf refresh must be churn-proportional under an unchanged " +
+          s"labeled slice: kept=$kept signed=$signed (corpus=$n churn=$churn)")
+      kept + signed
+    }
+    // delta upsert under the pinned model: a 1%-slice re-delivery with
+    // CHANGED text must re-score exactly the batch, nothing else
+    phase("clf-index-upsert-1pct-changed") {
+      val batch = docsAll.filter(pmod(col("doc_id"), lit(100)) === 0)
+        .withColumn("text", concat(col("text"), lit(" drifted placeholder")))
+      val (carried, signed) = graft.ops.ClfIndex.upsert(
+        batch, "doc_id", "text", s"$work/clfidx")
+      val nb = batch.count()
+      require(carried == 0 && signed == nb,
+        s"changed-payload clf upsert must re-score the whole batch: " +
+          s"carried=$carried signed=$signed batch=$nb")
+      signed
+    }
+
     // canonical-URL dedup at scale: per-row codegen'd canonicalization
     // + ONE hash-groupBy shuffle carrying (canon_url, id) — synthesized
     // dirt variants over the inflated orders table

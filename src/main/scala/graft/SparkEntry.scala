@@ -141,7 +141,7 @@ object SparkEntry {
     "sim_opq_persisted_topk",
     "sim_pq_persisted_topk",
     "sim_mmr_indexed", "sim_mmr_pq", "sim_recall_board", "sim_hier_m_board",
-    "txt_bm25_indexed", "txt_bpe_apply", "txt_dsir_incremental",
+    "txt_bm25_indexed", "txt_bpe_apply", "txt_clf_persisted", "txt_dsir_incremental",
     "txt_lm_incremental", "txt_stats_incremental")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map[String, (SparkSession, String) => DataFrame](

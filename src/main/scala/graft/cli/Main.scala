@@ -959,25 +959,61 @@ object Main {
       graft.Explain.print(spark,
         arg(args, "--sf").getOrElse("/root/testdata/sf0.001"), Seq(name))
     case "clf" =>
-      // trained quality classifier as an operational job: 3 signSGD
-      // rounds against the --target-lang slice, then corpus-wide
-      // scoring landed as parquet (doc, n_fbuckets, clf_logit,
-      // clf_prob on the 10^6 grid)
+      // trained quality classifier as an operational job. One-shot mode
+      // (no --index): 3 signSGD rounds against the --target-lang slice,
+      // then corpus-wide scoring landed as parquet (doc, n_fbuckets,
+      // clf_logit, clf_prob on the 10^6 grid). Persisted mode
+      // (--index <path> --op build|refresh|upsert|serve): the
+      // churn-maintained [[graft.ops.ClfIndex]] lifecycle — build/
+      // refresh train against --labeled-in (default: the --in corpus),
+      // upsert delta-scores a drop under the PINNED model, serve reads
+      // the landed score table.
       import org.apache.spark.sql.functions._
-      val docs = spark.read.parquet(arg(args, "--in").get)
       val idCol = arg(args, "--id-col").getOrElse("doc_id")
       val textCol = arg(args, "--text-col").getOrElse("text")
       val target = arg(args, "--target-lang").getOrElse("en")
-      val m = graft.ops.QualityClassifier.train(docs, idCol, textCol,
-        col(arg(args, "--label-col").getOrElse("lang")) === target)
-      val scored = graft.ops.QualityClassifier.score(docs, idCol, textCol, m)
-      arg(args, "--out") match {
-        case Some(out) =>
-          scored.write.mode("overwrite").parquet(out)
-          println(s"[cli] clf: model ${m.size} buckets, " +
-            s"${spark.read.parquet(out).count()} docs scored -> $out")
+      def labelPred = col(arg(args, "--label-col").getOrElse("lang")) === target
+      arg(args, "--index") match {
+        case Some(idx) =>
+          def corpus = spark.read.parquet(arg(args, "--in").get)
+          def labeled = arg(args, "--labeled-in")
+            .map(spark.read.parquet(_)).getOrElse(corpus)
+          arg(args, "--op").getOrElse("serve") match {
+            case "build" =>
+              val n = graft.ops.ClfIndex.build(labeled, corpus, idCol, textCol,
+                labelPred, idx)
+              println(s"[cli] clf build: $n docs scored -> $idx")
+            case "refresh" =>
+              val (kept, signed) = graft.ops.ClfIndex.refresh(labeled, corpus,
+                idCol, textCol, labelPred, idx)
+              println(s"[cli] clf refresh: kept=$kept rescored=$signed" +
+                (if (kept == 0) " (labeled slice churned -> retrained)" else ""))
+            case "upsert" =>
+              val (carried, signed) = graft.ops.ClfIndex.upsert(corpus, idCol,
+                textCol, idx)
+              println(s"[cli] clf upsert: carried=$carried rescored=$signed")
+            case "serve" =>
+              val served = graft.ops.ClfIndex.serve(spark, idx)
+              arg(args, "--out") match {
+                case Some(out) =>
+                  served.write.mode("overwrite").parquet(out)
+                  println(s"[cli] clf serve: ${spark.read.parquet(out).count()} rows -> $out")
+                case None => println(s"[cli] clf serve: ${served.count()} rows")
+              }
+            case other => println(s"clf --op build|refresh|upsert|serve (got '$other')")
+          }
         case None =>
-          println(s"[cli] clf: model ${m.size} buckets, ${scored.count()} docs scored")
+          val docs = spark.read.parquet(arg(args, "--in").get)
+          val m = graft.ops.QualityClassifier.train(docs, idCol, textCol, labelPred)
+          val scored = graft.ops.QualityClassifier.score(docs, idCol, textCol, m)
+          arg(args, "--out") match {
+            case Some(out) =>
+              scored.write.mode("overwrite").parquet(out)
+              println(s"[cli] clf: model ${m.size} buckets, " +
+                s"${spark.read.parquet(out).count()} docs scored -> $out")
+            case None =>
+              println(s"[cli] clf: model ${m.size} buckets, ${scored.count()} docs scored")
+          }
       }
     case "urldedup" =>
       // canonical-URL dedup: one row per canonical key, min-id keep

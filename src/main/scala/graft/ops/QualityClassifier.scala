@@ -63,9 +63,18 @@ object QualityClassifier {
   /** The DISTINCT (doc, label, bucket) presence stream + per-doc
     * feature counts. `labelPred` null counts as non-target (the DSIR
     * convention).
+    *
+    * The per-doc dedup happens INSIDE the row (`array_distinct` over
+    * the hashed bigram buckets, then explode) — a doc's bucket set is
+    * row-local state, so the global `.distinct()` this replaces (which
+    * shuffled the whole exploded bigram stream once per train call —
+    * the factor-100 smoke's only non-inherent spill, 537 MB) costs
+    * nothing: the stream leaves the scan already distinct, zero
+    * shuffle. `__y` is constant per doc, so row-local dedup and global
+    * dedup produce the identical multiset.
     */
-  private def featureStream(docs: DataFrame, idCol: String, textCol: String,
-                            labelPred: Option[Column], nBuckets: Int): DataFrame = {
+  private[ops] def featureStream(docs: DataFrame, idCol: String, textCol: String,
+                                 labelPred: Option[Column], nBuckets: Int): DataFrame = {
     require(nBuckets > 0 && nBuckets <= (1 << 16),
       s"nBuckets must be in [1, 65536] (16 hash bits): $nBuckets")
     val y = labelPred.map(p => when(coalesce(p, lit(false)), 1L).otherwise(0L))
@@ -74,10 +83,10 @@ object QualityClassifier {
       .select(col(idCol).as("__doc"), y.as("__y"),
         TextAnalysis.tokens(col(textCol)).as("__toks"))
       .filter(size(col("__toks")) >= 2)
-      .select(col("__doc"), col("__y"), explode(expr(
-        "transform(sequence(1, size(__toks) - 1), i -> concat(__toks[i-1], ' ', __toks[i]))")).as("__bg"))
-      .select(col("__doc"), col("__y"), Curation.hashBucket(col("__bg"), nBuckets).as("__b"))
-      .distinct()
+      .select(col("__doc"), col("__y"),
+        explode(array_distinct(transform(
+          expr("transform(sequence(1, size(__toks) - 1), i -> concat(__toks[i-1], ' ', __toks[i]))"),
+          bg => Curation.hashBucket(bg, nBuckets)))).as("__b"))
   }
 
   /** Train the classifier: bucket → weight (10^6 grid), nBuckets-bounded. */
@@ -85,6 +94,15 @@ object QualityClassifier {
             nBuckets: Int = 4096, steps: Seq[Long] = Steps): Map[Long, Long] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // the corpus-sized feature stream is reused 1 + 2·steps times; one
+    // eager localCheckpoint pins the computed partitions on executors.
+    // Recovery contract: localCheckpoint blocks are NOT recoverable on
+    // executor loss — acceptable here because train is a bounded batch
+    // job (minutes, not a service) and a lost block fails THE JOB, never
+    // corrupts the model (signSGD rounds are deterministic; rerun =
+    // identical weights). A service-grade trainer on a real cluster
+    // should land the stream as a lake temp table instead and pay the
+    // parquet round-trip for fault tolerance.
     val st = featureStream(docs, idCol, textCol, Some(labelPred), nBuckets)
       .localCheckpoint(true)
     val dn = st.groupBy(col("__doc")).agg(

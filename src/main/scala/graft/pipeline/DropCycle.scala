@@ -89,7 +89,14 @@ object DropCycle {
     // step 6c: per-registrable-domain token totals (urlCol, path) — the
     // domain-budget curation axis as a signed summable segment table
     // riding the same pre-image change feed as the LM/DSIR tiers
-    domainTokens: Option[(String, String)] = None)
+    domainTokens: Option[(String, String)] = None,
+    // step 3f: persisted trained-classifier scores
+    // ([[graft.ops.ClfIndex]]). Needs textCol and an EXISTING index —
+    // the model pins at build (a labeled-slice change is an explicit
+    // ClfIndex.refresh/build decision, never a drop side effect); the
+    // drop's changed docs re-score under the pinned broadcast model,
+    // re-delivered unchanged docs carry verbatim.
+    clfScoresPath: Option[String] = None)
 
   /** Run one cycle; returns tier -> (carried, refreshed). */
   def run(lake: SnapshotLake, dropIn: DataFrame, conf: Config): Map[String, (Long, Long)] = {
@@ -143,6 +150,9 @@ object DropCycle {
       }
       conf.bpePath.foreach { bpePath =>
         report("bpe") = graft.ops.BpeIndex.refresh(drop, text, bpePath)
+      }
+      conf.clfScoresPath.foreach { clfPath =>
+        report("clf") = graft.ops.ClfIndex.upsert(drop, lake.keyCol, text, clfPath)
       }
       conf.clusterIdxPath.foreach { clPath =>
         import org.apache.spark.sql.functions.{coalesce, col, expr, when, xxhash64}

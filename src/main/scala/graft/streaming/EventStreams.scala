@@ -233,6 +233,21 @@ object EventStreams {
       if (!batch.isEmpty) graft.ops.TextIndex.upsert(batch, idCol, textCol, idxPath)
     }
 
+  /** The trained-classifier twin of [[textIndexSink]]: each micro-batch
+    * of documents delta-scores the persisted clf score table
+    * ([[graft.ops.ClfIndex.upsert]]) under the index's PINNED model —
+    * re-delivered unchanged docs carry verbatim, changed/new docs pay
+    * one broadcast-model scoring pass. The model itself never retrains
+    * from a stream: a labeled-slice change is a batch
+    * [[graft.ops.ClfIndex.refresh]] decision (the fingerprint compare
+    * lives there), not a micro-batch one. Requires a BUILT index.
+    */
+  def clfScoreSink(idxPath: String, idCol: String, textCol: String)(
+      docs: DataFrame): DataStreamWriter[org.apache.spark.sql.Row] =
+    upsertSink(docs) { (batch, _) =>
+      if (!batch.isEmpty) graft.ops.ClfIndex.upsert(batch, idCol, textCol, idxPath)
+    }
+
   /** The BM25 posting-list twin: each micro-batch delta-upserts the
     * persisted inverted index ([[graft.ops.PostingsIndex.upsert]]) —
     * re-delivered unchanged docs carry verbatim, so replaying a feed
