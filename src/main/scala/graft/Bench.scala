@@ -35,8 +35,14 @@ object Bench {
   private[graft] def stageJourneys(spark: SparkSession, sfDir: String): Seq[(String, String)] = {
     import graft.ops._
     def t(name: String) = spark.read.parquet(s"$sfDir/$name.parquet")
-    def run(name: String)(build: String => Unit, refresh: String => Unit,
-                          serve: String => Long): (String, String) = {
+    // `extras`: additional named stage slots AFTER serve — the
+    // persisted-parity rows spend roughly half their query wall on the
+    // recompute twin + brute recall floor, which the three standard
+    // slots can't name (the round-18 verdict's attribution gap); each
+    // extra lands as "<name>_sec" so stages sum to >=0.9x the row wall
+    def run(name: String, extras: Seq[(String, String => Unit)] = Nil)(
+        build: String => Unit, refresh: String => Unit,
+        serve: String => Long): (String, String) = {
       val tmp = java.nio.file.Files.createTempDirectory("graft_bench_stage").toString
       val idx = tmp + "/idx"
       def time(f: => Unit): Double = {
@@ -47,7 +53,10 @@ object Bench {
         val r = time(refresh(idx))
         var n = 0L
         val sv = time { n = serve(idx) }
-        s"""{"build_sec":$b,"refresh_sec":$r,"serve_sec":$sv,"serve_rows":$n}"""
+        val extraJson = extras.map { case (k, f) =>
+          s""","${k}_sec":${time(f(idx))}"""
+        }.mkString
+        s"""{"build_sec":$b,"refresh_sec":$r,"serve_sec":$sv,"serve_rows":$n$extraJson}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] stage journey $name FAILED: ${e.getMessage}")
         s"""{"err":"${e.getClass.getName}"}"""
@@ -66,6 +75,37 @@ object Bench {
     val docs = t("documents")
     val cust = t("customer")
     val pqMargin = math.max(32, math.ceil(embN * 0.02).toInt)
+    val b90 = emb.filter(col("vec_id") % 10 =!= 9)
+    // parity/floor stage mirrors for the persisted sim rows — the
+    // recompute twin and the brute recall floor are those query bodies'
+    // OTHER half (the part build/refresh/serve can't name)
+    def pqRot(opq: Boolean): org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      if (!opq) identity
+      else {
+        val basis = Pq.opqBasis(graft.ops.Pca.fit(b90, "embedding", 64, 64), 8)
+        df => df.withColumn("embedding", Pq.opqRotateExpr(col("embedding"), basis))
+      }
+    def pqTwin(opq: Boolean): Unit = {
+      val rot = pqRot(opq)
+      val rb90 = rot(b90)
+      val cents = Similarity.ivfCentroids(rb90, "vec_id", "embedding", 8)
+      val model = Pq.trainResidualFlat(rb90, "vec_id", "embedding", cents)
+      Pq.ivfTopKPqFromLists(cents, model,
+        Pq.pqLists(rot(emb), "vec_id", "embedding", cents, model)
+          .localCheckpoint(true),
+        rot(emb), rot(q50), "vec_id", "embedding", 5, 8, pqMargin).count()
+    }
+    def imiTwin(opq: Boolean): Unit = {
+      val rot = pqRot(opq)
+      val rb90 = rot(b90)
+      val imi = IvfImi.train(rb90, "vec_id", "embedding", 16)
+      val model = Pq.trainResidualImi(rb90, "vec_id", "embedding", imi)
+      Pq.ivfTopKPqImi(rot(emb), rot(q50), "vec_id", "embedding",
+        imi, model, 5, 16, pqMargin).count()
+    }
+    def bruteFloor(): Unit = {
+      Similarity.bruteTopKExact(emb, q50, "vec_id", "embedding", 5).count(); ()
+    }
     // shared fixtures for the round-18 journey extension — each mirrors
     // its query body's construction verbatim
     val summarySpec = graft.lake.MaterializedAgg.Spec(
@@ -111,7 +151,8 @@ object Bench {
           "vec_id", "embedding", idx, nList = 8); () },
         idx => { SimilarityIndex.refresh(emb, "vec_id", "embedding", idx); () },
         idx => SimilarityIndex.topKInt8(emb, q50, "vec_id", "embedding", idx, 5, 2).count()),
-      run("sim_pq_persisted_topk")(
+      run("sim_pq_persisted_topk", extras = Seq(
+        "parity" -> (_ => pqTwin(false)), "floor" -> (_ => bruteFloor())))(
         idx => { PqIndex.build(emb.filter(col("vec_id") % 10 =!= 9),
           "vec_id", "embedding", idx, nList = 8); () },
         idx => { PqIndex.refresh(emb, "vec_id", "embedding", idx); () },
@@ -173,12 +214,20 @@ object Bench {
         idx => SemDedupIndex.serve(spark, idx).count()),
 
       // ---- round-18 extension: the rest of the integration tier ----
-      run("sim_imi_persisted_topk")(
+      run("sim_imi_persisted_topk", extras = Seq(
+        "parity" -> (_ => imiTwin(false)), "floor" -> (_ => bruteFloor())))(
         idx => { ImiPqIndex.build(emb.filter(col("vec_id") % 10 =!= 9),
           "vec_id", "embedding", idx, nCells = 16); () },
         idx => { ImiPqIndex.refresh(emb, "vec_id", "embedding", idx); () },
         idx => ImiPqIndex.topK(emb, q50, "vec_id", "embedding", idx, 5, 16, pqMargin).count()),
-      run("sim_opq_persisted_topk")(
+      run("sim_imi_opq_persisted_topk", extras = Seq(
+        "parity" -> (_ => imiTwin(true)), "floor" -> (_ => bruteFloor())))(
+        idx => { ImiPqIndex.build(emb.filter(col("vec_id") % 10 =!= 9),
+          "vec_id", "embedding", idx, nCells = 16, opq = true); () },
+        idx => { ImiPqIndex.refresh(emb, "vec_id", "embedding", idx); () },
+        idx => ImiPqIndex.topK(emb, q50, "vec_id", "embedding", idx, 5, 16, pqMargin).count()),
+      run("sim_opq_persisted_topk", extras = Seq(
+        "parity" -> (_ => pqTwin(true)), "floor" -> (_ => bruteFloor())))(
         idx => { PqIndex.build(emb.filter(col("vec_id") % 10 =!= 9),
           "vec_id", "embedding", idx, nList = 8, opq = true); () },
         idx => { PqIndex.refresh(emb, "vec_id", "embedding", idx); () },

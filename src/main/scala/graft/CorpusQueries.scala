@@ -1676,6 +1676,57 @@ object CorpusQueries {
       rec
     }),
 
+    // the COMPOSED rotated+factorized persisted serve (round-19): OPQ
+    // eigen-balanced rotation x IMI product cells x residual PQ codes —
+    // the configuration a real 10^11-vector corpus actually runs
+    // (O(√nCells·dim) task state AND variance-balanced 8-byte codes),
+    // exercised together as one lake artifact rather than only in the
+    // separate sim_opq_/sim_imi_ rows: build pins basis+books on 90%,
+    // churn-refresh to full in the ROTATED space (unchanged rows carry
+    // verbatim), then the zero-train serve must equal the from-scratch
+    // recompute under the same deterministic basis+books bit-for-bit
+    // and clear its unrotated sibling's 0.80 brute recall floor
+    "sim_imi_opq_persisted_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % 50 === 0)
+      val margin = math.max(32, math.ceil(emb.count() * 0.02).toInt)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_imiopq_q").toString
+      val idx = tmp + "/imiopq"
+      val b90 = emb.filter(col("vec_id") % 10 =!= 9)
+      graft.ops.ImiPqIndex.build(b90, "vec_id", "embedding", idx,
+        nCells = 16, opq = true)
+      graft.ops.ImiPqIndex.refresh(emb, "vec_id", "embedding", idx)
+      val served = graft.ops.ImiPqIndex.topK(emb, q, "vec_id", "embedding",
+          idx, 5, 16, margin)
+        .localCheckpoint(true) // the scratch index is deleted below
+      // recompute twin: the same pinned-at-build artifacts from scratch,
+      // all in the rotated space
+      val basis = graft.ops.Pq.opqBasis(Pca.fit(b90, "embedding", 64, 64), 8)
+      def rot(df: org.apache.spark.sql.DataFrame) = df.withColumn("embedding",
+        graft.ops.Pq.opqRotateExpr(col("embedding"), basis))
+      val rb90 = rot(b90)
+      val imi = graft.ops.IvfImi.train(rb90, "vec_id", "embedding", 16)
+      val model = graft.ops.Pq.trainResidualImi(rb90, "vec_id", "embedding", imi)
+      val recomputed = graft.ops.Pq.ivfTopKPqImi(rot(emb), rot(q),
+        "vec_id", "embedding", imi, model, 5, 16, margin)
+      val mismatches = served.unionByName(recomputed)
+        .groupBy(col("qid"), col("cid"), col("rank"))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") =!= 2).count()
+      val exact = Similarity.bruteTopKExact(emb, q, "vec_id", "embedding", 5)
+      val rec = exact
+        .select(col("qid").cast("long").as("qid"), col("cid").cast("long").as("cid"))
+        .join(served.select(col("qid"), col("cid"), lit(1).as("__hit")),
+          Seq("qid", "cid"), "left_outer")
+        .agg(count_distinct(col("qid")).as("n_queries"),
+          (sum(coalesce(col("__hit"), lit(0))) >= count(lit(1)) * lit(0.80))
+            .as("recall_ge_080"))
+        .withColumn("served_eq_recompute", lit(mismatches) === 0)
+      new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      rec
+    }),
+
     // IVF under the sampled-k-means codebook, probed recall-complete
     // (nProbe = nList): with every cell probed the candidate set is the
     // whole corpus for ANY codebook, so the exact-decimal decider must
@@ -3374,6 +3425,11 @@ object CorpusQueries {
         |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
 
     "sim_opq_persisted_topk" ->
+      """SELECT count(DISTINCT vec_id) AS n_queries, true AS recall_ge_080,
+        |       true AS served_eq_recompute
+        |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
+
+    "sim_imi_opq_persisted_topk" ->
       """SELECT count(DISTINCT vec_id) AS n_queries, true AS recall_ge_080,
         |       true AS served_eq_recompute
         |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,

@@ -138,6 +138,7 @@ object SparkEntry {
     "enrich_fuzzy_indexed",
     "pca_moments_incremental", "sem_cluster_incremental", "sim_ivf_persisted_topk",
     "sim_imi_persisted_topk",
+    "sim_imi_opq_persisted_topk",
     "sim_opq_persisted_topk",
     "sim_pq_persisted_topk",
     "sim_mmr_indexed", "sim_mmr_pq", "sim_recall_board", "sim_hier_m_board",

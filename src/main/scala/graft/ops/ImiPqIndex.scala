@@ -22,6 +22,18 @@ import org.apache.spark.sql.functions._
   * vanished ids drop (refresh) or persist (upsert). The probe serves
   * [[Pq.ivfTopKPqImiFromLists]] off the landed lists — zero training,
   * encoding or assignment at probe time.
+  *
+  * `build(opq = true)` pins a parametric-OPQ rotation beside the books
+  * (the [[PqIndex]] layout: `path/opqbasis`) — the composed
+  * rotated+factorized configuration is the one a REAL 10^11-vector
+  * serve runs: OPQ balances the per-subspace variance the 8-byte codes
+  * must span, IMI keeps the coarse gate's task state at O(√nCells·dim).
+  * The rotation helps BOTH halves for the same reason: product cells
+  * split the vector axis-wise exactly like PQ subspaces do, so
+  * eigen-balanced axes make the cell grid carve the corpus where the
+  * variance actually is. Everything downstream — sub-books, residual
+  * codebooks, codes, fingerprints, probes — lives in the rotated space,
+  * pinned for the index's whole life.
   */
 object ImiPqIndex {
 
@@ -30,6 +42,15 @@ object ImiPqIndex {
   private def listsPath(path: String) = path + "/lists"
 
   private def vecFp(vec: org.apache.spark.sql.Column) = xxhash64(vec)
+
+  /** Rotate into the index's pinned basis (identity when none). The
+    * basis layout + loader are SHARED with [[PqIndex]] (`path/opqbasis`)
+    * — one seam, two serving tiers.
+    */
+  private def rotated(df: DataFrame, vecCol: String,
+                      basis: Option[IndexedSeq[Array[Float]]]): DataFrame =
+    basis.fold(df)(b =>
+      df.withColumn(vecCol, Pq.opqRotateExpr(col(vecCol), b)))
 
   private def listRows(corpus: DataFrame, idCol: String, vecCol: String,
                        imi: IvfImi, model: PqModel): DataFrame =
@@ -41,13 +62,24 @@ object ImiPqIndex {
     */
   def build(corpus: DataFrame, idCol: String, vecCol: String, path: String,
             nCells: Long, mSub: Int = 8, ks: Int = 256,
-            residual: Boolean = true): Long = {
+            residual: Boolean = true, opq: Boolean = false): Long = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val imi = IvfImi.train(corpus, idCol, vecCol, nCells)
+    // opq = true pins the eigen-balanced rotation FIRST: sub-books,
+    // residual codebooks and codes all train/encode in the rotated
+    // space (orthonormal — scored inner products unchanged up to float
+    // rounding), exactly the PqIndex convention
+    val basis: Option[IndexedSeq[Array[Float]]] =
+      if (!opq) None
+      else {
+        val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+        Some(Pq.opqBasis(Pca.fit(corpus, vecCol, dim, dim), mSub))
+      }
+    val rc = rotated(corpus, vecCol, basis)
+    val imi = IvfImi.train(rc, idCol, vecCol, nCells)
     val model =
-      if (residual) Pq.trainResidualImi(corpus, idCol, vecCol, imi, mSub, ks)
-      else Pq.train(corpus, idCol, vecCol, mSub, ks)
+      if (residual) Pq.trainResidualImi(rc, idCol, vecCol, imi, mSub, ks)
+      else Pq.train(rc, idCol, vecCol, mSub, ks)
     graft.lake.Staged.landMany(spark, path, Seq(
       "subbooks" -> (imi.sub1.zipWithIndex.map { case (c, i) => (1, i, c.toSeq) } ++
         imi.sub2.zipWithIndex.map { case (c, i) => (2, i, c.toSeq) })
@@ -56,7 +88,9 @@ object ImiPqIndex {
         cb.zipWithIndex.map { case (cent, c) => (m, c, cent.toSeq) }
       }.toDF("sub", "code", "cent"),
       "meta" -> Seq(residual).toDF("residual"),
-      "lists" -> listRows(corpus, idCol, vecCol, imi, model)))
+      "lists" -> listRows(rc, idCol, vecCol, imi, model)) ++
+      basis.map(b => "opqbasis" ->
+        b.zipWithIndex.map { case (r, i) => (i, r.toSeq) }.toDF("pos", "r")).toSeq)
     spark.read.parquet(listsPath(path)).count()
   }
 
@@ -90,9 +124,12 @@ object ImiPqIndex {
     val spark = corpus.sparkSession
     val imi = loadImi(spark, path)
     val model = loadModel(spark, path)
+    // rotate BEFORE the churn split: fingerprints were signed over the
+    // rotated vectors at build, so unchanged rows must re-hash equal
+    val rc = rotated(corpus, vecCol, PqIndex.loadBasis(spark, path))
     val old = spark.read.parquet(listsPath(path))
     val s = graft.lake.ChurnSplit.split(old, "cid", "vfp",
-      corpus, idCol, vecFp(corpus(vecCol)))
+      rc, idCol, vecFp(rc(vecCol)))
     val kept = s.kept
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val freshRows = listRows(s.fresh, idCol, vecCol, imi, model)
@@ -112,9 +149,10 @@ object ImiPqIndex {
     val spark = batch.sparkSession
     val imi = loadImi(spark, path)
     val model = loadModel(spark, path)
+    val rb = rotated(batch, vecCol, PqIndex.loadBasis(spark, path))
     val old = spark.read.parquet(listsPath(path))
     val s = graft.lake.ChurnSplit.split(old, "cid", "vfp",
-      batch, idCol, vecFp(batch(vecCol)))
+      rb, idCol, vecFp(rb(vecCol)))
     val keptBatch = s.kept
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val freshRows = listRows(s.fresh, idCol, vecCol, imi, model)
@@ -133,8 +171,13 @@ object ImiPqIndex {
   def topK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
            path: String, k: Int, nProbe: Int, margin: Int): DataFrame = {
     val spark = corpus.sparkSession
+    // an OPQ index probes in its pinned rotated space — corpus AND
+    // queries rotate, so side LUTs, ADC tables and the exact re-rank
+    // all score the same (orthonormally preserved) inner products
+    val basis = PqIndex.loadBasis(spark, path)
     Pq.ivfTopKPqImiFromLists(loadImi(spark, path), loadModel(spark, path),
       spark.read.parquet(listsPath(path)).select(col("cid"), col("cell"), col("codes")),
-      corpus, queries, idCol, vecCol, k, nProbe, margin)
+      rotated(corpus, vecCol, basis), rotated(queries, vecCol, basis),
+      idCol, vecCol, k, nProbe, margin)
   }
 }

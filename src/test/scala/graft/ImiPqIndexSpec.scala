@@ -108,4 +108,34 @@ class ImiPqIndexSpec extends AnyFunSuite {
     assert(lists.count() == emb.count(), "refresh must cover the full corpus")
     assert(lists.select(max(col("cell"))).head().getLong(0) < 16L)
   }
+
+  test("OPQ+IMI: pinned rotation composes with product cells — served == rotated recompute, churn in rotated space") {
+    val idx = scratch()
+    val b90 = emb.filter(col("vec_id") % 10 =!= 9).localCheckpoint(true)
+    ImiPqIndex.build(b90, "vec_id", "embedding", idx, nCells = 16, mSub = 8,
+      ks = 32, opq = true)
+    // the basis lands at the SHARED opqbasis seam; a plain build has none
+    val basis = graft.ops.PqIndex.loadBasis(spark, idx)
+    assert(basis.nonEmpty && basis.get.size == 64 && basis.get.head.length == 64)
+    // refresh carries the unchanged 90% verbatim (fingerprints are over
+    // ROTATED vectors, so the re-rotation must hash identically)
+    val (kept, signed) = ImiPqIndex.refresh(emb, "vec_id", "embedding", idx)
+    assert(kept == b90.count() && signed == emb.count() - b90.count(),
+      s"opq+imi churn seam drifted: kept=$kept signed=$signed")
+    // served == the from-scratch recompute with EVERYTHING (sub-books,
+    // residual codebooks, codes, probes) in the same pinned rotated space
+    val q = emb.filter(col("vec_id") % 25 === 0)
+    val served = ImiPqIndex.topK(emb, q, "vec_id", "embedding", idx, 3, 8, margin = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def rot(df: org.apache.spark.sql.DataFrame) = df.withColumn("embedding",
+      Pq.opqRotateExpr(col("embedding"), basis.get))
+    val rb90 = rot(b90)
+    val imi = IvfImi.train(rb90, "vec_id", "embedding", 16)
+    val model = Pq.trainResidualImi(rb90, "vec_id", "embedding", imi, mSub = 8, ks = 32)
+    val want = Pq.ivfTopKPqImi(rot(emb), rot(q), "vec_id", "embedding",
+        imi, model, 3, 8, margin = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(served == want && served.nonEmpty,
+      s"missing=${want -- served} extra=${served -- want}")
+  }
 }
