@@ -1727,6 +1727,56 @@ object CorpusQueries {
       rec
     }),
 
+    // the OPQ rotation's recall WIN, driver-verified (round-19): the
+    // recall board's fixture is deliberately isotropic, so ivf_opq ~=
+    // ivf_pq there and the rotation's value lived only in PqSpec's A/B.
+    // This row derives a variance-IMBALANCED corpus deterministically
+    // from the embeddings ids (the textbook Ge et al. 2013 case: all
+    // discriminative variance in dims 0/1 — two ± sign directions of
+    // DISTINCT strength, four clusters — six jitter dims), measures ADC
+    // top-5 cluster purity at 2 bytes (mSub = 2, ks = 2, single zero
+    // cell, margin 0: pure code quality, no gate or exact-re-rank
+    // rescue), and pins BOTH contracts: the rotated codes must separate
+    // the clusters (purity >= 99) and STRICTLY beat raw dimension order
+    // (raw packs both strong dims into subspace 0 — four patterns, two
+    // codes — while subspace 1 quantizes noise)
+    "sim_opq_aniso_purity" -> ((s, dir) => {
+      import s.implicits._
+      val i = col("vec_id")
+      val vec = array((0 until 8).map { j =>
+        val strong =
+          if (j == 0) when(pmod(i, lit(2)) === 0, lit(10.0f)).otherwise(lit(-10.0f))
+          else if (j == 1) when(pmod(i, lit(4)) < 2, lit(6.0f)).otherwise(lit(-6.0f))
+          else lit(0.0f)
+        (strong +
+          lit(0.01f) * (pmod(i * 31 + lit(j * 17), lit(97)) - lit(48)).cast("float"))
+          .cast("float")
+      }: _*)
+      val corpus = t(s, dir, "embeddings").select(col("vec_id"), vec.as("embedding"))
+        .localCheckpoint(true)
+      val n = corpus.count().toInt
+      val oneCell: Seq[(Long, Seq[Float])] = Seq((0L, Seq.fill(8)(0f)))
+      def purity(df: org.apache.spark.sql.DataFrame): Double = {
+        val m0 = graft.ops.Pq.train(df, "vec_id", "embedding",
+          mSub = 2, ks = 2, trainN0 = n)
+        val ap = graft.ops.Pq.ivfTopKPqFromLists(oneCell, m0,
+          graft.ops.Pq.pqLists(df, "vec_id", "embedding", oneCell, m0),
+          df, df.filter(col("vec_id") % 10 === 0), "vec_id", "embedding", 5, 1, 0)
+        val r = ap.agg(count(lit(1)),
+            sum(when(col("qid") % 4 === col("cid") % 4, 1L).otherwise(0L)))
+          .collect().head
+        100.0 * r.getLong(1) / r.getLong(0)
+      }
+      val raw = purity(corpus)
+      val basis = graft.ops.Pq.opqBasis(Pca.fit(corpus, "embedding", 8, 8), 2)
+      val rotated = corpus.withColumn("embedding",
+        graft.ops.Pq.opqRotateExpr(col("embedding"), basis)).localCheckpoint(true)
+      val opq = purity(rotated)
+      val qn = corpus.filter(col("vec_id") % 10 === 0).count()
+      Seq((qn, opq > raw, opq >= 99.0))
+        .toDF("n_queries", "opq_gt_raw", "opq_ge_99")
+    }),
+
     // IVF under the sampled-k-means codebook, probed recall-complete
     // (nProbe = nList): with every cell probed the candidate set is the
     // whole corpus for ANY codebook, so the exact-decimal decider must
@@ -3433,6 +3483,15 @@ object CorpusQueries {
       """SELECT count(DISTINCT vec_id) AS n_queries, true AS recall_ge_080,
         |       true AS served_eq_recompute
         |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
+
+    // the anisotropic-fixture contract: rotated codes must both beat
+    // raw dimension order strictly AND clear the 99-purity floor — a
+    // rotation regression (wrong allocation, stale basis, broken
+    // rotate expression) reds the hash gate
+    "sim_opq_aniso_purity" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS opq_gt_raw,
+        |       true AS opq_ge_99
+        |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin,
 
     // the floors are the contract: the oracle states every tier's board
     // row must come back (n_pairs = 5 per query) with its pinned floor
