@@ -40,6 +40,7 @@ class DropCycleSpec extends AnyFunSuite {
       dsir = Some((col("grp") === 0L, root + "/dsir")),
       bpePath = Some(root + "/bpe"),
       domainTokens = Some(("url", root + "/domains")),
+      clfScoresPath = Some(root + "/clfidx"),
       expect = Some((Seq(graft.ops.Expectations.notNull("text")),
         root + "/quarantine", "c1")))
 
@@ -50,6 +51,10 @@ class DropCycleSpec extends AnyFunSuite {
     // the BPE vocab is PINNED before the cycles (an explicit build
     // decision, like the IVF codebook); cycles only grow the word cache
     graft.ops.BpeIndex.build(drop1, "text", root + "/bpe", nMerges = 8)
+    // ...and so is the classifier model (trained on drop 1's labels);
+    // cycles only delta-rescore changed docs under it
+    graft.ops.ClfIndex.build(drop1, drop1, "_id", "text",
+      col("grp") === 0L, root + "/clfidx")
     val r1 = DropCycle.run(lake, drop1, conf)
     assert(r1("lake") == ((0L, 1L)))
 
@@ -77,6 +82,19 @@ class DropCycleSpec extends AnyFunSuite {
     assert(r2("band") == ((1L, 2L)))
     // the posting-list index rode the same fingerprint-gated delta
     assert(r2("postings") == ((1L, 2L)))
+    // ...and so did the classifier scores, under the PINNED model: doc 1
+    // carried verbatim, docs 3+4 rescored; doc 2 (out of batch) untouched
+    assert(r2("clf") == ((1L, 2L)), s"clf delta drifted: ${r2("clf")}")
+    val clfModel = graft.ops.ClfIndex.loadModel(spark, root + "/clfidx")
+    val doc3Want = graft.ops.QualityClassifier.score(
+      lake.read.filter(col("_id") === "3"), "_id", "text", clfModel)
+      .collect().head.toSeq
+    assert(graft.ops.ClfIndex.serve(spark, root + "/clfidx")
+      .filter(col("doc") === "3")
+      .select(col("doc"), col("n_fbuckets"), col("clf_logit"), col("clf_prob"))
+      .collect().head.toSeq == doc3Want,
+      "the rescored doc must match a from-scratch score under the pinned model")
+    assert(graft.ops.ClfIndex.serve(spark, root + "/clfidx").count() == 4L)
     // BPE cache: drop 2 brings exactly two previously-unseen words
     // ('flink', 'doge') — the pinned merges never retrain, the cache
     // grows by the churn's new vocabulary only

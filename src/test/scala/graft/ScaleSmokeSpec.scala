@@ -27,7 +27,9 @@ class ScaleSmokeSpec extends AnyFunSuite {
       "semdedup-labels", "semidx-build-90pct", "semidx-refresh-10pct",
       "semdedup-hier-labels", "knn-graph-cells",
       "semidx-hier-build-90pct", "semidx-hier-refresh-10pct",
-      "knn-pagerank", "dsir-weights", "clf-train-score", "url-canonical-keep"),
+      "knn-pagerank", "dsir-weights", "clf-train-score",
+      "clf-index-build-80pct", "clf-index-refresh-20pct",
+      "clf-index-upsert-1pct-changed", "url-canonical-keep"),
       s"phase list drifted: $names")
     // the PCA drop phase lands an aggregate-sized segment (dim·(dim+3)/2)
     assert(phases.find(_._1 == "pca-moments-drop-10pct").get._3 == 64L * 67 / 2)
