@@ -2192,21 +2192,32 @@ object CorpusQueries {
       val g = expr("o_orderkey div 5").cast("long")
       val h = pmod(g, lit(20)).cast("string")
       val gs = g.cast("string")
-      val ok5 = pmod(col("o_orderkey"), lit(5))
-      val url = when(ok5 === 0,
+      val ok7 = pmod(col("o_orderkey"), lit(7))
+      val url = when(ok7 === 0,
           concat(lit("HTTPS://Host"), h, lit(".Example.ES/Docs/"), gs,
             lit("?q=1&x=%2fa&t=%7Eu#frag")))
-        .when(ok5 === 1,
+        .when(ok7 === 1,
           // %44 is unreserved ('D') and must DECODE to /Docs/; %2F is
           // reserved ('/') and must stay an escape (hex uppercased)
           concat(lit("https://host"), h, lit(".example.es:443/%44ocs/"), gs,
             lit("?x=%2Fa&q=1&t=~u")))
-        .when(ok5 === 2,
+        .when(ok7 === 2,
           concat(lit("https://host"), h, lit(".example.es./Docs/"), gs,
             lit("/?q=1&x=%2fa&utm_source=news&t=%7eu")))
-        .when(ok5 === 3,
+        .when(ok7 === 3,
           concat(lit("  https://host"), h, lit(".example.es/Docs/"), gs,
             lit("?gclid=g"), col("o_orderkey").cast("string"), lit("&q=1&x=%2Fa&t=~u  ")))
+        .when(ok7 === 5,
+          // bare ':' (empty port) drops + trailing host dot strips +
+          // host case lowers — must COLLAPSE into the same key as the
+          // other arms (the authority edge the engines could drift on)
+          concat(lit("https://Host"), h, lit(".Example.ES.:/Docs/"), gs,
+            lit("?q=1&x=%2Fa&t=~u")))
+        .when(ok7 === 6,
+          // userinfo: split at the LAST '@', case preserved verbatim —
+          // forms its own canonical key, never merges with arms 0-5
+          concat(lit("https://User"), h, lit("@host"), h, lit(".example.es/Docs/"), gs,
+            lit("?q=1&x=%2Fa&t=%7Eu")))
         .otherwise(
           concat(lit("https://host"), h, lit(".example.es/Docs/"), gs,
             lit("//?UTM_Source=x&q=1&x=%2Fa&t=%7Eu")))
@@ -3578,20 +3589,27 @@ object CorpusQueries {
 
     // generic re-implementation of every CanonicalUrl step (explicit
     // ASCII-whitespace trim, fragment strip, scheme/host lowercase,
-    // host trailing-dot strip, default-port drop, per-escape RFC 3986
-    // §6.2.2 normalization via the split-on-% list trick — unreserved
-    // bytes DECODE, everything else keeps uppercased hex —
+    // userinfo split at the LAST '@' with its case preserved, host
+    // trailing-dot strip, bare-colon and default-port drop, per-escape
+    // RFC 3986 §6.2.2 normalization via the split-on-% list trick —
+    // unreserved bytes DECODE, everything else keeps uppercased hex —
     // trailing-slash strip with empty->'/', tracking-param drop +
     // lexicographic param sort) — NOT the fixture generator's answer
-    // key, so Spark and DuckDB must agree on the algorithm itself
+    // key, so Spark and DuckDB must agree on the algorithm itself.
+    // Arms 5 (bare colon + trailing-dot + mixed-case host) and 6
+    // (mixed-case userinfo) exercise exactly the authority edges where
+    // the two engines could drift; arm 5 must COLLAPSE into arms 0-4's
+    // group, arm 6 must form its own key with 'User...@' verbatim
     "dedup_url_canonical" ->
       (s"""WITH u AS (SELECT o_orderkey AS ok, o_orderkey // 5 AS g,
         |                  (o_orderkey // 5) % 20 AS h FROM orders),
         |d AS (SELECT ok,
-        |  CASE WHEN ok % 5 = 0 THEN 'HTTPS://Host' || CAST(h AS VARCHAR) || '.Example.ES/Docs/' || CAST(g AS VARCHAR) || '?q=1&x=%2fa&t=%7Eu#frag'
-        |       WHEN ok % 5 = 1 THEN 'https://host' || CAST(h AS VARCHAR) || '.example.es:443/%44ocs/' || CAST(g AS VARCHAR) || '?x=%2Fa&q=1&t=~u'
-        |       WHEN ok % 5 = 2 THEN 'https://host' || CAST(h AS VARCHAR) || '.example.es./Docs/' || CAST(g AS VARCHAR) || '/?q=1&x=%2fa&utm_source=news&t=%7eu'
-        |       WHEN ok % 5 = 3 THEN '  https://host' || CAST(h AS VARCHAR) || '.example.es/Docs/' || CAST(g AS VARCHAR) || '?gclid=g' || CAST(ok AS VARCHAR) || '&q=1&x=%2Fa&t=~u  '
+        |  CASE WHEN ok % 7 = 0 THEN 'HTTPS://Host' || CAST(h AS VARCHAR) || '.Example.ES/Docs/' || CAST(g AS VARCHAR) || '?q=1&x=%2fa&t=%7Eu#frag'
+        |       WHEN ok % 7 = 1 THEN 'https://host' || CAST(h AS VARCHAR) || '.example.es:443/%44ocs/' || CAST(g AS VARCHAR) || '?x=%2Fa&q=1&t=~u'
+        |       WHEN ok % 7 = 2 THEN 'https://host' || CAST(h AS VARCHAR) || '.example.es./Docs/' || CAST(g AS VARCHAR) || '/?q=1&x=%2fa&utm_source=news&t=%7eu'
+        |       WHEN ok % 7 = 3 THEN '  https://host' || CAST(h AS VARCHAR) || '.example.es/Docs/' || CAST(g AS VARCHAR) || '?gclid=g' || CAST(ok AS VARCHAR) || '&q=1&x=%2Fa&t=~u  '
+        |       WHEN ok % 7 = 5 THEN 'https://Host' || CAST(h AS VARCHAR) || '.Example.ES.:/Docs/' || CAST(g AS VARCHAR) || '?q=1&x=%2Fa&t=~u'
+        |       WHEN ok % 7 = 6 THEN 'https://User' || CAST(h AS VARCHAR) || '@host' || CAST(h AS VARCHAR) || '.example.es/Docs/' || CAST(g AS VARCHAR) || '?q=1&x=%2Fa&t=%7Eu'
         |       ELSE 'https://host' || CAST(h AS VARCHAR) || '.example.es/Docs/' || CAST(g AS VARCHAR) || '//?UTM_Source=x&q=1&x=%2Fa&t=%7Eu' END AS url
         |  FROM u),
         |s1 AS (SELECT ok, split_part(trim(url, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '#', 1) AS nf FROM d),
@@ -3602,10 +3620,12 @@ object CorpusQueries {
         |  CASE WHEN contains(nf, '?') THEN regexp_extract(nf, '\\?(.*)$$', 1) END AS qry
         |  FROM s1),
         |h2 AS (SELECT *,
-        |  CASE WHEN regexp_matches(auth, ':[0-9]+$$') THEN regexp_extract(auth, '^(.*):[0-9]+$$', 1) ELSE auth END AS hostraw,
-        |  CASE WHEN regexp_matches(auth, ':[0-9]+$$') THEN regexp_extract(auth, ':([0-9]+)$$', 1) ELSE '' END AS port
+        |  CASE WHEN regexp_matches(auth, ':[0-9]*$$') THEN regexp_extract(auth, '^(.*):[0-9]*$$', 1) ELSE auth END AS hostraw,
+        |  CASE WHEN regexp_matches(auth, ':[0-9]*$$') THEN regexp_extract(auth, ':([0-9]*)$$', 1) ELSE '' END AS port
         |  FROM p),
-        |h3 AS (SELECT *, rtrim(lower(hostraw), '.') AS host,
+        |h3 AS (SELECT *,
+        |  (CASE WHEN contains(hostraw, '@') THEN regexp_extract(hostraw, '^(.*@)', 1) ELSE '' END) ||
+        |  rtrim(lower(CASE WHEN contains(hostraw, '@') THEN regexp_extract(hostraw, '([^@]*)$$', 1) ELSE hostraw END), '.') AS host,
         |  CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
         |         OR (scheme = 'https' AND port = '443') THEN ''
         |       ELSE ':' || port END AS portkeep

@@ -162,6 +162,22 @@ object CanonicalUrl {
 
   private def isAsciiDigit(c: Char): Boolean = c >= '0' && c <= '9'
 
+  // the extra-drop set reaches generated code as ONE string literal
+  // (a Set[String] can't ride a codegen'd call site), so the Set is
+  // rebuilt from the CSV — memoized per distinct literal, because the
+  // hook runs once per ROW inside whole-stage codegen and a per-row
+  // split+toSet would be the only allocation in an otherwise
+  // allocation-lean string pass. Bounded: keys are compile-time
+  // expression literals (a handful per query plan), never data.
+  private val extraSets =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+
+  private def extraSet(csv: String): Set[String] = {
+    val got = extraSets.get(csv)
+    if (got != null) got
+    else extraSets.computeIfAbsent(csv, c => c.split(',').toSet)
+  }
+
   /** Public static hook used by both interpreted eval and generated
     * code. `extraDropCsv`: comma-joined lowercase extra drop-param
     * names ("" for none).
@@ -169,7 +185,7 @@ object CanonicalUrl {
   def canonicalize(raw: String, extraDropCsv: String = ""): String = {
     val extra: Set[String] =
       if (extraDropCsv.isEmpty) Set.empty
-      else extraDropCsv.split(',').toSet
+      else extraSet(extraDropCsv)
     val trimmed = asciiTrim(raw)
     val hash = trimmed.indexOf('#')
     val noFrag = if (hash >= 0) trimmed.substring(0, hash) else trimmed

@@ -88,10 +88,21 @@ object ClfIndex {
     * landed score-row count (= corpus rows).
     */
   def build(labeled: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
-            labelPred: Column, path: String, nBuckets: Int = 4096): Long = {
+            labelPred: Column, path: String, nBuckets: Int = 4096): Long =
+    buildWith(labeled, corpus, idCol, textCol, labelPred, path, nBuckets,
+      trainFingerprint(labeled, idCol, textCol, labelPred))
+
+  /** [[build]] with the labeled-slice digest already in hand — the
+    * retrain arm of [[refresh]] just computed it to DETECT the change,
+    * so recomputing it here would be a second full aggregate pass over
+    * the labeled slice for nothing.
+    */
+  private def buildWith(labeled: DataFrame, corpus: DataFrame, idCol: String,
+                        textCol: String, labelPred: Column, path: String,
+                        nBuckets: Int, fp: (Long, Long, Long)): Long = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val (n, x, s) = trainFingerprint(labeled, idCol, textCol, labelPred)
+    val (n, x, s) = fp
     val model = QualityClassifier.train(labeled, idCol, textCol, labelPred, nBuckets)
     graft.lake.Staged.landMany(spark, path, Seq(
       "model" -> QualityClassifier.modelDf(spark, model),
@@ -133,7 +144,8 @@ object ClfIndex {
     val (nBuckets, n0, x0, s0) = loadMeta(spark, path)
     val (n1, x1, s1) = trainFingerprint(labeled, idCol, textCol, labelPred)
     if ((n1, x1, s1) != ((n0, x0, s0)))
-      return (0L, build(labeled, corpus, idCol, textCol, labelPred, path, nBuckets))
+      return (0L, buildWith(labeled, corpus, idCol, textCol, labelPred, path,
+        nBuckets, (n1, x1, s1)))
     val model = loadModel(spark, path)
     val old = spark.read.parquet(scoresPath(path))
     val s = graft.lake.ChurnSplit.split(old, "doc", "fp",

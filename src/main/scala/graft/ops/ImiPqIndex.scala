@@ -43,14 +43,13 @@ object ImiPqIndex {
 
   private def vecFp(vec: org.apache.spark.sql.Column) = xxhash64(vec)
 
-  /** Rotate into the index's pinned basis (identity when none). The
-    * basis layout + loader are SHARED with [[PqIndex]] (`path/opqbasis`)
-    * — one seam, two serving tiers.
-    */
+  // the basis layout, loader, fit AND rotation are PqIndex's
+  // (`path/opqbasis`, PqIndex.loadBasis/fitBasis/rotated) — one seam,
+  // two serving tiers, so a rotation policy change can never drift
+  // between the flat and the factorized index
   private def rotated(df: DataFrame, vecCol: String,
                       basis: Option[IndexedSeq[Array[Float]]]): DataFrame =
-    basis.fold(df)(b =>
-      df.withColumn(vecCol, Pq.opqRotateExpr(col(vecCol), b)))
+    PqIndex.rotated(df, vecCol, basis)
 
   private def listRows(corpus: DataFrame, idCol: String, vecCol: String,
                        imi: IvfImi, model: PqModel): DataFrame =
@@ -68,13 +67,8 @@ object ImiPqIndex {
     // opq = true pins the eigen-balanced rotation FIRST: sub-books,
     // residual codebooks and codes all train/encode in the rotated
     // space (orthonormal — scored inner products unchanged up to float
-    // rounding), exactly the PqIndex convention
-    val basis: Option[IndexedSeq[Array[Float]]] =
-      if (!opq) None
-      else {
-        val dim = corpus.select(size(col(vecCol))).head().getInt(0)
-        Some(Pq.opqBasis(Pca.fit(corpus, vecCol, dim, dim), mSub))
-      }
+    // rounding), exactly the PqIndex convention (shared fit helper)
+    val basis = PqIndex.fitBasis(corpus, vecCol, mSub, opq)
     val rc = rotated(corpus, vecCol, basis)
     val imi = IvfImi.train(rc, idCol, vecCol, nCells)
     val model =

@@ -59,12 +59,28 @@ object PqIndex {
   /** Rotate `vecCol` into the index's basis (identity when none) —
     * applied to the corpus at encode time and to corpus+queries at
     * probe time, so fingerprints, codes and scores all live in ONE
-    * consistent space.
+    * consistent space. Shared with [[ImiPqIndex]] — the basis layout
+    * (`path/opqbasis`), its loader and this rotation are ONE seam
+    * serving both the flat and the factorized tier, so a rotation
+    * policy change can never drift between them.
     */
-  private def rotated(df: DataFrame, vecCol: String,
-                      basis: Option[IndexedSeq[Array[Float]]]): DataFrame =
+  private[ops] def rotated(df: DataFrame, vecCol: String,
+                           basis: Option[IndexedSeq[Array[Float]]]): DataFrame =
     basis.fold(df)(b =>
       df.withColumn(vecCol, Pq.opqRotateExpr(col(vecCol), b)))
+
+  /** Fit the parametric-OPQ basis for a build (`None` when `opq` is
+    * off): full-dim PCA then eigenvalue allocation across the `mSub`
+    * subspaces. Shared by [[build]] and [[ImiPqIndex.build]] for the
+    * same one-seam reason as [[rotated]].
+    */
+  private[ops] def fitBasis(corpus: DataFrame, vecCol: String, mSub: Int,
+                            opq: Boolean): Option[IndexedSeq[Array[Float]]] =
+    if (!opq) None
+    else {
+      val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+      Some(Pq.opqBasis(Pca.fit(corpus, vecCol, dim, dim), mSub))
+    }
 
   private def listRows(corpus: DataFrame, idCol: String, vecCol: String,
                        cents: Seq[(Long, Seq[Float])], model: PqModel): DataFrame =
@@ -92,12 +108,7 @@ object PqIndex {
     // subspace holds a balanced share of the corpus variance.
     // Orthonormal, so the scored inner products are unchanged up to
     // float rounding.
-    val basis: Option[IndexedSeq[Array[Float]]] =
-      if (!opq) None
-      else {
-        val dim = corpus.select(size(col(vecCol))).head().getInt(0)
-        Some(Pq.opqBasis(Pca.fit(corpus, vecCol, dim, dim), mSub))
-      }
+    val basis = fitBasis(corpus, vecCol, mSub, opq)
     val rc = rotated(corpus, vecCol, basis)
     val cents = Similarity.ivfCentroids(rc, idCol, vecCol, nList)
     val model =

@@ -70,8 +70,14 @@ object QualityClassifier {
     * shuffled the whole exploded bigram stream once per train call —
     * the factor-100 smoke's only non-inherent spill, 537 MB) costs
     * nothing: the stream leaves the scan already distinct, zero
-    * shuffle. `__y` is constant per doc, so row-local dedup and global
-    * dedup produce the identical multiset.
+    * shuffle. PRECONDITION: `idCol` is unique in `docs` — row-local
+    * dedup equals the old global dedup only then (a duplicated id
+    * would re-emit its buckets once per row and inflate that doc's
+    * `__n`). Every caller already holds it: the documents table,
+    * ClfIndex (whose score table is doc-keyed and whose churn split
+    * joins on `doc`), and the oracle twin all key docs uniquely, and
+    * it is the same id-uniqueness every index in the repo assumes of
+    * its key column.
     */
   private[ops] def featureStream(docs: DataFrame, idCol: String, textCol: String,
                                  labelPred: Option[Column], nBuckets: Int): DataFrame = {
