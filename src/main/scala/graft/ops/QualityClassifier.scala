@@ -67,10 +67,14 @@ object QualityClassifier {
     * The per-doc dedup happens INSIDE the row (`array_distinct` over
     * the hashed bigram buckets, then explode) — a doc's bucket set is
     * row-local state, so the global `.distinct()` this replaces (which
-    * shuffled the whole exploded bigram stream once per train call —
-    * the factor-100 smoke's only non-inherent spill, 537 MB) costs
-    * nothing: the stream leaves the scan already distinct, zero
-    * shuffle. PRECONDITION: `idCol` is unique in `docs` — row-local
+    * shuffled the whole exploded bigram stream once per train call:
+    * factor-100 measured 1267 MB shuffled / 21.8 s before, 573 MB /
+    * 16.8 s after) costs nothing: the stream leaves the scan already
+    * distinct, zero shuffle. The train aggregates' ~537 MB disk spill
+    * is NOT this — it is the doc-keyed partial-aggregation mass of the
+    * corpus-sized stream (byte-identical before/after this change,
+    * ~150 MB/task at 32 threads), which more executors dilute at real
+    * scale. PRECONDITION: `idCol` is unique in `docs` — row-local
     * dedup equals the old global dedup only then (a duplicated id
     * would re-emit its buckets once per row and inflate that doc's
     * `__n`). Every caller already holds it: the documents table,
