@@ -74,7 +74,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_median_order_value", "q_events_quartiles", "cpv_parse_codes",
     "sim_semdedup", "pca_moments", "txt_hashed_tf", "txt_sparse_sim_topk",
     "txt_dup_ngrams", "dedup_containment",
-    "txt_dsir_weights", "sim_graph_pagerank", "sim_mmr_topk")
+    "txt_dsir_weights", "sim_graph_pagerank", "sim_mmr_topk",
+    "dedup_url_canonical")
 
   test("corpus-tier queries never plan a CartesianProduct") {
     corpusPure.foreach { n =>
@@ -138,6 +139,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(pq.contains("BroadcastHashJoin"),
       "pq survivor fetch must broadcast the pool")
     assert(!pq.contains("CartesianProduct"), "pq joins must never cartesian")
+  }
+
+  test("classifier scoring broadcasts the model; canonical_url runs native, never a UDF") {
+    // the trained-gate scoring shape: the nBuckets-bounded model joins
+    // the corpus-sized feature stream — the model must BROADCAST (the
+    // stream shuffles once, for the doc-keyed aggregate, never for the
+    // model attach), and nothing may cartesian. Audited directly on
+    // QualityClassifier.score with a literal model because the
+    // txt_clf_* queries train at construction (not plan-only).
+    val docs = spark.read.parquet(sfDir + "/documents.parquet")
+    val sp = graft.ops.QualityClassifier
+      .score(docs, "doc_id", "text", Map(1L -> 5L, 2L -> -3L))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(sp.contains("BroadcastHashJoin"),
+      "clf scoring must broadcast the bucket model")
+    assert(!sp.contains("CartesianProduct") && !sp.contains("BroadcastNestedLoopJoin"),
+      "clf scoring must never pair-scan")
+    // the canonical-URL dedup key: a native codegen'd Catalyst
+    // expression feeding an ordinary hash-groupBy — the plan must show
+    // no interpreted ScalaUDF (and no Python eval), and the documents
+    // never pair-scan
+    val up = plan("dedup_url_canonical")
+    assert(up.contains("canonical_url"), "the native expression must appear in the plan")
+    assert(!up.contains("ScalaUDF") && !up.contains("BatchEvalPython"),
+      "canonical_url must run as a native expression, not a UDF")
   }
 
   test("q05 star join broadcasts its dims") {
