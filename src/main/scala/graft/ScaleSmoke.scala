@@ -567,6 +567,17 @@ object ScaleSmoke {
         col("lang") === "en")
       graft.ops.QualityClassifier.score(docsAll, "doc_id", "text", m).count()
     }
+    // the same 3 rounds with the feature stream LANDED as parquet and
+    // re-read each pass (the service-grade posture: a lost executor
+    // re-reads its split instead of failing the job) — prices the
+    // fault-tolerance trade at scale next to the pinned-block twin
+    // above; weights are bit-identical by contract
+    phase("clf-train-landed") {
+      val m = graft.ops.QualityClassifier.train(docsAll, "doc_id", "text",
+        col("lang") === "en", streamLanding = Some(s"$work/clfstream"))
+      spark.read.parquet(s"$work/clfstream").count()
+      m.size.toLong
+    }
 
     // the classifier as a PERSISTED lake artifact (round-19): build on
     // 80% of the corpus under the full-corpus labeled slice, then
@@ -574,8 +585,10 @@ object ScaleSmoke {
     // must PIN the model (no retrain), so the refresh re-scores
     // EXACTLY the 20% churn; runner-ASSERTED like the other index
     // tiers. The feature stream rides the per-doc array_distinct form
-    // (round-19): zero shuffle, so this phase also watches the old
-    // distinct-shuffle spill stay gone.
+    // (round-19): the stream leaves the scan already distinct, so this
+    // phase watches the old global-distinct shuffle stay gone (the
+    // remaining spill is the doc-keyed training aggregates' mass —
+    // see QualityClassifier.featureStream's scaladoc).
     phase("clf-index-build-80pct") {
       graft.ops.ClfIndex.build(docsAll,
         docsAll.filter(pmod(col("doc_id"), lit(5)) =!= 0),

@@ -980,8 +980,11 @@ object Main {
             .map(spark.read.parquet(_)).getOrElse(corpus)
           arg(args, "--op").getOrElse("serve") match {
             case "build" =>
+              // --land-stream: train off a parquet-landed feature
+              // stream (recoverable on executor loss) instead of
+              // executor-pinned blocks; identical weights either way
               val n = graft.ops.ClfIndex.build(labeled, corpus, idCol, textCol,
-                labelPred, idx)
+                labelPred, idx, landStream = args.contains("--land-stream"))
               println(s"[cli] clf build: $n docs scored -> $idx")
             case "refresh" =>
               val (kept, signed) = graft.ops.ClfIndex.refresh(labeled, corpus,

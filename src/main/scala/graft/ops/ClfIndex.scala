@@ -86,11 +86,20 @@ object ClfIndex {
 
   /** Train on `labeled`, score `corpus`, land everything. Returns the
     * landed score-row count (= corpus rows).
+    *
+    * `landStream = true` routes training through a parquet-landed
+    * feature stream under `path/tmpstream` (removed on completion)
+    * instead of executor-pinned localCheckpoint blocks — the
+    * fault-tolerant posture for a real cluster, where an executor lost
+    * mid-train re-reads its split instead of failing the build; weights
+    * are bit-identical either way (see
+    * [[QualityClassifier.train]]'s `streamLanding` contract).
     */
   def build(labeled: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
-            labelPred: Column, path: String, nBuckets: Int = 4096): Long =
+            labelPred: Column, path: String, nBuckets: Int = 4096,
+            landStream: Boolean = false): Long =
     buildWith(labeled, corpus, idCol, textCol, labelPred, path, nBuckets,
-      trainFingerprint(labeled, idCol, textCol, labelPred))
+      trainFingerprint(labeled, idCol, textCol, labelPred), landStream)
 
   /** [[build]] with the labeled-slice digest already in hand — the
     * retrain arm of [[refresh]] just computed it to DETECT the change,
@@ -99,11 +108,19 @@ object ClfIndex {
     */
   private def buildWith(labeled: DataFrame, corpus: DataFrame, idCol: String,
                         textCol: String, labelPred: Column, path: String,
-                        nBuckets: Int, fp: (Long, Long, Long)): Long = {
+                        nBuckets: Int, fp: (Long, Long, Long),
+                        landStream: Boolean = false): Long = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val (n, x, s) = fp
-    val model = QualityClassifier.train(labeled, idCol, textCol, labelPred, nBuckets)
+    val landing = if (landStream) Some(path + "/tmpstream") else None
+    val model =
+      try QualityClassifier.train(labeled, idCol, textCol, labelPred, nBuckets,
+        streamLanding = landing)
+      finally landing.foreach { dir =>
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
     graft.lake.Staged.landMany(spark, path, Seq(
       "model" -> QualityClassifier.modelDf(spark, model),
       "meta" -> Seq((nBuckets, n, x, s))

@@ -99,25 +99,42 @@ object QualityClassifier {
           bg => Curation.hashBucket(bg, nBuckets)))).as("__b"))
   }
 
-  /** Train the classifier: bucket → weight (10^6 grid), nBuckets-bounded. */
+  /** Train the classifier: bucket → weight (10^6 grid), nBuckets-bounded.
+    *
+    * `streamLanding`: where the reused feature stream lives for the
+    * 1 + 2·steps passes over it.
+    *  - `None` (default): one eager localCheckpoint pins the computed
+    *    partitions on executors. Recovery contract: localCheckpoint
+    *    blocks are NOT recoverable on executor loss — acceptable for a
+    *    bounded batch job (minutes, not a service); a lost block fails
+    *    THE JOB, never corrupts the model (signSGD is deterministic;
+    *    rerun = identical weights).
+    *  - `Some(dir)`: the stream LANDS as parquet at `dir` and every
+    *    pass re-reads the files — the service-grade posture for a real
+    *    cluster, where executor loss mid-train is routine: a lost task
+    *    re-reads its split instead of failing the job. Costs one
+    *    write + (1 + 2·steps) scans of compressed parquet; produces
+    *    bit-identical weights (the landing only changes WHERE the same
+    *    rows are re-read from). The caller owns `dir`'s lifecycle —
+    *    [[ClfIndex.build]] lands under its own path and cleans up.
+    */
   def train(docs: DataFrame, idCol: String, textCol: String, labelPred: Column,
-            nBuckets: Int = 4096, steps: Seq[Long] = Steps): Map[Long, Long] = {
+            nBuckets: Int = 4096, steps: Seq[Long] = Steps,
+            streamLanding: Option[String] = None): Map[Long, Long] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // the corpus-sized feature stream is reused 1 + 2·steps times; one
-    // eager localCheckpoint pins the computed partitions on executors.
-    // Recovery contract: localCheckpoint blocks are NOT recoverable on
-    // executor loss — acceptable here because train is a bounded batch
-    // job (minutes, not a service) and a lost block fails THE JOB, never
-    // corrupts the model (signSGD rounds are deterministic; rerun =
-    // identical weights). A service-grade trainer on a real cluster
-    // should land the stream as a lake temp table instead and pay the
-    // parquet round-trip for fault tolerance.
-    val st = featureStream(docs, idCol, textCol, Some(labelPred), nBuckets)
-      .localCheckpoint(true)
-    val dn = st.groupBy(col("__doc")).agg(
+    val st0 = featureStream(docs, idCol, textCol, Some(labelPred), nBuckets)
+    val st = streamLanding match {
+      case None => st0.localCheckpoint(true)
+      case Some(dir) =>
+        st0.write.mode("overwrite").parquet(dir)
+        spark.read.parquet(dir)
+    }
+    // doc-sized (one row per doc), derived FROM the landed/pinned
+    // stream so the fault-tolerance posture is uniform
+    val dn0 = st.groupBy(col("__doc")).agg(
         max(col("__y")).as("__y"), count(lit(1)).as("__n"))
-      .localCheckpoint(true)
+    val dn = if (streamLanding.isDefined) dn0 else dn0.localCheckpoint(true)
     var w = Map.empty[Long, Long]
     steps.foreach { step =>
       val wdf =

@@ -63,6 +63,28 @@ class ClfIndexSpec extends AnyFunSuite {
       lonely.head.isNullAt(3) && lonely.head.isNullAt(4))
   }
 
+  test("landed-stream training: bit-identical weights, scores and cleanup vs the pinned-block path") {
+    // the service-grade posture (feature stream landed as parquet and
+    // re-read each pass — recoverable on executor loss) must be a pure
+    // WHERE-the-rows-are-read-from change: same model, same scores
+    val tmp = Files.createTempDirectory("clfland").toString
+    val mLanded = QualityClassifier.train(labeled, "doc_id", "text",
+      col("lang") === "en", streamLanding = Some(tmp + "/stream"))
+    val mPinned = QualityClassifier.train(labeled, "doc_id", "text",
+      col("lang") === "en")
+    assert(mLanded == mPinned, "landing the stream must not change the weights")
+    val idx = tmp + "/clf"
+    ClfIndex.build(labeled, docs, "doc_id", "text", col("lang") === "en", idx,
+      landStream = true)
+    val served = ClfIndex.serve(spark, idx)
+      .select(col("doc"), col("n_fbuckets"), col("clf_logit"), col("clf_prob"))
+      .orderBy(col("doc")).collect().map(_.toSeq).toSeq
+    assert(served == fromScratch(docs))
+    // the tmpstream landing is torn down once the build completes
+    assert(!Files.exists(java.nio.file.Paths.get(idx + "/tmpstream")),
+      "build(landStream = true) must remove its tmpstream landing")
+  }
+
   test("a changed labeled slice retrains loudly (kept = 0) and rescores everything") {
     val tmp = Files.createTempDirectory("clfidx2").toString
     val idx = tmp + "/clf"

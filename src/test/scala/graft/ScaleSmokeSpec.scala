@@ -27,7 +27,7 @@ class ScaleSmokeSpec extends AnyFunSuite {
       "semdedup-labels", "semidx-build-90pct", "semidx-refresh-10pct",
       "semdedup-hier-labels", "knn-graph-cells",
       "semidx-hier-build-90pct", "semidx-hier-refresh-10pct",
-      "knn-pagerank", "dsir-weights", "clf-train-score",
+      "knn-pagerank", "dsir-weights", "clf-train-score", "clf-train-landed",
       "clf-index-build-80pct", "clf-index-refresh-20pct",
       "clf-index-upsert-1pct-changed", "url-canonical-keep"),
       s"phase list drifted: $names")
