@@ -115,7 +115,12 @@ object QualityClassifier {
     *    re-reads its split instead of failing the job. Costs one
     *    write + (1 + 2·steps) scans of compressed parquet; produces
     *    bit-identical weights (the landing only changes WHERE the same
-    *    rows are re-read from). The caller owns `dir`'s lifecycle —
+    *    rows are re-read from). Factor-100 measured: the landed form
+    *    trains with ZERO spill where the pinned form spills 537 MB —
+    *    the cached stream blocks squeeze the training aggregates'
+    *    execution memory under the unified memory manager — so at
+    *    memory-pressured scale the recoverable posture is also the
+    *    faster one. The caller owns `dir`'s lifecycle —
     *    [[ClfIndex.build]] lands under its own path and cleans up.
     */
   def train(docs: DataFrame, idCol: String, textCol: String, labelPred: Column,
