@@ -21,6 +21,35 @@ import graft.versions.Versions
 object CorpusQueries {
   import SparkEntry.{t, versionsDf, versionsSelect, versionsCte}
 
+  /** Fixed daemon pool for overlapping a query body's INDEPENDENT
+    * sub-chains (optimization guide §2.6 "overlap independent jobs"):
+    * Spark runs concurrent jobs in one session happily — the
+    * persisted-parity rows' index chain, recompute twin and brute
+    * floor were only sequential because the driver called them
+    * sequentially, leaving most cores idle through each chain's
+    * driver-side collects and stragglers. Every chain is
+    * deterministic in isolation (decimal/integer sums, seeded
+    * training), so overlap moves ONLY the wall clock, never a result
+    * bit. Sized small: 2-3 chains in flight fill the idle capacity;
+    * more would just contend (the guide's own sizing note).
+    */
+  private lazy val chainPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(8,
+        new java.util.concurrent.ThreadFactory {
+          private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+          def newThread(r: Runnable): Thread = {
+            val t = new Thread(r, s"graft-chain-${n.getAndIncrement()}")
+            t.setDaemon(true); t
+          }
+        }))
+
+  private def par[T](body: => T): scala.concurrent.Future[T] =
+    scala.concurrent.Future(body)(chainPool)
+
+  private def await[T](f: scala.concurrent.Future[T]): T =
+    scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
+
   // ----------------------------------------------------------- SQL builders
 
   /** Tokenization CTE identical to TextAnalysis.tokens. */
@@ -1383,8 +1412,40 @@ object CorpusQueries {
     "sim_recall_board" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") % 50 === 0)
-      val exact = Similarity.bruteTopKExact(emb, q, "vec_id", "embedding", 5)
-        .select(col("qid"), col("cid")).localCheckpoint(true)
+      // count ONCE — the margins below reused emb.count() five times,
+      // five scan jobs for one number
+      val embN = emb.count()
+      val pqMargin = math.max(32, math.ceil(embN * 0.02).toInt)
+      // every trainer below is independent of the others (the residual
+      // trainers depend only on their own book) and each is
+      // deterministic in isolation — overlap them (guide §2.6,
+      // chainPool note); the board's meaning is unchanged
+      val fExact = par {
+        Similarity.bruteTopKExact(emb, q, "vec_id", "embedding", 5)
+          .select(col("qid"), col("cid")).localCheckpoint(true)
+      }
+      val fKmeans = par(Similarity.ivfCentroidsKMeans(emb, "vec_id", "embedding", 8))
+      val fHier = par(graft.ops.IvfHier.train(emb, "vec_id", "embedding", 8, m = 2))
+      val fImiBook = par(graft.ops.IvfImi.train(emb, "vec_id", "embedding", 8))
+      // ONE full-basis fit feeds both the 48-component gate model (the
+      // fit eig-sorts then truncates, so take(48) == fit(..., 48)) and
+      // the round-18 OPQ rotation
+      val fPcaRot = par {
+        val pcaFull = graft.ops.Pca.fit(emb, "embedding", 64, 64)
+        // parametric-OPQ tiers (Ge et al. 2013): the SAME serves over
+        // the eigen-rotated, variance-balanced corpus — orthonormal, so
+        // the scored inner products are preserved up to float rounding.
+        // On this deliberately ISOTROPIC fixture OPQ ≈ PQ by
+        // construction (measured 44/52/48 vs 44/52/46.5 across the SFs
+        // — the +1.5 at sf0.1 is the balance effect); the anisotropic
+        // win is pinned by PqSpec's A/B and sim_opq_aniso_purity.
+        // Rotation materialized once for both tiers.
+        val opqBasis = graft.ops.Pq.opqBasis(pcaFull, 8)
+        val embR = emb.withColumn("embedding",
+          graft.ops.Pq.opqRotateExpr(col("embedding"), opqBasis)).localCheckpoint(true)
+        (pcaFull, embR)
+      }
+      val exact = await(fExact)
       def row(tier: String, approx: org.apache.spark.sql.DataFrame,
               floorPct: Int): org.apache.spark.sql.DataFrame =
         exact.join(approx.select(col("qid"), col("cid"), lit(1).as("__hit")),
@@ -1393,28 +1454,16 @@ object CorpusQueries {
             (sum(coalesce(col("__hit"), lit(0))) * 100 >=
               count(lit(1)) * lit(floorPct)).as("recall_ok"))
           .select(lit(tier).as("tier"), col("n_pairs"), col("recall_ok"))
-      val kmeansCents = Similarity.ivfCentroidsKMeans(emb, "vec_id", "embedding", 8)
-      val hier = graft.ops.IvfHier.train(emb, "vec_id", "embedding", 8, m = 2)
-      val imiBook = graft.ops.IvfImi.train(emb, "vec_id", "embedding", 8)
-      // ONE full-basis fit feeds both the 48-component gate model (the
-      // fit eig-sorts then truncates, so take(48) == fit(..., 48)) and
-      // the round-18 OPQ rotation
-      val pcaFull = graft.ops.Pca.fit(emb, "embedding", 64, 64)
+      val (pcaFull, embR) = await(fPcaRot)
       val pcaModel = graft.ops.Pca.PcaModel(pcaFull.mean,
         pcaFull.eigenvalues.take(48), pcaFull.components.take(48))
-      val pcaMargin = math.max(25, math.ceil(emb.count() * 0.2).toInt)
-      // parametric-OPQ tiers (Ge et al. 2013): the SAME serves over the
-      // eigen-rotated, variance-balanced corpus — orthonormal, so the
-      // scored inner products are preserved up to float rounding. On
-      // this deliberately ISOTROPIC fixture OPQ ≈ PQ by construction
-      // (measured 44/52/48 vs 44/52/46.5 across the SFs — the +1.5 at
-      // sf0.1 is the balance effect); the anisotropic win is pinned by
-      // PqSpec's A/B. Rotation materialized once for both tiers.
-      val opqBasis = graft.ops.Pq.opqBasis(pcaFull, 8)
-      val embR = emb.withColumn("embedding",
-        graft.ops.Pq.opqRotateExpr(col("embedding"), opqBasis)).localCheckpoint(true)
+      val pcaMargin = math.max(25, math.ceil(embN * 0.2).toInt)
       val qR = embR.filter(col("vec_id") % 50 === 0)
-      val imiBookR = graft.ops.IvfImi.train(embR, "vec_id", "embedding", 8)
+      val fImiBookR = par(graft.ops.IvfImi.train(embR, "vec_id", "embedding", 8))
+      val kmeansCents = await(fKmeans)
+      val hier = await(fHier)
+      val imiBook = await(fImiBook)
+      val imiBookR = await(fImiBookR)
       // floors pinned at measured-minus-noise (round-15 tightening;
       // ivf_hier + ivf_pq + ivf_hier_pq added round 16, both PQ tiers
       // switched to MEAN-REFERENCED RESIDUAL coding round 17): `runMain
@@ -1429,41 +1478,45 @@ object CorpusQueries {
       // driver gate. The 2%-of-corpus margins below cross
       // Pq.MaxRerankMargin at ~409k fixture rows, where the PQ serves
       // throw the absolute-cap guard — re-pin on a bounded fixture then.
+      // each tier's construction runs its own training/encode actions
+      // (ivfTopKPq trains codebooks when called) — independent given
+      // the shared models above, so they overlap too; the union is
+      // assembled from the awaited frames in the SAME fixed order
       Seq(
-        row("brute", exact, 100),
-        row("ivf_kmeans", Similarity.ivfTopKWith(kmeansCents, emb, q,
-          "vec_id", "embedding", 5, 2), 38),
-        row("ivf_seed", Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5, 8, 2), 42),
-        row("ivf_hier", Similarity.ivfTopKHier(emb, q,
-          "vec_id", "embedding", hier, 5, 2), 37),
-        row("ivf_sq8", Similarity.ivfTopKInt8(emb, q, "vec_id", "embedding", 5, 8, 2), 42),
-        row("ivf_pq", graft.ops.Pq.ivfTopKPq(emb, q, "vec_id", "embedding", 5, 8, 2,
-          math.max(32, math.ceil(emb.count() * 0.02).toInt)), 42),
-        row("ivf_hier_pq", graft.ops.Pq.ivfTopKPqHier(emb, q, "vec_id", "embedding",
+        par(row("brute", exact, 100)),
+        par(row("ivf_kmeans", Similarity.ivfTopKWith(kmeansCents, emb, q,
+          "vec_id", "embedding", 5, 2), 38)),
+        par(row("ivf_seed", Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5, 8, 2), 42)),
+        par(row("ivf_hier", Similarity.ivfTopKHier(emb, q,
+          "vec_id", "embedding", hier, 5, 2), 37)),
+        par(row("ivf_sq8", Similarity.ivfTopKInt8(emb, q, "vec_id", "embedding", 5, 8, 2), 42)),
+        par(row("ivf_pq", graft.ops.Pq.ivfTopKPq(emb, q, "vec_id", "embedding", 5, 8, 2,
+          pqMargin), 42)),
+        par(row("ivf_hier_pq", graft.ops.Pq.ivfTopKPqHier(emb, q, "vec_id", "embedding",
           hier, graft.ops.Pq.trainResidualHier(emb, "vec_id", "embedding", hier), 5, 2,
-          math.max(32, math.ceil(emb.count() * 0.02).toInt)), 35),
+          pqMargin), 35)),
         // product-coarse (IMI) tiers (round-17, closes the codebook
         // task-state seam): measured minima 36/36 across the three SFs,
         // floors 2 under — the axis-aligned product cells trade ~6
         // recall points vs the data-shaped hier cells for O(√nList·dim)
         // task state
-        row("ivf_imi", Similarity.ivfTopKImi(emb, q, "vec_id", "embedding",
-          imiBook, 5, 2), 34),
-        row("ivf_imi_pq", graft.ops.Pq.ivfTopKPqImi(emb, q, "vec_id", "embedding",
+        par(row("ivf_imi", Similarity.ivfTopKImi(emb, q, "vec_id", "embedding",
+          imiBook, 5, 2), 34)),
+        par(row("ivf_imi_pq", graft.ops.Pq.ivfTopKPqImi(emb, q, "vec_id", "embedding",
           imiBook, graft.ops.Pq.trainResidualImi(emb, "vec_id", "embedding", imiBook), 5, 2,
-          math.max(32, math.ceil(emb.count() * 0.02).toInt)), 34),
+          pqMargin), 34)),
         // OPQ tiers: measured minima 44 (ivf_opq) / 36 (ivf_imi_opq)
         // across the three SFs, floors 2 under
-        row("ivf_opq", graft.ops.Pq.ivfTopKPq(embR, qR, "vec_id", "embedding", 5, 8, 2,
-          math.max(32, math.ceil(emb.count() * 0.02).toInt)), 42),
-        row("ivf_imi_opq", graft.ops.Pq.ivfTopKPqImi(embR, qR, "vec_id", "embedding",
+        par(row("ivf_opq", graft.ops.Pq.ivfTopKPq(embR, qR, "vec_id", "embedding", 5, 8, 2,
+          pqMargin), 42)),
+        par(row("ivf_imi_opq", graft.ops.Pq.ivfTopKPqImi(embR, qR, "vec_id", "embedding",
           imiBookR, graft.ops.Pq.trainResidualImi(embR, "vec_id", "embedding", imiBookR), 5, 2,
-          math.max(32, math.ceil(emb.count() * 0.02).toInt)), 34),
-        row("lsh_multiprobe", Similarity.multiProbeTopKExact(emb, q,
-          "vec_id", "embedding", 5, 4, 64), 38),
-        row("pca_gate", graft.ops.Pca.pcaTopK(emb, q, "vec_id", "embedding",
-          pcaModel, 5, pcaMargin), 95)
-      ).reduce(_ unionByName _).orderBy(col("tier"))
+          pqMargin), 34)),
+        par(row("lsh_multiprobe", Similarity.multiProbeTopKExact(emb, q,
+          "vec_id", "embedding", 5, 4, 64), 38)),
+        par(row("pca_gate", graft.ops.Pca.pcaTopK(emb, q, "vec_id", "embedding",
+          pcaModel, 5, pcaMargin), 95))
+      ).map(await(_)).reduce(_ unionByName _).orderBy(col("tier"))
     }),
 
     // the hier-cell coarse-beam knob documented as a board (round-17
@@ -1561,20 +1614,34 @@ object CorpusQueries {
       // NOTE the codebooks pin at BUILD (90% corpus): the recompute twin
       // must train on the same 90% slice for bit-identical models
       val b90 = emb.filter(col("vec_id") % 10 =!= 9)
-      PqIndex.build(b90, "vec_id", "embedding", idx, nList = 8)
-      PqIndex.refresh(emb, "vec_id", "embedding", idx) // churn = % 10 == 9
-      val served = PqIndex.topK(emb, q, "vec_id", "embedding", idx, 5, 8, margin)
-        .localCheckpoint(true) // the scratch index is deleted below
-      val cents = Similarity.ivfCentroids(b90, "vec_id", "embedding", 8)
-      val model = graft.ops.Pq.trainResidualFlat(b90, "vec_id", "embedding", cents)
-      val recomputed = graft.ops.Pq.ivfTopKPqFromLists(cents, model,
-        graft.ops.Pq.pqLists(emb, "vec_id", "embedding", cents, model)
-          .localCheckpoint(true), // serve re-evaluates lazy lists ~5x
-        emb, q, "vec_id", "embedding", 5, 8, margin)
+      // three INDEPENDENT chains — index lifecycle, recompute twin,
+      // brute floor — overlapped (guide §2.6, chainPool note): each is
+      // deterministic alone, so only the wall moves, never a result
+      val fServed = par {
+        PqIndex.build(b90, "vec_id", "embedding", idx, nList = 8)
+        PqIndex.refresh(emb, "vec_id", "embedding", idx) // churn = % 10 == 9
+        PqIndex.topK(emb, q, "vec_id", "embedding", idx, 5, 8, margin)
+          .localCheckpoint(true) // the scratch index is deleted below
+      }
+      val fRecomputed = par {
+        val cents = Similarity.ivfCentroids(b90, "vec_id", "embedding", 8)
+        val model = graft.ops.Pq.trainResidualFlat(b90, "vec_id", "embedding", cents)
+        graft.ops.Pq.ivfTopKPqFromLists(cents, model,
+          graft.ops.Pq.pqLists(emb, "vec_id", "embedding", cents, model)
+            .localCheckpoint(true), // serve re-evaluates lazy lists ~5x
+          emb, q, "vec_id", "embedding", 5, 8, margin)
+          .localCheckpoint(true)
+      }
+      val fExact = par {
+        Similarity.bruteTopKExact(emb, q, "vec_id", "embedding", 5)
+          .localCheckpoint(true)
+      }
+      val served = await(fServed)
+      val recomputed = await(fRecomputed)
       val mismatches = served.unionByName(recomputed)
         .groupBy(col("qid"), col("cid"), col("rank"))
         .agg(count(lit(1)).as("__n")).filter(col("__n") =!= 2).count()
-      val exact = Similarity.bruteTopKExact(emb, q, "vec_id", "embedding", 5)
+      val exact = await(fExact)
       val rec = exact
         .select(col("qid").cast("long").as("qid"), col("cid").cast("long").as("cid"))
         .join(served.select(col("qid"), col("cid"), lit(1).as("__hit")),
@@ -1610,24 +1677,43 @@ object CorpusQueries {
       val tmp = java.nio.file.Files.createTempDirectory("graft_opqidx_q").toString
       val idx = tmp + "/opq"
       val b90 = emb.filter(col("vec_id") % 10 =!= 9)
-      PqIndex.build(b90, "vec_id", "embedding", idx, nList = 8, opq = true)
-      PqIndex.refresh(emb, "vec_id", "embedding", idx)
-      val served = PqIndex.topK(emb, q, "vec_id", "embedding", idx, 5, 8, margin)
-        .localCheckpoint(true) // the scratch index is deleted below
-      // recompute twin: the same pinned-at-build artifacts from scratch
-      val basis = graft.ops.Pq.opqBasis(Pca.fit(b90, "embedding", 64, 64), 8)
-      def rot(df: org.apache.spark.sql.DataFrame) = df.withColumn("embedding",
-        graft.ops.Pq.opqRotateExpr(col("embedding"), basis))
-      val rb90 = rot(b90)
-      val cents = Similarity.ivfCentroids(rb90, "vec_id", "embedding", 8)
-      val model = graft.ops.Pq.trainResidualFlat(rb90, "vec_id", "embedding", cents)
-      val recomputed = graft.ops.Pq.ivfTopKPqFromLists(cents, model,
-        graft.ops.Pq.pqLists(rot(emb), "vec_id", "embedding", cents, model),
-        rot(emb), rot(q), "vec_id", "embedding", 5, 8, margin)
+      // independent chains overlapped (guide §2.6, chainPool note)
+      val fServed = par {
+        PqIndex.build(b90, "vec_id", "embedding", idx, nList = 8, opq = true)
+        PqIndex.refresh(emb, "vec_id", "embedding", idx)
+        PqIndex.topK(emb, q, "vec_id", "embedding", idx, 5, 8, margin)
+          .localCheckpoint(true) // the scratch index is deleted below
+      }
+      val fRecomputed = par {
+        // recompute twin: the same pinned-at-build artifacts from
+        // scratch. The rotated corpus materializes ONCE and b90/q
+        // derive from it by the same vec_id filters (rotation is
+        // per-row — filter-then-rotate == rotate-then-filter), so the
+        // dim² rotation tree is never substituted into the train/encode
+        // plans (the PqIndex.rotatedMat plan-size note)
+        val basis = graft.ops.Pq.opqBasis(Pca.fit(b90, "embedding", 64, 64), 8)
+        val rotEmb = emb.withColumn("embedding",
+          graft.ops.Pq.opqRotateExpr(col("embedding"), basis)).localCheckpoint(true)
+        val rb90 = rotEmb.filter(col("vec_id") % 10 =!= 9)
+        val rq = rotEmb.filter(col("vec_id") % 50 === 0)
+        val cents = Similarity.ivfCentroids(rb90, "vec_id", "embedding", 8)
+        val model = graft.ops.Pq.trainResidualFlat(rb90, "vec_id", "embedding", cents)
+        graft.ops.Pq.ivfTopKPqFromLists(cents, model,
+          graft.ops.Pq.pqLists(rotEmb, "vec_id", "embedding", cents, model)
+            .localCheckpoint(true), // serve re-evaluates lazy lists ~5x
+          rotEmb, rq, "vec_id", "embedding", 5, 8, margin)
+          .localCheckpoint(true)
+      }
+      val fExact = par {
+        Similarity.bruteTopKExact(emb, q, "vec_id", "embedding", 5)
+          .localCheckpoint(true)
+      }
+      val served = await(fServed)
+      val recomputed = await(fRecomputed)
       val mismatches = served.unionByName(recomputed)
         .groupBy(col("qid"), col("cid"), col("rank"))
         .agg(count(lit(1)).as("__n")).filter(col("__n") =!= 2).count()
-      val exact = Similarity.bruteTopKExact(emb, q, "vec_id", "embedding", 5)
+      val exact = await(fExact)
       val rec = exact
         .select(col("qid").cast("long").as("qid"), col("cid").cast("long").as("cid"))
         .join(served.select(col("qid"), col("cid"), lit(1).as("__hit")),
@@ -1649,19 +1735,30 @@ object CorpusQueries {
       val tmp = java.nio.file.Files.createTempDirectory("graft_imipq_q").toString
       val idx = tmp + "/imipq"
       val b90 = emb.filter(col("vec_id") % 10 =!= 9)
-      graft.ops.ImiPqIndex.build(b90, "vec_id", "embedding", idx, nCells = 16)
-      graft.ops.ImiPqIndex.refresh(emb, "vec_id", "embedding", idx)
-      val served = graft.ops.ImiPqIndex.topK(emb, q, "vec_id", "embedding",
-          idx, 5, 16, margin)
-        .localCheckpoint(true) // the scratch index is deleted below
-      val imi = graft.ops.IvfImi.train(b90, "vec_id", "embedding", 16)
-      val model = graft.ops.Pq.trainResidualImi(b90, "vec_id", "embedding", imi)
-      val recomputed = graft.ops.Pq.ivfTopKPqImi(emb, q, "vec_id", "embedding",
-        imi, model, 5, 16, margin)
+      // independent chains overlapped (guide §2.6, chainPool note)
+      val fServed = par {
+        graft.ops.ImiPqIndex.build(b90, "vec_id", "embedding", idx, nCells = 16)
+        graft.ops.ImiPqIndex.refresh(emb, "vec_id", "embedding", idx)
+        graft.ops.ImiPqIndex.topK(emb, q, "vec_id", "embedding", idx, 5, 16, margin)
+          .localCheckpoint(true) // the scratch index is deleted below
+      }
+      val fRecomputed = par {
+        val imi = graft.ops.IvfImi.train(b90, "vec_id", "embedding", 16)
+        val model = graft.ops.Pq.trainResidualImi(b90, "vec_id", "embedding", imi)
+        graft.ops.Pq.ivfTopKPqImi(emb, q, "vec_id", "embedding",
+          imi, model, 5, 16, margin)
+          .localCheckpoint(true)
+      }
+      val fExact = par {
+        Similarity.bruteTopKExact(emb, q, "vec_id", "embedding", 5)
+          .localCheckpoint(true)
+      }
+      val served = await(fServed)
+      val recomputed = await(fRecomputed)
       val mismatches = served.unionByName(recomputed)
         .groupBy(col("qid"), col("cid"), col("rank"))
         .agg(count(lit(1)).as("__n")).filter(col("__n") =!= 2).count()
-      val exact = Similarity.bruteTopKExact(emb, q, "vec_id", "embedding", 5)
+      val exact = await(fExact)
       val rec = exact
         .select(col("qid").cast("long").as("qid"), col("cid").cast("long").as("cid"))
         .join(served.select(col("qid"), col("cid"), lit(1).as("__hit")),
@@ -1693,26 +1790,40 @@ object CorpusQueries {
       val tmp = java.nio.file.Files.createTempDirectory("graft_imiopq_q").toString
       val idx = tmp + "/imiopq"
       val b90 = emb.filter(col("vec_id") % 10 =!= 9)
-      graft.ops.ImiPqIndex.build(b90, "vec_id", "embedding", idx,
-        nCells = 16, opq = true)
-      graft.ops.ImiPqIndex.refresh(emb, "vec_id", "embedding", idx)
-      val served = graft.ops.ImiPqIndex.topK(emb, q, "vec_id", "embedding",
-          idx, 5, 16, margin)
-        .localCheckpoint(true) // the scratch index is deleted below
-      // recompute twin: the same pinned-at-build artifacts from scratch,
-      // all in the rotated space
-      val basis = graft.ops.Pq.opqBasis(Pca.fit(b90, "embedding", 64, 64), 8)
-      def rot(df: org.apache.spark.sql.DataFrame) = df.withColumn("embedding",
-        graft.ops.Pq.opqRotateExpr(col("embedding"), basis))
-      val rb90 = rot(b90)
-      val imi = graft.ops.IvfImi.train(rb90, "vec_id", "embedding", 16)
-      val model = graft.ops.Pq.trainResidualImi(rb90, "vec_id", "embedding", imi)
-      val recomputed = graft.ops.Pq.ivfTopKPqImi(rot(emb), rot(q),
-        "vec_id", "embedding", imi, model, 5, 16, margin)
+      // independent chains overlapped (guide §2.6, chainPool note)
+      val fServed = par {
+        graft.ops.ImiPqIndex.build(b90, "vec_id", "embedding", idx,
+          nCells = 16, opq = true)
+        graft.ops.ImiPqIndex.refresh(emb, "vec_id", "embedding", idx)
+        graft.ops.ImiPqIndex.topK(emb, q, "vec_id", "embedding", idx, 5, 16, margin)
+          .localCheckpoint(true) // the scratch index is deleted below
+      }
+      val fRecomputed = par {
+        // recompute twin: the same pinned-at-build artifacts from
+        // scratch, all in the rotated space; the rotation materializes
+        // ONCE (filter-then-rotate == rotate-then-filter — see the
+        // sim_opq twin note)
+        val basis = graft.ops.Pq.opqBasis(Pca.fit(b90, "embedding", 64, 64), 8)
+        val rotEmb = emb.withColumn("embedding",
+          graft.ops.Pq.opqRotateExpr(col("embedding"), basis)).localCheckpoint(true)
+        val rb90 = rotEmb.filter(col("vec_id") % 10 =!= 9)
+        val rq = rotEmb.filter(col("vec_id") % 50 === 0)
+        val imi = graft.ops.IvfImi.train(rb90, "vec_id", "embedding", 16)
+        val model = graft.ops.Pq.trainResidualImi(rb90, "vec_id", "embedding", imi)
+        graft.ops.Pq.ivfTopKPqImi(rotEmb, rq,
+          "vec_id", "embedding", imi, model, 5, 16, margin)
+          .localCheckpoint(true)
+      }
+      val fExact = par {
+        Similarity.bruteTopKExact(emb, q, "vec_id", "embedding", 5)
+          .localCheckpoint(true)
+      }
+      val served = await(fServed)
+      val recomputed = await(fRecomputed)
       val mismatches = served.unionByName(recomputed)
         .groupBy(col("qid"), col("cid"), col("rank"))
         .agg(count(lit(1)).as("__n")).filter(col("__n") =!= 2).count()
-      val exact = Similarity.bruteTopKExact(emb, q, "vec_id", "embedding", 5)
+      val exact = await(fExact)
       val rec = exact
         .select(col("qid").cast("long").as("qid"), col("cid").cast("long").as("cid"))
         .join(served.select(col("qid"), col("cid"), lit(1).as("__hit")),

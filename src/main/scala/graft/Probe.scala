@@ -103,6 +103,55 @@ object Probe {
     rec("pca_gate", Pca.pcaTopK(emb, q, "vec_id", "embedding", m, 5, margin))
   }
 
+  /** Sub-phase timing for the OPQ-persisted family (the bench's top two
+    * rows): where do PqIndex.build(opq) and the recompute twin spend
+    * their wall? Run twice to split codegen/JIT from steady state.
+    */
+  def pqphase(spark: SparkSession, dir: String): Unit = {
+    import graft.ops._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    time("warm emb")(emb.count())
+    (1 to 2).foreach { round =>
+      val b90 = emb.filter(col("vec_id") % 10 =!= 9)
+      // --- Pca.fit internals
+      val dim = time(s"r$round dim head")(
+        b90.select(size(col("embedding"))).head().getInt(0))
+      val mom = Pca.moments(b90, "embedding", dim)
+      time(s"r$round moments collect")(mom.collect().length)
+      val pcaFull = time(s"r$round Pca.fit full")(Pca.fit(b90, "embedding", dim, dim))
+      val basis = Pq.opqBasis(pcaFull, 8)
+      def rot(df: org.apache.spark.sql.DataFrame) = df.withColumn("embedding",
+        Pq.opqRotateExpr(col("embedding"), basis))
+      val rb90 = rot(b90)
+      time(s"r$round rot(b90) count-materialize")(rb90.count())
+      val cents = time(s"r$round ivfCentroids")(
+        Similarity.ivfCentroids(rb90, "vec_id", "embedding", 8))
+      val model = time(s"r$round trainResidualFlat")(
+        Pq.trainResidualFlat(rb90, "vec_id", "embedding", cents))
+      val lists = time(s"r$round pqLists ckpt")(
+        Pq.pqLists(rot(emb), "vec_id", "embedding", cents, model).localCheckpoint(true))
+      val q50 = rot(emb.filter(col("vec_id") % 50 === 0))
+      val margin = math.max(32, math.ceil(emb.count() * 0.02).toInt)
+      time(s"r$round serve fromLists")(
+        Pq.ivfTopKPqFromLists(cents, model, lists, rot(emb), q50,
+          "vec_id", "embedding", 5, 8, margin).count())
+      // --- the persisted index build for comparison
+      val tmp = java.nio.file.Files.createTempDirectory("graft_probe_opq").toString
+      time(s"r$round PqIndex.build opq")(
+        PqIndex.build(b90, "vec_id", "embedding", s"$tmp/opq", nList = 8, opq = true))
+      time(s"r$round PqIndex.refresh")(
+        PqIndex.refresh(emb, "vec_id", "embedding", s"$tmp/opq"))
+      time(s"r$round PqIndex.topK")(
+        PqIndex.topK(emb, emb.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", s"$tmp/opq", 5, 8, margin).count())
+      new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
@@ -111,6 +160,7 @@ object Probe {
     spark.sparkContext.setLogLevel("ERROR")
     if (args.lift(1).contains("curate")) { curate(spark, dir); spark.stop(); return }
     if (args.lift(1).contains("recall")) { recall(spark, dir); spark.stop(); return }
+    if (args.lift(1).contains("pqphase")) { pqphase(spark, dir); spark.stop(); return }
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     time("docs count")(docs.count())
     val withSh = docs.withColumn("__sh", Dedup.shingles(col("text")))

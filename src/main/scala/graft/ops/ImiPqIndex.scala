@@ -69,22 +69,25 @@ object ImiPqIndex {
     // space (orthonormal — scored inner products unchanged up to float
     // rounding), exactly the PqIndex convention (shared fit helper)
     val basis = PqIndex.fitBasis(corpus, vecCol, mSub, opq)
-    val rc = rotated(corpus, vecCol, basis)
+    // materialized when rotated — see PqIndex.rotatedMat's plan-size note
+    val rc = PqIndex.rotatedMat(corpus, vecCol, basis)
     val imi = IvfImi.train(rc, idCol, vecCol, nCells)
     val model =
       if (residual) Pq.trainResidualImi(rc, idCol, vecCol, imi, mSub, ks)
       else Pq.train(rc, idCol, vecCol, mSub, ks)
+    // codebook-sized sidecars as ONE file each (see PqIndex.build note)
     graft.lake.Staged.landMany(spark, path, Seq(
       "subbooks" -> (imi.sub1.zipWithIndex.map { case (c, i) => (1, i, c.toSeq) } ++
         imi.sub2.zipWithIndex.map { case (c, i) => (2, i, c.toSeq) })
-        .toDF("side", "idx", "cent"),
+        .toDF("side", "idx", "cent").coalesce(1),
       "codebooks" -> model.codebooks.zipWithIndex.flatMap { case (cb, m) =>
         cb.zipWithIndex.map { case (cent, c) => (m, c, cent.toSeq) }
-      }.toDF("sub", "code", "cent"),
-      "meta" -> Seq(residual).toDF("residual"),
+      }.toDF("sub", "code", "cent").coalesce(1),
+      "meta" -> Seq(residual).toDF("residual").coalesce(1),
       "lists" -> listRows(rc, idCol, vecCol, imi, model)) ++
       basis.map(b => "opqbasis" ->
-        b.zipWithIndex.map { case (r, i) => (i, r.toSeq) }.toDF("pos", "r")).toSeq)
+        b.zipWithIndex.map { case (r, i) => (i, r.toSeq) }.toDF("pos", "r")
+          .coalesce(1)).toSeq)
     spark.read.parquet(listsPath(path)).count()
   }
 
@@ -119,8 +122,9 @@ object ImiPqIndex {
     val imi = loadImi(spark, path)
     val model = loadModel(spark, path)
     // rotate BEFORE the churn split: fingerprints were signed over the
-    // rotated vectors at build, so unchanged rows must re-hash equal
-    val rc = rotated(corpus, vecCol, PqIndex.loadBasis(spark, path))
+    // rotated vectors at build, so unchanged rows must re-hash equal.
+    // Materialized — see PqIndex.rotatedMat's plan-size note
+    val rc = PqIndex.rotatedMat(corpus, vecCol, PqIndex.loadBasis(spark, path))
     val old = spark.read.parquet(listsPath(path))
     val s = graft.lake.ChurnSplit.split(old, "cid", "vfp",
       rc, idCol, vecFp(rc(vecCol)))
@@ -143,7 +147,7 @@ object ImiPqIndex {
     val spark = batch.sparkSession
     val imi = loadImi(spark, path)
     val model = loadModel(spark, path)
-    val rb = rotated(batch, vecCol, PqIndex.loadBasis(spark, path))
+    val rb = PqIndex.rotatedMat(batch, vecCol, PqIndex.loadBasis(spark, path))
     val old = spark.read.parquet(listsPath(path))
     val s = graft.lake.ChurnSplit.split(old, "cid", "vfp",
       rb, idCol, vecFp(rb(vecCol)))
@@ -169,9 +173,12 @@ object ImiPqIndex {
     // queries rotate, so side LUTs, ADC tables and the exact re-rank
     // all score the same (orthonormally preserved) inner products
     val basis = PqIndex.loadBasis(spark, path)
+    // queries materialize (small, many-referenced by the probe
+    // expression); the corpus rotation stays lazy — referenced once by
+    // the re-rank fetch (see PqIndex.topK's note)
     Pq.ivfTopKPqImiFromLists(loadImi(spark, path), loadModel(spark, path),
       spark.read.parquet(listsPath(path)).select(col("cid"), col("cell"), col("codes")),
-      rotated(corpus, vecCol, basis), rotated(queries, vecCol, basis),
+      rotated(corpus, vecCol, basis), PqIndex.rotatedMat(queries, vecCol, basis),
       idCol, vecCol, k, nProbe, margin)
   }
 }

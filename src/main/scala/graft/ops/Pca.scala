@@ -71,32 +71,158 @@ object Pca {
     * [[Similarity.dotExactDec]], so the snap is the only rounding and
     * the sum is schedule-independent) with the contributing row count.
     *
-    * Shape: two stacked `posexplode`s (codegen'd Generate operators —
-    * an earlier nested `transform`/`flatten` lambda form built a
-    * 2,080-struct array per row interpretively and ran ~6× slower),
-    * upper triangle kept by filter. Partial aggregation reduces the
-    * pair rows map-side, so the shuffle carries at most
-    * `partitions × dim·(dim+3)/2` rows regardless of corpus size.
+    * Shape (optimization round 19): ONE compiled fold per partition —
+    * each task accumulates its rows into a local dim·(dim+3)/2 grid of
+    * exact scaled-integer sums and emits only the grid, so the shuffle
+    * carries `partitions × grid` rows and the corpus is scanned ONCE.
+    * The previous double-`posexplode` form generated and
+    * hash-aggregated dim·(dim+3)/2 rows PER INPUT ROW across TWO
+    * corpus scans (union of first/second moments): at sf0.1 that is
+    * 4.3M generated rows and 4.8 s of the 5.0 s full-64 fit; this form
+    * runs the same arithmetic in a fraction of that, and at 100 TB it
+    * removes the dominant Generate+hash mass and one full scan
+    * (optimization guide §2.3 "aggregate before you shuffle", §1.2
+    * "fix the distributed algorithm first").
+    *
+    * Exactness contract UNCHANGED, bit-for-bit: every element/product
+    * is snapped by the SAME double→decimal(25,15) conversion SQL
+    * `cast` used ([[org.apache.spark.sql.types.Decimal]] on the
+    * shortest-repr value, HALF_UP, null on overflow — overflow rows
+    * keep counting but add nothing, exactly like `sum` skipping a null
+    * cast), partial sums are exact integer adds on the scale-15 grid
+    * (spilling to BigInteger on the long boundary), and the final
+    * per-cell merge is the same exact decimal `sum`. Integer addition
+    * is associative, so the result is schedule-independent and equal
+    * to the old form's decimal sum on every input (PcaSpec pins this
+    * against naive driver accumulation; the DuckDB oracle replays it).
+    *
+    * Row-corner parity with the explode form: null/empty vectors emit
+    * nothing; a null ELEMENT contributes to counts but not sums; a
+    * short vector contributes only its present cells (the uniform-n
+    * check in [[fitFromMoments]] rejects ragged corpora either way).
     */
   def moments(corpus: DataFrame, vecCol: String, dim: Int): DataFrame = {
     requireDimBudget(dim, "Pca.moments")
-    val ex = corpus.select(col(vecCol).as("__v"),
-      posexplode(col(vecCol)).as(Seq("pi", "x")))
-    // inner explode over slice(v, i+1, ...) emits ONLY the upper
-    // triangle — half the pair rows of an explode-then-filter
-    val second = ex
-      .select(col("pi"), col("x"),
-        posexplode(slice(col("__v"), col("pi") + 1, lit(dim) - col("pi")))
-          .as(Seq("pj0", "y")))
-      .groupBy(col("pi").as("i"), (col("pi") + col("pj0")).as("j"))
-      .agg(sum((col("x").cast("double") * col("y").cast("double"))
-        .cast("decimal(25,15)")).as("s"), count(lit(1)).as("n"))
-    val first = ex
-      .groupBy(col("pi").as("i"))
-      .agg(sum(col("x").cast("double").cast("decimal(25,15)")).as("s"),
-        count(lit(1)).as("n"))
-      .select(col("i"), lit(-1).as("j"), col("s"), col("n"))
-    first.unionByName(second.select(col("i"), col("j"), col("s"), col("n")))
+    val spark = corpus.sparkSession
+    val nFirst = dim
+    val nPairs = dim * (dim + 1) / 2
+    val nSlots = nFirst + nPairs
+    // slot layout: [0, dim) first moments; pair (i, j) at
+    // dim + i*dim - i*(i-1)/2 + (j - i)
+    val base = corpus.select(col(vecCol)).rdd
+    // A small-SF scan arrives as ONE partition and would fold the whole
+    // grid single-threaded (measured 2.1 s at sf0.1); fan the fold out
+    // to the session's parallelism. At scale the scan already carries
+    // >= cores partitions and this is a no-op — no shuffle on the big
+    // path. Exactness unaffected: integer sums are order-independent.
+    val width = math.max(1, corpus.sparkSession.sparkContext.defaultParallelism)
+    val wide = if (base.getNumPartitions < width) base.repartition(width) else base
+    val partials = wide.mapPartitions { it =>
+      val accL = new Array[Long](nSlots)
+      val accB = new Array[java.math.BigInteger](nSlots)
+      val nRows = new Array[Long](nSlots) // count(1): every emitted cell row
+      val nVals = new Array[Long](nSlots) // non-null contributions (sum-null parity)
+      // slot → (i, j) inverse, built once per task (ints, ~17 KB at dim 64)
+      val slotI = new Array[Int](nSlots)
+      val slotJ = new Array[Int](nSlots)
+      locally {
+        var s = 0
+        while (s < nFirst) { slotI(s) = s; slotJ(s) = -1; s += 1 }
+        var i = 0
+        while (i < dim) {
+          var j = i
+          while (j < dim) { slotI(s) = i; slotJ(s) = j; s += 1; j += 1 }
+          i += 1
+        }
+      }
+      def add(slot: Int, u: Long): Unit = {
+        val cur = accL(slot)
+        val s = cur + u
+        if (((cur ^ s) & (u ^ s)) < 0L) { // two's-complement overflow
+          val b = if (accB(slot) == null) java.math.BigInteger.ZERO else accB(slot)
+          accB(slot) = b.add(java.math.BigInteger.valueOf(cur))
+            .add(java.math.BigInteger.valueOf(u))
+          accL(slot) = 0L
+        } else accL(slot) = s
+      }
+      // the EXACT SQL cast semantics: Decimal(double) is the
+      // shortest-repr value; changePrecision(25,15) rounds HALF_UP and
+      // reports overflow (→ null in non-ANSI mode → the value is
+      // skipped but the row still counts)
+      def snapAdd(slot: Int, d: Double): Unit = {
+        val dec = org.apache.spark.sql.types.Decimal(d)
+        if (dec.changePrecision(25, 15)) {
+          nVals(slot) += 1L
+          val bd = dec.toJavaBigDecimal // scale exactly 15 after changePrecision
+          val unscaled = bd.unscaledValue()
+          if (unscaled.bitLength() < 63) add(slot, unscaled.longValue())
+          else {
+            val b = if (accB(slot) == null) java.math.BigInteger.ZERO else accB(slot)
+            accB(slot) = b.add(unscaled)
+          }
+        }
+      }
+      it.foreach { r =>
+        // Number, not Float: the old cast-to-double form accepted
+        // array<float> and array<double> alike (both widen exactly)
+        val v = r.getSeq[java.lang.Number](0)
+        if (v != null) {
+          val len = v.length
+          require(len <= dim,
+            s"Pca.moments: vector of length $len exceeds declared dim $dim")
+          var i = 0
+          while (i < len) {
+            val xi = v(i)
+            val xid = if (xi == null) 0.0 else xi.doubleValue()
+            nRows(i) += 1L
+            if (xi != null) snapAdd(i, xid)
+            val base = nFirst + i * dim - i * (i - 1) / 2 - i
+            var j = i
+            while (j < len) {
+              val slot = base + j
+              nRows(slot) += 1L
+              val xj = v(j)
+              if (xi != null && xj != null)
+                snapAdd(slot, xid * xj.doubleValue())
+              j += 1
+            }
+            i += 1
+          }
+        }
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      var slot = 0
+      while (slot < nSlots) {
+        if (nRows(slot) > 0L) {
+          val s =
+            if (nVals(slot) == 0L) null
+            else {
+              val big =
+                if (accB(slot) == null) java.math.BigInteger.valueOf(accL(slot))
+                else accB(slot).add(java.math.BigInteger.valueOf(accL(slot)))
+              new java.math.BigDecimal(big, 15)
+            }
+          out += org.apache.spark.sql.Row(slotI(slot), slotJ(slot), s, nRows(slot))
+        }
+        slot += 1
+      }
+      out.iterator
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("i",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("j",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.DecimalType(35, 15), nullable = true),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(partials, schema)
+      .groupBy(col("i"), col("j"))
+      // sum(decimal(35,15)) widens to (38,15); cast back so the output
+      // schema stays the historical decimal(35,15) — value unchanged
+      // (the total equals the old form's sum, which carried (35,15))
+      .agg(sum(col("s")).cast("decimal(35,15)").as("s"), sum(col("n")).as("n"))
   }
 
   /** Fit the top-`m` principal components. Driver traffic is bounded by

@@ -69,6 +69,25 @@ object PqIndex {
     basis.fold(df)(b =>
       df.withColumn(vecCol, Pq.opqRotateExpr(col(vecCol), b)))
 
+  /** [[rotated]], MATERIALIZED when a basis applies (identity pass-
+    * through when none). The rotation is a dim² tree of plan literals;
+    * leaving it lazy substitutes that tree into EVERY downstream
+    * reference of the vector column — `ivfCell`/`imiCell`/probe
+    * expressions reference the vector 10-20×, so the encode/train
+    * plans blow up to ~100k-node expression trees whose ANALYSIS and
+    * codegen dominate the wall (measured: trainResidualFlat on a lazy
+    * rotated frame 3.8 s vs ~1 s materialized, at 2k rows — the cost
+    * is per-plan, not per-row). One eager localCheckpoint collapses
+    * the column to a plain attribute for every later pass; the frames
+    * this is applied to are consumed by several passes within one
+    * build/refresh call, so the materialization also removes repeated
+    * rotation evaluation (optimization guide §3.3 "materialise an
+    * intermediate to truncate the plan", §5 reuse-justified caching).
+    */
+  private[ops] def rotatedMat(df: DataFrame, vecCol: String,
+                              basis: Option[IndexedSeq[Array[Float]]]): DataFrame =
+    if (basis.isEmpty) df else rotated(df, vecCol, basis).localCheckpoint(true)
+
   /** Fit the parametric-OPQ basis for a build (`None` when `opq` is
     * off): full-dim PCA then eigenvalue allocation across the `mSub`
     * subspaces. Shared by [[build]] and [[ImiPqIndex.build]] for the
@@ -109,25 +128,30 @@ object PqIndex {
     // Orthonormal, so the scored inner products are unchanged up to
     // float rounding.
     val basis = fitBasis(corpus, vecCol, mSub, opq)
-    val rc = rotated(corpus, vecCol, basis)
+    val rc = rotatedMat(corpus, vecCol, basis)
     val cents = Similarity.ivfCentroids(rc, idCol, vecCol, nList)
     val model =
       if (residual) Pq.trainResidualFlat(rc, idCol, vecCol, cents, mSub, ks)
       else Pq.train(rc, idCol, vecCol, mSub, ks)
+    // the codebook-sized sidecars write as ONE file each (guide §6:
+    // they were split across defaultParallelism near-empty files, each
+    // re-listed + footer-read by every later load); lists stay wide
     graft.lake.Staged.landMany(spark, path, Seq(
-      "centroids" -> cents.map { case (id, v) => (id, v) }.toDF("cell_id", "cv"),
+      "centroids" -> cents.map { case (id, v) => (id, v) }.toDF("cell_id", "cv")
+        .coalesce(1),
       "codebooks" -> model.codebooks.zipWithIndex.flatMap { case (cb, m) =>
         cb.zipWithIndex.map { case (cent, c) => (m, c, cent.toSeq) }
-      }.toDF("sub", "code", "cent"),
-      "meta" -> Seq(residual).toDF("residual"),
+      }.toDF("sub", "code", "cent").coalesce(1),
+      "meta" -> Seq(residual).toDF("residual").coalesce(1),
       // the residual subtraction reference (per-cell means with
       // centroid fallback), PINNED at build exactly like the
       // codebooks: refreshed corpora must keep decoding old codes
       "cellmeans" -> model.mu.toSeq.map { case (id, v) => (id, v.toSeq) }
-        .toDF("cell_id", "mv"),
+        .toDF("cell_id", "mv").coalesce(1),
       "lists" -> listRows(rc, idCol, vecCol, cents, model)) ++
       basis.map(b => "opqbasis" ->
-        b.zipWithIndex.map { case (r, i) => (i, r.toSeq) }.toDF("pos", "r")).toSeq)
+        b.zipWithIndex.map { case (r, i) => (i, r.toSeq) }.toDF("pos", "r")
+          .coalesce(1)).toSeq)
     spark.read.parquet(listsPath(path)).count()
   }
 
@@ -183,8 +207,10 @@ object PqIndex {
     val cents = loadCentroids(spark, path)
     val model = loadModel(spark, path)
     // rotate BEFORE the churn split: fingerprints were signed over the
-    // rotated vectors at build, so unchanged rows must re-hash equal
-    val rc = rotated(corpus, vecCol, loadBasis(spark, path))
+    // rotated vectors at build, so unchanged rows must re-hash equal.
+    // Materialized (rotatedMat): the split + fresh-row encode reference
+    // the rotated column several times — see rotatedMat's plan-size note
+    val rc = rotatedMat(corpus, vecCol, loadBasis(spark, path))
     val old = spark.read.parquet(listsPath(path))
     val s = graft.lake.ChurnSplit.split(old, "cid", "vfp",
       rc, idCol, vecFp(rc(vecCol)))
@@ -208,7 +234,7 @@ object PqIndex {
     val spark = batch.sparkSession
     val cents = loadCentroids(spark, path)
     val model = loadModel(spark, path)
-    val rb = rotated(batch, vecCol, loadBasis(spark, path))
+    val rb = rotatedMat(batch, vecCol, loadBasis(spark, path))
     val old = spark.read.parquet(listsPath(path))
     val s = graft.lake.ChurnSplit.split(old, "cid", "vfp",
       rb, idCol, vecFp(rb(vecCol)))
@@ -235,9 +261,14 @@ object PqIndex {
     // queries rotate, so ADC tables, codes and the exact re-rank all
     // score the same (orthonormally preserved) inner products
     val basis = loadBasis(spark, path)
+    // queries rotate MATERIALIZED (small by the broadcast-pool
+    // contract; the probe expression references the query vector many
+    // times — rotatedMat's plan-size note). The corpus side stays a
+    // LAZY rotation: it is referenced once (the re-rank full fetch),
+    // and a zero-work serve must not pay a corpus materialization.
     Pq.ivfTopKPqFromLists(loadCentroids(spark, path), loadModel(spark, path),
       spark.read.parquet(listsPath(path)).select(col("cid"), col("cell"), col("codes")),
-      rotated(corpus, vecCol, basis), rotated(queries, vecCol, basis),
+      rotated(corpus, vecCol, basis), rotatedMat(queries, vecCol, basis),
       idCol, vecCol, k, nProbe, margin)
   }
 }
