@@ -79,28 +79,34 @@ object Bench {
     // parity/floor stage mirrors for the persisted sim rows — the
     // recompute twin and the brute recall floor are those query bodies'
     // OTHER half (the part build/refresh/serve can't name)
-    def pqRot(opq: Boolean): org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
-      if (!opq) identity
+    // the rotated corpus materializes ONCE and the 90%/query slices
+    // derive from it — mirrors the round-19 query bodies (see the
+    // sim_opq twin note in CorpusQueries / PqIndex.rotatedMat)
+    def pqRotAll(opq: Boolean): org.apache.spark.sql.DataFrame =
+      if (!opq) emb
       else {
         val basis = Pq.opqBasis(graft.ops.Pca.fit(b90, "embedding", 64, 64), 8)
-        df => df.withColumn("embedding", Pq.opqRotateExpr(col("embedding"), basis))
+        emb.withColumn("embedding", Pq.opqRotateExpr(col("embedding"), basis))
+          .localCheckpoint(true)
       }
     def pqTwin(opq: Boolean): Unit = {
-      val rot = pqRot(opq)
-      val rb90 = rot(b90)
+      val rotEmb = pqRotAll(opq)
+      val rb90 = rotEmb.filter(col("vec_id") % 10 =!= 9)
+      val rq = rotEmb.filter(col("vec_id") % 50 === 0)
       val cents = Similarity.ivfCentroids(rb90, "vec_id", "embedding", 8)
       val model = Pq.trainResidualFlat(rb90, "vec_id", "embedding", cents)
       Pq.ivfTopKPqFromLists(cents, model,
-        Pq.pqLists(rot(emb), "vec_id", "embedding", cents, model)
+        Pq.pqLists(rotEmb, "vec_id", "embedding", cents, model)
           .localCheckpoint(true),
-        rot(emb), rot(q50), "vec_id", "embedding", 5, 8, pqMargin).count()
+        rotEmb, rq, "vec_id", "embedding", 5, 8, pqMargin).count()
     }
     def imiTwin(opq: Boolean): Unit = {
-      val rot = pqRot(opq)
-      val rb90 = rot(b90)
+      val rotEmb = pqRotAll(opq)
+      val rb90 = rotEmb.filter(col("vec_id") % 10 =!= 9)
+      val rq = rotEmb.filter(col("vec_id") % 50 === 0)
       val imi = IvfImi.train(rb90, "vec_id", "embedding", 16)
       val model = Pq.trainResidualImi(rb90, "vec_id", "embedding", imi)
-      Pq.ivfTopKPqImi(rot(emb), rot(q50), "vec_id", "embedding",
+      Pq.ivfTopKPqImi(rotEmb, rq, "vec_id", "embedding",
         imi, model, 5, 16, pqMargin).count()
     }
     def bruteFloor(): Unit = {

@@ -21,34 +21,15 @@ import graft.versions.Versions
 object CorpusQueries {
   import SparkEntry.{t, versionsDf, versionsSelect, versionsCte}
 
-  /** Fixed daemon pool for overlapping a query body's INDEPENDENT
-    * sub-chains (optimization guide §2.6 "overlap independent jobs"):
-    * Spark runs concurrent jobs in one session happily — the
-    * persisted-parity rows' index chain, recompute twin and brute
-    * floor were only sequential because the driver called them
-    * sequentially, leaving most cores idle through each chain's
-    * driver-side collects and stragglers. Every chain is
-    * deterministic in isolation (decimal/integer sums, seeded
-    * training), so overlap moves ONLY the wall clock, never a result
-    * bit. Sized small: 2-3 chains in flight fill the idle capacity;
-    * more would just contend (the guide's own sizing note).
-    */
-  private lazy val chainPool: scala.concurrent.ExecutionContext =
-    scala.concurrent.ExecutionContext.fromExecutorService(
-      java.util.concurrent.Executors.newFixedThreadPool(8,
-        new java.util.concurrent.ThreadFactory {
-          private val n = new java.util.concurrent.atomic.AtomicInteger(0)
-          def newThread(r: Runnable): Thread = {
-            val t = new Thread(r, s"graft-chain-${n.getAndIncrement()}")
-            t.setDaemon(true); t
-          }
-        }))
-
+  // overlapping of independent sub-chains (persisted-parity rows' index
+  // chain / recompute twin / brute floor; the boards' trainers) rides
+  // the shared daemon pool — see graft.core.Overlap's contract note
+  // ("chainPool note" in the bodies below)
   private def par[T](body: => T): scala.concurrent.Future[T] =
-    scala.concurrent.Future(body)(chainPool)
+    graft.core.Overlap.par(body)
 
   private def await[T](f: scala.concurrent.Future[T]): T =
-    scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
+    graft.core.Overlap.await(f)
 
   // ----------------------------------------------------------- SQL builders
 
@@ -1225,13 +1206,17 @@ object CorpusQueries {
         .select(col("doc_id").as("doc"), Dedup.shingles(col("text")).as("sh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pairs = Dedup.minhashCandidatesFromShingles(trainSh)
+      // classifier training (3 signSGD rounds of driver-coordinated
+      // jobs) is independent of the dedup component chain — overlap
+      // them (guide §2.6, chainPool note); both are deterministic alone
+      val fClf = par(graft.ops.QualityClassifier.train(train, "doc_id", "text",
+        col("lang") === "en"))
       val comp = Dedup.connectedComponents(pairs)
       val contam = Dedup.contaminatedFromShingles(trainSh,
           docs.filter(col("doc_id") % 10 === 0)
             .select(Dedup.shingles(col("text")).as("sh")), minShared = 8)
         .select(col("doc").as("doc_id"))
-      val m = graft.ops.QualityClassifier.train(train, "doc_id", "text",
-        col("lang") === "en")
+      val m = await(fClf)
       val scores = graft.ops.QualityClassifier.score(train, "doc_id", "text", m)
         .select(col("doc").as("doc_id"), col("clf_prob"))
       val kept = train.select(col("doc_id"), col("text"), col("source"))

@@ -68,9 +68,17 @@ object Staged {
       dest.getParent, "." + dest.getName + ".staging")
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(staging, true)
-    tables.foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$staging/$name")
-    }
+    // per-table writes overlap (guide §2.6, graft.core.Overlap): each
+    // table writes to its own staging subdirectory, so the corpus-sized
+    // `lists` write backfills the scheduling gaps of the codebook-sized
+    // sidecar writes instead of queueing five near-empty jobs serially.
+    // The commit protocol is unchanged — everything still lands under
+    // ONE staging root swapped by ONE rename.
+    tables.map { case (name, df) =>
+      graft.core.Overlap.par {
+        df.write.mode("overwrite").parquet(s"$staging/$name")
+      }
+    }.foreach(graft.core.Overlap.await(_))
     fs.delete(dest, true)
     renameOrThrow(fs, staging, dest)
   }

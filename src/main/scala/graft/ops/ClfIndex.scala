@@ -76,13 +76,45 @@ object ClfIndex {
     * corpus (the property the churn carry relies on).
     */
   private def scoreRows(corpus: DataFrame, idCol: String, textCol: String,
-                        model: Map[Long, Long], nBuckets: Int): DataFrame =
-    corpus.select(col(idCol).as("doc"), md5(col(textCol)).as("fp"))
-      .join(QualityClassifier.score(corpus, idCol, textCol, model, nBuckets),
-        Seq("doc"), "left_outer")
+                        model: Map[Long, Long], nBuckets: Int): DataFrame = {
+    // ONE pass (optimization round 19, guide §2.3/§2.4): the previous
+    // form scanned+tokenized the corpus twice and shuffle-joined the
+    // two corpus-sized halves back together on `doc` just to re-attach
+    // `fp` and keep the evidence-free docs. Here fp rides the feature
+    // rows from the start and explode_outer keeps the (< 2 tokens) docs
+    // as a single null-bucket row — one scan, one tokenize, one
+    // broadcast join, one doc-keyed aggregate, zero corpus-vs-corpus
+    // shuffle join. Values are byte-identical to the join form: per-doc
+    // scores depend only on the doc's own buckets and the broadcast
+    // model (QualityClassifier.score semantics, same bucketArray), and
+    // evidence-free docs land (n_fbuckets = 0, NULL logit/prob) exactly
+    // as the left join produced. NB hardSigmoid must NOT see a null
+    // logit — Spark's least/greatest SKIP nulls rather than propagate
+    // them — hence the explicit n_fbuckets > 0 guard on both columns.
+    QualityClassifier.requireBuckets(nBuckets)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val wdf =
+      if (model.isEmpty) Seq.empty[(Long, Long)].toDF("__b", "__w")
+      else model.toSeq.toDF("__b", "__w")
+    import QualityClassifier.{fdiv, hardSigmoid}
+    corpus
+      .select(col(idCol).as("doc"), md5(col(textCol)).as("fp"),
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
       .select(col("doc"), col("fp"),
-        coalesce(col("n_fbuckets"), lit(0L)).as("n_fbuckets"),
-        col("clf_logit"), col("clf_prob"))
+        explode_outer(when(size(col("__toks")) >= 2,
+          QualityClassifier.bucketArray(nBuckets))
+          .otherwise(array().cast("array<long>"))).as("__b"))
+      .join(broadcast(wdf), Seq("__b"), "left_outer")
+      .groupBy(col("doc"), col("fp"))
+      .agg(count(col("__b")).as("n_fbuckets"),
+        sum(coalesce(col("__w"), lit(0L))).as("__sw"))
+      .select(col("doc"), col("fp"), col("n_fbuckets"),
+        when(col("n_fbuckets") > 0,
+          fdiv(col("__sw"), col("n_fbuckets"))).as("clf_logit"),
+        when(col("n_fbuckets") > 0,
+          hardSigmoid(fdiv(col("__sw"), col("n_fbuckets")))).as("clf_prob"))
+  }
 
   /** Train on `labeled`, score `corpus`, land everything. Returns the
     * landed score-row count (= corpus rows).
@@ -121,10 +153,12 @@ object ClfIndex {
         val p = new org.apache.hadoop.fs.Path(dir)
         p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
       }
+    // model/meta are nBuckets-bounded — ONE file each (guide §6; see
+    // PqIndex.build's small-files note); scores stay wide
     graft.lake.Staged.landMany(spark, path, Seq(
-      "model" -> QualityClassifier.modelDf(spark, model),
+      "model" -> QualityClassifier.modelDf(spark, model).coalesce(1),
       "meta" -> Seq((nBuckets, n, x, s))
-        .toDF("nbuckets", "train_n", "train_xor", "train_sum"),
+        .toDF("nbuckets", "train_n", "train_xor", "train_sum").coalesce(1),
       "scores" -> scoreRows(corpus, idCol, textCol, model, nBuckets)))
     spark.read.parquet(scoresPath(path)).count()
   }

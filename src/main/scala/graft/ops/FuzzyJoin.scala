@@ -464,9 +464,28 @@ object FuzzyJoin {
       s"extraChunks must be in [0, 8]: $extraChunks")
     val p = prep(probes, probeId, probeStr)
     val r = prep(reference, refId, refStr)
-    candidates(p, r, maxDist, extraChunks, hotChunkCap, candBudgetPerString)
+    // Direction choice (optimization round 19, guide §2.3 "shuffle
+    // fewer bytes"): candidates(a, b) charges the CHUNK multiplier
+    // (~d+1+extra rows/string) to `a` and the much larger WINDOW/drift
+    // multiplier ((2d+1)·Σarity classic, C(n1,d)·combos escalated) to
+    // `b`. The pigeonhole is direction-symmetric (one side chunked
+    // suffices, and the exact levenshtein verify decides membership
+    // either way — only the CANDIDATE set, never the result, depends
+    // on direction), so the BIG side should always take the small
+    // multiplier. The classic dirty-batch-vs-master lookup had this
+    // backwards: it chunked the (small) probe batch and fanned the
+    // master out ~15-25×. Counts are two jobs over the already-
+    // checkpointed prepped frames — cheap at every scale.
+    val probesAreBig = p.count() >= r.count()
+    val cand =
+      if (probesAreBig)
+        candidates(p, r, maxDist, extraChunks, hotChunkCap, candBudgetPerString)
+          .select(col("__aid").as("probe_id"), col("__bid").as("ref_id"))
+      else
+        candidates(r, p, maxDist, extraChunks, hotChunkCap, candBudgetPerString)
+          .select(col("__bid").as("probe_id"), col("__aid").as("ref_id"))
+    cand
       .distinct()
-      .select(col("__aid").as("probe_id"), col("__bid").as("ref_id"))
       .join(p.select(col("__id").as("probe_id"), col("__s").as("__sa")), "probe_id")
       .join(r.select(col("__id").as("ref_id"), col("__s").as("__sb")), "ref_id")
       .withColumn("dist", levenshtein(col("__sa"), col("__sb")).cast("long"))

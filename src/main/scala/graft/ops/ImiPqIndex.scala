@@ -119,12 +119,16 @@ object ImiPqIndex {
   def refresh(corpus: DataFrame, idCol: String, vecCol: String, path: String)
       : (Long, Long) = {
     val spark = corpus.sparkSession
-    val imi = loadImi(spark, path)
-    val model = loadModel(spark, path)
+    // independent sidecar loads overlap (guide §2.6, graft.core.Overlap)
+    val fImi = graft.core.Overlap.par(loadImi(spark, path))
+    val fModel = graft.core.Overlap.par(loadModel(spark, path))
+    val fBasis = graft.core.Overlap.par(PqIndex.loadBasis(spark, path))
     // rotate BEFORE the churn split: fingerprints were signed over the
     // rotated vectors at build, so unchanged rows must re-hash equal.
     // Materialized — see PqIndex.rotatedMat's plan-size note
-    val rc = PqIndex.rotatedMat(corpus, vecCol, PqIndex.loadBasis(spark, path))
+    val rc = PqIndex.rotatedMat(corpus, vecCol, graft.core.Overlap.await(fBasis))
+    val imi = graft.core.Overlap.await(fImi)
+    val model = graft.core.Overlap.await(fModel)
     val old = spark.read.parquet(listsPath(path))
     val s = graft.lake.ChurnSplit.split(old, "cid", "vfp",
       rc, idCol, vecFp(rc(vecCol)))
@@ -145,9 +149,13 @@ object ImiPqIndex {
   def upsert(batch: DataFrame, idCol: String, vecCol: String, path: String)
       : (Long, Long) = {
     val spark = batch.sparkSession
-    val imi = loadImi(spark, path)
-    val model = loadModel(spark, path)
-    val rb = PqIndex.rotatedMat(batch, vecCol, PqIndex.loadBasis(spark, path))
+    // overlapped loads — see refresh
+    val fImi = graft.core.Overlap.par(loadImi(spark, path))
+    val fModel = graft.core.Overlap.par(loadModel(spark, path))
+    val fBasis = graft.core.Overlap.par(PqIndex.loadBasis(spark, path))
+    val rb = PqIndex.rotatedMat(batch, vecCol, graft.core.Overlap.await(fBasis))
+    val imi = graft.core.Overlap.await(fImi)
+    val model = graft.core.Overlap.await(fModel)
     val old = spark.read.parquet(listsPath(path))
     val s = graft.lake.ChurnSplit.split(old, "cid", "vfp",
       rb, idCol, vecFp(rb(vecCol)))
@@ -172,11 +180,15 @@ object ImiPqIndex {
     // an OPQ index probes in its pinned rotated space — corpus AND
     // queries rotate, so side LUTs, ADC tables and the exact re-rank
     // all score the same (orthonormally preserved) inner products
+    // overlapped loads — see refresh
+    val fImi = graft.core.Overlap.par(loadImi(spark, path))
+    val fModel = graft.core.Overlap.par(loadModel(spark, path))
     val basis = PqIndex.loadBasis(spark, path)
     // queries materialize (small, many-referenced by the probe
     // expression); the corpus rotation stays lazy — referenced once by
     // the re-rank fetch (see PqIndex.topK's note)
-    Pq.ivfTopKPqImiFromLists(loadImi(spark, path), loadModel(spark, path),
+    Pq.ivfTopKPqImiFromLists(graft.core.Overlap.await(fImi),
+      graft.core.Overlap.await(fModel),
       spark.read.parquet(listsPath(path)).select(col("cid"), col("cell"), col("codes")),
       rotated(corpus, vecCol, basis), PqIndex.rotatedMat(queries, vecCol, basis),
       idCol, vecCol, k, nProbe, margin)

@@ -40,6 +40,11 @@ object PcaIndex {
       .select(col("i"), col("j"),
         (col("s") * lit(sign)).cast("decimal(38,15)").as("s"),
         (col("n") * lit(sign)).as("n"))
+      // a segment is ≤ dim·(dim+3)/2 rows; writing it from the
+      // aggregation's 32 shuffle partitions produced 32 near-empty
+      // files each re-listed+footer-read by EVERY later serve/compact
+      // (guide §6 small files) — one file per segment
+      .coalesce(1)
     Staged.land(spark, segDir(path, dropId), seg)
     spark.read.parquet(segDir(path, dropId)).count()
   }
@@ -59,5 +64,6 @@ object PcaIndex {
   /** Fold all segments into one under a single root swap. */
   def compact(spark: SparkSession, path: String, dropId: String = "base"): Unit =
     Staged.swapRoot(spark, path,
-      serveMoments(spark, path).localCheckpoint(true), s"seg=$dropId")
+      // grid-sized — one output file (see landDrop's coalesce note)
+      serveMoments(spark, path).coalesce(1).localCheckpoint(true), s"seg=$dropId")
 }

@@ -95,7 +95,23 @@ object Pq {
   def trainResidualWith(corpus: DataFrame, idCol: String, vecCol: String,
                         cellOf: Column => Column, mu: Map[Long, Array[Float]],
                         mSub: Int = 8, ks: Int = 256, seed: Int = 42,
-                        iters: Int = 8, trainN0: Int = 0): PqModel = {
+                        iters: Int = 8, trainN0: Int = 0): PqModel =
+    trainResidualWithF(corpus, idCol, vecCol, cellOf,
+      graft.core.Overlap.par(mu), mSub, ks, seed, iters, trainN0)
+
+  /** [[trainResidualWith]] with the subtraction reference arriving as a
+    * FUTURE: the reference (a cell-means aggregate over the corpus) and
+    * the training sample (a seeded top-n collect over the corpus) are
+    * two independent jobs, and the flat/hier wrappers ran them strictly
+    * in sequence — overlapped they cost max, not sum (guide §2.6 via
+    * [[graft.core.Overlap]]; both are deterministic alone, so the model
+    * bits are unchanged).
+    */
+  private def trainResidualWithF(corpus: DataFrame, idCol: String, vecCol: String,
+                                 cellOf: Column => Column,
+                                 muF: scala.concurrent.Future[Map[Long, Array[Float]]],
+                                 mSub: Int, ks: Int, seed: Int,
+                                 iters: Int, trainN0: Int): PqModel = {
     require(mSub >= 1, s"mSub must be >= 1: $mSub")
     require(ks >= 1 && ks <= 256, s"ks must be in [1, 256]: $ks")
     val trainN = if (trainN0 > 0) trainN0 else math.max(4096, ks * 32)
@@ -108,6 +124,7 @@ object Pq {
       .limit(trainN)
       .select(col("__v"), col("__c")), trainN, "residual pq codebook sample")
     require(rows.nonEmpty, "pq training needs a non-empty corpus")
+    val mu = graft.core.Overlap.await(muF)
     val sample = rows.map { r =>
       val v = r.getSeq[Float](0).toArray
       val m = mu.getOrElse(r.getLong(1),
@@ -123,17 +140,19 @@ object Pq {
                         cents: Seq[(Long, Seq[Float])], mSub: Int = 8,
                         ks: Int = 256, seed: Int = 42, iters: Int = 8,
                         trainN0: Int = 0): PqModel =
-    trainResidualWith(corpus, idCol, vecCol,
+    trainResidualWithF(corpus, idCol, vecCol,
       v => Similarity.ivfCell(v, cents),
-      residualRefFlat(corpus, idCol, vecCol, cents), mSub, ks, seed, iters, trainN0)
+      graft.core.Overlap.par(residualRefFlat(corpus, idCol, vecCol, cents)),
+      mSub, ks, seed, iters, trainN0)
 
   /** Hier-cell residual trainer (cells are fine-codebook indexes). */
   def trainResidualHier(corpus: DataFrame, idCol: String, vecCol: String,
                         hier: IvfHier, mSub: Int = 8, ks: Int = 256,
                         seed: Int = 42, iters: Int = 8, trainN0: Int = 0): PqModel =
-    trainResidualWith(corpus, idCol, vecCol,
+    trainResidualWithF(corpus, idCol, vecCol,
       v => Similarity.hierCell(v, hier),
-      residualRefHier(corpus, idCol, vecCol, hier), mSub, ks, seed, iters, trainN0)
+      graft.core.Overlap.par(residualRefHier(corpus, idCol, vecCol, hier)),
+      mSub, ks, seed, iters, trainN0)
 
   /** Product-cell (IMI) residual trainer: μ is the IMPLICIT product
     * centroid [sub1_i ++ sub2_j] — derived per sample on the driver,

@@ -204,13 +204,18 @@ object PqIndex {
   def refresh(corpus: DataFrame, idCol: String, vecCol: String, path: String)
       : (Long, Long) = {
     val spark = corpus.sparkSession
-    val cents = loadCentroids(spark, path)
-    val model = loadModel(spark, path)
+    // the three sidecar loads are independent tiny read jobs — overlap
+    // them (guide §2.6 via graft.core.Overlap)
+    val fCents = graft.core.Overlap.par(loadCentroids(spark, path))
+    val fModel = graft.core.Overlap.par(loadModel(spark, path))
+    val fBasis = graft.core.Overlap.par(loadBasis(spark, path))
     // rotate BEFORE the churn split: fingerprints were signed over the
     // rotated vectors at build, so unchanged rows must re-hash equal.
     // Materialized (rotatedMat): the split + fresh-row encode reference
     // the rotated column several times — see rotatedMat's plan-size note
-    val rc = rotatedMat(corpus, vecCol, loadBasis(spark, path))
+    val rc = rotatedMat(corpus, vecCol, graft.core.Overlap.await(fBasis))
+    val cents = graft.core.Overlap.await(fCents)
+    val model = graft.core.Overlap.await(fModel)
     val old = spark.read.parquet(listsPath(path))
     val s = graft.lake.ChurnSplit.split(old, "cid", "vfp",
       rc, idCol, vecFp(rc(vecCol)))
@@ -232,9 +237,13 @@ object PqIndex {
   def upsert(batch: DataFrame, idCol: String, vecCol: String, path: String)
       : (Long, Long) = {
     val spark = batch.sparkSession
-    val cents = loadCentroids(spark, path)
-    val model = loadModel(spark, path)
-    val rb = rotatedMat(batch, vecCol, loadBasis(spark, path))
+    // overlapped loads — see refresh
+    val fCents = graft.core.Overlap.par(loadCentroids(spark, path))
+    val fModel = graft.core.Overlap.par(loadModel(spark, path))
+    val fBasis = graft.core.Overlap.par(loadBasis(spark, path))
+    val rb = rotatedMat(batch, vecCol, graft.core.Overlap.await(fBasis))
+    val cents = graft.core.Overlap.await(fCents)
+    val model = graft.core.Overlap.await(fModel)
     val old = spark.read.parquet(listsPath(path))
     val s = graft.lake.ChurnSplit.split(old, "cid", "vfp",
       rb, idCol, vecFp(rb(vecCol)))
@@ -260,13 +269,17 @@ object PqIndex {
     // an OPQ index probes in its pinned rotated space — corpus AND
     // queries rotate, so ADC tables, codes and the exact re-rank all
     // score the same (orthonormally preserved) inner products
+    // overlapped loads — see refresh
+    val fCents = graft.core.Overlap.par(loadCentroids(spark, path))
+    val fModel = graft.core.Overlap.par(loadModel(spark, path))
     val basis = loadBasis(spark, path)
     // queries rotate MATERIALIZED (small by the broadcast-pool
     // contract; the probe expression references the query vector many
     // times — rotatedMat's plan-size note). The corpus side stays a
     // LAZY rotation: it is referenced once (the re-rank full fetch),
     // and a zero-work serve must not pay a corpus materialization.
-    Pq.ivfTopKPqFromLists(loadCentroids(spark, path), loadModel(spark, path),
+    Pq.ivfTopKPqFromLists(graft.core.Overlap.await(fCents),
+      graft.core.Overlap.await(fModel),
       spark.read.parquet(listsPath(path)).select(col("cid"), col("cell"), col("codes")),
       rotated(corpus, vecCol, basis), rotatedMat(queries, vecCol, basis),
       idCol, vecCol, k, nProbe, margin)

@@ -54,10 +54,10 @@ object QualityClassifier {
     * mismatches the oracle by one on every negative logit (found by
     * the round-18 hash gate).
     */
-  private def fdiv(a: Column, b: Column): Column =
+  private[ops] def fdiv(a: Column, b: Column): Column =
     ((a - a % b) / b).cast("long")
 
-  private def hardSigmoid(z: Column): Column =
+  private[ops] def hardSigmoid(z: Column): Column =
     greatest(lit(0L), least(lit(Scale), fdiv(z, lit(4L)) + lit(Scale / 2)))
 
   /** The DISTINCT (doc, label, bucket) presence stream + per-doc
@@ -83,20 +83,30 @@ object QualityClassifier {
     * it is the same id-uniqueness every index in the repo assumes of
     * its key column.
     */
-  private[ops] def featureStream(docs: DataFrame, idCol: String, textCol: String,
-                                 labelPred: Option[Column], nBuckets: Int): DataFrame = {
+  /** The doc's DISTINCT feature-bucket array from its `__toks` column
+    * — the one bucket definition [[featureStream]] and
+    * [[ClfIndex]]'s one-pass scorer share, so the feature space cannot
+    * drift between training and landed scoring.
+    */
+  private[ops] def bucketArray(nBuckets: Int): Column =
+    array_distinct(transform(
+      expr("transform(sequence(1, size(__toks) - 1), i -> concat(__toks[i-1], ' ', __toks[i]))"),
+      bg => Curation.hashBucket(bg, nBuckets)))
+
+  private[ops] def requireBuckets(nBuckets: Int): Unit =
     require(nBuckets > 0 && nBuckets <= (1 << 16),
       s"nBuckets must be in [1, 65536] (16 hash bits): $nBuckets")
+
+  private[ops] def featureStream(docs: DataFrame, idCol: String, textCol: String,
+                                 labelPred: Option[Column], nBuckets: Int): DataFrame = {
+    requireBuckets(nBuckets)
     val y = labelPred.map(p => when(coalesce(p, lit(false)), 1L).otherwise(0L))
       .getOrElse(lit(0L))
     docs
       .select(col(idCol).as("__doc"), y.as("__y"),
         TextAnalysis.tokens(col(textCol)).as("__toks"))
       .filter(size(col("__toks")) >= 2)
-      .select(col("__doc"), col("__y"),
-        explode(array_distinct(transform(
-          expr("transform(sequence(1, size(__toks) - 1), i -> concat(__toks[i-1], ' ', __toks[i]))"),
-          bg => Curation.hashBucket(bg, nBuckets)))).as("__b"))
+      .select(col("__doc"), col("__y"), explode(bucketArray(nBuckets)).as("__b"))
   }
 
   /** Train the classifier: bucket → weight (10^6 grid), nBuckets-bounded.
@@ -130,7 +140,15 @@ object QualityClassifier {
     import spark.implicits._
     val st0 = featureStream(docs, idCol, textCol, Some(labelPred), nBuckets)
     val st = streamLanding match {
-      case None => st0.localCheckpoint(true)
+      // hash-partition the pinned stream by __doc ONCE: every training
+      // pass groups or joins the corpus-sized stream on __doc (dn, the
+      // per-step __sw aggregate, the gradient's per-doc join), and the
+      // checkpoint preserves the partitioning, so those all reuse this
+      // single exchange instead of re-shuffling the stream 2× per
+      // signSGD round (guide §2.4 "two operations keyed the same way
+      // share one exchange"); only the nBuckets-keyed gradient
+      // aggregate still shuffles, and that one is inherent
+      case None => st0.repartition(col("__doc")).localCheckpoint(true)
       case Some(dir) =>
         st0.write.mode("overwrite").parquet(dir)
         spark.read.parquet(dir)

@@ -89,9 +89,9 @@ object SemDedupIndex {
       if (trained) Similarity.ivfCentroidsKMeans(corpus, idCol, vecCol, nList)
       else Similarity.ivfCentroids(corpus, idCol, vecCol, nList)
     graft.lake.Staged.land(spark, centsPath(path),
-      cents.map { case (id, v) => (id, v) }.toDF("cell_id", "cv"))
+      cents.map { case (id, v) => (id, v) }.toDF("cell_id", "cv").coalesce(1))
     graft.lake.Staged.land(spark, metaPath(path),
-      Seq(threshold.toString).toDF("threshold"))
+      Seq(threshold.toString).toDF("threshold").coalesce(1))
     buildFrom(corpus, idCol, vecCol, path,
       Similarity.ivfCell(col(vecCol), cents), threshold)
   }
@@ -111,13 +111,13 @@ object SemDedupIndex {
     val hier = IvfHier.train(corpus, idCol, vecCol, nList, m)
     graft.lake.Staged.land(spark, centsPath(path),
       hier.fine.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
-        .toDF("cell_id", "cv"))
+        .toDF("cell_id", "cv").coalesce(1))
     graft.lake.Staged.land(spark, coarsePath(path),
       hier.coarse.zipWithIndex.map { case (v, c) =>
         (c.toLong, v.toSeq, hier.fineOfCoarse(c).toSeq)
-      }.toDF("coarse_id", "cv", "fine_idx"))
+      }.toDF("coarse_id", "cv", "fine_idx").coalesce(1))
     graft.lake.Staged.land(spark, metaPath(path),
-      Seq((threshold.toString, hier.m)).toDF("threshold", "m"))
+      Seq((threshold.toString, hier.m)).toDF("threshold", "m").coalesce(1))
     buildFrom(corpus, idCol, vecCol, path,
       Similarity.hierCell(col(vecCol), hier), threshold)
   }

@@ -825,9 +825,14 @@ object Similarity {
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .select(col("qid"), col("cid"), lit(1L).as("rank"))
     for (r <- 2 to k) {
-      val remaining = pool.join(sel.select(col("qid"), col("cid")),
+      // the selected set is |Q|·r rows — broadcast it on both joins so
+      // neither the pool nor the poolK²-pair frame re-shuffles every
+      // round (guide §3.1: replace the shuffle with a broadcast of the
+      // provably-small side; at 100 TB |Q|·k is query-batch-sized by
+      // the same broadcast-pool contract as every serve)
+      val remaining = pool.join(broadcast(sel.select(col("qid"), col("cid"))),
         Seq("qid", "cid"), "left_anti")
-      val ms = pairs.join(sel.select(col("qid"), col("cid").as("other")),
+      val ms = pairs.join(broadcast(sel.select(col("qid"), col("cid").as("other"))),
           Seq("qid", "other"))
         .groupBy(col("qid"), col("cand")).agg(max(col("sim_w")).as("__ms"))
         .withColumnRenamed("cand", "cid")

@@ -62,7 +62,7 @@ object SimilarityIndex {
       if (trained) Similarity.ivfCentroidsKMeans(corpus, idCol, vecCol, nList)
       else Similarity.ivfCentroids(corpus, idCol, vecCol, nList)
     land(spark, centsPath(path),
-      cents.map { case (id, v) => (id, v) }.toDF("cell_id", "cv"))
+      cents.map { case (id, v) => (id, v) }.toDF("cell_id", "cv").coalesce(1))
     land(spark, listsPath(path),
       Similarity.int8Lists(corpus, idCol, vecCol, cents,
         extraCols = Seq(vecFp(col(vecCol)).as("vfp"))))
