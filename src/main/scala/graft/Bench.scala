@@ -256,14 +256,14 @@ object Bench {
           "doc_id", "text", col("lang") === "en", idx); () },
         idx => ClfIndex.serve(spark, idx).count()),
       run("txt_lm_incremental")(
-        idx => (0 to 1).foreach { d => Relevance.landLmDrop(
+        idx => SparkEntry.parDrops(0 to 1) { d => Relevance.landLmDrop(
           docs.filter(pmod(col("doc_id"), lit(3)) === d), "doc_id", "text", idx, s"drop$d") },
         idx => Relevance.landLmDrop(
           docs.filter(pmod(col("doc_id"), lit(3)) === 2), "doc_id", "text", idx, "drop2"),
         idx => Relevance.scoreAgainstCounts(docs, "doc_id", "text",
           Relevance.serveLmCounts(spark, idx)).count()),
       run("txt_dsir_incremental")(
-        idx => (0 to 1).foreach { d => Curation.landDsirDrop(
+        idx => SparkEntry.parDrops(0 to 1) { d => Curation.landDsirDrop(
           docs.filter(pmod(col("doc_id"), lit(3)) === d), "doc_id", "text",
           col("lang") === "en", idx, s"drop$d") },
         idx => Curation.landDsirDrop(
@@ -272,10 +272,9 @@ object Bench {
         idx => Curation.scoreAgainstDsirCounts(docs, "doc_id", "text",
           Curation.serveDsirCounts(spark, idx)).count()),
       run("pca_moments_incremental")(
-        idx => { PcaIndex.landDrop(emb.filter(pmod(col("vec_id"), lit(3)) === 0),
-            "embedding", 64, idx, "drop0")
-          PcaIndex.landDrop(emb.filter(pmod(col("vec_id"), lit(3)) === 1),
-            "embedding", 64, idx, "drop1")
+        idx => { SparkEntry.parDrops(0 to 1) { d =>
+            PcaIndex.landDrop(emb.filter(pmod(col("vec_id"), lit(3)) === d),
+              "embedding", 64, idx, s"drop$d"); () }
           PcaIndex.compact(spark, idx); () },
         idx => { val extra = emb.filter(pmod(col("vec_id"), lit(3)) === 2 &&
             pmod(col("vec_id"), lit(5)) === 0)
@@ -285,14 +284,14 @@ object Bench {
           PcaIndex.landDrop(extra, "embedding", 64, idx, "drop2-retract", sign = -1); () },
         idx => PcaIndex.serveMoments(spark, idx).count()),
       run("q_summary_incremental")(
-        idx => { (0 to 1).foreach { d => graft.lake.MaterializedAgg.landDrop(
+        idx => { SparkEntry.parDrops(0 to 1) { d => graft.lake.MaterializedAgg.landDrop(
             t("orders").filter(pmod(col("o_orderkey"), lit(3)) === d), summarySpec, idx, s"drop$d") }
           graft.lake.MaterializedAgg.compact(spark, idx, summarySpec, "base"); () },
         idx => graft.lake.MaterializedAgg.landDrop(
           t("orders").filter(pmod(col("o_orderkey"), lit(3)) === 2), summarySpec, idx, "drop2"),
         idx => graft.lake.MaterializedAgg.serve(spark, idx, summarySpec).count()),
       run("q_distinct_incremental")(
-        idx => (0 to 1).foreach { d => Sketches.landDistinctDrop(
+        idx => SparkEntry.parDrops(0 to 1) { d => Sketches.landDistinctDrop(
           t("orders").filter(pmod(col("o_orderkey"), lit(3)) === d),
           Seq("o_orderstatus"), "o_custkey", idx, s"drop$d") },
         idx => Sketches.landDistinctDrop(
@@ -300,7 +299,7 @@ object Bench {
           Seq("o_orderstatus"), "o_custkey", idx, "drop2"),
         idx => Sketches.serveDistinct(spark, idx, Seq("o_orderstatus"), "o_custkey").count()),
       run("q_approx_distinct_bound")(
-        idx => (0 to 1).foreach { d => Sketches.landHllDrop(
+        idx => SparkEntry.parDrops(0 to 1) { d => Sketches.landHllDrop(
           t("orders").filter(pmod(col("o_orderkey"), lit(3)) === d),
           Seq("o_orderpriority"), "o_custkey", idx, s"drop$d") },
         idx => Sketches.landHllDrop(
@@ -315,19 +314,19 @@ object Bench {
         }),
       run("q_hll_set_algebra")(
         idx => { val cut = to_date(lit("1995-01-01"))
-          (0 to 1).foreach { d => Sketches.landHllDrop(
+          SparkEntry.parDrops(0 to 1) { d => Sketches.landHllDrop(
             t("orders").filter(col("o_orderdate") < cut &&
               pmod(col("o_orderkey"), lit(2)) === d),
             Seq("o_orderpriority"), "o_custkey", s"$idx/a", s"drop$d") }; () },
         idx => { val cut = to_date(lit("1995-01-01"))
-          (0 to 1).foreach { d => Sketches.landHllDrop(
+          SparkEntry.parDrops(0 to 1) { d => Sketches.landHllDrop(
             t("orders").filter(col("o_orderdate") >= cut &&
               pmod(col("o_orderkey"), lit(2)) === d),
             Seq("o_orderpriority"), "o_custkey", s"$idx/b", s"drop$d") }; () },
         idx => Sketches.serveHllSetAlgebra(spark, s"$idx/a", s"$idx/b",
           Seq("o_orderpriority")).count()),
       run("q_quantile_sketch_bound")(
-        idx => (0 to 1).foreach { d => Sketches.landQuantileDrop(
+        idx => SparkEntry.parDrops(0 to 1) { d => Sketches.landQuantileDrop(
           t("orders").filter(pmod(col("o_orderkey"), lit(3)) === d),
           Seq("o_orderpriority"), col("o_totalprice"), 64, idx, s"drop$d") },
         idx => Sketches.landQuantileDrop(
@@ -338,7 +337,7 @@ object Bench {
           "o_orderpriority").groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).as("n_exact")).count()),
       run("q_heavy_hitters")(
-        idx => (0 to 1).foreach { d => Sketches.landTopKDrop(
+        idx => SparkEntry.parDrops(0 to 1) { d => Sketches.landTopKDrop(
           hhOrders.filter(pmod(col("o_orderkey"), lit(3)) === d),
           Nil, "hh_key", k = 64, idx, s"drop$d") },
         idx => Sketches.landTopKDrop(
@@ -349,7 +348,7 @@ object Bench {
           .filter(col("n_exact") > col("total_cutoff"))
           .join(Sketches.serveTopK(spark, idx, Nil, "hh_key"), Seq("hh_key")).count()),
       run("q_hist_median_est")(
-        idx => (0 to 1).foreach { d => Sketches.landHistDrop(
+        idx => SparkEntry.parDrops(0 to 1) { d => Sketches.landHistDrop(
           t("orders").filter(pmod(col("o_orderkey"), lit(3)) === d),
           Seq("o_orderpriority"), SparkEntry.cents(col("o_totalprice")),
           lo = 0L, width = 500000L, nBuckets = 120, idx, s"drop$d") },

@@ -588,7 +588,7 @@ object CorpusQueries {
       val docs = t(s, dir, "documents")
       val tmp = java.nio.file.Files.createTempDirectory("graft_lmseg_q").toString
       val path = tmp + "/lm"
-      (0 to 2).foreach { d =>
+      SparkEntry.parDrops(0 to 2) { d =>
         Relevance.landLmDrop(docs.filter(pmod(col("doc_id"), lit(3)) === d),
           "doc_id", "text", path, s"drop$d")
       }
@@ -2015,7 +2015,7 @@ object CorpusQueries {
       val docs = t(s, dir, "documents")
       val tmp = java.nio.file.Files.createTempDirectory("graft_dsirseg_q").toString
       val path = tmp + "/dsir"
-      (0 to 2).foreach { d =>
+      SparkEntry.parDrops(0 to 2) { d =>
         Curation.landDsirDrop(docs.filter(pmod(col("doc_id"), lit(3)) === d),
           "doc_id", "text", col("lang") === "en", path, s"drop$d")
       }
@@ -2161,18 +2161,24 @@ object CorpusQueries {
       val emb = t(s, dir, "embeddings")
       val tmp = java.nio.file.Files.createTempDirectory("graft_pcaidx_q").toString
       val path = tmp + "/pca"
-      PcaIndex.landDrop(emb.filter(pmod(col("vec_id"), lit(3)) === 0),
-        "embedding", 64, path, "drop0")
-      PcaIndex.landDrop(emb.filter(pmod(col("vec_id"), lit(3)) === 1),
-        "embedding", 64, path, "drop1")
+      // drops 0/1 land concurrently (independent seg dirs; the merge is
+      // an order-independent decimal sum), compaction is the barrier,
+      // then the drop2 trio (insert, duplicate, retraction) lands
+      // concurrently too — SparkEntry.parDrops' contract
+      SparkEntry.parDrops(0 to 1) { d =>
+        PcaIndex.landDrop(emb.filter(pmod(col("vec_id"), lit(3)) === d),
+          "embedding", 64, path, s"drop$d"); ()
+      }
       PcaIndex.compact(s, path) // fold drops 0+1 under one root swap
       // drop2 lands with a duplicated subset, then retracts it
       val extra = emb.filter(pmod(col("vec_id"), lit(3)) === 2 &&
         pmod(col("vec_id"), lit(5)) === 0)
-      PcaIndex.landDrop(emb.filter(pmod(col("vec_id"), lit(3)) === 2),
-        "embedding", 64, path, "drop2")
-      PcaIndex.landDrop(extra, "embedding", 64, path, "drop2-dup")
-      PcaIndex.landDrop(extra, "embedding", 64, path, "drop2-retract", sign = -1)
+      SparkEntry.parDrops(Seq(
+        () => PcaIndex.landDrop(emb.filter(pmod(col("vec_id"), lit(3)) === 2),
+          "embedding", 64, path, "drop2"),
+        () => PcaIndex.landDrop(extra, "embedding", 64, path, "drop2-dup"),
+        () => PcaIndex.landDrop(extra, "embedding", 64, path, "drop2-retract",
+          sign = -1)))(land => { land(); () })
       val out = PcaIndex.serveMoments(s, path)
         .select(col("i"), col("j"),
           floor(col("s") * lit(1000000)).cast("long").as("s2_scaled"), col("n"))

@@ -27,6 +27,18 @@ object SparkEntry {
   private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Land a query body's INDEPENDENT per-drop segments concurrently
+    * (optimization guide §2.6 via [[graft.core.Overlap]]): each drop
+    * writes its own `seg=<drop>` directory through its own staged swap,
+    * so the landings share nothing; the merged serve is an
+    * order-independent fold (sums / distinct / sketch merges), so the
+    * landing ORDER was never semantic — only the wall clock moves.
+    * Failures propagate (await rethrows the first landing error).
+    */
+  private[graft] def parDrops[T](items: Seq[T])(f: T => Unit): Unit =
+    items.map(it => graft.core.Overlap.par(f(it)))
+      .foreach(graft.core.Overlap.await(_))
+
   /** events.parquet's `ts` physical encoding has drifted across driver
     * testdata generations — TIMESTAMP(NANOS) (which Spark reads as a raw
     * long under spark.sql.legacy.parquet.nanosAsLong=true), then
@@ -1384,7 +1396,7 @@ object SparkEntry {
         sums = Seq("sum_cents" -> cents(col("o_totalprice"))),
         mins = Seq("min_orderkey" -> col("o_orderkey")),
         maxs = Seq("max_orderkey" -> col("o_orderkey")))
-      (0 to 1).foreach { d =>
+      parDrops(0 to 1) { d =>
         MaterializedAgg.landDrop(
           orders.filter(pmod(col("o_orderkey"), lit(3)) === d), spec, sumPath, s"drop$d")
       }
@@ -1510,7 +1522,7 @@ object SparkEntry {
       val orders = t(s, dir, "orders")
       val tmp = java.nio.file.Files.createTempDirectory("graft_dsk_q").toString
       val path = tmp + "/distinct"
-      (0 to 2).foreach { d =>
+      parDrops(0 to 2) { d =>
         Sketches.landDistinctDrop(
           orders.filter(pmod(col("o_orderkey"), lit(3)) === d),
           Seq("o_orderstatus"), "o_custkey", path, s"drop$d")
@@ -1535,7 +1547,7 @@ object SparkEntry {
       val orders = t(s, dir, "orders")
       val tmp = java.nio.file.Files.createTempDirectory("graft_hll_q").toString
       val path = tmp + "/hll"
-      (0 to 2).foreach { d =>
+      parDrops(0 to 2) { d =>
         Sketches.landHllDrop(
           orders.filter(pmod(col("o_orderkey"), lit(3)) === d),
           Seq("o_orderpriority"), "o_custkey", path, s"drop$d")
@@ -1570,11 +1582,10 @@ object SparkEntry {
       val cut = to_date(lit("1995-01-01"))
       val early = orders.filter(col("o_orderdate") < cut)
       val late = orders.filter(col("o_orderdate") >= cut)
-      Seq(("a", early), ("b", late)).foreach { case (side, df) =>
-        (0 to 1).foreach { d =>
-          Sketches.landHllDrop(df.filter(pmod(col("o_orderkey"), lit(2)) === d),
-            Seq("o_orderpriority"), "o_custkey", s"$tmp/$side", s"drop$d")
-        }
+      parDrops(for { (side, df) <- Seq(("a", early), ("b", late)); d <- 0 to 1 }
+        yield (side, df, d)) { case (side, df, d) =>
+        Sketches.landHllDrop(df.filter(pmod(col("o_orderkey"), lit(2)) === d),
+          Seq("o_orderpriority"), "o_custkey", s"$tmp/$side", s"drop$d")
       }
       val est = Sketches.serveHllSetAlgebra(s, s"$tmp/a", s"$tmp/b",
         Seq("o_orderpriority"))
@@ -1611,7 +1622,7 @@ object SparkEntry {
       val tmp = java.nio.file.Files.createTempDirectory("graft_qsk_q").toString
       val path = tmp + "/qs"
       val k = 64
-      (0 to 2).foreach { d =>
+      parDrops(0 to 2) { d =>
         Sketches.landQuantileDrop(
           orders.filter(pmod(col("o_orderkey"), lit(3)) === d),
           Seq("o_orderpriority"), col("o_totalprice"), k, path, s"drop$d")
@@ -1652,7 +1663,7 @@ object SparkEntry {
       val orders = t(s, dir, "orders").withColumn("hh_key", hhKey)
       val tmp = java.nio.file.Files.createTempDirectory("graft_topk_q").toString
       val path = tmp + "/topk"
-      (0 to 2).foreach { d =>
+      parDrops(0 to 2) { d =>
         Sketches.landTopKDrop(
           orders.filter(pmod(col("o_orderkey"), lit(3)) === d),
           Nil, "hh_key", k = 64, path, s"drop$d")
@@ -1684,7 +1695,7 @@ object SparkEntry {
       val orders = t(s, dir, "orders")
       val tmp = java.nio.file.Files.createTempDirectory("graft_hseg_q").toString
       val path = tmp + "/hist"
-      (0 to 2).foreach { d =>
+      parDrops(0 to 2) { d =>
         Sketches.landHistDrop(
           orders.filter(pmod(col("o_orderkey"), lit(3)) === d),
           Seq("o_orderpriority"), cents(col("o_totalprice")),
